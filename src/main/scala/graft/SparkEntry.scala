@@ -13,7 +13,7 @@ import graft.{queries => q}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    q.Aggregates)
+    q.Relational, q.Aggregates)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -7,11 +7,12 @@ import graft.sources.Catalog
 /** SURVEY.md §2.4 — aggregations.
   *
   * JX aggregates (`select: {value, aggregate}` + `groupby`; reference
-  * jx_base/expressions, per SURVEY.md §2.4 [P]) lowered to Spark's
-  * hash aggregate. Partial (map-side) aggregation + whole-stage codegen
-  * come free from declaring with groupBy/agg; at 100 TB the only knob
-  * that matters is the shuffle partition count and key skew, both
-  * handled by AQE.
+  * jx_base/expressions per SURVEY.md §2.4 [P]) lowered to Spark's hash
+  * aggregate. Declaring with groupBy/agg gives partial (map-side)
+  * aggregation + whole-stage codegen for free; at 100 TB the knobs that
+  * matter are shuffle partition count and key skew, both handled by AQE.
+  * collect_set/collect_list results are always array_sort-ed so the
+  * hash compare is deterministic (SURVEY.md §7.5).
   */
 object Aggregates extends QueryModule {
 
@@ -46,5 +47,225 @@ object Aggregates extends QueryModule {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
-  def defs: Seq[QueryDef] = Seq(q1)
+  def defs: Seq[QueryDef] = Seq(
+    q1,
+
+    // count(*) vs count(col): col carries synthesized NULLs so the
+    // null-skipping semantics of count(col) are actually tested.
+    QueryDef(
+      "agg_count",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .withColumn("p",
+            when(col("o_orderpriority") === "1-URGENT", lit(null))
+              .otherwise(col("o_orderpriority")))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), count(col("p")).as("n_p"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+        count(nullif(o_orderpriority, '1-URGENT')) AS n_p
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "agg_sum",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            sum("l_orderkey").as("sum_key"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        sum(l_orderkey) AS sum_key
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "agg_minmax",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            min("l_shipdate").as("min_ship"),
+            max("l_shipdate").as("max_ship"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, min(l_quantity) AS min_qty,
+        max(l_quantity) AS max_qty, min(l_shipdate) AS min_ship,
+        max(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "agg_avg",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(round(avg("c_acctbal"), 6).as("avg_bal"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef(
+      "agg_sos",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(sum(pow(col("l_quantity"), 2)), 2).as("sos_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(sum(pow(l_quantity, 2)), 2) AS sos_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // DuckDB stddev = sample stddev (SURVEY §2.4); round to absorb
+    // accumulation-order float noise between the two engines.
+    QueryDef(
+      "agg_stats",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 6).as("var_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(stddev(l_quantity), 6) AS sd_qty,
+        round(var_samp(l_quantity), 6) AS var_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Spark `percentile` is the exact interpolating aggregate —
+    // semantics match DuckDB quantile_cont (SURVEY §2.4).
+    QueryDef(
+      "agg_median",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "agg_percentile",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.90)"), 4).as("p90"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "agg_cardinality",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count_distinct(col("l_partkey")).as("n_parts"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // HLL sketch path for 100 TB cardinality — result is approximate,
+    // so no DuckDB hash-match; rows-only check (SURVEY §2.4 no-sql).
+    QueryDef(
+      "agg_cardinality_approx",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"))
+          .orderBy("l_returnflag"),
+      None),
+
+    QueryDef(
+      "agg_union",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(array_sort(collect_set(col("l_linenumber"))).as("linenums"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        list(DISTINCT l_linenumber ORDER BY l_linenumber) AS linenums
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "agg_list",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_list(col("l_linenumber"))).as("linenums"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenums
+        FROM lineitem WHERE l_orderkey < 100
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // min_by/max_by with a struct sort key — the unique o_orderkey
+    // tiebreak makes the pick deterministic on both engines.
+    QueryDef(
+      "agg_first_last",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            min_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey")))
+              .as("first_key"),
+            max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey")))
+              .as("last_key"))
+          .orderBy("o_orderstatus"),
+      Some("""WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey) AS rf,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl
+        FROM orders)
+        SELECT o_orderstatus,
+          max(CASE WHEN rf = 1 THEN o_orderkey END) AS first_key,
+          max(CASE WHEN rl = 1 THEN o_orderkey END) AS last_key
+        FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "agg_distinct",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_linestatus")
+          .agg(count_distinct(col("l_partkey"), col("l_suppkey")).as("n_ps"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, count(DISTINCT (l_partkey, l_suppkey)) AS n_ps
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    QueryDef(
+      "agg_cube",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    QueryDef(
+      "agg_rollup",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // JX has no separate HAVING — post-agg `where` (SURVEY §2.4);
+    // in Spark that is just .agg(...).filter(...).
+    QueryDef(
+      "agg_having",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 40)
+          .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, count(*) AS n FROM lineitem
+        GROUP BY l_partkey HAVING count(*) > 40 ORDER BY l_partkey""")))
 }

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryModule}
+import graft.sources.Catalog
+
+/** SURVEY.md §2.2 (projection/filter/predicates) + §2.7 (sort/limit/set).
+  *
+  * JX's `select`/`where` clauses (reference jx_base/expressions per
+  * SURVEY.md §2.2 [P]) lowered to declarative Column expressions so
+  * Catalyst keeps predicate pushdown + column pruning: at 100 TB every
+  * one of these filters reaches the parquet row-group stats
+  * (PushedFilters) and the scan reads only projected columns.
+  *
+  * Determinism: every oracle query ends in a total-order sort (unique
+  * key in the sort), doubles are rounded identically on both sides.
+  */
+object Relational extends QueryModule {
+
+  private def d(defs: QueryDef*): Seq[QueryDef] = defs
+
+  def defs: Seq[QueryDef] = d(
+    QueryDef(
+      "proj_select",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .select(
+            col("c_custkey").as("id"),
+            upper(col("c_name")).as("name_uc"),
+            round(col("c_acctbal") * 2, 2).as("bal2"),
+            col("c_mktsegment").as("segment"))
+          .orderBy("id")
+          .limit(1000),
+      Some("""SELECT c_custkey AS id, upper(c_name) AS name_uc,
+        round(c_acctbal * 2, 2) AS bal2, c_mktsegment AS segment
+        FROM customer ORDER BY id LIMIT 1000""")),
+
+    QueryDef(
+      "filter_where",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000.0 && col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+          .orderBy("o_orderkey")
+          .limit(2000),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+        ORDER BY o_orderkey LIMIT 2000""")),
+
+    QueryDef(
+      "pred_compare",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .filter(
+            col("l_quantity") > 30 && col("l_quantity") <= 45 &&
+            col("l_discount") >= 0.02 && col("l_discount") < 0.08 &&
+            col("l_linenumber") =!= 1 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(2000),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity > 30 AND l_quantity <= 45 AND l_discount >= 0.02
+          AND l_discount < 0.08 AND l_linenumber != 1 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber LIMIT 2000""")),
+
+    QueryDef(
+      "pred_bool",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .filter(
+            (col("l_returnflag") === "A" && col("l_discount") > 0.05) ||
+            (!(col("l_linestatus") === "O") && col("l_tax") < 0.02))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        WHERE (l_returnflag = 'A' AND l_discount > 0.05)
+           OR (NOT (l_linestatus = 'O') AND l_tax < 0.02)
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "pred_in",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "pred_between",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .filter(
+            col("l_quantity").between(10, 20) &&
+            col("l_shipdate").between(
+              lit("1996-01-01").cast("timestamp"),
+              lit("1996-12-31").cast("timestamp")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Fixtures have no physical NULLs (verified FIXTURES.md) — synthesize
+    // them with nullif so missing/exists semantics are actually exercised.
+    QueryDef(
+      "pred_missing",
+      (s, dir) => {
+        val p = when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(col("o_orderpriority"))
+        Catalog.table(s, dir, "orders")
+          .withColumn("p", p)
+          .groupBy("o_orderstatus")
+          .agg(
+            sum(when(col("p").isNull, 1).otherwise(0)).as("n_missing"),
+            sum(when(col("p").isNotNull, 1).otherwise(0)).as("n_exists"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS n_missing,
+        sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL THEN 1 ELSE 0 END) AS n_exists
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "pred_prefix",
+      (s, dir) =>
+        Catalog.table(s, dir, "part")
+          .filter(col("p_type").startsWith("ECO") || col("p_name").endsWith("bolt"))
+          .select("p_partkey", "p_name", "p_type")
+          .orderBy("p_partkey")
+          .limit(1000),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_type LIKE 'ECO%' OR p_name LIKE '%bolt'
+        ORDER BY p_partkey LIMIT 1000""")),
+
+    QueryDef(
+      "pred_regex",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .filter(col("text").rlike("agg\\s+\\w+\\s+join"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n FROM documents
+        WHERE regexp_matches(text, 'agg\s+\w+\s+join')
+        GROUP BY lang ORDER BY lang""")),
+
+    QueryDef(
+      "pred_case",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .withColumn("bucket",
+            when(col("c_acctbal") < 0, "neg")
+              .when(col("c_acctbal") < 5000, "low")
+              .otherwise("high"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("bucket"),
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
+        count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef(
+      "expr_coalesce",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            coalesce(
+              when(col("o_orderpriority") === "1-URGENT", lit(null))
+                .otherwise(col("o_orderpriority")),
+              lit("0-FALLBACK")).as("pri"))
+          .orderBy("o_orderkey")
+          .limit(1000),
+      Some("""SELECT o_orderkey,
+        coalesce(nullif(o_orderpriority, '1-URGENT'), '0-FALLBACK') AS pri
+        FROM orders ORDER BY o_orderkey LIMIT 1000""")),
+
+    QueryDef(
+      "sort_multi",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+          .orderBy(
+            asc("l_returnflag"), desc("l_quantity"),
+            asc("l_orderkey"), asc("l_linenumber"))
+          .limit(1000),
+      Some("""SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
+        FROM lineitem
+        ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 1000""")),
+
+    QueryDef(
+      "limit_n",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .select("o_orderkey")
+          .orderBy("o_orderkey")
+          .limit(42),
+      Some("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 42")),
+
+    // Fuses to TakeOrderedAndProject — no full sort, no full shuffle: each
+    // partition keeps its local top-k, driver merges k*numPartitions rows.
+    QueryDef(
+      "topk",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+          .orderBy(desc("price"), asc("o_orderkey"))
+          .limit(15),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        ORDER BY price DESC, o_orderkey ASC LIMIT 15""")),
+
+    QueryDef(
+      "distinct_rows",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "set_union",
+      (s, dir) => {
+        val o = Catalog.table(s, dir, "orders")
+        val a = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderpriority")
+        val b = o.filter(col("o_orderpriority") === "2-HIGH")
+          .select("o_orderkey", "o_orderpriority")
+        a.unionByName(b).orderBy("o_orderkey").limit(2000)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+        ORDER BY o_orderkey LIMIT 2000""")),
+
+    QueryDef(
+      "set_intersect",
+      (s, dir) => {
+        val o = Catalog.table(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+          .limit(2000)
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_custkey LIMIT 2000""")),
+
+    QueryDef(
+      "set_except",
+      (s, dir) => {
+        val c = Catalog.table(s, dir, "customer").select(col("c_custkey"))
+        val o = Catalog.table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))
+        c.except(o).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY c_custkey""")))
+}

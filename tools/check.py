@@ -52,6 +52,10 @@ def main():
         for c in sdf.columns:
             sv, ov = sdf[c].tolist(), odf[c].tolist()
             for i, (a, b) in enumerate(zip(sv, ov)):
+                if hasattr(a, "tolist"):
+                    a = a.tolist()
+                if hasattr(b, "tolist"):
+                    b = b.tolist()
                 eq = (a == b) or (a is None and b is None) \
                     or (isinstance(a, float) and isinstance(b, float)
                         and a != a and b != b)
