@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryModule}
+import graft.sources.Catalog
+
+/** SURVEY.md §2.3 — joins.
+  *
+  * The reference has no general join operator (JX queries one snowflaked
+  * table); its join-like capabilities are nested-child navigation and
+  * mo_collections Index hash-lookup enrichment (SURVEY §2.3 [P]). We
+  * cover those with Spark's native joins and let AQE pick broadcast vs
+  * sort-merge at runtime. 100 TB posture: dims (region/nation/part/
+  * supplier/customer) broadcast; fact-fact joins (orders⋈lineitem)
+  * shuffle on the join key — co-partitioning or bucketing would remove
+  * even that on a real cluster; the as-of join is a single window pass
+  * (one shuffle by user), never a range-explosion join.
+  */
+object Joins extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "join_inner",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .join(Catalog.table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Index lookup-miss → Null (SURVEY §2.3): left join keeps every
+    // customer; count(o_orderkey) ignores the null-extended rows.
+    QueryDef(
+      "join_left",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .join(
+            Catalog.table(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_urgent"))
+          .orderBy("c_custkey")
+          .limit(2000),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_urgent
+        FROM customer LEFT JOIN (
+          SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey LIMIT 2000""")),
+
+    QueryDef(
+      "join_semi",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .join(
+            Catalog.table(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    QueryDef(
+      "join_anti",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .join(
+            Catalog.table(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // Explicit broadcast of the bounded dim — the in-memory Index
+    // enrichment pattern (SURVEY §2.3); no shuffle of the fact side.
+    QueryDef(
+      "join_broadcast",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .join(broadcast(Catalog.table(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("rev"))
+          .orderBy("p_type"),
+      Some("""SELECT p_type, count(*) AS n,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type ORDER BY p_type""")),
+
+    // Parent→child snowflake descent (jx_sqlite nested tables,
+    // SURVEY §2.3): orders is the parent, lineitem the nested child.
+    QueryDef(
+      "join_nested",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .join(Catalog.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("o_orderkey")
+          .limit(2000),
+      Some("""SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
+        round(sum(l_quantity), 2) AS qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey LIMIT 2000""")),
+
+    // Range-domain assignment (edges range domain, SURVEY §2.3): value
+    // lands in its [lo, hi) bucket via a broadcast non-equi join.
+    QueryDef(
+      "join_range",
+      (s, dir) => {
+        val buckets = s.createDataFrame(Seq(
+          ("q00_10", 0.0, 10.0), ("q10_20", 10.0, 20.0),
+          ("q20_30", 20.0, 30.0), ("q30_40", 30.0, 40.0),
+          ("q40_up", 40.0, 1e9)))
+          .toDF("bucket", "lo", "hi")
+        Catalog.table(s, dir, "lineitem")
+          .join(broadcast(buckets),
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket, count(*) AS n
+        FROM lineitem JOIN (VALUES
+          ('q00_10', 0.0, 10.0), ('q10_20', 10.0, 20.0),
+          ('q20_30', 20.0, 30.0), ('q30_40', 30.0, 40.0),
+          ('q40_up', 40.0, 1e9)) b(bucket, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY bucket ORDER BY bucket""")),
+
+    // As-of: for each click, the latest view by the same user at ts <=
+    // click ts. Implemented as ONE window pass over the union (shuffle
+    // by user_id only) — no range join, no per-row scan explosion; this
+    // is the 100 TB-safe plan. Views sort before clicks at equal ts so
+    // `<=` matches ASOF semantics.
+    QueryDef(
+      "join_asof",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"),
+            when(col("event_type") === "view", 0).otherwise(1),
+            col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("view_ts",
+            last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"), col("view_ts"))
+          .orderBy("click_id")
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+          v.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+        ORDER BY click_id""")))
+}

@@ -56,12 +56,12 @@ object Relational extends QueryModule {
             col("l_discount") >= 0.02 && col("l_discount") < 0.08 &&
             col("l_linenumber") =!= 1 && col("l_returnflag") === "R")
           .select("l_orderkey", "l_linenumber", "l_quantity")
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
           .limit(2000),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         WHERE l_quantity > 30 AND l_quantity <= 45 AND l_discount >= 0.02
           AND l_discount < 0.08 AND l_linenumber != 1 AND l_returnflag = 'R'
-        ORDER BY l_orderkey, l_linenumber LIMIT 2000""")),
+        ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 2000""")),
 
     QueryDef(
       "pred_bool",

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Table catalog over the driver-generated parquet fixtures.
   *
@@ -16,9 +18,22 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one fixture table rooted at sfDir. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read one fixture table rooted at sfDir.
+    *
+    * events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
+    * so it arrives as nanos-since-epoch LongType, and we restore a
+    * proper TimestampType here (integer DIV — nanos exceed 2^53, so
+    * double math would corrupt them). DuckDB truncates ns→µs the same
+    * way, keeping the oracle comparable.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 
   /** Register every fixture table as a temp view (for spark.sql parity). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

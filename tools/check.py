@@ -56,9 +56,12 @@ def main():
                     a = a.tolist()
                 if hasattr(b, "tolist"):
                     b = b.tolist()
-                eq = (a == b) or (a is None and b is None) \
-                    or (isinstance(a, float) and isinstance(b, float)
-                        and a != a and b != b)
+                def _nullish(x):
+                    try:
+                        return x is None or x != x  # None, NaN, NaT
+                    except Exception:
+                        return False
+                eq = (a == b) or (_nullish(a) and _nullish(b))
                 # numpy arrays (list columns)
                 if not isinstance(eq, bool):
                     eq = bool(getattr(eq, "all", lambda: eq)())
