@@ -13,7 +13,7 @@ import graft.{queries => q}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    q.Relational, q.Aggregates, q.Scalars, q.Joins)
+    q.Relational, q.Aggregates, q.Scalars, q.Joins, q.Edges, q.Windows)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

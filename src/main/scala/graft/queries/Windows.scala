@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryModule}
+import graft.sources.Catalog
+
+/** SURVEY.md §2.6 — window functions.
+  *
+  * JX `window` clause {name, value, aggregate, edges(=partition), sort,
+  * range} (reference jx_python/windows.py per SURVEY §2.6 [P]) lowered
+  * onto Spark's native window exec: one shuffle per distinct partition
+  * spec, sort within partition, frame-sliding aggregation — codegen'd,
+  * spill-aware, and skew handled by AQE at 100 TB. Every orderBy inside
+  * a window carries a unique tiebreak so frames are deterministic.
+  */
+object Windows extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "win_rownum",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Catalog.table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("o_orderstatus", "rn", "o_orderkey")
+          .orderBy("o_orderstatus", "rn")
+      },
+      Some("""SELECT o_orderstatus, rn, o_orderkey FROM (
+          SELECT o_orderstatus, o_orderkey,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 5 ORDER BY o_orderstatus, rn""")),
+
+    QueryDef(
+      "win_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag").orderBy(desc("l_quantity"))
+        Catalog.table(s, dir, "lineitem")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .filter(col("drnk") <= 2)
+          .select("l_returnflag", "l_quantity", "rnk", "drnk")
+          .orderBy("l_returnflag", "rnk", "l_quantity")
+      },
+      Some("""SELECT l_returnflag, l_quantity, rnk, drnk FROM (
+          SELECT l_returnflag, l_quantity,
+            rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+            dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
+          FROM lineitem)
+        WHERE drnk <= 2 ORDER BY l_returnflag, rnk, l_quantity""")),
+
+    // Running aggregate: JX range {min: None, max: 0}.
+    QueryDef(
+      "win_agg_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("running", round(sum("o_totalprice").over(w), 2))
+          .select("o_custkey", "o_orderkey", "running")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        FROM orders WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Moving aggregate: JX range {min: -6, max: 0} — trailing 7 rows.
+    QueryDef(
+      "win_agg_moving",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(-6, Window.currentRow)
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("mov_avg", round(avg("o_totalprice").over(w), 6))
+          .select("o_custkey", "o_orderkey", "mov_avg")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        FROM orders WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef(
+      "win_lead_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 2))
+          .withColumn("next_price", round(lead("o_totalprice", 1).over(w), 2))
+          .select("o_custkey", "o_orderkey", "prev_price", "next_price")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+          round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef(
+      "win_first_last",
+      (s, dir) => {
+        val wf = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("first_key", first("o_orderkey").over(wf))
+          .withColumn("last_key", last("o_orderkey").over(wf))
+          .select("o_custkey", "o_orderkey", "first_key", "last_key")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          first_value(o_orderkey) OVER w AS first_key,
+          last_value(o_orderkey) OVER w AS last_key
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Percentile bucket of each row — unique total order inside the
+    // window spec keeps ntile/percent_rank deterministic.
+    QueryDef(
+      "win_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy("o_totalprice", "o_orderkey")
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .select("o_orderstatus", "o_orderkey", "quartile", "pr")
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER w, 6) AS pr
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderstatus, o_orderkey""")))
+}
