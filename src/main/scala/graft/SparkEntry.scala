@@ -13,7 +13,8 @@ import graft.{queries => q}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    q.Relational, q.Aggregates, q.Scalars, q.Joins, q.Edges, q.Windows)
+    q.Relational, q.Aggregates, q.Scalars, q.Joins, q.Edges, q.Windows,
+    q.Llm)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (SURVEY.md §2.11).
+  *
+  * Two paths, same API:
+  *  - `cosineTopK`: brute-force scan — the exactness baseline. The
+  *    query side broadcasts, so the plan is a BroadcastNestedLoopJoin:
+  *    one linear pass over the corpus per batch of queries, no shuffle
+  *    of the big side. Right answer for few queries × huge corpus.
+  *  - `lshTopK`: sign-random-projection LSH — corpus and queries get a
+  *    b-bit signature from deterministic xxhash64-derived ±1
+  *    projections; candidates are signature-equal rows (hash equi-join,
+  *    shuffle on the bucket only), then exact cosine re-ranks. The
+  *    100 TB path: candidate set per query is the bucket, not the
+  *    corpus.
+  *
+  * All math is higher-order-function Column expressions on
+  * array<double> — codegen'd, null-safe, no UDFs.
+  */
+object Similarity {
+
+  /** Σ a[i]*b[i] as a sequential fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact top-k neighbours for each query row.
+    *
+    * Ranking happens on the 6-digit-rounded similarity with the
+    * neighbour id as tiebreak, so results are reproducible across
+    * engines that disagree in the last float ulp.
+    */
+  def cosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim",
+        round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
+  /** b-bit sign-random-projection signature. Projection matrix entries
+    * are ±1 derived from xxhash64(bit:dim) — deterministic, no stored
+    * model, identical on every executor. */
+  def srpSignature(vec: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(
+        aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+            when(xxhash64(concat(lit(s"$b:"), d.cast("string")))
+              .bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
+          lit(0.0), (acc, x) => acc + x) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the LSH bucket, exact cosine
+    * re-ranks inside it. Recall rises with fewer bits / multi-probe;
+    * 12 bits ≈ 4096 buckets is a reasonable sf-test default. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+      .withColumn("bucket", srpSignature(col("nvec"), bits))
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+      .withColumn("bucket", srpSignature(col("qvec"), bits))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim",
+        round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+}

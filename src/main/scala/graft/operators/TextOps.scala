@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline building blocks for LLM training-data curation
+  * (SURVEY.md §2.11): shingling, MinHash, SimHash, language-ID
+  * heuristics, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a pure Column expression over built-in functions —
+  * whole-stage-codegen'd, no UDFs, no driver-side state — so each op is
+  * embarrassingly parallel per row and the only shuffles in the dedup
+  * pipelines are the final band-bucket groupBys. That is the 100 TB
+  * shape: per-row signature compute scales linearly with executors;
+  * candidate generation touches only hash-equal pairs, never the n²
+  * cross product.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles (n fixed at 3 — the usual near-dup
+    * granularity). Empty array for texts shorter than n words. */
+  def shingles3(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature, md5 variant: hash family h_i(s) = md5(i || s),
+    * signature element = lexicographic min per i. Slower than xxhash64
+    * but reproducible in any engine with md5 — used for the DuckDB
+    * oracle proof of signature correctness. */
+  def minhashSigMd5(sh: Column, hashIndices: Seq[Int]): Seq[Column] =
+    hashIndices.map(i =>
+      array_min(transform(sh, s2 => md5(concat(lit(i.toString), lit("|"), s2))))
+        .as(s"mh_$i"))
+
+  /** MinHash signature, xxhash64 variant (the scale path — one 64-bit
+    * codegen'd hash per shingle per band). */
+  def minhashSigFast(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(sh, s2 => xxhash64(concat(i.cast("string"), s2)))))
+
+  /** LSH banding: split the `numHashes`-wide signature into `bands`
+    * equal bands and hash each band to a bucket id. Returns
+    * array<struct<band:int, bucket:bigint>> ready to explode. */
+  def lshBands(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.cast("int").as("band"),
+        xxhash64(concat_ws(",",
+          transform(sequence(lit(0), lit(rows - 1)),
+            r => element_at(sig, b * rows + r + 1).cast("string"))))
+          .as("bucket")))
+  }
+
+  /** 16-bit SimHash over whitespace tokens: bit b is the sign of
+    * Σ_tokens (+1 / −1 by bit b of xxhash64(token)). */
+  def simhash16(text: Column): Column = {
+    val tok = tokens(text)
+    (0 until 16).map { b =>
+      when(
+        aggregate(tok, lit(0L), (acc, t) =>
+          acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  private val EnStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val tok = tokens(text)
+    size(filter(tok, t => t.isin(EnStopwords.map(x => x: Any): _*)))
+      .cast("double") / greatest(size(tok), lit(1)).cast("double")
+  }
+
+  /** N-gram-heuristic language ID: stopword density says 'en', else
+    * unknown (the fixture corpus is synthetic; real corpora would carry
+    * one stopword table per language — same expression shape). */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) > 0.05, "en").otherwise("unk")
+
+  /** Composite quality score in [0,1]: length saturation, stopword
+    * density, lexical diversity. Deterministic, codegen'd. */
+  def qualityScore(text: Column): Column = {
+    val tok = tokens(text)
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val diversity = size(array_distinct(tok)).cast("double") /
+      greatest(size(tok), lit(1)).cast("double")
+    round(lenScore * 0.3 + stopwordRatio(text) * 0.5 + diversity * 0.2, 6)
+  }
+
+  /** Whitespace + BPE-ish regex token counts + the chars/4 estimate. */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(tokens(text)).as("ws_tokens"),
+    regexp_count(text, lit("[a-z]+|[0-9]|[^a-z0-9 ]")).as("bpe_tokens"),
+    ceil(length(text).cast("double") / 4.0).cast("long").as("est_tokens"))
+
+  /** Content fingerprint: md5 of the normalized text (lower, strip
+    * non-alnum, collapse whitespace) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  // ---- pipelines -------------------------------------------------------
+
+  /** Exact dedup: keep the lowest id per content fingerprint. One
+    * shuffle on the (high-cardinality, well-distributed) hash key. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("fp").orderBy(idCol)
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** MinHash/LSH near-dup candidate pairs, jaccard-verified.
+    *
+    * Pipeline: per-row signature (no shuffle) → explode bands (×bands
+    * rows) → self-join on (band, bucket) (shuffle on bucket hash) →
+    * distinct candidate pairs → jaccard verify ≥ threshold. Buckets are
+    * capped to guard against degenerate skew (a stopword-only shingle
+    * bucketing everything together) — at 100 TB a hot bucket would
+    * otherwise quadratically explode one reducer.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), shingles3(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("band", explode(lshBands(
+        minhashSigFast(col("sh"), numHashes), numHashes, bands)))
+      .select(col("id"), col("sh"), col("band.band"), col("band.bucket"))
+    val capped = sigs
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .filter(col("bsize") <= maxBucket)
+    val a = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash dedup: drop every doc that has a verified near-dup with a
+    * smaller id (the canonical survivor rule). */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val losers = minhashNearDupPairs(df, idCol, textCol, threshold = threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash dedup: identical 16-bit fingerprint → near-dup group;
+    * keep the lowest id per group. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("sh16").orderBy(idCol)
+    df.withColumn("sh16", simhash16(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}

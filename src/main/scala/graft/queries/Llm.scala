@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryModule}
+import graft.operators.{Multimodal, Similarity, TextOps}
+import graft.sources.Catalog
+
+/** SURVEY.md §2.11 — LLM training-data pipeline operators, declared over
+  * the `documents` and `embeddings` fixtures. Implementations live in
+  * graft.operators; this module wires them into the driver contract.
+  */
+object Llm extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "llm_exact_dedup",
+      (s, dir) =>
+        TextOps.exactDedup(
+          Catalog.table(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "fp")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+        FROM (SELECT *, row_number() OVER (
+            PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+            ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Signature correctness proof for MinHash: the md5 hash family is
+    // reproducible in DuckDB, so the oracle recomputes the exact
+    // signature. The production pipeline uses the xxhash64 family below.
+    QueryDef(
+      "llm_minhash_sig",
+      (s, dir) => {
+        val sh = TextOps.shingles3(col("text"))
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(Seq(col("doc_id")) ++
+            TextOps.minhashSigMd5(sh, Seq(0, 5, 9)): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100))
+        SELECT doc_id,
+          list_aggregate(list_transform(shingles, s -> md5('0' || '|' || s)), 'min') AS mh_0,
+          list_aggregate(list_transform(shingles, s -> md5('5' || '|' || s)), 'min') AS mh_5,
+          list_aggregate(list_transform(shingles, s -> md5('9' || '|' || s)), 'min') AS mh_9
+        FROM sh ORDER BY doc_id""")),
+
+    // Full MinHash/LSH dedup pipeline (xxhash64 family, banded buckets,
+    // jaccard-verified) — no SQL oracle (SURVEY §2.11 no-sql); the
+    // signature math is oracle-proved above and the pipeline is
+    // property-tested in ScalaTest.
+    QueryDef(
+      "llm_minhash_dedup",
+      (s, dir) =>
+        TextOps.minhashDedup(
+          Catalog.table(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      None),
+
+    QueryDef(
+      "llm_simhash_dedup",
+      (s, dir) =>
+        TextOps.simhashDedup(
+          Catalog.table(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "sh16")
+          .orderBy("doc_id"),
+      None),
+
+    // Pairwise n-gram Jaccard over a bounded id range — the verify step
+    // of near-dup detection, oracle-checked.
+    QueryDef(
+      "llm_ngram_jaccard",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 30)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.crossJoin(b)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6).as("j"))
+          .filter(col("j") > 0)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 30))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS j
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.shingles, b.shingles)) > 0
+        ORDER BY id_a, id_b""")),
+
+    // Brute-force exact ANN baseline: top-3 cosine neighbours for the
+    // first 10 vectors. Ranking on round(sim, 6) + id tiebreak keeps
+    // Spark and DuckDB ulp-disagreements out of the ordering.
+    QueryDef(
+      "llm_cosine_topk",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.cosineTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+          .orderBy("qid", "rk")
+      },
+      Some("""SELECT q.vec_id AS qid, row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) DESC,
+              n.vec_id ASC) AS rk,
+          n.vec_id AS nid,
+          round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings n
+        WHERE n.vec_id != q.vec_id
+        QUALIFY rk <= 3
+        ORDER BY qid, rk""")),
+
+    // Embedding-cosine near-dup pairs above a threshold.
+    QueryDef(
+      "llm_embed_neardup",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", Similarity.norm(col("v")))
+        val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na"))
+        val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        a.crossJoin(b)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")), 6)
+              .as("sim"))
+          .filter(col("sim") > 0.2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        FROM (SELECT * FROM embeddings WHERE vec_id < 100) a,
+             (SELECT * FROM embeddings WHERE vec_id < 100) b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.2
+        ORDER BY id_a, id_b""")),
+
+    // LSH-bucketed approximate NN (the 100 TB path) — approximate by
+    // construction, so rows-only here; recall vs brute force is
+    // asserted in ScalaTest.
+    QueryDef(
+      "llm_knn_lsh",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, bits = 8)
+          .orderBy("qid", "rk")
+      },
+      None),
+
+    QueryDef(
+      "llm_text_stats",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(length(col("text"))), 4).as("avg_chars"),
+            round(avg(size(split(col("text"), " "))), 4).as("avg_words"),
+            sum(size(split(col("text"), " "))).as("total_tokens"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+        round(avg(length(text)), 4) AS avg_chars,
+        round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+        sum(len(string_split(text, ' '))) AS total_tokens
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    QueryDef(
+      "llm_lang_id",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+            TextOps.langId(col("text")).as("pred_lang"),
+            col("lang"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        round(len(list_filter(string_split(text, ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+          / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+        CASE WHEN len(list_filter(string_split(text, ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+          / greatest(len(string_split(text, ' ')), 1) > 0.05
+          THEN 'en' ELSE 'unk' END AS pred_lang,
+        lang
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
+      "llm_quality_score",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        round(least(length(text)::DOUBLE / 500, 1.0) * 0.3
+          + (len(list_filter(string_split(text, ' '),
+              t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+            / greatest(len(string_split(text, ' ')), 1)) * 0.5
+          + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / greatest(len(string_split(text, ' ')), 1)) * 0.2, 6) AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
+      "llm_token_count",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(Seq(col("doc_id")) ++ TextOps.tokenCounts(col("text")): _*)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        len(string_split(text, ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens,
+        CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS est_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
+      "llm_fingerprint",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // Binary media column + per-partition batched decode (stub codec,
+    // real plumbing) — no-sql (SURVEY §2.11).
+    QueryDef(
+      "llm_multimodal_col",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Catalog.table(s, dir, "documents"), "doc_id", "text",
+          Seq("lang", "source"))
+        Multimodal.decode(media, "doc_id")
+          .select("id", "mime", "n_bytes", "features")
+          .orderBy("id")
+      },
+      None))
+}
