@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{JxJson, QueryDef, QueryModule}
+import graft.functions.GeoMean
+import graft.operators.Leaves
+import graft.sources.Catalog
+
+/** SURVEY.md §2.10 (UDF/UDAF/UDTF surface) + §3.2 (JX JSON front door).
+  */
+object Extensions extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Scalar UDF surface. Native Column exprs are always preferred
+    // (SURVEY §2.10) — this declares the escape hatch works; the oracle
+    // proves the UDF against its pure-SQL equivalent.
+    QueryDef(
+      "udf_scalar",
+      (s, dir) => {
+        val slug = udf((name: String) =>
+          if (name == null) null
+          else name.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+        Catalog.table(s, dir, "customer")
+          .select(col("c_custkey"), slug(col("c_name")).as("slug"))
+          .orderBy("c_custkey")
+          .limit(500)
+      },
+      Some("""SELECT c_custkey,
+        regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g') AS slug
+        FROM customer ORDER BY c_custkey LIMIT 500""")),
+
+    // Typed Aggregator (exact geometric mean) — oracle is the algebraic
+    // identity exp(avg(ln x)).
+    QueryDef(
+      "udaf_typed",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(udaf(GeoMean).apply(col("l_quantity")), 6).as("geo_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // mo_dots leaves as a generator: 1 doc → N (path, value) rows.
+    // The fixture props are flat; nested/array docs are covered in
+    // LeavesSpec.
+    QueryDef(
+      "json_leaves",
+      (s, dir) =>
+        Leaves.explodeLeaves(
+          Catalog.table(s, dir, "events").filter(col("event_id") < 2000),
+          "event_id", "props")
+          .orderBy("event_id", "path"),
+      Some("""SELECT event_id, 'k' AS path, json_extract_string(props, '$.k') AS value
+        FROM events WHERE event_id < 2000 ORDER BY event_id, path""")),
+
+    // JX JSON query string in, DataFrame out — compiled onto the same
+    // builder; result proven against plain SQL.
+    QueryDef(
+      "jx_json_query",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "orders",
+          "where": {"and": [
+            {"gte": ["o_totalprice", {"literal": 100000}]},
+            {"ne": ["o_orderstatus", {"literal": "P"}]}
+          ]},
+          "groupby": ["o_orderpriority"],
+          "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "max_price", "value": "o_totalprice", "aggregate": "max"}
+          ],
+          "sort": "o_orderpriority"
+        }"""),
+      Some("""SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
+        FROM orders WHERE o_totalprice >= 100000 AND o_orderstatus != 'P'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+}

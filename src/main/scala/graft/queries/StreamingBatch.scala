@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.{QueryDef, QueryModule}
+import graft.sources.Catalog
+import graft.streaming.Streams
+
+/** SURVEY.md §2.9 — streaming capabilities, verified two ways:
+  * batch analogs of each windowing op with full DuckDB oracles, and
+  * true Structured Streaming runs (file-source replay → AvailableNow →
+  * memory sink) for the watermark/state/sink behaviors DuckDB cannot
+  * express (no-sql rows-only).
+  */
+object StreamingBatch extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Tumbling window, batch mode — window() is epoch-aligned exactly
+    // like DuckDB time_bucket.
+    QueryDef(
+      "win_tumbling_batch",
+      (s, dir) =>
+        Catalog.table(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .select(col("window.start").as("ws"), col("event_type"),
+            col("n"), col("total"))
+          .orderBy("ws", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        count(*) AS n, round(sum(value), 4) AS total
+        FROM events GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // Sliding 1h/15m — each event lands in exactly 4 windows; DuckDB
+    // reproduces the window set by shifting the 15m bucket k=0..3 steps.
+    QueryDef(
+      "win_sliding_batch",
+      (s, dir) =>
+        Catalog.table(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("ws"), col("n"))
+          .orderBy("ws"),
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts)
+            - k * INTERVAL '15 minutes' AS ws, count(*) AS n
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+        GROUP BY ws ORDER BY ws""")),
+
+    // Gap-based sessionization, compositional form (lag + cumulative
+    // sum) — identical semantics to session_window, fully oracle-able.
+    QueryDef(
+      "sessionize_batch",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Catalog.table(s, dir, "events")
+          .withColumn("brk",
+            when(col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+              > 1800 || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+          .withColumn("sid", sum("brk").over(runSum))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH x AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events
+        FROM y GROUP BY user_id, sid ORDER BY user_id, sid""")),
+
+    // Native session_window (gap 30m), batch mode — must agree with the
+    // compositional oracle above on start/count.
+    QueryDef(
+      "stream_session",
+      (s, dir) =>
+        Catalog.table(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"), col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH x AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // Exactly-once by key: a duplicated feed (every 3rd event repeated)
+    // collapses back to the original counts.
+    QueryDef(
+      "stream_dedup",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+        ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+          .dropDuplicates("event_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // True streaming run: file-source replay → watermarked tumbling
+    // windows → AvailableNow → memory sink. Watermark semantics are
+    // exercised with crafted late rows in ScalaTest; no SQL oracle.
+    QueryDef(
+      "stream_watermark",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.tumblingWithWatermark(Streams.eventsStream(s, dir)),
+          s"wm_${System.nanoTime()}", OutputMode.Append())
+        out.orderBy("ws", "event_type")
+      },
+      None),
+
+    // True streaming run: per-user running state via mapGroupsWithState.
+    QueryDef(
+      "stream_stateful",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.runningUserState(Streams.eventsStream(s, dir)),
+          s"st_${System.nanoTime()}", OutputMode.Update())
+        // AvailableNow may emit one update per micro-batch; final state
+        // per user is the max-count row.
+        out.groupBy("user_id")
+          .agg(max(col("n")).as("n"), round(max(col("total")), 4).as("total"))
+          .orderBy("user_id")
+      },
+      None),
+
+    // True streaming run: idempotent partitioned sink — write the
+    // replay twice; the second run must leave byte-identical contents.
+    QueryDef(
+      "stream_sink",
+      (s, dir) => {
+        val out = s"/tmp/graft-sink-${java.util.UUID.randomUUID()}"
+        Streams.idempotentSink(Streams.eventsStream(s, dir), out)
+        s.read.parquet(out)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("day")
+      },
+      None))
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.9 — Structured Streaming over the events table.
+  *
+  * The reference's streaming is queue→batch→transform→idempotent-write
+  * ETL (ActiveData-ETL lineage, SURVEY §2.9 [P]). Spark-native
+  * equivalents: file-source replay of events.parquet, watermarked
+  * windowed aggregation, mapGroupsWithState for per-key running state,
+  * and a foreachBatch sink that overwrites by partition — the same
+  * batch-key idempotence the reference gets from re-ETL by key.
+  *
+  * At 100 TB the watermark bounds all state: windows close and evict,
+  * dedup keys expire, and the state store stays O(open windows ×
+  * active keys), not O(stream length).
+  */
+object Streams {
+
+  /** events.parquet replayed through the file source (schema pinned;
+    * ts arrives as nanos-since-epoch long under nanosAsLong and is
+    * restored to a proper timestamp). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file source wants a directory to watch; the fixture is a single
+    // parquet file — stage a link/copy of it into a temp dir.
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    val dst = dir.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(dst, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+    spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Drain a stream into an in-memory table and return it (test/driver
+    * harness helper — AvailableNow processes the full replay and stops). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling-window counts with a 2h watermark: late rows beyond the
+    * watermark are dropped and window state is evicted. */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Exactly-once by event_id inside the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
+  /** Per-user running state via mapGroupsWithState: event count,
+    * value sum, last-seen ts — the canonical "profile accumulator". */
+  case class UserState(n: Long, total: Double, lastTs: Long)
+  case class UserUpdate(user_id: Long, n: Long, total: Double)
+
+  def runningUserState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS LONG) AS ts_s", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+          var n = prev.n; var total = prev.total; var last = prev.lastTs
+          rows.foreach { case (_, ts, v) =>
+            n += 1; total += v; if (ts > last) last = ts
+          }
+          state.update(UserState(n, total, last))
+          UserUpdate(user, n, total)
+      }
+      .toDF()
+  }
+
+  /** Idempotent partitioned sink: every micro-batch overwrites exactly
+    * the day-partitions it touches (dynamic partition overwrite) —
+    * replaying a batch rewrites the same keys to the same bytes, the
+    * reference's re-ETL idempotence (SURVEY §2.9 [P]). */
+  def idempotentSink(events: DataFrame, outDir: String): Unit = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        s"/tmp/graft-ckpt/sink-${System.nanoTime()}")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("day", to_date(col("ts")))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day")
+          .parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Top-level so Spark can derive an Encoder (inner classes of a suite
+  * cannot be encoded). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured Streaming semantics on crafted event sequences
+  * (SURVEY.md §5.2 item 4): watermark late-row dropping, session
+  * boundaries, stateful accumulation, idempotent sink.
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): Ev =
+    Ev(id, ts(minute), user, typ, v, "{}")
+
+  test("watermark drops rows later than the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+
+    val name = s"wmtest${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name").start()
+
+    // batch 1: events at minute 0-9 and 30 → watermark advances to 20
+    mem.addData(ev(1, 0), ev(2, 5), ev(3, 30))
+    q.processAllAvailable()
+    // batch 2: late event at minute 5 — BEHIND watermark → dropped;
+    // plus minute 45 to push the watermark past window [30,40)
+    mem.addData(ev(4, 5), ev(5, 45), ev(6, 70))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table(name).as[(Timestamp, Long)].collect().toMap
+    // window [10:00,10:10) closed with ONLY the 2 on-time rows
+    assert(out(ts(0)) == 2L, s"late row must be dropped, got $out")
+    assert(out(ts(30)) == 1L)
+  }
+
+  test("session_window groups by 30-minute gaps") {
+    val df = Seq(
+      ev(1, 0), ev(2, 10), ev(3, 25),      // session 1 (gaps < 30m)
+      ev(4, 90), ev(5, 100),               // session 2
+      ev(6, 0, user = 2L)                  // other user
+    ).toDF()
+    val out = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"), col("n"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(out == Set((1L, ts(0), 3L), (1L, ts(90), 2L), (2L, ts(0), 1L)))
+  }
+
+  test("runningUserState accumulates per-user count and sum across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stateDf = Streams.runningUserState(mem.toDF())
+    val name = s"sttest${System.nanoTime()}"
+    val q = stateDf.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name").start()
+
+    mem.addData(ev(1, 0, user = 1, v = 2.0), ev(2, 1, user = 1, v = 3.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 2, user = 1, v = 5.0), ev(4, 2, user = 2, v = 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table(name)
+      .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.find(_._1 == 1L).get._2 == 3L)
+    assert(rows.find(_._1 == 1L).get._3 == 10.0)
+    assert(rows.find(_._1 == 2L).get._2 == 1L)
+  }
+
+  test("dedupWithinWatermark removes duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"ddtest${System.nanoTime()}"
+    val q = Streams.dedupWithinWatermark(mem.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name").start()
+    mem.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    mem.addData(ev(2, 1), ev(3, 2))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("idempotentSink: re-running the stream leaves identical contents") {
+    val out = s"/tmp/graft-sink-test-${java.util.UUID.randomUUID()}"
+    Streams.idempotentSink(Streams.eventsStream(spark, sf0001), out)
+    val first = spark.read.parquet(out).count()
+    Streams.idempotentSink(Streams.eventsStream(spark, sf0001), out)
+    val second = spark.read.parquet(out).count()
+    assert(first == second && first > 0)
+  }
+}

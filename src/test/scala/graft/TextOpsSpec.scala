@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps lowest id per identical normalized text") {
+    val df = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),          // same after normalization
+      (3L, "something else entirely"),
+      (4L, "HELLO WORLD")           // same again
+    ).toDF("doc_id", "text")
+    val kept = TextOps.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("shingles3 produces distinct 3-gram shingles; short text -> empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.shingles3(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).toSet == Set("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("minhash similarity approximates jaccard") {
+    // two near-identical docs (high jaccard) vs an unrelated one
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = TextOps.minhashNearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair must surface via LSH")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("minhashDedup drops the higher-id near-duplicate") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+    val kept = TextOps.minhashDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("simhash16 equal for identical text, dedup keeps one") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val kept = TextOps.simhashDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("jaccard of disjoint sets is 0, identical sets is 1") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d")))
+      .toDF("x", "y", "z")
+    val r = df.select(
+      TextOps.jaccard(col("x"), col("y")).as("same"),
+      TextOps.jaccard(col("x"), col("z")).as("disjoint"))
+      .as[(Double, Double)].head()
+    assert(r._1 == 1.0 && r._2 == 0.0)
+  }
+
+  test("quality/lang/token expressions are null-safe and bounded") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "x")).toDF("doc_id", "text")
+    val r = df.select(
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.stopwordRatio(col("text")).as("sr"))
+      .as[(Double, String, Double)].collect()
+    assert(r.forall(x => x._1 >= 0 && x._1 <= 1.0))
+    assert(r(0)._2 == "en" && r(1)._2 == "unk")
+  }
+}
