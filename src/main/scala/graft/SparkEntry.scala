@@ -13,8 +13,8 @@ import graft.{queries => q}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    q.Relational, q.Aggregates, q.Scalars, q.Joins, q.Edges, q.Windows,
-    q.Llm, q.StreamingBatch, q.Extensions)
+    q.Sources, q.Relational, q.Aggregates, q.Scalars, q.Joins, q.Edges,
+    q.Windows, q.Llm, q.StreamingBatch, q.Extensions)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

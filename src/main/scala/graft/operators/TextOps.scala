@@ -40,11 +40,24 @@ object TextOps {
       array_min(transform(sh, s2 => md5(concat(lit(i.toString), lit("|"), s2))))
         .as(s"mh_$i"))
 
-  /** MinHash signature, xxhash64 variant (the scale path — one 64-bit
-    * codegen'd hash per shingle per band). */
-  def minhashSigFast(sh: Column, numHashes: Int): Column =
+  /** One xxhash64 per shingle — the only pass that touches strings. */
+  def shingleHashes(sh: Column): Column = transform(sh, s2 => xxhash64(s2))
+
+  /** MinHash signature from pre-hashed shingles (the scale path): the
+    * i-th hash function re-hashes the 8-byte value XOR a per-function
+    * salt — no string work, no overflow (ANSI-safe), one cheap long
+    * hash per (function, shingle). Callers materialize shingleHashes
+    * as a column first so strings are hashed exactly once. */
+  def minhashSigFromHashes(hs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(sh, s2 => xxhash64(concat(i.cast("string"), s2)))))
+      array_min(transform(hs, h =>
+        xxhash64(h.bitwiseXOR(i * lit(0x9E3779B97F4A7CL))))))
+
+  /** MinHash signature straight from shingles (convenience; prefer the
+    * two-step form in pipelines so the string hashing isn't re-inlined
+    * into every downstream expression). */
+  def minhashSigFast(sh: Column, numHashes: Int): Column =
+    minhashSigFromHashes(shingleHashes(sh), numHashes)
 
   /** LSH banding: split the `numHashes`-wide signature into `bands`
     * equal bands and hash each band to a bucket id. Returns
@@ -143,26 +156,44 @@ object TextOps {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    val sigs = df
+    // Materialize shingles + signature ONCE per doc. The signature must
+    // be its own column before banding — inlining the sig expression
+    // into every band element would re-evaluate the full numHashes-pass
+    // shingle scan per element (16× compute blowup, codegen explosion).
+    // The signature stage feeds three plan branches (banding + two
+    // candidate-side shingle lookups) — persist it so the per-doc hash
+    // work runs exactly once, not once per branch. MEMORY_AND_DISK:
+    // at 100 TB this stage spills rather than OOMs.
+    val base = df
       .select(col(idCol).as("id"), shingles3(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("band", explode(lshBands(
-        minhashSigFast(col("sh"), numHashes), numHashes, bands)))
-      .select(col("id"), col("sh"), col("band.band"), col("band.bucket"))
-    val capped = sigs
+      .withColumn("sig",
+        graft.plans.MinHashSigExpr.minhashSig(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bands travel slim: only (id, band, bucket) is exploded/shuffled —
+    // never the shingle arrays.
+    val bandRows = base
+      .select(col("id"),
+        explode(lshBands(col("sig"), numHashes, bands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    val capped = bandRows
       .withColumn("bsize",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bucket")))
       .filter(col("bsize") <= maxBucket)
-    val a = capped.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val cand = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // Shingles are joined back only for the (few) candidate pairs.
+    val sh = base.select(col("id"), col("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

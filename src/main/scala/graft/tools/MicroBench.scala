@@ -1,0 +1,30 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.Catalog
+
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = Catalog.table(spark, "/root/testdata/sf0.1", "documents")
+    def time[T](label: String)(f: => T): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"$label run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    time("plain count")(df.count())
+    time("split")(df.select(split(col("text"), " ").as("w")).count())
+    time("shingles3")(df.select(TextOps.shingles3(col("text")).as("sh")).count())
+    time("shingles3+hash16")(df.select(
+      graft.plans.MinHashSigExpr.minhashSig(TextOps.shingles3(col("text")), 16).as("sig")).count())
+    time("agg on sig")(df.select(
+      graft.plans.MinHashSigExpr.minhashSig(TextOps.shingles3(col("text")), 16).as("sig"))
+      .select(sum(element_at(col("sig"), 1))).count())
+    spark.stop()
+  }
+}
