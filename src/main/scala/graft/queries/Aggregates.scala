@@ -256,6 +256,20 @@ object Aggregates extends QueryModule {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // Explicit GROUPING SETS (the general form behind cube/rollup).
+    QueryDef(
+      "agg_grouping_sets",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // JX has no separate HAVING — post-agg `where` (SURVEY §2.4);
     // in Spark that is just .agg(...).filter(...).
     QueryDef(

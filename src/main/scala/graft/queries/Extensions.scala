@@ -55,6 +55,33 @@ object Extensions extends QueryModule {
       Some("""SELECT event_id, 'k' AS path, json_extract_string(props, '$.k') AS value
         FROM events WHERE event_id < 2000 ORDER BY event_id, path""")),
 
+    // Generator over a genuinely NESTED document (udtf surface proper):
+    // build a nested JSON from events, flatten to (path, value) rows.
+    QueryDef(
+      "udtf_leaves",
+      (s, dir) => {
+        val nested = Catalog.table(s, dir, "events")
+          .filter(col("event_id") < 500)
+          .select(col("event_id"),
+            to_json(struct(
+              get_json_object(col("props"), "$.k").cast("long").as("k"),
+              struct(
+                col("event_type").as("type"),
+                date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+                .as("meta"))).as("doc"))
+        Leaves.explodeLeaves(nested, "event_id", "doc")
+          .orderBy("event_id", "path")
+      },
+      Some("""SELECT event_id, path, value FROM (
+          SELECT event_id, 'k' AS path,
+            json_extract_string(props, '$.k') AS value FROM events
+          UNION ALL
+          SELECT event_id, 'meta.day' AS path,
+            CAST(date_trunc('day', ts) AS VARCHAR) AS value FROM events
+          UNION ALL
+          SELECT event_id, 'meta.type' AS path, event_type AS value FROM events)
+        WHERE event_id < 500 ORDER BY event_id, path""")),
+
     // JX JSON query string in, DataFrame out — compiled onto the same
     // builder; result proven against plain SQL.
     QueryDef(

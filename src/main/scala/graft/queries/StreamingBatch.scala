@@ -107,6 +107,38 @@ object StreamingBatch extends QueryModule {
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // True streaming run of the tumbling window (oracle twin:
+    // win_tumbling_batch above).
+    QueryDef(
+      "stream_tumbling",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.eventsStream(s, dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("ws"), col("n")),
+          s"tb_${System.nanoTime()}", OutputMode.Append())
+        out.orderBy("ws")
+      },
+      None),
+
+    // True streaming run of the sliding window (oracle twin:
+    // win_sliding_batch above).
+    QueryDef(
+      "stream_sliding",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.eventsStream(s, dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("ws"), col("n")),
+          s"sl_${System.nanoTime()}", OutputMode.Append())
+        out.orderBy("ws")
+      },
+      None),
+
     // True streaming run: file-source replay → watermarked tumbling
     // windows → AvailableNow → memory sink. Watermark semantics are
     // exercised with crafted late rows in ScalaTest; no SQL oracle.

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkEntry
+
+/** Physical-plan assertions (SURVEY.md §4.2 / the 100 TB posture):
+  * the plan each operator produces must be the plan we'd want on a
+  * 1000-executor cluster — filters reaching the parquet scan, column
+  * pruning, broadcast for bounded dims, top-k fused into
+  * TakeOrderedAndProject, no cartesian products where a hash join
+  * belongs.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filter_where pushes the predicate into the parquet scan") {
+    val p = plan("filter_where")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(o_totalprice"), p)
+  }
+
+  test("proj_select prunes the scan to the referenced columns") {
+    val p = plan("proj_select")
+    assert(!p.contains("c_nationkey"),
+      s"unreferenced column must not be read:\n$p")
+  }
+
+  test("join_broadcast uses a broadcast hash join") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("topk fuses into TakeOrderedAndProject (no full sort)") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join_semi and join_anti produce semi/anti hash joins") {
+    assert(plan("join_semi").contains("LeftSemi"), plan("join_semi"))
+    assert(plan("join_anti").contains("LeftAnti"), plan("join_anti"))
+  }
+
+  test("agg_groupby keeps partial (map-side) aggregation") {
+    val p = plan("agg_groupby")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair → two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("edge_range dense-domain join broadcasts the domain side") {
+    val p = plan("edge_range")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("join_range broadcasts the bucket table, not the fact table") {
+    val p = plan("join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
