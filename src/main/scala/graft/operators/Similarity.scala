@@ -23,15 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a[i]*b[i] as a sequential fold (deterministic order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ a[i]*b[i] as a sequential fold (deterministic order; native
+    * expression — see graft.plans.VectorExprs for why not HOFs). */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExprs.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = graft.plans.VectorExprs.norm(a)
 
+  /** Cosine similarity; null (not an ANSI divide-by-zero crash) for
+    * zero-norm vectors — one junk embedding must not kill a
+    * corpus-wide job. Null sims sort after real ones under desc. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    dot(a, b) / nullif(normA * normB, lit(0.0))
 
   /** Exact top-k neighbours for each query row.
     *
@@ -59,18 +61,11 @@ object Similarity {
   }
 
   /** b-bit sign-random-projection signature. Projection matrix entries
-    * are ±1 derived from xxhash64(bit:dim) — deterministic, no stored
-    * model, identical on every executor. */
+    * are ±1 derived from xxhash64(bit·γ + dim) — deterministic, no
+    * stored model, identical on every executor (native expression:
+    * one pass per row instead of `bits` interpreted HOF folds). */
   def srpSignature(vec: Column, bits: Int): Column =
-    (0 until bits).map { b =>
-      when(
-        aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-            when(xxhash64(concat(lit(s"$b:"), d.cast("string")))
-              .bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
-          lit(0.0), (acc, x) => acc + x) >= 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.plans.VectorExprs.srpSign(vec, bits)
 
   /** Approximate top-k: candidates share the LSH bucket, exact cosine
     * re-ranks inside it. Recall rises with fewer bits / multi-probe;

@@ -17,6 +17,20 @@ object MicroBench {
         println(f"$label run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
       }
     }
+    if (sys.env.contains("MB_VEC")) {
+      val emb = Catalog.table(spark, "/root/testdata/sf0.1", "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+      val pairs = a.crossJoin(b)
+      def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, p) => acc + p)
+      time("4M pairs HOF dot")(
+        pairs.select(sum(hofDot(col("va"), col("vb")))).collect())
+      time("4M pairs native dot")(
+        pairs.select(sum(graft.plans.VectorExprs.dot(col("va"), col("vb")))).collect())
+      spark.stop(); return
+    }
     if (sys.env.contains("MB_MAT")) {
       // count() lets Catalyst prune projections away — force real
       // materialization via an agg that consumes the array.

@@ -21,6 +21,22 @@ object MinhashDebug {
       time("prod pairs")(println("pairs=" + pairs.count()))
       spark.stop(); return
     }
+    if (sys.env.contains("MH_VEC_EDGE")) {
+      import spark.implicits._
+      import graft.operators.Similarity
+      val emb = Seq(
+        (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0)),
+        (3L, Seq(0.0, 1.0)),              // mismatched length
+        (4L, Seq(0.0, 0.0, 0.0))          // zero vector
+      ).toDF("vec_id", "embedding")
+      println("topk:")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 1), "vec_id", "embedding", 3)
+        .show()
+      println("lsh topk:")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") === 1), "vec_id", "embedding", 3, bits = 4)
+        .show()
+      spark.stop(); return
+    }
     if (sys.env.contains("MH_EDGE")) {
       import spark.implicits._
       val edge = Seq(
