@@ -103,6 +103,23 @@ object Joins extends QueryModule {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type ORDER BY p_type""")),
 
+    // Salted skew join (SURVEY §4.2): row-identical to the plain join —
+    // the oracle is the same SQL a plain join would use, which is the
+    // correctness proof that salting only redistributes, never alters.
+    QueryDef(
+      "join_skew_salted",
+      (s, dir) =>
+        graft.operators.SkewJoin.saltedInnerJoin(
+            Catalog.table(s, dir, "orders"),
+            Catalog.table(s, dir, "customer"),
+            "o_custkey", "c_custkey", nSalts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Parent→child snowflake descent (jx_sqlite nested tables,
     // SURVEY §2.3): orders is the parent, lineitem the nested child.
     QueryDef(
