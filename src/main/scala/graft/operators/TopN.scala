@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Top-N-per-group for LOW-cardinality grouping keys (SURVEY.md §2.6).
+  *
+  * A plain `row_number() OVER (PARTITION BY key ...)` with a 3-value key
+  * sorts the whole table through 3 reducers — 3 busy cores out of 32
+  * locally, 3 executors out of 1000 at 100 TB. The fix is the classic
+  * two-phase pattern:
+  *
+  *   Phase 1 — salt each row into one of `salt` sub-buckets per key and
+  *   take a LOCAL top-N inside each (key, salt) bucket. That shuffle has
+  *   key×salt partitions (parallel), and its output is ≤ salt×N rows per
+  *   key — a superset of the global top-N, because any row in the global
+  *   top-N by a total order is also in the top-N of whichever bucket it
+  *   landed in.
+  *
+  *   Phase 2 — exact window over the tiny candidate set (≤ salt×N rows
+  *   per key) to assign final ranks.
+  *
+  * For `rank`/`dense_rank` the phase-1 filter keeps every row whose
+  * DENSE rank within its bucket is ≤ n: a value in the global top-n
+  * distinct values has ≤ n-1 distinct greater values in ANY subset, so
+  * all of its tied rows survive phase 1 — which is exactly what rank's
+  * tie-counting needs in phase 2.
+  *
+  * The salt is derived from monotonically_increasing_id (cycles within a
+  * scan partition), so buckets fill evenly even when the input is a
+  * single parquet split; phase 2 recomputes ranks exactly, so the salt
+  * assignment does not need to be reproducible across runs.
+  */
+object TopN {
+
+  private val SaltCol = "__graft_salt"
+
+  private def salted(df: DataFrame, salt: Int): DataFrame =
+    df.withColumn(SaltCol, pmod(monotonically_increasing_id(), lit(salt.toLong)))
+
+  /** Global top-N rows per key by `order` (row_number semantics; give
+    * `order` a unique tiebreak for determinism). Appends `rankCol`. */
+  def saltedRowNumber(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      n: Int, rankCol: String, salt: Int = 32): DataFrame = {
+    val local = Window.partitionBy((keys :+ col(SaltCol)): _*).orderBy(order: _*)
+    val global = Window.partitionBy(keys: _*).orderBy(order: _*)
+    salted(df, salt)
+      .withColumn(rankCol, row_number().over(local))
+      .filter(col(rankCol) <= n)
+      .withColumn(rankCol, row_number().over(global))
+      .filter(col(rankCol) <= n)
+      .drop(SaltCol)
+  }
+
+  /** All rows whose dense_rank per key is ≤ n, with exact `rank` and
+    * `dense_rank` columns appended (ties preserved). */
+  def saltedDenseRank(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      n: Int, rankCol: String, denseRankCol: String,
+      salt: Int = 32): DataFrame = {
+    val local = Window.partitionBy((keys :+ col(SaltCol)): _*).orderBy(order: _*)
+    val global = Window.partitionBy(keys: _*).orderBy(order: _*)
+    salted(df, salt)
+      .withColumn(denseRankCol, dense_rank().over(local))
+      .filter(col(denseRankCol) <= n)
+      .withColumn(rankCol, rank().over(global))
+      .withColumn(denseRankCol, dense_rank().over(global))
+      .filter(col(denseRankCol) <= n)
+      .drop(SaltCol)
+  }
+}

@@ -75,8 +75,10 @@ object Aggregates extends QueryModule {
             round(sum("l_quantity"), 2).as("sum_qty"),
             sum("l_orderkey").as("sum_key"))
           .orderBy("l_returnflag"),
+      // DuckDB sum(BIGINT) yields HUGEINT (128-bit); cast to BIGINT so
+      // the hash compare sees the same logical type as Spark's LongType.
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
-        sum(l_orderkey) AS sum_key
+        CAST(sum(l_orderkey) AS BIGINT) AS sum_key
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     QueryDef(
@@ -177,15 +179,19 @@ object Aggregates extends QueryModule {
           .orderBy("l_returnflag"),
       None),
 
+    // Array-valued results are serialized with to_json in the DECLARED
+    // output (QueryDef determinism contract: arrays render to strings
+    // where hashing would be ambiguous — the driver's comparator cannot
+    // sort raw array cells). The operator itself stays array-native.
     QueryDef(
       "agg_union",
       (s, dir) =>
         Catalog.table(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(array_sort(collect_set(col("l_linenumber"))).as("linenums"))
+          .agg(to_json(array_sort(collect_set(col("l_linenumber")))).as("linenums"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-        list(DISTINCT l_linenumber ORDER BY l_linenumber) AS linenums
+        CAST(to_json(list(DISTINCT l_linenumber ORDER BY l_linenumber)) AS VARCHAR) AS linenums
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     QueryDef(
@@ -194,9 +200,10 @@ object Aggregates extends QueryModule {
         Catalog.table(s, dir, "lineitem")
           .filter(col("l_orderkey") < 100)
           .groupBy("l_orderkey")
-          .agg(array_sort(collect_list(col("l_linenumber"))).as("linenums"))
+          .agg(to_json(array_sort(collect_list(col("l_linenumber")))).as("linenums"))
           .orderBy("l_orderkey"),
-      Some("""SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenums
+      Some("""SELECT l_orderkey,
+        CAST(to_json(list(l_linenumber ORDER BY l_linenumber)) AS VARCHAR) AS linenums
         FROM lineitem WHERE l_orderkey < 100
         GROUP BY l_orderkey ORDER BY l_orderkey""")),
 

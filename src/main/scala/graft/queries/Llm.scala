@@ -181,7 +181,7 @@ object Llm extends QueryModule {
       Some("""SELECT lang, count(*) AS n_docs,
         round(avg(length(text)), 4) AS avg_chars,
         round(avg(len(string_split(text, ' '))), 4) AS avg_words,
-        sum(len(string_split(text, ' '))) AS total_tokens
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY lang ORDER BY lang""")),
 
     QueryDef(
@@ -252,7 +252,10 @@ object Llm extends QueryModule {
           Catalog.table(s, dir, "documents"), "doc_id", "text",
           Seq("lang", "source"))
         Multimodal.decode(media, "doc_id")
-          .select("id", "mime", "n_bytes", "features")
+          // features is array-typed — serialize for the declared output
+          // (QueryDef determinism contract; driver comparator sorts cells).
+          .select(col("id"), col("mime"), col("n_bytes"),
+            to_json(col("features")).as("features"))
           .orderBy("id")
       },
       None))

@@ -124,9 +124,10 @@ object Relational extends QueryModule {
             sum(when(col("p").isNotNull, 1).otherwise(0)).as("n_exists"))
           .orderBy("o_orderstatus")
       },
+      // CAST: DuckDB sum(INT) is HUGEINT; Spark sum(int) is LongType.
       Some("""SELECT o_orderstatus,
-        sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS n_missing,
-        sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL THEN 1 ELSE 0 END) AS n_exists
+        CAST(sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        CAST(sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exists
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     QueryDef(

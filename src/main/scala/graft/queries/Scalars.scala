@@ -116,17 +116,20 @@ object Scalars extends QueryModule {
         ltrim('  ' || c_name) AS lt, rtrim(c_name || '  ') AS rt
         FROM customer ORDER BY c_custkey LIMIT 500""")),
 
+    // Declared output serializes the array with to_json (QueryDef
+    // determinism contract — the driver comparator cannot sort array
+    // cells); the split itself stays array-native for downstream ops.
     QueryDef(
       "str_split",
       (s, dir) =>
         Catalog.table(s, dir, "documents")
           .select(
             col("doc_id"),
-            split(col("text"), " ").as("words"),
+            to_json(split(col("text"), " ")).as("words"),
             size(split(col("text"), " ")).as("n_words"))
           .orderBy("doc_id")
           .limit(200),
-      Some("""SELECT doc_id, string_split(text, ' ') AS words,
+      Some("""SELECT doc_id, CAST(to_json(string_split(text, ' ')) AS VARCHAR) AS words,
         len(string_split(text, ' ')) AS n_words
         FROM documents ORDER BY doc_id LIMIT 200""")),
 
@@ -354,16 +357,16 @@ object Scalars extends QueryModule {
           .withColumn("words", split(col("text"), " "))
           .select(
             col("doc_id"),
-            transform(col("words"), w => length(w)).as("lens"),
-            filter(col("words"), w => length(w) > 4).as("long_words"),
+            to_json(transform(col("words"), w => length(w))).as("lens"),
+            to_json(filter(col("words"), w => length(w) > 4)).as("long_words"),
             aggregate(col("words"), lit(0),
               (acc, w) => acc + length(w)).as("total_chars"))
           .orderBy("doc_id")
           .limit(200),
       Some("""SELECT doc_id,
-        list_transform(string_split(text, ' '), w -> length(w)) AS lens,
-        list_filter(string_split(text, ' '), w -> length(w) > 4) AS long_words,
-        list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS total_chars
+        CAST(to_json(list_transform(string_split(text, ' '), w -> length(w))) AS VARCHAR) AS lens,
+        CAST(to_json(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS VARCHAR) AS long_words,
+        CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS total_chars
         FROM documents ORDER BY doc_id LIMIT 200""")),
 
     // Nested descent `from: t.child` (SURVEY §2.8) → explode + re-agg.

@@ -41,7 +41,9 @@ object Sources extends QueryModule {
           .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
           .orderBy("lang")
       },
-      Some("""SELECT lang, count(*) AS n, sum(n_chars) AS chars
+      // CAST: DuckDB sum(INT) is HUGEINT; Spark sum over the JSON-inferred
+      // long column is LongType.
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents GROUP BY lang ORDER BY lang""")),
 
     QueryDef(

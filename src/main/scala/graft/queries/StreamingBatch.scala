@@ -54,10 +54,13 @@ object StreamingBatch extends QueryModule {
       (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
         val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // unix_micros keeps sub-second precision: a 1800.4 s gap must
+        // break the session exactly like the oracle's full-µs interval
+        // compare (cast("long") truncates to whole seconds — wrong).
         Catalog.table(s, dir, "events")
           .withColumn("brk",
-            when(col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
-              > 1800 || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+              > 1800L * 1000000L || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
           .withColumn("sid", sum("brk").over(runSum))
           .groupBy("user_id", "sid")
           .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
@@ -174,10 +177,16 @@ object StreamingBatch extends QueryModule {
       (s, dir) => {
         val out = s"/tmp/graft-sink-${java.util.UUID.randomUUID()}"
         Streams.idempotentSink(Streams.eventsStream(s, dir), out)
-        s.read.parquet(out)
+        val agg = s.read.parquet(out)
           .groupBy("day")
           .agg(count(lit(1)).as("n"))
           .orderBy("day")
+        // Materialize the (tiny, one-row-per-day) check result so the
+        // staging dir can be reaped instead of leaking per run.
+        val rows = agg.collect()
+        Streams.deleteRecursively(out)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, agg.schema)
       },
       None))
 }

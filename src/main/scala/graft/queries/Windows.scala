@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
+import graft.operators.TopN
 import graft.sources.Catalog
 
 /** SURVEY.md §2.6 — window functions.
@@ -18,17 +19,19 @@ object Windows extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // o_orderstatus has 3 values — the low-cardinality-partition case.
+    // Mitigated with the salted partial-top-N pre-filter (TopN.scala):
+    // same answer, but the heavy shuffle runs at key×salt parallelism.
     QueryDef(
       "win_rownum",
-      (s, dir) => {
-        val w = Window.partitionBy("o_orderstatus")
-          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        Catalog.table(s, dir, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
+      (s, dir) =>
+        TopN.saltedRowNumber(
+          Catalog.table(s, dir, "orders"),
+          keys = Seq(col("o_orderstatus")),
+          order = Seq(desc("o_totalprice"), asc("o_orderkey")),
+          n = 5, rankCol = "rn")
           .select("o_orderstatus", "rn", "o_orderkey")
-          .orderBy("o_orderstatus", "rn")
-      },
+          .orderBy("o_orderstatus", "rn"),
       Some("""SELECT o_orderstatus, rn, o_orderkey FROM (
           SELECT o_orderstatus, o_orderkey,
             row_number() OVER (PARTITION BY o_orderstatus
@@ -36,17 +39,19 @@ object Windows extends QueryModule {
           FROM orders)
         WHERE rn <= 5 ORDER BY o_orderstatus, rn""")),
 
+    // Same mitigation for rank/dense_rank over a 3-value key: the salted
+    // dense-rank pre-filter keeps all tied rows of the global top-2
+    // distinct values, so the exact phase-2 ranks match the plain window.
     QueryDef(
       "win_rank",
-      (s, dir) => {
-        val w = Window.partitionBy("l_returnflag").orderBy(desc("l_quantity"))
-        Catalog.table(s, dir, "lineitem")
-          .withColumn("rnk", rank().over(w))
-          .withColumn("drnk", dense_rank().over(w))
-          .filter(col("drnk") <= 2)
+      (s, dir) =>
+        TopN.saltedDenseRank(
+          Catalog.table(s, dir, "lineitem"),
+          keys = Seq(col("l_returnflag")),
+          order = Seq(desc("l_quantity")),
+          n = 2, rankCol = "rnk", denseRankCol = "drnk")
           .select("l_returnflag", "l_quantity", "rnk", "drnk")
-          .orderBy("l_returnflag", "rnk", "l_quantity")
-      },
+          .orderBy("l_returnflag", "rnk", "l_quantity"),
       Some("""SELECT l_returnflag, l_quantity, rnk, drnk FROM (
           SELECT l_returnflag, l_quantity,
             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
@@ -133,23 +138,27 @@ object Windows extends QueryModule {
         ORDER BY o_custkey, o_orderkey""")),
 
     // Percentile bucket of each row — unique total order inside the
-    // window spec keeps ntile/percent_rank deterministic.
+    // window spec keeps ntile/percent_rank deterministic. ntile needs
+    // ALL rows of a partition on one reducer (no partial-top-N trick
+    // exists — every row's bucket depends on the partition size), so the
+    // scale-safe form partitions by a HIGH-cardinality key (per-customer
+    // here); for global/low-card quantiles use agg_percentile instead.
     QueryDef(
       "win_ntile",
       (s, dir) => {
-        val w = Window.partitionBy("o_orderstatus")
+        val w = Window.partitionBy("o_custkey")
           .orderBy("o_totalprice", "o_orderkey")
         Catalog.table(s, dir, "orders")
           .filter(col("o_orderkey") < 2000)
           .withColumn("quartile", ntile(4).over(w))
           .withColumn("pr", round(percent_rank().over(w), 6))
-          .select("o_orderstatus", "o_orderkey", "quartile", "pr")
-          .orderBy("o_orderstatus", "o_orderkey")
+          .select("o_custkey", "o_orderkey", "quartile", "pr")
+          .orderBy("o_custkey", "o_orderkey")
       },
-      Some("""SELECT o_orderstatus, o_orderkey,
+      Some("""SELECT o_custkey, o_orderkey,
           ntile(4) OVER w AS quartile,
           round(percent_rank() OVER w, 6) AS pr
         FROM orders WHERE o_orderkey < 2000
-        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        ORDER BY o_orderstatus, o_orderkey""")))
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")))
 }

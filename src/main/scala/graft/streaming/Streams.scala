@@ -40,19 +40,60 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Drain a stream into an in-memory table and return it (test/driver
-    * harness helper — AvailableNow processes the full replay and stops). */
+  /** Recursively delete a checkpoint/staging directory. */
+  private[graft] def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach((f: Path) => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  /** Streaming state partitioning is frozen at first start from
+    * spark.sql.shuffle.partitions. At local[32] that means 32 state-store
+    * instances (each with its own checkpoint delta files) per micro-batch
+    * for a few thousand keys — pure overhead. Pin streams to a small
+    * constant; batch queries keep the session default.
+    */
+  private val StreamShufflePartitions = "8"
+
+  /** Drain a stream into an in-memory table and return its rows as a
+    * plain local DataFrame (test/driver harness helper — AvailableNow
+    * processes the full replay and stops).
+    *
+    * The memory sink is driver-resident by definition and every caller
+    * drains a bounded windowed aggregate, so lifting the rows out via
+    * collect adds nothing to driver pressure — and it lets us drop the
+    * temp view and delete the checkpoint immediately instead of leaking
+    * one of each per query across a 116-query Bench/Verify run.
+    */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val ckpt = s"/tmp/graft-ckpt/$name-${System.nanoTime()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    val sink = spark.table(name)
+    val schema = sink.schema
+    val rows = sink.collect()
+    spark.catalog.dropTempView(name)
+    deleteRecursively(ckpt)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schema)
   }
 
   /** Tumbling-window counts with a 2h watermark: late rows beyond the
@@ -101,20 +142,28 @@ object Streams {
     * replaying a batch rewrites the same keys to the same bytes, the
     * reference's re-ETL idempotence (SURVEY §2.9 [P]). */
   def idempotentSink(events: DataFrame, outDir: String): Unit = {
-    val q = events.writeStream
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        s"/tmp/graft-ckpt/sink-${System.nanoTime()}")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.withColumn("day", to_date(col("ts")))
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day")
-          .parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
+    val spark = events.sparkSession
+    val ckpt = s"/tmp/graft-ckpt/sink-${System.nanoTime()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = events.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.withColumn("day", to_date(col("ts")))
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(ckpt)
+    }
   }
 }
