@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Force full evaluation of every output column, not just row counts.
+    * A bare count() lets Catalyst prune the projection, so select-only
+    * queries (str_*, cast_*, proj_select, …) would time the parquet
+    * scan instead of their expressions. Reducing a hash of the whole
+    * row defeats pruning while still returning one tiny driver value.
+    * bit_xor, not sum: ANSI mode makes sum() of random 64-bit hashes
+    * overflow almost surely. Falls back to count() for output types
+    * xxhash64 can't consume. */
+  private def force(df: DataFrame): Unit =
+    try df.select(xxhash64(struct(col("*"))).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    catch { case _: Throwable => df.count() }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,7 +37,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("stream_"))
     val results = (batch ++ streaming).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // Isolate queries: drop any cache a query built internally so a
       // lingering block doesn't distort later timings.

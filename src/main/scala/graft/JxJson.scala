@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -37,6 +38,28 @@ object JxJson {
       case w => df = df.filter(compile(w))
     }
 
+    // window: [{name, value?, aggregate, edges: [partition cols],
+    // sort: [...], range: {min, max}?}] — adds columns to the row set
+    // (reference jx window clauses per SURVEY §2.6 [P]); later select/
+    // sort may reference them by name.
+    (q \ "window") match {
+      case JNothing | JNull => ()
+      case ws =>
+        val defs = ws match { case JArray(xs) => xs; case x => Seq(x) }
+        defs.foreach { d => df = applyWindow(df, d) }
+    }
+
+    // edges: dense-domain grouping (SURVEY §2.5) — each domain part
+    // appears even with zero rows; rows outside every part roll into a
+    // NULL overflow part. Compiled onto the same broadcast
+    // domain-LEFT-JOIN pattern as graft.queries.Edges.
+    (q \ "edges") match {
+      case JNothing | JNull => ()
+      case es =>
+        val edgeDefs = es match { case JArray(xs) => xs; case x => Seq(x) }
+        return finishSortLimit(edgesQuery(spark, df, edgeDefs, selectsOf(q)), q)
+    }
+
     val groupby: Seq[String] = (q \ "groupby") match {
       case JNothing | JNull => Seq.empty
       case JString(g) => Seq(g)
@@ -45,12 +68,7 @@ object JxJson {
       case other => sys.error(s"jx: groupby $other")
     }
 
-    // select: string | {name, value, aggregate} | array of those
-    val selects: Seq[JValue] = (q \ "select") match {
-      case JNothing | JNull => Seq.empty
-      case JArray(ss) => ss
-      case s => Seq(s)
-    }
+    val selects = selectsOf(q)
 
     if (groupby.nonEmpty) {
       val aggs = selects.map(aggColumn)
@@ -63,6 +81,18 @@ object JxJson {
       df = df.select(selects.map(selColumn): _*)
     }
 
+    finishSortLimit(df, q)
+  }
+
+  /** select: string | {name, value, aggregate} | array of those */
+  private def selectsOf(q: JValue): Seq[JValue] = (q \ "select") match {
+    case JNothing | JNull => Seq.empty
+    case JArray(ss) => ss
+    case s => Seq(s)
+  }
+
+  private def finishSortLimit(df0: DataFrame, q: JValue): DataFrame = {
+    var df = df0
     (q \ "sort") match {
       case JNothing | JNull => ()
       case s =>
@@ -86,6 +116,175 @@ object JxJson {
       case _ => ()
     }
     df
+  }
+
+  // --- edges (dense-domain grouping) ---------------------------------
+
+  /** One edge: output name, row→part assignment expression, and the
+    * (tiny, broadcastable) dense domain DataFrame with one column
+    * carrying that name. Domain types (SURVEY §2.5):
+    * set {partitions}, range {min,max,interval}, default (= distinct
+    * values found in the data). */
+  private def edgeParts(spark: SparkSession, df: DataFrame, e: JValue)
+      : (String, Column, DataFrame) = {
+    import spark.implicits._
+    val (value, name, domain) = e match {
+      case JString(v) => (col(v), v, JNothing: JValue)
+      case o: JObject =>
+        val v = (o \ "value") match {
+          case JString(s) => col(s)
+          case expr => compile(expr)
+        }
+        val n = (o \ "name") match {
+          case JString(s) => s
+          case _ => (o \ "value") match { case JString(s) => s
+            case _ => sys.error("jx: edge needs a name") }
+        }
+        (v, n, o \ "domain")
+      case other => sys.error(s"jx: edge $other")
+    }
+    (domain \ "type") match {
+      case JString("set") =>
+        val parts = (domain \ "partitions") match {
+          case JArray(ps) => ps.map(litOf)
+          case other => sys.error(s"jx: set domain partitions $other")
+        }
+        // Outside-the-set values → NULL overflow part.
+        val assign = when(value.isin(parts: _*), value)
+        val dom =
+          if (parts.forall(_.isInstanceOf[String]))
+            parts.map(_.asInstanceOf[String]).toDF(name)
+          else parts.map(p => p.asInstanceOf[Long]).toDF(name)
+        (name, assign, dom)
+      case JString("range") =>
+        val (lo, hi, step) = (num(domain \ "min"), num(domain \ "max"),
+          num(domain \ "interval"))
+        val assign = when(value >= lo && value < hi,
+          floor((value - lo) / step) * step + lo)
+        val dom = spark.range(1).select(explode(sequence(
+          lit(lo), lit(hi - 1), lit(step))).as(name))
+        (name, assign, dom)
+      case JNothing | JNull | JString("default") =>
+        // Domain = distinct non-null values present in the data; the
+        // domain side is derived from the grouped result itself, so the
+        // dense join is the identity — but keeping the same shape means
+        // multi-edge queries still cross the domains densely.
+        val dom = df.select(value.as(name)).where(value.isNotNull).distinct()
+        (name, value, dom)
+      case other => sys.error(s"jx: domain $other")
+    }
+  }
+
+  private def num(v: JValue): Long = litOf(v) match {
+    case l: Long => l
+    case d: Double => d.toLong
+    case other => sys.error(s"jx: numeric domain bound $other")
+  }
+
+  private def edgesQuery(spark: SparkSession, df: DataFrame,
+      edgeDefs: Seq[JValue], selects: Seq[JValue]): DataFrame = {
+    val parts = edgeDefs.map(e => edgeParts(spark, df, e))
+    val names = parts.map(_._1)
+    val bucketed = parts.foldLeft(df) { case (d, (n, assign, _)) =>
+      d.withColumn(n, assign)
+    }
+    val aggs =
+      if (selects.isEmpty) Seq(count(lit(1)).as("count"))
+      else selects.map(aggColumn)
+    val grouped = bucketed.groupBy(names.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val aggNames = grouped.columns.drop(names.length)
+    // Dense: every domain part survives; count-like aggs zero-fill,
+    // value aggs stay NULL on empty parts (SQL semantics the oracle
+    // reproduces). Domains are bounded by construction → broadcast.
+    val domain = parts.map(_._3).reduce(_.crossJoin(_))
+    val countNames: Set[String] =
+      if (selects.isEmpty) Set("count")
+      else selects.flatMap(s => (s \ "aggregate") match {
+        case JString("count") => Some(outName(s)); case _ => None
+      }).toSet
+    val filled = aggNames.map { a =>
+      if (countNames(a)) coalesce(col(a), lit(0L)).as(a) else col(a)
+    }
+    val dense = broadcast(domain).join(grouped, names, "left")
+      .select(names.map(col) ++ filled: _*)
+    // Rows matching no part → NULL overflow (present only when such
+    // rows exist, like any GROUP BY NULL bucket).
+    val overflow = grouped.filter(names.map(col(_).isNull).reduce(_ || _))
+    dense.unionByName(overflow)
+  }
+
+  private def outName(s: JValue): String = s match {
+    case o: JObject => (o \ "name") match {
+      case JString(n) => n
+      case _ => (o \ "value") match { case JString(v) => v; case _ => "value" }
+    }
+    case JString(v) => v
+    case _ => "value"
+  }
+
+  // --- window clauses ------------------------------------------------
+
+  private def applyWindow(df: DataFrame, d: JValue): DataFrame = {
+    val o = d match { case x: JObject => x
+      case other => sys.error(s"jx: window $other") }
+    val name = (o \ "name") match { case JString(n) => n
+      case _ => sys.error("jx: window needs a name") }
+    val partCols = (o \ "edges") match {
+      case JNothing | JNull => Seq.empty[Column]
+      case JArray(xs) => xs.map { case JString(c) => col(c)
+        case e => compile(e) }
+      case JString(c) => Seq(col(c))
+      case other => sys.error(s"jx: window edges $other")
+    }
+    val sortCols = (o \ "sort") match {
+      case JNothing | JNull => Seq.empty[Column]
+      case s => (s match { case JArray(xs) => xs; case x => Seq(x) }).map {
+        case JString(k) => asc(k)
+        case so: JObject =>
+          val v = (so \ "value") match { case JString(k) => k
+            case other => sys.error(s"jx: window sort $other") }
+          (so \ "sort") match {
+            case JString("desc") => desc(v); case _ => asc(v) }
+        case other => sys.error(s"jx: window sort $other")
+      }
+    }
+    var spec: WindowSpec = W.partitionBy(partCols: _*)
+    if (sortCols.nonEmpty) spec = spec.orderBy(sortCols: _*)
+    (o \ "range") match {
+      case JNothing | JNull => ()
+      case r =>
+        val lo = (r \ "min") match { case JNothing | JNull => W.unboundedPreceding
+          case v => num(v) }
+        val hi = (r \ "max") match { case JNothing | JNull => W.currentRow
+          case v => num(v) }
+        spec = spec.rowsBetween(lo, hi)
+    }
+    val value = (o \ "value") match {
+      case JNothing | JNull => lit(1)
+      case JString(v) => col(v)
+      case e => compile(e)
+    }
+    val agg = (o \ "aggregate") match { case JString(a) => a
+      case _ => sys.error("jx: window needs an aggregate") }
+    val c = agg match {
+      // rank family: Spark emits IntegerType; JX numbers are wide —
+      // cast to long (also matches DuckDB BIGINT for the oracle).
+      case "rownum" | "row_number" => row_number().over(spec).cast("long")
+      case "rank" => rank().over(spec).cast("long")
+      case "dense_rank" => dense_rank().over(spec).cast("long")
+      case "ntile" => ntile(4).over(spec).cast("long")
+      case "count" => count(value).over(spec)
+      case "sum" => sum(value).over(spec)
+      case "minimum" | "min" => min(value).over(spec)
+      case "maximum" | "max" => max(value).over(spec)
+      case "average" | "avg" => avg(value).over(spec)
+      case "first" => first(value).over(spec)
+      case "last" => last(value).over(spec)
+      case "lag" => lag(value, 1).over(spec)
+      case "lead" => lead(value, 1).over(spec)
+      case other => sys.error(s"jx: window aggregate '$other'")
+    }
+    df.withColumn(name, c)
   }
 
   private def aggColumn(s: JValue): Column = s match {

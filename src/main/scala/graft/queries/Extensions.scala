@@ -102,5 +102,55 @@ object Extensions extends QueryModule {
         }"""),
       Some("""SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
         FROM orders WHERE o_totalprice >= 100000 AND o_orderstatus != 'P'
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // JX `edges` through the JSON front door: explicit set domain with a
+    // zero part (AEROSPACE) and a NULL overflow part — the signature JX
+    // construct (SURVEY §2.5), compiled onto the broadcast dense-domain
+    // join. count zero-fills on empty parts; value aggs stay NULL.
+    QueryDef(
+      "jx_json_edges",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "customer",
+          "edges": [{"name": "seg", "value": "c_mktsegment",
+            "domain": {"type": "set",
+              "partitions": ["AUTOMOBILE", "BUILDING", "FURNITURE", "AEROSPACE"]}}],
+          "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "max_bal", "value": "c_acctbal", "aggregate": "max"}
+          ],
+          "sort": "seg"
+        }"""),
+      Some("""WITH bucketed AS (SELECT CASE WHEN c_mktsegment IN
+            ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'AEROSPACE')
+            THEN c_mktsegment END AS seg, c_acctbal FROM customer),
+        agg AS (SELECT seg, count(*) AS n, max(c_acctbal) AS max_bal
+          FROM bucketed GROUP BY seg),
+        domain(seg) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'), ('AEROSPACE'))
+        SELECT d.seg, coalesce(a.n, 0) AS n, a.max_bal
+          FROM domain d LEFT JOIN agg a ON d.seg = a.seg
+        UNION ALL
+        SELECT NULL AS seg, n, max_bal FROM agg WHERE seg IS NULL
+        ORDER BY seg NULLS FIRST""")),
+
+    // JX `window` through the JSON front door: per-customer order
+    // sequence numbers (high-cardinality partition key — scale-safe,
+    // no single-reducer funnel).
+    QueryDef(
+      "jx_json_window",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "orders",
+          "window": [{"name": "rn", "aggregate": "rownum",
+            "edges": ["o_custkey"],
+            "sort": ["o_orderdate", "o_orderkey"]}],
+          "select": ["o_custkey", "o_orderkey", "rn"],
+          "sort": ["o_custkey", "rn"],
+          "limit": 2000
+        }"""),
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        FROM orders ORDER BY o_custkey, rn LIMIT 2000""")))
 }

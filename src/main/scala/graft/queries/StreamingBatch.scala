@@ -70,8 +70,8 @@ object StreamingBatch extends QueryModule {
           CASE WHEN lag(ts) OVER w IS NULL
                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        y AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM x)
         SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events
         FROM y GROUP BY user_id, sid ORDER BY user_id, sid""")),
 

@@ -13,3 +13,14 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to the private[sql] state-store registry. A terminated
+  * streaming query's providers stay loaded until the (default 60 s)
+  * maintenance pass notices they're inactive; a harness draining many
+  * short streaming queries through one session wants them unloaded
+  * eagerly so later queries don't pay maintenance for earlier ones.
+  */
+object StateStoreShim {
+  def unloadAll(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+}

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.Catalog
+
 class JxJsonSpec extends SparkSpec {
   import spark.implicits._
 
@@ -43,5 +45,77 @@ class JxJsonSpec extends SparkSpec {
       """{"from": "orders", "where": {"missing": "o_orderkey"},
           "select": ["o_orderkey"]}""").count()
     assert(n == 0)
+  }
+
+  test("edges with set domain: dense zero part + NULL overflow part") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "customer",
+          "edges": [{"name": "seg", "value": "c_mktsegment",
+            "domain": {"type": "set",
+              "partitions": ["AUTOMOBILE", "BUILDING", "AEROSPACE"]}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    // Every domain part present, even AEROSPACE with zero rows.
+    assert(out.keySet.contains(Some("AEROSPACE")))
+    assert(out(Some("AEROSPACE")) == 0L)
+    assert(out(Some("AUTOMOBILE")) > 0L)
+    // Segments outside the domain roll into the NULL overflow part.
+    assert(out.getOrElse(None, 0L) > 0L)
+  }
+
+  test("edges with range domain: dense numeric buckets, zero-filled") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "customer",
+          "edges": [{"name": "lo", "value": "c_acctbal",
+            "domain": {"type": "range", "min": -1000, "max": 10000,
+                       "interval": 1000}}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": "lo"}""")
+    val rows = out.collect()
+    // 11 dense buckets regardless of which have data.
+    assert(rows.count(r => !r.isNullAt(0)) == 11)
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = Catalog.table(spark, sf0001, "customer").count()
+    assert(total == nCust)
+  }
+
+  test("edges default domain = distinct values in the data") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "orders", "edges": ["o_orderstatus"],
+          "select": [{"name": "n", "aggregate": "count"}]}""")
+    val expected = Catalog.table(spark, sf0001, "orders")
+      .select("o_orderstatus").distinct().count()
+    assert(out.count() == expected)
+  }
+
+  test("window clause: rownum per partition, selectable by name") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "orders",
+          "window": [{"name": "rn", "aggregate": "rownum",
+            "edges": ["o_custkey"],
+            "sort": ["o_orderdate", "o_orderkey"]}],
+          "select": ["o_custkey", "o_orderkey", "rn"],
+          "sort": ["o_custkey", "rn"], "limit": 50}""")
+    val rows = out.as[(Long, Long, Long)].collect()
+    assert(rows.length == 50)
+    // rn restarts at 1 for each customer and increments within.
+    rows.groupBy(_._1).values.foreach { grp =>
+      assert(grp.map(_._3).sorted.toSeq == (1L to grp.length).toSeq)
+    }
+  }
+
+  test("window clause: running sum with explicit rows range") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "orders",
+          "window": [{"name": "run_n", "aggregate": "count",
+            "edges": ["o_custkey"], "sort": ["o_orderkey"],
+            "range": {"max": 0}}],
+          "select": ["o_custkey", "o_orderkey", "run_n"],
+          "sort": ["o_custkey", "o_orderkey"], "limit": 20}""")
+    val rows = out.as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).values.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
+    }
   }
 }
