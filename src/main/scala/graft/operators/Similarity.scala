@@ -50,13 +50,17 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim",
         round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // Two-phase salted top-k: a plain per-qid window would funnel the
+    // WHOLE corpus through one reducer per query — the last
+    // single-reducer seam in the exactness baseline. Phase 1 keeps a
+    // local top-k per (qid, salt) bucket, phase 2 ranks the ≤ salt×k
+    // survivors exactly; output is identical by construction.
+    TopN.saltedRowNumber(scored,
+        Seq(col("qid")), Seq(desc("sim"), asc("nid")), k, "rk")
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
@@ -81,13 +85,15 @@ object Similarity {
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
       .withColumn("bucket", srpSignature(col("qvec"), bits))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim",
         round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // Same two-phase salted top-k as cosineTopK: candidates are already
+    // bucket-bounded, but a hot bucket would still funnel through one
+    // reducer per query without it.
+    TopN.saltedRowNumber(scored,
+        Seq(col("qid")), Seq(desc("sim"), asc("nid")), k, "rk")
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 }

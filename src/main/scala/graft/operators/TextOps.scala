@@ -206,16 +206,48 @@ object TextOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** SimHash dedup: identical 16-bit fingerprint → near-dup group;
-    * keep the lowest id per group. Uses the native SimHash16Expr (one
-    * split + one hash per token; the HOF `simhash16` above re-splits
-    * and re-hashes once per bit when interpreted). */
-  def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash near-dup dedup: 64-bit fingerprint, near-dup = hamming
+    * distance ≤ `maxDist`; drop every doc with a verified near-dup of
+    * smaller id (same survivor rule as minhashDedup).
+    *
+    * Candidate generation is banded hamming neighborhood search: the
+    * 64-bit fingerprint splits into `bands` equal chunks, and by
+    * pigeonhole any pair within hamming distance < `bands` shares at
+    * least one chunk exactly — so a self-join on (band, chunk-value)
+    * yields a strict superset of all pairs within `maxDist` (requires
+    * maxDist < bands). That's one shuffle on (band, bval), never
+    * all-pairs; hot band-values (boilerplate clusters) are capped like
+    * the MinHash buckets so one degenerate value can't quadratically
+    * explode a reducer at corpus scale. Verification is a single
+    * codegen'd bit_count(xor) per candidate pair. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("sh16").orderBy(idCol)
-    df.withColumn("sh16", graft.plans.MinHashLsh.simhash16(col(textCol)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    require(maxDist < bands,
+      s"banded search needs maxDist < bands, got $maxDist >= $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val withSh = df.withColumn("sh64",
+      graft.plans.MinHashLsh.simhash64(col(textCol)))
+    // Slim band rows: (id, sh64, band, bval) only — the fingerprint
+    // rides along so verification needs no join-back.
+    val bandRows = withSh.select(col(idCol).as("id"), col("sh64"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sh64"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+      .withColumn("bsize", count(lit(1)).over(
+        Window.partitionBy("band", "bval")))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    val losers = bandRows
+      .select(col("band"), col("bval"), col("id").as("id_a"), col("sh64").as("sh_a"))
+      .join(bandRows
+        .select(col("band"), col("bval"), col("id").as("id_b"), col("sh64").as("sh_b")),
+        Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr("bit_count(sh_a ^ sh_b)") <= maxDist)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    withSh.join(losers, Seq(idCol), "left_anti")
   }
 }

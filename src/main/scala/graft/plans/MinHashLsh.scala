@@ -45,11 +45,17 @@ object MinHashLsh {
     ColumnShim.column(
       LshBucketsExpr(ColumnShim.expression(hashes), numHashes, bands))
 
-  /** 16-bit SimHash of whitespace tokens: bit b is the sign of
+  /** `bits`-bit SimHash of whitespace tokens: bit b is the sign of
     * Σ_tokens (+1 / −1 by bit b of xxhash64(token)) — each token is
     * hashed once, not once per bit. */
-  def simhash16(text: Column): Column =
-    ColumnShim.column(SimHash16Expr(ColumnShim.expression(text)))
+  def simhash(text: Column, bits: Int): Column =
+    ColumnShim.column(SimHashExpr(ColumnShim.expression(text), bits))
+
+  /** 16-bit variant (demo-scale keyspace — 65k groups max). */
+  def simhash16(text: Column): Column = simhash(text, 16)
+
+  /** Full-width fingerprint for corpus-scale near-dup detection. */
+  def simhash64(text: Column): Column = simhash(text, 64)
 }
 
 case class ShingleHashesExpr(child: Expression)
@@ -147,26 +153,27 @@ case class LshBucketsExpr(child: Expression, numHashes: Int, bands: Int)
     copy(child = c)
 }
 
-case class SimHash16Expr(child: Expression)
+case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
   import MinHashLsh._
+  require(bits >= 1 && bits <= 64, s"simhash bits must be 1..64, got $bits")
 
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other =>
-      TypeCheckResult.TypeCheckFailure(s"simhash16 needs string, got $other")
+      TypeCheckResult.TypeCheckFailure(s"simhash needs string, got $other")
   }
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val counts = new Array[Int](16)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < words.length) {
       val h = XXH64.hashUTF8String(UTF8String.fromString(words(i)), Seed)
       var b = 0
-      while (b < 16) {
+      while (b < bits) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -174,14 +181,14 @@ case class SimHash16Expr(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 16) {
+    while (b < bits) {
       if (counts(b) >= 0) out |= (1L << b)
       b += 1
     }
     out: java.lang.Long
   }
 
-  override def prettyName: String = "simhash16"
-  override protected def withNewChildInternal(c: Expression): SimHash16Expr =
+  override def prettyName: String = "simhash"
+  override protected def withNewChildInternal(c: Expression): SimHashExpr =
     copy(child = c)
 }

@@ -82,6 +82,45 @@ object Extensions extends QueryModule {
           SELECT event_id, 'meta.type' AS path, event_type AS value FROM events)
         WHERE event_id < 500 ORDER BY event_id, path""")),
 
+    // Typed-JSON multi-type payload (SURVEY §1.1 typed encoder): one
+    // logical field that holds number-or-string across rows — the
+    // reference's ~n~/~s~ type-marker situation. The mixed column is
+    // built deterministically from fixture data (every 3rd event's
+    // value becomes the string "cat-<k>"), then accessed through the
+    // typed-union pattern: try_cast extracts the number facet, the
+    // string facet is what fails the cast; both engines apply the same
+    // construction and the same facet algebra.
+    QueryDef(
+      "json_typed_union",
+      (s, dir) => {
+        val payload = when(col("event_id") % 3 === 0,
+            concat(lit("cat-"), get_json_object(col("props"), "$.k")))
+          .otherwise(get_json_object(col("props"), "$.k"))
+        val vnum = expr("try_cast(payload AS DOUBLE)")
+        Catalog.table(s, dir, "events")
+          .filter(col("event_id") < 3000)
+          .withColumn("payload", payload)
+          .groupBy("event_type")
+          .agg(
+            count(vnum).as("n_num"),
+            count(when(vnum.isNull && col("payload").isNotNull, 1)).as("n_str"),
+            round(sum(vnum), 4).as("sum_num"),
+            max(when(vnum.isNull, col("payload"))).as("max_str"))
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type,
+          CASE WHEN event_id % 3 = 0
+               THEN 'cat-' || json_extract_string(props, '$.k')
+               ELSE json_extract_string(props, '$.k') END AS payload
+        FROM events WHERE event_id < 3000)
+        SELECT event_type,
+          count(try_cast(payload AS DOUBLE)) AS n_num,
+          count(CASE WHEN try_cast(payload AS DOUBLE) IS NULL
+                      AND payload IS NOT NULL THEN 1 END) AS n_str,
+          round(sum(try_cast(payload AS DOUBLE)), 4) AS sum_num,
+          max(CASE WHEN try_cast(payload AS DOUBLE) IS NULL THEN payload END) AS max_str
+        FROM p GROUP BY event_type ORDER BY event_type""")),
+
     // JX JSON query string in, DataFrame out — compiled onto the same
     // builder; result proven against plain SQL.
     QueryDef(

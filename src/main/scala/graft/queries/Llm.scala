@@ -70,7 +70,7 @@ object Llm extends QueryModule {
       (s, dir) =>
         TextOps.simhashDedup(
           Catalog.table(s, dir, "documents"), "doc_id", "text")
-          .select("doc_id", "sh16")
+          .select("doc_id", "sh64")
           .orderBy("doc_id"),
       None),
 

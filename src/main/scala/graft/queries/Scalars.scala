@@ -116,20 +116,23 @@ object Scalars extends QueryModule {
         ltrim('  ' || c_name) AS lt, rtrim(c_name || '  ') AS rt
         FROM customer ORDER BY c_custkey LIMIT 500""")),
 
-    // Declared output serializes the array with to_json (QueryDef
-    // determinism contract — the driver comparator cannot sort array
-    // cells); the split itself stays array-native for downstream ops.
+    // Declared output serializes the array with a delimiter join, not
+    // to_json: the driver comparator cannot sort array cells, and JSON
+    // string escaping is library-dependent (Jackson vs yyjson disagree
+    // on control/unicode escapes), while a plain join of the same
+    // pieces is engine-invariant. The split itself stays array-native
+    // for downstream ops.
     QueryDef(
       "str_split",
       (s, dir) =>
         Catalog.table(s, dir, "documents")
           .select(
             col("doc_id"),
-            to_json(split(col("text"), " ")).as("words"),
+            array_join(split(col("text"), " "), "|").as("words"),
             size(split(col("text"), " ")).as("n_words"))
           .orderBy("doc_id")
           .limit(200),
-      Some("""SELECT doc_id, CAST(to_json(string_split(text, ' ')) AS VARCHAR) AS words,
+      Some("""SELECT doc_id, array_to_string(string_split(text, ' '), '|') AS words,
         len(string_split(text, ' ')) AS n_words
         FROM documents ORDER BY doc_id LIMIT 200""")),
 
@@ -358,14 +361,17 @@ object Scalars extends QueryModule {
           .select(
             col("doc_id"),
             to_json(transform(col("words"), w => length(w))).as("lens"),
-            to_json(filter(col("words"), w => length(w) > 4)).as("long_words"),
+            // doc-text strings: delimiter join, not to_json (escaping
+            // is library-dependent; see str_split).
+            array_join(filter(col("words"), w => length(w) > 4), "|")
+              .as("long_words"),
             aggregate(col("words"), lit(0),
               (acc, w) => acc + length(w)).as("total_chars"))
           .orderBy("doc_id")
           .limit(200),
       Some("""SELECT doc_id,
         CAST(to_json(list_transform(string_split(text, ' '), w -> length(w))) AS VARCHAR) AS lens,
-        CAST(to_json(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS VARCHAR) AS long_words,
+        array_to_string(list_filter(string_split(text, ' '), w -> length(w) > 4), '|') AS long_words,
         CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS total_chars
         FROM documents ORDER BY doc_id LIMIT 200""")),
 

@@ -142,6 +142,33 @@ object StreamingBatch extends QueryModule {
       },
       None),
 
+    // Batch oracle twin of stream_watermark: the append-mode emit
+    // horizon. With the replay staged as one file (one micro-batch),
+    // nothing is dropped mid-stream; what the streaming query withholds
+    // is every window still open at the final watermark, i.e. emitted =
+    // windows with end <= max(ts) - 2h. StreamsSpec reconciles the
+    // streaming output against this set row-for-row; crafted late-row
+    // drops are specced separately there.
+    QueryDef(
+      "watermark_batch",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+        val mx = ev.agg(max(col("ts")).as("mx"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("ws", date_trunc("hour", col("ts")))
+          .filter(col("ws") + expr("INTERVAL 1 HOUR")
+            <= col("mx") - expr("INTERVAL 2 HOURS"))
+          .groupBy("ws", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .orderBy("ws", "event_type")
+      },
+      Some("""WITH b AS (SELECT max(ts) AS mx FROM events)
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+          count(*) AS n, round(sum(value), 4) AS total
+        FROM events, b
+        WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= mx - INTERVAL '2 hours'
+        GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
     // True streaming run: file-source replay → watermarked tumbling
     // windows → AvailableNow → memory sink. Watermark semantics are
     // exercised with crafted late rows in ScalaTest; no SQL oracle.

@@ -83,6 +83,12 @@ object Streams {
     * instances (each with its own checkpoint delta files) per micro-batch
     * for a few thousand keys — pure overhead. Pin streams to a small
     * constant; batch queries keep the session default.
+    *
+    * NOTE: the set/restore around each run mutates session-global conf,
+    * which assumes the single-threaded harness (Verify/Bench run queries
+    * sequentially). A concurrent batch query would silently plan with 8
+    * shuffle partitions; if the harness ever parallelizes, scope this
+    * with a dedicated SparkSession.newSession() per stream instead.
     */
   private val StreamShufflePartitions = "8"
 

@@ -50,7 +50,7 @@ object MinhashDebug {
       println("dedup kept:")
       TextOps.minhashDedup(edge, "doc_id", "text").select("doc_id").show()
       println("simhash dedup kept:")
-      TextOps.simhashDedup(edge, "doc_id", "text").select("doc_id", "sh16").show()
+      TextOps.simhashDedup(edge, "doc_id", "text").select("doc_id", "sh64").show()
       spark.stop(); return
     }
     if (sys.env.contains("MH_ENTRY")) {

@@ -62,6 +62,16 @@ class NativeExprSpec extends SparkSpec {
     assert(out(1L) >= 0 && out(1L) < (1 << 16))
   }
 
+  test("native simhash64: 16-bit variant is NOT a truncation; 64 bits used") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "p q r s t u v w")).toDF("id", "text")
+    val out = df.select(col("id"), MinHashLsh.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    // High 48 bits carry signal for at least one of the fixtures.
+    assert((out(1L) >>> 16) != 0L || (out(3L) >>> 16) != 0L)
+  }
+
   test("vec dot/norm: sequential fold values; ragged or null -> null") {
     val df = Seq(
       (1L, Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),

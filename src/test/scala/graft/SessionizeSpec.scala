@@ -1,7 +1,5 @@
 package graft
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,10 +13,12 @@ class SessionizeSpec extends SparkSpec {
 
   private def sessionCount(gapMicros: Long): Long = {
     val t0 = 1700000000000000L // µs since epoch
-    val df = Seq(
-      (1L, new Timestamp(t0 / 1000)),
-      (1L, new Timestamp((t0 + gapMicros) / 1000)))
-      .toDF("user_id", "ts")
+    // timestamp_micros, not java.sql.Timestamp(ms): the ±1 µs boundary
+    // cases must genuinely exercise sub-millisecond precision.
+    val df = Seq((1L, t0), (1L, t0 + gapMicros))
+      .toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("us")
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("brk",

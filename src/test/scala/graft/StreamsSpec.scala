@@ -56,6 +56,20 @@ class StreamsSpec extends SparkSpec {
     assert(out(ts(30)) == 1L)
   }
 
+  test("stream_watermark output equals the watermark_batch oracle twin") {
+    // The declared watermark_batch query pins the append-mode emit
+    // horizon (windows with end <= max(ts) - 2h). The true streaming
+    // replay must produce exactly that row set.
+    val defs = graft.SparkEntry.queries
+    val streamed = defs("stream_watermark")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = defs("watermark_batch")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream=${streamed.size} rows, batch=${batch.size} rows; " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("session_window groups by 30-minute gaps") {
     val df = Seq(
       ev(1, 0), ev(2, 10), ev(3, 25),      // session 1 (gaps < 30m)

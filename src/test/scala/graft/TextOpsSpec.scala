@@ -48,12 +48,50 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
-  test("simhash16 equal for identical text, dedup keeps one") {
+  test("simhash dedup: identical text collapses, distinct text survives") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "totally different words here"))
       .toDF("doc_id", "text")
     val kept = TextOps.simhashDedup(df, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L))
+  }
+
+  test("simhash dedup catches near-dups within hamming<=3 of 64 bits") {
+    // One changed token in a 80-token doc perturbs each of the 64 sign
+    // sums by at most 2 — fingerprints land within a few bits.
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (1 to 80).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val kept = TextOps.simhashDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("simhash recall vs minhash on a seeded near-dup corpus") {
+    // 10 base docs + 5 near-dup copies (one token changed in 300 —
+    // simhash's regime: each bit's sign-sum has σ≈√300, a single token
+    // perturbs it by ≤2, so few bits flip). MinHash (jaccard-verified)
+    // is the reference detector; banded simhash must drop at least 4 of
+    // the 5 dups minhash drops, and never drop a doc minhash considers
+    // unique.
+    val docs = (0 until 10).map { d =>
+      (d.toLong, (1 to 300).map(i => s"d${d}w$i").mkString(" "))
+    }
+    val dups = (0 until 5).map { d =>
+      (100L + d,
+       (1 to 300).map(i => if (i == 150) "XX" else s"d${d}w$i").mkString(" "))
+    }
+    val df = (docs ++ dups).toDF("doc_id", "text")
+    val mhKept = TextOps.minhashDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val shKept = TextOps.simhashDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val mhDropped = (docs ++ dups).map(_._1).toSet -- mhKept
+    val shDropped = (docs ++ dups).map(_._1).toSet -- shKept
+    assert(mhDropped.size == 5)
+    assert((shDropped intersect mhDropped).size >= 4)
+    assert((shDropped -- mhDropped).isEmpty)
   }
 
   test("jaccard of disjoint sets is 0, identical sets is 1") {
