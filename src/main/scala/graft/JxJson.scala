@@ -25,6 +25,78 @@ import graft.sources.Catalog
   */
 object JxJson {
 
+  /** JX `format: "cube"` result (SURVEY §1.1 Cube row): dense N-dim
+    * arrays — one axis per edge in declared order, every domain part
+    * present (zero-filled counts / nulls for value aggs), plus the
+    * overflow counts for rows outside every domain part. `data` maps
+    * each select name to a nested Seq with one nesting level per edge;
+    * a 1-edge query yields Seq[Any], 2 edges Seq[Seq[Any]], …
+    *
+    * The reshape is a CLIENT-side format of the (bounded-by-
+    * construction: |cube| = Π|domain|) table-form result — the
+    * distributed work is identical to format:"table"; only the final
+    * collect differs, exactly like the reference's output formatting
+    * layer. */
+  case class Cube(
+      edgeNames: Seq[String],
+      domains: Seq[Seq[Any]],
+      data: Map[String, Seq[Any]],
+      overflow: Map[String, Any])
+
+  /** Run an edges query and reshape to the dense cube format. The query
+    * must have `edges`; `sort`/`limit` are ignored (cube order is the
+    * domain order). */
+  def runCube(spark: SparkSession, sfDir: String, queryJson: String): Cube = {
+    val q = JsonMethods.parse(queryJson)
+    val table = run(spark, sfDir, queryJson)
+    val edgeDefs = (q \ "edges") match {
+      case JArray(xs) => xs
+      case JNothing | JNull => sys.error("jx cube: query has no edges")
+      case x => Seq(x)
+    }
+    val names = edgeDefs.map(outName)
+    val aggNames = table.columns.drop(names.length).toSeq
+    val rows = table.collect()
+    // Domain order: first-appearance order of each edge's parts in the
+    // dense output (the dense join preserved the domain construction).
+    val domains = names.indices.map { i =>
+      val seen = scala.collection.mutable.LinkedHashSet[Any]()
+      rows.foreach(r => if (!r.isNullAt(i)) seen += r.get(i))
+      seen.toSeq
+    }
+    val index = domains.map(d => d.zipWithIndex.toMap)
+    // Mutable N-d fill, then freeze. Every in-domain cell is present in
+    // the dense table-form result (the domain crossJoin guarantees it),
+    // so no cell stays unset.
+    def fill(agg: Int): (Seq[Any], Any) = {
+      val flat = new Array[Any](domains.map(_.size).product.max(1))
+      val strides = domains.indices.map(i =>
+        domains.drop(i + 1).map(_.size).product)
+      var over: Any = null
+      rows.foreach { r =>
+        val v = r.get(names.length + agg)
+        if (names.indices.exists(r.isNullAt)) over = v
+        else {
+          val pos = names.indices.map(i =>
+            index(i)(r.get(i)) * strides(i)).sum
+          flat(pos) = v
+        }
+      }
+      def nest(depth: Int, off: Int): Any =
+        if (depth == names.length) flat(off)
+        else Seq.tabulate(domains(depth).size)(j =>
+          nest(depth + 1, off + j * strides(depth)))
+      (nest(0, 0) match {
+        case s: Seq[_] => s
+        case x => Seq(x)
+      }, over)
+    }
+    val filled = aggNames.indices.map(fill)
+    Cube(names, domains,
+      aggNames.zip(filled.map(_._1)).toMap,
+      aggNames.zip(filled.map(_._2)).filter(_._2 != null).toMap)
+  }
+
   def run(spark: SparkSession, sfDir: String, queryJson: String): DataFrame = {
     val q = JsonMethods.parse(queryJson)
     val from = (q \ "from") match {

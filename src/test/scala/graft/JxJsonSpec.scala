@@ -104,6 +104,42 @@ class JxJsonSpec extends SparkSpec {
     }
   }
 
+  test("cube format: dense per-domain arrays + overflow") {
+    val cube = JxJson.runCube(spark, sf0001,
+      """{"from": "customer",
+          "edges": [{"name": "seg", "value": "c_mktsegment",
+            "domain": {"type": "set",
+              "partitions": ["AUTOMOBILE", "BUILDING", "AEROSPACE"]}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""")
+    assert(cube.edgeNames == Seq("seg"))
+    assert(cube.domains.head.toSet == Set("AUTOMOBILE", "BUILDING", "AEROSPACE"))
+    val n = cube.data("n")
+    assert(n.length == 3)
+    // Dense: AEROSPACE present with count 0.
+    val bySeg = cube.domains.head.zip(n).toMap
+    assert(bySeg("AEROSPACE") == 0L)
+    assert(bySeg("AUTOMOBILE").asInstanceOf[Long] > 0L)
+    // Out-of-domain segments land in the overflow, not the grid.
+    assert(cube.overflow("n").asInstanceOf[Long] > 0L)
+  }
+
+  test("cube format: two edges nest in declared order") {
+    val cube = JxJson.runCube(spark, sf0001,
+      """{"from": "orders",
+          "edges": ["o_orderstatus", "o_orderpriority"],
+          "select": [{"name": "n", "aggregate": "count"}]}""")
+    assert(cube.edgeNames == Seq("o_orderstatus", "o_orderpriority"))
+    val grid = cube.data("n")
+    assert(grid.length == cube.domains(0).size)
+    grid.foreach { row =>
+      assert(row.asInstanceOf[Seq[Any]].length == cube.domains(1).size)
+    }
+    // Total over the grid = total rows (default domains cover all data).
+    val total = grid.flatMap(_.asInstanceOf[Seq[Any]])
+      .map(v => if (v == null) 0L else v.asInstanceOf[Long]).sum
+    assert(total == Catalog.table(spark, sf0001, "orders").count())
+  }
+
   test("window clause: running sum with explicit rows range") {
     val out = JxJson.run(spark, sf0001,
       """{"from": "orders",

@@ -62,4 +62,18 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("join_range")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("llm_cosine_topk re-ranks through two salted windows, no per-qid funnel") {
+    val p = plan("llm_cosine_topk")
+    // Phase 1 partitions by (qid, salt), phase 2 by qid over the tiny
+    // candidate set — two Window nodes, and the first one's partition
+    // spec carries the salt column.
+    assert("(?s)Window".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("__graft_salt"), p)
+  }
+
+  test("jx_json_edges broadcasts its dense domain") {
+    val p = plan("jx_json_edges")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
