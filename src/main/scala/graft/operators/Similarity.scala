@@ -64,6 +64,67 @@ object Similarity {
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic scale
+    * path beside LSH.
+    *
+    * Build: `nlist` centroids are the corpus vectors with the smallest
+    * xxhash64(id) — a deterministic uniform sample, no training step,
+    * no stored model, identical on every executor. Every corpus vector
+    * joins the broadcast centroid set and keeps its nearest (window
+    * argmax partitioned by the vector id — high-cardinality key, no
+    * funnel). Search: each query probes its `nprobe` nearest centroids
+    * and re-ranks exactly inside those inverted lists only.
+    *
+    * At 100 TB: assignment is one broadcast join + one
+    * high-cardinality shuffle (in a real index the inverted lists are
+    * written once and reused across query batches); at search time the
+    * corpus is never shuffled — the (tiny) query probe set broadcasts
+    * onto the assignment, and a query touches ~nprobe/nlist of the
+    * corpus. nprobe == nlist degrades gracefully to exact brute force
+    * (spec-pinned).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+    val cents = c.select(col("nid").as("cid"), col("nvec").as("cvec"),
+        col("nnorm").as("cnorm"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(nlist)
+    // Plain (unsalted) windows for both argmax steps: the partition
+    // key is the vector/query id, so every partition holds exactly
+    // nlist rows — bounded by construction, no funnel to de-salt.
+    val wAssign = Window.partitionBy("nid")
+      .orderBy(desc_nulls_last("csim"), asc("cid"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        cosine(col("nvec"), col("cvec"), col("nnorm"), col("cnorm")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("cid"), col("nid"), col("nvec"), col("nnorm"))
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(desc_nulls_last("csim"), asc("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select(col("cid"), col("qid"), col("qvec"), col("qnorm"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim",
+        round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
+    TopN.saltedRowNumber(scored,
+        Seq(col("qid")), Seq(desc("sim"), asc("nid")), k, "rk")
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
   /** b-bit sign-random-projection signature. Projection matrix entries
     * are ±1 derived from xxhash64(bit·γ + dim) — deterministic, no
     * stored model, identical on every executor (native expression:

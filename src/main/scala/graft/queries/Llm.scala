@@ -167,6 +167,21 @@ object Llm extends QueryModule {
       },
       None),
 
+    // IVF-bucketed approximate NN — the inverted-list scale path.
+    // Approximate by construction (probes nprobe of nlist inverted
+    // lists), so rows-only; recall vs brute force and the
+    // nprobe==nlist exactness degeneration are asserted in ScalaTest.
+    QueryDef(
+      "llm_knn_ivf",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, nlist = 32, nprobe = 8)
+          .orderBy("qid", "rk")
+      },
+      None),
+
     QueryDef(
       "llm_text_stats",
       (s, dir) =>

@@ -54,6 +54,35 @@ class SimilaritySpec extends SparkSpec {
       s"recall@1 too low: $hits/${approx.size}")
   }
 
+  test("ivfTopK with nprobe == nlist degrades to exact brute force") {
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3,
+      nlist = 16, nprobe = 16)
+      .collect().map(_.toSeq).toSet
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK recall vs brute force beats the probe fraction") {
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 1)
+      .filter(col("rk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 1,
+      nlist = 16, nprobe = 4)
+      .filter(col("rk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(approx.size == 20)
+    // Probing 4/16 lists scans ~25% of the corpus; the true NN shares
+    // the query's neighborhood, so recall must beat blind sampling.
+    val hits = approx.count { case (qid, nid) => exact.get(qid).contains(nid) }
+    assert(hits.toDouble / approx.size >= 0.25,
+      s"recall@1 below probe fraction: $hits/${approx.size}")
+  }
+
   test("srpSignature is deterministic") {
     val emb = Catalog.table(spark, sf0001, "embeddings").limit(10)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
