@@ -1,7 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
-
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
 import graft.sources.Catalog
@@ -9,15 +8,21 @@ import graft.sources.Catalog
 /** SURVEY.md §2.1 — scans and sinks.
   *
   * scan_parquet is the engine's default path (every other query uses
-  * it); jsonl/csv are proven by round-trip: fixture → format → read
+  * it); jsonl/csv/orc are proven by round-trip: fixture → format → read
   * back → aggregate must hash-match the oracle computed on the
   * original parquet. sink_parquet exercises partitioned idempotent
-  * overwrite — the reference's keyed re-ETL semantics (SURVEY §2.1 [P]).
+  * overwrite — the reference's keyed re-ETL semantics (SURVEY §2.1 [P]);
+  * join_bucketed exercises bucketed (pre-partitioned) tables joining
+  * without a shuffle — the 100 TB co-location strategy.
   */
 object Sources extends QueryModule {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Deterministic staging path per (prefix, sfDir), overwritten each
+    * run — a fresh createTempDirectory per call would leak one dir per
+    * query per run (the write happens lazily when the driver
+    * materializes the returned frame, so we can't delete eagerly). */
+  private def tmp(prefix: String, dir: String = ""): String =
+    s"/tmp/graft-stage/$prefix-${math.abs(dir.hashCode)}"
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -33,7 +38,7 @@ object Sources extends QueryModule {
     QueryDef(
       "scan_jsonl",
       (s, dir) => {
-        val out = tmp("graft-jsonl")
+        val out = tmp("jsonl", dir)
         Catalog.table(s, dir, "documents")
           .write.mode("overwrite").json(out)
         s.read.json(out)
@@ -49,7 +54,7 @@ object Sources extends QueryModule {
     QueryDef(
       "scan_csv",
       (s, dir) => {
-        val out = tmp("graft-csv")
+        val out = tmp("csv", dir)
         Catalog.table(s, dir, "customer")
           .write.mode("overwrite").option("header", "true").csv(out)
         s.read.option("header", "true").option("inferSchema", "true").csv(out)
@@ -67,7 +72,7 @@ object Sources extends QueryModule {
     QueryDef(
       "sink_parquet",
       (s, dir) => {
-        val out = tmp("graft-sink")
+        val out = tmp("sink", dir)
         def writeOnce(): Unit =
           Catalog.table(s, dir, "orders")
             .write.mode("overwrite")
@@ -81,5 +86,55 @@ object Sources extends QueryModule {
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ORC round-trip: fixture → ORC → read back → aggregate must match
+    // the oracle computed on the original parquet.
+    QueryDef(
+      "scan_orc",
+      (s, dir) => {
+        val out = tmp("orc", dir)
+        Catalog.table(s, dir, "supplier")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // Bucketed tables joining WITHOUT a shuffle: both sides are written
+    // bucketed+sorted by the join key with the same bucket count, so
+    // the sort-merge join consumes the bucket layout directly — the
+    // co-location strategy that turns the biggest 100 TB join from a
+    // full-network shuffle into a local merge. PlanQualitySpec asserts
+    // no hashpartitioning exchange on either join key.
+    QueryDef(
+      "join_bucketed",
+      (s, dir) => {
+        val tag = math.abs(dir.hashCode).toString
+        def save(df: DataFrame, name: String, key: String): String = {
+          val t = s"graft_bkt_${name}_$tag"
+          df.write.mode("overwrite")
+            .option("path", s"/tmp/graft-warehouse/$t")
+            .bucketBy(8, key).sortBy(key)
+            .saveAsTable(t)
+          t
+        }
+        val o = save(Catalog.table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "orders", "o_custkey")
+        val c = save(Catalog.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"),
+          "customer", "c_custkey")
+        s.table(o).hint("merge")
+          .join(s.table(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(max("o_totalprice"), 2).as("max_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n, round(max(o_totalprice), 2) AS max_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")))
 }

@@ -76,4 +76,13 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("jx_json_edges")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("join_bucketed sort-merge-joins with NO shuffle on the join keys") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(o_custkey"),
+      s"orders side must read its bucket layout, not reshuffle:\n$p")
+    assert(!p.contains("hashpartitioning(c_custkey"),
+      s"customer side must read its bucket layout, not reshuffle:\n$p")
+  }
 }
