@@ -182,6 +182,24 @@ object StreamingBatch extends QueryModule {
       },
       None),
 
+    // True streaming run: stream-stream interval join (clicks → views
+    // within 2 h, watermarks bounding both sides' state). Inner join
+    // with AvailableNow emits every matched pair, so the full batch
+    // join IS the oracle — a hard-oracle-green true-streaming query.
+    QueryDef(
+      "stream_join",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.clickViewJoin(s, dir),
+          s"sj_${System.nanoTime()}", OutputMode.Append())
+        out.orderBy("user_id", "click_id", "view_id")
+      },
+      Some("""SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS view_id
+        FROM events a JOIN events b ON a.user_id = b.user_id
+          AND a.event_type = 'click' AND b.event_type = 'view'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+        ORDER BY a.user_id, click_id, view_id""")),
+
     // True streaming run: per-user running state via mapGroupsWithState.
     QueryDef(
       "stream_stateful",

@@ -144,6 +144,31 @@ object Streams {
     catch { case _: Throwable => () }
   }
 
+  /** Stream-stream interval join: clicks joined to the views the same
+    * user produced within the following 2 hours. Both sides carry
+    * watermarks and the join condition carries the time bound, so each
+    * side's buffered state is evicted once the other side's watermark
+    * passes the interval — state stays O(active interval), not
+    * O(stream length), which is what makes the operator viable on an
+    * unbounded 100 TB stream. */
+  def clickViewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** Tumbling-window counts with a 2h watermark: late rows beyond the
     * watermark are dropped and window state is evicted. */
   def tumblingWithWatermark(events: DataFrame): DataFrame =
