@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
 
@@ -84,5 +85,18 @@ class PlanQualitySpec extends SparkSpec {
       s"orders side must read its bucket layout, not reshuffle:\n$p")
     assert(!p.contains("hashpartitioning(c_custkey"),
       s"customer side must read its bucket layout, not reshuffle:\n$p")
+  }
+
+  test("a filter on a partition column prunes partitions at the scan") {
+    val out = "/tmp/graft-prune-test"
+    graft.sources.Catalog.table(spark, sf0001, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val df = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("o_orderstatus"), p)
+    // The predicate must be consumed by pruning, not re-checked per row.
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p)
   }
 }
