@@ -400,6 +400,16 @@ object JxJson {
   /** JX expression object → Column. Variables are strings on the
     * operand side; bare literals are literals. */
   def compile(e: JValue): Column = e match {
+    // {"when": cond, "then": a, "else": b} — multi-key conditional
+    // (reference jx `when` expression; SURVEY §1.4 null logic).
+    case o: JObject if (o \ "when") != JNothing =>
+      val cond = compile(o \ "when")
+      val thn = (o \ "then") match {
+        case JNothing => lit(null); case t => operand(t) }
+      (o \ "else") match {
+        case JNothing | JNull => when(cond, thn)
+        case el => when(cond, thn).otherwise(operand(el))
+      }
     case JObject(List((op, args))) => op match {
       case "eq"  => bin(args)(_ === _)
       case "ne"  => bin(args)(_ =!= _)
@@ -424,11 +434,55 @@ object JxJson {
       case "sub"  => bin(args)(_ - _)
       case "mult" => varargs(args).reduce(_ * _)
       case "div"  => bin(args)(_ / _)
+      case "mod"  => bin(args)(_ % _)
+      case "abs"  => abs(operand(args))
+      case "exp"  => exp(operand(args))
+      case "log"  => log(operand(args))
+      case "floor" => args match {
+        // {"floor": ["x", interval]} → interval-aligned bucket (JX
+        // floors to a multiple, not just to an integer).
+        case JArray(a :: b :: Nil) =>
+          floor(operand(a) / operand(b)) * operand(b)
+        case a => floor(operand(a))
+      }
+      case "length" => length(operand(args))
+      case "lowercase" => lower(operand(args))
+      case "uppercase" => upper(operand(args))
+      case "trim" => trim(operand(args))
+      case "left" => args match {
+        case JArray(a :: JInt(n) :: Nil) =>
+          substring(operand(a), 1, n.toInt)
+        case other => sys.error(s"jx: left $other")
+      }
+      case "right" => args match {
+        case JArray(a :: JInt(n) :: Nil) =>
+          operand(a).substr(length(operand(a)) - (n.toInt - 1), lit(n.toInt))
+        case other => sys.error(s"jx: right $other")
+      }
+      case "find" =>
+        // 1-based index of the needle, 0 when absent (declared pinning
+        // of JX find; SURVEY §1.4 lets the declared query fix the
+        // missing-value convention).
+        bin(args)((c, p) => call_function("instr", c, p))
+      case "concat" => concat(varargs(args): _*)
+      case "number" => tryCastDouble(operand(args))
+      case "string" => operand(args).cast("string")
       case "literal" => lit(litOf(args))
       case other => sys.error(s"jx: op '$other'")
     }
     case JString(v) => col(v)
     case other => lit(litOf(other))
+  }
+
+  /** JX `number`: tolerant string→number, Null (not an ANSI error) on
+    * unparseable input — a TRY-mode Cast, the engine-level form of
+    * SQL try_cast (which has expression syntax but no function). */
+  private def tryCastDouble(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.DoubleType
+    ColumnShim.column(
+      Cast(ColumnShim.expression(c), DoubleType, None, EvalMode.TRY))
   }
 
   private def bin(args: JValue)(f: (Column, Column) => Column): Column =

@@ -143,6 +143,40 @@ object Extensions extends QueryModule {
         FROM orders WHERE o_totalprice >= 100000 AND o_orderstatus != 'P'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // JX scalar expression surface through the JSON front door:
+    // string/math/conditional ops compile onto native Column functions
+    // and are proven against plain SQL.
+    QueryDef(
+      "jx_json_scalars",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "customer",
+          "where": {"exists": "c_name"},
+          "select": [
+            "c_custkey",
+            {"name": "slug", "value": {"lowercase": {"left": ["c_name", 8]}}},
+            {"name": "tail2", "value": {"right": ["c_name", 2]}},
+            {"name": "sharp", "value": {"find": ["c_name", {"literal": "#"}]}},
+            {"name": "label", "value": {"concat": ["c_mktsegment", {"literal": ":"}, "c_name"]}},
+            {"name": "bal_bucket", "value": {"floor": ["c_acctbal", {"literal": 500}]}},
+            {"name": "bal_mag", "value": {"when": {"gte": ["c_acctbal", {"literal": 0}]},
+                                          "then": {"literal": "pos"}, "else": {"literal": "neg"}}},
+            {"name": "key_mod", "value": {"mod": ["c_custkey", {"literal": 7}]}}
+          ],
+          "sort": "c_custkey",
+          "limit": 500
+        }"""),
+      Some("""SELECT c_custkey,
+          lower(left(c_name, 8)) AS slug,
+          right(c_name, 2) AS tail2,
+          CAST(instr(c_name, '#') AS INT) AS sharp,
+          c_mktsegment || ':' || c_name AS label,
+          CAST(floor(c_acctbal / 500) AS BIGINT) * 500 AS bal_bucket,
+          CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_mag,
+          c_custkey % 7 AS key_mod
+        FROM customer WHERE c_name IS NOT NULL
+        ORDER BY c_custkey LIMIT 500""")),
+
     // JX `edges` through the JSON front door: explicit set domain with a
     // zero part (AEROSPACE) and a NULL overflow part — the signature JX
     // construct (SURVEY §2.5), compiled onto the broadcast dense-domain

@@ -258,6 +258,27 @@ object Llm extends QueryModule {
         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
         FROM documents ORDER BY doc_id""")),
 
+    // Frame sampling over the media column: 1 doc → 4 frame rows. The
+    // codec is the documented stub, but the slice arithmetic is
+    // SQL-replicable, so the generator PLUMBING (fan-out, schema,
+    // per-frame metadata) gets a hard oracle.
+    QueryDef(
+      "llm_multimodal_frames",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Catalog.table(s, dir, "documents"), "doc_id", "text",
+          Seq("lang"))
+        Multimodal.frameSample(media, "doc_id", 4)
+          .select(col("id"), col("frame_idx"),
+            length(col("frame.bytes")).as("n_bytes"))
+          .orderBy("id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS id, k AS frame_idx,
+          CAST((k + 1) * octet_length(encode(text)) // 4
+             - k * octet_length(encode(text)) // 4 AS INT) AS n_bytes
+        FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)
+        ORDER BY id, frame_idx""")),
+
     // Binary media column + per-partition batched decode (stub codec,
     // real plumbing) — no-sql (SURVEY §2.11).
     QueryDef(

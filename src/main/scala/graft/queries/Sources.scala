@@ -116,7 +116,11 @@ object Sources extends QueryModule {
         val tag = math.abs(dir.hashCode).toString
         def save(df: DataFrame, name: String, key: String): String = {
           val t = s"graft_bkt_${name}_$tag"
-          df.write.mode("overwrite")
+          // Pre-shuffle onto the bucket hash (same Murmur3 mod as the
+          // bucketing spec) so each task writes exactly one bucket —
+          // without this a 32-task write sprays 32x8 small files.
+          df.repartition(8, col(key))
+            .write.mode("overwrite")
             .option("path", s"/tmp/graft-warehouse/$t")
             .bucketBy(8, key).sortBy(key)
             .saveAsTable(t)

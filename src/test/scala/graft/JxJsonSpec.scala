@@ -104,6 +104,32 @@ class JxJsonSpec extends SparkSpec {
     }
   }
 
+  test("scalar ops: string/math/conditional compile and evaluate") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "customer",
+          "select": ["c_custkey",
+            {"name": "l", "value": {"length": "c_name"}},
+            {"name": "u", "value": {"uppercase": {"left": ["c_mktsegment", 3]}}},
+            {"name": "n", "value": {"number": {"string": "c_custkey"}}},
+            {"name": "sgn", "value": {"when": {"lt": ["c_acctbal", {"literal": 0}]},
+                                      "then": {"literal": -1}, "else": {"literal": 1}}}],
+          "sort": "c_custkey", "limit": 10}""")
+    val rows = out.as[(Long, Int, String, Double, Long)].collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_._2 > 0))
+    assert(rows.forall(r => r._3 == r._3.toUpperCase && r._3.length == 3))
+    assert(rows.forall(r => r._4 == r._1.toDouble))
+    assert(rows.forall(r => r._5 == 1L || r._5 == -1L))
+  }
+
+  test("number op is tolerant: unparseable strings become null, not errors") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "customer",
+          "select": [{"name": "x", "value": {"number": "c_mktsegment"}}],
+          "limit": 5}""")
+    assert(out.collect().forall(_.isNullAt(0)))
+  }
+
   test("cube format: dense per-domain arrays + overflow") {
     val cube = JxJson.runCube(spark, sf0001,
       """{"from": "customer",
