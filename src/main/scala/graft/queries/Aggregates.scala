@@ -179,6 +179,22 @@ object Aggregates extends QueryModule {
           .orderBy("l_returnflag"),
       None),
 
+    // Mergeable-sketch percentile for 100 TB quantiles (exact
+    // percentile sorts every group; approx_percentile is a bounded-
+    // error mergeable digest — one map-side partial per partition).
+    // Approximate → rows-only; AggregatesSpec bounds the error vs the
+    // exact operator.
+    QueryDef(
+      "agg_percentile_approx",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
+            expr("approx_percentile(l_extendedprice, 0.90, 1000)").as("p90"))
+          .orderBy("l_returnflag"),
+      None),
+
     // Array-valued results are serialized with to_json in the DECLARED
     // output (QueryDef determinism contract: arrays render to strings
     // where hashing would be ambiguous — the driver's comparator cannot
