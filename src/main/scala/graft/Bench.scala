@@ -25,6 +25,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on scratch (tmpfs when available): measure
+      // the engine, not the box's disk queue (BENCH_r03 contention).
+      .config("spark.local.dir", Scratch.dir("spark-local"))
+      // Streaming: the AvailableNow replays are one-shot — retaining the
+      // default 100 batches of checkpoint/state history is pure I/O.
+      .config("spark.sql.streaming.minBatchesToRetain", "1")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (parquet reader init, first-job scheduler

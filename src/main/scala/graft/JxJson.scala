@@ -236,6 +236,42 @@ object JxJson {
         val dom = spark.range(1).select(explode(sequence(
           lit(lo), lit(hi - 1), lit(step))).as(name))
         (name, assign, dom)
+      case JString("time") =>
+        // Calendar bucketing — the most common real-world edge. The
+        // domain is the dense run of calendar buckets between min and
+        // max (explicit ISO strings, or derived from the data's own
+        // bounds when omitted), stepped by `interval` (day/hour/week/
+        // month…); rows assign by date_trunc. Mirrors the builder-level
+        // edge_time (graft.queries.Edges) through the JSON front door.
+        val unit = (domain \ "interval") match {
+          case JString(u) => u
+          case JNothing | JNull => "day"
+          case other => sys.error(s"jx: time interval $other")
+        }
+        val bucket = date_trunc(unit, value)
+        def explicitBound(key: String): Option[Column] =
+          (domain \ key) match {
+            case JString(ts) => Some(date_trunc(unit, lit(ts).cast("timestamp")))
+            case JNothing | JNull => None
+            case other => sys.error(s"jx: time $key $other")
+          }
+        val (loE, hiE) = (explicitBound("min"), explicitBound("max"))
+        // Explicit bounds: rows outside [min, max] must land in the NULL
+        // overflow part (same contract as the range domain). Derived
+        // bounds cover all rows by construction.
+        val assign = (loE, hiE) match {
+          case (None, None) => bucket
+          case _ =>
+            val lo = loE.getOrElse(lit("0001-01-01").cast("timestamp"))
+            val hi = hiE.getOrElse(lit("9999-01-01").cast("timestamp"))
+            when(bucket >= lo && bucket <= hi, bucket)
+        }
+        val dom = df
+          .agg(loE.getOrElse(date_trunc(unit, min(value))).as("lo"),
+            hiE.getOrElse(date_trunc(unit, max(value))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr(s"INTERVAL 1 $unit"))).as(name))
+        (name, assign, dom)
       case JNothing | JNull | JString("default") =>
         // Domain = distinct non-null values present in the data; the
         // domain side is derived from the grouped result itself, so the
@@ -277,7 +313,12 @@ object JxJson {
     val filled = aggNames.map { a =>
       if (countNames(a)) coalesce(col(a), lit(0L)).as(a) else col(a)
     }
-    val dense = broadcast(domain).join(grouped, names, "left")
+    // Hint the GROUPED side: Spark cannot build-broadcast the preserved
+    // (left) side of a left-outer join, so hinting `domain` was silently
+    // dropped (HintErrorLogger). The grouped side is just as bounded —
+    // ≤ |domain| + overflow rows post-aggregation — and is the side a
+    // LeftOuter BroadcastHashJoin actually builds.
+    val dense = domain.join(broadcast(grouped), names, "left")
       .select(names.map(col) ++ filled: _*)
     // Rows matching no part → NULL overflow (present only when such
     // rows exist, like any GROUP BY NULL bucket).

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.dir("spark-local"))
+      .config("spark.sql.streaming.minBatchesToRetain", "1")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

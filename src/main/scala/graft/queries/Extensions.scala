@@ -225,5 +225,98 @@ object Extensions extends QueryModule {
       Some("""SELECT o_custkey, o_orderkey,
           CAST(row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
-        FROM orders ORDER BY o_custkey, rn LIMIT 2000""")))
+        FROM orders ORDER BY o_custkey, rn LIMIT 2000""")),
+
+    // JX `edges` with a TIME domain through the JSON front door:
+    // calendar-day buckets spanning the data's own [min, max] bounds,
+    // every day present even with zero events (SURVEY §2.5 — the
+    // calendar edge is the most common real-world domain).
+    QueryDef(
+      "jx_json_edges_time",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "events",
+          "edges": [{"name": "day", "value": "ts",
+            "domain": {"type": "time", "interval": "day"}}],
+          "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "mx", "value": "value", "aggregate": "max"}
+          ],
+          "sort": "day"
+        }"""),
+      Some("""WITH b AS (SELECT date_trunc('day', min(ts)) AS lo,
+            date_trunc('day', max(ts)) AS hi FROM events),
+        domain AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        agg AS (SELECT date_trunc('day', ts) AS day, count(*) AS n,
+            max(value) AS mx FROM events GROUP BY 1)
+        SELECT d.day, coalesce(a.n, 0) AS n, a.mx
+        FROM domain d LEFT JOIN agg a ON d.day = a.day
+        ORDER BY d.day""")),
+
+    // JX `format: "cube"` (SURVEY §1.1 Cube): the dense-array output
+    // format. runCube reshapes the table-form edges result into one
+    // nested array per select (client-side, bounded by Π|domain|); the
+    // declared query flattens the cube BACK to rows — edge coordinate +
+    // cell per row, overflow last — so the reshape round-trips against
+    // the same dense-table oracle as jx_json_edges. A wrong stride,
+    // domain order, or overflow cell cannot survive the round-trip.
+    QueryDef(
+      "jx_json_cube",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val cube = JxJson.runCube(s, dir,
+          """{
+            "from": "customer",
+            "edges": [{"name": "seg", "value": "c_mktsegment",
+              "domain": {"type": "set",
+                "partitions": ["AUTOMOBILE", "BUILDING", "FURNITURE", "AEROSPACE"]}}],
+            "select": [
+              {"name": "n", "aggregate": "count"},
+              {"name": "max_bal", "value": "c_acctbal", "aggregate": "max"}
+            ]
+          }""")
+        val dom = cube.domains.head
+        val rows = dom.indices.map(i =>
+          Row(dom(i), cube.data("n")(i), cube.data("max_bal")(i))) ++
+          (if (cube.overflow.nonEmpty)
+            Seq(Row(null, cube.overflow.getOrElse("n", 0L),
+              cube.overflow.getOrElse("max_bal", null)))
+          else Nil)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, StructType(Seq(
+            StructField("seg", StringType),
+            StructField("n", LongType),
+            StructField("max_bal", DoubleType))))
+          .orderBy(asc_nulls_first("seg"))
+      },
+      Some("""WITH bucketed AS (SELECT CASE WHEN c_mktsegment IN
+            ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'AEROSPACE')
+            THEN c_mktsegment END AS seg, c_acctbal FROM customer),
+        agg AS (SELECT seg, count(*) AS n, max(c_acctbal) AS max_bal
+          FROM bucketed GROUP BY seg),
+        domain(seg) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'), ('AEROSPACE'))
+        SELECT d.seg, coalesce(a.n, 0) AS n, a.max_bal
+          FROM domain d LEFT JOIN agg a ON d.seg = a.seg
+        UNION ALL
+        SELECT NULL AS seg, n, max_bal FROM agg WHERE seg IS NULL
+        ORDER BY seg NULLS FIRST""")),
+
+    // SQL-string entry point (SURVEY §3.2 entry 3): the registered
+    // catalog + spark.sql, proven by running the IDENTICAL SQL text in
+    // DuckDB — the three lifecycle entry points (DataFrame builder, JX
+    // JSON, SQL string) are all driver-verified.
+    QueryDef(
+      "sql_entry",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT n_name, count(*) AS n_cust,
+            round(sum(c_acctbal), 2) AS bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, count(*) AS n_cust,
+            round(sum(c_acctbal), 2) AS bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""")))
 }

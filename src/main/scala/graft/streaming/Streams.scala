@@ -21,13 +21,12 @@ import org.apache.spark.sql.types._
 object Streams {
 
   /** One staged source dir per sfDir, reused across every streaming
-    * query in the session and reaped on JVM exit — a full Bench/Verify
-    * run used to leak one temp dir + symlink per streaming query. */
+    * query in the session AND across JVM runs (the path is
+    * deterministic scratch space and holds only a symlink, so there is
+    * nothing to reap — a full Bench/Verify run used to leak one temp
+    * dir per streaming query). */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  sys.addShutdownHook {
-    stagedDirs.values().forEach(d => deleteRecursively(d.toString))
-  }
 
   /** events.parquet replayed through the file source (schema pinned;
     * ts arrives as nanos-since-epoch long under nanosAsLong and is
@@ -38,13 +37,17 @@ object Streams {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // The file source wants a directory to watch; the fixture is a single
-    // parquet file — stage a link/copy of it into a temp dir.
+    // parquet file — stage a link/copy of it into a scratch dir (a
+    // symlink, so the bytes are never duplicated).
     val dir = stagedDirs.computeIfAbsent(sfDir, { _ =>
       val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-      val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
+      val d = java.nio.file.Paths.get(
+        graft.Scratch.dir(s"events-stream-${math.abs(sfDir.hashCode)}"))
+      java.nio.file.Files.createDirectories(d)
       val dst = d.resolve("events.parquet")
-      try java.nio.file.Files.createSymbolicLink(dst, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      if (!java.nio.file.Files.exists(dst))
+        try java.nio.file.Files.createSymbolicLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
       d
     })
     spark.readStream.schema(schema)
@@ -104,7 +107,7 @@ object Streams {
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val ckpt = s"/tmp/graft-ckpt/$name-${System.nanoTime()}"
+    val ckpt = graft.Scratch.dir("ckpt", s"$name-${System.nanoTime()}")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     try {
@@ -216,7 +219,7 @@ object Streams {
     * reference's re-ETL idempotence (SURVEY §2.9 [P]). */
   def idempotentSink(events: DataFrame, outDir: String): Unit = {
     val spark = events.sparkSession
-    val ckpt = s"/tmp/graft-ckpt/sink-${System.nanoTime()}"
+    val ckpt = graft.Scratch.dir("ckpt", s"sink-${System.nanoTime()}")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     try {
