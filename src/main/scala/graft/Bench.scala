@@ -34,14 +34,24 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (parquet reader init, first-job scheduler
-    // spin-up) so per-query timings measure the queries, not the JVM.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Batch queries first, true-streaming runs last: streaming leaves
     // state-store maintenance threads behind that would otherwise bleed
     // into unrelated batch timings mid-run.
     val (streaming, batch) =
       SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("stream_"))
+    // Warm-up: run the WHOLE suite untimed at the smallest fixture.
+    // One tiny entry() query is not enough — the first queries of the
+    // timed loop otherwise pay JVM-wide costs that have nothing to do
+    // with them: whole-stage codegen compilation, parquet/orc reader
+    // init, and (measured at ~8 s) the streaming micro-batch + state
+    // store machinery, which all of it lands on whichever stream_*
+    // query happens to run first. Plans at sf0.001 have the same
+    // shapes, so the codegen cache and JIT profiles carry over.
+    val warmDir = "/root/testdata/sf0.001"
+    (batch ++ streaming).foreach { case (_, fn) =>
+      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     val results = (batch ++ streaming).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -132,6 +132,56 @@ object Similarity {
   def srpSignature(vec: Column, bits: Int): Column =
     graft.plans.VectorExprs.srpSign(vec, bits)
 
+  /** All pairs with cosine similarity above `threshold`, via banded
+    * SRP-LSH candidate generation + exact verify — the same
+    * candidates-then-verify shape as the MinHash text pipeline, with
+    * no crossJoin anywhere in the plan.
+    *
+    * One signature of bands×bitsPerBand total bits per vector; band k
+    * is its bit-slice. A pair is a candidate when ANY band slice
+    * matches (miss probability (1 − p^r)^bands for per-bit agreement
+    * p = 1 − θ/π). Candidates travel as slim (band, bucket, id) rows —
+    * the vectors are joined back by id only for the ≤|candidates|
+    * exact-verify stage, so the wide rows never fan out ×bands.
+    *
+    * bitsPerBand is the selectivity dial: real near-dup thresholds
+    * (≥0.9) use 4-8 bits — 16-256 buckets per band and candidate
+    * volume collapses toward the true-pair count. A LOW threshold like
+    * the fixture's 0.2 on near-random vectors forces 1-bit bands to
+    * keep recall (p ≈ 0.56 per bit), where bucketing degenerates to
+    * halves — threshold similarity join below ~0.5 is structurally
+    * LSH-hostile, and the right scale tool is the kNN operators
+    * (lshTopK/ivfTopK) beside this one. The SHAPE here is the one that
+    * scales; the parameters say when it pays. */
+  def neardupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 16, bitsPerBand: Int = 1): DataFrame = {
+    require(bands * bitsPerBand <= 63, "bands*bitsPerBand must fit a long")
+    val mask = (1L << bitsPerBand) - 1
+    val base = df.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("sig", srpSignature(col("v"), bands * bitsPerBand))
+    val slim = base.select(col("id"),
+      posexplode(array((0 until bands).map(k =>
+        shiftright(col("sig"), k * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkt")))
+    val cand = slim.select(col("band"), col("bkt"), col("id").as("id_a"))
+      .join(slim.select(col("band"), col("bkt"), col("id").as("id_b")),
+        Seq("band", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
   /** Approximate top-k: candidates share the LSH bucket, exact cosine
     * re-ranks inside it. Recall rises with fewer bits / multi-probe;
     * 12 bits ≈ 4096 buckets is a reasonable sf-test default. */

@@ -110,8 +110,12 @@ object StreamingBatch extends QueryModule {
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // True streaming run of the tumbling window (oracle twin:
-    // win_tumbling_batch above).
+    // True streaming run of the tumbling window, now with a HARD
+    // oracle: the replay is staged as ONE file → one micro-batch, so
+    // the emitted set is exactly the windows closed at the final
+    // watermark — end <= max(ts) − 2h — which SQL expresses directly
+    // (the same horizon watermark_batch proved row-for-row in
+    // StreamsSpec). Append-mode emission is deterministic here.
     QueryDef(
       "stream_tumbling",
       (s, dir) => {
@@ -124,10 +128,16 @@ object StreamingBatch extends QueryModule {
           s"tb_${System.nanoTime()}", OutputMode.Append())
         out.orderBy("ws")
       },
-      None),
+      Some("""WITH b AS (SELECT max(ts) AS mx FROM events)
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n
+        FROM events, b
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          <= mx - INTERVAL '2 hours'
+        GROUP BY ws ORDER BY ws""")),
 
-    // True streaming run of the sliding window (oracle twin:
-    // win_sliding_batch above).
+    // True streaming run of the sliding window — same hard-oracle
+    // construction: each event lands in 4 windows; emitted = window
+    // end (ws + 1h) closed at the final watermark.
     QueryDef(
       "stream_sliding",
       (s, dir) => {
@@ -140,7 +150,13 @@ object StreamingBatch extends QueryModule {
           s"sl_${System.nanoTime()}", OutputMode.Append())
         out.orderBy("ws")
       },
-      None),
+      Some("""WITH b AS (SELECT max(ts) AS mx FROM events),
+        w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+            - k * INTERVAL '15 minutes' AS ws
+          FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+        SELECT ws, count(*) AS n FROM w, b
+        WHERE ws + INTERVAL '1 hour' <= mx - INTERVAL '2 hours'
+        GROUP BY ws ORDER BY ws""")),
 
     // Batch oracle twin of stream_watermark: the append-mode emit
     // horizon. With the replay staged as one file (one micro-batch),
@@ -170,8 +186,9 @@ object StreamingBatch extends QueryModule {
         GROUP BY ws, event_type ORDER BY ws, event_type""")),
 
     // True streaming run: file-source replay → watermarked tumbling
-    // windows → AvailableNow → memory sink. Watermark semantics are
-    // exercised with crafted late rows in ScalaTest; no SQL oracle.
+    // windows → AvailableNow → memory sink. The watermark_batch twin
+    // above IS this query's emit horizon, so its oracle applies
+    // directly (crafted late-row drops stay specced in ScalaTest).
     QueryDef(
       "stream_watermark",
       (s, dir) => {
@@ -180,7 +197,12 @@ object StreamingBatch extends QueryModule {
           s"wm_${System.nanoTime()}", OutputMode.Append())
         out.orderBy("ws", "event_type")
       },
-      None),
+      Some("""WITH b AS (SELECT max(ts) AS mx FROM events)
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+          count(*) AS n, round(sum(value), 4) AS total
+        FROM events, b
+        WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= mx - INTERVAL '2 hours'
+        GROUP BY ws, event_type ORDER BY ws, event_type""")),
 
     // True streaming run: stream-stream interval join (clicks → views
     // within 2 h, watermarks bounding both sides' state). Inner join
@@ -201,6 +223,10 @@ object StreamingBatch extends QueryModule {
         ORDER BY a.user_id, click_id, view_id""")),
 
     // True streaming run: per-user running state via mapGroupsWithState.
+    // The final state per user is the full per-user aggregate, which
+    // SQL expresses directly — a hard oracle on custom state logic
+    // (round(…, 4) absorbs iterator-order vs SQL-order double
+    // summation ulps).
     QueryDef(
       "stream_stateful",
       (s, dir) => {
@@ -213,7 +239,8 @@ object StreamingBatch extends QueryModule {
           .agg(max(col("n")).as("n"), round(max(col("total")), 4).as("total"))
           .orderBy("user_id")
       },
-      None),
+      Some("""SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+        FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // True streaming run: idempotent partitioned sink. The sink
     // mechanics (foreachBatch + dynamic partition overwrite) are the
@@ -237,5 +264,9 @@ object StreamingBatch extends QueryModule {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(rows.toSeq.asJava, agg.schema)
       },
-      None))
+      // Hard oracle: the sink's partition layout must reproduce the
+      // per-day event counts exactly (day is the dynamic-overwrite
+      // partition key, read back from the directory structure).
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY day ORDER BY day""")))
 }

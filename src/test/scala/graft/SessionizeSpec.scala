@@ -40,4 +40,8 @@ class SessionizeSpec extends SparkSpec {
   test("gap of 1799.999999 s does NOT break the session") {
     assert(sessionCount(1800L * 1000000L - 1L) == 1)
   }
+
+  test("gap of 1800.000001 s DOES break the session (+1 µs boundary)") {
+    assert(sessionCount(1800L * 1000000L + 1L) == 2)
+  }
 }

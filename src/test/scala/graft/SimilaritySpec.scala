@@ -83,6 +83,37 @@ class SimilaritySpec extends SparkSpec {
       s"recall@1 below probe fraction: $hits/${approx.size}")
   }
 
+  test("neardupPairs equals the brute-force pair set on fixture vectors") {
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("sim"))
+      .filter(col("sim") > 0.2)
+      .collect().map(_.toSeq).toSet
+    val lsh = Similarity.neardupPairs(
+      Catalog.table(spark, sf0001, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", threshold = 0.2)
+      .collect().map(_.toSeq).toSet
+    assert(lsh == brute,
+      s"banded candidates missed ${(brute -- lsh).size} true pairs / " +
+        s"invented ${(lsh -- brute).size}")
+  }
+
+  test("neardupPairs plan contains no cartesian product or BNLJ") {
+    val plan = Similarity.neardupPairs(
+      Catalog.table(spark, sf0001, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", threshold = 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "crossJoin leaked into the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ leaked into the plan")
+  }
+
   test("srpSignature is deterministic") {
     val emb = Catalog.table(spark, sf0001, "embeddings").limit(10)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
