@@ -27,25 +27,31 @@ object JxJson {
 
   /** JX `format: "cube"` result (SURVEY §1.1 Cube row): dense N-dim
     * arrays — one axis per edge in declared order, every domain part
-    * present (zero-filled counts / nulls for value aggs), plus the
-    * overflow counts for rows outside every domain part. `data` maps
-    * each select name to a nested Seq with one nesting level per edge;
-    * a 1-edge query yields Seq[Any], 2 edges Seq[Seq[Any]], …
+    * present (zero-filled counts / nulls for value aggs). An edge whose
+    * data produced out-of-domain rows carries a trailing NULL part on
+    * its axis (the reference's allowNulls overflow part), so a row that
+    * overflows edge 0 but hits a real part on edge 1 lands at
+    * (NULL-part, j) — per-edge overflow, not one lumped cell. `data`
+    * maps each select name to a nested Seq with one nesting level per
+    * edge; axis i has length |domains(i)| + (hasNullPart(i) ? 1 : 0).
     *
     * The reshape is a CLIENT-side format of the (bounded-by-
-    * construction: |cube| = Π|domain|) table-form result — the
+    * construction: |cube| = Π(|domain|+1)) table-form result — the
     * distributed work is identical to format:"table"; only the final
     * collect differs, exactly like the reference's output formatting
     * layer. */
   case class Cube(
       edgeNames: Seq[String],
       domains: Seq[Seq[Any]],
+      hasNullPart: Seq[Boolean],
       data: Map[String, Seq[Any]],
       overflow: Map[String, Any])
 
   /** Run an edges query and reshape to the dense cube format. The query
     * must have `edges`; `sort`/`limit` are ignored (cube order is the
-    * domain order). */
+    * domain order). `overflow` is the all-edges-NULL corner cell — for
+    * a 1-edge cube, THE overflow cell — kept as a convenience view of
+    * the grid. */
   def runCube(spark: SparkSession, sfDir: String, queryJson: String): Cube = {
     val q = JsonMethods.parse(queryJson)
     val table = run(spark, sfDir, queryJson)
@@ -64,37 +70,46 @@ object JxJson {
       rows.foreach(r => if (!r.isNullAt(i)) seen += r.get(i))
       seen.toSeq
     }
+    val hasNullPart = names.indices.map(i => rows.exists(_.isNullAt(i)))
+    val axisLen = names.indices.map(i =>
+      domains(i).size + (if (hasNullPart(i)) 1 else 0))
     val index = domains.map(d => d.zipWithIndex.toMap)
+    val strides = names.indices.map(i => axisLen.drop(i + 1).product)
+    def posOf(r: org.apache.spark.sql.Row): Int =
+      names.indices.map { i =>
+        (if (r.isNullAt(i)) domains(i).size else index(i)(r.get(i))) * strides(i)
+      }.sum
     // Mutable N-d fill, then freeze. Every in-domain cell is present in
-    // the dense table-form result (the domain crossJoin guarantees it),
-    // so no cell stays unset.
-    def fill(agg: Int): (Seq[Any], Any) = {
-      val flat = new Array[Any](domains.map(_.size).product.max(1))
-      val strides = domains.indices.map(i =>
-        domains.drop(i + 1).map(_.size).product)
-      var over: Any = null
-      rows.foreach { r =>
-        val v = r.get(names.length + agg)
-        if (names.indices.exists(r.isNullAt)) over = v
-        else {
-          val pos = names.indices.map(i =>
-            index(i)(r.get(i)) * strides(i)).sum
-          flat(pos) = v
-        }
-      }
+    // the dense table-form result (the domain crossJoin guarantees it);
+    // overflow cells with no matching rows stay null (counts there were
+    // never emitted — a NULL-part cell exists only where data put it).
+    def fill(agg: Int): Seq[Any] = {
+      val flat = new Array[Any](axisLen.product.max(1))
+      rows.foreach(r => flat(posOf(r)) = r.get(names.length + agg))
       def nest(depth: Int, off: Int): Any =
         if (depth == names.length) flat(off)
-        else Seq.tabulate(domains(depth).size)(j =>
+        else Seq.tabulate(axisLen(depth))(j =>
           nest(depth + 1, off + j * strides(depth)))
-      (nest(0, 0) match {
+      nest(0, 0) match {
         case s: Seq[_] => s
         case x => Seq(x)
-      }, over)
+      }
     }
     val filled = aggNames.indices.map(fill)
-    Cube(names, domains,
-      aggNames.zip(filled.map(_._1)).toMap,
-      aggNames.zip(filled.map(_._2)).filter(_._2 != null).toMap)
+    // Convenience: the all-NULL corner (only present when every edge
+    // has a NULL part).
+    val corner: Map[String, Any] =
+      if (hasNullPart.forall(identity)) {
+        def walk(depth: Int, cur: Any): Any = cur match {
+          case s: Seq[_] if depth < names.length => walk(depth + 1, s.last)
+          case x => x
+        }
+        aggNames.zipWithIndex.flatMap { case (a, k) =>
+          Option(walk(0, filled(k))).map(a -> _)
+        }.toMap
+      } else Map.empty
+    Cube(names, domains, hasNullPart,
+      aggNames.zip(filled).toMap, corner)
   }
 
   def run(spark: SparkSession, sfDir: String, queryJson: String): DataFrame = {

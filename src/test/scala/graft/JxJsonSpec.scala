@@ -140,13 +140,40 @@ class JxJsonSpec extends SparkSpec {
     assert(cube.edgeNames == Seq("seg"))
     assert(cube.domains.head.toSet == Set("AUTOMOBILE", "BUILDING", "AEROSPACE"))
     val n = cube.data("n")
-    assert(n.length == 3)
+    // 3 domain parts + the trailing NULL part (out-of-domain segments
+    // exist in the fixture, so the axis carries its overflow slot).
+    assert(cube.hasNullPart == Seq(true))
+    assert(n.length == 4)
     // Dense: AEROSPACE present with count 0.
     val bySeg = cube.domains.head.zip(n).toMap
     assert(bySeg("AEROSPACE") == 0L)
     assert(bySeg("AUTOMOBILE").asInstanceOf[Long] > 0L)
-    // Out-of-domain segments land in the overflow, not the grid.
-    assert(cube.overflow("n").asInstanceOf[Long] > 0L)
+    // Out-of-domain segments land in the NULL part / overflow corner.
+    assert(n.last.asInstanceOf[Long] > 0L)
+    assert(cube.overflow("n") == n.last)
+  }
+
+  test("cube format: per-edge overflow — a row can overflow one edge and hit a part on another") {
+    val cube = JxJson.runCube(spark, sf0001,
+      """{"from": "customer",
+          "edges": [
+            {"name": "seg", "value": "c_mktsegment",
+             "domain": {"type": "set", "partitions": ["AUTOMOBILE", "BUILDING"]}},
+            {"name": "nat", "value": "c_nationkey"}],
+          "select": [{"name": "n", "aggregate": "count"}]}""")
+    // Edge 0 overflows (3 segments outside the set); edge 1 is a
+    // default domain covering all data — no NULL part.
+    assert(cube.hasNullPart == Seq(true, false))
+    val grid = cube.data("n").map(_.asInstanceOf[Seq[Any]])
+    assert(grid.length == cube.domains(0).size + 1)
+    assert(grid.forall(_.length == cube.domains(1).size))
+    // The NULL-part row of edge 0 still distributes over edge 1's real
+    // parts — per-edge overflow, not one lumped cell.
+    val nullRow = grid.last.map(v => if (v == null) 0L else v.asInstanceOf[Long])
+    assert(nullRow.count(_ > 0L) > 1, "overflow must spread across nations")
+    // Full grid total = all customers (every row lands somewhere).
+    val total = grid.flatten.map(v => if (v == null) 0L else v.asInstanceOf[Long]).sum
+    assert(total == Catalog.table(spark, sf0001, "customer").count())
   }
 
   test("cube format: two edges nest in declared order") {
