@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
 import graft.sources.Catalog
@@ -304,5 +305,53 @@ object Aggregates extends QueryModule {
           .filter(col("n") > 40)
           .orderBy("l_partkey"),
       Some("""SELECT l_partkey, count(*) AS n FROM lineitem
-        GROUP BY l_partkey HAVING count(*) > 40 ORDER BY l_partkey""")))
+        GROUP BY l_partkey HAVING count(*) > 40 ORDER BY l_partkey""")),
+
+    // Pivot (wide reshape): explicit pivot values keep the output
+    // schema static — at 100 TB you never let the engine scan for
+    // distinct pivot keys first. Missing combinations coalesce to 0 to
+    // match the oracle's FILTER form.
+    QueryDef(
+      "agg_pivot",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          count(*) FILTER (o_orderstatus = 'F') AS F,
+          count(*) FILTER (o_orderstatus = 'O') AS O,
+          count(*) FILTER (o_orderstatus = 'P') AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Deterministic mode (argmax): most frequent priority per status.
+    // Plain mode() is tie-arbitrary in both engines, so both sides pin
+    // the same total order (count DESC, value ASC) — the windowed
+    // argmax runs over the 15-row AGGREGATED counts, not the fact
+    // table, so the low-cardinality partition key funnels nothing.
+    QueryDef(
+      "agg_argmax",
+      (s, dir) => {
+        val counts = Catalog.table(s, dir, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("n"), asc("o_orderpriority"))
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY count(*) DESC, o_orderpriority) AS rk
+          FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        WHERE rk = 1 ORDER BY o_orderstatus""")))
 }

@@ -193,5 +193,27 @@ object Joins extends QueryModule {
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND v.ts <= c.ts
-        ORDER BY click_id""")))
+        ORDER BY click_id""")),
+
+    // Full-outer: null-extended on BOTH sides — urgent orders that
+    // match no AUTOMOBILE customer and AUTOMOBILE customers with no
+    // urgent order each survive. Total order: o_orderkey is unique on
+    // matched+left rows; unmatched customers (null o_orderkey) order by
+    // c_custkey.
+    QueryDef(
+      "join_full",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .join(
+            Catalog.table(s, dir, "customer")
+              .filter(col("c_mktsegment") === "AUTOMOBILE"),
+            col("o_custkey") === col("c_custkey"), "full_outer")
+          .select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+          .orderBy(asc_nulls_first("o_orderkey"), asc("c_custkey")),
+      Some("""SELECT o_orderkey, o_totalprice, c_custkey, c_name
+        FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        FULL JOIN (SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE') c
+          ON o_custkey = c_custkey
+        ORDER BY o_orderkey NULLS FIRST, c_custkey""")))
 }
