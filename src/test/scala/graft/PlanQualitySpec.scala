@@ -87,6 +87,22 @@ class PlanQualitySpec extends SparkSpec {
       s"customer side must read its bucket layout, not reshuffle:\n$p")
   }
 
+  test("jx_json_edges_time broadcasts its dense calendar domain") {
+    val p = plan("jx_json_edges_time")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_full keeps a hash/merge full-outer join (no nested loop)") {
+    val p = plan("join_full")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_pivot keeps partial (map-side) aggregation") {
+    val p = plan("agg_pivot")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("a filter on a partition column prunes partitions at the scan") {
     val out = "/tmp/graft-prune-test"
     graft.sources.Catalog.table(spark, sf0001, "orders")
