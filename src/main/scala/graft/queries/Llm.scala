@@ -251,6 +251,85 @@ object Llm extends QueryModule {
         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
         FROM documents ORDER BY doc_id""")),
 
+    // Deterministic content-addressed train/holdout split: the split
+    // is a pure function of md5(doc_id) — reproducible on any engine,
+    // any cluster size, any day, with no stored assignment table and
+    // no RNG. Comparing the first hex byte lexicographically against
+    // 'e6' (230/256 ≈ 90%) keeps both engines bit-identical.
+    QueryDef(
+      "llm_holdout_split",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6",
+              "train").otherwise("heldout").as("split"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+               THEN 'train' ELSE 'heldout' END AS split
+        FROM documents ORDER BY doc_id""")),
+
+    // Per-language quota sampling: keep the top-3 quality docs per
+    // language — the data-balancing / curriculum op. Runs through the
+    // salted two-phase top-N (lang is a low-cardinality partition key:
+    // a plain window would funnel each language through one reducer).
+    QueryDef(
+      "llm_quota_per_lang",
+      (s, dir) => {
+        val scored = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.qualityScore(col("text")).as("quality"))
+        graft.operators.TopN.saltedRowNumber(scored,
+            Seq(col("lang")), Seq(desc("quality"), asc("doc_id")), 3, "rk")
+          .select("lang", "rk", "doc_id", "quality")
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, quality FROM (
+          SELECT lang, doc_id,
+            round(least(length(text)::DOUBLE / 500, 1.0) * 0.3
+              + (len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+                / greatest(len(string_split(text, ' ')), 1)) * 0.5
+              + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / greatest(len(string_split(text, ' ')), 1)) * 0.2, 6) AS quality,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY round(least(length(text)::DOUBLE / 500, 1.0) * 0.3
+                + (len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+                  / greatest(len(string_split(text, ' ')), 1)) * 0.5
+                + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / greatest(len(string_split(text, ' ')), 1)) * 0.2, 6) DESC,
+                doc_id) AS BIGINT) AS rk
+          FROM documents)
+        WHERE rk <= 3 ORDER BY lang, rk""")),
+
+    // Benchmark decontamination: flag corpus docs sharing any 3-gram
+    // shingle with the (small, broadcastable) benchmark set — the
+    // eval-leakage scan every training pipeline runs. Shuffle is on
+    // the exploded shingle only; the benchmark side broadcasts.
+    QueryDef(
+      "llm_decontaminate",
+      (s, dir) => {
+        val sh = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.shingles3(col("text"))).as("sh"))
+        val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
+        sh.filter(col("doc_id") >= 10)
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count_distinct(col("sh")).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+        SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+        FROM sh s JOIN bench b ON s.sh = b.sh
+        WHERE s.doc_id >= 10
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     // Frame sampling over the media column: 1 doc → 4 frame rows. The
     // codec is the documented stub, but the slice arithmetic is
     // SQL-replicable, so the generator PLUMBING (fan-out, schema,
