@@ -353,5 +353,75 @@ object Aggregates extends QueryModule {
             row_number() OVER (PARTITION BY o_orderstatus
               ORDER BY count(*) DESC, o_orderpriority) AS rk
           FROM orders GROUP BY o_orderstatus, o_orderpriority)
-        WHERE rk = 1 ORDER BY o_orderstatus""")))
+        WHERE rk = 1 ORDER BY o_orderstatus""")),
+
+    // Bivariate statistics: correlation + covariance per group. All
+    // three accumulate co-moments in the same single two-phase hash
+    // aggregate — adding statistics adds no shuffles. Covariances are
+    // rounded coarser than corr: their magnitude is price-scaled, so
+    // the engines' different partial-sum orders can disagree further
+    // out in the mantissa.
+    QueryDef(
+      "agg_corr",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+              .as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+              .as("cov_s"),
+            round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2)
+              .as("cov_p"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+          round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+          round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Fixed-width histogram: integer bucket arithmetic then a plain
+    // two-phase hash aggregate — no sort, no window; bucket count is
+    // bounded by the value range, not the row count. The per-bucket
+    // measure sums whole-number quantities, so any summation order is
+    // bit-exact.
+    QueryDef(
+      "agg_histogram",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy(floor(col("l_extendedprice") / 10000).cast("long")
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("total_qty"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+          count(*) AS n, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // Long-form reshape (unpivot/melt) — the inverse of agg_pivot.
+    // Spark's unpivot is a zero-shuffle Expand: each input row emits
+    // one row per measure locally, so the reshape never moves data
+    // across the cluster.
+    QueryDef(
+      "agg_unpivot",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 500)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount")),
+            "metric", "value")
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber,
+            'l_quantity' AS metric, l_quantity AS value
+          FROM lineitem WHERE l_orderkey < 500
+        UNION ALL SELECT l_orderkey, l_linenumber,
+            'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey < 500
+        UNION ALL SELECT l_orderkey, l_linenumber,
+            'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 500
+        ORDER BY l_orderkey, l_linenumber, metric""")))
 }

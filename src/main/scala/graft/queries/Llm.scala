@@ -314,10 +314,13 @@ object Llm extends QueryModule {
           .select(col("doc_id"),
             explode(TextOps.shingles3(col("text"))).as("sh"))
         val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
+        // shingles3 is per-doc distinct and bench is distinct, so the
+        // joined (doc_id, sh) pairs are unique: a plain count equals
+        // count(DISTINCT) without the expand + second shuffle it costs.
         sh.filter(col("doc_id") >= 10)
           .join(broadcast(bench), Seq("sh"))
           .groupBy("doc_id")
-          .agg(count_distinct(col("sh")).as("n_shared"))
+          .agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_id")
       },
       Some("""WITH sh AS (SELECT doc_id,
@@ -329,6 +332,92 @@ object Llm extends QueryModule {
         FROM sh s JOIN bench b ON s.sh = b.sh
         WHERE s.doc_id >= 10
         GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
+    // Sequence packing: assign docs to fixed-capacity token bins for
+    // training-batch construction. Deterministic and shard-parallel:
+    // docs are hash-sharded and each shard packs independently by
+    // running token count (bin = tokens_before DIV capacity) — one
+    // window per shard, never a global sort, so packing parallelism
+    // scales with the shard count. The global bin id is (shard, bin).
+    QueryDef(
+      "llm_pack_sequences",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        docs.withColumn("cum", sum("n_tok").over(w))
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            expr("(cum - n_tok) DIV 256").as("bin"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, doc_id % 8 AS shard, n_tok,
+          CAST((cum - n_tok) // 256 AS BIGINT) AS bin
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+            sum(len(string_split(text, ' '))) OVER (
+              PARTITION BY doc_id % 8 ORDER BY doc_id) AS cum
+          FROM documents) ORDER BY doc_id""")),
+
+    // Repetition quality filter: top single-token share per doc. The
+    // distributed shape is explode → two hash aggregates on fine keys
+    // ((doc_id, token), then doc_id) — no windows, no per-doc funnel,
+    // partial aggregation on both shuffles.
+    QueryDef(
+      "llm_repetition_ratio",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "n_words", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n_words").agg(max(col("c")).as("max_c"))
+          .select(col("doc_id"), col("n_words"), col("max_c"),
+            round(col("max_c") / col("n_words"), 6).as("rep_ratio"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_words, max_c,
+          round(max_c::DOUBLE / n_words, 6) AS rep_ratio
+        FROM (SELECT doc_id, n_words, max(c) AS max_c FROM
+            (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                    w, count(*) AS c
+             FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1, 2, 3)
+          GROUP BY 1, 2) ORDER BY doc_id""")),
+
+    // Boilerplate detection: corpus-wide document frequency of 3-gram
+    // shingles (shingles3 is per-doc distinct, so count(*) = doc
+    // frequency). One shuffle on the shingle, then a salt-free global
+    // top-k via TakeOrderedAndProject with a pinned tie order.
+    QueryDef(
+      "llm_boilerplate_ngrams",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(explode(TextOps.shingles3(col("text"))).as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("sh"))
+          .limit(20),
+      Some("""SELECT sh, count(*) AS df FROM (SELECT doc_id,
+            unnest(list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        GROUP BY sh ORDER BY df DESC, sh LIMIT 20""")),
+
+    // PII-style scrubbing: mask digit runs and count redactions — pure
+    // codegen'd regexp over each row, no shuffle. (The synthetic corpus
+    // text carries no emails/phones; customer names are the fixture's
+    // only PII-shaped strings, so the op is declared over customer.)
+    QueryDef(
+      "llm_pii_redact",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .select(col("c_custkey"),
+            regexp_replace(col("c_name"), "[0-9]+", "[ID]").as("redacted"),
+            regexp_count(col("c_name"), lit("[0-9]+")).cast("long")
+              .as("n_hits"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+          regexp_replace(c_name, '[0-9]+', '[ID]', 'g') AS redacted,
+          CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_hits
+        FROM customer ORDER BY c_custkey""")),
 
     // Frame sampling over the media column: 1 doc → 4 frame rows. The
     // codec is the documented stub, but the slice arithmetic is

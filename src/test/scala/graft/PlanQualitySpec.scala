@@ -103,6 +103,30 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("llm_decontaminate broadcasts the benchmark side, no distinct expand") {
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // joined (doc_id, sh) pairs are unique by construction, so the
+    // count must be a plain two-phase aggregate — a count(DISTINCT)
+    // would show up as an Expand node + an extra shuffle.
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("agg_unpivot reshapes via Expand with no shuffle before the sort") {
+    val p = plan("agg_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"column-to-row reshape must not move data:\n$p")
+  }
+
+  test("llm_pack_sequences packs with one shard-parallel window") {
+    val p = plan("llm_pack_sequences")
+    // count detail-section nodes ("(5) Window"), not tree echoes
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(shard"),
+      s"running sum must partition by shard, not run globally:\n$p")
+  }
+
   test("a filter on a partition column prunes partitions at the scan") {
     val out = "/tmp/graft-prune-test"
     graft.sources.Catalog.table(spark, sf0001, "orders")
