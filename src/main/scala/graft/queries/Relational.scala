@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
 import graft.sources.Catalog
@@ -272,5 +273,45 @@ object Relational extends QueryModule {
       Some("""SELECT c_custkey FROM customer
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        ORDER BY c_custkey""")))
+        ORDER BY c_custkey""")),
+
+    // SCD-1 upsert / CDC merge: apply a delta of changed rows onto a
+    // base snapshot, keeping the highest-version row per key. The
+    // distributed shape is union + one row_number window on the
+    // HIGH-cardinality key — one shuffle of base+delta, no join; at
+    // 100 TB the same shape runs partition-local if both sides are
+    // bucketed on the key (join_bucketed's layout).
+    QueryDef(
+      "etl_upsert",
+      (s, dir) => {
+        val orders = Catalog.table(s, dir, "orders")
+        // The delta price is an exact IEEE addition (no rounding):
+        // round(x * 1.1, 2) sits on .xx5 ties where the engines'
+        // double-rounding implementations disagree by a cent.
+        val base = orders.select(col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"))
+        val delta = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + lit(1000.0)).as("price"),
+            lit(1L).as("version"))
+        val w = Window.partitionBy("o_orderkey").orderBy(desc("version"))
+        base.unionByName(delta)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("o_orderkey", "price", "version")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, price, version FROM (
+          SELECT o_orderkey, price, version,
+            row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY version DESC) AS rk
+          FROM (
+            SELECT o_orderkey, o_totalprice AS price,
+              CAST(0 AS BIGINT) AS version FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 1000.0 AS price,
+              CAST(1 AS BIGINT) AS version
+            FROM orders WHERE o_orderkey % 10 = 0))
+        WHERE rk = 1 ORDER BY o_orderkey""")))
 }

@@ -131,6 +131,30 @@ object Sources extends QueryModule {
       Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // Hive-style partitioned layout + partition pruning: stage orders
+    // partitioned by o_orderstatus once (fingerprint-keyed), then read
+    // with a partition predicate. The scan must touch only the 'F'
+    // directory (PartitionFilters consumed by pruning, not re-checked
+    // per row) — at 100 TB the difference between reading one
+    // partition and the whole table. PlanQualitySpec asserts the shape.
+    QueryDef(
+      "scan_partitioned",
+      (s, dir) => {
+        val out = staged("part", dir, "orders") { o =>
+          Catalog.table(s, dir, "orders")
+            .write.mode("overwrite").partitionBy("o_orderstatus").parquet(o)
+        }
+        s.read.parquet(out)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Bucketed tables joining WITHOUT a shuffle: both sides are written
     // bucketed+sorted by the join key with the same bucket count, so
     // the sort-merge join consumes the bucket layout directly — the

@@ -160,5 +160,31 @@ object Windows extends QueryModule {
           round(percent_rank() OVER w, 6) AS pr
         FROM orders WHERE o_orderkey < 2000
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-        ORDER BY o_custkey, o_orderkey""")))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Time-RANGE moving aggregate — "sum of the trailing hour per
+    // user": the frame is bounded by TIME, not row count (the range
+    // form of win_agg_moving's row frame). user_id is high-cardinality
+    // so the single window shuffle is skew-safe. ts_s is epoch seconds
+    // via integer floor division on both engines (epoch_us // 1e6 in
+    // the oracle; a double epoch() would round, not truncate).
+    QueryDef(
+      "win_agg_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_s")
+          .rangeBetween(-3600L, 0L)
+        Catalog.table(s, dir, "events")
+          .filter(col("user_id") < 100)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("ts_s"), col("value"))
+          .withColumn("sum_1h", round(sum("value").over(w), 4))
+          .select("event_id", "user_id", "ts_s", "sum_1h")
+          .orderBy("user_id", "ts_s", "event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
+          round(sum(value) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) // 1000000
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS sum_1h
+        FROM events WHERE user_id < 100
+        ORDER BY user_id, ts_s, event_id""")))
 }

@@ -127,6 +127,13 @@ class PlanQualitySpec extends SparkSpec {
       s"running sum must partition by shard, not run globally:\n$p")
   }
 
+  test("scan_partitioned prunes to the matching partition directory") {
+    val p = plan("scan_partitioned")
+    assert(p.contains("PartitionFilters"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      s"partition predicate must be consumed by pruning:\n$p")
+  }
+
   test("a filter on a partition column prunes partitions at the scan") {
     val out = "/tmp/graft-prune-test"
     graft.sources.Catalog.table(spark, sf0001, "orders")
