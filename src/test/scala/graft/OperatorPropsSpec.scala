@@ -47,4 +47,59 @@ class OperatorPropsSpec extends SparkSpec {
         assert(ab >= 0.0 && ab <= 1.0)
       }
   }
+
+  test("vector exprs: whole-stage codegen and interpreted paths agree") {
+    import graft.plans.VectorExprs
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def run(): Seq[(Long, Double, Double, Long)] = emb.select(col("vec_id"),
+        VectorExprs.dot(col("v"), col("v")).as("d"),
+        VectorExprs.norm(col("v")).as("nm"),
+        VectorExprs.srpSign(col("v"), 16).as("s"))
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    val withCodegen = run()
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", fm)
+      }
+    assert(withCodegen.nonEmpty && withCodegen == interpreted)
+  }
+
+  test("llm_pack_sequences: bin is exactly floor(prefix-tokens / capacity)") {
+    val out = SparkEntry.queries("llm_pack_sequences")(spark, sf0001)
+      .select("shard", "doc_id", "n_tok", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var prefix = 0L
+      var lastBin = -1L
+      rows.sortBy(_._2).foreach { case (_, _, nTok, bin) =>
+        assert(bin == prefix / 256, s"bin must be prefix DIV capacity")
+        assert(bin >= lastBin, "bins must be non-decreasing within a shard")
+        lastBin = bin
+        prefix += nTok
+      }
+    }
+  }
+
+  test("etl_upsert: delta rows win on version, base rows pass through") {
+    val orders = Catalog.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)]
+      .collect().toMap
+    val out = SparkEntry.queries("etl_upsert")(spark, sf0001)
+      .as[(Long, Double, Long)].collect()
+    assert(out.length == orders.size, "one surviving row per key")
+    out.foreach { case (k, price, version) =>
+      if (k % 10 == 0) {
+        assert(version == 1L && price == orders(k) + 1000.0, s"key $k")
+      } else {
+        assert(version == 0L && price == orders(k), s"key $k")
+      }
+    }
+  }
 }
