@@ -287,6 +287,24 @@ object JxJson {
           .select(explode(sequence(col("lo"), col("hi"),
             expr(s"INTERVAL 1 $unit"))).as(name))
         (name, assign, dom)
+      case JString("duration") =>
+        // Duration domain: numeric seconds bucketed into a dense run of
+        // duration-wide parts — the reference's duration type (SURVEY
+        // §1.1) as a range over seconds. Bounds/step accept duration
+        // literals ("minute", "hour", …) or raw second counts; rows
+        // outside [min, max) land in the NULL overflow part. Bucket
+        // values are long seconds so the dense-domain join is exact.
+        def dur(j: JValue): Long = j match {
+          case JString(u) => durationSeconds(u)
+          case other => num(other)
+        }
+        val (lo, hi, step) = (dur(domain \ "min"), dur(domain \ "max"),
+          dur(domain \ "interval"))
+        val assign = when(value >= lo && value < hi,
+          floor((value - lo) / step).cast("long") * step + lo)
+        val dom = spark.range(1).select(explode(sequence(
+          lit(lo), lit(hi - 1), lit(step))).as(name))
+        (name, assign, dom)
       case JNothing | JNull | JString("default") =>
         // Domain = distinct non-null values present in the data; the
         // domain side is derived from the grouped result itself, so the
@@ -296,6 +314,15 @@ object JxJson {
         (name, value, dom)
       case other => sys.error(s"jx: domain $other")
     }
+  }
+
+  private def durationSeconds(u: String): Long = u match {
+    case "second" => 1L
+    case "minute" => 60L
+    case "hour" => 3600L
+    case "day" => 86400L
+    case "week" => 604800L
+    case other => sys.error(s"jx: duration unit $other")
   }
 
   private def num(v: JValue): Long = litOf(v) match {

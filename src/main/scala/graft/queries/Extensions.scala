@@ -253,6 +253,36 @@ object Extensions extends QueryModule {
         FROM domain d LEFT JOIN agg a ON d.day = a.day
         ORDER BY d.day""")),
 
+    // JX `duration` domain: seconds bucketed into dense 10 s parts
+    // inside the first minute, everything else in the NULL overflow
+    // part — completes the reference domain family (set / range /
+    // time / duration / default) through the JSON front door.
+    QueryDef(
+      "jx_json_edges_duration",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "events",
+          "edges": [{"name": "gap", "value": "value",
+            "domain": {"type": "duration",
+              "min": 0, "max": "minute", "interval": 10}}],
+          "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "mx", "value": "value", "aggregate": "max"}
+          ],
+          "sort": "gap"
+        }"""),
+      Some("""WITH bucketed AS (SELECT CASE WHEN value >= 0 AND value < 60
+            THEN CAST(floor(value / 10) AS BIGINT) * 10 END AS gap, value
+          FROM events),
+        agg AS (SELECT gap, count(*) AS n, max(value) AS mx
+          FROM bucketed GROUP BY gap),
+        domain AS (SELECT unnest(range(0, 60, 10)) AS gap)
+        SELECT d.gap, coalesce(a.n, 0) AS n, a.mx
+          FROM domain d LEFT JOIN agg a ON d.gap = a.gap
+        UNION ALL
+        SELECT NULL AS gap, n, mx FROM agg WHERE gap IS NULL
+        ORDER BY gap NULLS FIRST""")),
+
     // JX `format: "cube"` (SURVEY §1.1 Cube): the dense-array output
     // format. runCube reshapes the table-form edges result into one
     // nested array per select (client-side, bounded by Π|domain|); the
