@@ -69,7 +69,12 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Slowest-first, ms precision: the round record of this JSON line
+    // is tail-truncated by the harness at ~70 entries, so descending
+    // order keeps every query that matters (streaming, heavy aggs)
+    // inside the visible prefix and truncation only hides sub-ms noise.
+    val qs = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
