@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation — the
+  * grouping stage of near-duplicate clustering (pairs → duplicate
+  * CLUSTERS, so a whole group keeps exactly one survivor).
+  *
+  * Each round every vertex takes the min label over itself and its
+  * neighbours: two hash joins + one aggregate per round, all keyed on
+  * the high-cardinality vertex id — never a driver-side graph. The
+  * fixpoint (min vertex id per component) is unique, so the result is
+  * deterministic regardless of execution schedule. Rounds needed =
+  * eccentricity of each component's min vertex ≤ diameter; dup
+  * clusters are quasi-cliques (diameter ~1-2). The per-round count()
+  * is the convergence check — one tiny action per round, same as
+  * GraphX's Pregel loop.
+  *
+  * Labels are localCheckpoint'ed each round, NOT merely cached:
+  * caching truncates re-execution but the logical plan still nests one
+  * level per round, and Catalyst re-analysis of the growing tree turns
+  * quadratic-to-exponential after ~10 rounds (measured: the loop
+  * ground to a halt with cache alone). localCheckpoint cuts the plan
+  * at the materialized RDD — on a cluster use reliable checkpoint()
+  * instead so executor loss cannot kill the loop; the
+  * large-star/small-star variant gives log-round convergence on
+  * pathological long-chain graphs.
+  */
+object Components {
+
+  /** @param edges    undirected pair rows
+    * @param vertices vertex universe (isolated vertices become their
+    *                 own singleton component)
+    * @return (v, comp) — comp is the min vertex id in v's component */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      vertices: DataFrame, vCol: String, maxIter: Int = 60): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col(vCol).as("v")).distinct()
+      .withColumn("comp", col("v")).localCheckpoint(true)
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("v").as("dst"), col("comp").as("nbr")), "dst")
+        .groupBy(col("src").as("v")).agg(min("nbr").as("nbr"))
+      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") < col("old")).count()
+      labels = next.select("v", "comp")
+      i += 1
+    }
+    labels
+  }
+}

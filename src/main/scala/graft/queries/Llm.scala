@@ -102,6 +102,49 @@ object Llm extends QueryModule {
           AND len(list_intersect(a.shingles, b.shingles)) > 0
         ORDER BY id_a, id_b""")),
 
+    // Near-dup GROUPING: pairs → duplicate clusters via distributed
+    // min-label propagation (Components.connectedComponents), so a
+    // whole cluster keeps one survivor, not just pairwise picks. The
+    // candidate pairs here are the bounded all-pairs verify stage
+    // (doc_id < 60, test-scale label); at 100 TB candidates come from
+    // the banded MinHash/SRP LSH ops beside this one. The DuckDB
+    // oracle computes the same components with a recursive CTE —
+    // min reachable id == component min — so the distributed loop's
+    // fixpoint is checked end-to-end.
+    QueryDef(
+      "llm_dedup_groups",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        val pairs = a.crossJoin(b)
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6) >= 0.01)
+          .select("id_a", "id_b")
+        graft.operators.Components.connectedComponents(
+            pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id")
+          .select(col("v").as("doc_id"), col("comp").as("group_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE doc_id < 60)),
+        pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+          WHERE a.doc_id <> b.doc_id
+            AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.01),
+        reach(v, r) AS (
+          SELECT doc_id, doc_id FROM sh
+          UNION
+          SELECT p.a, r.r FROM pairs p JOIN reach r ON r.v = p.b)
+        SELECT v AS doc_id, min(r) AS group_id FROM reach
+        GROUP BY v ORDER BY doc_id""")),
+
     // Brute-force exact ANN baseline: top-3 cosine neighbours for the
     // first 10 vectors. Ranking on round(sim, 6) + id tiebreak keeps
     // Spark and DuckDB ulp-disagreements out of the ordering.
