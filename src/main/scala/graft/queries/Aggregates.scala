@@ -397,6 +397,32 @@ object Aggregates extends QueryModule {
           count(*) AS n, sum(l_quantity) AS total_qty
         FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // Z-score outlier detection — the two-pass distributed shape: one
+    // aggregate for per-group moments, broadcast the (tiny, bounded
+    // by |group|) stats back onto the fact table, filter on the
+    // ROUNDED score so engine ulp differences in mean/stddev cannot
+    // flip the threshold. No window, no second shuffle of the facts.
+    QueryDef(
+      "agg_outliers",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+        val stats = ev.groupBy("event_type")
+          .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z",
+            round((col("value") - col("mu")) / col("sd"), 6))
+          .filter(abs(col("z")) > lit(2.5))
+          .select("event_id", "event_type", "value", "z")
+          .orderBy("event_id")
+      },
+      Some("""WITH stats AS (SELECT event_type, avg(value) AS mu,
+            stddev_samp(value) AS sd FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value,
+            round((value - mu) / sd, 6) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE abs(round((value - mu) / sd, 6)) > 2.5
+        ORDER BY event_id""")),
+
     // Long-form reshape (unpivot/melt) — the inverse of agg_pivot.
     // Spark's unpivot is a zero-shuffle Expand: each input row emits
     // one row per measure locally, so the reshape never moves data

@@ -102,6 +102,49 @@ object Llm extends QueryModule {
           AND len(list_intersect(a.shingles, b.shingles)) > 0
         ORDER BY id_a, id_b""")),
 
+    // TF-IDF top terms per document — the keyword-extraction /
+    // relevance-weighting op. All stages are fine-key hash aggregates
+    // and an equi-join on the term; the corpus size joins in as a
+    // broadcast 1-row aggregate (never a driver-side collect). Ranking
+    // happens on the ROUNDED score in both engines so ulp differences
+    // in ln() can't flip the order; doc_id is high-cardinality, so the
+    // plain top-3 window has no reducer funnel.
+    QueryDef(
+      "llm_tfidf_terms",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+        val tok = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfq, "w")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(col("tf") *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("tfidf"), asc("w"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "w", "tfidf")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 100),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100),
+        scored AS (SELECT doc_id, w,
+          round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+          FROM tf JOIN dfq USING (w) CROSS JOIN nd)
+        SELECT doc_id, rk, w, tfidf FROM (
+          SELECT doc_id, w, tfidf,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, w) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
     // Near-dup GROUPING: pairs → duplicate clusters via distributed
     // min-label propagation (Components.connectedComponents), so a
     // whole cluster keeps one survivor, not just pairwise picks. The

@@ -416,5 +416,22 @@ object Scalars extends QueryModule {
           .orderBy("doc_id")
           .limit(500),
       Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
-        FROM documents ORDER BY doc_id LIMIT 500""")))
+        FROM documents ORDER BY doc_id LIMIT 500""")),
+
+    // Calendar-aware month arithmetic (SURVEY §1.1: durations include
+    // calendar months — months are not fixed-width, so both engines
+    // must clamp month-end: Jan 31 + 1 month = Feb 29, not Mar 2).
+    QueryDef(
+      "date_months",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"),
+            add_months(col("o_orderdate"), 3).as("plus3m"),
+            last_day(col("o_orderdate")).as("eom"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+          last_day(CAST(o_orderdate AS DATE)) AS eom
+        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")))
 }
