@@ -127,6 +127,20 @@ class PlanQualitySpec extends SparkSpec {
       s"running sum must partition by shard, not run globally:\n$p")
   }
 
+  test("agg_outliers broadcasts the per-group stats, facts never reshuffle") {
+    val p = plan("agg_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).isEmpty,
+      s"two-pass shape must not use a window:\n$p")
+  }
+
+  test("llm_tfidf_terms ranks per high-card doc with one window") {
+    val p = plan("llm_tfidf_terms")
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row corpus count must broadcast:\n$p")
+  }
+
   test("scan_partitioned prunes to the matching partition directory") {
     val p = plan("scan_partitioned")
     assert(p.contains("PartitionFilters"), p)
