@@ -464,6 +464,15 @@ object JxJson {
         case "average" | "avg" => avg(value)
         case "cardinality" => count_distinct(value)
         case "median" => expr(s"percentile(${value.toString}, 0.5)")
+        case "percentile" =>
+          val p = (o \ "percentile") match {
+            case JDouble(d) => d
+            case JDecimal(d) => d.toDouble
+            case JInt(i) => i.toDouble
+            case JNothing | JNull => 0.5
+            case other => sys.error(s"jx: percentile $other")
+          }
+          expr(s"percentile(${value.toString}, $p)")
         case other => sys.error(s"jx: aggregate '$other'")
       }).as(out)
     case other => sys.error(s"jx: aggregate select $other")

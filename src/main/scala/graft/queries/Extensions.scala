@@ -283,6 +283,31 @@ object Extensions extends QueryModule {
         SELECT NULL AS gap, n, mx FROM agg WHERE gap IS NULL
         ORDER BY gap NULLS FIRST""")),
 
+    // JX statistical aggregates through the JSON front door: median,
+    // parameterized percentile, cardinality — same single two-phase
+    // (sort-based for percentile) aggregate as the builder-level
+    // agg_median/agg_percentile/agg_cardinality, reached from a JSON
+    // query.
+    QueryDef(
+      "jx_json_agg_stats",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "lineitem",
+          "groupby": "l_returnflag",
+          "select": [
+            {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
+            {"name": "p90_qty", "value": "l_quantity",
+             "aggregate": "percentile", "percentile": 0.9},
+            {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"}
+          ],
+          "sort": "l_returnflag"
+        }"""),
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS med_qty,
+          quantile_cont(l_quantity, 0.9) AS p90_qty,
+          count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // JX `format: "cube"` (SURVEY §1.1 Cube): the dense-array output
     // format. runCube reshapes the table-form edges result into one
     // nested array per select (client-side, bounded by Π|domain|); the
