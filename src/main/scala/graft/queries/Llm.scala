@@ -102,6 +102,38 @@ object Llm extends QueryModule {
           AND len(list_intersect(a.shingles, b.shingles)) > 0
         ORDER BY id_a, id_b""")),
 
+    // Context-window chunking with overlap — split each doc into
+    // 50-token windows advancing 40 tokens (10-token overlap), the
+    // standard pretraining/RAG chunker. Pure per-row generate
+    // (sequence + explode + slice): no shuffle at all until the
+    // output sort, and chunk count derives from the token count, so
+    // the operator is a flat map at any scale.
+    QueryDef(
+      "llm_chunk_windows",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .withColumn("n", size(col("w")))
+          .withColumn("k", explode(expr(
+            "sequence(0L, greatest(CAST(ceil((n - 50) / 40.0) AS LONG), 0L))")))
+          .select(col("doc_id"), col("k").as("chunk_idx"),
+            size(slice(col("w"), (col("k") * 40 + 1).cast("int"), lit(50)))
+              .cast("long").as("n_tok"),
+            concat_ws(" ",
+              slice(col("w"), (col("k") * 40 + 1).cast("int"), lit(50)))
+              .as("chunk"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, k AS chunk_idx,
+          len(list_slice(w, k * 40 + 1, k * 40 + 50)) AS n_tok,
+          array_to_string(list_slice(w, k * 40 + 1, k * 40 + 50), ' ') AS chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                len(string_split(text, ' ')) AS n
+              FROM documents WHERE doc_id < 200),
+          LATERAL (SELECT unnest(range(0,
+            greatest(CAST(ceil((n - 50) / 40.0) AS BIGINT), 0) + 1)) AS k)
+        ORDER BY doc_id, chunk_idx""")),
+
     // TF-IDF top terms per document — the keyword-extraction /
     // relevance-weighting op. All stages are fine-key hash aggregates
     // and an equi-join on the term; the corpus size joins in as a
