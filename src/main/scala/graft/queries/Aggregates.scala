@@ -397,6 +397,26 @@ object Aggregates extends QueryModule {
           count(*) AS n, sum(l_quantity) AS total_qty
         FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // Rollup with grouping markers: subtotal rows are distinguishable
+    // from genuine NULL groups via grouping() — without this, cube
+    // consumers cannot tell "subtotal over all statuses" from "status
+    // IS NULL". Spark grouping() is TINYINT, DuckDB GROUPING() wider —
+    // both cast to BIGINT.
+    QueryDef(
+      "agg_grouping_id",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+          .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
     // Z-score outlier detection — the two-pass distributed shape: one
     // aggregate for per-group moments, broadcast the (tiny, bounded
     // by |group|) stats back onto the fact table, filter on the

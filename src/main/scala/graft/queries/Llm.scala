@@ -102,6 +102,37 @@ object Llm extends QueryModule {
           AND len(list_intersect(a.shingles, b.shingles)) > 0
         ORDER BY id_a, id_b""")),
 
+    // Unigram LM scoring — per-doc mean token log-probability under a
+    // corpus-level unigram model, the perplexity-proxy quality filter.
+    // Token counts are a fine-key hash aggregate; the corpus total
+    // joins as a broadcast 1-row aggregate; scoring is one equi-join
+    // on the token + a per-doc aggregate. Averages are rounded at 6
+    // (log magnitudes ~ -10, partial-sum order noise ~1e-14).
+    QueryDef(
+      "llm_unigram_logprob",
+      (s, dir) => {
+        val tok = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum("c").as("tot"))
+        tok.join(counts, "w")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("c").cast("double") / col("tot"))), 6)
+              .as("mean_logp"),
+            count(lit(1)).as("n_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 300),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts)
+        SELECT doc_id, round(avg(ln(c::DOUBLE / tot)), 6) AS mean_logp,
+          count(*) AS n_tok
+        FROM tok JOIN counts USING (w) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Context-window chunking with overlap — split each doc into
     // 50-token windows advancing 40 tokens (10-token overlap), the
     // standard pretraining/RAG chunker. Pure per-row generate

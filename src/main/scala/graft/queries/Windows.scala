@@ -186,5 +186,25 @@ object Windows extends QueryModule {
             ORDER BY epoch_us(ts) // 1000000
             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS sum_1h
         FROM events WHERE user_id < 100
-        ORDER BY user_id, ts_s, event_id""")))
+        ORDER BY user_id, ts_s, event_id""")),
+
+    // Cumulative distribution — the last of the rank family. Same
+    // determinism + scale posture as win_ntile: unique total order in
+    // the spec, HIGH-cardinality partition key (per-customer).
+    QueryDef(
+      "win_cume_dist",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_totalprice", "o_orderkey")
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          round(cume_dist() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        FROM orders WHERE o_orderkey < 2000
+        ORDER BY o_custkey, o_orderkey""")))
 }
