@@ -373,5 +373,26 @@ object Extensions extends QueryModule {
       Some("""SELECT n_name, count(*) AS n_cust,
             round(sum(c_acctbal), 2) AS bal
           FROM customer JOIN nation ON c_nationkey = n_nationkey
-          GROUP BY n_name ORDER BY n_name""")))
+          GROUP BY n_name ORDER BY n_name""")),
+
+    // Native vector kernels reached from PLAIN SQL: GraftExtensions
+    // (SparkSessionExtensions) injects vec_dot/vec_norm/srp_sign into
+    // the function registry, so SQL users get the codegen'd loops
+    // without the Scala DSL. The oracle recomputes with DuckDB's
+    // list_dot_product/sqrt — both sides fold sequentially, so the
+    // rounded values match exactly.
+    QueryDef(
+      "sql_vec_funcs",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT vec_id,
+            round(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                          CAST(embedding AS ARRAY<DOUBLE>)), 6) AS sq,
+            round(vec_norm(CAST(embedding AS ARRAY<DOUBLE>)), 6) AS nrm
+          FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""")
+      },
+      Some("""SELECT vec_id,
+          round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq,
+          round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm
+        FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""")))
 }

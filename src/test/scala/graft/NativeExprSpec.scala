@@ -112,6 +112,23 @@ class NativeExprSpec extends SparkSpec {
     assert((out(1L) ^ out(3L)) == 255L)
   }
 
+  test("GraftExtensions registers vec_dot/vec_norm/srp_sign for plain SQL") {
+    Seq((1L, Seq(3.0, 4.0))).toDF("id", "v").createOrReplaceTempView("vt")
+    val r = spark.sql(
+      "SELECT vec_dot(v, v) AS d, vec_norm(v) AS n, srp_sign(v, 8) AS s FROM vt")
+      .as[(Double, Double, Long)].head()
+    assert(r._1 == 25.0 && r._2 == 5.0)
+    // SQL-path signature must equal the DSL-path signature
+    val dsl = Seq(Seq(3.0, 4.0)).toDF("v")
+      .select(graft.plans.VectorExprs.srpSign(col("v"), 8))
+      .as[Long].head()
+    assert(r._3 == dsl)
+    // non-literal bit count is rejected at registration
+    assertThrows[Exception] {
+      spark.sql("SELECT srp_sign(v, CAST(id AS INT)) FROM vt").collect()
+    }
+  }
+
   test("minhashNearDupPairs end-to-end: nulls and short docs are inert") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = Seq(
