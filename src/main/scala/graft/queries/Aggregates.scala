@@ -397,6 +397,29 @@ object Aggregates extends QueryModule {
           count(*) AS n, sum(l_quantity) AS total_qty
         FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // FILTER-clause (conditional) aggregates: several differently-
+    // filtered measures in ONE two-phase hash aggregate — the
+    // alternative to N self-joins or N passes over the facts.
+    QueryDef(
+      "agg_filtered",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("count(*) FILTER (WHERE o_orderpriority = '1-URGENT')")
+              .as("n_urgent"),
+            expr("""CAST(count(*) FILTER (
+                WHERE o_orderpriority = '5-LOW') AS BIGINT)""").as("n_low"),
+            expr("round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)")
+              .as("big_total"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+          count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+          count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+          round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+            AS big_total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Rollup with grouping markers: subtotal rows are distinguishable
     // from genuine NULL groups via grouping() — without this, cube
     // consumers cannot tell "subtotal over all statuses" from "status

@@ -418,6 +418,25 @@ object Scalars extends QueryModule {
       Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         FROM documents ORDER BY doc_id LIMIT 500""")),
 
+    // Regex group extraction — pull structured fields out of string
+    // columns (the log-parsing workhorse). Pure codegen'd regexp, no
+    // shuffle.
+    QueryDef(
+      "str_regex_extract",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .select(col("c_custkey"),
+            regexp_extract(col("c_name"), "^([A-Za-z]+)#([0-9]+)$", 1)
+              .as("prefix"),
+            regexp_extract(col("c_name"), "^([A-Za-z]+)#([0-9]+)$", 2)
+              .as("digits"))
+          .orderBy("c_custkey")
+          .limit(500),
+      Some("""SELECT c_custkey,
+          regexp_extract(c_name, '^([A-Za-z]+)#([0-9]+)$', 1) AS prefix,
+          regexp_extract(c_name, '^([A-Za-z]+)#([0-9]+)$', 2) AS digits
+        FROM customer ORDER BY c_custkey LIMIT 500""")),
+
     // Calendar-aware month arithmetic (SURVEY §1.1: durations include
     // calendar months — months are not fixed-width, so both engines
     // must clamp month-end: Jan 31 + 1 month = Feb 29, not Mar 2).
