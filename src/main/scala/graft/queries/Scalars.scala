@@ -418,6 +418,58 @@ object Scalars extends QueryModule {
       Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         FROM documents ORDER BY doc_id LIMIT 500""")),
 
+    // Multivalue set algebra (JX multivalue-of-scalar, SURVEY §1.2):
+    // intersect / except / union between array columns. Results are
+    // DISTINCT-SORTED on both engines before the data-independent
+    // sentinel join — element order out of the raw set ops is
+    // engine-specific and duplicate handling differs (DuckDB
+    // list_intersect keeps dups), so both are normalized away.
+    QueryDef(
+      "arr_setops",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("a", slice(col("w"), 1, 15))
+          .withColumn("b", slice(col("w"), 10, 15))
+          .select(
+            col("doc_id"),
+            array_join(sort_array(array_distinct(
+              array_intersect(col("a"), col("b")))), "|").as("both"),
+            array_join(sort_array(array_distinct(
+              array_except(col("a"), col("b")))), "|").as("only_a"),
+            array_join(sort_array(array_distinct(
+              array_union(col("a"), col("b")))), "|").as("uni"))
+          .orderBy("doc_id")
+          .limit(500),
+      Some("""SELECT doc_id,
+          array_to_string(list_sort(list_distinct(list_intersect(a, b))), '|') AS both,
+          array_to_string(list_sort(list_distinct(
+            list_filter(a, x -> NOT list_contains(b, x)))), '|') AS only_a,
+          array_to_string(list_sort(list_distinct(list_concat(a, b))), '|') AS uni
+        FROM (SELECT doc_id,
+            list_slice(string_split(text, ' '), 1, 15) AS a,
+            list_slice(string_split(text, ' '), 10, 24) AS b
+          FROM documents)
+        ORDER BY doc_id LIMIT 500""")),
+
+    // Dynamic-key JSON → map explosion: one row per (key, value) pair
+    // with NO fixed schema — the semi-structured access pattern
+    // json_get (fixed path) cannot cover. Generator runs row-local;
+    // no shuffle before the output sort.
+    QueryDef(
+      "json_map_explode",
+      (s, dir) =>
+        Catalog.table(s, dir, "events")
+          .select(col("event_id"),
+            explode(from_json(col("props"),
+                org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+              .as(Seq("k", "v")))
+          .orderBy("event_id", "k")
+          .limit(2000),
+      Some("""SELECT event_id, k, CAST(json_extract(props, '$.' || k) AS BIGINT) AS v
+        FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+        ORDER BY event_id, k LIMIT 2000""")),
+
     // Regex group extraction — pull structured fields out of string
     // columns (the log-parsing workhorse). Pure codegen'd regexp, no
     // shuffle.
