@@ -141,6 +141,13 @@ class PlanQualitySpec extends SparkSpec {
       s"the 1-row corpus count must broadcast:\n$p")
   }
 
+  test("llm_chunk_windows is a pure generate — no shuffle before the sort") {
+    val p = plan("llm_chunk_windows")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"chunking must be a flat map, not a shuffle:\n$p")
+  }
+
   test("scan_partitioned prunes to the matching partition directory") {
     val p = plan("scan_partitioned")
     assert(p.contains("PartitionFilters"), p)
