@@ -102,6 +102,24 @@ object Llm extends QueryModule {
           AND len(list_intersect(a.shingles, b.shingles)) > 0
         ORDER BY id_a, id_b""")),
 
+    // Deterministic stratified sampling: ~20% per stratum (52/256 hex
+    // prefixes), content-addressed like llm_holdout_split — the rate
+    // holds per stratum without an RNG, a shuffle, or a stored sample
+    // table, and the same row is sampled on every engine and cluster
+    // size. Pure pushed-down filter; the class-balancing primitive.
+    QueryDef(
+      "sample_stratified",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .filter(substring(md5(concat_ws("|",
+            col("c_mktsegment"), col("c_custkey"))), 1, 2) < "34")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE substr(md5(c_mktsegment || '|' || CAST(c_custkey AS VARCHAR)),
+          1, 2) < '34'
+        ORDER BY c_custkey""")),
+
     // Unigram LM scoring — per-doc mean token log-probability under a
     // corpus-level unigram model, the perplexity-proxy quality filter.
     // Token counts are a fine-key hash aggregate; the corpus total
