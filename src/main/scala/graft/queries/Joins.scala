@@ -195,6 +195,38 @@ object Joins extends QueryModule {
           ON c.user_id = v.user_id AND v.ts <= c.ts
         ORDER BY click_id""")),
 
+    // FORWARD as-of: each click joined to the NEXT view at-or-after
+    // it — the mirror of join_asof's backward lookup, same single
+    // interleaved window pass (first following view instead of last
+    // preceding), so still no range explosion and one shuffle on the
+    // high-cardinality user key. Same-ts views sort AFTER clicks so
+    // the >= bound is inclusive on both engines.
+    QueryDef(
+      "join_asof_fwd",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"),
+            when(col("event_type") === "view", 1).otherwise(0),
+            col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev.withColumn("view_ts",
+            first(when(col("event_type") === "view", col("ts")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"), col("view_ts"))
+          .orderBy("click_id")
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+          v.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND v.ts >= c.ts
+        ORDER BY click_id""")),
+
     // Full-outer: null-extended on BOTH sides — urgent orders that
     // match no AUTOMOBILE customer and AUTOMOBILE customers with no
     // urgent order each survive. Total order: o_orderkey is unique on
