@@ -397,6 +397,32 @@ object Aggregates extends QueryModule {
           count(*) AS n, sum(l_quantity) AS total_qty
         FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // Median absolute deviation — the robust dispersion measure
+    // (insensitive to the outliers agg_outliers hunts). Two passes by
+    // necessity (the second depends on the first's median), broadcast
+    // of the tiny per-group medians in between — same shape as
+    // agg_outliers, never a window.
+    QueryDef(
+      "agg_mad",
+      (s, dir) => {
+        val li = Catalog.table(s, dir, "lineitem")
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5D)").as("med"))
+        li.join(broadcast(med), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(round(max("med"), 6).as("med"),
+            round(expr("percentile(abs(l_quantity - med), 0.5D)"), 6)
+              .as("mad"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH med AS (SELECT l_returnflag,
+            quantile_cont(l_quantity, 0.5) AS med
+          FROM lineitem GROUP BY 1)
+        SELECT l.l_returnflag, round(max(med), 6) AS med,
+          round(quantile_cont(abs(l_quantity - med), 0.5), 6) AS mad
+        FROM lineitem l JOIN med USING (l_returnflag)
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
     // FILTER-clause (conditional) aggregates: several differently-
     // filtered measures in ONE two-phase hash aggregate — the
     // alternative to N self-joins or N passes over the facts.
