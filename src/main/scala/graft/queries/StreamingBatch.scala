@@ -110,6 +110,30 @@ object StreamingBatch extends QueryModule {
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Stream-STATIC enrichment: the event stream broadcast-joined to a
+    // bounded dimension table (the lookup-enrichment every streaming
+    // ETL does; the dim is read fresh per micro-batch, never shuffled,
+    // never stateful). Complete-mode aggregate over the |dim|-bounded
+    // groups makes the full-replay emission deterministic, so the
+    // oracle is the same join+aggregate in batch SQL.
+    QueryDef(
+      "stream_enrich",
+      (s, dir) => {
+        val dim = Catalog.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val out = Streams.runToMemory(
+          Streams.eventsStream(s, dir)
+            .withColumn("n_nationkey", pmod(col("user_id"), lit(25)).cast("int"))
+            .join(broadcast(dim), "n_nationkey")
+            .groupBy("n_name")
+            .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total")),
+          s"enr_${System.nanoTime()}", OutputMode.Complete())
+        out.orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n, round(sum(value), 4) AS total
+        FROM events JOIN nation ON user_id % 25 = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
     // True streaming run of the tumbling window, now with a HARD
     // oracle: the replay is staged as ONE file → one micro-batch, so
     // the emitted set is exactly the windows closed at the final
