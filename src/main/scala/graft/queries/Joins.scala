@@ -195,6 +195,49 @@ object Joins extends QueryModule {
           ON c.user_id = v.user_id AND v.ts <= c.ts
         ORDER BY click_id""")),
 
+    // Interval OVERLAP join — both sides are intervals (clicks span
+    // 2 h, views 1 h), matched when they overlap. The scale shape:
+    // explode each interval onto the hour buckets it covers, equi-join
+    // on (user, bucket) — fan-out bounded by interval/bucket ratio,
+    // never a range crossJoin — then exact-verify the overlap
+    // predicate and distinct the (pair) key (one pair can share
+    // several buckets). The oracle is the brute-force overlap join on
+    // the bounded slice.
+    QueryDef(
+      "join_interval_overlap",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .filter(col("user_id") < 20)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").cast("long").as("cs"))
+          .withColumn("ce", col("cs") + 7200)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").cast("long").as("vs"))
+          .withColumn("ve", col("vs") + 3600)
+        val cb = clicks.withColumn("bucket",
+          explode(expr("sequence(cs DIV 3600, ce DIV 3600)")))
+        val vb = views.withColumn("vbucket",
+          explode(expr("sequence(vs DIV 3600, ve DIV 3600)")))
+        cb.join(vb,
+            col("user_id") === col("v_user") &&
+              col("bucket") === col("vbucket"))
+          .filter(col("cs") <= col("ve") && col("vs") <= col("ce"))
+          .select("user_id", "click_id", "view_id").distinct()
+          .orderBy("user_id", "click_id", "view_id")
+      },
+      Some("""SELECT DISTINCT c.user_id AS user_id, c.event_id AS click_id,
+          v.event_id AS view_id
+        FROM (SELECT * FROM events WHERE user_id < 20
+              AND event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE user_id < 20
+              AND event_type = 'view') v
+          ON c.user_id = v.user_id
+          AND epoch_us(c.ts) // 1000000 <= epoch_us(v.ts) // 1000000 + 3600
+          AND epoch_us(v.ts) // 1000000 <= epoch_us(c.ts) // 1000000 + 7200
+        ORDER BY user_id, click_id, view_id""")),
+
     // FORWARD as-of: each click joined to the NEXT view at-or-after
     // it — the mirror of join_asof's backward lookup, same single
     // interleaved window pass (first following view instead of last
