@@ -78,7 +78,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+    // Subtotals BEFORE the (large, possibly tail-truncated) queries
+    // map, so the record keeps the headline split even when cut.
+    val streamingTotal = ms(results.collect {
+      case (k, v) if k.startsWith("stream_") => v }.sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
