@@ -397,6 +397,26 @@ object Aggregates extends QueryModule {
           count(*) AS n, sum(l_quantity) AS total_qty
         FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // Weighted average — price-weighted mean discount: two sums in the
+    // SAME single two-phase hash aggregate, divided after the final
+    // merge (never a per-row division column that would lose the
+    // map-side combine).
+    QueryDef(
+      "agg_weighted_avg",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(
+            sum(col("l_extendedprice") * col("l_discount")) /
+              sum(col("l_extendedprice")), 6).as("wavg_disc"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+            AS wavg_disc,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Median absolute deviation — the robust dispersion measure
     // (insensitive to the outliers agg_outliers hunts). Two passes by
     // necessity (the second depends on the first's median), broadcast
