@@ -375,6 +375,28 @@ object Extensions extends QueryModule {
           FROM customer JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name ORDER BY n_name""")),
 
+    // Subquery forms through the SQL door: a correlated EXISTS
+    // (Catalyst rewrites to a left-semi hash join) and a scalar
+    // subquery (one-row broadcast) in the same statement — identical
+    // text runs on DuckDB, proving front-door subquery parity.
+    QueryDef(
+      "sql_subqueries",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > (SELECT avg(o_totalprice)
+                                              FROM orders) * 1.5)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > (SELECT avg(o_totalprice)
+                                              FROM orders) * 1.5)
+          ORDER BY c_custkey""")),
+
     // Native vector kernels reached from PLAIN SQL: GraftExtensions
     // (SparkSessionExtensions) injects vec_dot/vec_norm/srp_sign into
     // the function registry, so SQL users get the codegen'd loops
