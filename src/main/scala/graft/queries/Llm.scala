@@ -102,6 +102,37 @@ object Llm extends QueryModule {
           AND len(list_intersect(a.shingles, b.shingles)) > 0
         ORDER BY id_a, id_b""")),
 
+    // Token-distribution entropy per doc — the vocabulary-diversity
+    // quality signal (low entropy = repetitive/templated text; the
+    // information-theoretic sibling of llm_repetition_ratio's max-share
+    // heuristic). Fine-key hash aggregates + one join on doc_id; the
+    // -Σ p·ln p fold is order-noise ~1e-15, rounded at 6.
+    QueryDef(
+      "llm_token_entropy",
+      (s, dir) => {
+        val tf = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val tot = tf.groupBy("doc_id").agg(sum("c").as("n"))
+        tf.join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg(round(sum((col("c") / col("n")) *
+              log(col("c") / col("n"))) * -1, 6).as("entropy"),
+            max("n").as("n_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < 300) GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                FROM tf GROUP BY 1)
+        SELECT doc_id,
+          round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy,
+          max(n) AS n_tok
+        FROM tf JOIN tot USING (doc_id)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Deterministic stratified sampling: ~20% per stratum (52/256 hex
     // prefixes), content-addressed like llm_holdout_split — the rate
     // holds per stratum without an RNG, a shuffle, or a stored sample
