@@ -538,5 +538,30 @@ object Aggregates extends QueryModule {
         UNION ALL SELECT l_orderkey, l_linenumber,
             'l_discount', l_discount
           FROM lineitem WHERE l_orderkey < 500
-        ORDER BY l_orderkey, l_linenumber, metric""")))
+        ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // Higher central moments: population skewness / excess kurtosis.
+    // Spark's skewness/kurtosis ARE the population forms (m3/m2^1.5,
+    // m4/m2²−3) computed in one streaming-moment pass; DuckDB's
+    // skewness/kurtosis are the bias-corrected sample forms, so the
+    // oracle recomputes the population formulas from central moments
+    // explicitly. round(…,6) absorbs update-order ulps.
+    QueryDef(
+      "agg_moments",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(skewness(col("l_quantity")), 6).as("skew_pop"),
+            round(kurtosis(col("l_quantity")), 6).as("kurt_pop"))
+          .orderBy("l_returnflag"),
+      Some("""WITH mu AS (SELECT l_returnflag, avg(l_quantity) AS m
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+          round(avg(pow(l_quantity - m, 3))
+            / pow(avg(pow(l_quantity - m, 2)), 1.5), 6) AS skew_pop,
+          round(avg(pow(l_quantity - m, 4))
+            / pow(avg(pow(l_quantity - m, 2)), 2) - 3, 6) AS kurt_pop
+        FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")))
 }

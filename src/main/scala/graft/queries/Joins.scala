@@ -270,6 +270,37 @@ object Joins extends QueryModule {
           ON c.user_id = v.user_id AND v.ts >= c.ts
         ORDER BY click_id""")),
 
+    // Runtime bloom-filter semi-join reduction — the pattern Spark's
+    // own InjectRuntimeFilter applies between shuffle stages, made
+    // explicit: a compact Bloom sketch of the (filtered) dim keys rides
+    // the task closure and prunes non-matching fact rows BEFORE the
+    // shuffle; the exact semi join then removes the sketch's false
+    // positives. At 100 TB the win is shuffle volume — the fact side
+    // shrinks by the dim's selectivity at scan time — while the result
+    // is provably identical to the plain semi join (the oracle).
+    QueryDef(
+      "join_bloom_prefilter",
+      (s, dir) => {
+        val dim = Catalog.table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        // Sized for the fixture dim (~thousands of keys); on a cluster
+        // this is dim-count-estimate driven, like a broadcast threshold.
+        val bloom = dim.stat.bloomFilter("c_custkey", 100000L, 0.03)
+        val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+        Catalog.table(s, dir, "orders")
+          .filter(mightContain(col("o_custkey")))
+          .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          round(sum(o_totalprice), 2) AS rev
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+          WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Full-outer: null-extended on BOTH sides — urgent orders that
     // match no AUTOMOBILE customer and AUTOMOBILE customers with no
     // urgent order each survive. Total order: o_orderkey is unique on

@@ -504,5 +504,80 @@ object Scalars extends QueryModule {
       Some("""SELECT o_orderkey,
           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
           last_day(CAST(o_orderdate AS DATE)) AS eom
-        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")))
+        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")),
+
+    // Padding / repetition / reversal — the fixed-width formatting
+    // corner of the mo-strings surface (key canonicalization, aligned
+    // text keys). Pure codegen'd string exprs.
+    QueryDef(
+      "str_pad",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .select(col("c_custkey"),
+            lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+            rpad(col("c_mktsegment"), 12, ".").as("seg_cell"),
+            reverse(col("c_name")).as("rev_name"),
+            repeat(lit("-"), (col("c_custkey") % 5 + 1).cast("int")).as("bar"))
+          .orderBy("c_custkey")
+          .limit(1000),
+      Some("""SELECT c_custkey,
+          lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+          rpad(c_mktsegment, 12, '.') AS seg_cell,
+          reverse(c_name) AS rev_name,
+          repeat('-', CAST(c_custkey % 5 + 1 AS INT)) AS bar
+        FROM customer ORDER BY c_custkey LIMIT 1000""")),
+
+    // Literal substring replacement (non-regex) — distinct from
+    // llm_pii_redact's regexp path; replace() is the safe form when the
+    // pattern is user data that must not be interpreted.
+    QueryDef(
+      "str_replace",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("replace(text, 'the', 'THE')").as("subst"),
+            ((length(col("text")) -
+              length(expr("replace(text, 'the', '')"))) / 3)
+              .cast("long").as("n_hits"))
+          .orderBy("doc_id")
+          .limit(300),
+      Some("""SELECT doc_id, replace(text, 'the', 'THE') AS subst,
+          (length(text) - length(replace(text, 'the', ''))) // 3 AS n_hits
+        FROM documents ORDER BY doc_id LIMIT 300""")),
+
+    // Timestamp → formatted string (mo_times rendering). Pattern
+    // languages differ (JDK letters vs strftime) but the rendered
+    // text must agree byte-for-byte.
+    QueryDef(
+      "date_format_str",
+      (s, dir) =>
+        Catalog.table(s, dir, "events")
+          .filter(col("event_id") < 2000)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm").as("rendered"),
+            date_format(col("ts"), "EEE").as("dow"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M') AS rendered,
+          strftime(ts, '%a') AS dow
+        FROM events WHERE event_id < 2000 ORDER BY event_id""")),
+
+    // Trigonometry / inverse trig — the long tail of mo_math. Rounded
+    // to 9 digits so codegen'd libm vs DuckDB libm ulps can't flip the
+    // hash.
+    QueryDef(
+      "math_trig",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 3000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(sin(col("l_quantity")), 9).as("s"),
+            round(cos(col("l_discount")), 9).as("c"),
+            round(atan2(col("l_quantity"), col("l_extendedprice")), 9).as("a2"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+          round(sin(l_quantity), 9) AS s,
+          round(cos(l_discount), 9) AS c,
+          round(atan2(l_quantity, l_extendedprice), 9) AS a2
+        FROM lineitem WHERE l_orderkey < 3000
+        ORDER BY l_orderkey, l_linenumber""")))
 }

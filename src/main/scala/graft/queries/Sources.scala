@@ -203,5 +203,21 @@ object Sources extends QueryModule {
       },
       Some("""SELECT c_mktsegment, count(*) AS n, round(max(o_totalprice), 2) AS max_price
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Generator source: rows synthesized from a range, no file scan at
+    // all (spark.range → DuckDB range()). The fixture-free source every
+    // engine needs for calendars, domain tables, and test scaffolding;
+    // spark.range parallelizes the interval across the cluster.
+    QueryDef(
+      "scan_range",
+      (s, dir) =>
+        s.range(0, 10000)
+          .select(col("id"),
+            (col("id") * col("id") % 97).as("sq_mod"),
+            when(col("id") % 3 === 0, "fizz").otherwise("n").as("tag"))
+          .orderBy("id"),
+      Some("""SELECT range AS id, range * range % 97 AS sq_mod,
+          CASE WHEN range % 3 = 0 THEN 'fizz' ELSE 'n' END AS tag
+        FROM range(0, 10000) ORDER BY id""")))
 }

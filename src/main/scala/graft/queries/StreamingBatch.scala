@@ -228,6 +228,38 @@ object StreamingBatch extends QueryModule {
         WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= mx - INTERVAL '2 hours'
         GROUP BY ws, event_type ORDER BY ws, event_type""")),
 
+    // True streaming run of the SESSION window — the same emit-horizon
+    // construction as stream_tumbling: one-file AvailableNow replay →
+    // Append emits exactly the sessions closed at the final watermark.
+    // A session's window end is last_event_ts + gap, so the emitted set
+    // is sessions with max(ts) + 30 min <= max_stream_ts − 2 h — which
+    // the gap-detect CTE expresses directly in SQL.
+    QueryDef(
+      "stream_session_true",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.eventsStream(s, dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"),
+              col("session_window.start").as("session_start"), col("n_events")),
+          s"sst_${System.nanoTime()}", OutputMode.Append())
+        out.orderBy("user_id", "session_start")
+      },
+      Some("""WITH x AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x),
+        sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events FROM y GROUP BY user_id, sid),
+        b AS (SELECT max(ts) AS mx FROM events)
+        SELECT user_id, session_start, n_events FROM sess, b
+        WHERE session_end + INTERVAL '30 minutes' <= mx - INTERVAL '2 hours'
+        ORDER BY user_id, session_start""")),
+
     // True streaming run: stream-stream interval join (clicks → views
     // within 2 h, watermarks bounding both sides' state). Inner join
     // with AvailableNow emits every matched pair, so the full batch

@@ -155,6 +155,21 @@ class PlanQualitySpec extends SparkSpec {
       s"partition predicate must be consumed by pruning:\n$p")
   }
 
+  test("llm_repetition_ratio stays row-local — no token explode, no shuffle") {
+    val p = plan("llm_repetition_ratio")
+    assert(!p.contains("Generate"),
+      s"per-doc statistic must not explode tokens:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"per-doc statistic must not shuffle tokens:\n$p")
+  }
+
+  test("join_bloom_prefilter filters the fact before the semi join") {
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("LeftSemi"), p)
+    // The bloom probe shows up as a scalar filter on the fact scan side.
+    assert(p.toLowerCase.contains("udf") || p.contains("mightContain"), p)
+  }
+
   test("a filter on a partition column prunes partitions at the scan") {
     val out = "/tmp/graft-prune-test"
     graft.sources.Catalog.table(spark, sf0001, "orders")
