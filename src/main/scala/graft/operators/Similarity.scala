@@ -207,4 +207,51 @@ object Similarity {
         Seq(col("qid")), Seq(desc("sim"), asc("nid")), k, "rk")
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
+
+  /** SemDedup-style semantic deduplication: cluster by nearest
+    * centroid, then drop every vector that has a more-senior (smaller
+    * id) same-cluster neighbour above the cosine threshold.
+    *
+    * Unlike ivfTopK's xxhash64-sampled centroids, the centroid rule
+    * here (`id % centroidStep == 0`) is SQL-expressible, so the WHOLE
+    * pipeline — assignment argmax, within-cluster pairs, keep/drop
+    * verdict — carries a DuckDB oracle end-to-end.
+    *
+    * Scale shape: centroids broadcast (their count is the quality
+    * dial, chosen ∝ corpus size so clusters stay bounded); assignment
+    * is one window argmax keyed by the high-cardinality vector id (no
+    * funnel); the quadratic pair stage runs within clusters only —
+    * that confinement is the entire point of SemDedup, turning an
+    * O(n²) dedup into Σ O(|cluster|²).
+    *
+    * Output: (id, cluster, kept) for every input vector — kept=false
+    * means a smaller-id near-duplicate exists in the same cluster.
+    */
+  def semdedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidStep: Int): DataFrame = {
+    val v = df.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = v.filter(col("id") % centroidStep === 0)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("id")
+      .orderBy(desc_nulls_last("cs"), asc("cid"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("cs", round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("cid"), col("v"), col("nrm"))
+    val removed = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
+      .filter(round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+        > threshold)
+      .select(col("a.id").as("id")).distinct()
+      .withColumn("kept", lit(false))
+    assigned.select("id", "cid")
+      .join(removed, Seq("id"), "left")
+      .select(col("id"), col("cid").as("cluster"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
 }

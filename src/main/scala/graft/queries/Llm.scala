@@ -344,6 +344,37 @@ object Llm extends QueryModule {
           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.2
         ORDER BY id_a, id_b""")),
 
+    // SemDedup-style semantic dedup: nearest-centroid clustering, then
+    // within-cluster cosine near-dup removal (keep the smallest id).
+    // The centroid rule (id % 37) is SQL-expressible, so — unlike
+    // xxhash64-sampled IVF — every stage has a DuckDB oracle:
+    // assignment argmax, pair stage, and the final keep/drop verdict.
+    // Quadratic work confined to clusters is the op's scale point.
+    QueryDef(
+      "llm_semdedup",
+      (s, dir) =>
+        Similarity.semdedup(
+          Catalog.table(s, dir, "embeddings").filter(col("vec_id") < 400),
+          "vec_id", "embedding", threshold = 0.2, centroidStep = 37)
+          .orderBy("id"),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE vec_id < 400),
+        cent AS (SELECT id AS cid, e AS ce FROM v WHERE id % 37 = 0),
+        asg AS (SELECT id, cid FROM (
+            SELECT v.id, cent.cid,
+              row_number() OVER (PARTITION BY v.id ORDER BY
+                round(list_cosine_similarity(v.e, cent.ce), 6) DESC, cent.cid)
+                AS crk
+            FROM v, cent) WHERE crk = 1),
+        rem AS (SELECT DISTINCT a.id FROM asg a
+          JOIN asg b ON a.cid = b.cid AND a.id > b.id
+          JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id
+          WHERE round(list_cosine_similarity(va.e, vb.e), 6) > 0.2)
+        SELECT asg.id, asg.cid AS cluster,
+          (rem.id IS NULL) AS kept
+        FROM asg LEFT JOIN rem ON asg.id = rem.id
+        ORDER BY asg.id""")),
+
     // LSH-bucketed approximate NN (the 100 TB path) — approximate by
     // construction, so rows-only here; recall vs brute force is
     // asserted in ScalaTest.

@@ -313,5 +313,30 @@ object Relational extends QueryModule {
             SELECT o_orderkey, o_totalprice + 1000.0 AS price,
               CAST(1 AS BIGINT) AS version
             FROM orders WHERE o_orderkey % 10 = 0))
-        WHERE rk = 1 ORDER BY o_orderkey""")))
+        WHERE rk = 1 ORDER BY o_orderkey""")),
+
+    // SCD-2 history construction: each key's change events become
+    // validity intervals — valid_from = this event's ts, valid_to =
+    // the next event's ts (null = current). One lead() window on the
+    // HIGH-cardinality key, one shuffle, no self-join — the standard
+    // dimension-history builder at any scale.
+    QueryDef(
+      "etl_scd2",
+      (s, dir) => {
+        Catalog.table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+            col("value"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, ts AS valid_from, value,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to,
+          (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL) AS is_current
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id, valid_from, event_id""")))
 }

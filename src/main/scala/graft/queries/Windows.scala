@@ -206,5 +206,28 @@ object Windows extends QueryModule {
           round(cume_dist() OVER (PARTITION BY o_custkey
             ORDER BY o_totalprice, o_orderkey), 6) AS cd
         FROM orders WHERE o_orderkey < 2000
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Positional value access in a window — nth_value over the full
+    // partition frame (second-cheapest order per customer), the last
+    // member of the value-access family beside first/last/lead/lag.
+    QueryDef(
+      "win_nth_value",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_totalprice", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_cheapest"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS second_cheapest
+        FROM orders WHERE o_orderkey < 2000
         ORDER BY o_custkey, o_orderkey""")))
 }
