@@ -151,6 +151,33 @@ object Llm extends QueryModule {
           1, 2) < '34'
         ORDER BY c_custkey""")),
 
+    // Importance sampling with a PER-ROW rate — keep probability scales
+    // with document quality (here: length, clamped to [0.1, 1]), decided
+    // by comparing a 16-bit content hash against the rate cut. Like
+    // llm_holdout_split: no RNG, no stored sample, reproducible at any
+    // cluster size, and a pure pushed-down filter. The data-mixing
+    // primitive behind "upsample high-quality sources".
+    QueryDef(
+      "llm_importance_sample",
+      (s, dir) => {
+        val q = least(lit(1.0), greatest(lit(0.1), col("n_chars") / 2000.0))
+        // 16-bit cut, clamped to 0xffff so the rendered width stays 4
+        // hex digits on both engines (q=1.0 keeps 65535/65536 of rows).
+        val cut = lower(lpad(hex(
+          least(floor(q * 65536), lit(65535)).cast("long")), 4, "0"))
+        Catalog.table(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < cut)
+          .select(col("doc_id"), col("n_chars"), round(q, 6).as("rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+            least(1.0, greatest(0.1, n_chars / 2000.0)) AS q
+          FROM documents)
+        SELECT doc_id, n_chars, round(q, 6) AS rate FROM d
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', least(CAST(floor(q * 65536) AS INT), 65535))
+        ORDER BY doc_id""")),
+
     // Unigram LM scoring — per-doc mean token log-probability under a
     // corpus-level unigram model, the perplexity-proxy quality filter.
     // Token counts are a fine-key hash aggregate; the corpus total
@@ -180,6 +207,52 @@ object Llm extends QueryModule {
         SELECT doc_id, round(avg(ln(c::DOUBLE / tot)), 6) AS mean_logp,
           count(*) AS n_tok
         FROM tok JOIN counts USING (w) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Bigram LM scoring — the conditional step up from the unigram
+    // filter: per-doc mean ln p(w|prev) with p = c(prev,w)/c(prev).
+    // Bigrams are built ROW-LOCALLY (transform over the token array —
+    // no positional self-join), then the model is two fine-key hash
+    // aggregates and scoring is one equi-join on the bigram; the
+    // denominator c(prev) rides inside the bigram-count row via a
+    // second join on the unigram key, both high-cardinality.
+    QueryDef(
+      "llm_bigram_logprob",
+      (s, dir) => {
+        // sequence() guarded by the CASE: Spark's sequence(2, 1) counts
+        // DOWN (it never returns empty), so a 1-token doc must short-
+        // circuit to an empty bigram array instead.
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(expr(
+              """CASE WHEN size(toks) >= 2 THEN
+                   transform(sequence(2, size(toks)),
+                     i -> struct(element_at(toks, i - 1) AS prev,
+                                 element_at(toks, i) AS w))
+                 ELSE array() END"""))
+              .as("bg"))
+          .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+        val bi = docs.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
+        val uni = docs.groupBy("prev").agg(count(lit(1)).as("cp"))
+        docs.join(bi, Seq("prev", "w")).join(uni, Seq("prev"))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("cbw").cast("double") / col("cp"))), 6)
+              .as("mean_logp"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+            w[i - 1] AS prev, w[i] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 300),
+            LATERAL (SELECT unnest(range(2, len(w) + 1)) AS i)),
+        bi AS (SELECT prev, w, count(*) AS cbw FROM docs GROUP BY 1, 2),
+        uni AS (SELECT prev, count(*) AS cp FROM docs GROUP BY 1)
+        SELECT doc_id, round(avg(ln(cbw::DOUBLE / cp)), 6) AS mean_logp,
+          count(*) AS n_bigrams
+        FROM docs JOIN bi USING (prev, w) JOIN uni USING (prev)
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // Context-window chunking with overlap — split each doc into
