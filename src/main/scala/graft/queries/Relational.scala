@@ -338,5 +338,65 @@ object Relational extends QueryModule {
           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
             IS NULL) AS is_current
         FROM events WHERE event_type = 'purchase'
-        ORDER BY user_id, valid_from, event_id""")))
+        ORDER BY user_id, valid_from, event_id""")),
+
+    // Forward fill (gap filling): carry the last non-null observation
+    // forward within each key's timeline — last(..., ignoreNulls) over
+    // a running frame, one window on the HIGH-cardinality key. The
+    // sensor/telemetry repair op; nulls are synthesized from 'error'
+    // events so the fixture exercises real gaps.
+    QueryDef(
+      "etl_forward_fill",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Catalog.table(s, dir, "events")
+          .filter(col("user_id") < 200)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") =!= "error", col("value")).as("v"))
+          .withColumn("v_filled",
+            round(last(col("v"), ignoreNulls = true).over(w), 4))
+          .select(col("user_id"), col("event_id"), round(col("v"), 4).as("v"),
+            col("v_filled"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          round(CASE WHEN event_type != 'error' THEN value END, 4) AS v,
+          round(last_value(CASE WHEN event_type != 'error' THEN value END
+              IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+            AS v_filled
+        FROM events WHERE user_id < 200
+        ORDER BY user_id, event_id""")),
+
+    // Incremental dedup: a new batch admitted only where its content
+    // fingerprint is unseen in history AND unique within the batch —
+    // the per-increment form of llm_exact_dedup (dedup the delta, not
+    // the corpus). One shuffle on the fingerprint; at scale history is
+    // a bucketed fingerprint table and the anti-join runs
+    // partition-local.
+    QueryDef(
+      "etl_incremental_dedup",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val history = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        batch
+          .join(history.select("fp"), Seq("fp"), "left_anti")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("doc_id", "fp")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        batch AS (SELECT * FROM d WHERE doc_id >= 250),
+        hist AS (SELECT fp FROM d WHERE doc_id < 250)
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, row_number() OVER (PARTITION BY fp
+            ORDER BY doc_id) AS rk
+          FROM batch WHERE fp NOT IN (SELECT fp FROM hist))
+        WHERE rk = 1 ORDER BY doc_id""")))
 }
