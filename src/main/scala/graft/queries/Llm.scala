@@ -605,6 +605,58 @@ object Llm extends QueryModule {
           FROM documents)
         WHERE rk <= 3 ORDER BY lang, rk""")),
 
+    // The composed preprocessing pipeline as ONE declared query — the
+    // proof that the operators chain in a single DAG with no
+    // materialization barriers: quality filter → exact dedup (keep
+    // min id per fingerprint) → per-language top-quality quota
+    // (salted two-phase) → fixed-capacity token packing. Catalyst
+    // sees the whole thing; each stage's shuffle key (fp, lang) is
+    // the stage's natural key and nothing recomputes the quality
+    // expression twice on the Spark side.
+    QueryDef(
+      "llm_pipeline_e2e",
+      (s, dir) => {
+        val scored = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .filter(col("quality") > 0.3)
+        val dedup = scored
+          .withColumn("dk", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("dk") === 1)
+        val quota = graft.operators.TopN.saltedRowNumber(dedup,
+          Seq(col("lang")), Seq(desc("quality"), asc("doc_id")), 50, "rk")
+        val wPack = Window.partitionBy("lang").orderBy("rk")
+        quota
+          .withColumn("cum", sum("n_tok").over(wPack))
+          .select(col("lang"), col("doc_id"), col("quality"), col("n_tok"),
+            expr("(cum - n_tok) DIV 512").as("bin"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH scored AS (SELECT * FROM (
+            SELECT doc_id, lang, md5(text) AS fp,
+              len(string_split(text, ' ')) AS n_tok,
+              round(least(length(text)::DOUBLE / 500, 1.0) * 0.3
+                + (len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+                  / greatest(len(string_split(text, ' ')), 1)) * 0.5
+                + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / greatest(len(string_split(text, ' ')), 1)) * 0.2, 6)
+                AS quality
+            FROM documents) WHERE quality > 0.3),
+        dedup AS (SELECT * FROM (SELECT *,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dk
+          FROM scored) WHERE dk = 1),
+        quota AS (SELECT * FROM (SELECT *,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+          FROM dedup) WHERE rk <= 50)
+        SELECT lang, doc_id, quality, n_tok,
+          (sum(n_tok) OVER (PARTITION BY lang ORDER BY rk) - n_tok) // 512
+            AS bin
+        FROM quota ORDER BY lang, doc_id""")),
+
     // Benchmark decontamination: flag corpus docs sharing any 3-gram
     // shingle with the (small, broadcastable) benchmark set — the
     // eval-leakage scan every training pipeline runs. Shuffle is on
