@@ -170,6 +170,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.toLowerCase.contains("udf") || p.contains("mightContain"), p)
   }
 
+  test("llm_semdedup broadcasts centroids; the pair stage is a hash/merge join") {
+    val p = plan("llm_semdedup")
+    // Assignment: corpus × broadcast(centroids) — a broadcast NLJ, the
+    // intended bounded-side plan, never a CartesianProduct.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("llm_pipeline_e2e composes all four stages without a cartesian") {
+    val p = plan("llm_pipeline_e2e")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("a filter on a partition column prunes partitions at the scan") {
     val out = "/tmp/graft-prune-test"
     graft.sources.Catalog.table(spark, sf0001, "orders")
