@@ -12,6 +12,27 @@ object Extensions extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Schema introspection — JX/ActiveData expose table metadata as a
+    // queryable surface ("meta" queries, SURVEY §1/§3). The column
+    // inventory derives from the catalog (driver-side, bounded by
+    // schema width, never a data scan); the oracle maps DuckDB's
+    // DESCRIBE type names onto Spark catalogString spellings.
+    QueryDef(
+      "meta_columns",
+      (s, dir) => {
+        import s.implicits._
+        Catalog.table(s, dir, "lineitem").schema.fields.toSeq
+          .map(f => (f.name, f.dataType.catalogString))
+          .toDF("col", "dtype")
+          .orderBy("col")
+      },
+      Some("""SELECT column_name AS col,
+          CASE lower(column_type) WHEN 'integer' THEN 'int'
+            WHEN 'varchar' THEN 'string'
+            WHEN 'timestamp' THEN 'timestamp_ntz'
+            ELSE lower(column_type) END AS dtype
+        FROM (DESCRIBE SELECT * FROM lineitem) ORDER BY col""")),
+
     // Scalar UDF surface. Native Column exprs are always preferred
     // (SURVEY §2.10) — this declares the escape hatch works; the oracle
     // proves the UDF against its pure-SQL equivalent.

@@ -155,6 +155,21 @@ object Relational extends QueryModule {
         WHERE regexp_matches(text, 'agg\s+\w+\s+join')
         GROUP BY lang ORDER BY lang""")),
 
+    // SQL LIKE wildcards (% and _) — between the prefix/suffix
+    // predicates and full regex; translated to the same pattern
+    // machinery on both engines.
+    QueryDef(
+      "pred_like",
+      (s, dir) =>
+        Catalog.table(s, dir, "part")
+          .filter(col("p_name").like("%ring%") &&
+            col("p_brand").like("Brand#1_"))
+          .select("p_partkey", "p_name", "p_brand")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand FROM part
+        WHERE p_name LIKE '%ring%' AND p_brand LIKE 'Brand#1_'
+        ORDER BY p_partkey""")),
+
     QueryDef(
       "pred_case",
       (s, dir) =>
