@@ -563,5 +563,22 @@ object Aggregates extends QueryModule {
           round(avg(pow(l_quantity - m, 4))
             / pow(avg(pow(l_quantity - m, 2)), 2) - 3, 6) AS kurt_pop
         FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
-        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")))
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
+    // Ordered string aggregation (listagg / string_agg) — the report
+    // formatter. Determinism: WITHIN GROUP (ORDER BY n_name) pins the
+    // concatenation order on both engines.
+    QueryDef(
+      "agg_string_agg",
+      (s, dir) =>
+        Catalog.table(s, dir, "nation")
+          .join(Catalog.table(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("members"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")))
 }

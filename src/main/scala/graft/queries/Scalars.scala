@@ -579,5 +579,28 @@ object Scalars extends QueryModule {
           round(cos(l_discount), 9) AS c,
           round(atan2(l_quantity, l_extendedprice), 9) AS a2
         FROM lineitem WHERE l_orderkey < 3000
-        ORDER BY l_orderkey, l_linenumber""")))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // Bitwise scalar ops — flag masks / packed-field decoding (the
+    // same family the SimHash fingerprints build on, exposed as a
+    // declared scalar surface).
+    QueryDef(
+      "math_bitwise",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 4000)
+          .select(col("o_orderkey"),
+            col("o_orderkey").bitwiseAND(lit(255L)).as("lo_byte"),
+            col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+            col("o_orderkey").bitwiseXOR(col("o_custkey")).as("mixed"),
+            shiftleft(col("o_orderkey"), 3).as("shl"),
+            shiftright(col("o_orderkey"), 2).as("shr"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          o_orderkey & 255 AS lo_byte,
+          o_orderkey | 4096 AS with_flag,
+          xor(o_orderkey, o_custkey) AS mixed,
+          o_orderkey << 3 AS shl,
+          o_orderkey >> 2 AS shr
+        FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""")))
 }
