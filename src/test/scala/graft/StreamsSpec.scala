@@ -70,6 +70,37 @@ class StreamsSpec extends SparkSpec {
         s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("stream_session_true emits exactly the sessions closed at the final watermark") {
+    // Same emit-horizon reconcile as stream_watermark, for SESSION
+    // windows: the streaming run must equal the batch gap-detect
+    // sessionization restricted to sessions whose end (last event +
+    // 30 min gap) precedes max(ts) - 2 h.
+    val defs = graft.SparkEntry.queries
+    val streamed = defs("stream_session_true")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = graft.sources.Catalog.table(spark, sf0001, "events")
+    val mx = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val batch = ev
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 1800L * 1000000L || lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("brk").over(run))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .filter(col("session_end") + expr("INTERVAL 30 MINUTES")
+        <= lit(mx) - expr("INTERVAL 2 HOURS"))
+      .select("user_id", "session_start", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream=${streamed.size} rows, batch=${batch.size} rows; " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("session_window groups by 30-minute gaps") {
     val df = Seq(
       ev(1, 0), ev(2, 10), ev(3, 25),      // session 1 (gaps < 30m)
