@@ -52,12 +52,84 @@ object Llm extends QueryModule {
           list_aggregate(list_transform(shingles, s -> md5('9' || '|' || s)), 'min') AS mh_9
         FROM sh ORDER BY doc_id""")),
 
-    // Full MinHash/LSH dedup pipeline (xxhash64 family, banded buckets,
-    // jaccard-verified) — no SQL oracle (SURVEY §2.11 no-sql); the
-    // signature math is oracle-proved above and the pipeline is
-    // property-tested in ScalaTest.
+    // Full MinHash/LSH dedup pipeline with a HARD DuckDB oracle — the
+    // deterministic md5-family variant SURVEY §2.11 calls for: 6-hash
+    // signature, 3 bands × 2 rows, bucket = band's signature slice,
+    // candidates by bucket equality, jaccard-verified ≥ 0.5 over the
+    // distinct shingle sets, survivor = no verified near-dup with a
+    // smaller id. Every stage (signature, banding, candidates, verify,
+    // survivor anti-join) is recomputed by the oracle end-to-end.
+    // Fixture-bounded (md5 is the reproducibility price); the
+    // unbounded xxhash64 native-expression pipeline beside it is the
+    // scale path and shares this shape exactly.
     QueryDef(
       "llm_minhash_dedup",
+      (s, dir) => {
+        val base = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("lang"),
+            TextOps.shingles3(col("text")).as("sh"))
+        val sig = base.filter(size(col("sh")) > 0)
+          .select(Seq(col("doc_id"), col("sh")) ++
+            TextOps.minhashSigMd5(col("sh"), 0 until 6): _*)
+        val banded = sig.select(col("doc_id"),
+          posexplode(array(
+            concat_ws("|", col("mh_0"), col("mh_1")),
+            concat_ws("|", col("mh_2"), col("mh_3")),
+            concat_ws("|", col("mh_4"), col("mh_5"))))
+            .as(Seq("band", "bucket")))
+        val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+          .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+            Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val shs = sig.select(col("doc_id"), col("sh"))
+        val losers = cand
+          .join(shs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(shs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .filter(TextOps.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        base.join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 300)),
+        sig AS (SELECT doc_id, shingles,
+            list_aggregate(list_transform(shingles, s -> md5('0' || '|' || s)), 'min') AS mh_0,
+            list_aggregate(list_transform(shingles, s -> md5('1' || '|' || s)), 'min') AS mh_1,
+            list_aggregate(list_transform(shingles, s -> md5('2' || '|' || s)), 'min') AS mh_2,
+            list_aggregate(list_transform(shingles, s -> md5('3' || '|' || s)), 'min') AS mh_3,
+            list_aggregate(list_transform(shingles, s -> md5('4' || '|' || s)), 'min') AS mh_4,
+            list_aggregate(list_transform(shingles, s -> md5('5' || '|' || s)), 'min') AS mh_5
+          FROM d WHERE len(shingles) > 0),
+        bands AS (
+          SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bucket FROM sig
+          UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band
+            AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        losers AS (SELECT DISTINCT id_b FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5)
+        SELECT doc_id, lang FROM d
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        ORDER BY doc_id""")),
+
+    // The UNBOUNDED scale path: xxhash64 hash family via the native
+    // single-pass expressions (graft.plans.MinHashLsh), capped hot
+    // buckets, slim (id, band, bucket) shuffle — same pipeline shape
+    // as the oracle-proved md5 twin above, property-tested in
+    // ScalaTest (SURVEY §2.11 no-sql).
+    QueryDef(
+      "llm_minhash_dedup_fast",
       (s, dir) =>
         TextOps.minhashDedup(
           Catalog.table(s, dir, "documents"), "doc_id", "text")

@@ -470,6 +470,32 @@ object Scalars extends QueryModule {
         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
         ORDER BY event_id, k LIMIT 2000""")),
 
+    // mo_dots set_default: merge a defaults document UNDER each row's
+    // dynamic JSON — existing keys win, missing keys fill from the
+    // default (the reference's signature Data-object operation).
+    // map_zip_with unions the key sets with existing-wins coalesce;
+    // output is exploded to sorted (k, v) rows so the hash is
+    // independent of either engine's JSON key order.
+    QueryDef(
+      "json_set_default",
+      (s, dir) => {
+        val defaults = map(lit("plan"), lit("free"), lit("tier"), lit("0"))
+        val props = from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
+        Catalog.table(s, dir, "events")
+          .filter(col("event_id") < 1500)
+          .select(col("event_id"),
+            explode(map_zip_with(defaults, props,
+              (_, d, p) => coalesce(p, d))).as(Seq("k", "v")))
+          .orderBy("event_id", "k")
+      },
+      Some("""SELECT event_id, k, json_extract_string(m, '$.' || k) AS v
+        FROM (SELECT event_id,
+            json_merge_patch('{"plan":"free","tier":"0"}', props) AS m
+          FROM events WHERE event_id < 1500),
+          LATERAL (SELECT unnest(json_keys(m)) AS k)
+        ORDER BY event_id, k""")),
+
     // Regex group extraction — pull structured fields out of string
     // columns (the log-parsing workhorse). Pure codegen'd regexp, no
     // shuffle.
