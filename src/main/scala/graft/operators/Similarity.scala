@@ -208,6 +208,29 @@ object Similarity {
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
+  /** md5-derived sign-random-projection bucket — the ORACLE-PROVABLE
+    * SRP variant: projection entry r(b,d) is ±1 by the first hex char
+    * of md5("b|d"), a rule DuckDB recomputes verbatim, so LSH
+    * bucketing itself can be differentially tested end-to-end (the
+    * xxhash64 native srpSignature stays the scale path). The ±1
+    * matrix is resolved HERE at plan-build time (same md5, computed in
+    * Scala), so the per-row work is one fused multiply-add chain; the
+    * projection is rounded at 6 before the sign so summation-order
+    * ulps cannot flip a bucket bit on either engine. */
+  def md5SrpBucket(vec: Column, bits: Int, dims: Int): Column = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def sign(b: Int, d: Int): Double = {
+      val h = digest.digest(s"$b|$d".getBytes("UTF-8"))
+      val firstHex = Integer.toHexString((h(0) & 0xff) >> 4).charAt(0)
+      if (firstHex >= '8') 1.0 else -1.0
+    }
+    (0 until bits).map { b =>
+      val dot = (1 to dims).map(d =>
+        element_at(vec, d) * lit(sign(b, d))).reduce(_ + _)
+      when(round(dot, 6) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
   /** SemDedup-style semantic deduplication: cluster by nearest
     * centroid, then drop every vector that has a more-senior (smaller
     * id) same-cluster neighbour above the cosine threshold.

@@ -520,11 +520,63 @@ object Llm extends QueryModule {
         FROM asg LEFT JOIN rem ON asg.id = rem.id
         ORDER BY asg.id""")),
 
-    // LSH-bucketed approximate NN (the 100 TB path) — approximate by
-    // construction, so rows-only here; recall vs brute force is
-    // asserted in ScalaTest.
+    // LSH-bucketed approximate NN with a HARD oracle: the md5-derived
+    // SRP bucket (Similarity.md5SrpBucket) is recomputed verbatim by
+    // DuckDB, so bucketing, candidate generation, and the exact
+    // cosine re-rank are all differentially tested — "approximate"
+    // here means approximate NEIGHBORS, not an unverifiable result:
+    // given the signature rule the output is fully deterministic.
     QueryDef(
       "llm_knn_lsh",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+          .withColumn("bucket", Similarity.md5SrpBucket(col("e"), 4, 64))
+          .withColumn("nrm", Similarity.norm(col("e")))
+        val corpus = emb.filter(col("vec_id") < 400)
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("bucket"), col("nrm").as("qnrm"))
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+        corpus.join(broadcast(queries), Seq("bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(Similarity.cosine(col("qe"), col("e"), col("qnrm"), col("nrm")), 6)
+              .as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "nid", "sim")
+          .orderBy("qid", "rk")
+      },
+      Some {
+        def bit(b: Int) =
+          s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
+             d -> e[d] * (CASE WHEN substr(md5('$b|' || d), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END))), 6) >= 0
+             THEN ${1 << b} ELSE 0 END)"""
+        val bucket = (0 until 4).map(bit).mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          sig AS (SELECT vec_id, e, $bucket AS bucket FROM v),
+          c AS (SELECT * FROM sig WHERE vec_id < 400),
+          q AS (SELECT vec_id AS qid, e AS qe, bucket
+                FROM sig WHERE vec_id < 20),
+          scored AS (SELECT qid, c.vec_id AS nid,
+              round(list_cosine_similarity(qe, c.e), 6) AS sim
+            FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id != q.qid),
+          ranked AS (SELECT qid, nid, sim,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, nid) AS BIGINT) AS rk
+            FROM scored)
+          SELECT qid, rk, nid, sim FROM ranked WHERE rk <= 3
+          ORDER BY qid, rk"""
+      }),
+
+    // The unbounded scale path: xxhash64 native srpSignature buckets
+    // (one codegen'd pass per row), salted two-phase re-rank — recall
+    // vs brute force asserted in ScalaTest (SURVEY §2.11 no-sql).
+    QueryDef(
+      "llm_knn_lsh_fast",
       (s, dir) => {
         val emb = Catalog.table(s, dir, "embeddings")
         Similarity.lshTopK(
@@ -890,12 +942,25 @@ object Llm extends QueryModule {
         val media = Multimodal.asMedia(
           Catalog.table(s, dir, "documents"), "doc_id", "text",
           Seq("lang", "source"))
+        // HARD oracle on every deterministic part of the pipeline: the
+        // media-struct wrap, the per-partition codec batch shape, byte
+        // length, and the stub's byte-statistics features (integral,
+        // exact in FLOAT) — DuckDB recomputes them from char codes
+        // (fixture corpus is pure ASCII, so codepoint == utf-8 byte).
+        // Only the float ratio feature stays out of the compared
+        // output; the codec body itself remains the documented stub.
         Multimodal.decode(media, "doc_id")
-          // features is array-typed — serialize for the declared output
-          // (QueryDef determinism contract; driver comparator sorts cells).
-          .select(col("id"), col("mime"), col("n_bytes"),
-            to_json(col("features")).as("features"))
+          .select(col("id"), col("mime"), col("n_bytes").cast("long").as("n_bytes"),
+            element_at(col("features"), 2).cast("long").as("f_sum"),
+            element_at(col("features"), 3).cast("long").as("f_wsum"))
           .orderBy("id")
       },
-      None))
+      Some("""SELECT doc_id AS id, 'application/octet-stream' AS mime,
+          CAST(strlen(text) AS BIGINT) AS n_bytes,
+          CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ord(text[i]))) % 10007 AS BIGINT) AS f_sum,
+          CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ord(text[i]) * ((i - 1) % 251 + 1))) % 10007 AS BIGINT)
+            AS f_wsum
+        FROM documents ORDER BY id""")))
 }
