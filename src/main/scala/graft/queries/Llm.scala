@@ -137,6 +137,44 @@ object Llm extends QueryModule {
           .orderBy("doc_id"),
       None),
 
+    // Signature correctness proof for SimHash (the analog of
+    // llm_minhash_sig): a 60-bit simhash built from md5-prefix token
+    // hashes — bit b set iff the ±1 majority vote over the token
+    // multiset is non-negative — recomputed exactly by DuckDB. The
+    // production pipeline's xxhash64 single-pass expression keeps the
+    // same per-bit majority semantics (property-tested); this pins the
+    // bit-vote math itself against an independent engine.
+    QueryDef(
+      "llm_simhash_sig",
+      (s, dir) => {
+        val tok = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        tok
+          .select(col("doc_id"), col("h"),
+            explode(sequence(lit(0), lit(59))).as("b"))
+          .groupBy("doc_id", "b")
+          .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("s"))
+          .groupBy("doc_id")
+          .agg(sum(expr(
+            "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+            .as("simhash60"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents WHERE doc_id < 200)),
+        bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+          FROM tok, (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2)
+        SELECT doc_id,
+          CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+            AS BIGINT) AS simhash60
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef(
       "llm_simhash_dedup",
       (s, dir) =>
