@@ -607,6 +607,27 @@ object Scalars extends QueryModule {
         FROM lineitem WHERE l_orderkey < 3000
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // Edit distance (levenshtein) — the fuzzy-match primitive behind
+    // entity resolution / tolerant key matching; codegen'd on Spark,
+    // same DP definition in DuckDB.
+    QueryDef(
+      "str_fuzzy",
+      (s, dir) =>
+        Catalog.table(s, dir, "customer")
+          .filter(col("c_custkey") < 500)
+          .select(col("c_custkey"),
+            levenshtein(col("c_name"), lit("Customer#000000100")).as("dist"),
+            round(lit(1.0) -
+              levenshtein(col("c_name"), lit("Customer#000000100"))
+                .cast("double") /
+              greatest(length(col("c_name")), lit(18)), 6).as("sim"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+          levenshtein(c_name, 'Customer#000000100') AS dist,
+          round(1.0 - levenshtein(c_name, 'Customer#000000100')::DOUBLE
+            / greatest(length(c_name), 18), 6) AS sim
+        FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""")),
+
     // Bitwise scalar ops — flag masks / packed-field decoding (the
     // same family the SimHash fingerprints build on, exposed as a
     // declared scalar surface).
