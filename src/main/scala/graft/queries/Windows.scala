@@ -229,5 +229,27 @@ object Windows extends QueryModule {
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             AS second_cheapest
         FROM orders WHERE o_orderkey < 2000
-        ORDER BY o_custkey, o_orderkey""")))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Moving MEDIAN — robust smoothing over a trailing 5-row frame
+    // (the order-statistic counterpart of win_agg_moving's mean;
+    // outlier-immune trend extraction). Exact percentile as a window
+    // aggregate; per-user partitions keep the frame sort local.
+    QueryDef(
+      "win_median",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-4, 0)
+        Catalog.table(s, dir, "events")
+          .filter(col("user_id") < 100)
+          .select(col("user_id"), col("event_id"),
+            round(expr("percentile(value, 0.5)").over(w), 6).as("med5"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+        FROM events WHERE user_id < 100
+        ORDER BY user_id, event_id""")))
 }
