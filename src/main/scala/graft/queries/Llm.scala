@@ -624,12 +624,90 @@ object Llm extends QueryModule {
       },
       None),
 
-    // IVF-bucketed approximate NN — the inverted-list scale path.
-    // Approximate by construction (probes nprobe of nlist inverted
-    // lists), so rows-only; recall vs brute force and the
-    // nprobe==nlist exactness degeneration are asserted in ScalaTest.
+    // IVF-bucketed approximate NN with a HARD oracle: like llm_semdedup
+    // and llm_knn_lsh, the centroid rule (vec_id % 16) is
+    // SQL-expressible, so DuckDB recomputes centroid assignment (argmax
+    // on the rounded cosine), the query's nprobe=2 probe set, and the
+    // exact re-rank inside the probed inverted lists — the full IVF
+    // search path differentially tested end-to-end.
     QueryDef(
       "llm_knn_ivf",
+      (s, dir) => {
+        val v = Catalog.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 400)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", Similarity.norm(col("e")))
+        val cents = v.filter(col("vec_id") % 16 === 0)
+          .select(col("vec_id").as("cid"), col("e").as("ce"),
+            col("nrm").as("cnrm"))
+        def centSim(vec: String, nrm: String) =
+          round(Similarity.cosine(col(vec), col("ce"), col(nrm), col("cnrm")), 6)
+        val wA = Window.partitionBy("vec_id")
+          .orderBy(desc_nulls_last("cs"), asc("cid"))
+        val assigned = v.crossJoin(broadcast(cents))
+          .withColumn("cs", centSim("e", "nrm"))
+          .withColumn("crk", row_number().over(wA))
+          .filter(col("crk") === 1)
+          .select(col("cid"), col("vec_id").as("nid"),
+            col("e").as("ne"), col("nrm").as("nnrm"))
+        val wP = Window.partitionBy("qid")
+          .orderBy(desc_nulls_last("cs"), asc("cid"))
+        val probes = v.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cs",
+            round(Similarity.cosine(col("qe"), col("ce"), col("qnrm"), col("cnrm")), 6))
+          .withColumn("crk", row_number().over(wP))
+          .filter(col("crk") <= 2)
+          .select(col("cid"), col("qid"), col("qe"), col("qnrm"))
+        val wK = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+        assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("nid") =!= col("qid"))
+          .select(col("qid"), col("nid"),
+            round(Similarity.cosine(col("qe"), col("ne"), col("qnrm"), col("nnrm")), 6)
+              .as("sim"))
+          .withColumn("rk", row_number().over(wK))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "nid", "sim")
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE vec_id < 400),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 16 = 0),
+        asg AS (SELECT vec_id, cid FROM (
+            SELECT v.vec_id, cent.cid,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                cent.cid) AS crk
+            FROM v, cent) WHERE crk = 1),
+        probes AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, cent.cid,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                round(list_cosine_similarity(q.e, cent.ce), 6) DESC,
+                cent.cid) AS crk
+            FROM (SELECT * FROM v WHERE vec_id < 20) q, cent)
+          WHERE crk <= 2),
+        scored AS (SELECT p.qid, a.vec_id AS nid,
+            round(list_cosine_similarity(qv.e, nv.e), 6) AS sim
+          FROM probes p
+          JOIN asg a ON a.cid = p.cid AND a.vec_id != p.qid
+          JOIN v qv ON qv.vec_id = p.qid
+          JOIN v nv ON nv.vec_id = a.vec_id),
+        ranked AS (SELECT qid, nid, sim,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid) AS BIGINT) AS rk
+          FROM scored)
+        SELECT qid, rk, nid, sim FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk""")),
+
+    // The unbounded scale path: xxhash64-sampled centroids, native
+    // expressions, salted top-k — recall vs brute force and the
+    // nprobe==nlist exactness degeneration asserted in ScalaTest
+    // (SURVEY §2.11 no-sql).
+    QueryDef(
+      "llm_knn_ivf_fast",
       (s, dir) => {
         val emb = Catalog.table(s, dir, "embeddings")
         Similarity.ivfTopK(
