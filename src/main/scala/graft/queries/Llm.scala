@@ -175,8 +175,79 @@ object Llm extends QueryModule {
             AS BIGINT) AS simhash60
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Full SimHash dedup with a HARD oracle — md5-family 60-bit
+    // fingerprint (the oracle-proved llm_simhash_sig construction),
+    // 4 bands × 15 bits, banded hamming-neighborhood candidates with
+    // the pigeonhole guarantee (dist ≤ 3 < bands ⇒ some band slice
+    // matches exactly), bit_count(xor) verify, smaller-id survivor.
+    // DuckDB recomputes fingerprints, banding, verify, and the
+    // survivor set end-to-end.
     QueryDef(
       "llm_simhash_dedup",
+      (s, dir) => {
+        val tok = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        val sig = tok
+          .select(col("doc_id"), col("h"),
+            explode(sequence(lit(0), lit(59))).as("b"))
+          .groupBy("doc_id", "b")
+          .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("s"))
+          .groupBy("doc_id")
+          .agg(sum(expr(
+            "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+            .as("sh"))
+        val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until 4).map(k =>
+            shiftright(col("sh"), k * 15).bitwiseAND(lit(32767L))): _*))
+            .as(Seq("band", "slice")))
+        val cand = bands.select(col("band"), col("slice"), col("doc_id").as("id_a"))
+          .join(bands.select(col("band"), col("slice"), col("doc_id").as("id_b")),
+            Seq("band", "slice"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val losers = cand
+          .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .filter(expr("bit_count(sh_a ^ sh_b) <= 3"))
+          .select(col("id_b").as("doc_id")).distinct()
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents WHERE doc_id < 200)),
+        bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+          FROM tok, (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2),
+        sig AS (SELECT doc_id,
+            CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS sh
+          FROM bits GROUP BY doc_id),
+        bands AS (SELECT doc_id, k AS band, (sh >> (k * 15)) & 32767 AS slice
+          FROM sig, (SELECT unnest(range(0, 4)) AS k)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band
+            AND a.slice = b.slice AND a.doc_id < b.doc_id),
+        losers AS (SELECT DISTINCT id_b FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+          WHERE bit_count(xor(sa.sh, sb.sh)) <= 3)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id < 200 AND doc_id NOT IN (SELECT id_b FROM losers)
+        ORDER BY doc_id""")),
+
+    // The unbounded scale path: 64-bit xxhash64 fingerprint via the
+    // native single-pass expression, same banded pigeonhole shape —
+    // property-tested (SURVEY §2.11 no-sql).
+    QueryDef(
+      "llm_simhash_dedup_fast",
       (s, dir) =>
         TextOps.simhashDedup(
           Catalog.table(s, dir, "documents"), "doc_id", "text")
