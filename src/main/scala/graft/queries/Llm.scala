@@ -964,8 +964,8 @@ object Llm extends QueryModule {
               ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
           FROM dedup) WHERE rk <= 50)
         SELECT lang, doc_id, quality, n_tok,
-          (sum(n_tok) OVER (PARTITION BY lang ORDER BY rk) - n_tok) // 512
-            AS bin
+          CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY rk) - n_tok)
+            // 512 AS BIGINT) AS bin
         FROM quota ORDER BY lang, doc_id""")),
 
     // Benchmark decontamination: flag corpus docs sharing any 3-gram
