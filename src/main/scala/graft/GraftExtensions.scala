@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
 import graft.plans.{DotExpr, NormExpr, SrpSignExpr}
 
@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2 && args(1).foldable,
           "srp_sign(v, bits) takes an array<double> and a literal bit count")
         SrpSignExpr(args(0), args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    // Spark ships BloomFilterMightContain for its own runtime-filter
+    // rewrite but keeps it out of the public registry; surface it so an
+    // explicit Bloom pre-filter (join_bloom_prefilter) probes inside
+    // whole-stage codegen instead of through a scalar UDF.
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "might_contain(bloom_bytes, key) takes a binary sketch and a long key")
+        BloomFilterMightContain(args(0), args(1))
       }))
   }
 }

@@ -286,9 +286,14 @@ object Joins extends QueryModule {
         // Sized for the fixture dim (~thousands of keys); on a cluster
         // this is dim-count-estimate driven, like a broadcast threshold.
         val bloom = dim.stat.bloomFilter("c_custkey", 100000L, 0.03)
-        val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+        val bytes = { val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos); bos.toByteArray }
+        // Native BloomFilterMightContain (registered by GraftExtensions):
+        // the probe stays inside whole-stage codegen, where a scalar UDF
+        // would force a serialize-per-row boundary on the fact scan.
         Catalog.table(s, dir, "orders")
-          .filter(mightContain(col("o_custkey")))
+          .filter(call_function("might_contain",
+            lit(bytes), col("o_custkey").cast("long")))
           .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))

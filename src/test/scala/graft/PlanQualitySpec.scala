@@ -166,8 +166,10 @@ class PlanQualitySpec extends SparkSpec {
   test("join_bloom_prefilter filters the fact before the semi join") {
     val p = plan("join_bloom_prefilter")
     assert(p.contains("LeftSemi"), p)
-    // The bloom probe shows up as a scalar filter on the fact scan side.
-    assert(p.toLowerCase.contains("udf") || p.contains("mightContain"), p)
+    // Native BloomFilterMightContain probe (codegen), never a scalar UDF.
+    assert(p.contains("might_contain"), p)
+    assert(!p.toLowerCase.contains("batchevalpython")
+      && !p.contains("UDF("), s"bloom probe must be native:\n$p")
   }
 
   test("llm_semdedup broadcasts centroids; the pair stage is a hash/merge join") {
