@@ -40,6 +40,41 @@ object TextOps {
       array_min(transform(sh, s2 => md5(concat(lit(i.toString), lit("|"), s2))))
         .as(s"mh_$i"))
 
+  /** Verified near-dup pairs from the md5 MinHash/LSH family — the
+    * oracle-provable twin of `minhashNearDupPairs` (same banded shape,
+    * reproducible hash family): 6-hash md5 signature, 3 bands × 2 rows,
+    * bucket = the band's signature slice, candidates by bucket
+    * equality (one hash shuffle on (band, bucket), never all-pairs),
+    * exact Jaccard ≥ `threshold` verify over the distinct shingle sets
+    * joined back only for candidate pairs.
+    *
+    * Input must carry (`doc_id`, `sh`); output is (id_a, id_b, j) with
+    * id_a < id_b and j the 6-digit-rounded Jaccard.
+    */
+  def minhashPairsMd5(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = docs.filter(size(col("sh")) > 0)
+      .select(Seq(col("doc_id"), col("sh")) ++
+        minhashSigMd5(col("sh"), 0 until 6): _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(
+        concat_ws("|", col("mh_0"), col("mh_1")),
+        concat_ws("|", col("mh_2"), col("mh_3")),
+        concat_ws("|", col("mh_4"), col("mh_5"))))
+        .as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shs = sig.select(col("doc_id"), col("sh"))
+    cand
+      .join(shs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   /** One xxhash64 per shingle — the only pass that touches strings. */
   def shingleHashes(sh: Column): Column = transform(sh, s2 => xxhash64(s2))
 

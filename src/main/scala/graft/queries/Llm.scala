@@ -12,6 +12,33 @@ import graft.sources.Catalog
   */
 object Llm extends QueryModule {
 
+  /** Shared DuckDB oracle fragment mirroring TextOps.minhashPairsMd5:
+    * md5 6-hash signature → 3 bands × 2 rows → bucket-equality
+    * candidates → exact-Jaccard-verified pairs(id_a, id_b, j) at
+    * threshold 0.5. Assumes a preceding CTE d(doc_id, shingles).
+    */
+  private val oracleMd5PairsCte: String = """sig AS (SELECT doc_id, shingles,
+            list_aggregate(list_transform(shingles, s -> md5('0' || '|' || s)), 'min') AS mh_0,
+            list_aggregate(list_transform(shingles, s -> md5('1' || '|' || s)), 'min') AS mh_1,
+            list_aggregate(list_transform(shingles, s -> md5('2' || '|' || s)), 'min') AS mh_2,
+            list_aggregate(list_transform(shingles, s -> md5('3' || '|' || s)), 'min') AS mh_3,
+            list_aggregate(list_transform(shingles, s -> md5('4' || '|' || s)), 'min') AS mh_4,
+            list_aggregate(list_transform(shingles, s -> md5('5' || '|' || s)), 'min') AS mh_5
+          FROM d WHERE len(shingles) > 0),
+        bands AS (
+          SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bucket FROM sig
+          UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band
+            AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        pairs AS (SELECT * FROM (SELECT id_a, id_b,
+            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))), 6) AS j
+          FROM cand JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b) WHERE j >= 0.5)"""
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -69,58 +96,20 @@ object Llm extends QueryModule {
           .filter(col("doc_id") < 300)
           .select(col("doc_id"), col("lang"),
             TextOps.shingles3(col("text")).as("sh"))
-        val sig = base.filter(size(col("sh")) > 0)
-          .select(Seq(col("doc_id"), col("sh")) ++
-            TextOps.minhashSigMd5(col("sh"), 0 until 6): _*)
-        val banded = sig.select(col("doc_id"),
-          posexplode(array(
-            concat_ws("|", col("mh_0"), col("mh_1")),
-            concat_ws("|", col("mh_2"), col("mh_3")),
-            concat_ws("|", col("mh_4"), col("mh_5"))))
-            .as(Seq("band", "bucket")))
-        val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-          .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
-            Seq("band", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val shs = sig.select(col("doc_id"), col("sh"))
-        val losers = cand
-          .join(shs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(shs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .filter(TextOps.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+        val losers = TextOps.minhashPairsMd5(base, 0.5)
           .select(col("id_b").as("doc_id")).distinct()
         base.join(losers, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang")
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, lang,
+      Some(s"""WITH d AS (SELECT doc_id, lang,
             list_distinct(list_transform(range(1, len(w) - 1),
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
           FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
                 FROM documents WHERE doc_id < 300)),
-        sig AS (SELECT doc_id, shingles,
-            list_aggregate(list_transform(shingles, s -> md5('0' || '|' || s)), 'min') AS mh_0,
-            list_aggregate(list_transform(shingles, s -> md5('1' || '|' || s)), 'min') AS mh_1,
-            list_aggregate(list_transform(shingles, s -> md5('2' || '|' || s)), 'min') AS mh_2,
-            list_aggregate(list_transform(shingles, s -> md5('3' || '|' || s)), 'min') AS mh_3,
-            list_aggregate(list_transform(shingles, s -> md5('4' || '|' || s)), 'min') AS mh_4,
-            list_aggregate(list_transform(shingles, s -> md5('5' || '|' || s)), 'min') AS mh_5
-          FROM d WHERE len(shingles) > 0),
-        bands AS (
-          SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bucket FROM sig
-          UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
-          UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b ON a.band = b.band
-            AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        losers AS (SELECT DISTINCT id_b FROM cand
-          JOIN sig sa ON sa.doc_id = id_a
-          JOIN sig sb ON sb.doc_id = id_b
-          WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / (len(sa.shingles) + len(sb.shingles)
-               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5)
+        $oracleMd5PairsCte
         SELECT doc_id, lang FROM d
-        WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
         ORDER BY doc_id""")),
 
     // The UNBOUNDED scale path: xxhash64 hash family via the native
@@ -255,10 +244,34 @@ object Llm extends QueryModule {
           .orderBy("doc_id"),
       None),
 
-    // Pairwise n-gram Jaccard over a bounded id range — the verify step
-    // of near-dup detection, oracle-checked.
+    // Pairwise n-gram Jaccard at scale: pairs come from the banded
+    // MinHash candidate join (TextOps.minhashPairsMd5 — one shuffle on
+    // (band, bucket), never all-pairs), exact Jaccard verifies each
+    // candidate. The DuckDB oracle recomputes signature → bands →
+    // candidates → verify end-to-end. The bounded all-pairs form lives
+    // beside this as llm_ngram_jaccard_exact (the verify primitive).
     QueryDef(
       "llm_ngram_jaccard",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        TextOps.minhashPairsMd5(docs, 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 300)),
+        $oracleMd5PairsCte
+        SELECT id_a, id_b, j FROM pairs ORDER BY id_a, id_b""")),
+
+    // The bounded all-pairs verify PRIMITIVE (test-scale label, bound
+    // pushed to the scan): exact Jaccard over every pair of a small id
+    // range, the ground truth the banded op above is checked against.
+    QueryDef(
+      "llm_ngram_jaccard_exact",
       (s, dir) => {
         val docs = Catalog.table(s, dir, "documents")
           .filter(col("doc_id") < 30)
@@ -513,15 +526,47 @@ object Llm extends QueryModule {
 
     // Near-dup GROUPING: pairs → duplicate clusters via distributed
     // min-label propagation (Components.connectedComponents), so a
-    // whole cluster keeps one survivor, not just pairwise picks. The
-    // candidate pairs here are the bounded all-pairs verify stage
-    // (doc_id < 60, test-scale label); at 100 TB candidates come from
-    // the banded MinHash/SRP LSH ops beside this one. The DuckDB
-    // oracle computes the same components with a recursive CTE —
-    // min reachable id == component min — so the distributed loop's
-    // fixpoint is checked end-to-end.
+    // whole cluster keeps one survivor, not just pairwise picks.
+    // Candidate pairs come from the banded MinHash LSH join
+    // (TextOps.minhashPairsMd5 — one shuffle on (band, bucket), never
+    // all-pairs): the same candidate generator the dedup pipelines use,
+    // so this IS the 100 TB shape end-to-end. The DuckDB oracle
+    // recomputes signature → bands → candidates → verify → components
+    // (recursive CTE; min reachable id == component min), checking the
+    // distributed fixpoint loop end-to-end. The bounded all-pairs form
+    // lives beside this as llm_dedup_groups_exact.
     QueryDef(
       "llm_dedup_groups",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        val pairs = TextOps.minhashPairsMd5(docs, 0.5).select("id_a", "id_b")
+        graft.operators.Components.connectedComponents(
+            pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id")
+          .select(col("v").as("doc_id"), col("comp").as("group_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id < 300)),
+        $oracleMd5PairsCte,
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(v, r) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT p.a, r.r FROM sym p JOIN reach r ON r.v = p.b)
+        SELECT v AS doc_id, min(r) AS group_id FROM reach
+        GROUP BY v ORDER BY doc_id""")),
+
+    // The bounded all-pairs grouping twin: exact Jaccard over every
+    // pair of a small id range (bound pushed to the scan), components
+    // over the exhaustive pair set — ground truth for the banded form.
+    QueryDef(
+      "llm_dedup_groups_exact",
       (s, dir) => {
         val docs = Catalog.table(s, dir, "documents")
           .filter(col("doc_id") < 60)

@@ -172,6 +172,28 @@ class PlanQualitySpec extends SparkSpec {
       && !p.contains("UDF("), s"bloom probe must be native:\n$p")
   }
 
+  test("llm_ngram_jaccard candidates come from the band join — no cartesian") {
+    val p = plan("llm_ngram_jaccard")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate generation must be an equi-join:\n$p")
+  }
+
+  test("llm_dedup_groups pair stage is the banded LSH join — no cartesian") {
+    // The grouping query's final plan is lineage-truncated by the
+    // fixpoint loop's localCheckpoint, so assert on the candidate-pair
+    // pipeline it consumes (TextOps.minhashPairsMd5) directly.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        graft.operators.TextOps.shingles3(col("text")).as("sh"))
+    val p = graft.operators.TextOps.minhashPairsMd5(docs, 0.5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup-group candidates must be the banded equi-join:\n$p")
+  }
+
   test("llm_semdedup broadcasts centroids; the pair stage is a hash/merge join") {
     val p = plan("llm_semdedup")
     // Assignment: corpus × broadcast(centroids) — a broadcast NLJ, the
