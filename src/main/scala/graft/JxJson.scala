@@ -25,6 +25,12 @@ import graft.sources.Catalog
   */
 object JxJson {
 
+  /** Hard cap on the dense-cube cell count runCube will collect to the
+    * driver (≈ a few hundred MB worst case at 1e6 cells of wide rows —
+    * generous for any human-readable cube, far under driver OOM).
+    */
+  val MaxCubeCells: Int = 1000000
+
   /** JX `format: "cube"` result (SURVEY §1.1 Cube row): dense N-dim
     * arrays — one axis per edge in declared order, every domain part
     * present (zero-filled counts / nulls for value aggs). An edge whose
@@ -62,7 +68,16 @@ object JxJson {
     }
     val names = edgeDefs.map(outName)
     val aggNames = table.columns.drop(names.length).toSeq
-    val rows = table.collect()
+    // The dense grid is a CLIENT-side reshape — bounded by the domain
+    // product, which nothing upstream caps. Guard the collect: fetch at
+    // most cap+1 rows (limit runs distributed, so the driver never
+    // materializes an unbounded grid) and fail fast with a usable
+    // message — a cube over two high-cardinality edges is a user error
+    // (use format:"table"), not an OOM to discover in production.
+    val rows = table.limit(MaxCubeCells + 1).collect()
+    require(rows.length <= MaxCubeCells,
+      s"jx cube: dense grid exceeds the $MaxCubeCells-cell driver-side " +
+        "cap — reduce the edge domains or use table format")
     // Domain order: first-appearance order of each edge's parts in the
     // dense output (the dense join preserved the domain construction).
     val domains = names.indices.map { i =>
@@ -118,7 +133,16 @@ object JxJson {
       case JString(t) => t
       case other => sys.error(s"jx: 'from' must be a table name, got $other")
     }
-    var df = Catalog.table(spark, sfDir, from)
+    // Dotted from ("orders_nested.lines"): descend into the named
+    // nested child table — jx_sqlite's snowflake descent (SURVEY §1.1).
+    // Each segment explodes an array<struct> (or flattens a struct);
+    // parent columns stay visible beside the child's fields, so a
+    // where/groupby can mix both levels, exactly like the reference's
+    // child-table queries. Catalyst sees a plain Generate(explode) —
+    // pushdown and pruning still reach the parent scan.
+    val segs = from.split('.')
+    var df = Catalog.table(spark, sfDir, segs.head)
+    segs.tail.foreach { seg => df = descendInto(df, seg) }
 
     (q \ "where") match {
       case JNothing | JNull => ()
@@ -169,6 +193,34 @@ object JxJson {
     }
 
     finishSortLimit(df, q)
+  }
+
+  /** One snowflake-descent step: `seg` must be an array<struct> (the
+    * nested child table — rows multiply, inner-join semantics: parents
+    * with no children vanish, like the reference's nested-table query)
+    * or a plain struct (flatten only). Child fields land at top level;
+    * a child field shadows a same-named parent column.
+    */
+  private def descendInto(df: DataFrame, seg: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val field = df.schema.fields.find(_.name == seg).getOrElse(
+      sys.error(s"jx: from descent — no nested column '$seg' " +
+        s"(have: ${df.columns.mkString(", ")})"))
+    field.dataType match {
+      case ArrayType(st: StructType, _) =>
+        val parents =
+          df.columns.filterNot(c => c == seg || st.fieldNames.contains(c))
+        df.select(parents.map(col) :+ explode(col(seg)).as("_jx_row"): _*)
+          .select(parents.map(col) ++
+            st.fieldNames.map(n => col(s"_jx_row.$n").as(n)): _*)
+      case st: StructType =>
+        val parents =
+          df.columns.filterNot(c => c == seg || st.fieldNames.contains(c))
+        df.select(parents.map(col) ++
+          st.fieldNames.map(n => col(s"$seg.$n").as(n)): _*)
+      case other => sys.error(
+        s"jx: from descent — '$seg' is $other, need array<struct> or struct")
+    }
   }
 
   /** select: string | {name, value, aggregate} | array of those */

@@ -228,6 +228,41 @@ object Extensions extends QueryModule {
         SELECT NULL AS seg, n, max_bal FROM agg WHERE seg IS NULL
         ORDER BY seg NULLS FIRST""")),
 
+    // JX snowflake descent through the JSON front door (jx_sqlite
+    // nested child tables, SURVEY §1.1): `from: "orders_nested.lines"`
+    // explodes the nested lines array and queries parent + child
+    // columns together. The oracle rebuilds the nest in DuckDB (list()
+    // per order, then UNNEST) so the descent itself — not just the
+    // equivalent flat join — is what's being checked.
+    QueryDef(
+      "jx_json_nested",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "orders_nested.lines",
+          "where": {"gte": ["o_totalprice", {"literal": 50000}]},
+          "groupby": ["o_orderpriority"],
+          "select": [
+            {"name": "n_lines", "aggregate": "count"},
+            {"name": "qty", "value": "l_quantity", "aggregate": "sum"},
+            {"name": "max_price", "value": "l_extendedprice", "aggregate": "max"}
+          ],
+          "sort": "o_orderpriority"
+        }"""),
+      Some("""WITH nested AS (SELECT o.*, (SELECT list(struct_pack(
+              l_partkey := l.l_partkey, l_quantity := l.l_quantity,
+              l_extendedprice := l.l_extendedprice))
+            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS lines
+          FROM orders o),
+        descended AS (SELECT o_orderpriority, o_totalprice,
+            unnest(lines) AS line FROM nested),
+        flat AS (SELECT o_orderpriority, o_totalprice,
+            line.l_quantity AS l_quantity,
+            line.l_extendedprice AS l_extendedprice FROM descended)
+        SELECT o_orderpriority, count(*) AS n_lines,
+          sum(l_quantity) AS qty, max(l_extendedprice) AS max_price
+        FROM flat WHERE o_totalprice >= 50000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).

@@ -193,6 +193,44 @@ class JxJsonSpec extends SparkSpec {
     assert(total == Catalog.table(spark, sf0001, "orders").count())
   }
 
+  test("dotted from descends into the nested child table") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "orders_nested.lines",
+          "groupby": ["o_orderpriority"],
+          "select": [{"name": "n_lines", "aggregate": "count"}],
+          "sort": "o_orderpriority"}""")
+    val rows = out.as[(String, Long)].collect()
+    // Descent = the flat parent/child join, row for row.
+    val expect = Catalog.table(spark, sf0001, "orders")
+      .join(Catalog.table(spark, sf0001, "lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == expect.toSeq)
+  }
+
+  test("dotted from onto a non-nested column fails with a clear error") {
+    val e = intercept[RuntimeException] {
+      JxJson.run(spark, sf0001, """{"from": "orders.o_totalprice",
+        "select": [{"name": "n", "aggregate": "count"}]}""")
+    }
+    assert(e.getMessage.contains("descent"))
+  }
+
+  test("cube guard: a domain product over the cap fails fast, no collect") {
+    // Two high-cardinality default-domain edges over lineitem cross
+    // ~thousands × ~thousands of parts — exactly the driver-OOM shape
+    // the cap exists for. The error must be the guard's, not an OOM.
+    val e = intercept[IllegalArgumentException] {
+      JxJson.runCube(spark, sf0001,
+        """{"from": "lineitem",
+            "edges": ["l_partkey", "l_extendedprice"],
+            "select": [{"name": "n", "aggregate": "count"}]}""")
+    }
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("window clause: running sum with explicit rows range") {
     val out = JxJson.run(spark, sf0001,
       """{"from": "orders",
