@@ -142,6 +142,32 @@ object Extensions extends QueryModule {
           max(CASE WHEN try_cast(payload AS DOUBLE) IS NULL THEN payload END) AS max_str
         FROM p GROUP BY event_type ORDER BY event_type""")),
 
+    // Typed-JSON ENCODER (SURVEY §1.1 typed encoding, write side —
+    // mo_json typed_encoder [P]): plain rows → marker-key JSON, every
+    // value wrapped under its type marker (~n~ number, ~s~ string) and
+    // the object level stamped with its exists-count ~e~. The whole
+    // encode is one codegen'd to_json(struct(...)) per row — no UDF, no
+    // shuffle — and the oracle rebuilds the byte-identical string with
+    // DuckDB's to_json/struct_pack, so marker layout, key order, and
+    // value rendering are all pinned cross-engine.
+    QueryDef(
+      "json_typed_encode",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), to_json(struct(
+            struct(col("doc_id").as("~n~")).as("doc_id"),
+            struct(col("lang").as("~s~")).as("lang"),
+            struct(col("n_chars").as("~n~")).as("n_chars"),
+            lit(1).as("~e~"))).as("typed"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, to_json(struct_pack(
+            doc_id := struct_pack("~n~" := doc_id),
+            lang := struct_pack("~s~" := lang),
+            n_chars := struct_pack("~n~" := n_chars),
+            "~e~" := 1))::VARCHAR AS typed
+        FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
+
     // JX JSON query string in, DataFrame out — compiled onto the same
     // builder; result proven against plain SQL.
     QueryDef(
