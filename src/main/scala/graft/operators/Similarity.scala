@@ -82,6 +82,17 @@ object Similarity {
     * onto the assignment, and a query touches ~nprobe/nlist of the
     * corpus. nprobe == nlist degrades gracefully to exact brute force
     * (spec-pinned).
+    *
+    * SIZING (the knobs are corpus-scale parameters, not constants):
+    * nlist ≈ √N — balances list length (N/nlist rows re-ranked per
+    * probe) against centroid-scan cost (nlist comparisons per query),
+    * the standard IVF rule. The fixture default 32 ≈ √(500·2); at 1 B
+    * vectors use nlist ≈ 32k and keep the centroid set broadcastable
+    * (32k × dim doubles ≈ a few hundred MB at dim 768 — shard the
+    * centroid join when past that). Recall is governed by
+    * nprobe/nlist, NOT by nlist itself — hold the ratio as nlist grows
+    * with the corpus (spec-pinned: growing nlist at fixed ratio keeps
+    * recall), and raise nprobe when recall matters more than latency.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -184,7 +195,14 @@ object Similarity {
 
   /** Approximate top-k: candidates share the LSH bucket, exact cosine
     * re-ranks inside it. Recall rises with fewer bits / multi-probe;
-    * 12 bits ≈ 4096 buckets is a reasonable sf-test default. */
+    * 12 bits ≈ 4096 buckets is a reasonable sf-test default.
+    *
+    * SIZING: bits ≈ log2(N / targetBucketRows) — each added bit halves
+    * the expected bucket, so hold N/2^bits (the re-rank cost per
+    * query) constant as the corpus grows: ~1 M vectors per 256-row
+    * bucket wants 12 bits, 1 B wants ~22. Recall at fixed bits falls
+    * as buckets shrink; compensate with banding (neardupPairs-style
+    * multi-band OR multi-probe neighbors at hamming distance 1). */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {

@@ -83,6 +83,30 @@ class SimilaritySpec extends SparkSpec {
       s"recall@1 below probe fraction: $hits/${approx.size}")
   }
 
+  test("ivfTopK recall holds as nlist grows at fixed nprobe/nlist ratio") {
+    // The 100 TB posture claim behind the nlist ≈ √N sizing rule:
+    // recall is governed by the probe RATIO, so growing nlist with the
+    // corpus (16 → 36 lists here) at the same nprobe/nlist must not
+    // collapse recall. Deterministic: centroids and assignment are
+    // content-addressed, no RNG.
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 1)
+      .filter(col("rk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val recalls = Seq((16, 4), (36, 9)).map { case (nlist, nprobe) =>
+      val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 1,
+        nlist = nlist, nprobe = nprobe)
+        .filter(col("rk") === 1)
+        .select("qid", "nid").as[(Long, Long)].collect().toMap
+      assert(approx.size == 20)
+      approx.count { case (qid, nid) =>
+        exact.get(qid).contains(nid) }.toDouble / approx.size
+    }
+    recalls.foreach(r => assert(r >= 0.25,
+      s"recall@1 below the 25% probe fraction: $recalls"))
+  }
+
   test("neardupPairs equals the brute-force pair set on fixture vectors") {
     val emb = Catalog.table(spark, sf0001, "embeddings")
       .filter(col("vec_id") < 100)
