@@ -476,6 +476,14 @@ object Scalars extends QueryModule {
     // map_zip_with unions the key sets with existing-wins coalesce;
     // output is exploded to sorted (k, v) rows so the hash is
     // independent of either engine's JSON key order.
+    // DECLARED CONSTRAINT: props values must be scalar and non-null.
+    // RFC 7386 merge-patch (the oracle's json_merge_patch) DELETES a
+    // key whose incoming value is JSON null, while set_default keeps
+    // it and falls back to the default — and nested objects replace
+    // wholesale rather than zip. The fixture's props are flat numeric
+    // scalars, which is the domain this op is declared over; a
+    // null-tolerant variant would filter null-valued keys on BOTH
+    // sides before merging.
     QueryDef(
       "json_set_default",
       (s, dir) => {

@@ -114,6 +114,22 @@ class StreamsSpec extends SparkSpec {
     assert(out == Set((1L, ts(0), 3L), (1L, ts(90), 2L), (2L, ts(0), 1L)))
   }
 
+  test("session_window MERGES at an exact-gap boundary (pins the oracle's >)") {
+    // Empirically pins the boundary semantics the stream_session_true
+    // oracle mirrors: an event at exactly last_ts + gap DOES merge into
+    // the running session (Spark merges touching sessions), so the SQL
+    // gap-detect comparator must break only on `> gap` — never `>=`.
+    // Microsecond fixture timestamps make this case vanishingly rare in
+    // data, which is why it's pinned here instead.
+    val df = Seq(ev(1, 0), ev(2, 30), ev(3, 45)).toDF()
+    val out = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"), col("n"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(out == Set((1L, ts(0), 3L)),
+      s"exact-gap boundary semantics changed: $out")
+  }
+
   test("runningUserState accumulates per-user count and sum across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
