@@ -112,6 +112,90 @@ object Llm extends QueryModule {
         WHERE doc_id NOT IN (SELECT id_b FROM pairs)
         ORDER BY doc_id""")),
 
+    // MinHash Jaccard ESTIMATOR vs exact — the property the whole
+    // method rests on, made an oracle row: for every banded candidate
+    // pair, est = (agreeing signature components)/6 beside the exact
+    // shingle-set Jaccard. DuckDB recomputes both ends, so the
+    // estimator's per-pair arithmetic (not just the pipeline around
+    // it) is cross-engine-pinned.
+    QueryDef(
+      "llm_minhash_estimate",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        val sig = docs.filter(size(col("sh")) > 0)
+          .select(Seq(col("doc_id"), col("sh")) ++
+            TextOps.minhashSigMd5(col("sh"), 0 until 6): _*)
+        val sigCols = (0 until 6).map(i => s"mh_$i")
+        def side(tag: String) = sig.select(
+          col("doc_id").as(s"id_$tag") +: col("sh").as(s"sh_$tag") +:
+            sigCols.map(c => col(c).as(s"${c}_$tag")): _*)
+        TextOps.minhashPairsMd5(docs, 0.5).select("id_a", "id_b")
+          .join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(sigCols.map(c =>
+                when(col(s"${c}_a") === col(s"${c}_b"), 1.0).otherwise(0.0))
+              .reduce(_ + _) / 6.0, 6).as("est"),
+            round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6).as("exact"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 300)),
+        $oracleMd5PairsCte
+        SELECT id_a, id_b,
+          round((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1.0 ELSE 0.0 END) / 6.0, 6)
+            AS est,
+          round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) AS exact
+        FROM pairs JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b""")),
+
+    // Corpus-composition report: per-source docs, tokens, token share,
+    // and cumulative share in descending-token order — the mix table
+    // behind every training-data weighting decision. One fine-key
+    // aggregate; the ordered cumulative window runs over the ~|sources|
+    // aggregated rows, never the corpus.
+    QueryDef(
+      "llm_domain_mix",
+      (s, dir) => {
+        val perSrc = Catalog.table(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        val total = Window.partitionBy()
+        val wCum = Window.partitionBy()
+          .orderBy(desc("tokens"), asc("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perSrc
+          .withColumn("share",
+            round(col("tokens") / sum("tokens").over(total), 6))
+          .withColumn("cum_share",
+            round(sum("tokens").over(wCum) / sum("tokens").over(total), 6))
+          .select("source", "n_docs", "tokens", "share", "cum_share")
+          .orderBy(desc("tokens"), asc("source"))
+      },
+      Some("""WITH per_src AS (SELECT source, count(*) AS n_docs,
+            sum(len(string_split(text, ' '))::BIGINT) AS tokens
+          FROM documents GROUP BY source)
+        SELECT source, n_docs, tokens,
+          round(tokens / sum(tokens) OVER (), 6) AS share,
+          round(sum(tokens) OVER (ORDER BY tokens DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            / sum(tokens) OVER (), 6) AS cum_share
+        FROM per_src ORDER BY tokens DESC, source""")),
+
     // The UNBOUNDED scale path: xxhash64 hash family via the native
     // single-pass expressions (graft.plans.MinHashLsh), capped hot
     // buckets, slim (id, band, bucket) shuffle — same pipeline shape

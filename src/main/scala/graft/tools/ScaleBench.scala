@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Similarity, TextOps}
+import graft.sources.Catalog
+
+/** Local 100×-scale spot-bench of the dedup/ANN family — the 100 TB
+  * posture's measurable evidence (VERDICT r4 stretch item).
+  *
+  * Builds a scaled corpus in /tmp by replicating the sf0.1 fixtures
+  * ×M (SCALE_MULT, default 100 → 500k documents / 200k embeddings):
+  * each replica appends ~60 unique salted tokens to the text so
+  * sibling replicas are NOT near-dups — duplicate-cluster sizes stay
+  * fixture-realistic and candidate volume grows linearly with the
+  * corpus instead of quadratically with replica count. Embeddings get
+  * a deterministic per-replica perturbation for the same reason.
+  *
+  * Times the SCALE-PATH (xxhash64 / banded / bucketed) operators only:
+  * exact dedup, MinHash dedup, SimHash dedup, dedup-group components,
+  * SRP-LSH kNN, IVF kNN. Run:
+  *   SCALE_MULT=100 sbt "runMain graft.tools.ScaleBench"
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val mult = sys.env.getOrElse("SCALE_MULT", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.Scratch.dir("spark-local"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-scale-x$mult"
+
+    val docsPath = s"$out/documents.parquet"
+    val embPath = s"$out/embeddings.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      // ~60 unique tokens per replica: at ~50 original words the salted
+      // shingles outnumber the shared ones, so replica-vs-replica
+      // jaccard < 0.5 and clusters keep their fixture shape. Replicas
+      // 0 and 1 share a salt — every original doc contributes one
+      // exact-duplicate pair, so the verify/survivor stages process
+      // real positives (~2/mult dup rate), not just candidates.
+      val saltKey = when(col("rep") < 2, lit(0)).otherwise(col("rep"))
+      val salt = concat_ws(" ", transform(sequence(lit(1), lit(60)), j =>
+        substring(md5(concat(col("doc_id"), lit("_"), saltKey,
+          lit("_"), j)), 1, 8)))
+      Catalog.table(spark, base, "documents")
+        .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+        .select(
+          (col("doc_id") * mult + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" "), salt).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(docsPath)
+      Catalog.table(spark, base, "embeddings")
+        .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+        .select(
+          (col("vec_id") * mult + col("rep")).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, j) => x + (col("rep") * j % 97 - lit(48)) * lit(1e-3))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+    val emb = spark.read.parquet(embPath)
+    val nDocs = docs.count(); val nEmb = emb.count()
+    println(s"corpus: $nDocs docs, $nEmb embeddings (x$mult)")
+
+    def force(df: DataFrame): Long = df.count()
+    def time(label: String)(f: => Long): Unit = (1 to 2).foreach { i =>
+      val t0 = System.nanoTime(); val n = f
+      println(f"""{"op":"$label","run":$i,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+    }
+
+    time("exact_dedup")(force(TextOps.exactDedup(docs, "doc_id", "text")))
+    time("minhash_dedup")(force(TextOps.minhashDedup(docs, "doc_id", "text")))
+    time("simhash_dedup")(force(TextOps.simhashDedup(docs, "doc_id", "text")))
+    time("dedup_groups") {
+      val pairs = TextOps.minhashNearDupPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      force(Components.connectedComponents(
+        pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id"))
+    }
+    val queries = emb.filter(col("vec_id") < 100 * mult.toLong)
+    // Hold the knobs to the documented sizing rules as the corpus
+    // grows: bits ≈ log2(N/256-row buckets); nlist ≈ √N at 1/16 probe.
+    val bits = math.max(8, (math.log(nEmb / 256.0) / math.log(2)).round.toInt)
+    val nlist = math.max(16, math.sqrt(nEmb.toDouble).round.toInt)
+    time(s"knn_lsh(bits=$bits)")(force(
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10, bits)))
+    time(s"knn_ivf(nlist=$nlist)")(force(
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nlist = nlist, nprobe = math.max(1, nlist / 16))))
+    spark.stop()
+  }
+}

@@ -194,6 +194,17 @@ class PlanQualitySpec extends SparkSpec {
       s"dedup-group candidates must be the banded equi-join:\n$p")
   }
 
+  test("jx_json_nested: the parent-column filter pushes through the descent") {
+    // The dotted-from descent is a plain Generate(explode), so a WHERE
+    // on a parent column must still reach the orders scan — descend
+    // first, filter later would re-shuffle exploded children for
+    // nothing at 100 TB.
+    val p = plan("jx_json_nested")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual(o_totalprice")
+      || p.contains("GreaterThanOrEqual(o_totalprice,50000.0)"),
+      s"parent filter must reach the parent parquet scan:\n$p")
+  }
+
   test("llm_semdedup broadcasts centroids; the pair stage is a hash/merge join") {
     val p = plan("llm_semdedup")
     // Assignment: corpus × broadcast(centroids) — a broadcast NLJ, the
