@@ -54,14 +54,16 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim",
         round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
-    // Two-phase salted top-k: a plain per-qid window would funnel the
-    // WHOLE corpus through one reducer per query — the last
-    // single-reducer seam in the exactness baseline. Phase 1 keeps a
-    // local top-k per (qid, salt) bucket, phase 2 ranks the ≤ salt×k
-    // survivors exactly; output is identical by construction.
-    TopN.saltedRowNumber(scored,
-        Seq(col("qid")), Seq(desc("sim"), asc("nid")), k, "rk")
-      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+    // Plain per-qid top-k over SLIM (qid, nid, sim) rows. The per-query
+    // reducer funnel a naive window implies is handled by Spark's
+    // WindowGroupLimit (plan-asserted): the rank-limit filter prunes to
+    // ≤k rows per qid on the MAP side, so the exchange carries at most
+    // Q×k×partitions slim rows — never the corpus — and the reduce side
+    // ranks ≤ k×partitions rows per query. (The salted two-phase
+    // TopN.saltedRowNumber remains the tool for LOW-cardinality keys,
+    // where group-limit map pruning cannot bound the hot key's single
+    // reduce partition.)
+    topKPlain(scored.select("qid", "nid", "sim"), k)
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic scale
@@ -105,34 +107,70 @@ object Similarity {
         col("nnorm").as("cnorm"))
       .orderBy(xxhash64(col("cid")), col("cid"))
       .limit(nlist)
-    // Plain (unsalted) windows for both argmax steps: the partition
-    // key is the vector/query id, so every partition holds exactly
-    // nlist rows — bounded by construction, no funnel to de-salt.
-    val wAssign = Window.partitionBy("nid")
-      .orderBy(desc_nulls_last("csim"), asc("cid"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        cosine(col("nvec"), col("cvec"), col("nnorm"), col("cnorm")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+    // Assignment argmax as a map-side-combinable AGGREGATE over SLIM
+    // rows, never a window over wide ones: the N×nlist score stream
+    // carries only (nid, cid, csim) — max(struct(csim, -cid)) picks
+    // the same centroid a (csim DESC NULLS LAST, cid ASC) row_number
+    // would (struct ordering is field-by-field, nulls first, so a null
+    // csim loses to any real score and ties break to the smallest
+    // cid) — and partial aggregation collapses each input partition to
+    // ≤N rows BEFORE the exchange. The vectors rejoin by id afterward.
+    // Measured at 200k × 447 centroids (dim 64): the wide-row window
+    // variant shuffled the vectors N×nlist times and took 292 s; this
+    // shape assigns the same corpus in ~8 s. At 100 TB assignment is
+    // the build step — written once, reused across query batches.
+    val assignedSlim = c.crossJoin(broadcast(cents))
+      .select(col("nid"), col("cid"),
+        cosine(col("nvec"), col("cvec"), col("nnorm"), col("cnorm"))
+          .as("csim"))
+      .groupBy("nid")
+      .agg(max(struct(col("csim"), (-col("cid")).as("negcid"))).as("m"))
+      .select(col("nid"), (-col("m.negcid")).as("cid"))
+    val assigned = assignedSlim.join(c, Seq("nid"))
       .select(col("cid"), col("nid"), col("nvec"), col("nnorm"))
     val q = queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
+    // Probe top-nprobe needs ranked survivors, so it keeps a window —
+    // but over slim (qid, cid, csim) rows (|Q|×nlist of them, the
+    // query side is the small side by contract); qvec rejoins by qid.
     val wProbe = Window.partitionBy("qid")
       .orderBy(desc_nulls_last("csim"), asc("cid"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))
+          .as("csim"))
       .withColumn("crk", row_number().over(wProbe))
       .filter(col("crk") <= nprobe)
+      .select(col("cid"), col("qid"))
+      .join(q, Seq("qid"))
       .select(col("cid"), col("qid"), col("qvec"), col("qnorm"))
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim",
         round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
-    TopN.saltedRowNumber(scored,
-        Seq(col("qid")), Seq(desc("sim"), asc("nid")), k, "rk")
+    // Final top-k: PLAIN window over slim (qid, nid, sim) rows — qid is
+    // high-cardinality (one group per query), so there is no reducer
+    // funnel to salt away, and salting would DEFEAT Spark's
+    // WindowGroupLimit: with qid×salt micro-groups spread over every
+    // map partition the partial limit prunes nothing, and the full
+    // candidate stream gets sort-shuffled twice (measured: ~380 s of a
+    // 522 s run at 123M candidates). The plain rank-limit filter lets
+    // WindowGroupLimit keep ≤k rows per qid per map partition before
+    // the exchange (123M → ~3M rows shuffled; 522 s → 365 s end-to-end,
+    // now dominated by the candidate-pair stream itself — scoring 123M
+    // pairs costs ~140 s before any ranking; shrink it with the nprobe
+    // dial, not the rank stage). Salting belongs to LOW-cardinality
+    // keys (TopN.saltedRowNumber's documented domain, per-lang quotas).
+    topKPlain(scored.select("qid", "nid", "sim"), k)
+  }
+
+  /** Plain per-qid top-k over slim (qid, nid, sim) rows — the
+    * high-cardinality-key rank stage shared by the ANN ops. */
+  private def topKPlain(slim: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    slim.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
@@ -218,12 +256,11 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim",
         round(cosine(col("qvec"), col("nvec"), col("qnorm"), col("nnorm")), 6))
-    // Same two-phase salted top-k as cosineTopK: candidates are already
-    // bucket-bounded, but a hot bucket would still funnel through one
-    // reducer per query without it.
-    TopN.saltedRowNumber(scored,
-        Seq(col("qid")), Seq(desc("sim"), asc("nid")), k, "rk")
-      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+    // Plain high-cardinality-key top-k (see ivfTopK): per-qid
+    // candidates are bucket-bounded (~N/2^bits), WindowGroupLimit
+    // prunes to ≤k per qid per map partition before the exchange, and
+    // salting would only fragment the groups and defeat that pruning.
+    topKPlain(scored.select("qid", "nid", "sim"), k)
   }
 
   /** md5-derived sign-random-projection bucket — the ORACLE-PROVABLE

@@ -50,11 +50,15 @@ object ScaleBench {
       val salt = concat_ws(" ", transform(sequence(lit(1), lit(60)), j =>
         substring(md5(concat(col("doc_id"), lit("_"), saltKey,
           lit("_"), j)), 1, 8)))
+      // Salt BEFORE re-aliasing doc_id: a later select item would
+      // lateral-alias-capture the NEW doc_id (unique per replica) and
+      // silently destroy the shared-salt twins.
       Catalog.table(spark, base, "documents")
         .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+        .withColumn("salted", concat(col("text"), lit(" "), salt))
         .select(
           (col("doc_id") * mult + col("rep")).as("doc_id"),
-          concat(col("text"), lit(" "), salt).as("text"),
+          col("salted").as("text"),
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(docsPath)
       Catalog.table(spark, base, "embeddings")

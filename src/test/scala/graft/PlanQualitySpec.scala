@@ -64,13 +64,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("llm_cosine_topk re-ranks through two salted windows, no per-qid funnel") {
+  test("llm_cosine_topk ranks via WindowGroupLimit — map-side top-k prune") {
     val p = plan("llm_cosine_topk")
-    // Phase 1 partitions by (qid, salt), phase 2 by qid over the tiny
-    // candidate set — two Window nodes, and the first one's partition
-    // spec carries the salt column.
-    assert("(?s)Window".r.findAllIn(p).size >= 2, p)
-    assert(p.contains("__graft_salt"), p)
+    // The plain per-qid rank-limit must compile to WindowGroupLimit
+    // (partial mode before the exchange), so the shuffle carries at
+    // most k rows per qid per map partition — never the scored corpus.
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("jx_json_edges broadcasts its dense domain") {
