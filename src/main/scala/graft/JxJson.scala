@@ -127,22 +127,26 @@ object JxJson {
       aggNames.zip(filled).toMap, corner)
   }
 
-  def run(spark: SparkSession, sfDir: String, queryJson: String): DataFrame = {
-    val q = JsonMethods.parse(queryJson)
-    val from = (q \ "from") match {
-      case JString(t) => t
-      case other => sys.error(s"jx: 'from' must be a table name, got $other")
+  def run(spark: SparkSession, sfDir: String, queryJson: String): DataFrame =
+    runParsed(spark, sfDir, JsonMethods.parse(queryJson))
+
+  private def runParsed(spark: SparkSession, sfDir: String, q: JValue): DataFrame = {
+    // `from` forms: a table name; a dotted path ("orders_nested.lines")
+    // descending into nested child tables — jx_sqlite's snowflake
+    // descent (SURVEY §1.1), each segment a plain Generate(explode) (or
+    // struct flatten) with parent columns visible beside child fields
+    // and pushdown still reaching the parent scan; or a whole NESTED
+    // QUERY object — JX query composition, compiled recursively so the
+    // outer query consumes the inner one as a subplan in the SAME
+    // Catalyst tree (one optimization pass over the fused plan, exactly
+    // like a SQL derived table — never a materialization barrier).
+    var df = (q \ "from") match {
+      case JString(from) =>
+        val segs = from.split('.')
+        segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)
+      case o: JObject => runParsed(spark, sfDir, o)
+      case other => sys.error(s"jx: 'from' must be a table or query, got $other")
     }
-    // Dotted from ("orders_nested.lines"): descend into the named
-    // nested child table — jx_sqlite's snowflake descent (SURVEY §1.1).
-    // Each segment explodes an array<struct> (or flattens a struct);
-    // parent columns stay visible beside the child's fields, so a
-    // where/groupby can mix both levels, exactly like the reference's
-    // child-table queries. Catalyst sees a plain Generate(explode) —
-    // pushdown and pruning still reach the parent scan.
-    val segs = from.split('.')
-    var df = Catalog.table(spark, sfDir, segs.head)
-    segs.tail.foreach { seg => df = descendInto(df, seg) }
 
     (q \ "where") match {
       case JNothing | JNull => ()

@@ -289,6 +289,37 @@ object Extensions extends QueryModule {
         FROM flat WHERE o_totalprice >= 50000
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // JX query COMPOSITION: `from` is itself a query object — the
+    // inner per-customer aggregate feeds the outer filter+aggregate as
+    // one fused Catalyst plan (a SQL derived table, not a
+    // materialization barrier). Spend per customer, then the
+    // distribution of high-frequency customers per order count.
+    QueryDef(
+      "jx_json_subquery",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": {
+            "from": "orders",
+            "groupby": ["o_custkey"],
+            "select": [
+              {"name": "n_orders", "aggregate": "count"},
+              {"name": "top_order", "value": "o_totalprice", "aggregate": "max"}
+            ]
+          },
+          "where": {"gte": ["n_orders", {"literal": 8}]},
+          "groupby": ["n_orders"],
+          "select": [
+            {"name": "n_cust", "aggregate": "count"},
+            {"name": "max_order", "value": "top_order", "aggregate": "max"}
+          ],
+          "sort": "n_orders"
+        }"""),
+      Some("""SELECT n_orders, count(*) AS n_cust, max(top_order) AS max_order
+        FROM (SELECT o_custkey, count(*) AS n_orders,
+            max(o_totalprice) AS top_order FROM orders GROUP BY o_custkey)
+        WHERE n_orders >= 8
+        GROUP BY n_orders ORDER BY n_orders""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).

@@ -231,6 +231,21 @@ class JxJsonSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("from as a nested query composes into one fused plan") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": {"from": "orders", "groupby": ["o_custkey"],
+            "select": [{"name": "n", "aggregate": "count"}]},
+          "where": {"gte": ["n", {"literal": 3}]},
+          "select": [{"name": "n_cust", "aggregate": "count"}]}""")
+    val expect = Catalog.table(spark, sf0001, "orders")
+      .groupBy("o_custkey").count().filter($"count" >= 3).count()
+    assert(out.collect().head.getLong(0) == expect)
+    // Composition is a derived table in ONE plan — the inner query's
+    // aggregate and the outer's land in the same physical tree.
+    val p = out.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("window clause: running sum with explicit rows range") {
     val out = JxJson.run(spark, sf0001,
       """{"from": "orders",
