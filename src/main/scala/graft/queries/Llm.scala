@@ -646,6 +646,25 @@ object Llm extends QueryModule {
         SELECT v AS doc_id, min(r) AS group_id FROM reach
         GROUP BY v ORDER BY doc_id""")),
 
+    // The UNBOUNDED scale twin (xxhash64 family, whole corpus): the
+    // same candidates→verify→components pipeline with the native
+    // single-pass MinHash expressions and capped hot buckets — the
+    // shape that runs at 100 TB. no-sql like the other _fast twins;
+    // the md5 form above is its oracle-green shape proof, and the
+    // ScaleBench 500k-doc spot-bench is its scale evidence.
+    QueryDef(
+      "llm_dedup_groups_fast",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val pairs = TextOps.minhashNearDupPairs(docs, "doc_id", "text")
+          .select("id_a", "id_b")
+        graft.operators.Components.connectedComponents(
+            pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id")
+          .select(col("v").as("doc_id"), col("comp").as("group_id"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // The bounded all-pairs grouping twin: exact Jaccard over every
     // pair of a small id range (bound pushed to the scan), components
     // over the exhaustive pair set — ground truth for the banded form.

@@ -130,6 +130,37 @@ class StreamsSpec extends SparkSpec {
       s"exact-gap boundary semantics changed: $out")
   }
 
+  test("stateful query resumes its state store from the checkpoint after restart") {
+    // The operational recovery story: stop a stateful query, start a
+    // NEW query from the same checkpoint — the state store must resume
+    // (driver/executor loss at 100 TB is routine, not exceptional).
+    // User 1's count must continue at 3, not restart at 1.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = s"/tmp/graft-ckpt/strec${System.nanoTime()}"
+    // The memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink (same as the production idempotentSink path).
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    def start() = Streams.runningUserState(mem.toDF()).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }.start()
+    val q1 = start()
+    mem.addData(ev(1, 0, user = 1, v = 2.0), ev(2, 1, user = 1, v = 3.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    mem.addData(ev(3, 5, user = 1, v = 5.0))
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    val last = got.asScala.filter(_._1 == 1L).maxBy(_._2)
+    assert(last == ((1L, 3L, 10.0)), s"state lost across restart: $last")
+  }
+
   test("runningUserState accumulates per-user count and sum across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
