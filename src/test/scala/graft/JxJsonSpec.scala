@@ -231,6 +231,22 @@ class JxJsonSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("dotted from composes with edges (descend, then dense-domain group)") {
+    val cube = JxJson.run(spark, sf0001,
+      """{"from": "orders_nested.lines",
+          "edges": [{"name": "status", "value": "o_orderstatus",
+            "domain": {"type": "set", "partitions": ["F", "O", "Z"]}}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": "status"}""")
+    val rows = cube.as[(String, Long)].collect()
+    // Dense domain: all three declared parts present, Z zero-filled.
+    assert(rows.map(_._1).contains("Z"))
+    assert(rows.find(_._1 == "Z").get._2 == 0L)
+    val lineCount = Catalog.table(spark, sf0001, "lineitem").count()
+    assert(rows.filter(r => r._1 == "F" || r._1 == "O").map(_._2).sum <= lineCount)
+    assert(rows.map(_._2).sum > 0)
+  }
+
   test("from as a nested query composes into one fused plan") {
     val out = JxJson.run(spark, sf0001,
       """{"from": {"from": "orders", "groupby": ["o_custkey"],
