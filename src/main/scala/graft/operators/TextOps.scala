@@ -160,8 +160,18 @@ object TextOps {
     ceil(length(text).cast("double") / 4.0).cast("long").as("est_tokens"))
 
   /** Content fingerprint: md5 of the normalized text (lower, strip
-    * non-alnum, collapse whitespace) — the exact-dedup key. */
+    * non-alnum, collapse whitespace) — the exact-dedup key. The
+    * normalization runs as the fused one-pass native kernel
+    * (graft.plans.TextNorm — the regex chain it replaces was ~55 s of
+    * the 500k-doc ScaleBench exact_dedup run); `fingerprintRegex` keeps
+    * the reference regex form for the property spec, and the DuckDB
+    * oracle recomputes that regex form, pinning the two cross-engine. */
   def fingerprint(text: Column): Column =
+    md5(graft.plans.TextNorm.normalizeForFingerprint(text))
+
+  /** Reference regex form of the fingerprint normalization (what the
+    * DuckDB oracle computes); kept for differential testing. */
+  def fingerprintRegex(text: Column): Column =
     md5(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 

@@ -18,6 +18,29 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("fingerprint native kernel equals the regex reference form") {
+    // The fused one-pass normalization must be byte-identical to the
+    // regex chain the DuckDB oracle computes — on the whole fixture
+    // corpus AND on crafted edge strings (leading/trailing/multiple
+    // spaces, punctuation runs, digits, mixed case, unicode, empties).
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text"))
+    val crafted = Seq(
+      "", " ", "   ", "a", "A!B", "  Hello,   WORLD!!  ", "123  456",
+      "!!!", "tabs\tand\nnewlines", "café Über İstanbul",
+      "ALL CAPS TEXT", "a!b@c#d$e%f", "trailing space ", " leading",
+      "emoji 😀 inside", "mixed42numbers and-dashes_under"
+    ).toDF("text")
+    Seq(fixture, crafted).foreach { df =>
+      val diff = df.select(
+          TextOps.fingerprint(col("text")).as("native"),
+          TextOps.fingerprintRegex(col("text")).as("regex"))
+        .filter(not(col("native") <=> col("regex")))
+        .count()
+      assert(diff == 0L, s"$diff rows diverge from the regex reference")
+    }
+  }
+
   test("shingles3 produces distinct 3-gram shingles; short text -> empty") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
     val out = df.select(col("id"), TextOps.shingles3(col("text")).as("sh"))
