@@ -1123,12 +1123,22 @@ object Llm extends QueryModule {
     QueryDef(
       "llm_decontaminate",
       (s, dir) => {
+        // The output is per-doc COUNTS, so the join key can be the
+        // 64-bit shingle hash instead of the shingle string: one native
+        // single-pass expression per row (graft.plans.MinHashLsh — no
+        // interpreted HOF, no string explode), slim longs on the
+        // broadcast and the shuffle. Collisions perturb a count with
+        // probability ~2^-64 — the same trade minhashNearDupPairs
+        // documents; the DuckDB oracle recomputes over strings, so the
+        // hash-compare also proves the hashed form counts identically.
+        // shingleHashes already returns sorted-distinct values, so no
+        // array_distinct pass is needed before the explode.
         val sh = Catalog.table(s, dir, "documents")
           .select(col("doc_id"),
-            explode(TextOps.shingles3(col("text"))).as("sh"))
+            explode(graft.plans.MinHashLsh.shingleHashes(col("text"))).as("sh"))
         val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
-        // shingles3 is per-doc distinct and bench is distinct, so the
-        // joined (doc_id, sh) pairs are unique: a plain count equals
+        // per-doc distinct shingles × distinct bench keys ⇒ joined
+        // (doc_id, sh) pairs are unique: a plain count equals
         // count(DISTINCT) without the expand + second shuffle it costs.
         sh.filter(col("doc_id") >= 10)
           .join(broadcast(bench), Seq("sh"))
