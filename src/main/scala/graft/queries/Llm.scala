@@ -1223,17 +1223,43 @@ object Llm extends QueryModule {
           GROUP BY 1, 2) ORDER BY doc_id""")),
 
     // Boilerplate detection: corpus-wide document frequency of 3-gram
-    // shingles (shingles3 is per-doc distinct, so count(*) = doc
-    // frequency). One shuffle on the shingle, then a salt-free global
-    // top-k via TakeOrderedAndProject with a pinned tie order.
+    // shingles (per-doc distinct, so count(*) = doc frequency).
+    // Hash-first two-pass for scale: pass 1 counts df over 64-bit
+    // shingle hashes (native single-pass shingling, slim long-only
+    // shuffle instead of shingle strings), carrying min(doc_id) as a
+    // free representative; pass 2 re-shingles ONLY those <= ~20
+    // representative docs to recover the winning strings. Candidates
+    // are threshold-selected (df >= 20th-largest df) so the final
+    // (df desc, sh asc) top-20 is exact — the string tie-break happens
+    // on recovered strings, never on hashes. The df table is
+    // localCheckpoint'd so the corpus explode+agg runs once for both
+    // the threshold branch and the candidate scan. Hash collisions
+    // merge two shingles' counts with probability ~2^-64 per pair —
+    // the documented trade of the whole minhash family; the string
+    // DuckDB oracle proves it holds on the fixture.
     QueryDef(
       "llm_boilerplate_ngrams",
-      (s, dir) =>
+      (s, dir) => {
+        val dfTab = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.plans.MinHashLsh.shingleHashes(col("text"))).as("h"))
+          .groupBy("h")
+          .agg(count(lit(1)).as("df"), min("doc_id").as("rep_doc"))
+          .localCheckpoint()
+        val th = dfTab.select("df").orderBy(desc("df")).limit(20)
+          .agg(min("df").as("th"))
+        val cand = dfTab.join(broadcast(th), col("df") >= col("th"))
+          .select("h", "df", "rep_doc")
+        val reps = cand.select(col("rep_doc").as("doc_id")).distinct()
         Catalog.table(s, dir, "documents")
+          .join(broadcast(reps), Seq("doc_id"))
           .select(explode(TextOps.shingles3(col("text"))).as("sh"))
-          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .distinct()
+          .join(broadcast(cand), xxhash64(col("sh")) === col("h"))
+          .select(col("sh"), col("df"))
           .orderBy(desc("df"), asc("sh"))
-          .limit(20),
+          .limit(20)
+      },
       Some("""SELECT sh, count(*) AS df FROM (SELECT doc_id,
             unnest(list_distinct(list_transform(range(1, len(w) - 1),
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh

@@ -28,6 +28,20 @@ class NativeExprSpec extends SparkSpec {
     assert(out(4L).isEmpty) // null text -> null array
   }
 
+  test("shingleHashes agrees with SQL xxhash64 over shingles3 strings") {
+    // llm_boilerplate_ngrams pass 2 recovers strings for pass-1 hashes
+    // by joining on xxhash64(sh) — the native expr (XXH64 seed 42) and
+    // Spark's SQL xxhash64 must produce identical values.
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val native = df.select(explode(
+        MinHashLsh.shingleHashes(col("text"))).as("h"))
+      .as[Long].collect().toSet
+    val sql = df.select(explode(TextOps.shingles3(col("text"))).as("sh"))
+      .select(xxhash64(col("sh"))).as[Long].collect().toSet
+    assert(native == sql && native.size == 7)
+  }
+
   test("lshBuckets: bands buckets for real docs, empty for empty input") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5"),
