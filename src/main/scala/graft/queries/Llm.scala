@@ -1231,12 +1231,16 @@ object Llm extends QueryModule {
     // representative docs to recover the winning strings. Candidates
     // are threshold-selected (df >= 20th-largest df) so the final
     // (df desc, sh asc) top-20 is exact — the string tie-break happens
-    // on recovered strings, never on hashes. The df table is
-    // localCheckpoint'd so the corpus explode+agg runs once for both
-    // the threshold branch and the candidate scan. Hash collisions
-    // merge two shingles' counts with probability ~2^-64 per pair —
-    // the documented trade of the whole minhash family; the string
-    // DuckDB oracle proves it holds on the fixture.
+    // on recovered strings, never on hashes. Exactly TWO full
+    // aggregation passes (threshold, then candidates — inherent to
+    // exact threshold selection); only the ~20-row candidate set is
+    // localCheckpoint'd, so neither the corpus nor the 30M-key df
+    // table holds executor memory at scale (time-equivalent to
+    // checkpointing the df table at the ×100 corpus, but without the
+    // ~750 MB block-manager residency). Hash collisions merge two
+    // shingles' counts with probability ~2^-64 per pair — the
+    // documented trade of the whole minhash family; the string DuckDB
+    // oracle proves it holds on the fixture.
     QueryDef(
       "llm_boilerplate_ngrams",
       (s, dir) => {
@@ -1245,11 +1249,10 @@ object Llm extends QueryModule {
             explode(graft.plans.MinHashLsh.shingleHashes(col("text"))).as("h"))
           .groupBy("h")
           .agg(count(lit(1)).as("df"), min("doc_id").as("rep_doc"))
-          .localCheckpoint()
         val th = dfTab.select("df").orderBy(desc("df")).limit(20)
           .agg(min("df").as("th"))
         val cand = dfTab.join(broadcast(th), col("df") >= col("th"))
-          .select("h", "df", "rep_doc")
+          .select("h", "df", "rep_doc").localCheckpoint()
         val reps = cand.select(col("rep_doc").as("doc_id")).distinct()
         Catalog.table(s, dir, "documents")
           .join(broadcast(reps), Seq("doc_id"))

@@ -77,14 +77,51 @@ object ScaleBench {
     println(s"corpus: $nDocs docs, $nEmb embeddings (x$mult)")
 
     def force(df: DataFrame): Long = df.count()
-    def time(label: String)(f: => Long): Unit = (1 to 2).foreach { i =>
-      val t0 = System.nanoTime(); val n = f
-      println(f"""{"op":"$label","run":$i,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
-    }
+    // optional op-name substring filter: `runMain ... ScaleBench lsh ivf`
+    val only = args.toSeq
+    def time(label: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(label.contains)) (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); val n = f
+        println(f"""{"op":"$label","run":$i,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
 
     time("exact_dedup")(force(TextOps.exactDedup(docs, "doc_id", "text")))
     time("minhash_dedup")(force(TextOps.minhashDedup(docs, "doc_id", "text")))
     time("simhash_dedup")(force(TextOps.simhashDedup(docs, "doc_id", "text")))
+    // hash-keyed benchmark-leakage scan (same shape as llm_decontaminate:
+    // first 10×mult docs are the "benchmark", broadcast as longs)
+    time("decontaminate") {
+      import graft.plans.MinHashLsh
+      val sh = docs.select(col("doc_id"),
+        explode(MinHashLsh.shingleHashes(col("text"))).as("sh"))
+      val bench = sh.filter(col("doc_id") < 10L * mult).select("sh").distinct()
+      force(sh.filter(col("doc_id") >= 10L * mult)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared")))
+    }
+    // hash-first two-pass corpus-wide 3-gram document frequency
+    // (same shape as llm_boilerplate_ngrams)
+    time("boilerplate_ngrams") {
+      import graft.plans.MinHashLsh
+      val dfTab = docs.select(col("doc_id"),
+          explode(MinHashLsh.shingleHashes(col("text"))).as("h"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("rep_doc"))
+      val th = dfTab.select("df").orderBy(desc("df")).limit(20)
+        .agg(min("df").as("th"))
+      // checkpoint the TINY candidate set (~20 rows), not the full df
+      // table: exactly two full aggregations total, and the two
+      // downstream joins read the materialized candidates for free
+      val cand = dfTab.join(broadcast(th), col("df") >= col("th"))
+        .select("h", "df", "rep_doc").localCheckpoint()
+      val reps = cand.select(col("rep_doc").as("doc_id")).distinct()
+      force(docs.join(broadcast(reps), Seq("doc_id"))
+        .select(explode(TextOps.shingles3(col("text"))).as("sh"))
+        .distinct()
+        .join(broadcast(cand), xxhash64(col("sh")) === col("h"))
+        .select(col("sh"), col("df"))
+        .orderBy(desc("df"), asc("sh")).limit(20))
+    }
     time("dedup_groups") {
       val pairs = TextOps.minhashNearDupPairs(docs, "doc_id", "text")
         .select("id_a", "id_b")

@@ -111,6 +111,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("llm_decontaminate explodes native shingle hashes, not strings") {
+    val p = plan("llm_decontaminate")
+    // the corpus-side shuffle key is the 64-bit shingle hash from the
+    // single-pass native expression — no per-shingle string explode
+    assert(p.contains("shingle_hashes"), p)
+    assert(!p.contains("shingles3") && !p.contains("concat_ws"), p)
+  }
+
+  test("llm_boilerplate_ngrams: checkpointed candidates, broadcast recovery") {
+    val p = plan("llm_boilerplate_ngrams")
+    // pass 1 (hash-keyed df count) ran eagerly into the ~20-row
+    // candidate checkpoint, so the final plan reads an ExistingRDD and
+    // recovers strings via broadcast joins only — a SortMergeJoin here
+    // would mean the corpus-wide string explode came back
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exact top-20 with pinned tie order stays a TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("agg_unpivot reshapes via Expand with no shuffle before the sort") {
     val p = plan("agg_unpivot")
     assert(p.contains("Expand"), p)
