@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
 import graft.operators.{Multimodal, Similarity, TextOps}
+import graft.plans.VectorExprs
 import graft.sources.Catalog
 
 /** SURVEY.md §2.11 — LLM training-data pipeline operators, declared over
@@ -745,6 +746,76 @@ object Llm extends QueryModule {
         WHERE a.vec_id < b.vec_id
           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.2
         ORDER BY id_a, id_b""")),
+
+    // Embedding hygiene: L2-normalize to unit vectors — the prep step
+    // before any cosine/ANN stage (on unit vectors dot == cosine, so
+    // downstream kNN drops per-pair norms). Row-local, zero shuffle,
+    // native codegen'd fold (VectorExprs.norm — sequential left fold,
+    // mirrored bit-exactly by the oracle's list_reduce so the fixed-
+    // point division below sees identical doubles on both sides). The
+    // unit vector is emitted as 6-decimal fixed-point integers via
+    // to_json (QueryDef determinism contract: raw array cells hash
+    // ambiguously in the driver comparator, and float JSON rendering
+    // differs across engines — integers do not). Zero-norm vectors
+    // surface as null, not NaN.
+    QueryDef(
+      "llm_embed_normalize",
+      (s, dir) => {
+        Catalog.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("l2", VectorExprs.norm(col("v")))
+          .select(col("vec_id"), col("l2"),
+            when(col("l2") === 0.0, lit(null).cast("string"))
+              .otherwise(to_json(transform(col("v"),
+                x => round(x / col("l2") * lit(1000000.0), 0).cast("long"))))
+              .as("unit_micro"))
+          .select(col("vec_id"), round(col("l2"), 6).as("l2"),
+            col("unit_micro"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, round(l2, 6) AS l2,
+          CASE WHEN l2 = 0 THEN NULL
+               ELSE CAST(to_json(list_transform(v,
+                 x -> CAST(round(x / l2 * 1000000.0) AS BIGINT))) AS VARCHAR)
+          END AS unit_micro
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+                  x -> x * x), (a, b) -> a + b)) AS l2
+              FROM embeddings)
+        ORDER BY vec_id""")),
+
+    // Int8-style symmetric quantization for embedding storage: scale =
+    // max|x| / 127 per vector, q_i = round(x_i / scale) ∈ [-127, 127].
+    // Row-local, zero shuffle; the scale comes from an order-
+    // independent max, so both engines compute bit-identical doubles
+    // and the integer codes hash-match exactly. Quantized codes cut an
+    // f32 embedding store 4× — the difference between an ANN index
+    // that fits executor memory at 100 TB and one that doesn't.
+    QueryDef(
+      "llm_embed_quantize",
+      (s, dir) => {
+        Catalog.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+          .select(col("vec_id"),
+            round(col("amax") / lit(127.0), 6).as("scale"),
+            when(col("amax") === 0.0,
+                to_json(transform(col("v"), _ => lit(0L))))
+              .otherwise(to_json(transform(col("v"),
+                x => round(x / (col("amax") / lit(127.0)), 0).cast("long"))))
+              .as("q"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, round(amax / 127.0, 6) AS scale,
+          CASE WHEN amax = 0
+               THEN CAST(to_json(list_transform(v, x -> CAST(0 AS BIGINT))) AS VARCHAR)
+               ELSE CAST(to_json(list_transform(v,
+                 x -> CAST(round(x / (amax / 127.0)) AS BIGINT))) AS VARCHAR)
+          END AS q
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+              FROM embeddings)
+        ORDER BY vec_id""")),
 
     // SemDedup-style semantic dedup: nearest-centroid clustering, then
     // within-cluster cosine near-dup removal (keep the smallest id).
