@@ -57,6 +57,65 @@ object Llm extends QueryModule {
           FROM documents)
         WHERE rn = 1 ORDER BY doc_id""")),
 
+    // Exact dedup, keep-BEST variant: real pipelines keep the highest-
+    // quality copy of a duplicate cluster, not the lowest id — here
+    // quality = n_chars (longest copy wins), ties broken toward the
+    // lowest id. One map-side-combinable max(struct) aggregate on the
+    // fingerprint — no window sort; the same slim-aggregate argmax
+    // shape as the IVF centroid assignment — and the cluster size
+    // rides along as n_copies.
+    QueryDef(
+      "llm_dedup_keep_best",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            TextOps.fingerprint(col("text")).as("fp"))
+          .groupBy("fp")
+          .agg(
+            max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+              .as("best"),
+            count(lit(1)).as("n_copies"))
+          .select((-col("best.neg_id")).as("doc_id"),
+            col("best.n_chars").as("n_chars"), col("fp"), col("n_copies"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, fp, n_copies FROM (
+          SELECT doc_id, n_chars, fp,
+            count(*) OVER (PARTITION BY fp) AS n_copies,
+            row_number() OVER (PARTITION BY fp
+              ORDER BY n_chars DESC, doc_id) AS rn
+          FROM (SELECT doc_id, n_chars,
+              md5(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+            FROM documents))
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Deterministic training-order shuffle: content-addressed ordering
+    // by md5 of the doc id — reproducible across runs and engines with
+    // no RNG state (SURVEY §7.5), the property a resumable training
+    // job needs from its data order. Sharded so the rank window
+    // parallelizes per shard (never a single global row_number); at
+    // 100 TB each shard's sort is an independent range-partitionable
+    // task keyed on a well-distributed 128-bit hash.
+    QueryDef(
+      "llm_shuffle_shards",
+      (s, dir) => {
+        val h = md5(concat(col("doc_id").cast("string"), lit(":shuffle")))
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"),
+            (conv(substring(h, 1, 4), 16, 10).cast("long") % 8).as("shard"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy("h")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, h, shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY h) AS BIGINT)
+            AS pos
+        FROM (SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle') AS h,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':shuffle'), 1, 4))::BIGINT
+              % 8 AS shard
+          FROM documents)
+        ORDER BY doc_id""")),
+
     // Signature correctness proof for MinHash: the md5 hash family is
     // reproducible in DuckDB, so the oracle recomputes the exact
     // signature. The production pipeline uses the xxhash64 family below.

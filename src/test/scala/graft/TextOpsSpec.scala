@@ -18,6 +18,27 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("llm_dedup_keep_best keeps the longest copy, lowest id on ties") {
+    // The sf0.01 fixture has no exact duplicates, so the declared
+    // query's argmax never fires there — pin it on crafted clusters
+    // through the real query (temp parquet dir, same reader path).
+    val dir = java.nio.file.Files.createTempDirectory("keepbest").toString
+    Seq(
+      (1L, "Hello,   World!", 15L),
+      (2L, "hello world", 11L),      // same fp, shorter -> dropped
+      (3L, "HELLO WORLD extended", 20L), // different fp
+      (4L, "HELLO? WORLD!", 13L),    // same fp as 1/2, shorter than 1
+      (5L, "solo doc", 8L),
+      (6L, "Solo   DOC", 10L),       // same fp as 5, LONGER -> kept
+      (7L, "solo doc!!", 10L)        // same fp, same length, higher id
+    ).toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_dedup_keep_best")(spark, dir)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 3L, 6L))
+    assert(out(1L) == 3L && out(3L) == 1L && out(6L) == 3L)
+  }
+
   test("fingerprint native kernel equals the regex reference form") {
     // The fused one-pass normalization must be byte-identical to the
     // regex chain the DuckDB oracle computes — on the whole fixture
