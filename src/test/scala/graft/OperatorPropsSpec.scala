@@ -35,6 +35,53 @@ class OperatorPropsSpec extends SparkSpec {
     assert(once.count() == twice.count())
   }
 
+  test("quantize reconstructs within scale/2; normalize yields unit norm") {
+    // llm_embed_quantize: |x - q*scale| ≤ scale/2 element-wise (the
+    // defining bound of round-to-nearest symmetric quantization) and
+    // codes stay in [-127, 127]. llm_embed_normalize: the fixed-point
+    // unit vector has L2 norm 1 ± 1e-4 (micro-unit rounding).
+    val q = SparkEntry.queries("llm_embed_quantize")(spark, sf0001)
+      .select(col("vec_id"), expr("from_json(q, 'array<bigint>')").as("qs"))
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // reconstruct with the TRUE scale (the output one is rounded to 6
+    // digits for the oracle; the codes were computed pre-rounding)
+    val worst = q.join(emb, "vec_id")
+      .withColumn("s",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .select(
+        aggregate(zip_with(col("v"), col("qs"),
+            (x, c) => abs(x - c * col("s"))),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("err"),
+        array_max(transform(col("qs"), c => abs(c))).as("qmax"),
+        col("s"))
+      .agg(max(expr("err / s")).as("rel"), max("qmax").as("qmax"))
+      .as[(Double, Long)].head()
+    assert(worst._1 <= 0.5 + 1e-9, s"reconstruction err ${worst._1} * scale")
+    assert(worst._2 <= 127L)
+
+    val badNorm = SparkEntry.queries("llm_embed_normalize")(spark, sf0001)
+      .filter(col("unit_micro").isNotNull)
+      .select(expr("from_json(unit_micro, 'array<bigint>')").as("u"))
+      .select(sqrt(aggregate(col("u"), lit(0.0),
+        (acc, e) => acc + (e / lit(1e6)) * (e / lit(1e6)))).as("n"))
+      .filter(abs(col("n") - 1.0) > 1e-4).count()
+    assert(badNorm == 0L)
+  }
+
+  test("shuffle_shards is a deterministic within-shard permutation") {
+    val out = SparkEntry.queries("llm_shuffle_shards")(spark, sf0001)
+      .select("shard", "pos").as[(Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq, s"shard $shard")
+    }
+    // content-addressed: a second evaluation is bit-identical
+    val again = SparkEntry.queries("llm_shuffle_shards")(spark, sf0001)
+      .select("shard", "pos").as[(Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("jaccard is symmetric and bounded on random word sets") {
     val wordGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
     val cases = samples(Gen.zip(wordGen, wordGen), 10)
