@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * CLUSTERS, so a whole group keeps exactly one survivor).
   *
   * Each round every vertex takes the min label over itself and its
-  * neighbours: two hash joins + one aggregate per round, all keyed on
-  * the high-cardinality vertex id — never a driver-side graph. The
-  * fixpoint (min vertex id per component) is unique, so the result is
-  * deterministic regardless of execution schedule. Rounds needed =
-  * eccentricity of each component's min vertex ≤ diameter; dup
-  * clusters are quasi-cliques (diameter ~1-2). The per-round count()
-  * is the convergence check — one tiny action per round, same as
-  * GraphX's Pregel loop.
+  * neighbours, then POINTER-JUMPS once — follows the candidate label
+  * to that vertex's own current label (label-of-label). Three hash
+  * joins + one aggregate per round, all keyed on the high-cardinality
+  * vertex id — never a driver-side graph. The fixpoint (min vertex id
+  * per component) is unique, so the result is deterministic regardless
+  * of execution schedule. The jump makes the covered distance roughly
+  * DOUBLE per round, so rounds ≈ O(log diameter) instead of
+  * O(diameter): a 1 000-vertex chain converges in ~11 rounds where
+  * plain propagation needs 1 000 (and would silently hand back
+  * unmerged labels at maxIter — the failure mode this hybrid removes).
+  * Dup clusters are quasi-cliques (diameter ~1-2, 2 rounds either
+  * way); the per-round count() is the convergence check — one tiny
+  * action per round, same as GraphX's Pregel loop.
   *
   * Labels are localCheckpoint'ed each round, NOT merely cached:
   * caching truncates re-execution but the logical plan still nests one
@@ -46,9 +51,17 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("v").as("dst"), col("comp").as("nbr")), "dst")
         .groupBy(col("src").as("v")).agg(min("nbr").as("nbr"))
-      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+      val cand = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("m"))
+      // pointer jump: m is itself a vertex id (labels only ever hold
+      // vertex ids), so follow it to ITS current label — label-of-label
+      // doubles the propagated distance each round
+      val next = cand
+        .join(labels.select(col("v").as("m"), col("comp").as("jump")),
+          Seq("m"), "left_outer")
+        .select(col("v"), col("old"),
+          least(col("m"), coalesce(col("jump"), col("m"))).as("comp"))
         .localCheckpoint(true)
       changed = next.filter(col("comp") < col("old")).count()
       labels = next.select("v", "comp")

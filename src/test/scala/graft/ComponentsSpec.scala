@@ -27,6 +27,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == n && got.values.forall(_ == 0L))
   }
 
+  test("a 300-vertex chain converges well inside maxIter (pointer jump)") {
+    // diameter 299 >> maxIter 60: plain min-label propagation would
+    // silently return unmerged labels here; the label-of-label jump
+    // roughly doubles covered distance per round (~10 rounds)
+    val n = 300L
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val got = cc(edges, 0L until n)
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   test("edge endpoints missing from the vertex set do not crash the loop") {
     // vertices drives the universe; an edge to an unknown vertex can
     // still propagate its label without producing a row for it
