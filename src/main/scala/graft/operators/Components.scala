@@ -67,6 +67,12 @@ object Components {
       labels = next.select("v", "comp")
       i += 1
     }
+    // Partially-merged labels are silently WRONG dup clusters — refuse
+    // to hand them back. With the pointer jump, 60 rounds cover a
+    // diameter ~2^60, so reaching this is a parameter error, not data.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     labels
   }
 }

@@ -37,6 +37,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == n && got.values.forall(_ == 0L))
   }
 
+  test("non-convergence within maxIter fails loudly, never partial labels") {
+    val edges = (0L until 29L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b",
+        (0L until 30L).toDF("v"), "v", maxIter = 2)
+        .collect()
+    }
+  }
+
   test("edge endpoints missing from the vertex set do not crash the loop") {
     // vertices drives the universe; an edge to an unknown vertex can
     // still propagate its label without producing a row for it
