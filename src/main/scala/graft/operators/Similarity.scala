@@ -297,8 +297,12 @@ object Similarity {
     *
     * Scale shape: centroids broadcast (their count is the quality
     * dial, chosen ∝ corpus size so clusters stay bounded); assignment
-    * is one window argmax keyed by the high-cardinality vector id (no
-    * funnel); the quadratic pair stage runs within clusters only —
+    * is a slim map-side-combinable max(struct(cs,-cid)) aggregate over
+    * (id, cs, cid) rows — scores are computed inside the broadcast
+    * join's projection, so the wide vectors never ride the per-id
+    * shuffle (the same reshape that took ivfTopK's assignment from
+    * 292 s to 8 s at the ×100 corpus; vectors rejoin by id once, after
+    * the argmax). The quadratic pair stage runs within clusters only —
     * that confinement is the entire point of SemDedup, turning an
     * O(n²) dedup into Σ O(|cluster|²).
     *
@@ -313,12 +317,20 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val cents = v.filter(col("id") % centroidStep === 0)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy("id")
-      .orderBy(desc_nulls_last("cs"), asc("cid"))
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("cs", round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+    // argmax centroid per id as a slim aggregate: (id, cs, cid) only —
+    // max(struct) ranks by cs desc then cid asc (negated), and a
+    // null cs struct sorts below any scored one, matching the window
+    // form's desc_nulls_last; all-null ids (zero vectors) fall back to
+    // the min cid, also matching. Vectors rejoin once, after the argmax.
+    val best = v.crossJoin(broadcast(cents))
+      .select(col("id"),
+        round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6)
+          .as("cs"),
+        col("cid"))
+      .groupBy("id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("id"), (-col("b.ncid")).as("cid"))
+    val assigned = best.join(v, "id")
       .select(col("id"), col("cid"), col("v"), col("nrm"))
     val removed = assigned.as("a")
       .join(assigned.as("b"),

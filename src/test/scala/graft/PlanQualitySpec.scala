@@ -231,6 +231,9 @@ class PlanQualitySpec extends SparkSpec {
     // intended bounded-side plan, never a CartesianProduct.
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the argmax is a slim max(struct) aggregate, not a wide-row
+    // window — vectors must never ride the per-id shuffle
+    assert(!p.contains("Window"), p)
   }
 
   test("llm_pipeline_e2e composes all four stages without a cartesian") {
