@@ -992,25 +992,34 @@ object Llm extends QueryModule {
             col("nrm").as("cnrm"))
         def centSim(vec: String, nrm: String) =
           round(Similarity.cosine(col(vec), col("ce"), col(nrm), col("cnrm")), 6)
-        val wA = Window.partitionBy("vec_id")
-          .orderBy(desc_nulls_last("cs"), asc("cid"))
-        val assigned = v.crossJoin(broadcast(cents))
-          .withColumn("cs", centSim("e", "nrm"))
-          .withColumn("crk", row_number().over(wA))
-          .filter(col("crk") === 1)
+        // assignment argmax as the slim max(struct) aggregate (scores
+        // projected inside the broadcast join; vectors rejoin by id) —
+        // the same shape as Similarity.ivfTopK/semdedup, so the
+        // declared oracle op and the scale path share one plan story
+        val bestA = v.crossJoin(broadcast(cents))
+          .select(col("vec_id"), centSim("e", "nrm").as("cs"), col("cid"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+          .select(col("vec_id"), (-col("b.ncid")).as("cid"))
+        val assigned = bestA.join(v, "vec_id")
           .select(col("cid"), col("vec_id").as("nid"),
             col("e").as("ne"), col("nrm").as("nnrm"))
+        // nprobe=2 probe set: top-2 needs a rank window, but over slim
+        // (qid, cs, cid) rows only; query vectors rejoin afterward
         val wP = Window.partitionBy("qid")
           .orderBy(desc_nulls_last("cs"), asc("cid"))
-        val probes = v.filter(col("vec_id") < 20)
+        val q = v.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("e").as("qe"),
             col("nrm").as("qnrm"))
-          .crossJoin(broadcast(cents))
-          .withColumn("cs",
-            round(Similarity.cosine(col("qe"), col("ce"), col("qnrm"), col("cnrm")), 6))
+        val probes = q.crossJoin(broadcast(cents))
+          .select(col("qid"),
+            round(Similarity.cosine(col("qe"), col("ce"), col("qnrm"), col("cnrm")), 6)
+              .as("cs"),
+            col("cid"))
           .withColumn("crk", row_number().over(wP))
           .filter(col("crk") <= 2)
-          .select(col("cid"), col("qid"), col("qe"), col("qnrm"))
+          .select("cid", "qid")
+          .join(q, "qid")
         val wK = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
         assigned.join(broadcast(probes), Seq("cid"))
           .filter(col("nid") =!= col("qid"))
