@@ -128,6 +128,14 @@ object ScaleBench {
       force(Components.connectedComponents(
         pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id"))
     }
+    // SemDedup at corpus scale: centroids ≈ √N (step = N/√N) keeps
+    // clusters ~√N so the within-cluster pair stage stays Σ O(|c|²)
+    time("semdedup") {
+      val step = math.max(2,
+        (nEmb / math.sqrt(nEmb.toDouble)).round.toInt)
+      force(Similarity.semdedup(emb, "vec_id", "embedding",
+        threshold = 0.2, centroidStep = step))
+    }
     val queries = emb.filter(col("vec_id") < 100 * mult.toLong)
     // Hold the knobs to the documented sizing rules as the corpus
     // grows: bits ≈ log2(N/256-row buckets); nlist ≈ √N at 1/16 probe.
