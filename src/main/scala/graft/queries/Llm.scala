@@ -1255,6 +1255,75 @@ object Llm extends QueryModule {
             // 512 AS BIGINT) AS bin
         FROM quota ORDER BY lang, doc_id""")),
 
+    // Second composed pipeline, over the round-5 curation ops: exact
+    // dedup keeping the LONGEST copy (keep-best argmax) → benchmark
+    // decontamination (drop survivors sharing ≥5 distinct 3-gram
+    // shingles with the doc_id<10 bench set — hash-keyed probe, same
+    // 2^-64 trade as llm_decontaminate, threshold at the fixture's
+    // p99) → content-addressed deterministic shard + training order.
+    // Each stage is declared standalone; this query pins that they
+    // COMPOSE in one Catalyst DAG — schema drift or a semantics change
+    // in any stage breaks this oracle too.
+    QueryDef(
+      "llm_pipeline_curation",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val kept = docs
+          .select(col("doc_id"), col("n_chars"),
+            TextOps.fingerprint(col("text")).as("fp"))
+          .groupBy("fp")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+          .select((-col("best.neg_id")).as("doc_id"))
+          .join(docs, Seq("doc_id"))
+        val bench = docs.filter(col("doc_id") < 10)
+          .select(explode(
+            graft.plans.MinHashLsh.shingleHashes(col("text"))).as("sh"))
+          .distinct()
+        val contaminated = kept.filter(col("doc_id") >= 10)
+          .select(col("doc_id"),
+            explode(graft.plans.MinHashLsh.shingleHashes(col("text"))).as("sh"))
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .select("doc_id")
+        val h = md5(concat(col("doc_id").cast("string"), lit(":cur")))
+        kept.filter(col("doc_id") >= 10)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), h.as("h"),
+            (conv(substring(h, 1, 4), 16, 10).cast("long") % 8).as("shard"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy("h")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id, n_chars,
+            md5(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+          FROM documents),
+        kept AS (SELECT doc_id FROM (SELECT doc_id,
+            row_number() OVER (PARTITION BY fp
+              ORDER BY n_chars DESC, doc_id) AS rn FROM fp) WHERE rn = 1),
+        sh AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+        bad AS (SELECT s.doc_id FROM sh s JOIN bench b USING (sh)
+          JOIN kept k ON k.doc_id = s.doc_id
+          WHERE s.doc_id >= 10
+          GROUP BY s.doc_id HAVING count(DISTINCT s.sh) >= 5),
+        clean AS (SELECT d.doc_id, d.lang,
+            md5(d.doc_id::VARCHAR || ':cur') AS h
+          FROM documents d JOIN kept USING (doc_id)
+          WHERE d.doc_id >= 10
+            AND d.doc_id NOT IN (SELECT doc_id FROM bad))
+        SELECT doc_id, lang, h, shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY h) AS BIGINT)
+            AS pos
+        FROM (SELECT *, ('0x' || substr(h, 1, 4))::BIGINT % 8 AS shard
+              FROM clean)
+        ORDER BY doc_id""")),
+
     // Benchmark decontamination: flag corpus docs sharing any 3-gram
     // shingle with the (small, broadcastable) benchmark set — the
     // eval-leakage scan every training pipeline runs. Shuffle is on
