@@ -1477,6 +1477,44 @@ object Llm extends QueryModule {
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
         GROUP BY sh ORDER BY df DESC, sh LIMIT 20""")),
 
+    // Novelty scoring: the fraction of a doc's distinct 3-gram
+    // shingles whose FIRST occurrence (min doc_id) is this doc — the
+    // diversity/novelty weight curation pipelines use to favor
+    // content-introducing documents over echoes. Hash-keyed like
+    // decontaminate/boilerplate: one groupBy on the 64-bit shingle
+    // hash (slim long shuffle, min(doc_id) as the first-seen marker)
+    // plus one equi-join back — no strings past the scan. Docs too
+    // short to shingle have no rows, mirrored by the oracle's unnest
+    // of an empty list.
+    QueryDef(
+      "llm_ngram_novelty",
+      (s, dir) => {
+        val sh = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.plans.MinHashLsh.shingleHashes(col("text"))).as("sh"))
+        val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+        sh.join(first, Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_new"))
+          .select(col("doc_id"), col("n_sh"), col("n_new"),
+            round(col("n_new").cast("double") / col("n_sh"), 6).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+        SELECT doc_id, count(*) AS n_sh,
+          CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+          round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+            / count(*), 6) AS novelty
+        FROM sh JOIN first USING (sh)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // PII-style scrubbing: mask digit runs and count redactions — pure
     // codegen'd regexp over each row, no shuffle. (The synthetic corpus
     // text carries no emails/phones; customer names are the fixture's
