@@ -247,7 +247,7 @@ object Llm extends QueryModule {
           .orderBy(desc("tokens"), asc("source"))
       },
       Some("""WITH per_src AS (SELECT source, count(*) AS n_docs,
-            sum(len(string_split(text, ' '))::BIGINT) AS tokens
+            sum(len(string_split(text, ' '))::BIGINT)::BIGINT AS tokens
           FROM documents GROUP BY source)
         SELECT source, n_docs, tokens,
           round(tokens / sum(tokens) OVER (), 6) AS share,

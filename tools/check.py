@@ -48,6 +48,24 @@ def main():
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             nfail += 1; continue
+        # Driver-faithful TYPE gate: the driver hashes typed values, so a
+        # DuckDB HUGEINT (sum of BIGINT) vs Spark BIGINT mismatch fails
+        # there even when every value is numerically equal (r4
+        # llm_pipeline_e2e, r5 llm_domain_mix). Both frames come through
+        # duckdb.fetchdf(), so pandas dtype KIND is the faithful proxy:
+        # HUGEINT surfaces as float64 ('f') while BIGINT is int64 ('i').
+        # Width within a kind (int32 vs int64) is NOT compared — the
+        # driver provably passes those (win_rank et al. green in r5 with
+        # Spark int32 vs DuckDB BIGINT).
+        dtbad = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                 for c in sdf.columns
+                 if sdf[c].dtype.kind != odf[c].dtype.kind]
+        if dtbad:
+            print(f"FAIL {name}: column dtype mismatch (driver typed-hash "
+                  f"would fail):")
+            for c, a, b in dtbad:
+                print(f"   [{c}] spark={a} oracle={b}")
+            nfail += 1; continue
         bad = []
         for c in sdf.columns:
             sv, ov = sdf[c].tolist(), odf[c].tolist()
