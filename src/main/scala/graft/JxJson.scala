@@ -202,24 +202,40 @@ object JxJson {
   /** One snowflake-descent step: `seg` must be an array<struct> (the
     * nested child table — rows multiply, inner-join semantics: parents
     * with no children vanish, like the reference's nested-table query)
-    * or a plain struct (flatten only). Child fields land at top level;
-    * a child field shadows a same-named parent column.
+    * or a plain struct (flatten only). Child fields land at top level.
+    * A child field whose name collides with a surviving parent column
+    * is an ERROR, not a silent shadow — dropping a parent column is a
+    * data-shape change the caller never asked for; qualify or rename
+    * in the nest instead. The explode intermediate gets a
+    * collision-proof generated alias, never a fixed name.
     */
-  private def descendInto(df: DataFrame, seg: String): DataFrame = {
+  private[graft] def descendInto(df: DataFrame, seg: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StructType}
     val field = df.schema.fields.find(_.name == seg).getOrElse(
       sys.error(s"jx: from descent — no nested column '$seg' " +
         s"(have: ${df.columns.mkString(", ")})"))
+    def requireNoShadow(st: StructType): Unit = {
+      val clash = df.columns.filter(c => c != seg && st.fieldNames.contains(c))
+      if (clash.nonEmpty) sys.error(
+        s"jx: from descent into '$seg' — child field(s) " +
+          s"${clash.mkString("'", "', '", "'")} collide with parent " +
+          "column(s) of the same name; descending would silently drop " +
+          "the parent data. Rename the child field or drop the parent first.")
+    }
+    def fresh(taken: Seq[String]): String =
+      Iterator.from(0).map(i => s"_jx_row$i")
+        .find(n => !taken.contains(n)).get
     field.dataType match {
       case ArrayType(st: StructType, _) =>
-        val parents =
-          df.columns.filterNot(c => c == seg || st.fieldNames.contains(c))
-        df.select(parents.map(col) :+ explode(col(seg)).as("_jx_row"): _*)
+        requireNoShadow(st)
+        val parents = df.columns.filterNot(_ == seg)
+        val rowAlias = fresh(df.columns ++ st.fieldNames)
+        df.select(parents.map(col) :+ explode(col(seg)).as(rowAlias): _*)
           .select(parents.map(col) ++
-            st.fieldNames.map(n => col(s"_jx_row.$n").as(n)): _*)
+            st.fieldNames.map(n => col(s"$rowAlias.$n").as(n)): _*)
       case st: StructType =>
-        val parents =
-          df.columns.filterNot(c => c == seg || st.fieldNames.contains(c))
+        requireNoShadow(st)
+        val parents = df.columns.filterNot(_ == seg)
         df.select(parents.map(col) ++
           st.fieldNames.map(n => col(s"$seg.$n").as(n)): _*)
       case other => sys.error(

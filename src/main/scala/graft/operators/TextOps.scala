@@ -188,6 +188,53 @@ object TextOps {
       .drop("rn")
   }
 
+  /** Corpus-wide boilerplate 3-gram top-k by document frequency —
+    * hash-first two-pass: pass 1 counts df over 64-bit shingle hashes
+    * (slim long-only shuffle, min(doc_id) carried as a free
+    * representative); pass 2 re-shingles ONLY the representative docs
+    * to recover the winning strings, so the final (df desc, sh asc)
+    * top-k is exact with the tie-break on recovered strings.
+    *
+    * The "tiny candidate set" premise (cand ≈ k rows) fails when the
+    * k-th df is heavily tied — e.g. a corpus where fewer than k
+    * shingles repeat makes the threshold 1 and cand the ENTIRE df
+    * table. limit(candCap+1) bounds what the eager localCheckpoint can
+    * materialize, and on overflow we fall back to the exact one-pass
+    * string-keyed top-k (correct at any tie structure, just a wider
+    * shuffle) instead of broadcasting an unbounded frame twice. */
+  def boilerplateTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, candCap: Int = 1024): DataFrame = {
+    import graft.plans.MinHashLsh
+    val dfTab = docs
+      .select(col(idCol).as("doc_id"),
+        explode(MinHashLsh.shingleHashes(col(textCol))).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("rep_doc"))
+    val th = dfTab.select("df").orderBy(desc("df")).limit(k)
+      .agg(min("df").as("th"))
+    val cand = dfTab.join(broadcast(th), col("df") >= col("th"))
+      .select("h", "df", "rep_doc").limit(candCap + 1).localCheckpoint()
+    if (cand.count() > candCap) {
+      docs
+        .select(col(idCol).as("doc_id"),
+          explode(shingles3(col(textCol))).as("sh"))
+        .distinct()
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("sh"))
+        .limit(k)
+    } else {
+      val reps = cand.select(col("rep_doc").as(idCol)).distinct()
+      docs
+        .join(broadcast(reps), Seq(idCol))
+        .select(explode(shingles3(col(textCol))).as("sh"))
+        .distinct()
+        .join(broadcast(cand), xxhash64(col("sh")) === col("h"))
+        .select(col("sh"), col("df"))
+        .orderBy(desc("df"), asc("sh"))
+        .limit(k)
+    }
+  }
+
   /** MinHash/LSH near-dup candidate pairs, jaccard-verified.
     *
     * Pipeline: per-row shingle hashes + band buckets (two native

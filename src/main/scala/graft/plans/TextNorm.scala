@@ -29,6 +29,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * [a-z0-9 ] both ways (dropped) or maps into it identically (e.g.
   * U+0130 → 'i'); ASCII — the fixture corpus and any pre-normalized
   * training text — is bit-identical by construction.
+  *
+  * Locale caveat: for strings containing ANY non-ASCII char, Spark's
+  * lower() falls through to locale-sensitive String.toLowerCase, so
+  * under e.g. a Turkish default JVM locale an ASCII 'I' in a
+  * mixed-script string lowercases to dotless U+0131 (dropped by the
+  * regex form) while this kernel's per-char path always maps 'I'→'i'
+  * (kept, locale-free). The kernel's behavior is the intended,
+  * deterministic one; differential fingerprint==fingerprintRegex
+  * checks are only valid under a ROOT/en-class JVM locale (pass
+  * -Duser.language=en or use Locale.setDefault in the harness) or on
+  * pure-ASCII data, which is what the fixture corpus guarantees.
   */
 object TextNorm {
 

@@ -150,11 +150,20 @@ object Extensions extends QueryModule {
     // shuffle — and the oracle rebuilds the byte-identical string with
     // DuckDB's to_json/struct_pack, so marker layout, key order, and
     // value rendering are all pinned cross-engine.
+    // Non-null domain is PART OF the contract: Spark's to_json omits
+    // null struct fields while DuckDB's to_json renders `"~s~": null`,
+    // so a null lang/n_chars would silently break byte-identity. The
+    // assert_true in the filter makes a fixture drift fail loudly at
+    // run time instead of as an opaque oracle hash mismatch. (A real
+    // encoder would wrap null as the typed-JSON missing marker.)
     QueryDef(
       "json_typed_encode",
       (s, dir) =>
         Catalog.table(s, dir, "documents")
-          .filter(col("doc_id") < 500)
+          .filter(col("doc_id") < 500 && isnull(assert_true(
+            col("lang").isNotNull && col("n_chars").isNotNull,
+            lit("json_typed_encode: null lang/n_chars breaks the " +
+              "byte-identical typed-JSON contract"))))
           .select(col("doc_id"), to_json(struct(
             struct(col("doc_id").as("~n~")).as("doc_id"),
             struct(col("lang").as("~s~")).as("lang"),

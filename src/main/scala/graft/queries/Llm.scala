@@ -1449,28 +1449,14 @@ object Llm extends QueryModule {
     // shingles' counts with probability ~2^-64 per pair — the
     // documented trade of the whole minhash family; the string DuckDB
     // oracle proves it holds on the fixture.
+    // Logic lives in TextOps.boilerplateTopK so BOTH paths (threshold-
+    // select fast path AND the tie-explosion fallback the candCap guard
+    // triggers) are unit-testable; the fixture only exercises the fast
+    // path, TextOpsSpec crafts the degenerate corpus for the other.
     QueryDef(
       "llm_boilerplate_ngrams",
-      (s, dir) => {
-        val dfTab = Catalog.table(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(graft.plans.MinHashLsh.shingleHashes(col("text"))).as("h"))
-          .groupBy("h")
-          .agg(count(lit(1)).as("df"), min("doc_id").as("rep_doc"))
-        val th = dfTab.select("df").orderBy(desc("df")).limit(20)
-          .agg(min("df").as("th"))
-        val cand = dfTab.join(broadcast(th), col("df") >= col("th"))
-          .select("h", "df", "rep_doc").localCheckpoint()
-        val reps = cand.select(col("rep_doc").as("doc_id")).distinct()
-        Catalog.table(s, dir, "documents")
-          .join(broadcast(reps), Seq("doc_id"))
-          .select(explode(TextOps.shingles3(col("text"))).as("sh"))
-          .distinct()
-          .join(broadcast(cand), xxhash64(col("sh")) === col("h"))
-          .select(col("sh"), col("df"))
-          .orderBy(desc("df"), asc("sh"))
-          .limit(20)
-      },
+      (s, dir) => TextOps.boilerplateTopK(
+        Catalog.table(s, dir, "documents"), "doc_id", "text"),
       Some("""SELECT sh, count(*) AS df FROM (SELECT doc_id,
             unnest(list_distinct(list_transform(range(1, len(w) - 1),
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh

@@ -210,6 +210,30 @@ class JxJsonSpec extends SparkSpec {
     assert(rows.toSeq == expect.toSeq)
   }
 
+  test("descent errors loudly when a child field shadows a parent column") {
+    // Silent shadowing = a data-shape change the caller never asked for.
+    val df = Seq((1L, "parent", Seq(("childval", 2.0))))
+      .toDF("id", "name", "kids")
+      .selectExpr("id", "name",
+        "transform(kids, k -> named_struct('name', k._1, 'w', k._2)) AS kids")
+    val e = intercept[RuntimeException] { JxJson.descendInto(df, "kids") }
+    assert(e.getMessage.contains("collide"))
+    assert(e.getMessage.contains("name"))
+  }
+
+  test("descent survives a real column named _jx_row (collision-proof alias)") {
+    val df = Seq((1L, "keepme", Seq((10L, 2.0)), "shadow-bait"))
+      .toDF("id", "_jx_row", "kids", "extra")
+      .selectExpr("id", "_jx_row", "extra",
+        "transform(kids, k -> named_struct('ck', k._1, 'cv', k._2)) AS kids")
+    val out = JxJson.descendInto(df, "kids")
+    assert(out.columns.sorted.toSeq ==
+      Seq("_jx_row", "ck", "cv", "extra", "id"))
+    val row = out.collect().head
+    assert(row.getAs[String]("_jx_row") == "keepme")
+    assert(row.getAs[Long]("ck") == 10L)
+  }
+
   test("dotted from onto a non-nested column fails with a clear error") {
     val e = intercept[RuntimeException] {
       JxJson.run(spark, sf0001, """{"from": "orders.o_totalprice",

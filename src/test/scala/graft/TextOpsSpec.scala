@@ -62,6 +62,44 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateTopK: threshold fast path matches exact string top-k") {
+    // 30 docs sharing one boilerplate sentence + unique tails: the
+    // 20th-largest df is well above the tie floor, so the threshold
+    // candidate set stays tiny and the fast path runs.
+    val docs = (1L to 30L).map(i =>
+      (i, s"all rights reserved contact us today item$i unique tail $i"))
+      .toDF("doc_id", "text")
+    val fast = TextOps.boilerplateTopK(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toSeq
+    val exact = docs
+      .select(col("doc_id"), explode(TextOps.shingles3(col("text"))).as("sh"))
+      .distinct().groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("sh")).limit(20)
+      .as[(String, Long)].collect().toSeq
+    assert(fast == exact)
+    assert(fast.head._2 == 30L) // the shared boilerplate tops the list
+  }
+
+  test("boilerplateTopK: tie explosion falls back, stays exact, bounded") {
+    // Every shingle unique -> every df=1 -> threshold=1 -> the
+    // candidate set would be the ENTIRE df table; the candCap guard
+    // must trigger the string-keyed fallback and still return the
+    // exact (df desc, sh asc) top-k.
+    val docs = (1L to 300L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplateTopK(docs, "doc_id", "text",
+      k = 20, candCap = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(out.size == 20)
+    assert(out.forall(_._2 == 1L))
+    // Exact tie-break: lexicographically first 20 shingles.
+    val allSh = docs
+      .select(explode(TextOps.shingles3(col("text"))).as("sh"))
+      .distinct().orderBy("sh").limit(20).as[String].collect().toSeq
+    assert(out.map(_._1) == allSh)
+  }
+
   test("shingles3 produces distinct 3-gram shingles; short text -> empty") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
     val out = df.select(col("id"), TextOps.shingles3(col("text")).as("sh"))
