@@ -234,6 +234,11 @@ object StreamingBatch extends QueryModule {
     // A session's window end is last_event_ts + gap, so the emitted set
     // is sessions with max(ts) + 30 min <= max_stream_ts − 2 h — which
     // the gap-detect CTE expresses directly in SQL.
+    // Boundary comparator: the oracle breaks on strictly `> 30 minutes`
+    // because Spark MERGES an event arriving at exactly last_ts + gap
+    // (touching session ranges coalesce) — pinned empirically in
+    // StreamsSpec "session_window MERGES at an exact-gap boundary".
+    // `>=` would split what Spark joins.
     QueryDef(
       "stream_session_true",
       (s, dir) => {

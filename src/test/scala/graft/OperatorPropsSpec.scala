@@ -16,6 +16,35 @@ class OperatorPropsSpec extends SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("json_set_default declared constraint holds: props are flat non-null scalars") {
+    // json_set_default (queries/Scalars.scala) is declared over flat
+    // scalar non-null props: RFC 7386 merge-patch (the DuckDB oracle)
+    // DELETES null-valued keys where map_zip_with keeps them, and
+    // nested objects replace wholesale rather than zip. This spec makes
+    // a fixture drift outside that domain fail HERE, loudly, instead of
+    // as an opaque oracle hash mismatch.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val props = Catalog.table(spark, sf0001, "events")
+      .select("event_id", "props").as[(Long, String)].collect()
+    assert(props.nonEmpty)
+    props.foreach { case (id, p) =>
+      JsonMethods.parse(p) match {
+        case JObject(fields) =>
+          fields.foreach {
+            case (k, JNull) => fail(
+              s"event $id props key '$k' is JSON null - json_set_default's " +
+                "merge-patch oracle deletes it while map_zip_with keeps it")
+            case (k, v) if v.isInstanceOf[JObject] || v.isInstanceOf[JArray] =>
+              fail(s"event $id props key '$k' is non-scalar - merge-patch " +
+                "replaces wholesale, map_zip_with would zip")
+            case _ => ()
+          }
+        case other => fail(s"event $id props is not a JSON object: $other")
+      }
+    }
+  }
+
   test("topk(k) equals sort.limit(k) for random k") {
     val orders = Catalog.table(spark, sf0001, "orders").cache()
     val all = orders.select("o_orderkey", "o_totalprice")
