@@ -183,18 +183,46 @@ object Aggregates extends QueryModule {
     // Mergeable-sketch percentile for 100 TB quantiles (exact
     // percentile sorts every group; approx_percentile is a bounded-
     // error mergeable digest — one map-side partial per partition).
-    // Approximate → rows-only; AggregatesSpec bounds the error vs the
-    // exact operator.
+    // PROMOTED to a hard oracle (round 6): the digest VALUE is
+    // merge-order-dependent so no other engine can recompute it, but
+    // its CONTRACT is checkable — Greenwald-Khanna with accuracy a
+    // guarantees rank error <= N/a, so the sketch result must lie
+    // between the exact percentiles at p ± 2/a. The declared output is
+    // those exact bracketing values (cross-engine value-checked) plus
+    // the in-bounds booleans, which DuckDB emits as the contract's
+    // literal TRUE — a digest regression now fails the driver's hash,
+    // not just the local spec (AggregatesSpec still bounds the raw
+    // error). The sketch itself still runs inside the query.
     QueryDef(
       "agg_percentile_approx",
       (s, dir) =>
         Catalog.table(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
-            expr("approx_percentile(l_extendedprice, 0.90, 1000)").as("p90"))
+            expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("a25"),
+            expr("approx_percentile(l_extendedprice, 0.90, 1000)").as("a90"),
+            expr("percentile(l_extendedprice, 0.248)").as("lo25"),
+            expr("percentile(l_extendedprice, 0.252)").as("hi25"),
+            expr("percentile(l_extendedprice, 0.898)").as("lo90"),
+            expr("percentile(l_extendedprice, 0.902)").as("hi90"))
+          .select(col("l_returnflag"),
+            round(col("lo25"), 4).as("p25_lo"),
+            round(col("hi25"), 4).as("p25_hi"),
+            (col("a25") >= col("lo25") && col("a25") <= col("hi25"))
+              .as("p25_ok"),
+            round(col("lo90"), 4).as("p90_lo"),
+            round(col("hi90"), 4).as("p90_hi"),
+            (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+              .as("p90_ok"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.248), 4) AS p25_lo,
+          round(quantile_cont(l_extendedprice, 0.252), 4) AS p25_hi,
+          true AS p25_ok,
+          round(quantile_cont(l_extendedprice, 0.898), 4) AS p90_lo,
+          round(quantile_cont(l_extendedprice, 0.902), 4) AS p90_hi,
+          true AS p90_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Array-valued results are serialized with to_json in the DECLARED
     // output (QueryDef determinism contract: arrays render to strings
