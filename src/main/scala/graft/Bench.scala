@@ -16,9 +16,34 @@ object Bench {
       .agg(expr("bit_xor(h)")).collect()
     catch { case _: Throwable => df.count() }
 
+  /** 1-minute load average — recorded in the bench line so a measure
+    * taken on a contended box is visible in the artifact itself
+    * (BENCH_r05 recorded 5.1× baseline purely because ScaleBench jobs
+    * shared the box; the number was unexplainable from the record). */
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ").head.toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Other live java processes (excluding this JVM). On a quiet
+    * sbt-launched run this is 1 (the sbt parent); anything more means
+    * another build/bench was running alongside the measure. */
+  private def otherJava(): Int =
+    try {
+      import scala.jdk.CollectionConverters._
+      val self = ProcessHandle.current().pid()
+      ProcessHandle.allProcesses().iterator().asScala.count { p =>
+        p.pid() != self && p.info().command()
+          .map[Boolean](c => c.endsWith("/java") || c == "java")
+          .orElse(false)
+      }
+    } catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = load1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -84,7 +109,9 @@ object Bench {
     // short enough to always survive whole and parse.
     println(s"""{"metric":"detail","unit":"sec","queries":${fmt(results.sortBy(_._2))}}""")
     val top10 = fmt(results.sortBy(-_._2).take(10))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},"queries":$top10,"sf":"$sfDir"}""")
+    val telemetry = s""""load1_start":$loadStart,"load1_end":${load1()},""" +
+      s""""other_java":${otherJava()}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},$telemetry,"queries":$top10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,12 +13,17 @@ package graft
   * the box's disk queue; fall back to /tmp when tmpfs is absent.
   */
 object Scratch {
+  /** SPARK_GRAFT_SCRATCH overrides the root: tmpfs pages count against
+    * RAM, so a big-corpus run (×1000 ScaleBench shuffles tens of GB)
+    * must route scratch to disk or the kernel OOM-kills the JVM —
+    * exactly the trade a real deployment makes choosing NVMe over
+    * ramdisk for shuffle. Benches at fixture scale keep tmpfs. */
   lazy val root: String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
         "/dev/shm/graft-scratch"
-      else "/tmp/graft-scratch"
+      else "/tmp/graft-scratch")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
     base
   }

@@ -95,6 +95,18 @@ object Similarity {
     * nprobe/nlist, NOT by nlist itself — hold the ratio as nlist grows
     * with the corpus (spec-pinned: growing nlist at fixed ratio keeps
     * recall), and raise nprobe when recall matters more than latency.
+    *
+    * DEFAULT nprobe ≈ nlist/16 (6% probe fraction — ScaleBench's
+    * standing rule), now with measured evidence (graft.tools.IvfRecall,
+    * ×100 corpus: 200k × dim-64, nlist=447, 1000 queries vs brute-force
+    * ground truth): recall@10 = 0.9882 at nprobe=9 (2%), 0.9998 at
+    * nprobe=27 (6%), 1.0000 at nprobe=81 (18%), with cost linear in
+    * the probe fraction past the fixed assignment stage. nlist/16 sits
+    * at the knee: ~4-nines recall for ~1/3 the nprobe=81 re-rank
+    * stream. Caveat: the replica-derived ×100 corpus clusters tightly
+    * (a vector's true neighbours share its centroid), so treat these
+    * as upper bounds and re-run IvfRecall when embedding geometry
+    * changes materially.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,

@@ -53,6 +53,13 @@ object ScaleBench {
       // Salt BEFORE re-aliasing doc_id: a later select item would
       // lateral-alias-capture the NEW doc_id (unique per replica) and
       // silently destroy the shared-salt twins.
+      // Write the corpus as MANY files (round 6): the explode plan
+      // collapses to one task's output, and a single ~100-250 MB file
+      // reads back as 1-2 scan partitions — every pre-shuffle stage
+      // fused to the scan (shingling, cosine scoring) then runs on 1-2
+      // cores, which silently serialized the round-5 ×100 ANN numbers
+      // (knn_ivf 382-536 s was mostly a one-core scan stage). A real
+      // 100 TB corpus arrives as thousands of files; 64 mirrors that.
       Catalog.table(spark, base, "documents")
         .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
         .withColumn("salted", concat(col("text"), lit(" "), salt))
@@ -60,6 +67,7 @@ object ScaleBench {
           (col("doc_id") * mult + col("rep")).as("doc_id"),
           col("salted").as("text"),
           col("lang"), col("source"), col("n_chars"))
+        .repartition(64)
         .write.mode("overwrite").parquet(docsPath)
       Catalog.table(spark, base, "embeddings")
         .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
@@ -69,6 +77,7 @@ object ScaleBench {
             (x, j) => x + (col("rep") * j % 97 - lit(48)) * lit(1e-3))
             .as("embedding"),
           col("label"))
+        .repartition(64)
         .write.mode("overwrite").parquet(embPath)
     }
     val docs = spark.read.parquet(docsPath)
