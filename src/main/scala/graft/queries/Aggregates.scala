@@ -608,5 +608,91 @@ object Aggregates extends QueryModule {
           .orderBy("r_name"),
       Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members
         FROM nation JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name ORDER BY r_name""")))
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // Deterministic mode (most frequent value per group). Neither
+    // engine's built-in mode() pins tie order, so both sides compute it
+    // the same explicit way: count per (group, value) first — the
+    // aggregate collapses the corpus to |status|×|priority| ≈ 15 rows —
+    // then a row_number window over those aggregated rows picks
+    // (count DESC, value ASC). At 100 TB the window never sees raw
+    // rows, only the tiny count table (same shape as llm_domain_mix).
+    QueryDef(
+      "agg_mode",
+      (s, dir) => {
+        val cnt = Catalog.table(s, dir, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("cnt"), asc("o_orderpriority"))
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY count(*) DESC, o_orderpriority) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        WHERE rn = 1 ORDER BY o_orderstatus""")),
+
+    // Boolean aggregates: bool_and / bool_or plus a filtered count —
+    // the data-quality assertion shape ("do ALL rows in this partition
+    // satisfy the invariant; does ANY violate it"). All three are
+    // map-side-combinable single-bit/long states.
+    QueryDef(
+      "agg_bool",
+      (s, dir) =>
+        Catalog.table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+            bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+            count(when(col("o_totalprice") > 200000.0, 1)).as("n_over_200k"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+          bool_and(o_totalprice > 1000.0) AS all_over_1k,
+          bool_or(o_totalprice > 400000.0) AS any_over_400k,
+          count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_over_200k
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Bitwise aggregates (bit_and / bit_or / bit_xor over int keys) —
+    // the bitmap/flag-merging shape. Fixed-width Long state, fully
+    // map-side-combinable; the xor form is the order-independent
+    // set-digest used by Bench's own full-row result hash.
+    QueryDef(
+      "agg_bitagg",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_and(l_orderkey)").as("band"),
+            expr("bit_or(l_orderkey)").as("bor"),
+            expr("bit_xor(l_orderkey)").as("bxor"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, bit_and(l_orderkey) AS band,
+          bit_or(l_orderkey) AS bor, bit_xor(l_orderkey) AS bxor
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Product aggregate. Spark has no product(); the distributed form
+    // is exp(sum(ln x)) — an O(1)-state commutative reduction instead
+    // of an ordered multiply, which is exactly how a 1000-executor
+    // cluster wants it (DuckDB's product() is the oracle). Terms are
+    // 1+discount ∈ [1, 1.1] over ≤7-row groups, so the log/exp detour
+    // costs ~1 ulp — far inside the round(…,6) contract.
+    QueryDef(
+      "agg_product",
+      (s, dir) =>
+        Catalog.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 200)
+          .groupBy("l_orderkey")
+          .agg(round(exp(sum(log(lit(1.0) + col("l_discount")))), 6)
+            .as("disc_product"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+          round(product(1.0 + l_discount), 6) AS disc_product
+        FROM lineitem WHERE l_orderkey < 200
+        GROUP BY l_orderkey ORDER BY l_orderkey""")))
 }

@@ -762,6 +762,72 @@ object Llm extends QueryModule {
         SELECT v AS doc_id, min(r) AS group_id FROM reach
         GROUP BY v ORDER BY doc_id""")),
 
+    // Cluster-size distribution of the near-dup groups — the first
+    // report a curation run produces (how much of the corpus is
+    // singleton vs template families) and the input to choosing a
+    // keep-best policy. Composes the oracle-proved banded pipeline,
+    // then two tiny aggregates: per-group size over the (doc, group)
+    // table, then the size histogram over the ~|groups| rows. Both
+    // collapse monotonically, so the stats stage adds no scale risk to
+    // the underlying dedup.
+    QueryDef(
+      "llm_dedup_cluster_stats",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        val pairs = TextOps.minhashPairsMd5(docs, 0.5).select("id_a", "id_b")
+        graft.operators.Components.connectedComponents(
+            pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id")
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("group_size"))
+          .groupBy("group_size")
+          .agg(count(lit(1)).as("n_groups"))
+          .orderBy("group_size")
+      },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id < 300)),
+        $oracleMd5PairsCte,
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(v, r) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT p.a, r.r FROM sym p JOIN reach r ON r.v = p.b),
+        grp AS (SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v),
+        sz AS (SELECT group_id, count(*) AS group_size FROM grp
+          GROUP BY group_id)
+        SELECT group_size, count(*) AS n_groups FROM sz
+        GROUP BY group_size ORDER BY group_size""")),
+
+    // Duplication rate per source domain — the curation dashboard's
+    // "which sources are template farms" number. Exact-fingerprint
+    // uniques counted per source with one fine-key distinct-aggregate;
+    // no window, no join: count(distinct fp) and count(*) reduce in the
+    // same shuffle. dup_rate is rounded so engine division ulps can't
+    // flip the hash.
+    QueryDef(
+      "llm_dup_rate_by_source",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_unique"))
+          .withColumn("dup_rate",
+            round(lit(1.0) - col("n_unique") / col("n_docs"), 6))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+          count(DISTINCT md5(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_unique,
+          round(1.0 - count(DISTINCT md5(regexp_replace(regexp_replace(
+            lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))::DOUBLE
+            / count(*), 6) AS dup_rate
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // Brute-force exact ANN baseline: top-3 cosine neighbours for the
     // first 10 vectors. Ranking on round(sim, 6) + id tiebreak keeps
     // Spark and DuckDB ulp-disagreements out of the ordering.

@@ -114,6 +114,57 @@ object Sources extends QueryModule {
       Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // CSV WRITE path (scan_csv proves the read): quoted header CSV out,
+    // schema-on-read back (explicit DDL, not inference — the production
+    // contract for a text interchange format), rows must match the
+    // oracle on the original parquet. The synthesized label column
+    // carries a comma, so the round-trip also proves field quoting.
+    // Fingerprint-staged like the other format round-trips: written
+    // once per fixture, re-runs measure the read.
+    QueryDef(
+      "sink_csv",
+      (s, dir) => {
+        val out = staged("sinkcsv", dir, "nation") { o =>
+          Catalog.table(s, dir, "nation")
+            .withColumn("label",
+              concat(col("n_name"), lit(", region "), col("n_regionkey")))
+            .write.mode("overwrite").option("header", "true").csv(o)
+        }
+        s.read.option("header", "true")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT, label STRING")
+          .csv(out)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+          n_name || ', region ' || n_regionkey AS label
+        FROM nation ORDER BY n_nationkey""")),
+
+    // JSONL WRITE path (scan_jsonl proves read+inference): ndjson out,
+    // explicit-schema read back, per-brand aggregate vs the original
+    // parquet. Doubles survive the decimal text round-trip exactly
+    // (Spark writes shortest-round-trip doubles).
+    QueryDef(
+      "sink_jsonl",
+      (s, dir) => {
+        val out = staged("sinkjsonl", dir, "part") { o =>
+          Catalog.table(s, dir, "part")
+            .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+            .write.mode("overwrite").json(o)
+        }
+        s.read
+          .schema("p_partkey BIGINT, p_brand STRING, p_size BIGINT, p_retailprice DOUBLE")
+          .json(out)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum("p_size").as("sum_size"),
+            round(sum("p_retailprice"), 2).as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+          CAST(sum(p_size) AS BIGINT) AS sum_size,
+          round(sum(p_retailprice), 2) AS sum_price
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
     // ORC round-trip: fixture → ORC → read back → aggregate must match
     // the oracle computed on the original parquet.
     QueryDef(

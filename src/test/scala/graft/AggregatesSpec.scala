@@ -26,6 +26,42 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("agg_mode picks max count with min-value tie-break") {
+    val df = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+      ("g2", "z")).toDF("o_orderstatus", "o_orderpriority")
+    val cnt = df.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(desc("cnt"), asc("o_orderpriority"))
+    val mode = cnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_orderstatus", "o_orderpriority")
+      .as[(String, String)].collect().toMap
+    // g1 ties a(2) vs b(2): min value 'a' must win; singleton g2 → 'z'.
+    assert(mode == Map("g1" -> "a", "g2" -> "z"))
+  }
+
+  test("exp-sum-log product matches direct multiplication") {
+    val terms = Seq(1.0, 1.04, 1.1, 1.07, 1.0, 1.02)
+    val df = terms.toDF("x")
+    val viaLog = df.agg(exp(sum(log(col("x"))))).as[Double].head()
+    val direct = terms.product
+    assert(math.abs(viaLog - direct) < 1e-9,
+      s"exp-sum-log $viaLog vs direct $direct")
+  }
+
+  test("bitwise aggregates reduce order-independently") {
+    val xs = Seq(0x3L, 0x5L, 0x9L, 0x11L)
+    def run(s: Seq[Long]) = s.toDF("x")
+      .agg(expr("bit_and(x)"), expr("bit_or(x)"), expr("bit_xor(x)"))
+      .as[(Long, Long, Long)].head()
+    assert(run(xs) == run(xs.reverse))
+    assert(run(xs) == (
+      xs.reduce(_ & _), xs.reduce(_ | _), xs.reduce(_ ^ _)))
+  }
+
   test("approx_count_distinct tracks exact cardinality within rsd") {
     val li = Catalog.table(spark, sf0001, "lineitem")
     val exact = li.groupBy("l_returnflag")
