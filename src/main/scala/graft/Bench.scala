@@ -80,7 +80,8 @@ object Bench {
     // Pre-stage the target-SF format round-trips (fingerprint-keyed,
     // written once per fixture and reused): the timed scan_* queries
     // measure the READ path, not a first-run staging write.
-    Seq("scan_csv", "scan_jsonl", "scan_orc", "join_bucketed").foreach { n =>
+    Seq("scan_csv", "scan_jsonl", "scan_orc", "join_bucketed",
+        "sink_csv", "sink_jsonl").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

@@ -196,23 +196,28 @@ object Aggregates extends QueryModule {
     QueryDef(
       "agg_percentile_approx",
       (s, dir) =>
+        // Array-form percentiles: ONE counts-map buffer per group for
+        // the four exact brackets and one digest for both approx
+        // targets, instead of six independent aggregate buffers — the
+        // 6× buffer build/merge was the whole cost (and GC-noise
+        // source) of the previous form at sf0.1.
         Catalog.table(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("a25"),
-            expr("approx_percentile(l_extendedprice, 0.90, 1000)").as("a90"),
-            expr("percentile(l_extendedprice, 0.248)").as("lo25"),
-            expr("percentile(l_extendedprice, 0.252)").as("hi25"),
-            expr("percentile(l_extendedprice, 0.898)").as("lo90"),
-            expr("percentile(l_extendedprice, 0.902)").as("hi90"))
+            expr("approx_percentile(l_extendedprice, array(0.25, 0.90), 1000)")
+              .as("a"),
+            expr("percentile(l_extendedprice, array(0.248, 0.252, 0.898, 0.902))")
+              .as("p"))
           .select(col("l_returnflag"),
-            round(col("lo25"), 4).as("p25_lo"),
-            round(col("hi25"), 4).as("p25_hi"),
-            (col("a25") >= col("lo25") && col("a25") <= col("hi25"))
+            round(element_at(col("p"), 1), 4).as("p25_lo"),
+            round(element_at(col("p"), 2), 4).as("p25_hi"),
+            (element_at(col("a"), 1) >= element_at(col("p"), 1) &&
+              element_at(col("a"), 1) <= element_at(col("p"), 2))
               .as("p25_ok"),
-            round(col("lo90"), 4).as("p90_lo"),
-            round(col("hi90"), 4).as("p90_hi"),
-            (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+            round(element_at(col("p"), 3), 4).as("p90_lo"),
+            round(element_at(col("p"), 4), 4).as("p90_hi"),
+            (element_at(col("a"), 2) >= element_at(col("p"), 3) &&
+              element_at(col("a"), 2) <= element_at(col("p"), 4))
               .as("p90_ok"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
