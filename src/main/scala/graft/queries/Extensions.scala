@@ -33,6 +33,54 @@ object Extensions extends QueryModule {
             ELSE lower(column_type) END AS dtype
         FROM (DESCRIBE SELECT * FROM lineitem) ORDER BY col""")),
 
+    // One-pass table profiling: per-column null count, exact distinct
+    // count, and numeric min/max — the data-quality sweep run before
+    // committing a 100 TB corpus to training. ONE aggregate over the
+    // table computes every column's metrics (Catalyst plans the
+    // multi-distinct via Expand: one scan, data replicated per
+    // distinct-agg — the standard exact plan; at real scale swap
+    // count_distinct for approx_count_distinct and the Expand
+    // disappears), then the single result row is reshaped row-local
+    // into one row per column. Numeric lo/hi are DOUBLE (NULL for
+    // string columns) so the output schema is uniform; exactness keeps
+    // the oracle a hard equality.
+    QueryDef(
+      "meta_profile",
+      (s, dir) => {
+        val t = Catalog.table(s, dir, "customer")
+        val numeric = Set("c_custkey", "c_nationkey", "c_acctbal")
+        val cols = t.columns.toSeq
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__distinct"),
+            (if (numeric(c)) round(min(col(c)).cast("double"), 4)
+             else lit(null).cast("double")).as(s"${c}__lo"),
+            (if (numeric(c)) round(max(col(c)).cast("double"), 4)
+             else lit(null).cast("double")).as(s"${c}__hi"))
+        }
+        t.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col("n_rows"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__distinct").as("n_distinct"),
+            col(s"${c}__lo").as("lo"),
+            col(s"${c}__hi").as("hi"))): _*)).as("m"))
+          .select("m.*")
+          .orderBy("col_name")
+      },
+      Some(Seq(
+        ("c_custkey", true), ("c_name", false), ("c_nationkey", true),
+        ("c_acctbal", true), ("c_mktsegment", false)).map { case (c, num) =>
+        val lo = if (num) s"round(min($c)::DOUBLE, 4)" else "NULL::DOUBLE"
+        val hi = if (num) s"round(max($c)::DOUBLE, 4)" else "NULL::DOUBLE"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+          count(DISTINCT $c) AS n_distinct, $lo AS lo, $hi AS hi
+        FROM customer"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
+
     // Scalar UDF surface. Native Column exprs are always preferred
     // (SURVEY §2.10) — this declares the escape hatch works; the oracle
     // proves the UDF against its pure-SQL equivalent.

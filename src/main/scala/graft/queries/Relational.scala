@@ -413,5 +413,100 @@ object Relational extends QueryModule {
           SELECT doc_id, fp, row_number() OVER (PARTITION BY fp
             ORDER BY doc_id) AS rk
           FROM batch WHERE fp NOT IN (SELECT fp FROM hist))
-        WHERE rk = 1 ORDER BY doc_id""")))
+        WHERE rk = 1 ORDER BY doc_id""")),
+
+    // Time-series resample + gap fill: snap an irregular event stream
+    // to a dense fixed-interval axis (hourly), averaging observations
+    // per bucket and forward-filling buckets with no data — the
+    // telemetry/metrics "materialize the regular grid" op. The dense
+    // axis is generated PER KEY from that key's own [min,max] span
+    // (sequence + explode), so axis size is span/granularity per key —
+    // never a cross join with a global calendar — and the fill window
+    // partitions on the high-cardinality key. One agg shuffle, one
+    // equi-join on (key,bucket), one per-key window: every stage is
+    // keyed on user_id and scales with the key count.
+    QueryDef(
+      "etl_resample_ffill",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+        val hourly = ev.groupBy("user_id", "h")
+          .agg(round(avg("value"), 4).as("v"))
+        val axis = ev.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        axis.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"), col("v"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+            col("v").isNull.as("is_gap"))
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+          FROM events WHERE user_id < 20),
+        hourly AS (SELECT user_id, h, round(avg(value), 4) AS v
+          FROM ev GROUP BY 1, 2),
+        axis AS (SELECT user_id,
+            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+                FROM ev GROUP BY 1))
+        SELECT a.user_id, a.h, hv.v,
+          last_value(hv.v IGNORE NULLS) OVER (
+            PARTITION BY a.user_id ORDER BY a.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+          hv.v IS NULL AS is_gap
+        FROM axis a LEFT JOIN hourly hv
+          ON a.user_id = hv.user_id AND a.h = hv.h
+        ORDER BY a.user_id, a.h""")),
+
+    // Z-order layout key: interleave the bits of two dimension columns
+    // into one space-filling-curve value — the multi-dimensional
+    // data-layout technique behind Delta/Iceberg Z-ORDER clustering.
+    // Sorting (repartitionByRange at write time) on z co-locates rows
+    // close in BOTH dimensions, so min/max row-group stats prune scans
+    // filtered on EITHER column — the 100 TB point of the op. The key
+    // itself is pure row-local bit arithmetic (codegen'd, no shuffle);
+    // this query materializes the curve order so the oracle can pin
+    // the interleave bit-exactly. 8 bits per dimension here; the
+    // construction widens mechanically.
+    QueryDef(
+      "layout_zorder",
+      (s, dir) => {
+        val x = pmod(col("l_partkey"), lit(256L))
+        val y = pmod(col("l_suppkey"), lit(256L))
+        val z = (0 until 8).map { i =>
+          shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+            shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+        }.reduce(_ + _)
+        Catalog.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            x.as("zx"), y.as("zy"), z.as("zkey"))
+          .orderBy("zkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          l_partkey % 256 AS zx, l_suppkey % 256 AS zy,
+          (((l_partkey % 256) // 1) % 2) * 2
+            + (((l_suppkey % 256) // 1) % 2) * 1
+            + (((l_partkey % 256) // 2) % 2) * 8
+            + (((l_suppkey % 256) // 2) % 2) * 4
+            + (((l_partkey % 256) // 4) % 2) * 32
+            + (((l_suppkey % 256) // 4) % 2) * 16
+            + (((l_partkey % 256) // 8) % 2) * 128
+            + (((l_suppkey % 256) // 8) % 2) * 64
+            + (((l_partkey % 256) // 16) % 2) * 512
+            + (((l_suppkey % 256) // 16) % 2) * 256
+            + (((l_partkey % 256) // 32) % 2) * 2048
+            + (((l_suppkey % 256) // 32) % 2) * 1024
+            + (((l_partkey % 256) // 64) % 2) * 8192
+            + (((l_suppkey % 256) // 64) % 2) * 4096
+            + (((l_partkey % 256) // 128) % 2) * 32768
+            + (((l_suppkey % 256) // 128) % 2) * 16384 AS zkey
+        FROM lineitem WHERE l_orderkey < 2000
+        ORDER BY zkey, l_orderkey, l_linenumber""")))
 }

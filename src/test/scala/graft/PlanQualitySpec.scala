@@ -291,4 +291,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"dup-rate must not join:\n$p")
     assert(!p.contains("Window"), s"dup-rate must not window:\n$p")
   }
+
+  test("layout_zorder is a row-local key: filter pushed, no shuffle-heavy op") {
+    val p = plan("layout_zorder")
+    // The bound predicate must reach the parquet scan...
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThan(l_orderkey,2000)"), p)
+    // ...and the interleave itself is pure projection: no join, no
+    // window, no aggregate — the only exchange is the output range sort.
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("etl_resample_ffill joins the per-key axis without a cartesian") {
+    val p = plan("etl_resample_ffill")
+    // Dense axis × hourly agg meet in an equi-join on (user_id, h) —
+    // a per-key calendar can never be a cross join.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // Forward fill is ONE window partitioned on the key (formatted
+    // explain names each node once in the details section).
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
+  test("meta_profile is one scan — the multi-distinct Expand plan") {
+    val p = plan("meta_profile")
+    // One pass over customer: exactly one scan node; the exact
+    // multi-distinct goes through Expand (the documented trade — swap
+    // to approx_count_distinct at scale and Expand disappears).
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
