@@ -699,5 +699,47 @@ object Aggregates extends QueryModule {
       Some("""SELECT l_orderkey,
           round(product(1.0 + l_discount), 6) AS disc_product
         FROM lineitem WHERE l_orderkey < 200
-        GROUP BY l_orderkey ORDER BY l_orderkey""")))
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // Re-aggregatable HLL sketch workflow — THE 100 TB cardinality
+    // pattern: build one Datasketches HLL per fine grain (day), store
+    // it, and answer any coarser rollup (month here) by MERGING the
+    // byte-array sketches with hll_union_agg instead of re-scanning the
+    // fact table. count(DISTINCT) cannot pre-aggregate (distinct keys
+    // must meet in one place); sketches make cardinality associative,
+    // so a 1000-executor cluster ships ~2 KB per day-partition rather
+    // than re-shuffling raw keys per query. Oracle follows the
+    // agg_percentile_approx precedent: the merged estimate's VALUE is
+    // sketch-internal, but its CONTRACT is checkable — lgConfigK=12
+    // gives ~1.6% relative standard error, so the day-merged estimate
+    // must land within ±5% (>3 sigma) of the exact per-month
+    // cardinality. Output = exact count (cross-engine value-checked) +
+    // the in-bounds boolean DuckDB emits as literal TRUE; an estimator
+    // or merge regression flips the boolean and fails the driver hash.
+    QueryDef(
+      "agg_hll_merge",
+      (s, dir) => {
+        val orders = Catalog.table(s, dir, "orders")
+          .select(
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+            col("o_custkey"))
+        // Fine-grain sketch build (the "stored" layer)…
+        val perDay = orders.groupBy("month", "day")
+          .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+        // …then pure sketch MERGE to the coarser grain — no raw keys.
+        val merged = perDay.groupBy("month")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        val exact = orders.groupBy("month")
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        exact.join(broadcast(merged), "month")
+          .select(col("month"), col("n_exact"),
+            (abs(col("est") / col("n_exact") - 1.0) <= 0.05)
+              .as("est_in_bounds"))
+          .orderBy("month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          count(DISTINCT o_custkey)::BIGINT AS n_exact,
+          TRUE AS est_in_bounds
+        FROM orders GROUP BY 1 ORDER BY month""")))
 }

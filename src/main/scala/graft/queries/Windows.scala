@@ -251,5 +251,50 @@ object Windows extends QueryModule {
             ORDER BY ts, event_id
             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
         FROM events WHERE user_id < 100
-        ORDER BY user_id, event_id""")))
+        ORDER BY user_id, event_id""")),
+
+    // Gaps-and-islands: collapse each user's consecutive same-type run
+    // into one island row (sessionize-by-change-of-state — the classic
+    // "when did the status change and how long did it hold" shape).
+    // Formulated as lag-compare → running sum of break flags, NOT the
+    // textbook difference-of-two-row_numbers: that needs a second
+    // window partitioned by (user_id, event_type) — a second full
+    // shuffle+sort of the fact table — while lag and the running sum
+    // share ONE partition spec, so Spark plans a single Exchange+Sort
+    // and evaluates both functions in the same Window exec.
+    QueryDef(
+      "win_islands",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Catalog.table(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .withColumn("brk",
+            when(col("event_type") === lag("event_type", 1).over(w), lit(0))
+              .otherwise(lit(1)))
+          .withColumn("island", sum("brk").over(run))
+          .groupBy("user_id", "island", "event_type")
+          .agg(
+            min("event_id").as("first_event"),
+            max("event_id").as("last_event"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "event_type", "first_event", "last_event",
+            "n_events")
+          .orderBy("user_id", "first_event")
+      },
+      Some("""WITH g AS (
+          SELECT user_id, event_id, ts, event_type,
+            CASE WHEN event_type = lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS brk
+          FROM events WHERE user_id < 50),
+        i AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts,
+              event_id ROWS UNBOUNDED PRECEDING) AS island
+          FROM g)
+        SELECT user_id, event_type,
+          min(event_id) AS first_event, max(event_id) AS last_event,
+          count(*)::BIGINT AS n_events
+        FROM i GROUP BY user_id, event_type, island
+        ORDER BY user_id, first_event""")))
 }

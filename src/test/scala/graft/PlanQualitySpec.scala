@@ -324,4 +324,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("win_islands runs lag + running-sum in ONE window (one shuffle)") {
+    val p = plan("win_islands")
+    // The lag-compare formulation shares ONE (user_id, ts) sort order
+    // between lag and the running sum: Spark plans two adjacent Window
+    // execs (different frames) over a single Exchange+Sort, and the
+    // island groupBy reuses that same hashpartitioning(user_id) since
+    // its keys are a superset — so the whole query is ONE data shuffle
+    // plus the output range sort. The textbook two-row_number form
+    // would force a second full shuffle on (user_id, event_type).
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 2, p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2, p)
+    assert("\\(\\d+\\) Sort".r.findAllIn(p).size == 2, p)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThan(user_id,50)"), p)
+  }
+
+  test("agg_hll_merge merges sketches via broadcast, no cartesian") {
+    val p = plan("agg_hll_merge")
+    // Day-level sketch build and month-level union are sketch-object
+    // aggregates (ObjectHashAggregate); the ~80-row merged estimate
+    // joins the exact side as a broadcast.
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
