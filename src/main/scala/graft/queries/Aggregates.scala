@@ -741,5 +741,62 @@ object Aggregates extends QueryModule {
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
           count(DISTINCT o_custkey)::BIGINT AS n_exact,
           TRUE AS est_in_bounds
-        FROM orders GROUP BY 1 ORDER BY month""")))
+        FROM orders GROUP BY 1 ORDER BY month""")),
+
+    // Ordered-step funnel (view -> click -> purchase): how many users
+    // completed each prefix IN ORDER. The textbook form is one
+    // self-join per step (each a full shuffle of the fact table); here
+    // the whole funnel is ONE shuffle — per-user events are gathered
+    // once (collect_list, map-side partial), time-sorted in place, and
+    // a codegen'd aggregate() fold walks the state machine: step
+    // advances on the first qualifying event after the previous step's
+    // event. Per-user state is bounded by that user's event count —
+    // the same contract as any sessionize. The oracle recomputes the
+    // identical semantics via the 3-CTE min-timestamp-chain form
+    // (t2 = first click AFTER first view, etc.) — two independent
+    // formulations agreeing is the point. Determinism: events are
+    // fold-ordered by (ts, event_id) and the fixture has no duplicate
+    // (user_id, ts), so the oracle's strict ts inequalities match.
+    QueryDef(
+      "agg_funnel",
+      (s, dir) => {
+        val reached = Catalog.table(s, dir, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(struct(
+            col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .select(expr("""aggregate(evs, 0, (acc, e) -> CASE
+              WHEN acc = 0 AND e.event_type = 'view' THEN 1
+              WHEN acc = 1 AND e.event_type = 'click' THEN 2
+              WHEN acc = 2 AND e.event_type = 'purchase' THEN 3
+              ELSE acc END)""").as("reached"))
+        reached.agg(
+            sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("s1"),
+            sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("s2"),
+            sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("s3"))
+          .select(explode(array(
+            struct(lit(1).as("step"), lit("view").as("step_name"),
+              col("s1").as("n_users")),
+            struct(lit(2).as("step"), lit("click").as("step_name"),
+              col("s2").as("n_users")),
+            struct(lit(3).as("step"), lit("purchase").as("step_name"),
+              col("s3").as("n_users")))).as("f"))
+          .select(col("f.step").as("step"), col("f.step_name").as("step_name"),
+            col("f.n_users").as("n_users"))
+          .orderBy("step")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')),
+          s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        SELECT * FROM (VALUES
+            (1, 'view', (SELECT count(*) FROM s1)),
+            (2, 'click', (SELECT count(*) FROM s2)),
+            (3, 'purchase', (SELECT count(*) FROM s3)))
+          AS t(step, step_name, n_users)
+        ORDER BY step""")))
 }

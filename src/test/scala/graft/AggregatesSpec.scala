@@ -76,4 +76,25 @@ class AggregatesSpec extends SparkSpec {
         s"$k: approx $a vs exact $e drifts beyond 5%")
     }
   }
+
+  test("funnel step counts are a monotone chain bounded by step-1 users") {
+    val rows = SparkEntry.queries("agg_funnel")(spark, sf0001)
+      .select("step", "n_users").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    val counts = rows.map(_._2)
+    // Each funnel prefix is a subset of the previous one — any
+    // inversion means the fold advanced out of order.
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts.toSeq)
+    // And step 1 can't exceed the number of users who ever viewed.
+    val viewers = Catalog.table(spark, sf0001, "events")
+      .filter(col("event_type") === "view")
+      .select(count_distinct(col("user_id"))).as[Long].head()
+    assert(counts(0) == viewers, s"step1 ${counts(0)} != viewers $viewers")
+  }
+
+  test("hll day-sketch month-merge estimate stays in the 5% contract") {
+    val bad = SparkEntry.queries("agg_hll_merge")(spark, sf0001)
+      .filter(!col("est_in_bounds")).count()
+    assert(bad == 0L, s"$bad months outside the HLL merge error contract")
+  }
 }

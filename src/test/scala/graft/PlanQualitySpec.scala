@@ -341,6 +341,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LessThan(user_id,50)"), p)
   }
 
+  test("agg_funnel is join-free: one user shuffle, fold does the steps") {
+    val p = plan("agg_funnel")
+    // The 3-step funnel must NOT plan as per-step self-joins (the
+    // textbook form: one fact-table shuffle per step). One collect_list
+    // aggregate on user_id + the in-place sorted fold = zero joins.
+    assert(!p.contains("Join"), p)
+    assert(p.contains("PushedFilters"), p)
+    // user shuffle + single-row final agg — no third data exchange.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("agg_hll_merge merges sketches via broadcast, no cartesian") {
     val p = plan("agg_hll_merge")
     // Day-level sketch build and month-level union are sketch-object
