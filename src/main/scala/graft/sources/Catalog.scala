@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over the driver-generated parquet fixtures.
   *
@@ -20,21 +20,37 @@ object Catalog {
 
   /** Read one fixture table rooted at sfDir.
     *
-    * events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * so it arrives as nanos-since-epoch LongType, and we restore a
-    * proper TimestampType here (integer DIV — nanos exceed 2^53, so
-    * double math would corrupt them). DuckDB truncates ns→µs the same
-    * way, keeping the oracle comparable.
+    * events.parquet's physical `ts` encoding has changed across fixture
+    * generations (TIMESTAMP(NANOS) → timestamp[us]); normalize on the
+    * OBSERVED type, not an assumed encoding, so every consumer sees one
+    * stable TimestampType regardless of which fixture generation is on
+    * disk. DuckDB reads the same file for the oracle; with the session
+    * timezone pinned to UTC the normalized values are identical.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "orders_nested") return ordersNested(spark, sfDir)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Normalize an `events`-shaped frame's `ts` column to session-TZ
+    * TimestampType, keyed on the observed type:
+    *  - LongType — nanos-since-epoch under
+    *    spark.sql.legacy.parquet.nanosAsLong (old TIMESTAMP(NANOS)
+    *    fixture); integer DIV, since nanos exceed 2^53 and double math
+    *    would corrupt them.
+    *  - TimestampNTZType — timestamp[us] fixture; with the session TZ
+    *    pinned to UTC the NTZ→LTZ cast is an exact micros passthrough.
+    *  - TimestampType — already normalized.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Derived snowflake view: orders with its lineitem children nested
     * as an array<struct> `lines` column — the jx_sqlite parent/child

@@ -28,19 +28,20 @@ object Streams {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  /** events.parquet replayed through the file source (schema pinned;
-    * ts arrives as nanos-since-epoch long under nanosAsLong and is
-    * restored to a proper timestamp). */
+  /** events.parquet replayed through the file source. The readStream
+    * schema is the file's own footer schema (a one-footer batch read —
+    * no inference scan), so the `ts` physical encoding is whatever this
+    * fixture generation carries; Catalog.normalizeTs then restores a
+    * session-TZ TimestampType keyed on the observed type, the same
+    * boundary the batch path uses. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val file = s"$sfDir/events.parquet"
+    val footerSchema = spark.read.parquet(file).schema
     // The file source wants a directory to watch; the fixture is a single
     // parquet file — stage a link/copy of it into a scratch dir (a
     // symlink, so the bytes are never duplicated).
     val dir = stagedDirs.computeIfAbsent(sfDir, { _ =>
-      val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      val src = java.nio.file.Paths.get(file)
       val d = java.nio.file.Paths.get(
         graft.Scratch.dir(s"events-stream-${math.abs(sfDir.hashCode)}"))
       java.nio.file.Files.createDirectories(d)
@@ -50,9 +51,8 @@ object Streams {
         catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
       d
     })
-    spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Catalog.normalizeTs(
+      spark.readStream.schema(footerSchema).parquet(dir.toString))
   }
 
   /** Recursively delete a checkpoint/staging directory. Tolerant of
