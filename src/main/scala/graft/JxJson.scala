@@ -535,8 +535,18 @@ object JxJson {
         case "maximum" | "max" => max(value)
         case "average" | "avg" => avg(value)
         case "cardinality" => count_distinct(value)
+        // Sketch twins reachable from the front door (SURVEY §2.4
+        // 100 TB posture): a JSON caller should not be locked into the
+        // exact per-group sort / Expand that "median"/"cardinality"
+        // compile to. Same mergeable families as agg_percentile_approx
+        // (Greenwald-Khanna digest) and agg_hll_merge (Datasketches
+        // HLL, lgK=12).
+        case "cardinality_approx" =>
+          expr(s"hll_sketch_estimate(hll_sketch_agg(${value.toString}, 12))")
+        case "median_approx" =>
+          expr(s"approx_percentile(${value.toString}, 0.5D, 1000)")
         case "median" => expr(s"percentile(${value.toString}, 0.5)")
-        case "percentile" =>
+        case "percentile" | "percentile_approx" =>
           val p = (o \ "percentile") match {
             case JDouble(d) => d
             case JDecimal(d) => d.toDouble
@@ -544,7 +554,9 @@ object JxJson {
             case JNothing | JNull => 0.5
             case other => sys.error(s"jx: percentile $other")
           }
-          expr(s"percentile(${value.toString}, $p)")
+          if (agg == "percentile_approx")
+            expr(s"approx_percentile(${value.toString}, ${p}D, 1000)")
+          else expr(s"percentile(${value.toString}, $p)")
         case other => sys.error(s"jx: aggregate '$other'")
       }).as(out)
     case other => sys.error(s"jx: aggregate select $other")

@@ -171,12 +171,19 @@ object Aggregates extends QueryModule {
 
     // HLL sketch path for 100 TB cardinality — result is approximate,
     // so no DuckDB hash-match; rows-only check (SURVEY §2.4 no-sql).
+    // Datasketches HLL (lgK=12, 4K registers), the same mergeable-sketch
+    // family as agg_hll_merge: approx_count_distinct at rsd=0.01 forced
+    // a 16K-register HLL++ buffer per group x partition, whose
+    // humongous-allocation GC profile cost 18 s in the r6 shared suite
+    // run (vs <0.3 s for this form) — and a store/merge-able sketch is
+    // the shape a 100 TB rollup actually wants.
     QueryDef(
       "agg_cardinality_approx",
       (s, dir) =>
         Catalog.table(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"))
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))")
+            .as("n_parts_approx"))
           .orderBy("l_returnflag"),
       None),
 

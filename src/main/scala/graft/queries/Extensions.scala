@@ -478,6 +478,55 @@ object Extensions extends QueryModule {
           count(DISTINCT l_partkey) AS n_parts
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // The SKETCH family through the same JSON front door — at 100 TB a
+    // JSON caller must be able to reach the mergeable approximations,
+    // not just the exact per-group sort / count-distinct Expand above.
+    // Verified with the agg_percentile_approx contract pattern: digest
+    // values are merge-order-dependent so no other engine can recompute
+    // them, but Greenwald-Khanna accuracy=1000 bounds rank error to
+    // N/1000, so the approx p90 must lie between the exact percentiles
+    // at 0.898/0.902 — the declared output is those exact brackets
+    // (cross-engine value-checked) plus in-bounds booleans DuckDB
+    // emits as literal TRUE. The HLL estimate (lgK=12, well inside
+    // sparse-exact range at this group cardinality) is checked against
+    // exact count-distinct at 5% relative error.
+    QueryDef(
+      "jx_json_agg_stats_approx",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "lineitem",
+          "groupby": "l_returnflag",
+          "select": [
+            {"name": "p90a", "value": "l_quantity",
+             "aggregate": "percentile_approx", "percentile": 0.9},
+            {"name": "carda", "value": "l_partkey",
+             "aggregate": "cardinality_approx"},
+            {"name": "p90_lo", "value": "l_quantity",
+             "aggregate": "percentile", "percentile": 0.898},
+            {"name": "p90_hi", "value": "l_quantity",
+             "aggregate": "percentile", "percentile": 0.902},
+            {"name": "n_parts", "value": "l_partkey",
+             "aggregate": "cardinality"}
+          ],
+          "sort": "l_returnflag"
+        }""")
+        .select(col("l_returnflag"),
+          round(col("p90_lo"), 4).as("p90_lo"),
+          round(col("p90_hi"), 4).as("p90_hi"),
+          (col("p90a") >= col("p90_lo") && col("p90a") <= col("p90_hi"))
+            .as("p90_ok"),
+          col("n_parts"),
+          (abs(col("carda") - col("n_parts")) <=
+            col("n_parts").cast("double") * 0.05).as("card_ok"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_quantity, 0.898), 4) AS p90_lo,
+          round(quantile_cont(l_quantity, 0.902), 4) AS p90_hi,
+          true AS p90_ok,
+          count(DISTINCT l_partkey) AS n_parts,
+          true AS card_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // JX `format: "cube"` (SURVEY §1.1 Cube): the dense-array output
     // format. runCube reshapes the table-form edges result into one
     // nested array per select (client-side, bounded by Π|domain|); the
