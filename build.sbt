@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNDECORATED: the bench/verify
+// contract is "one machine-parseable JSON line on stdout", and sbt's
+// default logger wraps forked output as "[info] {...}", which defeats a
+// line-oriented json.loads on the consumer side.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

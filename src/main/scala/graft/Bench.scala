@@ -112,7 +112,16 @@ object Bench {
     val top10 = fmt(results.sortBy(-_._2).take(10))
     val telemetry = s""""load1_start":$loadStart,"load1_end":${load1()},""" +
       s""""other_java":${otherJava()}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},$telemetry,"queries":$top10,"sf":"$sfDir"}""")
+    val contract = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},$telemetry,"queries":$top10,"sf":"$sfDir"}"""
+    println(contract)
+    // Stdout capture is tail-windowed and decorated by the launcher, so
+    // ALSO persist the full record (contract line + complete per-query
+    // map) as a file — the machine-checkable artifact survives even
+    // when the stdout tail does not parse.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      s"""{"contract":$contract,"detail":${fmt(results.sortBy(_._2))}}""")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -492,24 +492,39 @@ object Extensions extends QueryModule {
     // exact count-distinct at 5% relative error.
     QueryDef(
       "jx_json_agg_stats_approx",
-      (s, dir) => JxJson.run(s, dir,
-        """{
-          "from": "lineitem",
-          "groupby": "l_returnflag",
-          "select": [
-            {"name": "p90a", "value": "l_quantity",
-             "aggregate": "percentile_approx", "percentile": 0.9},
-            {"name": "carda", "value": "l_partkey",
-             "aggregate": "cardinality_approx"},
-            {"name": "p90_lo", "value": "l_quantity",
-             "aggregate": "percentile", "percentile": 0.898},
-            {"name": "p90_hi", "value": "l_quantity",
-             "aggregate": "percentile", "percentile": 0.902},
-            {"name": "n_parts", "value": "l_partkey",
-             "aggregate": "cardinality"}
-          ],
-          "sort": "l_returnflag"
-        }""")
+      (s, dir) => {
+        // Two front-door calls, not one: mixing a DISTINCT aggregate
+        // (Expand) with percentile counts-maps, a GK digest, and an
+        // HLL sketch in a single groupBy stacks five aggregation
+        // buffers on Expand-doubled rows — measured 17 s at sf0.1 and
+        // its GC poisoned neighboring queries. Sketches and exact
+        // brackets each run as a clean single-pass aggregate; the
+        // contract join is |groups| rows, auto-broadcast.
+        val approx = JxJson.run(s, dir,
+          """{
+            "from": "lineitem",
+            "groupby": "l_returnflag",
+            "select": [
+              {"name": "p90a", "value": "l_quantity",
+               "aggregate": "percentile_approx", "percentile": 0.9},
+              {"name": "carda", "value": "l_partkey",
+               "aggregate": "cardinality_approx"}
+            ]
+          }""")
+        val exact = JxJson.run(s, dir,
+          """{
+            "from": "lineitem",
+            "groupby": "l_returnflag",
+            "select": [
+              {"name": "p90_lo", "value": "l_quantity",
+               "aggregate": "percentile", "percentile": 0.898},
+              {"name": "p90_hi", "value": "l_quantity",
+               "aggregate": "percentile", "percentile": 0.902},
+              {"name": "n_parts", "value": "l_partkey",
+               "aggregate": "cardinality"}
+            ]
+          }""")
+        approx.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(col("p90_lo"), 4).as("p90_lo"),
           round(col("p90_hi"), 4).as("p90_hi"),
@@ -518,7 +533,8 @@ object Extensions extends QueryModule {
           col("n_parts"),
           (abs(col("carda") - col("n_parts")) <=
             col("n_parts").cast("double") * 0.05).as("card_ok"))
-        .orderBy("l_returnflag"),
+        .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
           round(quantile_cont(l_quantity, 0.898), 4) AS p90_lo,
           round(quantile_cont(l_quantity, 0.902), 4) AS p90_hi,
