@@ -40,10 +40,41 @@ object Bench {
       }
     } catch { case _: Throwable => -1 }
 
+  /** Page-cache size (GiB) from /proc/meminfo. Run-to-run variance
+    * traced to this in round 7: a dropped cache (observed 2 GiB on a
+    * 125 GiB box mid-sequence) forces fixture scans to cold VM disk
+    * and scan-bound queries randomly pay 3-10x — visible here, not
+    * explainable from load1 alone. */
+  private def cachedGb(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Cached:") =>
+          math.round(l.split("\\s+")(1).toDouble / 1024 / 1024 * 10) / 10.0
+      }.getOrElse(-1.0) finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Total sectors read across block devices (/proc/diskstats field 6)
+    * — the delta over the run separates "slow because recomputed" from
+    * "slow because cold disk". */
+  private def sectorsRead(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/diskstats")
+      try src.getLines().map { l =>
+        val f = l.trim.split("\\s+")
+        // whole devices only (vda, sda, nvme0n1...), skip partitions
+        if (f.length > 5 && f(2).matches("[a-z]+[a-z0-9]*") &&
+            !f(2).matches(".*\\d+p\\d+") && !f(2).matches("[a-z]+d[a-z]\\d+"))
+          f(5).toLong else 0L
+      }.sum finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = load1()
+    val cachedStart = cachedGb()
+    val sectorsStart = sectorsRead()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -110,8 +141,13 @@ object Bench {
     // short enough to always survive whole and parse.
     println(s"""{"metric":"detail","unit":"sec","queries":${fmt(results.sortBy(_._2))}}""")
     val top10 = fmt(results.sortBy(-_._2).take(10))
+    val readGb = { val s = sectorsRead()
+      if (s < 0 || sectorsStart < 0) -1.0
+      else math.round((s - sectorsStart) * 512.0 / 1e9 * 10) / 10.0 }
     val telemetry = s""""load1_start":$loadStart,"load1_end":${load1()},""" +
-      s""""other_java":${otherJava()}"""
+      s""""other_java":${otherJava()},""" +
+      s""""cached_gb_start":$cachedStart,"cached_gb_end":${cachedGb()},""" +
+      s""""disk_read_gb":$readGb"""
     val contract = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},$telemetry,"queries":$top10,"sf":"$sfDir"}"""
     println(contract)
     // Stdout capture is tail-windowed and decorated by the launcher, so
