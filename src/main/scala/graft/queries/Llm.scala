@@ -1567,6 +1567,56 @@ object Llm extends QueryModule {
         FROM sh JOIN first USING (sh)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Repeated-span detection — the bounded-window approximation of
+    // exact-substring dedup (public method: Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // which dedups on ~50-token repeated substrings): hash every
+    // SLIDING 8-word window (every position, unlike the distinct
+    // 3-gram shingle ops), count distinct docs per window, and score
+    // each doc by the share of its positions sitting inside a span
+    // that also appears verbatim in ANOTHER doc. This catches long
+    // verbatim reuse that whole-doc MinHash dilutes away and
+    // boilerplate top-k misses. Shuffle keys are xxhash64 longs — the
+    // span strings never leave the scan stage (decontaminate/
+    // boilerplate pattern); per-window collision odds ~2^-64 are the
+    // documented minhash-family trade, and the string-keyed DuckDB
+    // oracle proves it holds on the fixture. Both aggregates are
+    // fine-key (window-hash, then doc_id), so the shape is linear in
+    // corpus size and horizontal at 100 TB.
+    QueryDef(
+      "llm_repeated_spans",
+      (s, dir) => {
+        val w = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .select(col("doc_id"), explode(when(size(col("w")) >= 8, expr(
+            "transform(sequence(0, size(w) - 8), i -> " +
+              "xxhash64(array_join(slice(w, i + 1, 8), ' ')))"))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("h"))
+        val df = w.groupBy("h")
+          .agg(count_distinct(col("doc_id")).as("ndocs"))
+        w.join(df, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup"),
+            round(col("n_dup").cast("double") / col("n_spans"), 6)
+              .as("dup_share"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(t) - 6),
+              i -> array_to_string(t[i:i+7], ' '))) AS span
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        df AS (SELECT span, count(DISTINCT doc_id) AS ndocs
+          FROM w GROUP BY span)
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup,
+          round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+            / count(*), 6) AS dup_share
+        FROM w JOIN df USING (span)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // PII-style scrubbing: mask digit runs and count redactions — pure
     // codegen'd regexp over each row, no shuffle. (The synthetic corpus
     // text carries no emails/phones; customer names are the fixture's

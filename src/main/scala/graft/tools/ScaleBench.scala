@@ -131,6 +131,22 @@ object ScaleBench {
         .select(col("sh"), col("df"))
         .orderBy(desc("df"), asc("sh")).limit(20))
     }
+    // sliding 8-word window repetition score (same shape as
+    // llm_repeated_spans: per-position xxhash64 keys, two fine-key
+    // aggregates + one equi-join — strictly more windows than the
+    // distinct-shingle ops since every position emits)
+    time("repeated_spans") {
+      val w = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(when(size(col("w")) >= 8, expr(
+          "transform(sequence(0, size(w) - 8), i -> " +
+            "xxhash64(array_join(slice(w, i + 1, 8), ' ')))"))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("h"))
+      val dfw = w.groupBy("h").agg(count_distinct(col("doc_id")).as("ndocs"))
+      force(w.join(dfw, "h").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup")))
+    }
     time("dedup_groups") {
       val pairs = TextOps.minhashNearDupPairs(docs, "doc_id", "text")
         .select("id_a", "id_b")
