@@ -1430,6 +1430,41 @@ object Llm extends QueryModule {
         WHERE s.doc_id >= 10
         GROUP BY s.doc_id ORDER BY s.doc_id""")),
 
+    // FUZZY decontamination — the near-duplicate complement of the
+    // exact-shingle scan above: corpus docs that are whole-document
+    // NEAR-dups of a benchmark doc (MinHash-banded candidates, exact
+    // Jaccard >= 0.5 verify) rather than sharing literal 3-grams.
+    // Exact shingle overlap misses light paraphrase/reordering; banded
+    // MinHash catches it — real eval-set hygiene uses both. Reuses the
+    // oracle-green md5 band machinery (minhashPairsMd5), then keeps
+    // only benchmark x corpus pairs: per corpus doc, how many
+    // benchmark docs it collides with and the worst Jaccard. At scale
+    // the benchmark side is tiny, so its band buckets prune the
+    // (band, bucket) shuffle to benchmark-adjacent candidates only —
+    // same linear banded shape as the dedup family, never all-pairs.
+    QueryDef(
+      "llm_decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        TextOps.minhashPairsMd5(docs, 0.5)
+          .filter(col("id_a") < 50 && col("id_b") >= 50)
+          .groupBy("id_b")
+          .agg(count(lit(1)).as("n_bench"), max("j").as("max_j"))
+          .select(col("id_b").as("doc_id"), col("n_bench"), col("max_j"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id < 500)),
+        $oracleMd5PairsCte
+        SELECT id_b AS doc_id, count(*) AS n_bench, max(j) AS max_j
+        FROM pairs WHERE id_a < 50 AND id_b >= 50
+        GROUP BY id_b ORDER BY doc_id""")),
+
     // Sequence packing: assign docs to fixed-capacity token bins for
     // training-batch construction. Deterministic and shard-parallel:
     // docs are hash-sharded and each shard packs independently by

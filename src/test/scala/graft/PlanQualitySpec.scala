@@ -361,4 +361,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("llm_repeated_spans shuffles long hashes — no strings, no cartesian") {
+    val p = plan("llm_repeated_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    // the window-hash equi-join must be a real join on the fine key,
+    // and the only Exchanges should key on h / doc_id (longs)
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("jx_json_agg_stats_approx joins the tiny group key by broadcast " +
+      "and keeps the sketch call Expand-free") {
+    val p = plan("jx_json_agg_stats_approx")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly ONE Expand (the exact side's count-distinct); the sketch
+    // side must not pay it — the 17 s five-buffer regression shape had
+    // sketch buffers living above the Expand
+    assert("Expand".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("llm_decontaminate_fuzzy candidates come from the banded join, " +
+      "never all-pairs") {
+    val p = plan("llm_decontaminate_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
