@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.execution.{ExpandExec, SparkPlan, UnionExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+/** Preflight audit of a DataFrame's physical plan for shapes that are
+  * survivable on a laptop fixture and fatal at 100 TB. The same checks
+  * the project applies to its own operators in PlanQualitySpec,
+  * exposed as a library API so a user can gate THEIR queries before
+  * submitting them to a 1000-executor cluster:
+  *
+  *   PlanAudit.audit(df).foreach(f => log.warn(f.render))
+  *
+  * Heuristics, not proofs: a flagged plan is worth a look, not
+  * necessarily wrong — each finding says why it fires and when it is a
+  * false alarm. Severity `error` = almost certainly a scale-killer
+  * (cartesian product over non-tiny inputs); `warn` = costs that grow
+  * super-linearly or serialize onto one task (single-partition window,
+  * unpartitioned global sort feeding more computation); `info` =
+  * known-expensive-but-linear shapes with cheaper documented twins
+  * (count-distinct Expand vs sketches, wide string shuffle keys vs
+  * xxhash64 longs).
+  */
+object PlanAudit {
+
+  final case class Finding(severity: String, rule: String, detail: String) {
+    def render: String = s"[$severity] $rule: $detail"
+  }
+
+  /** Walk the executed plan (through AQE wrappers) and return findings,
+    * most severe first. */
+  def audit(df: DataFrame): Seq[Finding] = {
+    val plan = df.queryExecution.executedPlan
+    val nodes = flatten(plan)
+    val fs = Seq.newBuilder[Finding]
+
+    nodes.foreach {
+      case c: CartesianProductExec =>
+        fs += Finding("error", "cartesian-product",
+          "CartesianProductExec multiplies its inputs; at cluster scale " +
+            "this is O(|L|x|R|). Bound one side and broadcast it, or add " +
+            "an equi-join key (even a coarse bucket) so a hash join plans.")
+      case j: BroadcastNestedLoopJoinExec =>
+        fs += Finding("warn", "nested-loop-join",
+          s"BroadcastNestedLoopJoin (${j.joinType}) scans the streamed side " +
+            "once per broadcast row batch — fine for a truly tiny " +
+            "broadcast (domain tables, 1-row totals), quadratic otherwise. " +
+            "Check the broadcast side is bounded by construction.")
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        fs += Finding("warn", "single-partition-window",
+          "Window with no PARTITION BY moves every row to one task. For " +
+            "global ranks over large data, aggregate per-partition then " +
+            "merge, or add a partition key and offset ranks.")
+      case e: ExpandExec =>
+        fs += Finding("info", "distinct-expand",
+          s"Expand (x${e.projections.size} row multiplication) — usually " +
+            "multiple COUNT(DISTINCT)s in one aggregate. Linear but " +
+            "multiplies shuffle volume; at 100 TB prefer one distinct per " +
+            "pass or the sketch twins (approx_count_distinct / " +
+            "hll_sketch_agg).")
+      case s: ShuffleExchangeExec =>
+        val wide = s.outputPartitioning.asInstanceOf[Any] match {
+          case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            hp.expressions.filter(e =>
+              e.dataType == StringType || e.dataType == BinaryType)
+          case _ => Seq.empty[Expression]
+        }
+        if (wide.nonEmpty)
+          fs += Finding("info", "string-shuffle-key",
+            s"Shuffle hashes on string/binary key(s) ${wide.map(_.sql).mkString(", ")} — " +
+              "correct, but every row ships the full key bytes. For " +
+              "high-cardinality derived keys (shingles, spans, URLs) " +
+              "shuffle on xxhash64(key) longs and keep strings at the scan.")
+      case _ => ()
+    }
+
+    // Filter evaluated above a parquet scan whose pushed-filter list is
+    // empty: the predicate did not reach the reader. (Detected from the
+    // formatted explain, which names scans and their PushedFilters
+    // uniformly; matching exec classes across DSv1/v2 is brittler.)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    if (formatted.contains("PushedFilters: []") &&
+        formatted.contains("Filter ("))
+      fs += Finding("info", "unpushed-filter",
+        "A Filter runs above a scan with PushedFilters: [] — the " +
+          "predicate is evaluated after reading. Expected for derived " +
+          "expressions (hashes, UDF-like exprs); if the predicate is on " +
+          "a plain column, restructure so it pushes down.")
+
+    val order = Map("error" -> 0, "warn" -> 1, "info" -> 2)
+    fs.result().distinct.sortBy(f => order(f.severity))
+  }
+
+  /** Shuffle count — a quick "how many wide dependencies" metric. */
+  def shuffleCount(df: DataFrame): Int =
+    flatten(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => Seq(p)
+    }
+    self ++ p.children.flatMap(flatten) ++ p.subqueries.flatMap(flatten)
+  }
+}
