@@ -129,6 +129,139 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  // ------------------------------------------------------------------
+  // REAL codec paths (graft.operators.Codecs): BMP and WAV are
+  // fixed-layout formats decodable with plain byte arithmetic, so for
+  // them the codec body is NOT a stub — synthesize real files from
+  // closed-form integer pixels/samples, then genuinely parse the bytes
+  // back. The closed form is what gives the decode a cross-engine
+  // oracle: DuckDB recomputes the expected features from (id, x, y) /
+  // (id, i) without touching bytes, so encoder, decoder, or feature
+  // drift all break the driver hash.
+  // ------------------------------------------------------------------
+
+  /** ids → media rows carrying an actual 24-bit BMP payload. */
+  def synthBmpMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.encodeBmp(Codecs.synthBmp(d)), "image/bmp",
+          Map("w" -> "16", "h" -> "12")))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** ids → media rows carrying an actual RIFF/PCM16 WAV payload. */
+  def synthWavMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.encodeWavPcm16(Codecs.synthWav(d)), "audio/wav",
+          Map("sr" -> "8000", "n" -> "2000")))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  private val bmpFeatureSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("px32_r", IntegerType), StructField("px32_g", IntegerType),
+    StructField("px32_b", IntegerType)))
+
+  private def bmpFeatureRow(id: Long, img: Codecs.Bmp): Row = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) = img.pixels(y)(x); sr += r; sg += g; sb += b; x += 1
+      }
+      y += 1
+    }
+    val (pr, pg, pb) = img.pixels(2)(3)
+    Row(id, img.width, img.height, sr, sg, sb, pr, pg, pb)
+  }
+
+  /** REAL BMP decode per partition: header parse + pixel-grid walk.
+    * Features: dimensions, per-channel sums (exact integers), and the
+    * pixel at (x=3, y=2) — the single-pixel probe pins the bottom-up
+    * row order and BGR byte order, which channel sums alone cannot. */
+  def decodeBmpFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        bmpFeatureRow(d, Codecs.decodeBmp(bytes))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
+  }
+
+  /** decode → nearest-neighbor resize → RE-ENCODE → decode again: the
+    * declared features come off the second decode, so both directions
+    * of the codec are on the oracle path. */
+  def resizeBmpFeatures(df: DataFrame, idCol: String,
+      w2: Int, h2: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val resized = Codecs.encodeBmp(
+          Codecs.resizeNearest(Codecs.decodeBmp(bytes), w2, h2))
+        bmpFeatureRow(d, Codecs.decodeBmp(resized))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
+  }
+
+  /** REAL WAV decode per partition: RIFF header parse + i16le
+    * sign-extension. Features are exact integers (peak, a pinned
+    * directional zero-crossing count, energy) so the closed-form
+    * oracle compares bit-for-bit. */
+  def decodeWavFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("peak", IntegerType),
+      StructField("zero_cross", LongType),
+      StructField("sum_sq", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val wav = Codecs.decodeWav(bytes)
+        var peak = 0; var zc = 0L; var ss = 0L
+        var i = 0
+        while (i < wav.samples.length) {
+          val s = wav.samples(i)
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && wav.samples(i - 1) < 0 && s >= 0) zc += 1
+          ss += s.toLong * s
+          i += 1
+        }
+        Row(d, wav.samples.length, wav.sampleRate, peak, zc, ss)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition batched decode: one "codec" per partition, rows
     * streamed through it. Output schema: id, mime, n_bytes, features. */
   def decode(df: DataFrame, idCol: String): DataFrame = {

@@ -1719,5 +1719,87 @@ object Llm extends QueryModule {
           CAST(list_sum(list_transform(range(1, length(text) + 1),
             i -> ord(text[i]) * ((i - 1) % 251 + 1))) % 10007 AS BIGINT)
             AS f_wsum
-        FROM documents ORDER BY id""")))
+        FROM documents ORDER BY id""")),
+
+    // REAL image decode (graft.operators.Codecs): each doc gets an
+    // actual 24-bit BMP payload synthesized from closed-form integer
+    // pixels of (doc_id, x, y); the operator then PARSES THE BYTES —
+    // header fields, bottom-up rows, 4-byte stride, BGR order — and
+    // emits dimensions, exact per-channel sums, and the (3,2) pixel
+    // probe (which pins row/byte order that sums alone cannot). The
+    // oracle recomputes every feature from the closed form without
+    // touching bytes: encoder, decoder, or feature drift each break
+    // the driver hash. This retires the "codec body is a stub" caveat
+    // for the formats a library-free JVM can honestly host; real
+    // JPEG/PNG stay behind the documented stub boundary.
+    QueryDef(
+      "llm_image_decode",
+      (s, dir) => Multimodal.decodeBmpFeatures(
+        Multimodal.synthBmpMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT d.doc_id AS id, 16 AS width, 12 AS height,
+          CAST(sum((d.doc_id + x.x + 11 * y.y) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((3 * d.doc_id + 7 * x.x + y.y) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((5 * d.doc_id + 2 * x.x + 3 * y.y) % 256) AS BIGINT) AS sum_b,
+          CAST((d.doc_id + 3 + 22) % 256 AS INT) AS px32_r,
+          CAST((3 * d.doc_id + 21 + 2) % 256 AS INT) AS px32_g,
+          CAST((5 * d.doc_id + 6 + 6) % 256 AS INT) AS px32_b
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+          (SELECT unnest(range(0, 16)) AS x) x,
+          (SELECT unnest(range(0, 12)) AS y) y
+        GROUP BY d.doc_id ORDER BY id""")),
+
+    // Image resize through BOTH codec directions: decode the real BMP,
+    // nearest-neighbor resample 16x12 -> 8x6 (src = 2*dst exactly),
+    // re-encode, decode AGAIN, and declare the second decode's
+    // features. The oracle samples the closed form at the
+    // nearest-neighbor source positions — a wrong stride, row order,
+    // or resample index in either direction cannot round-trip.
+    QueryDef(
+      "llm_image_resize",
+      (s, dir) => Multimodal.resizeBmpFeatures(
+        Multimodal.synthBmpMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", 8, 6).orderBy("id"),
+      Some("""SELECT d.doc_id AS id, 8 AS width, 6 AS height,
+          CAST(sum((d.doc_id + 2 * x.x + 11 * 2 * y.y) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((3 * d.doc_id + 7 * 2 * x.x + 2 * y.y) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((5 * d.doc_id + 2 * 2 * x.x + 3 * 2 * y.y) % 256) AS BIGINT) AS sum_b,
+          CAST((d.doc_id + 6 + 44) % 256 AS INT) AS px32_r,
+          CAST((3 * d.doc_id + 42 + 4) % 256 AS INT) AS px32_g,
+          CAST((5 * d.doc_id + 12 + 12) % 256 AS INT) AS px32_b
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+          (SELECT unnest(range(0, 8)) AS x) x,
+          (SELECT unnest(range(0, 6)) AS y) y
+        GROUP BY d.doc_id ORDER BY id""")),
+
+    // REAL audio decode: each doc gets an actual RIFF/PCM16-mono WAV
+    // (2000 closed-form integer samples in [-1000,1000] at 8 kHz); the
+    // operator parses the header and sign-extends the i16le stream,
+    // then emits exact-integer features (peak, directional
+    // zero-crossings, energy). Oracle recomputes from the sample
+    // formula with a lag window — byte layout or sign-extension bugs
+    // cannot hash-match.
+    QueryDef(
+      "llm_audio_decode",
+      (s, dir) => Multimodal.decodeWavFeatures(
+        Multimodal.synthWavMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""WITH s AS (SELECT d.doc_id, i.i,
+            ((i.i * (37 + d.doc_id % 13) + d.doc_id) % 2001) - 1000 AS v
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+            (SELECT unnest(range(0, 2000)) AS i) i),
+        w AS (SELECT doc_id, i, v,
+            lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        SELECT doc_id AS id, 2000 AS n_samples, 8000 AS sample_rate,
+          CAST(max(abs(v)) AS INT) AS peak,
+          CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_cross,
+          CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM w GROUP BY doc_id ORDER BY id""")))
 }
