@@ -59,12 +59,18 @@ class FixtureCanarySpec extends SparkSpec {
   }
 
   test("events raw ts encoding is one the normalization boundary handles") {
-    val raw = spark.read.parquet(s"$sf0001/events.parquet").schema
-      .find(_.name == "ts").map(_.dataType)
-    assert(
-      raw.exists(t => t == LongType || t == TimestampNTZType || t == TimestampType),
-      s"events.parquet ts arrived as $raw — Catalog.normalizeTs has no branch " +
-        "for this encoding; add one before trusting any time-axis query")
+    // every SF the driver touches: sf0.001 (tests/warmup), sf0.01
+    // (Verify), sf0.1 (Bench) — drift can land per-SF if the driver
+    // regenerates them separately
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { sf =>
+      val raw = spark.read.parquet(s"$sf/events.parquet").schema
+        .find(_.name == "ts").map(_.dataType)
+      assert(
+        raw.exists(t => t == LongType || t == TimestampNTZType || t == TimestampType),
+        s"$sf events.parquet ts arrived as $raw — Catalog.normalizeTs has no " +
+          "branch for this encoding; add one before trusting any time-axis query")
+    }
   }
 
   test("decoded events time axis spans ~30 days (not 1970, not 1000x off)") {
