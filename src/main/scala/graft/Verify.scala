@@ -24,11 +24,12 @@ object Verify {
     val errors = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
-    if (errors.nonEmpty) {
-      Files.writeString(Paths.get(s"$outDir/errors.json"),
-        errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
-          .mkString("{", ",", "}"))
-    }
+    // ALWAYS written, {} when clean: a stale errors.json from a prior
+    // run in the same outDir must not survive a later clean run and
+    // read as current failures.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+        .mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

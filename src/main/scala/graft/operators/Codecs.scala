@@ -78,7 +78,12 @@ object Codecs {
       "only 24bpp uncompressed BMP supported")
     val off = u32(bytes, 10)
     val width = u32(bytes, 18); val height = u32(bytes, 22)
+    // biHeight < 0 means a top-down DIB — reject explicitly rather than
+    // let the row math throw NegativeArraySize on non-synthetic input.
+    require(width > 0 && height > 0, "only bottom-up (height>0) BMP supported")
     val stride = rowStride(width)
+    require(off >= 54 && off.toLong + height.toLong * stride <= bytes.length,
+      "truncated BMP payload")
     val px = Array.ofDim[(Int, Int, Int)](height, width)
     var y = 0
     while (y < height) {
@@ -133,8 +138,16 @@ object Codecs {
       "not a WAV payload")
     require(u16(bytes, 20) == 1 && u16(bytes, 22) == 1 && u16(bytes, 34) == 16,
       "only PCM16 mono supported")
+    // Canonical 44-byte layout only: the 'data' chunk tag must sit at
+    // offset 36 and its declared size must fit the payload — otherwise
+    // a non-canonical or truncated file would misparse garbage samples
+    // or throw a raw index error instead of this message.
+    require(bytes(36) == 'd' && bytes(37) == 'a' &&
+      bytes(38) == 't' && bytes(39) == 'a', "not a canonical 44-byte WAV")
     val sampleRate = u32(bytes, 24)
     val dataSize = u32(bytes, 40)
+    require(dataSize >= 0 && 44L + dataSize <= bytes.length,
+      "truncated WAV payload")
     val n = dataSize / 2
     val s = new Array[Int](n)
     var i = 0
@@ -144,6 +157,190 @@ object Codecs {
       i += 1
     }
     Wav(sampleRate, s)
+  }
+
+  // ---------------------------------------------------------------- PNG
+  //
+  // PNG needs no external library either: the JVM ships the only
+  // nontrivial piece (zlib, via java.util.zip.Deflater/Inflater); the
+  // rest is chunk framing (length/type/data/CRC32), big-endian header
+  // arithmetic, and the five per-row byte filters
+  // (None/Sub/Up/Average/Paeth). Scope: 8-bit truecolor (color type 2),
+  // non-interlaced — the layout real RGB corpora use. JPEG/MP4 remain
+  // behind the documented stub boundary (entropy coding + DCT is a
+  // library-scale job).
+
+  private def u32be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def put32be(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = ((v >> 24) & 0xff).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
+    b(o + 2) = ((v >> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+  }
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream,
+      typ: String, data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); put32be(len, 0, data.length)
+    out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    val c = new Array[Byte](4); put32be(c, 0, crc.getValue.toInt)
+    out.write(c)
+  }
+
+  /** a = left, b = up, c = upper-left (PNG spec §9, exact tie-break
+    * order: a, then b, then c). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode as 8-bit truecolor non-interlaced PNG. `filterOf(y)` picks
+    * the per-row filter type (0-4); the default cycles through all five
+    * so every synthesized payload exercises every unfilter path. */
+  def encodePng(img: Bmp, filterOf: Int => Int = _ % 5): Array[Byte] = {
+    val w = img.width; val h = img.height; val bpp = 3
+    val rowLen = w * bpp
+    val raw = new Array[Byte](h * (1 + rowLen))
+    var prior: Array[Byte] = null
+    val cur = new Array[Byte](rowLen)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = img.pixels(y)(x)
+        cur(x * 3) = r.toByte; cur(x * 3 + 1) = g.toByte; cur(x * 3 + 2) = b.toByte
+        x += 1
+      }
+      val f = filterOf(y)
+      require(f >= 0 && f <= 4, s"bad PNG filter type $f")
+      val base = y * (1 + rowLen)
+      raw(base) = f.toByte
+      var i = 0
+      while (i < rowLen) {
+        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val up = if (prior != null) prior(i) & 0xff else 0
+        val ul = if (prior != null && i >= bpp) prior(i - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(base + 1 + i) = (((cur(i) & 0xff) - pred) & 0xff).toByte
+        i += 1
+      }
+      prior = if (prior == null) new Array[Byte](rowLen) else prior
+      System.arraycopy(cur, 0, prior, 0, rowLen)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](math.max(1024, raw.length + 64))
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf); zOut.write(buf, 0, n)
+    }
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSig)
+    val ihdr = new Array[Byte](13)
+    put32be(ihdr, 0, w); put32be(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zOut.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse the chunk stream, inflate IDAT, undo per-row filters.
+    * Validates signature, per-chunk CRC32, and the IHDR layout fields,
+    * failing loudly on anything outside 8-bit RGB non-interlaced. */
+  def decodePng(bytes: Array[Byte]): Bmp = {
+    require(bytes.length >= 8 + 25 && pngSig.indices.forall(i => bytes(i) == pngSig(i)),
+      "not a PNG payload")
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = u32be(bytes, off)
+      require(len >= 0 && off + 12L + len <= bytes.length, "truncated PNG chunk")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == u32be(bytes, off + 8 + len),
+        s"PNG chunk CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          w = u32be(bytes, off + 8); h = u32be(bytes, off + 12)
+          require(w > 0 && h > 0, "bad PNG dimensions")
+          require(bytes(off + 16) == 8 && bytes(off + 17) == 2,
+            "only 8-bit truecolor (RGB) PNG supported")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+            bytes(off + 20) == 0,
+            "only deflate/adaptive-filter/non-interlaced PNG supported")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
+      }
+      off += 12 + len
+    }
+    require(w > 0, "PNG missing IHDR")
+    val rowLen = w * 3
+    val rawLen = h * (1 + rowLen)
+    val raw = new Array[Byte](rawLen)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < rawLen && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, rawLen - got)
+      require(n > 0 || !inflater.needsInput(), "truncated PNG IDAT stream")
+      got += n
+    }
+    inflater.end()
+    require(got == rawLen, s"PNG IDAT inflated to $got of $rawLen bytes")
+    val px = Array.ofDim[(Int, Int, Int)](h, w)
+    var prior: Array[Byte] = null
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + rowLen)
+      val f = raw(base) & 0xff
+      require(f <= 4, s"bad PNG filter type $f in row $y")
+      val cur = new Array[Byte](rowLen)
+      var i = 0
+      while (i < rowLen) {
+        val left = if (i >= 3) cur(i - 3) & 0xff else 0
+        val up = if (prior != null) prior(i) & 0xff else 0
+        val ul = if (prior != null && i >= 3) prior(i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        cur(i) = (((raw(base + 1 + i) & 0xff) + pred) & 0xff).toByte
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        px(y)(x) = (cur(x * 3) & 0xff, cur(x * 3 + 1) & 0xff, cur(x * 3 + 2) & 0xff)
+        x += 1
+      }
+      prior = cur
+      y += 1
+    }
+    Bmp(w, h, px)
   }
 
   // ------------------------------------------- deterministic generators

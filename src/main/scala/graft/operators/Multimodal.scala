@@ -155,6 +155,40 @@ object Multimodal {
     ids.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying an actual 8-bit RGB PNG payload — same
+    * closed-form pixels as the BMP twin, so the same oracle formulas
+    * apply; the per-row filter cycles 0-4, so every payload exercises
+    * all five PNG unfilter paths (Sub/Up/Average/Paeth included). */
+  def synthPngMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.encodePng(Codecs.synthBmp(d)), "image/png",
+          Map("w" -> "16", "h" -> "12")))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL PNG decode per partition: chunk/CRC parse, zlib inflate,
+    * per-row unfilter. Same feature row as the BMP decode, so the
+    * closed-form oracle is shared. */
+  def decodePngFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        bmpFeatureRow(d, Codecs.decodePng(bytes))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
+  }
+
   /** ids → media rows carrying an actual RIFF/PCM16 WAV payload. */
   def synthWavMedia(ids: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(

@@ -1751,6 +1751,33 @@ object Llm extends QueryModule {
           (SELECT unnest(range(0, 12)) AS y) y
         GROUP BY d.doc_id ORDER BY id""")),
 
+    // REAL PNG decode (graft.operators.Codecs.decodePng): the payload
+    // is a genuine 8-bit-RGB non-interlaced PNG — chunk framing with
+    // CRC32, zlib-deflated scanlines (java.util.zip, no external
+    // library), and a per-row filter that cycles through all five
+    // types, so decode must run Sub/Up/Average/Paeth unfiltering on
+    // every image. Pixels are the SAME closed form as the BMP twin, so
+    // the oracle is shared: any drift in chunk parse, inflate, or
+    // unfilter breaks the driver hash.
+    QueryDef(
+      "llm_image_decode_png",
+      (s, dir) => Multimodal.decodePngFeatures(
+        Multimodal.synthPngMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT d.doc_id AS id, 16 AS width, 12 AS height,
+          CAST(sum((d.doc_id + x.x + 11 * y.y) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((3 * d.doc_id + 7 * x.x + y.y) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((5 * d.doc_id + 2 * x.x + 3 * y.y) % 256) AS BIGINT) AS sum_b,
+          CAST((d.doc_id + 3 + 22) % 256 AS INT) AS px32_r,
+          CAST((3 * d.doc_id + 21 + 2) % 256 AS INT) AS px32_g,
+          CAST((5 * d.doc_id + 6 + 6) % 256 AS INT) AS px32_b
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+          (SELECT unnest(range(0, 16)) AS x) x,
+          (SELECT unnest(range(0, 12)) AS y) y
+        GROUP BY d.doc_id ORDER BY id""")),
+
     // Image resize through BOTH codec directions: decode the real BMP,
     // nearest-neighbor resample 16x12 -> 8x6 (src = 2*dst exactly),
     // re-encode, decode AGAIN, and declare the second decode's

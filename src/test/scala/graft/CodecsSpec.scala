@@ -69,5 +69,81 @@ class CodecsSpec extends AnyFunSuite {
   test("decode rejects non-media payloads loudly") {
     intercept[IllegalArgumentException](Codecs.decodeBmp("nope".getBytes))
     intercept[IllegalArgumentException](Codecs.decodeWav("nope".getBytes))
+    intercept[IllegalArgumentException](Codecs.decodePng("nope".getBytes))
+  }
+
+  test("decode rejects malformed-but-tagged payloads loudly") {
+    // top-down BMP (negative biHeight) — reject, don't NegativeArraySize
+    val bmp = Codecs.encodeBmp(Codecs.synthBmp(1L, 4, 3))
+    val topDown = bmp.clone()
+    topDown(25) = 0xff.toByte // height 3 -> negative i32le
+    topDown(24) = 0xfd.toByte
+    intercept[IllegalArgumentException](Codecs.decodeBmp(topDown))
+    // truncated BMP pixel data
+    intercept[IllegalArgumentException](
+      Codecs.decodeBmp(java.util.Arrays.copyOf(bmp, bmp.length - 8)))
+    // WAV with a non-'data' chunk at offset 36 (e.g. a LIST chunk)
+    val wav = Codecs.encodeWavPcm16(Codecs.synthWav(1L, 16))
+    val listChunk = wav.clone()
+    listChunk(36) = 'L'; listChunk(37) = 'I'; listChunk(38) = 'S'; listChunk(39) = 'T'
+    intercept[IllegalArgumentException](Codecs.decodeWav(listChunk))
+    // WAV whose declared data size exceeds the payload
+    val shortWav = java.util.Arrays.copyOf(wav, wav.length - 6)
+    intercept[IllegalArgumentException](Codecs.decodeWav(shortWav))
+  }
+
+  test("PNG encode/decode round-trips arbitrary pixels with cycling filters") {
+    val imgGen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 7)
+      px <- Gen.listOfN(h, Gen.listOfN(w, pixelGen))
+    } yield Bmp(w, h, px.map(_.toArray).toArray)
+    val imgs = samples(imgGen, 60)
+    assert(imgs.size >= 50)
+    imgs.foreach { img =>
+      val back = Codecs.decodePng(Codecs.encodePng(img))
+      assert(back.width == img.width && back.height == img.height)
+      assert(back.pixels.flatten.toSeq == img.pixels.flatten.toSeq,
+        s"pixel mismatch at ${img.width}x${img.height}")
+    }
+  }
+
+  test("PNG round-trips under each single filter type 0-4") {
+    // One image per filter type, every row filtered the same way, so a
+    // broken unfilter path cannot hide behind its working neighbors.
+    val img = Codecs.synthBmp(42L, 16, 12)
+    (0 to 4).foreach { f =>
+      val back = Codecs.decodePng(Codecs.encodePng(img, _ => f))
+      assert(back.pixels.flatten.toSeq == img.pixels.flatten.toSeq,
+        s"filter type $f does not round-trip")
+    }
+  }
+
+  test("PNG decode validates chunk CRC") {
+    val png = Codecs.encodePng(Codecs.synthBmp(3L, 8, 8))
+    val corrupt = png.clone()
+    // flip a byte inside the IDAT payload (after sig + IHDR chunk)
+    corrupt(8 + 25 + 20) = (corrupt(8 + 25 + 20) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](Codecs.decodePng(corrupt))
+  }
+
+  test("PNG decode skips ancillary chunks") {
+    // splice a tEXt chunk between IHDR and IDAT; decode must ignore it
+    val png = Codecs.encodePng(Codecs.synthBmp(5L, 6, 4))
+    val ihdrEnd = 8 + 25
+    val payload = "graft".getBytes("US-ASCII")
+    val chunk = new java.io.ByteArrayOutputStream()
+    val len = Array[Byte](0, 0, 0, payload.length.toByte)
+    chunk.write(len)
+    val tb = "tEXt".getBytes("US-ASCII")
+    chunk.write(tb); chunk.write(payload)
+    val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(payload)
+    val cv = crc.getValue.toInt
+    chunk.write(Array[Byte](((cv >> 24) & 0xff).toByte, ((cv >> 16) & 0xff).toByte,
+      ((cv >> 8) & 0xff).toByte, (cv & 0xff).toByte))
+    val spliced = png.take(ihdrEnd) ++ chunk.toByteArray ++ png.drop(ihdrEnd)
+    val back = Codecs.decodePng(spliced)
+    assert(back.pixels.flatten.toSeq ==
+      Codecs.synthBmp(5L, 6, 4).pixels.flatten.toSeq)
   }
 }
