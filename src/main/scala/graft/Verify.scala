@@ -21,9 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val audit = scala.collection.mutable.ArrayBuffer
+      .empty[(String, graft.plans.PlanAudit.Finding)]
     val errors = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .flatMap { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
+      .flatMap { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn, audit) }
     // ALWAYS written, {} when clean: a stale errors.json from a prior
     // run in the same outDir must not survive a later clean run and
     // read as current failures.
@@ -33,6 +35,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Plan-audit artifact (AUDIT_LAST.json in cwd, like BENCH_LAST):
+    // every dumped query's PlanAudit findings with severity, plus
+    // provenance (UTC timestamp, fixture, query count) — the 100 TB
+    // preflight as a driver-readable record, not only an sbt test.
+    if (only.isEmpty) {
+      val byQuery = audit.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (q, fs) => s"${jq(q)}: [" + fs.map { case (_, f) =>
+          s"""{"severity": ${jq(f.severity)}, "rule": ${jq(f.rule)}, "detail": ${jq(f.detail)}}"""
+        }.mkString(", ") + "]"
+      }.mkString("{", ", ", "}")
+      val nErr = audit.count(_._2.severity == "error")
+      val ts = java.time.Instant.now().toString
+      Files.writeString(Paths.get("AUDIT_LAST.json"),
+        s"""{"generated_utc": ${jq(ts)}, "sf": ${jq(sfDir)}, """ +
+          s""""n_queries": ${SparkEntry.queries.size}, """ +
+          s""""n_findings": ${audit.size}, "n_error": $nErr, """ +
+          s""""findings": $byQuery}""")
+    }
     spark.stop()
   }
 
@@ -46,11 +66,21 @@ object Verify {
   private[graft] def dumpOne(
       spark: SparkSession, sfDir: String, outDir: String,
       name: String,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      audit: scala.collection.mutable.ArrayBuffer[(String, graft.plans.PlanAudit.Finding)] = null)
       : Option[(String, String)] = {
     try {
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val df = fn(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      // Audit the same DataFrame the dump ran (a throwing audit must
+      // never fail the dump — record it as its own finding instead).
+      if (audit != null) {
+        try audit ++= graft.plans.PlanAudit.audit(df).map(name -> _)
+        catch { case e: Throwable =>
+          audit += name -> graft.plans.PlanAudit.Finding(
+            "warn", "audit-failed", String.valueOf(e.getMessage).take(200))
+        }
+      }
       None
     } catch {
       case e: Throwable =>

@@ -75,6 +75,46 @@ object TextOps {
       .filter(col("j") >= threshold)
   }
 
+  /** Bipartite twin of `minhashPairsMd5` for bench×corpus shapes
+    * (fuzzy decontamination): bands the two sides SEPARATELY and joins
+    * bench-bands to corpus-bands on (band, bucket), so bench-side
+    * pruning is structural — the banded join's left input is built
+    * from the bench frame only, never carved out of a symmetric
+    * self-join by optimizer pushdown (which a future Spark/AQE change
+    * could fail to apply, silently regressing the workload to full
+    * corpus×corpus dedup). The small bench side is broadcast at both
+    * joins that touch it. Callers must pass id-disjoint frames; output
+    * is (id_a ∈ bench, id_b ∈ corpus, j ≥ threshold) — exactly the
+    * symmetric form's pairs restricted to bench×corpus.
+    */
+  def minhashPairsMd5Bipartite(bench: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    def sigOf(docs: DataFrame): DataFrame =
+      docs.filter(size(col("sh")) > 0)
+        .select(Seq(col("doc_id"), col("sh")) ++
+          minhashSigMd5(col("sh"), 0 until 6): _*)
+    def bandsOf(sig: DataFrame): DataFrame =
+      sig.select(col("doc_id"),
+        posexplode(array(
+          concat_ws("|", col("mh_0"), col("mh_1")),
+          concat_ws("|", col("mh_2"), col("mh_3")),
+          concat_ws("|", col("mh_4"), col("mh_5"))))
+          .as(Seq("band", "bucket")))
+    val sigB = sigOf(bench); val sigC = sigOf(corpus)
+    val cand = broadcast(
+      bandsOf(sigB).select(col("band"), col("bucket"), col("doc_id").as("id_a")))
+      .join(bandsOf(sigC).select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(broadcast(
+        sigB.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
+      .join(sigC.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   /** One xxhash64 per shingle — the only pass that touches strings. */
   def shingleHashes(sh: Column): Column = transform(sh, s2 => xxhash64(s2))
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
-import org.apache.spark.sql.execution.{ExpandExec, SparkPlan, UnionExec}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, ExpandExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, UnionExec, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -77,22 +77,24 @@ object PlanAudit {
               "correct, but every row ships the full key bytes. For " +
               "high-cardinality derived keys (shingles, spans, URLs) " +
               "shuffle on xxhash64(key) longs and keep strings at the scan.")
+      // Filter whose DIRECT scan child (through narrow per-row wrappers
+      // only — codegen, columnar bridge, project) pushed nothing into
+      // the reader: the predicate is evaluated after reading. Pairing
+      // the Filter with its own scan, not any scan in the plan, avoids
+      // the false positive of one fully-pushed scan plus an unrelated
+      // filter-free scan elsewhere in the tree.
+      case f: FilterExec =>
+        scanBelow(f.child).foreach { scan =>
+          if (scan.metadata.get("PushedFilters").contains("[]"))
+            fs += Finding("info", "unpushed-filter",
+              "A Filter runs directly above a scan with PushedFilters: [] — " +
+                "the predicate is evaluated after reading. Expected for " +
+                "derived expressions (hashes, UDF-like exprs); if the " +
+                "predicate is on a plain column, restructure so it pushes " +
+                "down.")
+        }
       case _ => ()
     }
-
-    // Filter evaluated above a parquet scan whose pushed-filter list is
-    // empty: the predicate did not reach the reader. (Detected from the
-    // formatted explain, which names scans and their PushedFilters
-    // uniformly; matching exec classes across DSv1/v2 is brittler.)
-    val formatted = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    if (formatted.contains("PushedFilters: []") &&
-        formatted.contains("Filter ("))
-      fs += Finding("info", "unpushed-filter",
-        "A Filter runs above a scan with PushedFilters: [] — the " +
-          "predicate is evaluated after reading. Expected for derived " +
-          "expressions (hashes, UDF-like exprs); if the predicate is on " +
-          "a plain column, restructure so it pushes down.")
 
     val order = Map("error" -> 0, "warn" -> 1, "info" -> 2)
     fs.result().distinct.sortBy(f => order(f.severity))
@@ -102,6 +104,24 @@ object PlanAudit {
   def shuffleCount(df: DataFrame): Int =
     flatten(df.queryExecution.executedPlan)
       .count(_.isInstanceOf[ShuffleExchangeExec])
+
+  /** The parquet scan reachable from `p` through narrow single-child
+    * wrappers only (no joins/aggregates/exchanges in between) — i.e.
+    * the scan a Filter at `p`'s parent is evaluated directly above.
+    * DSv1 scans only: FileSourceScanExec carries the PushedFilters
+    * metadata this check reads; DSv2 BatchScanExec plans (not used by
+    * this library's parquet path) fall through to None. */
+  private def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Some(s)
+    case w: WholeStageCodegenExec => scanBelow(w.child)
+    case i: InputAdapter => scanBelow(i.child)
+    case c: ColumnarToRowExec => scanBelow(c.child)
+    case pr: ProjectExec => scanBelow(pr.child)
+    case f: FilterExec => scanBelow(f.child)
+    case a: AdaptiveSparkPlanExec => scanBelow(a.executedPlan)
+    case q: QueryStageExec => scanBelow(q.plan)
+    case _ => None
+  }
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

@@ -1435,21 +1435,23 @@ object Llm extends QueryModule {
     // NEAR-dups of a benchmark doc (MinHash-banded candidates, exact
     // Jaccard >= 0.5 verify) rather than sharing literal 3-grams.
     // Exact shingle overlap misses light paraphrase/reordering; banded
-    // MinHash catches it — real eval-set hygiene uses both. Reuses the
-    // oracle-green md5 band machinery (minhashPairsMd5), then keeps
-    // only benchmark x corpus pairs: per corpus doc, how many
-    // benchmark docs it collides with and the worst Jaccard. At scale
-    // the benchmark side is tiny, so its band buckets prune the
-    // (band, bucket) shuffle to benchmark-adjacent candidates only —
-    // same linear banded shape as the dedup family, never all-pairs.
+    // MinHash catches it — real eval-set hygiene uses both. Uses the
+    // BIPARTITE md5 band machinery (minhashPairsMd5Bipartite): the
+    // benchmark and corpus sides are banded separately and joined
+    // bench-bands × corpus-bands, so the tiny bench side prunes the
+    // (band, bucket) join BY CONSTRUCTION — not by relying on the
+    // optimizer to push `id_a < 50` through a distinct + self-join —
+    // and is broadcast. Per corpus doc: how many benchmark docs it
+    // collides with and the worst Jaccard. Same linear banded shape as
+    // the dedup family, never all-pairs.
     QueryDef(
       "llm_decontaminate_fuzzy",
       (s, dir) => {
         val docs = Catalog.table(s, dir, "documents")
-          .filter(col("doc_id") < 500)
           .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
-        TextOps.minhashPairsMd5(docs, 0.5)
-          .filter(col("id_a") < 50 && col("id_b") >= 50)
+        TextOps.minhashPairsMd5Bipartite(
+            docs.filter(col("doc_id") < 50),
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 500), 0.5)
           .groupBy("id_b")
           .agg(count(lit(1)).as("n_bench"), max("j").as("max_j"))
           .select(col("id_b").as("doc_id"), col("n_bench"), col("max_j"))

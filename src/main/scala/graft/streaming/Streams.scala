@@ -20,13 +20,38 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** One staged source dir per sfDir, reused across every streaming
-    * query in the session AND across JVM runs (the path is
-    * deterministic scratch space and holds only a symlink, so there is
-    * nothing to reap — a full Bench/Verify run used to leak one temp
-    * dir per streaming query). */
+  /** Staged source dirs, keyed on (path, mtime, size) of the fixture
+    * file — reused across every streaming query in the session AND
+    * across JVM runs (the path is deterministic scratch space and holds
+    * only a symlink, so there is nothing to reap — a full Bench/Verify
+    * run used to leak one temp dir per streaming query). */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Stage `file` (a single parquet file) into a scratch DIRECTORY the
+    * file source can watch. The scratch dir name embeds the fixture's
+    * mtime+size, so a driver fixture REGENERATION (same path, new
+    * bytes — the exact event of round 6) can never be served a stale
+    * staged copy from a warm scratch dir across rounds: a new
+    * generation keys a new dir. Content rides a symlink where the
+    * filesystem allows (bytes never duplicated), else a copy — and the
+    * copy is safe under regeneration for the same reason. */
+  private[graft] def stageEventsDir(file: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(file)
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val gen = s"${attrs.lastModifiedTime().toMillis}-${attrs.size()}"
+    stagedDirs.computeIfAbsent(s"$file@$gen", { _ =>
+      val d = java.nio.file.Paths.get(
+        graft.Scratch.dir(s"events-stream-${math.abs(file.hashCode)}-$gen"))
+      java.nio.file.Files.createDirectories(d)
+      val dst = d.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        try java.nio.file.Files.createSymbolicLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      d
+    })
+  }
 
   /** events.parquet replayed through the file source. The readStream
     * schema is the file's own footer schema (a one-footer batch read —
@@ -37,20 +62,7 @@ object Streams {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val file = s"$sfDir/events.parquet"
     val footerSchema = spark.read.parquet(file).schema
-    // The file source wants a directory to watch; the fixture is a single
-    // parquet file — stage a link/copy of it into a scratch dir (a
-    // symlink, so the bytes are never duplicated).
-    val dir = stagedDirs.computeIfAbsent(sfDir, { _ =>
-      val src = java.nio.file.Paths.get(file)
-      val d = java.nio.file.Paths.get(
-        graft.Scratch.dir(s"events-stream-${math.abs(sfDir.hashCode)}"))
-      java.nio.file.Files.createDirectories(d)
-      val dst = d.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(dst))
-        try java.nio.file.Files.createSymbolicLink(dst, src)
-        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
-      d
-    })
+    val dir = stageEventsDir(file)
     graft.sources.Catalog.normalizeTs(
       spark.readStream.schema(footerSchema).parquet(dir.toString))
   }

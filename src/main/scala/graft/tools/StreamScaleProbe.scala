@@ -40,7 +40,16 @@ object StreamScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = s"/tmp/graft-stream-x$mult"
+    // Staged-replica cache keyed on (mult, sfDir, fixture mtime+size):
+    // re-running at a different SF, or after a driver fixture
+    // regeneration, must never reuse stale scaled data whose schema/ts
+    // encoding no longer matches the freshly-read footer (same
+    // generation-keying as Streams.stageEventsDir).
+    val fixture = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val attrs = java.nio.file.Files.readAttributes(
+      fixture, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val gen = s"${math.abs(sfDir.hashCode)}-${attrs.lastModifiedTime().toMillis}-${attrs.size()}"
+    val dir = s"/tmp/graft-stream-x$mult-$gen"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val ev = graft.sources.Catalog.table(spark, sfDir, "events")
       ev.withColumn("r", explode(expr(s"sequence(0L, ${mult - 1}L)")))
@@ -96,6 +105,19 @@ object StreamScaleProbe {
       Streams.dedupWithinWatermark(stream()), OutputMode.Append())
     runCounted("stateful_user")(
       Streams.runningUserState(stream()), OutputMode.Update())
+    // Gap-based session windows: the one §2.9 state shape whose growth
+    // is density-sensitive by nature (each open session holds a
+    // mergeable range per user until watermark + gap close it). The
+    // scale claim to check: closed-session count and state stay bounded
+    // by (active users × open sessions), not by event count.
+    runCounted("session_window")(
+      stream()
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events")),
+      OutputMode.Append())
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))

@@ -86,6 +86,31 @@ class FixtureCanarySpec extends SparkSpec {
       s"events min ts is ${row.getTimestamp(0)} — epoch-1970 smell, decode scale wrong")
   }
 
+  test("staged events dir tracks fixture regeneration (no stale serve)") {
+    // Simulate the round-6 event: same fixture path, new bytes. The
+    // staging layer must key the staged copy on the file's generation
+    // (mtime+size), never hand back the previous generation's dir.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("canary-regen")
+    val fixture = tmp.resolve("events.parquet")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), fixture,
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(fixture,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    val gen1 = graft.streaming.Streams.stageEventsDir(fixture.toString)
+    // "regenerate": rewrite the file with a different mtime (content
+    // identity is irrelevant to the key — any rewrite must re-stage)
+    Files.setLastModifiedTime(fixture,
+      java.nio.file.attribute.FileTime.fromMillis(2000000000000L))
+    val gen2 = graft.streaming.Streams.stageEventsDir(fixture.toString)
+    assert(gen1 != gen2,
+      s"staging served the stale pre-regeneration dir $gen1")
+    // and the staged entry resolves to the live fixture bytes
+    val staged = gen2.resolve("events.parquet")
+    assert(Files.exists(staged))
+    assert(Files.size(staged) == Files.size(fixture))
+  }
+
   test("streaming eventsStream decodes the same time axis as batch") {
     import org.apache.spark.sql.streaming.OutputMode
     val decoded = graft.streaming.Streams.runToMemory(

@@ -42,6 +42,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(fs.isEmpty, fs.mkString("\n"))
   }
 
+  test("unpushed-filter flags a derived-expression filter above its scan") {
+    val df = graft.sources.Catalog.table(spark, sf0001, "nation")
+      .filter(coalesce(xxhash64(col("n_name")), lit(0L)) % 2 === 0)
+    val fs = PlanAudit.audit(df)
+    assert(fs.exists(_.rule == "unpushed-filter"), fs.mkString("\n"))
+  }
+
+  test("unpushed-filter pairs each Filter with ITS scan, not any scan") {
+    // One branch: filter fully pushed into its scan. Other branch: a
+    // filter-free scan whose PushedFilters is naturally []. The old
+    // whole-explain heuristic paired these unrelated nodes and fired;
+    // the per-scan walk must not.
+    val pushed = graft.sources.Catalog.table(spark, sf0001, "nation")
+      .filter(col("n_nationkey") > 5).select(col("n_nationkey").as("k"))
+    val bare = graft.sources.Catalog.table(spark, sf0001, "region")
+      .select(col("r_regionkey").as("k"))
+    val fs = PlanAudit.audit(pushed.union(bare))
+    assert(!fs.exists(_.rule == "unpushed-filter"), fs.mkString("\n"))
+  }
+
   test("whole declared surface audits error-free") {
     // Plan-time sweep of every declared query. Collects only severity
     // `error` (warn/info shapes are the documented bounded-broadcast /

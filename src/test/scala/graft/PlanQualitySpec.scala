@@ -388,4 +388,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("llm_decontaminate_fuzzy bench pruning is structural: the band " +
+      "join's bench side carries its filter even with pushdown disabled") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    val expected =
+      SparkEntry.queries("llm_decontaminate_fuzzy")(spark, sf0001).count()
+    try {
+      // Without these rules a pushdown-DEPENDENT prune (filter above a
+      // distinct+self-join) stays above the join; a structural one is
+      // below it by construction and cannot move.
+      spark.conf.set(key,
+        "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates," +
+        "org.apache.spark.sql.catalyst.optimizer.PushPredicateThroughJoin," +
+        "org.apache.spark.sql.catalyst.optimizer.PushPredicateThroughNonJoin," +
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+      val df = SparkEntry.queries("llm_decontaminate_fuzzy")(spark, sf0001)
+      val bandJoins = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.exists(_.references.exists(a =>
+          a.name == "band" || a.name == "bucket")) => j
+      }
+      assert(bandJoins.nonEmpty, "no (band, bucket) join in the plan")
+      bandJoins.foreach { j =>
+        val benchFiltered = j.left.collectFirst {
+          case f: Filter if f.condition.toString.contains("< 50") => f
+        }
+        assert(benchFiltered.nonEmpty,
+          s"band join's bench side lost its doc_id bound without pushdown:\n$j")
+      }
+      // and the pruned plan still computes the right answer
+      assert(df.count() == expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Self-scan for proprietary/internal references with verifiable provenance.
+
+The round artifact LEAKCHECK.json is produced outside this repo and
+carries only {round, n_hits, hits} — a zero-hit record there is
+indistinguishable from a stale copy. This tool re-runs an equivalent
+category scan over the repo's own sources and emits
+LEAKCHECK_SELF.json that a reader CAN verify: it records the scan
+timestamp, the exact file list scanned, and a sha256 over that list's
+(path, size, mtime) tuples — so "zero hits" is tied to a concrete,
+checkable corpus of files.
+
+Usage: python3 tools/leakcheck.py [repo_root] (default: repo root
+containing this script's parent)
+"""
+import hashlib
+import json
+import os
+import re
+import sys
+import time
+
+CATEGORIES = {
+    # import of anything not spark/scala/java/scalatest/graft-local
+    # (org.json4s / com.fasterxml ship inside /opt/spark/jars — public;
+    # `<session>.implicits._` is a local value import, not a package)
+    "internal-import": re.compile(
+        r"^\s*import\s+(?!org\.apache\.spark|org\.apache\.parquet|scala\.|java\.|javax\.|org\.scalatest|org\.scalacheck|graft\.|org\.apache\.datasketches|org\.json4s|com\.fasterxml|[A-Za-z0-9_]+\.implicits\._)[a-z]+\.[a-z0-9_.]+",
+        re.M),
+    # URLs that are not apache/github/spec-reference material
+    "internal-url": re.compile(
+        r"https?://(?!www\.w3\.org|github\.com|issues\.apache\.org|spark\.apache\.org|datasketches\.apache\.org|arxiv\.org|doi\.org|en\.wikipedia\.org)[a-z0-9.-]+\.[a-z]{2,}"),
+    "cloud-bucket": re.compile(r"\b(?:s3|gs|abfss?|wasbs?)://[a-z0-9._/-]+"),
+    "slack-link": re.compile(r"slack\.com|#[a-z0-9-]*channel|go/[a-z0-9-]{2,}\b"),
+    "api-key": re.compile(
+        r"\b(?:AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|ghp_[A-Za-z0-9]{20,}|xox[baprs]-[A-Za-z0-9-]{10,})\b"),
+    "internal-env": re.compile(
+        r"sys\.env[^\n]*(?!SPARK_GRAFT_|SCALE_MULT|SPARK_DRIVER_MEM|COURSIER)[A-Z]{3,}_(?:INTERNAL|CORP|PROD)_"),
+}
+
+SCAN_EXT = {".scala", ".sbt", ".py", ".md"}
+SKIP_DIRS = {"target", ".git", ".bloop", ".metals", "spark-warehouse", "project"}
+
+
+def files_to_scan(root):
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d not in SKIP_DIRS]
+        for f in sorted(filenames):
+            if os.path.splitext(f)[1] in SCAN_EXT:
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    files = files_to_scan(root)
+    hits = {cat: [] for cat in CATEGORIES}
+    for path in files:
+        try:
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                text = fh.read()
+        except OSError:
+            continue
+        rel = os.path.relpath(path, root)
+        for cat, rx in CATEGORIES.items():
+            for m in rx.finditer(text):
+                line = text.count("\n", 0, m.start()) + 1
+                hits[cat].append(
+                    {"file": rel, "line": line, "match": m.group(0)[:120]})
+    digest = hashlib.sha256()
+    for path in files:
+        st = os.stat(path)
+        digest.update(
+            f"{os.path.relpath(path, root)}|{st.st_size}|{int(st.st_mtime)}\n"
+            .encode())
+    n_hits = sum(len(v) for v in hits.values())
+    record = {
+        "scanned_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_files": len(files),
+        "filelist_sha256": digest.hexdigest(),
+        "files": [os.path.relpath(p, root) for p in files],
+        "n_hits": n_hits,
+        "hits": hits,
+    }
+    out = os.path.join(root, "LEAKCHECK_SELF.json")
+    with open(out, "w") as fh:
+        json.dump(record, fh, indent=2)
+    print(f"{out}: {len(files)} files, {n_hits} hits")
+    return 0 if n_hits == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
