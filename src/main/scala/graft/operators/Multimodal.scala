@@ -189,6 +189,26 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
   }
 
+  /** decode the PNG → nearest-neighbor resize → RE-ENCODE as PNG
+    * (cycling per-row filters) → decode again; features come off the
+    * second decode, so filter+deflate and parse+inflate BOTH sit on
+    * the oracle path at the reduced size. */
+  def resizePngFeatures(df: DataFrame, idCol: String,
+      w2: Int, h2: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val resized = Codecs.encodePng(
+          Codecs.resizeNearest(Codecs.decodePng(bytes), w2, h2))
+        bmpFeatureRow(d, Codecs.decodePng(resized))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
+  }
+
   /** ids → media rows carrying an actual RIFF/PCM16 WAV payload. */
   def synthWavMedia(ids: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(

@@ -1780,6 +1780,32 @@ object Llm extends QueryModule {
           (SELECT unnest(range(0, 12)) AS y) y
         GROUP BY d.doc_id ORDER BY id""")),
 
+    // PNG resize through BOTH codec directions (the PNG twin of
+    // llm_image_resize): decode the real PNG, resample 16x12 -> 8x6,
+    // RE-ENCODE as PNG (per-row filters cycling again at the new
+    // width), decode AGAIN, declare the second decode's features. A
+    // wrong filter/unfilter, CRC, or inflate/deflate in either
+    // direction at either size cannot round-trip. Oracle = the BMP
+    // resize oracle (shared closed form).
+    QueryDef(
+      "llm_image_resize_png",
+      (s, dir) => Multimodal.resizePngFeatures(
+        Multimodal.synthPngMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", 8, 6).orderBy("id"),
+      Some("""SELECT d.doc_id AS id, 8 AS width, 6 AS height,
+          CAST(sum((d.doc_id + 2 * x.x + 11 * 2 * y.y) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((3 * d.doc_id + 7 * 2 * x.x + 2 * y.y) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((5 * d.doc_id + 2 * 2 * x.x + 3 * 2 * y.y) % 256) AS BIGINT) AS sum_b,
+          CAST((d.doc_id + 6 + 44) % 256 AS INT) AS px32_r,
+          CAST((3 * d.doc_id + 42 + 4) % 256 AS INT) AS px32_g,
+          CAST((5 * d.doc_id + 12 + 12) % 256 AS INT) AS px32_b
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+          (SELECT unnest(range(0, 8)) AS x) x,
+          (SELECT unnest(range(0, 6)) AS y) y
+        GROUP BY d.doc_id ORDER BY id""")),
+
     // Image resize through BOTH codec directions: decode the real BMP,
     // nearest-neighbor resample 16x12 -> 8x6 (src = 2*dst exactly),
     // re-encode, decode AGAIN, and declare the second decode's

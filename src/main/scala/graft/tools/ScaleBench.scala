@@ -108,6 +108,36 @@ object ScaleBench {
         .join(broadcast(bench), Seq("sh"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared")))
     }
+    // bipartite MinHash-banded FUZZY decontamination (round 8): the
+    // llm_decontaminate_fuzzy structure — bench and corpus banded
+    // SEPARATELY, bench bands broadcast — on the xxhash64 scale kernel
+    // (the md5 family is its oracle-provable twin). The claim under
+    // test: bench×corpus near-dup search costs one linear corpus
+    // banding pass + a broadcast-probe join, never corpus×corpus.
+    time("decontaminate_fuzzy") {
+      import graft.plans.MinHashLsh
+      def bands(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        posexplode(MinHashLsh.lshBuckets(
+          MinHashLsh.shingleHashes(col("text")), 16, 4))
+          .as(Seq("band", "bucket")))
+      val bench = docs.filter(col("doc_id") < 10L * mult)
+      val corpus = docs.filter(col("doc_id") >= 10L * mult)
+      val cand = broadcast(
+        bands(bench).select(col("band"), col("bucket"), col("doc_id").as("id_a")))
+        .join(bands(corpus)
+          .select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+          Seq("band", "bucket"))
+        .select("id_a", "id_b").distinct()
+      val hsB = bench.select(col("doc_id").as("id_a"),
+        MinHashLsh.shingleHashes(col("text")).as("hs_a"))
+      val hsC = corpus.select(col("doc_id").as("id_b"),
+        MinHashLsh.shingleHashes(col("text")).as("hs_b"))
+      force(cand.join(broadcast(hsB), Seq("id_a")).join(hsC, Seq("id_b"))
+        .select(col("id_b"),
+          TextOps.jaccard(col("hs_a"), col("hs_b")).as("j"))
+        .filter(col("j") >= 0.5)
+        .groupBy("id_b").agg(count(lit(1)).as("n_bench"), max("j").as("max_j")))
+    }
     // hash-first two-pass corpus-wide 3-gram document frequency
     // (same shape as llm_boilerplate_ngrams)
     time("boilerplate_ngrams") {
