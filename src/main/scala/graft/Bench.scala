@@ -125,7 +125,8 @@ object Bench {
     // make a query run FASTER than its plan allows, so min-of-k is
     // immune to both while staying honest about plan cost. All k
     // per-run timings are kept in BENCH_LAST.json for variance review.
-    val benchK = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt
+    // clamped to ≥1: k=0 would crash runs.min AFTER the whole warm-up
+    val benchK = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
     val allRuns = (batch ++ streaming).map { case (name, fn) =>
       val runs = (1 to benchK).map { _ =>
         val t0 = System.nanoTime()

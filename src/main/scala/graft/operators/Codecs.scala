@@ -81,9 +81,13 @@ object Codecs {
     // biHeight < 0 means a top-down DIB — reject explicitly rather than
     // let the row math throw NegativeArraySize on non-synthetic input.
     require(width > 0 && height > 0, "only bottom-up (height>0) BMP supported")
-    val stride = rowStride(width)
-    require(off >= 54 && off.toLong + height.toLong * stride <= bytes.length,
+    // Long stride: an Int rowStride overflows (negative) at width ≥ 2^29
+    // and would make the truncation check below trivially pass, turning
+    // a hostile header into an OOM instead of this error.
+    val strideL = (width.toLong * 3 + 3) / 4 * 4
+    require(off >= 54 && off.toLong + height.toLong * strideL <= bytes.length,
       "truncated BMP payload")
+    val stride = strideL.toInt
     val px = Array.ofDim[(Int, Int, Int)](height, width)
     var y = 0
     while (y < height) {
@@ -296,15 +300,26 @@ object Codecs {
       off += 12 + len
     }
     require(w > 0, "PNG missing IHDR")
+    // Bound the decoded size BEFORE allocating: hostile dimensions would
+    // otherwise overflow the Int row math (NegativeArraySize) or OOM —
+    // the same class decodeBmp guards against. 1 GiB of raw scanlines
+    // is far beyond any payload this codec's scope handles.
+    val rawLenL = h.toLong * (1L + w.toLong * 3)
+    require(rawLenL <= (1L << 30), s"PNG dimensions ${w}x$h too large")
     val rowLen = w * 3
-    val rawLen = h * (1 + rowLen)
+    val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var got = 0
     while (got < rawLen && !inflater.finished()) {
       val n = inflater.inflate(raw, got, rawLen - got)
-      require(n > 0 || !inflater.needsInput(), "truncated PNG IDAT stream")
+      // inflate()==0 without finishing means the stream can make no
+      // progress — truncated input, or a zlib FDICT (preset dictionary)
+      // header, which needsInput() does NOT report: without this check
+      // that stream spins this loop forever instead of failing loudly.
+      require(n > 0 || inflater.finished(),
+        "truncated or unsupported (preset-dictionary) PNG IDAT stream")
       got += n
     }
     inflater.end()

@@ -51,16 +51,27 @@ object TextOps {
     * Input must carry (`doc_id`, `sh`); output is (id_a, id_b, j) with
     * id_a < id_b and j the 6-digit-rounded Jaccard.
     */
-  def minhashPairsMd5(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = docs.filter(size(col("sh")) > 0)
+  /** (doc_id, sh, mh_0..mh_5) for non-empty shingle sets — the shared
+    * md5-family signature table of the symmetric and bipartite pair
+    * generators (one definition, so the band layout cannot drift
+    * between the two). */
+  private def sigMd5Of(docs: DataFrame): DataFrame =
+    docs.filter(size(col("sh")) > 0)
       .select(Seq(col("doc_id"), col("sh")) ++
         minhashSigMd5(col("sh"), 0 until 6): _*)
-    val banded = sig.select(col("doc_id"),
+
+  /** 3 bands × 2 signature rows → (doc_id, band, bucket). */
+  private def bandsMd5Of(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       posexplode(array(
         concat_ws("|", col("mh_0"), col("mh_1")),
         concat_ws("|", col("mh_2"), col("mh_3")),
         concat_ws("|", col("mh_4"), col("mh_5"))))
         .as(Seq("band", "bucket")))
+
+  def minhashPairsMd5(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = sigMd5Of(docs)
+    val banded = bandsMd5Of(sig)
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
@@ -89,21 +100,10 @@ object TextOps {
     */
   def minhashPairsMd5Bipartite(bench: DataFrame, corpus: DataFrame,
       threshold: Double): DataFrame = {
-    def sigOf(docs: DataFrame): DataFrame =
-      docs.filter(size(col("sh")) > 0)
-        .select(Seq(col("doc_id"), col("sh")) ++
-          minhashSigMd5(col("sh"), 0 until 6): _*)
-    def bandsOf(sig: DataFrame): DataFrame =
-      sig.select(col("doc_id"),
-        posexplode(array(
-          concat_ws("|", col("mh_0"), col("mh_1")),
-          concat_ws("|", col("mh_2"), col("mh_3")),
-          concat_ws("|", col("mh_4"), col("mh_5"))))
-          .as(Seq("band", "bucket")))
-    val sigB = sigOf(bench); val sigC = sigOf(corpus)
+    val sigB = sigMd5Of(bench); val sigC = sigMd5Of(corpus)
     val cand = broadcast(
-      bandsOf(sigB).select(col("band"), col("bucket"), col("doc_id").as("id_a")))
-      .join(bandsOf(sigC).select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+      bandsMd5Of(sigB).select(col("band"), col("bucket"), col("doc_id").as("id_a")))
+      .join(bandsMd5Of(sigC).select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
     cand

@@ -50,6 +50,18 @@ object StreamScaleProbe {
       fixture, classOf[java.nio.file.attribute.BasicFileAttributes])
     val gen = s"${math.abs(sfDir.hashCode)}-${attrs.lastModifiedTime().toMillis}-${attrs.size()}"
     val dir = s"/tmp/graft-stream-x$mult-$gen"
+    // Reap superseded generations for this (mult, sfDir) before writing
+    // a new one: each scaled dataset is GBs at ×100, and unlike the
+    // symlink-only events staging, leaking one per fixture
+    // regeneration would eventually fill the disk.
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter { f => f.isDirectory &&
+        f.getName.startsWith(s"graft-stream-x$mult-${math.abs(sfDir.hashCode)}-") &&
+        f.getName != s"graft-stream-x$mult-$gen" }
+      .foreach(f => Streams.deleteRecursively(f.getPath))
+    // also the pre-generation-key layout from earlier rounds
+    if (new java.io.File(s"/tmp/graft-stream-x$mult").isDirectory)
+      Streams.deleteRecursively(s"/tmp/graft-stream-x$mult")
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val ev = graft.sources.Catalog.table(spark, sfDir, "events")
       ev.withColumn("r", explode(expr(s"sequence(0L, ${mult - 1}L)")))

@@ -92,6 +92,56 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeWav(shortWav))
   }
 
+  private def pngChunkBytes(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val len = new Array[Byte](4)
+    len(0) = ((data.length >> 24) & 0xff).toByte
+    len(1) = ((data.length >> 16) & 0xff).toByte
+    len(2) = ((data.length >> 8) & 0xff).toByte
+    len(3) = (data.length & 0xff).toByte
+    out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb); out.write(data)
+    val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+    val cv = crc.getValue.toInt
+    out.write(Array[Byte](((cv >> 24) & 0xff).toByte, ((cv >> 16) & 0xff).toByte,
+      ((cv >> 8) & 0xff).toByte, (cv & 0xff).toByte))
+    out.toByteArray
+  }
+
+  test("decode rejects hostile headers loudly (no OOM, no hang)") {
+    // BMP declaring width 2^30: Int rowStride would overflow negative
+    // and sail past the truncation check into a giant allocation
+    val bmp = Codecs.encodeBmp(Codecs.synthBmp(1L, 4, 3))
+    val wide = bmp.clone()
+    wide(18) = 0; wide(19) = 0; wide(20) = 0; wide(21) = 0x40.toByte
+    val e1 = intercept[IllegalArgumentException](Codecs.decodeBmp(wide))
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // PNG IHDR declaring 2^28 x 2^28 (valid CRC): must bound BEFORE
+    // allocating, not NegativeArraySize/OOM
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = 0x10; ihdr(4) = 0x10 // w = h = 0x10000000
+    ihdr(8) = 8; ihdr(9) = 2
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    val hugePng = sig ++ pngChunkBytes("IHDR", ihdr) ++
+      pngChunkBytes("IDAT", Array[Byte](0x78, 0x01)) ++
+      pngChunkBytes("IEND", Array.emptyByteArray)
+    val e2 = intercept[IllegalArgumentException](Codecs.decodePng(hugePng))
+    assert(e2.getMessage.contains("too large"), e2.getMessage)
+    // PNG whose zlib stream sets FDICT (preset dictionary): inflate()
+    // makes no progress but needsInput() stays false — must error, not
+    // spin the decode loop forever. 0x78 0x20: (0x7820 % 31 == 0, bit
+    // 0x20 = FDICT set) is a header-valid zlib stream.
+    val good = Codecs.encodePng(Codecs.synthBmp(2L, 4, 4))
+    val ihdrEnd = 8 + 25
+    val iendStart = good.length - 12
+    val fdictPng = good.take(ihdrEnd) ++
+      pngChunkBytes("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4)) ++
+      good.drop(iendStart)
+    val e3 = intercept[IllegalArgumentException](Codecs.decodePng(fdictPng))
+    assert(e3.getMessage.contains("IDAT"), e3.getMessage)
+  }
+
   test("PNG encode/decode round-trips arbitrary pixels with cycling filters") {
     val imgGen = for {
       w <- Gen.choose(1, 9)

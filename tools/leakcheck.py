@@ -31,11 +31,14 @@ CATEGORIES = {
     "internal-url": re.compile(
         r"https?://(?!www\.w3\.org|github\.com|issues\.apache\.org|spark\.apache\.org|datasketches\.apache\.org|arxiv\.org|doi\.org|en\.wikipedia\.org)[a-z0-9.-]+\.[a-z]{2,}"),
     "cloud-bucket": re.compile(r"\b(?:s3|gs|abfss?|wasbs?)://[a-z0-9._/-]+"),
-    "slack-link": re.compile(r"slack\.com|#[a-z0-9-]*channel|go/[a-z0-9-]{2,}\b"),
+    # left boundary on go/: 'cargo/registry', 'django/...' must not match
+    "slack-link": re.compile(
+        r"slack\.com|#[a-z0-9-]*channel|(?<![a-z0-9])go/[a-z0-9-]{2,}\b"),
     "api-key": re.compile(
         r"\b(?:AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|ghp_[A-Za-z0-9]{20,}|xox[baprs]-[A-Za-z0-9-]{10,})\b"),
-    "internal-env": re.compile(
-        r"sys\.env[^\n]*(?!SPARK_GRAFT_|SCALE_MULT|SPARK_DRIVER_MEM|COURSIER)[A-Z]{3,}_(?:INTERNAL|CORP|PROD)_"),
+    # flat match, no lookahead-after-wildcard (backtracking made the
+    # previous allowlist lookahead unenforceable)
+    "internal-env": re.compile(r"\b[A-Z0-9]+_(?:INTERNAL|CORP|PROD)_[A-Z0-9_]+\b"),
 }
 
 SCAN_EXT = {".scala", ".sbt", ".py", ".md"}
