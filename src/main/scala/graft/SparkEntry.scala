@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     q.Sources, q.Relational, q.Aggregates, q.Scalars, q.Joins, q.Edges,
-    q.Windows, q.Llm, q.StreamingBatch, q.Extensions)
+    q.Windows, q.Llm, q.Graph, q.StreamingBatch, q.Extensions)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

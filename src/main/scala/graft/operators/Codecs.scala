@@ -358,6 +358,224 @@ object Codecs {
     Bmp(w, h, px)
   }
 
+  // ------------------------------ JPEG / MP4 header-only metadata parse
+  //
+  // Full JPEG decode (Huffman + DCT) and MP4 video decode remain behind
+  // the documented stub boundary — but METADATA does not need a decoder.
+  // At 100 TB the first multimodal pass is "filter by dims / duration /
+  // codec BEFORE paying for decode", and that pass is plain header
+  // arithmetic: a JPEG marker walk to the SOF segment, an ISO-BMFF box
+  // walk to mvhd/tkhd. Both are real parsers over real byte layouts
+  // (variable-length segment skipping, both SOF0/SOF2 and mvhd v0/v1
+  // branches), validated to fail loudly on malformed input.
+
+  final case class JpegMeta(width: Int, height: Int, nComponents: Int,
+      progressive: Boolean)
+
+  /** Structurally real JPEG shell: SOI, APP0/JFIF, a variable-length
+    * COM segment, DQT, SOF0 (baseline) or SOF2 (progressive), SOS with
+    * a short entropy-coded stub, EOI. The entropy bytes are NOT a valid
+    * Huffman stream (decode is out of scope); every segment header and
+    * length is exact, so a marker-walking parser must do real work. */
+  def encodeJpegShell(width: Int, height: Int, nComponents: Int,
+      progressive: Boolean, commentLen: Int): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff)
+    require(nComponents == 1 || nComponents == 3)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, Array.fill(commentLen)('x'.toByte)) // COM, doc-varying length
+    seg(0xdb, 0.toByte +: Array.tabulate(64)(i => ((i * 7) % 255 + 1).toByte))
+    val sof = new Array[Byte](6 + 3 * nComponents)
+    sof(0) = 8 // precision
+    sof(1) = ((height >> 8) & 0xff).toByte; sof(2) = (height & 0xff).toByte
+    sof(3) = ((width >> 8) & 0xff).toByte; sof(4) = (width & 0xff).toByte
+    sof(5) = nComponents.toByte
+    var c = 0
+    while (c < nComponents) {
+      sof(6 + 3 * c) = (c + 1).toByte     // component id
+      sof(7 + 3 * c) = 0x11.toByte        // 1x1 sampling
+      sof(8 + 3 * c) = 0                  // quant table
+      c += 1
+    }
+    seg(if (progressive) 0xc2 else 0xc0, sof)
+    val sos = new Array[Byte](1 + 2 * nComponents + 3)
+    sos(0) = nComponents.toByte
+    c = 0
+    while (c < nComponents) {
+      sos(1 + 2 * c) = (c + 1).toByte; sos(2 + 2 * c) = 0; c += 1
+    }
+    sos(1 + 2 * nComponents + 2) = 0x3f
+    seg(0xda, sos)
+    out.write(Array[Byte](0x12, 0x34, 0x56)) // entropy stub, no 0xFF bytes
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Marker walk: skip variable-length segments until a SOF marker,
+    * read dimensions/components from it. Handles baseline (SOF0/SOF1)
+    * and progressive (SOF2); fails loudly on truncation, a missing
+    * SOF, or a non-JPEG payload. */
+  def jpegMeta(bytes: Array[Byte]): JpegMeta = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "not a JPEG payload")
+    var pos = 2
+    while (true) {
+      require(pos + 4 <= bytes.length, "truncated JPEG (no SOF segment)")
+      require((bytes(pos) & 0xff) == 0xff, s"bad JPEG marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      require(m != 0xd9 && m != 0xda, "JPEG scan/EOI reached before SOF")
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        "truncated JPEG segment")
+      if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        require(len >= 8, "truncated SOF segment")
+        val h = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
+        val w = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
+        val n = bytes(pos + 9) & 0xff
+        require(len == 8 + 3 * n, "SOF length/component mismatch")
+        return JpegMeta(w, h, n, progressive = m == 0xc2)
+      }
+      pos += 2 + len
+    }
+    sys.error("unreachable")
+  }
+
+  final case class Mp4Meta(timescale: Int, durationS: Long, width: Int,
+      height: Int, trackId: Int, mvhdVersion: Int)
+
+  private def put64be(b: Array[Byte], o: Int, v: Long): Unit = {
+    put32be(b, o, (v >>> 32).toInt); put32be(b, o + 4, (v & 0xffffffffL).toInt)
+  }
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    put32be(out, 0, out.length)
+    val t = typ.getBytes("US-ASCII"); System.arraycopy(t, 0, out, 4, 4)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  /** Structurally real ISO-BMFF metadata shell: ftyp, a doc-varying
+    * `free` box, moov{ [free,] mvhd (version 0 OR 1 — different field
+    * widths), trak{tkhd with 16.16 fixed-point dims} }. No mdat —
+    * sample data is out of scope; the box tree is exact. */
+  def encodeMp4Meta(m: Mp4Meta, freeLen: Int, innerFree: Boolean): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", {
+      val p = new Array[Byte](16)
+      System.arraycopy("isom".getBytes("US-ASCII"), 0, p, 0, 4)
+      put32be(p, 4, 0x200)
+      System.arraycopy("isom".getBytes("US-ASCII"), 0, p, 8, 4)
+      System.arraycopy("mp41".getBytes("US-ASCII"), 0, p, 12, 4)
+      p
+    })
+    val free = mp4Box("free", Array.fill(freeLen)(0x20.toByte))
+    val duration = m.durationS * m.timescale
+    // the v0 duration field is u32 — a longer movie needs a v1 mvhd
+    // (the same constraint real muxers enforce)
+    require(m.mvhdVersion == 1 || duration <= 0xffffffffL,
+      "duration overflows the 32-bit v0 mvhd field; use mvhdVersion = 1")
+    val mvhd = if (m.mvhdVersion == 0) {
+      val p = new Array[Byte](100) // v0 payload: box totals 108
+      // verflags at 0..3 (version 0); ctime/mtime 0 at 4..11
+      put32be(p, 12, m.timescale); put32be(p, 16, duration.toInt)
+      put32be(p, 20, 0x00010000) // rate 1.0
+      p(24) = 1; p(25) = 0       // volume 1.0
+      // unity matrix at 36..71
+      put32be(p, 36, 0x00010000); put32be(p, 52, 0x00010000)
+      put32be(p, 68, 0x40000000)
+      put32be(p, 96, 2) // next track id
+      mp4Box("mvhd", p)
+    } else {
+      val p = new Array[Byte](112) // v1 payload: box totals 120
+      p(0) = 1 // version
+      // 64-bit ctime/mtime at 4..19; timescale at 20, 64-bit duration at 24
+      put32be(p, 20, m.timescale); put64be(p, 24, duration)
+      put32be(p, 32, 0x00010000)
+      p(36) = 1; p(37) = 0
+      put32be(p, 48, 0x00010000); put32be(p, 64, 0x00010000)
+      put32be(p, 80, 0x40000000)
+      put32be(p, 108, 2)
+      mp4Box("mvhd", p)
+    }
+    val tkhd = mp4Box("tkhd", {
+      val p = new Array[Byte](84) // v0 payload: box totals 92
+      p(3) = 7 // flags: enabled | in-movie | in-preview
+      put32be(p, 12, m.trackId)
+      put32be(p, 20, duration.toInt)
+      put32be(p, 40, 0x00010000); put32be(p, 56, 0x00010000)
+      put32be(p, 72, 0x40000000)
+      put32be(p, 76, m.width << 16); put32be(p, 80, m.height << 16)
+      p
+    })
+    val trak = mp4Box("trak", tkhd)
+    val innerParts =
+      if (innerFree) Array(mp4Box("free", Array.fill(12)(0x20.toByte)), mvhd, trak)
+      else Array(mvhd, trak)
+    val moov = mp4Box("moov", innerParts.flatten)
+    ftyp ++ free ++ moov
+  }
+
+  /** ISO-BMFF box walk: find moov at the top level, then mvhd (v0 or
+    * v1 — the field widths differ) and trak/tkhd inside it. Supports
+    * 64-bit `size==1` largesize headers; fails loudly on truncation or
+    * missing boxes. */
+  def mp4Meta(bytes: Array[Byte]): Mp4Meta = {
+    final case class Box(typ: String, start: Int, end: Int)
+    def walk(from: Int, to: Int): List[Box] = {
+      var pos = from
+      val out = List.newBuilder[Box]
+      while (pos < to) {
+        require(pos + 8 <= to, "truncated MP4 box header")
+        val size32 = u32be(bytes, pos)
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        val (size, hdr) =
+          if (size32 == 1) {
+            require(pos + 16 <= to, "truncated MP4 largesize header")
+            val hi = u32be(bytes, pos + 8).toLong << 32
+            ((hi | (u32be(bytes, pos + 12) & 0xffffffffL)), 16)
+          } else (size32.toLong, 8)
+        require(size >= hdr && pos + size <= to, s"bad MP4 box size in $typ")
+        out += Box(typ, pos + hdr, pos + size.toInt)
+        pos += size.toInt
+      }
+      out.result()
+    }
+    require(bytes.length >= 8 &&
+      new String(bytes, 4, 4, "US-ASCII") == "ftyp", "not an MP4 payload")
+    val top = walk(0, bytes.length)
+    val moov = top.find(_.typ == "moov")
+      .getOrElse(sys.error("MP4 missing moov box"))
+    val kids = walk(moov.start, moov.end)
+    val mvhd = kids.find(_.typ == "mvhd")
+      .getOrElse(sys.error("MP4 missing mvhd box"))
+    val ver = bytes(mvhd.start) & 0xff
+    val (timescale, duration) =
+      if (ver == 0) (u32be(bytes, mvhd.start + 12),
+        (u32be(bytes, mvhd.start + 16) & 0xffffffffL))
+      else if (ver == 1) (u32be(bytes, mvhd.start + 20), {
+        val hi = u32be(bytes, mvhd.start + 24).toLong << 32
+        hi | (u32be(bytes, mvhd.start + 28) & 0xffffffffL)
+      })
+      else sys.error(s"unsupported mvhd version $ver")
+    require(timescale > 0, "bad mvhd timescale")
+    val trak = kids.find(_.typ == "trak")
+      .getOrElse(sys.error("MP4 missing trak box"))
+    val tkhd = walk(trak.start, trak.end).find(_.typ == "tkhd")
+      .getOrElse(sys.error("MP4 missing tkhd box"))
+    require((bytes(tkhd.start) & 0xff) == 0, "only tkhd version 0 supported")
+    Mp4Meta(timescale, duration / timescale,
+      u32be(bytes, tkhd.start + 76) >>> 16, u32be(bytes, tkhd.start + 80) >>> 16,
+      u32be(bytes, tkhd.start + 12), ver)
+  }
+
   // ------------------------------------------- deterministic generators
 
   /** Closed-form pixel: DuckDB recomputes these exact integers from
@@ -376,4 +594,31 @@ object Codecs {
 
   def synthWav(d: Long, n: Int = 2000, sampleRate: Int = 8000): Wav =
     Wav(sampleRate, Array.tabulate(n)(i => synthSample(d, i)))
+
+  /** Closed-form JPEG shell — every field the DuckDB oracle recomputes
+    * from doc_id alone. Odd ids are progressive (SOF2), every 5th is
+    * grayscale (1 component), and the COM length varies per doc so the
+    * marker walk's segment skipping is load-bearing. */
+  def synthJpeg(d: Long): Array[Byte] =
+    encodeJpegShell(
+      width = (64 + d % 193).toInt,
+      height = (48 + (3 * d) % 157).toInt,
+      nComponents = if (d % 5 == 0) 1 else 3,
+      progressive = d % 2 == 1,
+      commentLen = (10 + d % 40).toInt)
+
+  /** Closed-form MP4 metadata shell: every 3rd id uses a v1 (64-bit)
+    * mvhd, odd ids get an extra free box inside moov, and the top-level
+    * free box length varies — the box walk cannot assume fixed offsets. */
+  def synthMp4(d: Long): Array[Byte] =
+    encodeMp4Meta(
+      Mp4Meta(
+        timescale = (600 + 100 * (d % 9)).toInt,
+        durationS = 5 + d % 60,
+        width = (320 + 16 * (d % 7)).toInt,
+        height = (240 + 16 * (d % 5)).toInt,
+        trackId = (1 + d % 3).toInt,
+        mvhdVersion = if (d % 3 == 0) 1 else 0),
+      freeLen = (d % 32).toInt,
+      innerFree = d % 2 == 1)
 }

@@ -316,6 +316,80 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a structurally real JPEG shell (SOI,
+    * JFIF APP0, varying-length COM, DQT, SOF0/SOF2, SOS stub). */
+  def synthJpegMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthJpeg(d), "image/jpeg", Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL JPEG marker walk per partition — dims/components/progressive
+    * without decoding the entropy stream: the "filter a 100 TB image
+    * corpus by metadata before paying for decode" pass. */
+  def jpegMetaFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_components", IntegerType),
+      StructField("progressive", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = Codecs.jpegMeta(r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+        Row(d, m.width, m.height, m.nComponents, if (m.progressive) 1 else 0)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** ids → media rows carrying a structurally real ISO-BMFF metadata
+    * shell (ftyp + varying free + moov{mvhd v0/v1, trak/tkhd}). */
+  def synthMp4Media(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthMp4(d), "video/mp4", Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL ISO-BMFF box walk per partition — duration/dims/track
+    * metadata without touching sample data. */
+  def mp4MetaFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("timescale", IntegerType),
+      StructField("duration_s", LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("track_id", IntegerType),
+      StructField("mvhd_version", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = Codecs.mp4Meta(r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+        Row(d, m.timescale, m.durationS, m.width, m.height, m.trackId,
+          m.mvhdVersion)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition batched decode: one "codec" per partition, rows
     * streamed through it. Output schema: id, mime, n_bytes, features. */
   def decode(df: DataFrame, idCol: String): DataFrame = {

@@ -115,6 +115,42 @@ object TextOps {
       .filter(col("j") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT pairs from the same banded md5 candidate
+    * generation: c(A in B) = |A∩B| / |A|. Catches the subset/quote
+    * duplication Jaccard under-scores — a long doc embedding a short
+    * one wholesale has low Jaccard (union is large) but containment
+    * ≈ 1 on the short side, exactly the "boilerplate page wrapping a
+    * copied article" shape. Output (id_a < id_b, c_ab, c_ba) keeps
+    * BOTH directions so the caller decides which side is the quote.
+    *
+    * Honest recall caveat (documented, not hidden): candidates come
+    * from Jaccard-tuned MinHash bands, so a pair with high containment
+    * but tiny Jaccard (a 10-shingle doc inside a 10k-shingle doc) may
+    * never share a bucket — full containment recall needs a
+    * shingle-inverted-index join (llm_decontaminate's shape) instead
+    * of LSH. The oracle mirrors the same banding, so what IS declared
+    * is exact; the shape stays one (band,bucket) shuffle, never
+    * all-pairs. */
+  def containmentPairsMd5(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = sigMd5Of(docs)
+    val banded = bandsMd5Of(sig)
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shs = sig.select(col("doc_id"), col("sh"))
+    cand
+      .join(shs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(col("sh_a")), 6).as("c_ab"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(col("sh_b")), 6).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+  }
+
   /** One xxhash64 per shingle — the only pass that touches strings. */
   def shingleHashes(sh: Column): Column = transform(sh, s2 => xxhash64(s2))
 

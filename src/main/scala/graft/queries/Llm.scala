@@ -18,7 +18,9 @@ object Llm extends QueryModule {
     * candidates → exact-Jaccard-verified pairs(id_a, id_b, j) at
     * threshold 0.5. Assumes a preceding CTE d(doc_id, shingles).
     */
-  private val oracleMd5PairsCte: String = """sig AS (SELECT doc_id, shingles,
+  /** sig → bands → banded candidate pairs (no similarity filter yet) —
+    * shared by the Jaccard and containment pair oracles. */
+  private val oracleMd5CandCte: String = """sig AS (SELECT doc_id, shingles,
             list_aggregate(list_transform(shingles, s -> md5('0' || '|' || s)), 'min') AS mh_0,
             list_aggregate(list_transform(shingles, s -> md5('1' || '|' || s)), 'min') AS mh_1,
             list_aggregate(list_transform(shingles, s -> md5('2' || '|' || s)), 'min') AS mh_2,
@@ -32,7 +34,9 @@ object Llm extends QueryModule {
           UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band
-            AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+  private val oracleMd5PairsCte: String = s"""$oracleMd5CandCte,
         pairs AS (SELECT * FROM (SELECT id_a, id_b,
             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
               / (len(sa.shingles) + len(sb.shingles)
@@ -1856,5 +1860,128 @@ object Llm extends QueryModule {
           CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS zero_cross,
           CAST(sum(v * v) AS BIGINT) AS sum_sq
-        FROM w GROUP BY doc_id ORDER BY id""")))
+        FROM w GROUP BY doc_id ORDER BY id""")),
+
+    // Header-only JPEG metadata (graft.operators.Codecs.jpegMeta): the
+    // payload is a structurally real JPEG shell — SOI, JFIF APP0, a
+    // COM segment whose length varies per doc, DQT, then SOF0 (even
+    // ids) or SOF2 (odd ids) with 1 or 3 components — and the operator
+    // does a REAL marker walk with variable-length segment skipping to
+    // the SOF. This is the 100 TB multimodal pre-filter pass: dims /
+    // colorspace / progressive flag WITHOUT paying for entropy decode
+    // (which stays behind the documented stub boundary). The oracle
+    // recomputes every field from doc_id; any drift in the segment
+    // arithmetic on either side breaks the driver hash.
+    QueryDef(
+      "llm_image_meta",
+      (s, dir) => Multimodal.jpegMetaFeatures(
+        Multimodal.synthJpegMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(64 + doc_id % 193 AS INT) AS width,
+          CAST(48 + (3 * doc_id) % 157 AS INT) AS height,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
+            AS n_components,
+          CAST(doc_id % 2 AS INT) AS progressive
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
+    // Header-only MP4 metadata (graft.operators.Codecs.mp4Meta): the
+    // payload is a real ISO-BMFF box tree (ftyp, a varying-length free
+    // box, moov{[free,] mvhd, trak{tkhd}}) where every 3rd id uses a
+    // v1 mvhd (64-bit times — different field widths) and odd ids get
+    // an extra box inside moov, so the box walk cannot shortcut to
+    // fixed offsets. Duration/dims/track-id land without touching
+    // sample data — the "drop videos shorter than N seconds before
+    // decode" pass of a video-corpus pipeline.
+    QueryDef(
+      "llm_video_meta",
+      (s, dir) => Multimodal.mp4MetaFeatures(
+        Multimodal.synthMp4Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(600 + 100 * (doc_id % 9) AS INT) AS timescale,
+          CAST(5 + doc_id % 60 AS BIGINT) AS duration_s,
+          CAST(320 + 16 * (doc_id % 7) AS INT) AS width,
+          CAST(240 + 16 * (doc_id % 5) AS INT) AS height,
+          CAST(1 + doc_id % 3 AS INT) AS track_id,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+            AS mvhd_version
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
+    // Temperature-based domain mixture (the standard training-mix op:
+    // sample domain d with p_d ∝ tokens_d^τ, τ < 1 upweighting small
+    // domains — GPT-3/PaLM-style rebalancing). Emits, per source, the
+    // natural share, the τ=0.5 rebalanced sampling weight, and the
+    // implied epochs-over-the-domain if the total token budget equals
+    // the corpus size (epochs > 1 ⇒ the domain repeats). One tiny
+    // aggregate over sources — the scale cost is llm_domain_mix's
+    // token count, already scan-bound.
+    QueryDef(
+      "llm_mix_temperature",
+      (s, dir) => {
+        val perSrc = Catalog.table(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(sum("n_tok").as("tokens"))
+        val total = Window.partitionBy()
+        perSrc
+          .withColumn("share",
+            round(col("tokens") / sum("tokens").over(total), 6))
+          .withColumn("weight_t05",
+            round(sqrt(col("tokens")) / sum(sqrt(col("tokens"))).over(total), 6))
+          .withColumn("epochs",
+            round(sqrt(col("tokens")) / sum(sqrt(col("tokens"))).over(total)
+              * sum("tokens").over(total) / col("tokens"), 6))
+          .select("source", "tokens", "share", "weight_t05", "epochs")
+          .orderBy(desc("tokens"), asc("source"))
+      },
+      Some("""WITH per_src AS (SELECT source,
+            sum(len(string_split(text, ' '))::BIGINT)::BIGINT AS tokens
+          FROM documents GROUP BY source)
+        SELECT source, tokens,
+          round(tokens / sum(tokens) OVER (), 6) AS share,
+          round(sqrt(tokens) / sum(sqrt(tokens)) OVER (), 6) AS weight_t05,
+          round(sqrt(tokens) / sum(sqrt(tokens)) OVER ()
+            * sum(tokens) OVER () / tokens, 6) AS epochs
+        FROM per_src ORDER BY tokens DESC, source""")),
+
+    // Asymmetric CONTAINMENT near-dup (TextOps.containmentPairsMd5):
+    // c(A in B) = |A∩B|/|A| over the same banded md5 candidates as
+    // llm_minhash_dedup — the quote/subset duplication Jaccard
+    // under-scores (a long page wrapping a copied article). Both
+    // directions emitted; threshold on the max. Recall caveat is
+    // documented at the operator: Jaccard-tuned bands can miss
+    // extreme-size-ratio containment — full recall is the inverted
+    // shingle join (llm_decontaminate's shape); what IS declared here
+    // is exact, and the shape stays one (band,bucket) shuffle.
+    QueryDef(
+      "llm_containment_pairs",
+      (s, dir) => {
+        val base = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        TextOps.containmentPairsMd5(base, 0.6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 300)),
+        $oracleMd5CandCte
+        SELECT id_a, id_b, c_ab, c_ba FROM (
+          SELECT id_a, id_b,
+            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(sa.shingles), 6) AS c_ab,
+            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(sb.shingles), 6) AS c_ba
+          FROM cand JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b)
+        WHERE greatest(c_ab, c_ba) >= 0.6
+        ORDER BY id_a, id_b""")))
 }

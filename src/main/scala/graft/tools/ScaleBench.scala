@@ -177,6 +177,27 @@ object ScaleBench {
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup")))
     }
+    // PageRank at ×mult the sf0.1 customer–supplier graph: `mult`
+    // id-offset DISJOINT copies of the bipartite projection, so node
+    // and edge counts scale exactly ×mult while per-copy structure
+    // (degrees, rank distribution) is invariant — any super-linear
+    // growth is the engine's fault, not the graph's. 3 iterations,
+    // each one |E|-linear equi-join + one aggregate on long keys.
+    time("pagerank") {
+      val li = Catalog.table(spark, base, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Catalog.table(spark, base, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+        .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+        .select((col("c") + col("rep") * 10000000L).as("c"),
+          (col("s") + col("rep") * 10000000L).as("s"))
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+        .union(cs.select(col("s").as("src"), col("c").as("dst")))
+      force(graft.queries.Graph.pagerank(edges, 3))
+    }
     time("dedup_groups") {
       val pairs = TextOps.minhashNearDupPairs(docs, "doc_id", "text")
         .select("id_a", "id_b")

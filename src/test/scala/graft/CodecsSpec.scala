@@ -196,4 +196,82 @@ class CodecsSpec extends AnyFunSuite {
     assert(back.pixels.flatten.toSeq ==
       Codecs.synthBmp(5L, 6, 4).pixels.flatten.toSeq)
   }
+
+  test("JPEG shell round-trips metadata over the synth parameter space") {
+    (0L until 400L).foreach { d =>
+      val m = Codecs.jpegMeta(Codecs.synthJpeg(d))
+      assert(m.width == (64 + d % 193).toInt, s"width d=$d")
+      assert(m.height == (48 + (3 * d) % 157).toInt, s"height d=$d")
+      assert(m.nComponents == (if (d % 5 == 0) 1 else 3), s"ncomp d=$d")
+      assert(m.progressive == (d % 2 == 1), s"progressive d=$d")
+    }
+    // arbitrary params, both SOF markers, both component counts
+    val gen = for {
+      w <- Gen.choose(1, 0xffff); h <- Gen.choose(1, 0xffff)
+      n <- Gen.oneOf(1, 3); p <- Gen.oneOf(true, false)
+      c <- Gen.choose(0, 200)
+    } yield (w, h, n, p, c)
+    samples(gen, 60).foreach { case (w, h, n, p, c) =>
+      val m = Codecs.jpegMeta(Codecs.encodeJpegShell(w, h, n, p, c))
+      assert(m == Codecs.JpegMeta(w, h, n, p))
+    }
+  }
+
+  test("JPEG marker walk rejects malformed payloads loudly") {
+    intercept[IllegalArgumentException](Codecs.jpegMeta(Array[Byte](1, 2, 3, 4)))
+    val ok = Codecs.synthJpeg(7L)
+    // truncate inside a segment
+    intercept[IllegalArgumentException](Codecs.jpegMeta(ok.take(10)))
+    // corrupt a marker byte so the walk desyncs
+    val bad = ok.clone(); bad(2) = 0x00
+    intercept[IllegalArgumentException](Codecs.jpegMeta(bad))
+    // SOI+EOI only: must report missing SOF, not parse garbage
+    intercept[RuntimeException](Codecs.jpegMeta(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)))
+  }
+
+  test("MP4 shell round-trips metadata incl. mvhd v0/v1 and box-order variants") {
+    (0L until 400L).foreach { d =>
+      val m = Codecs.mp4Meta(Codecs.synthMp4(d))
+      assert(m.timescale == (600 + 100 * (d % 9)).toInt, s"timescale d=$d")
+      assert(m.durationS == 5 + d % 60, s"duration d=$d")
+      assert(m.width == (320 + 16 * (d % 7)).toInt, s"width d=$d")
+      assert(m.height == (240 + 16 * (d % 5)).toInt, s"height d=$d")
+      assert(m.trackId == (1 + d % 3).toInt, s"track d=$d")
+      assert(m.mvhdVersion == (if (d % 3 == 0) 1 else 0), s"version d=$d")
+    }
+    val gen = for {
+      ts <- Gen.choose(1, 1000000)
+      v <- Gen.oneOf(0, 1)
+      // a v0 mvhd's u32 duration field bounds ts*dur (encoder enforces it)
+      dur <- if (v == 0) Gen.choose(0L, 0xffffffffL / ts)
+             else Gen.choose(0L, 100000L)
+      w <- Gen.choose(1, 8192); h <- Gen.choose(1, 8192)
+      t <- Gen.choose(1, 99)
+      f <- Gen.choose(0, 64); inner <- Gen.oneOf(true, false)
+    } yield (Codecs.Mp4Meta(ts, dur, w, h, t, v), f, inner)
+    samples(gen, 60).foreach { case (meta, f, inner) =>
+      assert(Codecs.mp4Meta(Codecs.encodeMp4Meta(meta, f, inner)) == meta)
+    }
+  }
+
+  test("MP4 v1 mvhd carries a 64-bit duration through the walk") {
+    // duration * timescale exceeds u32 — only the v1 path can hold it
+    val meta = Codecs.Mp4Meta(timescale = 1000000, durationS = 90000L,
+      width = 640, height = 480, trackId = 1, mvhdVersion = 1)
+    assert(Codecs.mp4Meta(Codecs.encodeMp4Meta(meta, 0, innerFree = false)) == meta)
+  }
+
+  test("MP4 box walk rejects malformed payloads loudly") {
+    intercept[IllegalArgumentException](
+      Codecs.mp4Meta("notanmp4".getBytes("US-ASCII")))
+    val ok = Codecs.synthMp4(7L)
+    // truncate inside moov
+    intercept[IllegalArgumentException](Codecs.mp4Meta(ok.take(ok.length - 5)))
+    // corrupt a box size so it overruns the payload
+    val bad = ok.clone(); bad(0) = 0x7f
+    intercept[IllegalArgumentException](Codecs.mp4Meta(bad))
+    // ftyp alone: must report missing moov
+    intercept[RuntimeException](Codecs.mp4Meta(ok.take(24)))
+  }
 }
