@@ -418,4 +418,55 @@ object TextOps {
       .distinct()
     withSh.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** C4-style "line" dedup, adapted to the single-line fixture corpus:
+    * consecutive non-overlapping `segWords`-word segments stand in for
+    * lines, each distinct segment survives only at its globally FIRST
+    * occurrence (lowest (doc_id, position)), and every document is
+    * rewritten from its surviving segments (public method: C4, Raffel
+    * et al. 2020, which drops any repeated three-sentence span;
+    * RefinedWeb/Dolma ship the same rewrite at line granularity).
+    *
+    * Unlike the scoring ops (repeated_spans, boilerplate_ngrams) this
+    * one REWRITES the corpus — the output carries a cleaned text
+    * column, the actual artifact a curation pipeline feeds to
+    * training — plus per-doc n_segs/n_kept so the retention rate is a
+    * free aggregate downstream.
+    *
+    * Scale shape: one per-row segmentation (native transform/slice, no
+    * shuffle), one groupBy on the xxhash64 segment key carrying a
+    * map-side-combinable min(struct) — no window sort — one equi-join
+    * back on the same slim long key, and one per-doc reassembly
+    * aggregate keyed on doc_id. Linear in corpus size; segment strings
+    * cross the wire only in the doc_id-keyed reassembly shuffle, which
+    * is bounded by the SURVIVING corpus size. Per-segment xxhash64
+    * collisions (~2⁻⁶⁴) are the documented minhash-family trade; the
+    * string-keyed DuckDB oracle proves parity on the fixture.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) > 0 THEN transform(" +
+          s"sequence(0, CAST(ceil(size(w) / ${segWords}.0) AS INT) - 1), " +
+          s"i -> array_join(slice(w, i * $segWords + 1, $segWords), ' ')) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+    val first = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    val kept = segs.join(first, "h")
+      .where(col("doc_id") === col("f.doc_id") &&
+        col("seg_idx") === col("f.seg_idx"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(seg_idx, seg))), x -> x.seg), ' ')").as("clean_text"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

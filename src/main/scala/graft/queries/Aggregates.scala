@@ -187,6 +187,26 @@ object Aggregates extends QueryModule {
           .orderBy("l_returnflag"),
       None),
 
+    // Sketch-based frequent items (heavy hitters): approx_top_k is a
+    // bounded-memory mergeable summary — one map-side partial per
+    // partition, no exact GROUP BY over the full key domain — the
+    // 100 TB shape for "top event types across the firehose". Hard
+    // oracle: with distinct keys (5) far below the sketch's tracked
+    // capacity the summary is EXACT by contract, so plain GROUP BY
+    // counts must match; the query re-sorts with a total order
+    // (count desc, item) so ties can never flap the hash.
+    QueryDef(
+      "agg_topk_approx",
+      (s, dir) =>
+        Catalog.table(s, dir, "events")
+          .agg(expr("approx_top_k(event_type, 10)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("event_type"),
+            col("e.count").cast("long").as("n"))
+          .orderBy(desc("n"), col("event_type")),
+      Some("""SELECT event_type, count(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type""")),
+
     // Mergeable-sketch percentile for 100 TB quantiles (exact
     // percentile sorts every group; approx_percentile is a bounded-
     // error mergeable digest — one map-side partial per partition).

@@ -1658,6 +1658,38 @@ object Llm extends QueryModule {
         FROM w JOIN df USING (span)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // C4-style line dedup — the REWRITE op the scoring family feeds:
+    // 10-word non-overlapping segments stand in for lines (the fixture
+    // corpus is single-line), each distinct segment survives only at
+    // its globally first (doc_id, position), and every doc is rebuilt
+    // from its survivors. Shape notes in TextOps.lineDedup; shuffle
+    // keys are xxhash64 longs, the reassembly shuffle is bounded by
+    // the deduplicated corpus.
+    QueryDef(
+      "llm_line_dedup",
+      (s, dir) => TextOps.lineDedup(
+        Catalog.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          words AS (SELECT doc_id, unnest(w) AS word,
+              generate_subscripts(w, 1) AS ord FROM w),
+          segs AS (SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS seg_idx,
+              string_agg(word, ' ' ORDER BY ord) AS seg
+            FROM words GROUP BY doc_id, seg_idx),
+          kept AS (SELECT doc_id, seg_idx, seg FROM (
+              SELECT doc_id, seg_idx, seg, row_number() OVER (
+                  PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+              FROM segs) WHERE rn = 1),
+          reb AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+            FROM kept GROUP BY doc_id),
+          tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+        SELECT t.doc_id, t.n_segs, coalesce(r.n_kept, 0) AS n_kept,
+          coalesce(r.clean_text, '') AS clean_text
+        FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        ORDER BY t.doc_id""")),
+
     // PII-style scrubbing: mask digit runs and count redactions — pure
     // codegen'd regexp over each row, no shuffle. (The synthetic corpus
     // text carries no emails/phones; customer names are the fixture's

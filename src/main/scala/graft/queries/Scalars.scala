@@ -657,5 +657,39 @@ object Scalars extends QueryModule {
           xor(o_orderkey, o_custkey) AS mixed,
           o_orderkey << 3 AS shl,
           o_orderkey >> 2 AS shr
-        FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""")))
+        FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""")),
+
+    // Map-typed column surface (SURVEY §2.8): build a per-customer
+    // status→count map with map_from_entries (entries sorted so the
+    // map's internal order is deterministic), then read it back with
+    // element_at / map_keys / map_values and fold the values with the
+    // aggregate HOF. The map stays intra-row (no map-typed shuffle
+    // key); the oracle checks the extracted scalars via conditional
+    // aggregation — element_at on a missing key is NULL, mirrored by
+    // SUM(CASE...) over an empty set.
+    QueryDef(
+      "map_ops",
+      (s, dir) => {
+        val per = Catalog.table(s, dir, "orders")
+          .groupBy("o_custkey", "o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        per.groupBy("o_custkey")
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("o_orderstatus"), col("n"))))).as("m"))
+          .select(col("o_custkey"),
+            element_at(col("m"), "F").as("n_f"),
+            element_at(col("m"), "O").as("n_o"),
+            element_at(col("m"), "P").as("n_p"),
+            size(map_keys(col("m"))).as("n_status"),
+            expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)")
+              .as("n_total"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+          CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+          CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+          CAST(count(DISTINCT o_orderstatus) AS INT) AS n_status,
+          CAST(count(*) AS BIGINT) AS n_total
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")))
 }

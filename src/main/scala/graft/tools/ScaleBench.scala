@@ -177,6 +177,14 @@ object ScaleBench {
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup")))
     }
+    // C4-style segment rewrite dedup (llm_line_dedup): the REWRITE
+    // twin of repeated_spans — slim long-keyed first-occurrence
+    // aggregate + join, then a doc_id-keyed reassembly shuffle that
+    // ships the SURVIVING segment strings (the one string shuffle in
+    // the family, bounded by the deduplicated corpus size).
+    time("line_dedup") {
+      force(TextOps.lineDedup(docs, "doc_id", "text"))
+    }
     // PageRank at ×mult the sf0.1 customer–supplier graph: `mult`
     // id-offset DISJOINT copies of the bipartite projection, so node
     // and edge counts scale exactly ×mult while per-copy structure

@@ -196,4 +196,50 @@ class TextOpsSpec extends SparkSpec {
     assert(r.forall(x => x._1 >= 0 && x._1 <= 1.0))
     assert(r(0)._2 == "en" && r(1)._2 == "unk")
   }
+
+  test("lineDedup keeps first occurrence and rewrites docs (segWords=2)") {
+    // seg size 2 so the crafted docs stay readable:
+    //   doc 1: [a b] [c d]        — all first occurrences, kept whole
+    //   doc 2: [c d] [e f]        — [c d] seen in doc 1 -> dropped
+    //   doc 3: [a b] [a b] [x]    — dup WITHIN the doc + ragged tail;
+    //                               first [a b] lost to doc 1, second
+    //                               to position order, [x] survives
+    //   doc 4: [c d]              — fully duplicate -> empty rewrite
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b a b x"),
+      (4L, "c d")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(df, "doc_id", "text", segWords = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 3L, 1L, "x"),
+      (4L, 1L, 0L, "")))
+  }
+
+  test("lineDedup is idempotent on its own output") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b a b x"), (4L, "c d")
+    ).toDF("doc_id", "text")
+    val once = TextOps.lineDedup(df, "doc_id", "text", segWords = 2)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextOps.lineDedup(once, "doc_id", "text", segWords = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept").as[(Long, Long, Long)]
+      .collect().toSeq
+    // Every surviving segment is globally unique, so a second pass
+    // keeps everything (the empty doc contributes one empty segment
+    // from the '' tokenization, deduped against doc order like any
+    // other segment — count it as n_segs=1).
+    twice.foreach { case (_, segs, kept) =>
+      assert(kept == segs || (segs == 1L && kept <= 1L)) }
+    val total = twice.map(_._2).sum
+    val keptT = twice.map(_._3).sum
+    assert(keptT >= total - 1) // at most the empty-string seg collides
+  }
 }
