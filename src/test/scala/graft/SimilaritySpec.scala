@@ -54,6 +54,31 @@ class SimilaritySpec extends SparkSpec {
       s"recall@1 too low: $hits/${approx.size}")
   }
 
+  test("llm_knn_pq trained-codebook shortlist+rerank has real recall") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = q.crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        expr("round(aggregate(zip_with(qv, nv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, x) -> acc + x), 6)").as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("nid"))))
+      .filter(col("rk") <= 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = SparkEntry.queries("llm_knn_pq")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // Measured 0.83 on the fixture (iid-random vectors are PQ's worst
+    // case); 0.6 floor guards the mechanism without flaking.
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@3 too low: $recall")
+    assert(pq.size == exact.size)
+  }
+
   test("ivfTopK with nprobe == nlist degrades to exact brute force") {
     val emb = Catalog.table(spark, sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
