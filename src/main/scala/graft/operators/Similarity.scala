@@ -356,4 +356,127 @@ object Similarity {
       .select(col("id"), col("cid").as("cluster"),
         coalesce(col("kept"), lit(true)).as("kept"))
   }
+
+  /** Product-quantization ANN, end-to-end (Jégou et al. 2011): train a
+    * per-subspace codebook (anchor init from the `codebookSize` lowest
+    * ids + one Lloyd refinement whose per-dimension means are rounded
+    * to 6 decimals, so any engine re-derives the identical codebook),
+    * encode every vector as `numSub` codeword ids, search by
+    * Asymmetric Distance Computation, shortlist, exact re-rank.
+    *
+    * Scale shape — the part that matters at 100 TB:
+    *  - codebook and per-query ADC tables are broadcast
+    *    (codebookSize×numSub and |Q|×numSub×codebookSize entries);
+    *  - each corpus vector carries its code ARRAY in one row, so the
+    *    ADC pass is a BroadcastNestedLoopJoin with ROW-LOCAL lookup
+    *    arithmetic — N×|Q| evaluated pairs (ADC is a compressed linear
+    *    scan by design; IVF prunes N, PQ shrinks bytes/vector to
+    *    `numSub`), but NO N×|Q| shuffle: the shortlist window's
+    *    rank<=S predicate is pushed map-side (WindowGroupLimit), so
+    *    only ~|Q|×S×partitions rows reach the exchange;
+    *  - the exact re-rank joins raw vectors for |Q|×S rows only.
+    *
+    * Float determinism: per-subspace distances and Lloyd means are
+    * rounded to 6 decimals; the ADC sum folds those rounded entries in
+    * ascending-subspace order — addition order can never flap a rank.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, dim: Int = 64, numSub: Int = 16,
+      codebookSize: Int = 16, shortlist: Int = 50): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val sd = dim / numSub
+    val emb = corpus.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = queries.select(col(idCol).as("qid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    // anchor codebook: the codebookSize lowest-id vectors, re-keyed to
+    // dense codeword ids 0..codebookSize-1 (bounded rank window)
+    val anchors = emb.orderBy("vec_id").limit(codebookSize)
+      .withColumn("cw", row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("cw").cast("long").as("cw"), col("v").as("av"))
+    // per-subspace squared distances as FLAT left-to-right sums (same
+    // addition order as a zip_with fold, identical values) — these
+    // expressions run N×numSub×codebookSize times, so no per-row
+    // lambda/array allocation
+    val subsq0 = expr("round(" + (1 to sd).map(i =>
+      s"(element_at(v, m * $sd + $i) - element_at(av, m * $sd + $i)) * " +
+        s"(element_at(v, m * $sd + $i) - element_at(av, m * $sd + $i))")
+      .mkString(" + ") + ", 6)")
+    val vm = emb.select(col("vec_id"), col("v"),
+      explode(sequence(lit(0), lit(numSub - 1))).as("m"))
+    val assign0 = vm.crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("m"), col("cw"), subsq0.as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("cw"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cw").as("code0"))
+    // one Lloyd step: per-(subspace, codeword, dim) mean, rounded so
+    // the refined codebook is engine-independent
+    val dims = vm.select(col("vec_id"), col("m"),
+      posexplode(expr(s"slice(v, m * $sd + 1, $sd)")).as(Seq("i", "x")))
+    val cb = dims.join(assign0, Seq("vec_id", "m"))
+      .groupBy("m", "code0", "i")
+      .agg(round(avg("x"), 6).as("cx"))
+      .groupBy(col("m").as("am"), col("code0").as("cw"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "named_struct('i', i, 'x', cx))), s2 -> s2.x)").as("av"))
+      // numSub×codebookSize rows; materialize once so the heavy
+      // training DAG (init assignment over N×numSub×codebookSize
+      // candidates + the Lloyd mean shuffle) is not recomputed by
+      // every consumer branch (encode AND the query tables read cb)
+      .localCheckpoint()
+    val subsq1 = expr("round(" + (1 to sd).map(i =>
+      s"(element_at(v, m * $sd + $i) - element_at(av, $i)) * " +
+        s"(element_at(v, m * $sd + $i) - element_at(av, $i))")
+      .mkString(" + ") + ", 6)")
+    // encode: argmin codeword per (vector, subspace), then one code
+    // ARRAY per vector ordered by subspace
+    val codes = vm.join(broadcast(cb), vm("m") === cb("am"))
+      .select(col("vec_id"), col("m"), col("cw"), subsq1.as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("cw"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cw").as("code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(" +
+        "named_struct('m', m, 'c', code))), s2 -> s2.c)").as("codes"))
+    // per-query ADC tables flattened to one array indexed
+    // m * codebookSize + cw (array_sort on (m, cw) gives that order)
+    val qm = q.select(col("qid"), col("v"),
+      explode(sequence(lit(0), lit(numSub - 1))).as("m"))
+    val dt = qm.join(broadcast(cb), qm("m") === cb("am"))
+      .select(col("qid"), col("m"), col("cw"), subsq1.as("d"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(" +
+        "named_struct('m', m, 'cw', cw, 'd', d))), s2 -> s2.d)").as("tbl"))
+    // ADC: row-local table lookups per (vector, query); rank<=shortlist
+    // prunes map-side before any exchange (WindowGroupLimit). The sum
+    // is a FLAT left-to-right chain of element_at adds, not a HOF fold:
+    // same addition order and values, but no per-pair lambda/sequence
+    // allocation — this expression runs N×|Q| times and its constant IS
+    // the ADC scan cost.
+    val adcSum = (0 until numSub).map(mi =>
+      s"element_at(tbl, ${mi * codebookSize} + " +
+        s"CAST(element_at(codes, ${mi + 1}) AS INT) + 1)").mkString(" + ")
+    val adc = codes.crossJoin(broadcast(dt))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr(s"round($adcSum, 6)").as("adc"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc"), col("nid"))))
+      .filter(col("srk") <= shortlist)
+      .select("qid", "nid")
+    // exact re-rank of the shortlist only (query vectors come from the
+    // queries side — they need not be corpus members)
+    adc
+      .join(q.select(col("qid"), col("v").as("qv")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        expr("round(aggregate(zip_with(qv, nv, " +
+          "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)")
+          .as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("nid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "rk", "nid", "dist")
+  }
 }

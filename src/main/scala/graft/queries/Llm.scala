@@ -1170,73 +1170,9 @@ object Llm extends QueryModule {
       "llm_knn_pq",
       (s, dir) => {
         val emb = Catalog.table(s, dir, "embeddings")
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val anchors = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cw"), col("v").as("av"))
-        // init assignment against the anchor codebook (full vectors,
-        // sliced per subspace)
-        val subsq0 = expr(
-          "round(aggregate(zip_with(slice(v, m * 4 + 1, 4), " +
-            "slice(av, m * 4 + 1, 4), (x, y) -> (x - y) * (x - y)), " +
-            "0D, (acc, x) -> acc + x), 6)")
-        val vm = emb.select(col("vec_id"), col("v"),
-          explode(sequence(lit(0), lit(15))).as("m"))
-        val assign0 = vm.crossJoin(broadcast(anchors))
-          .select(col("vec_id"), col("m"), col("cw"), subsq0.as("d"))
-          .groupBy("vec_id", "m")
-          .agg(min(struct(col("d"), col("cw"))).as("b"))
-          .select(col("vec_id"), col("m"), col("b.cw").as("code0"))
-        // one Lloyd step: per-(subspace, codeword, dim) mean, rounded
-        // so the refined codebook is identical cross-engine
-        val dims = vm.select(col("vec_id"), col("m"),
-          posexplode(expr("slice(v, m * 4 + 1, 4)")).as(Seq("i", "x")))
-        val cb = dims.join(assign0, Seq("vec_id", "m"))
-          .groupBy("m", "code0", "i")
-          .agg(round(avg("x"), 6).as("cx"))
-          .groupBy(col("m").as("am"), col("code0").as("cw"))
-          .agg(expr("transform(array_sort(collect_list(" +
-            "named_struct('i', i, 'x', cx))), s2 -> s2.x)").as("av"))
-        // encode everything against the trained codebook
-        val subsq1 = expr(
-          "round(aggregate(zip_with(slice(v, m * 4 + 1, 4), av, " +
-            "(x, y) -> (x - y) * (x - y)), " +
-            "0D, (acc, x) -> acc + x), 6)")
-        val codes = vm.join(broadcast(cb), vm("m") === cb("am"))
-          .select(col("vec_id"), col("m"), col("cw"), subsq1.as("d"))
-          .groupBy("vec_id", "m")
-          .agg(min(struct(col("d"), col("cw"))).as("b"))
-          .select(col("vec_id"), col("m"), col("b.cw").as("code"))
-        // per-query ADC tables against the same codebook
-        val qm = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v"),
-            explode(sequence(lit(0), lit(15))).as("m"))
-        val dt = qm.join(broadcast(cb), qm("m") === cb("am"))
-          .select(col("qid"), col("m").as("qme"), col("cw"), subsq1.as("d"))
-        val shortlist = codes.join(broadcast(dt),
-            codes("m") === dt("qme") && codes("code") === dt("cw"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"), col("m"), col("d"))
-          .groupBy("qid", "nid")
-          .agg(expr("round(aggregate(array_sort(collect_list(" +
-            "named_struct('m', m, 'd', d))), 0D, (acc, x) -> acc + x.d), 6)")
-            .as("adc"))
-          .withColumn("srk", row_number().over(
-            Window.partitionBy("qid").orderBy(col("adc"), col("nid"))))
-          .filter(col("srk") <= 50)
-          .select("qid", "nid")
-        // exact re-rank of the 50-deep shortlist only
-        shortlist
-          .join(emb.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
-          .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
-          .select(col("qid"), col("nid"),
-            expr("round(aggregate(zip_with(qv, nv, " +
-              "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)")
-              .as("dist"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid").orderBy(col("dist"), col("nid"))))
-          .filter(col("rk") <= 3)
-          .select("qid", "rk", "nid", "dist")
+        Similarity.pqTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, dim = 64, numSub = 16, codebookSize = 16, shortlist = 50)
           .orderBy("qid", "rk")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

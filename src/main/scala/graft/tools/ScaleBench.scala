@@ -230,6 +230,17 @@ object ScaleBench {
     time(s"knn_ivf(nlist=$nlist)")(force(
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
         nlist = nlist, nprobe = math.max(1, nlist / 16))))
+    // PQ-ADC compressed scan: N×|Q| row-local lookup sums behind a
+    // broadcast of the query tables, WindowGroupLimit pruning the
+    // shortlist map-side, exact re-rank on |Q|×50 rows only. ADC is
+    // O(N) PER QUERY by design (a compressed linear scan — IVF is the
+    // row-pruning composition partner), so the probe holds the query
+    // batch FIXED at 200 to isolate N-linearity; scaling queries with
+    // the corpus (as the bucketed LSH/IVF probes do) would measure
+    // N×mult² and the map-side shortlist sort would dominate.
+    time("knn_pq(numSub=16)")(force(
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 200),
+        "vec_id", "embedding", k = 10)))
     spark.stop()
   }
 }

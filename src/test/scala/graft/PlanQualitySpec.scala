@@ -427,4 +427,25 @@ class PlanQualitySpec extends SparkSpec {
       }
     }
   }
+
+  test("llm_line_dedup joins on xxhash64 longs, no cartesian") {
+    val p = plan("llm_line_dedup")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"first-occurrence dedup must be an equi-join on the segment hash:\n$p")
+    assert(p.contains("xxhash64"),
+      s"segment shuffle key must be the xxhash64 long, not the string:\n$p")
+  }
+
+  test("llm_knn_pq broadcasts codebook and ADC tables, no cartesian") {
+    val p = plan("llm_knn_pq")
+    // The only nested-loop shapes allowed are the bounded broadcast
+    // sides (16-row codebook, 640-row distance tables); an unbounded
+    // CartesianProduct would mean the compressed-domain scan degraded
+    // to all-pairs.
+    assert(!p.contains("CartesianProduct"),
+      s"PQ search must never plan an unbounded cartesian:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"codebook/distance tables must broadcast:\n$p")
+  }
 }
