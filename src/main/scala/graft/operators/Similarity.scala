@@ -380,16 +380,18 @@ object Similarity {
     * rounded to 6 decimals; the ADC sum folds those rounded entries in
     * ascending-subspace order — addition order can never flap a rank.
     */
-  def pqTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int = 3, dim: Int = 64, numSub: Int = 16,
-      codebookSize: Int = 16, shortlist: Int = 50): DataFrame = {
-    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
-    val sd = dim / numSub
-    val emb = corpus.select(col(idCol).as("vec_id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
-    val q = queries.select(col(idCol).as("qid"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+  /** PQ train + encode, shared by pqTopK and ivfPqTopK.
+    *
+    * @param emb (vec_id, v: array<double>) corpus
+    * @return (cb, codes): cb = (am, cw, av) — the Lloyd-refined
+    *         codebook, numSub×codebookSize rows, localCheckpoint'd so
+    *         the training DAG runs once per query, not once per
+    *         consumer branch; codes = (vec_id, codes: array<long>) —
+    *         each vector's codeword ids ordered by subspace.
+    */
+  private def pqTrainEncode(
+      emb: DataFrame, numSub: Int, sd: Int,
+      codebookSize: Int): (DataFrame, DataFrame) = {
     // anchor codebook: the codebookSize lowest-id vectors, re-keyed to
     // dense codeword ids 0..codebookSize-1 (bounded rank window)
     val anchors = emb.orderBy("vec_id").limit(codebookSize)
@@ -420,34 +422,53 @@ object Similarity {
       .groupBy(col("m").as("am"), col("code0").as("cw"))
       .agg(expr("transform(array_sort(collect_list(" +
         "named_struct('i', i, 'x', cx))), s2 -> s2.x)").as("av"))
-      // numSub×codebookSize rows; materialize once so the heavy
-      // training DAG (init assignment over N×numSub×codebookSize
-      // candidates + the Lloyd mean shuffle) is not recomputed by
-      // every consumer branch (encode AND the query tables read cb)
       .localCheckpoint()
-    val subsq1 = expr("round(" + (1 to sd).map(i =>
-      s"(element_at(v, m * $sd + $i) - element_at(av, $i)) * " +
-        s"(element_at(v, m * $sd + $i) - element_at(av, $i))")
-      .mkString(" + ") + ", 6)")
     // encode: argmin codeword per (vector, subspace), then one code
     // ARRAY per vector ordered by subspace
     val codes = vm.join(broadcast(cb), vm("m") === cb("am"))
-      .select(col("vec_id"), col("m"), col("cw"), subsq1.as("d"))
+      .select(col("vec_id"), col("m"), col("cw"),
+        pqSubDist(sd).as("d"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d"), col("cw"))).as("b"))
       .select(col("vec_id"), col("m"), col("b.cw").as("code"))
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(" +
         "named_struct('m', m, 'c', code))), s2 -> s2.c)").as("codes"))
-    // per-query ADC tables flattened to one array indexed
-    // m * codebookSize + cw (array_sort on (m, cw) gives that order)
-    val qm = q.select(col("qid"), col("v"),
+    (cb, codes)
+  }
+
+  /** Squared distance between subspace `m` of `v` and the 4-dim
+    * codeword `av`, as a flat codegen'd sum rounded to 6 decimals. */
+  private def pqSubDist(sd: Int): Column =
+    expr("round(" + (1 to sd).map(i =>
+      s"(element_at(v, m * $sd + $i) - element_at(av, $i)) * " +
+        s"(element_at(v, m * $sd + $i) - element_at(av, $i))")
+      .mkString(" + ") + ", 6)")
+
+  /** Per-query flattened ADC tables (qid, tbl): tbl indexed
+    * m * codebookSize + cw (array_sort on (m, cw) gives that order). */
+  private def pqQueryTables(
+      q: DataFrame, cb: DataFrame, numSub: Int, sd: Int): DataFrame =
+    q.select(col("qid"), col("v"),
       explode(sequence(lit(0), lit(numSub - 1))).as("m"))
-    val dt = qm.join(broadcast(cb), qm("m") === cb("am"))
-      .select(col("qid"), col("m"), col("cw"), subsq1.as("d"))
+      .join(broadcast(cb), col("m") === cb("am"))
+      .select(col("qid"), col("m"), col("cw"), pqSubDist(sd).as("d"))
       .groupBy("qid")
       .agg(expr("transform(array_sort(collect_list(" +
         "named_struct('m', m, 'cw', cw, 'd', d))), s2 -> s2.d)").as("tbl"))
+
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, dim: Int = 64, numSub: Int = 16,
+      codebookSize: Int = 16, shortlist: Int = 50): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val sd = dim / numSub
+    val emb = corpus.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = queries.select(col(idCol).as("qid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val (cb, codes) = pqTrainEncode(emb, numSub, sd, codebookSize)
+    val dt = pqQueryTables(q, cb, numSub, sd)
     // ADC: row-local table lookups per (vector, query); rank<=shortlist
     // prunes map-side before any exchange (WindowGroupLimit). The sum
     // is a FLAT left-to-right chain of element_at adds, not a HOF fold:
@@ -467,7 +488,14 @@ object Similarity {
       .select("qid", "nid")
     // exact re-rank of the shortlist only (query vectors come from the
     // queries side — they need not be corpus members)
-    adc
+    pqRerank(adc, q, emb, k)
+  }
+
+  /** Exact-L2 re-rank of a (qid, nid) shortlist against raw vectors. */
+  private def pqRerank(
+      shortlist: DataFrame, q: DataFrame, emb: DataFrame,
+      k: Int): DataFrame =
+    shortlist
       .join(q.select(col("qid"), col("v").as("qv")), Seq("qid"))
       .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
       .select(col("qid"), col("nid"),
@@ -478,5 +506,77 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("dist"), col("nid"))))
       .filter(col("rk") <= k)
       .select("qid", "rk", "nid", "dist")
+
+  /** IVF-PQ: the composed 100 TB ANN serving shape — IVF prunes the
+    * ROW count (only `nprobe` inverted lists are scanned per query),
+    * PQ shrinks the BYTES per scanned row (codes, not floats), and the
+    * exact re-rank touches raw vectors only for the shortlist. This is
+    * the standard composition (FAISS IVFADC; Jégou et al. 2011 §IV).
+    *
+    * Centroids use the deterministic modulus rule (vec_id %
+    * centroidEvery == 0) with rounded-cosine argmax assignment — the
+    * llm_knn_ivf oracle precedent — so the ENTIRE composed path
+    * (centroids, assignment, probes, codebook training, encoding, ADC,
+    * re-rank) is recomputable by another engine. Candidate flow:
+    * probes (|Q|×nprobe) broadcast against the coded+assigned corpus
+    * on the LIST id — an equi-join, so only probed lists' codes are
+    * ever read — then the flat ADC sum, a WindowGroupLimit-pruned
+    * shortlist, and the |Q|×shortlist exact re-rank.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, dim: Int = 64, numSub: Int = 16,
+      codebookSize: Int = 16, shortlist: Int = 20,
+      centroidEvery: Int = 32, nprobe: Int = 4): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val sd = dim / numSub
+    val emb = corpus.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = queries.select(col(idCol).as("qid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    // IVF side: deterministic centroids + slim rounded-cosine argmax
+    // assignment (the ivfTopK/llm_knn_ivf shape)
+    val en = emb.withColumn("nrm", norm(col("v")))
+    val cents = en.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val asg = en.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6)
+          .as("cs"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("vec_id"), (-col("b.ncid")).as("cid"))
+    // PQ side: shared train + encode; codes pick up their list id
+    val (cb, codes) = pqTrainEncode(emb, numSub, sd, codebookSize)
+    val coded = codes.join(asg, Seq("vec_id"))
+    // query probes (top-nprobe lists) + ADC tables, joined so each
+    // probe row carries its query's flattened table
+    val qn = q.withColumn("qnrm", norm(col("v")))
+    val probes = qn.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        round(cosine(col("v"), col("cv"), col("qnrm"), col("cnrm")), 6)
+          .as("cs"),
+        col("cid"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(desc_nulls_last("cs"), asc("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select("qid", "cid")
+    val dt = pqQueryTables(q, cb, numSub, sd)
+    val probeTbl = probes.join(dt, Seq("qid"))
+    val adcSum = (0 until numSub).map(mi =>
+      s"element_at(tbl, ${mi * codebookSize} + " +
+        s"CAST(element_at(codes, ${mi + 1}) AS INT) + 1)").mkString(" + ")
+    val adc = coded.join(broadcast(probeTbl), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr(s"round($adcSum, 6)").as("adc"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc"), col("nid"))))
+      .filter(col("srk") <= shortlist)
+      .select("qid", "nid")
+    pqRerank(adc, q, emb, k)
   }
 }

@@ -1227,6 +1227,96 @@ object Llm extends QueryModule {
             JOIN e n ON n.vec_id = s2.nid)
         WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // IVF-PQ — the composed 100 TB ANN serving shape (FAISS IVFADC;
+    // Jégou et al. 2011 §IV): IVF prunes ROWS (only nprobe=4 of the 16
+    // modulus-rule inverted lists are scanned per query), PQ shrinks
+    // BYTES per scanned row (16 codeword ids, not 64 floats), exact
+    // re-rank touches raw vectors only for the 20-deep shortlist. The
+    // ENTIRE composed path — centroids, rounded-cosine assignment,
+    // probes, Lloyd codebook training, encoding, ADC, re-rank — is
+    // deterministic and recomputed end-to-end by the DuckDB oracle
+    // (the llm_knn_ivf + llm_knn_pq oracle machinery, joined on the
+    // probed-list restriction).
+    QueryDef(
+      "llm_knn_ivf_pq",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, dim = 64, numSub = 16, codebookSize = 16,
+          shortlist = 20, centroidEvery = 32, nprobe = 4)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings),
+          a AS (SELECT vec_id AS cw, v AS av FROM e WHERE vec_id < 16),
+          ms AS (SELECT unnest(range(0, 16)) AS m),
+          sq0 AS (SELECT e.vec_id, ms.m, a.cw,
+              round(list_sum(list_transform(range(1, 5),
+                i -> (e.v[ms.m * 4 + i] - a.av[ms.m * 4 + i])
+                   * (e.v[ms.m * 4 + i] - a.av[ms.m * 4 + i]))), 6) AS d
+            FROM e, ms, a),
+          assign0 AS (SELECT vec_id, m, cw AS code0 FROM (
+              SELECT sq0.*, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d, cw) AS rn FROM sq0) WHERE rn = 1),
+          dims AS (SELECT e.vec_id, ms.m, i.i, e.v[ms.m * 4 + i.i] AS x
+            FROM e, ms, (SELECT unnest(range(1, 5)) AS i) i),
+          cb AS (SELECT m, code0 AS cw, list(cx ORDER BY i) AS av FROM (
+              SELECT d2.m, a0.code0, d2.i, round(avg(d2.x), 6) AS cx
+              FROM dims d2 JOIN assign0 a0
+                ON d2.vec_id = a0.vec_id AND d2.m = a0.m
+              GROUP BY d2.m, a0.code0, d2.i)
+            GROUP BY m, code0),
+          sq1 AS (SELECT e.vec_id, cb.m, cb.cw,
+              round(list_sum(list_transform(range(1, 5),
+                i -> (e.v[cb.m * 4 + i] - cb.av[i])
+                   * (e.v[cb.m * 4 + i] - cb.av[i]))), 6) AS d
+            FROM e, cb),
+          codes AS (SELECT vec_id, m, cw AS code FROM (
+              SELECT sq1.*, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d, cw) AS rn FROM sq1) WHERE rn = 1),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % 32 = 0),
+          asg AS (SELECT vec_id, cid FROM (
+              SELECT e.vec_id, cents.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_cosine_similarity(e.v, cents.cv), 6) DESC,
+                  cents.cid) AS crk
+              FROM e, cents) WHERE crk = 1),
+          probes AS (SELECT qid, cid FROM (
+              SELECT qv.vec_id AS qid, cents.cid,
+                row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                  round(list_cosine_similarity(qv.v, cents.cv), 6) DESC,
+                  cents.cid) AS crk
+              FROM (SELECT * FROM e WHERE vec_id < 10) qv, cents)
+            WHERE crk <= 4),
+          dt AS (SELECT vec_id AS qid, m, cw, d FROM sq1
+            WHERE vec_id < 10),
+          adc AS (SELECT dt.qid, c.vec_id AS nid,
+              round(list_sum(list_transform(list_sort(
+                list(struct_pack(m := c.m, d := dt.d))), x -> x.d)), 6)
+                AS adc
+            FROM codes c
+            JOIN asg ON asg.vec_id = c.vec_id
+            JOIN probes p ON p.cid = asg.cid
+            JOIN dt ON dt.m = c.m AND dt.cw = c.code AND dt.qid = p.qid
+            WHERE c.vec_id != dt.qid
+            GROUP BY dt.qid, c.vec_id),
+          short AS (SELECT qid, nid FROM (SELECT adc.*,
+              row_number() OVER (PARTITION BY qid ORDER BY adc, nid)
+                AS srk FROM adc) WHERE srk <= 20)
+        SELECT qid, rk, nid, dist FROM (
+          SELECT s2.qid, s2.nid,
+            round(list_sum(list_transform(range(1, 65),
+              i -> (q2.v[i] - n.v[i]) * (q2.v[i] - n.v[i]))), 6) AS dist,
+            row_number() OVER (PARTITION BY s2.qid ORDER BY
+              round(list_sum(list_transform(range(1, 65),
+                i -> (q2.v[i] - n.v[i]) * (q2.v[i] - n.v[i]))), 6),
+              s2.nid) AS rk
+          FROM short s2 JOIN e q2 ON q2.vec_id = s2.qid
+            JOIN e n ON n.vec_id = s2.nid)
+        WHERE rk <= 3 ORDER BY qid, rk""")),
+
     QueryDef(
       "llm_text_stats",
       (s, dir) =>

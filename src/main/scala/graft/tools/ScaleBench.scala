@@ -241,6 +241,14 @@ object ScaleBench {
     time("knn_pq(numSub=16)")(force(
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 200),
         "vec_id", "embedding", k = 10)))
+    // IVF-PQ composed serving shape: rows pruned by nprobe/nlist, bytes
+    // by PQ codes. Queries scale with the corpus here (unlike the plain
+    // PQ probe) because the per-query cost is N×nprobe/nlist, not N.
+    val ivfpqEvery = math.max(32, (nEmb / nlist).toInt)
+    time(s"knn_ivfpq(every=$ivfpqEvery)")(force(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10,
+        shortlist = 50, centroidEvery = ivfpqEvery,
+        nprobe = math.max(1, nlist / 16))))
     spark.stop()
   }
 }

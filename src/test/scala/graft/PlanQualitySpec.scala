@@ -437,6 +437,16 @@ class PlanQualitySpec extends SparkSpec {
       s"segment shuffle key must be the xxhash64 long, not the string:\n$p")
   }
 
+  test("llm_knn_ivf_pq: ADC is an equi-join on the probed list id") {
+    val p = plan("llm_knn_ivf_pq")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ must never plan an unbounded cartesian:\n$p")
+    // the candidate stage must be a hash join keyed (at least) on the
+    // inverted-list id — that is the row-pruning IVF contributes
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"probed-list candidate stage must be an equi-join:\n$p")
+  }
+
   test("llm_knn_pq broadcasts codebook and ADC tables, no cartesian") {
     val p = plan("llm_knn_pq")
     // The only nested-loop shapes allowed are the bounded broadcast

@@ -79,6 +79,40 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.size == exact.size)
   }
 
+  test("ivfPqTopK recall floor and full-probe/full-shortlist exactness") {
+    import org.apache.spark.sql.expressions.Window
+    val embRaw = Catalog.table(spark, sf0001, "embeddings")
+    val e = embRaw.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = q.crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        expr("round(aggregate(zip_with(qv, nv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, x) -> acc + x), 6)").as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("nid"))))
+      .filter(col("rk") <= 3)
+      .select("qid", "rk", "nid", "dist")
+    // pruned serving config (the declared query's): recall floor on
+    // the worst-case iid-random fixture — measured 0.57 at
+    // nprobe=4/16 lists × 20-deep shortlist
+    val pruned = SparkEntry.queries("llm_knn_ivf_pq")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val exactSet = exact.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exactSet & pruned).size.toDouble / exactSet.size
+    assert(recall >= 0.4, s"IVF-PQ recall@3 too low: $recall")
+    assert(pruned.size == exactSet.size)
+    // probe ALL lists with an unbounded shortlist -> the exact-L2
+    // re-rank sees every candidate, so IVF-PQ must EQUAL brute force
+    val full = graft.operators.Similarity.ivfPqTopK(
+      embRaw, embRaw.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 3, shortlist = 499, centroidEvery = 32, nprobe = 16)
+      .collect().map(_.toSeq).toSet
+    assert(full == exact.collect().map(_.toSeq).toSet)
+  }
+
   test("ivfTopK with nprobe == nlist degrades to exact brute force") {
     val emb = Catalog.table(spark, sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
