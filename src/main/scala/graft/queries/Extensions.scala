@@ -632,6 +632,44 @@ object Extensions extends QueryModule {
                                               FROM orders) * 1.5)
           ORDER BY c_custkey""")),
 
+    // Shipping-priority analytics (the classic three-table OLAP shape:
+    // selective dim filter × fact × fact-detail, aggregate, top-N)
+    // through the SQL door — identical text on both engines. The scale
+    // story is Catalyst's, by construction: the mktsegment filter
+    // prunes customer BEFORE the join (pushed to the scan), AQE sizes
+    // the customer side for broadcast at this SF (sort-merge at 100 TB
+    // — same plan text, a size decision not a code decision), the
+    // rounded-revenue sort carries an orderkey tiebreak so the LIMIT
+    // boundary is a total order, and TakeOrderedAndProject means the
+    // top-10 never materializes the full aggregate on the driver.
+    QueryDef(
+      "sql_multi_join",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            o_orderdate, o_orderpriority
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+      },
+      Some("""SELECT o_orderkey,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            o_orderdate, o_orderpriority
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
     // Native vector kernels reached from PLAIN SQL: GraftExtensions
     // (SparkSessionExtensions) injects vec_dot/vec_norm/srp_sign into
     // the function registry, so SQL users get the codegen'd loops

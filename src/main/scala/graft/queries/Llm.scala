@@ -1371,6 +1371,82 @@ object Llm extends QueryModule {
             / greatest(len(string_split(text, ' ')), 1)) * 0.2, 6) AS quality
         FROM documents ORDER BY doc_id""")),
 
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1, public): the
+    // standard pre-training heuristic gate as PER-RULE booleans plus
+    // the conjunction, so a pipeline can both filter and report why
+    // docs died. Five rules over the fixture's text shape: word-count
+    // bounds, mean word length in [3,10], symbol-to-word ratio (# and
+    // ellipsis) < 0.1, >=80% of words containing an alphabetic char,
+    // and >=2 distinct-position stopword hits. Every rule is one
+    // codegen'd HOF over the split array — zero shuffle, scan-bound;
+    // at 100 TB this runs in the same stage as the read.
+    QueryDef(
+      "llm_gopher_rules",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val nWords = size(words)
+        val sumLen = aggregate(transform(words, w => length(w)),
+          lit(0), (acc, x) => acc + x)
+        val meanLen = sumLen.cast("double") /
+          greatest(nWords, lit(1)).cast("double")
+        val nHash = length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))
+        val nEllipsis = (length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+        val symRatio = (nHash + nEllipsis).cast("double") /
+          greatest(nWords, lit(1)).cast("double")
+        val nAlpha = size(filter(words, w => w.rlike("[a-z]")))
+        val alphaRatio = nAlpha.cast("double") /
+          greatest(nWords, lit(1)).cast("double")
+        val stop = Seq("the", "a", "of", "and", "to",
+          "in", "is", "it", "for", "on")
+        val nStop = size(filter(words, w => w.isin(stop.map(x => x: Any): _*)))
+        val rWords = nWords.between(50, 100000)
+        val rMean = meanLen.between(3.0, 10.0)
+        val rSym = symRatio < 0.1
+        val rAlpha = alphaRatio >= 0.8
+        val rStop = nStop >= 2
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), nWords.as("n_words"),
+            round(meanLen, 4).as("mean_word_len"),
+            round(symRatio, 4).as("symbol_ratio"),
+            round(alphaRatio, 4).as("alpha_ratio"),
+            nStop.as("n_stop"),
+            rWords.as("r_words"), rMean.as("r_mean_len"),
+            rSym.as("r_symbol"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
+            (rWords && rMean && rSym && rAlpha && rStop).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+          string_split(text, ' ') AS words,
+          len(string_split(text, ' ')) AS n_words,
+          list_sum(list_transform(string_split(text, ' '),
+            w -> length(w)))::DOUBLE
+            / greatest(len(string_split(text, ' ')), 1) AS mean_word_len,
+          ((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE
+            / greatest(len(string_split(text, ' ')), 1) AS symbol_ratio,
+          len(list_filter(string_split(text, ' '),
+            w -> regexp_matches(w, '[a-z]')))::DOUBLE
+            / greatest(len(string_split(text, ' ')), 1) AS alpha_ratio,
+          len(list_filter(string_split(text, ' '),
+            w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))
+            AS n_stop
+        FROM documents)
+        SELECT doc_id, n_words,
+          round(mean_word_len, 4) AS mean_word_len,
+          round(symbol_ratio, 4) AS symbol_ratio,
+          round(alpha_ratio, 4) AS alpha_ratio, n_stop,
+          n_words BETWEEN 50 AND 100000 AS r_words,
+          mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+          symbol_ratio < 0.1 AS r_symbol,
+          alpha_ratio >= 0.8 AS r_alpha,
+          n_stop >= 2 AS r_stop,
+          (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2
+            AS keep
+        FROM w ORDER BY doc_id""")),
+
     QueryDef(
       "llm_token_count",
       (s, dir) =>

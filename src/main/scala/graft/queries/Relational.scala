@@ -464,6 +464,55 @@ object Relational extends QueryModule {
           ON a.user_id = hv.user_id AND a.h = hv.h
         ORDER BY a.user_id, a.h""")),
 
+    // Time-series linear interpolation: the resample grid again, but
+    // gap buckets get the time-weighted blend of the surrounding
+    // observations instead of a carried-forward copy — the sensor /
+    // metrics "reconstruct the continuous signal" op. Four windowed
+    // lookups (prev/next known hour and value) share ONE partition
+    // spec each direction, so Catalyst evaluates them in two Window
+    // nodes over the same user_id shuffle; the lerp itself is
+    // row-local codegen'd arithmetic. Endpoints clamp to the nearest
+    // known value (no extrapolation).
+    QueryDef(
+      "etl_interpolate",
+      (s, dir) =>
+        interpolateHourly(
+          Catalog.table(s, dir, "events")
+            .filter(col("user_id") < 20)
+            .select(col("user_id"), col("ts"), col("value"))),
+      Some("""WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+          FROM events WHERE user_id < 20),
+        hourly AS (SELECT user_id, h, round(avg(value), 4) AS v
+          FROM ev GROUP BY 1, 2),
+        axis AS (SELECT user_id,
+            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+                FROM ev GROUP BY 1)),
+        g AS (SELECT a.user_id, a.h, hv.v
+          FROM axis a LEFT JOIN hourly hv
+            ON a.user_id = hv.user_id AND a.h = hv.h),
+        w AS (SELECT user_id, h, v,
+          last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+            OVER wb AS ph,
+          last_value(v IGNORE NULLS) OVER wb AS pv,
+          first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+            OVER wf AS nh,
+          first_value(v IGNORE NULLS) OVER wf AS nv
+          FROM g
+          WINDOW wb AS (PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, h, v,
+          floor((CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (epoch(h) - epoch(ph))
+                   / (epoch(nh) - epoch(ph)) END) * 10000 + 0.5) / 10000
+            AS v_interp,
+          v IS NULL AS is_gap
+        FROM w ORDER BY user_id, h""")),
+
     // Z-order layout key: interleave the bits of two dimension columns
     // into one space-filling-curve value — the multi-dimensional
     // data-layout technique behind Delta/Iceberg Z-ORDER clustering.
@@ -509,4 +558,52 @@ object Relational extends QueryModule {
             + (((l_suppkey % 256) // 128) % 2) * 16384 AS zkey
         FROM lineitem WHERE l_orderkey < 2000
         ORDER BY zkey, l_orderkey, l_linenumber""")))
+
+  /** Hourly resample + linear interpolation over (user_id, ts, value)
+    * rows: dense per-key hour axis from each key's own [min,max] span,
+    * per-bucket mean, gap buckets filled with the time-weighted blend
+    * of the surrounding observations; endpoints clamp to the nearest
+    * known value (no extrapolation). Four prev/next lookups share one
+    * partition spec per frame direction, so Catalyst plans exactly two
+    * Window nodes over a single user_id shuffle.
+    *
+    * floor(x*1e4 + 0.5)/1e4 instead of round(): both engines run the
+    * IDENTICAL double ops on an identical lerp value, where round()'s
+    * half-tie rule differs between them (HALF_UP vs
+    * nearest-representable) and flaps the 4th decimal. */
+  def interpolateHourly(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = events.select(col("user_id"),
+      date_trunc("hour", col("ts")).as("h"), col("value"))
+    val hourly = ev.groupBy("user_id", "h")
+      .agg(round(avg("value"), 4).as("v"))
+    val axis = ev.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+    val wb = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownH = when(col("v").isNotNull, col("h"))
+    val sec = (c: org.apache.spark.sql.Column) =>
+      unix_timestamp(c).cast("double")
+    axis.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("ph", last(knownH, ignoreNulls = true).over(wb))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("nh", first(knownH, ignoreNulls = true).over(wf))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("h"), col("v"),
+        (floor(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (sec(col("h")) - sec(col("ph"))) /
+              (sec(col("nh")) - sec(col("ph")))) * 10000 + 0.5) /
+          10000).as("v_interp"),
+        col("v").isNull.as("is_gap"))
+      .orderBy("user_id", "h")
+  }
 }

@@ -458,4 +458,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       s"codebook/distance tables must broadcast:\n$p")
   }
+
+  test("etl_interpolate: per-key axis equi-join, prev/next lookups share windows") {
+    val p = plan("etl_interpolate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // Four prev/next lookups, but only as many Window nodes as frame
+    // directions (wb, wf) — all four share the user_id shuffle.
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("llm_gopher_rules is scan-stage only: every rule in the read pass") {
+    val p = plan("llm_gopher_rules")
+    // All five rules are row-local HOFs: no join, no window, no
+    // aggregate — the only exchange is the output sort. At 100 TB the
+    // gate runs inside the scan stage.
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sql_multi_join: dim filter pushed, top-10 fused, no cartesian") {
+    val p = plan("sql_multi_join")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
