@@ -469,4 +469,62 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** BPE merge-rule training (Sennrich et al. 2016, public): k rounds of
+    * "count adjacent symbol pairs weighted by word frequency, merge the
+    * most frequent pair greedily left-to-right". Returns the merge table
+    * (step, left_sym, right_sym, merged, cnt) — the artifact a tokenizer
+    * ships.
+    *
+    * Distribution shape: the corpus is touched ONCE (the word-frequency
+    * aggregate, localCheckpoint'd — at 100 TB the vocab table is
+    * MB-scale while the corpus is not); each round is then one
+    * vocab-sized pair explode + aggregate, a 1-row top-pair
+    * (localCheckpoint'd: it feeds both the merge table and the rewrite,
+    * and must not replan per consumer), and a broadcast-joined row-local
+    * array fold applying the merge. No driver-side collect anywhere —
+    * the 1-row argmax stays a DataFrame. k is a constant, so the whole
+    * train is k linear vocab passes.
+    *
+    * The greedy fold: append each symbol unless the accumulator's last
+    * element equals `left` and the incoming symbol equals `right` — then
+    * replace the tail with the merged symbol. A merged symbol can never
+    * re-trigger as `left` in the same pass (merged != left since right
+    * is non-empty), which is exactly left-to-right non-overlapping BPE
+    * ("aaaa" + (a,a) -> (aa)(aa), not (aa)a a). */
+  def bpeTrainMerges(wordFreq: DataFrame, k: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    var cur = wordFreq
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms"))
+      .localCheckpoint()
+    val steps = (1 to k).map { i =>
+      val nPairs = greatest(size(col("syms")) - 1, lit(0))
+      val pairs = cur.select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), nPairs),
+          slice(col("syms"), lit(2), nPairs),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .select(col("pr.a"), col("pr.b"), col("freq"))
+      val top = pairs.groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .select(col("a"), col("b"), concat(col("a"), col("b")).as("m"),
+          col("cnt"))
+        .localCheckpoint()
+      cur = cur
+        .crossJoin(broadcast(top.select(col("a").as("ma"),
+          col("b").as("mb"), col("m").as("mm"))))
+        .select(col("word"), col("freq"),
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === col("ma") && x === col("mb"),
+              concat(slice(acc, lit(1), size(acc) - 1), array(col("mm"))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+      top.select(lit(i).as("step"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("m").as("merged"), col("cnt"))
+    }
+    steps.reduce(_.unionAll(_)).orderBy("step")
+  }
 }

@@ -1983,6 +1983,26 @@ object Llm extends QueryModule {
         FROM w LEFT JOIN vocab USING (word)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // BPE merge-rule TRAINING (Sennrich et al. 2016): 6 rounds of
+    // most-frequent-adjacent-pair merging over the corpus vocabulary,
+    // greedy left-to-right — the tokenizer-training step upstream of
+    // llm_tokens_to_ids. Corpus touched once (word-frequency agg);
+    // each round is a vocab-sized pass + a broadcast 1-row merge
+    // (TextOps.bpeTrainMerges). The DuckDB oracle replays the SAME
+    // greedy semantics per round with windowed match-islands + parity
+    // (non-overlapping left-to-right: "aaaa"+(a,a) -> (aa)(aa)),
+    // machine-generated per step by bpeOracle below. Hierarchical
+    // merges fire genuinely on the fixture (step 6 merges 'm'+'er').
+    QueryDef(
+      "llm_bpe_train",
+      (s, dir) => {
+        val wordFreq = Catalog.table(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        TextOps.bpeTrainMerges(wordFreq, 6)
+      },
+      Some(bpeOracle(6))),
+
     // PII-style scrubbing: mask digit runs and count redactions — pure
     // codegen'd regexp over each row, no shuffle. (The synthetic corpus
     // text carries no emails/phones; customer names are the fixture's
@@ -2309,4 +2329,61 @@ object Llm extends QueryModule {
             JOIN sig sb ON sb.doc_id = id_b)
         WHERE greatest(c_ab, c_ba) >= 0.6
         ORDER BY id_a, id_b""")))
+
+  /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
+    * Each step: count adjacent pairs weighted by word freq, take the
+    * (cnt DESC, a, b) top-1, then rebuild every word's symbol list with
+    * greedy left-to-right non-overlapping merging — match positions
+    * grouped into consecutive-run islands, parity keeps every other
+    * match in a run ("aaaa"+(a,a) merges positions 1 and 3), the symbol
+    * after a kept match is dropped, the kept position becomes the
+    * merged symbol. */
+  private def bpeOracle(k: Int): String = {
+    def step(i: Int): String = {
+      val p = s"s${i - 1}"
+      s"""p$i AS (
+  SELECT syms[i] AS a, syms[i+1] AS b, freq
+  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM $p)),
+t$i AS (
+  SELECT a, b, a||b AS m, cnt FROM (
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 1)),
+e$i AS (SELECT word, freq, i, syms[i] AS s
+  FROM (SELECT word, freq, syms, unnest(generate_series(1, len(syms))) AS i
+        FROM $p)),
+m$i AS (SELECT e.word, e.freq, e.i, e.s,
+    coalesce(e.s = t.a AND
+      lead(e.s) OVER (PARTITION BY e.word ORDER BY e.i) = t.b, FALSE) AS mt
+  FROM e$i e CROSS JOIN t$i t),
+k$i AS (SELECT word, freq, i, s, mt,
+    CASE WHEN mt THEN
+      i - row_number() OVER (PARTITION BY word, mt ORDER BY i) END AS run
+  FROM m$i),
+g$i AS (SELECT word, freq, i, s,
+    CASE WHEN mt THEN
+      (i - min(i) OVER (PARTITION BY word, run)) % 2 = 0
+      ELSE FALSE END AS keep
+  FROM k$i),
+d$i AS (SELECT word, freq, i, s, keep,
+    coalesce(lag(keep) OVER (PARTITION BY word ORDER BY i), FALSE)
+      AS dropped
+  FROM g$i),
+s$i AS (SELECT word, any_value(freq) AS freq,
+    list(CASE WHEN keep THEN (SELECT m FROM t$i) ELSE s END ORDER BY i)
+      AS syms
+  FROM d$i WHERE NOT dropped GROUP BY word)"""
+    }
+    val ctes = (1 to k).map(step).mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, cnt FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word),
+s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w0),
+$ctes
+SELECT * FROM ($out) ORDER BY step"""
+  }
 }

@@ -242,4 +242,26 @@ class TextOpsSpec extends SparkSpec {
     val keptT = twice.map(_._3).sum
     assert(keptT >= total - 1) // at most the empty-string seg collides
   }
+
+  test("bpeTrainMerges: greedy non-overlap on runs, hierarchical merges") {
+    val wf = Seq(("aaaa", 3L), ("aab", 2L)).toDF("word", "freq")
+    val out = TextOps.bpeTrainMerges(wf, 2)
+      .select("step", "left_sym", "right_sym", "merged", "cnt")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // Step 1: (a,a) appears 3x in "aaaa" (x3) + 1x in "aab" (x2) = 11.
+    // Greedy left-to-right rewrites "aaaa" -> (aa)(aa) — NOT (aa),a,a —
+    // so step 2's top pair is (aa,aa) with weight 3 (plus "aab" ->
+    // (aa),b contributing (aa,b) weight 2).
+    assert(out == Seq(
+      (1, "a", "a", "aa", 11L),
+      (2, "aa", "aa", "aaaa", 3L)))
+  }
+
+  test("bpeTrainMerges: deterministic lexical tiebreak on equal counts") {
+    // "xy" and "xz" both weight 5: tie on cnt, (x,y) < (x,z) lexically.
+    val wf = Seq(("xy", 5L), ("xz", 5L)).toDF("word", "freq")
+    val out = TextOps.bpeTrainMerges(wf, 1)
+      .select("left_sym", "right_sym").as[(String, String)].collect().toSeq
+    assert(out == Seq(("x", "y")))
+  }
 }
