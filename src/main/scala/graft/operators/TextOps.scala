@@ -492,8 +492,18 @@ object TextOps {
     * re-trigger as `left` in the same pass (merged != left since right
     * is non-empty), which is exactly left-to-right non-overlapping BPE
     * ("aaaa" + (a,a) -> (aa)(aa), not (aa)a a). */
-  def bpeTrainMerges(wordFreq: DataFrame, k: Int): DataFrame = {
-    val spark = wordFreq.sparkSession
+  def bpeTrainMerges(wordFreq: DataFrame, k: Int): DataFrame =
+    bpeTrain(wordFreq, k)._1
+
+  /** Trained word→pieces segmentation table (word, freq, syms) after k
+    * merge rounds — the vocab-sized artifact a tokenizer APPLIES: at
+    * serve time corpus words broadcast-join against this table, so
+    * tokenization never re-runs the fold per document. */
+  def bpeVocabSyms(wordFreq: DataFrame, k: Int): DataFrame =
+    bpeTrain(wordFreq, k)._2
+
+  private def bpeTrain(wordFreq: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = {
     var cur = wordFreq
       .select(col("word"), col("freq"),
         filter(split(col("word"), ""), s => s =!= "").as("syms"))
@@ -525,6 +535,6 @@ object TextOps {
       top.select(lit(i).as("step"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("m").as("merged"), col("cnt"))
     }
-    steps.reduce(_.unionAll(_)).orderBy("step")
+    (steps.reduce(_.unionAll(_)).orderBy("step"), cur)
   }
 }

@@ -2003,6 +2003,35 @@ object Llm extends QueryModule {
       },
       Some(bpeOracle(6))),
 
+    // BPE APPLICATION — the serve-time half of llm_bpe_train: corpus
+    // words broadcast-join the trained vocab-sized (word → pieces)
+    // segmentation table, so tokenizing 100 TB never re-runs the merge
+    // fold per document — one map-side join + one doc-keyed aggregate.
+    // Every corpus word hits the vocab by construction (trained on the
+    // same corpus); OOV handling at serve time is llm_tokens_to_ids's
+    // [UNK] path, orthogonal to segmentation.
+    QueryDef(
+      "llm_bpe_apply",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val wordFreq = docs
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val vocab = TextOps.bpeVocabSyms(wordFreq, 6)
+        docs
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("ord", "word")))
+          .join(broadcast(vocab.select("word", "syms")), Seq("word"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("syms"))).as("n_pieces"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "named_struct('o', ord, 'p', array_join(syms, ' ')))), " +
+              "x -> x.p), ' ')").as("pieces"))
+          .orderBy("doc_id")
+      },
+      Some(bpeApplyOracle(6))),
+
     // PII-style scrubbing: mask digit runs and count redactions — pure
     // codegen'd regexp over each row, no shuffle. (The synthetic corpus
     // text carries no emails/phones; customer names are the fixture's
@@ -2339,6 +2368,27 @@ object Llm extends QueryModule {
     * after a kept match is dropped, the kept position becomes the
     * merged symbol. */
   private def bpeOracle(k: Int): String = {
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, cnt FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""${bpeOracleCtes(k)}
+SELECT * FROM ($out) ORDER BY step"""
+  }
+
+  /** Serve-time twin: corpus words joined to the trained s<k>
+    * segmentation table, re-aggregated per document. */
+  private def bpeApplyOracle(k: Int): String =
+    s"""${bpeOracleCtes(k)},
+wdoc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+    generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(syms)) AS BIGINT) AS n_pieces,
+  string_agg(array_to_string(syms, ' '), ' ' ORDER BY ord) AS pieces
+FROM wdoc JOIN s$k USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
+
+  private def bpeOracleCtes(k: Int): String = {
     def step(i: Int): String = {
       val p = s"s${i - 1}"
       s"""p$i AS (
@@ -2375,15 +2425,11 @@ s$i AS (SELECT word, any_value(freq) AS freq,
   FROM d$i WHERE NOT dropped GROUP BY word)"""
     }
     val ctes = (1 to k).map(step).mkString(",\n")
-    val out = (1 to k).map(i =>
-      s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, cnt FROM t$i")
-      .mkString("\nUNION ALL ")
     s"""WITH w0 AS (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   GROUP BY word),
 s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w0),
-$ctes
-SELECT * FROM ($out) ORDER BY step"""
+$ctes"""
   }
 }
