@@ -81,6 +81,92 @@ object Extensions extends QueryModule {
         FROM customer"""
       }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
 
+    // Distribution-drift monitoring: Population Stability Index of the
+    // value distribution per event_type, older half of the stream
+    // (reference window) vs newer half (current window). 10 fixed-width
+    // buckets over the GLOBAL [min,max] (1-row broadcast, so both
+    // windows share one axis), add-one smoothing so empty buckets never
+    // divide by zero, psi = sum (p-q)*ln(p/q). The production
+    // before/after-deploy data-quality gate: two fine-key aggregates +
+    // one tiny join — at 100 TB the cost is the two scans, the psi
+    // itself is per-(type,bucket) arithmetic on counts.
+    QueryDef(
+      "meta_drift_psi",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .select(col("event_type"), unix_millis(col("ts")).as("tm"),
+            col("value"))
+        val st = ev.agg(min("value").as("vmin"), max("value").as("vmax"),
+          expr("(min(tm) + max(tm)) div 2").as("mid"))
+        val b = ev.crossJoin(broadcast(st))
+          .select(col("event_type"),
+            when(col("tm") <= col("mid"), "ref").otherwise("cur").as("side"),
+            least(floor((col("value") - col("vmin")) /
+              (col("vmax") - col("vmin")) * 10).cast("int"), lit(9)).as("bkt"))
+        val c = b.groupBy("event_type", "side", "bkt")
+          .agg(count(lit(1)).as("c"))
+        val t = c.groupBy("event_type")
+          .agg(sum(when(col("side") === "ref", col("c")).otherwise(0L))
+            .as("n_ref"),
+            sum(when(col("side") === "cur", col("c")).otherwise(0L))
+              .as("n_cur"))
+        val ax = ev.select("event_type").distinct()
+          .select(col("event_type"),
+            explode(sequence(lit(0), lit(9))).as("bkt"))
+        val cr = c.filter(col("side") === "ref")
+          .select(col("event_type"), col("bkt"), col("c").as("cref"))
+        val cc = c.filter(col("side") === "cur")
+          .select(col("event_type"), col("bkt"), col("c").as("ccur"))
+        val p = (cnt: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =>
+          (cnt + lit(1.0)) / (n + lit(10))
+        ax.join(cr, Seq("event_type", "bkt"), "left")
+          .join(cc, Seq("event_type", "bkt"), "left")
+          .join(t, Seq("event_type"))
+          .select(col("event_type"), col("n_ref"), col("n_cur"),
+            (p(coalesce(col("cref"), lit(0L)), col("n_ref")) -
+              p(coalesce(col("ccur"), lit(0L)), col("n_cur"))).as("d"),
+            log(p(coalesce(col("cref"), lit(0L)), col("n_ref")) /
+              p(coalesce(col("ccur"), lit(0L)), col("n_cur"))).as("l"))
+          .groupBy("event_type", "n_ref", "n_cur")
+          .agg(round(sum(col("d") * col("l")), 6).as("psi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_ms(ts) AS tm, value
+          FROM events),
+        st AS (SELECT min(value) AS vmin, max(value) AS vmax,
+            (min(tm) + max(tm)) // 2 AS mid FROM ev),
+        b AS (SELECT event_type,
+            CASE WHEN tm <= mid THEN 'ref' ELSE 'cur' END AS side,
+            least(CAST(floor((value - vmin) / (vmax - vmin) * 10) AS INT), 9)
+              AS bkt
+          FROM ev CROSS JOIN st),
+        c AS (SELECT event_type, side, bkt, count(*) AS c
+          FROM b GROUP BY 1, 2, 3),
+        t AS (SELECT event_type,
+            CAST(sum(CASE WHEN side = 'ref' THEN c ELSE 0 END) AS BIGINT)
+              AS n_ref,
+            CAST(sum(CASE WHEN side = 'cur' THEN c ELSE 0 END) AS BIGINT)
+              AS n_cur
+          FROM c GROUP BY 1),
+        ax AS (SELECT event_type, unnest(generate_series(0, 9)) AS bkt
+          FROM (SELECT DISTINCT event_type FROM ev)),
+        j AS (SELECT ax.event_type, ax.bkt,
+            coalesce(cr.c, 0) AS cref, coalesce(cc.c, 0) AS ccur
+          FROM ax
+          LEFT JOIN c cr ON cr.event_type = ax.event_type
+            AND cr.bkt = ax.bkt AND cr.side = 'ref'
+          LEFT JOIN c cc ON cc.event_type = ax.event_type
+            AND cc.bkt = ax.bkt AND cc.side = 'cur')
+        SELECT j.event_type, t.n_ref, t.n_cur,
+          round(sum(
+            ((cref + 1.0) / (t.n_ref + 10) - (ccur + 1.0) / (t.n_cur + 10))
+            * ln(((cref + 1.0) / (t.n_ref + 10))
+                 / ((ccur + 1.0) / (t.n_cur + 10)))), 6) AS psi
+        FROM j JOIN t ON j.event_type = t.event_type
+        GROUP BY j.event_type, t.n_ref, t.n_cur
+        ORDER BY j.event_type""")),
+
     // Scalar UDF surface. Native Column exprs are always preferred
     // (SURVEY §2.10) — this declares the escape hatch works; the oracle
     // proves the UDF against its pure-SQL equivalent.

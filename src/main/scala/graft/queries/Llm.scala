@@ -551,6 +551,58 @@ object Llm extends QueryModule {
         FROM tok JOIN counts USING (w) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    // rank docs by LM score and split the corpus into head/middle/tail
+    // terciles — the standard "keep the fluent third, inspect the
+    // middle, drop the tail" curation gate. The LM is the unigram
+    // model above (ppl = exp(-mean_logp), monotone in mean_logp, so
+    // ranking on mean_logp IS ranking on perplexity without the exp).
+    // Tercile boundaries are INTEGER rank arithmetic (r*3 vs n), never
+    // interpolated quantiles — engine-identical by construction where
+    // a float cutoff could flap on tied scores at the boundary. The
+    // global rank is one sort at fixture scale; at 100 TB the same
+    // boundary comes from a distributed sort or a two-phase
+    // count-below-threshold pass, same downstream CASE.
+    QueryDef(
+      "llm_perplexity_filter",
+      (s, dir) => {
+        val tok = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum("c").as("tot"))
+        val scored = tok.join(counts, "w")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("c").cast("double") / col("tot"))), 6)
+            .as("mean_logp"))
+        val n1 = scored.agg(count(lit(1)).as("n"))
+        scored.crossJoin(broadcast(n1))
+          .withColumn("r", row_number().over(
+            Window.orderBy(desc("mean_logp"), asc("doc_id"))))
+          .select(col("doc_id"), col("mean_logp"),
+            when(col("r") * 3 <= col("n"), "head")
+              .when(col("r") * 3 <= col("n") * 2, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+        scored AS (SELECT doc_id,
+            round(avg(ln(c::DOUBLE / tot)), 6) AS mean_logp
+          FROM tok JOIN counts USING (w) CROSS JOIN tot
+          GROUP BY doc_id),
+        n1 AS (SELECT count(*) AS n FROM scored),
+        rk AS (SELECT doc_id, mean_logp, n,
+            row_number() OVER (ORDER BY mean_logp DESC, doc_id) AS r
+          FROM scored CROSS JOIN n1)
+        SELECT doc_id, mean_logp,
+          CASE WHEN r * 3 <= n THEN 'head'
+               WHEN r * 3 <= n * 2 THEN 'middle'
+               ELSE 'tail' END AS ppl_bucket
+        FROM rk ORDER BY doc_id""")),
+
     // Bigram LM scoring — the conditional step up from the unigram
     // filter: per-doc mean ln p(w|prev) with p = c(prev,w)/c(prev).
     // Bigrams are built ROW-LOCALLY (transform over the token array —

@@ -185,6 +185,18 @@ object ScaleBench {
     time("line_dedup") {
       force(TextOps.lineDedup(docs, "doc_id", "text"))
     }
+    // BPE merge training (llm_bpe_train): corpus touched once for the
+    // word-frequency vocab (localCheckpoint'd), then 6 rounds of
+    // vocab-sized pair explode + aggregate + broadcast 1-row fold. The
+    // salted replicas grow the vocab ~linearly with the corpus (~60
+    // unique tokens per replica), so this probes the real web-corpus
+    // regime where the vocab itself is tens of millions of types —
+    // the train must stay vocab-bound, never corpus-bound.
+    time("bpe_train") {
+      val wf = docs.select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      force(TextOps.bpeTrainMerges(wf, 6))
+    }
     // PageRank at ×mult the sf0.1 customer–supplier graph: `mult`
     // id-offset DISJOINT copies of the bipartite projection, so node
     // and edge counts scale exactly ×mult while per-copy structure

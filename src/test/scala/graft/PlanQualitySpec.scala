@@ -479,6 +479,24 @@ class PlanQualitySpec extends SparkSpec {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("meta_drift_psi: global stats broadcast once, no unbounded cartesian") {
+    val p = plan("meta_drift_psi")
+    // The [min,max,mid] axis is ONE 1-row broadcast shared by both
+    // windows; the only nested-loop shape is that bounded broadcast.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // Bucket counting is hash aggregation, never a window.
+    assert(!p.contains("Window"), p)
+  }
+
+  test("llm_perplexity_filter: one global rank window, counts broadcast") {
+    val p = plan("llm_perplexity_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    // The tercile boundary is integer rank arithmetic over ONE ordered
+    // window (documented single-partition trade at fixture scale).
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
   test("sql_multi_join: dim filter pushed, top-10 fused, no cartesian") {
     val p = plan("sql_multi_join")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
