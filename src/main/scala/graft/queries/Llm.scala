@@ -649,6 +649,69 @@ object Llm extends QueryModule {
         FROM docs JOIN bi USING (prev, w) JOIN uni USING (prev)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // T5-style span corruption (Raffel et al. 2020, public): replace
+    // fixed-position 2-token spans with numbered sentinel tokens and
+    // emit the (input_text, targets) training pair. Span selection is
+    // CONTENT-ADDRESSED position arithmetic (span starts where
+    // ord % 7 == 3 — deterministic, reproducible at any cluster size,
+    // no RNG; stride 7 / span 2 ≈ the ~15-30% corruption-rate family),
+    // so both engines re-derive identical masks. Per-token labeling is
+    // row-local; the rebuild is one doc-keyed aggregate — the same
+    // two-stage shape as llm_tokens_to_ids.
+    QueryDef(
+      "llm_span_corruption",
+      (s, dir) => {
+        val lab = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("p", "w")))
+          .select(col("doc_id"), (col("p") + 1).as("ord"), col("w"))
+          .withColumn("role",
+            when(col("ord") % 7 === 3, "start")
+              .when(col("ord") % 7 === 4, "cont")
+              .otherwise("keep"))
+          .withColumn("sid", expr("(ord + 4) div 7"))
+          .withColumn("sent", concat(lit("<X_"), col("sid"), lit(">")))
+          .withColumn("ip",
+            when(col("role") === "keep", col("w"))
+              .when(col("role") === "start", col("sent")))
+          .withColumn("tp",
+            when(col("role") === "start",
+              concat(col("sent"), lit(" "), col("w")))
+              .when(col("role") === "cont", col("w")))
+        lab.groupBy("doc_id")
+          .agg(
+            expr("array_join(transform(filter(array_sort(collect_list(" +
+              "named_struct('o', ord, 'x', ip))), v -> v.x IS NOT NULL), " +
+              "v -> v.x), ' ')").as("input_text"),
+            expr("array_join(transform(filter(array_sort(collect_list(" +
+              "named_struct('o', ord, 'x', tp))), v -> v.x IS NOT NULL), " +
+              "v -> v.x), ' ')").as("targets"),
+            sum(when(col("role") =!= "keep", 1L).otherwise(0L))
+              .as("n_masked"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w,
+            generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents),
+        lab AS (SELECT doc_id, w, ord,
+            CASE WHEN ord % 7 = 3 THEN 'start'
+                 WHEN ord % 7 = 4 THEN 'cont'
+                 ELSE 'keep' END AS role,
+            (ord + 4) // 7 AS sid
+          FROM tok)
+        SELECT doc_id,
+          string_agg(CASE WHEN role = 'keep' THEN w
+              WHEN role = 'start' THEN '<X_' || sid || '>' END,
+            ' ' ORDER BY ord) FILTER (role != 'cont') AS input_text,
+          string_agg(CASE WHEN role = 'start' THEN '<X_' || sid || '> ' || w
+              WHEN role = 'cont' THEN w END,
+            ' ' ORDER BY ord) FILTER (role != 'keep') AS targets,
+          CAST(count(*) FILTER (role != 'keep') AS BIGINT) AS n_masked,
+          CAST(count(*) AS BIGINT) AS n_tokens
+        FROM lab GROUP BY doc_id ORDER BY doc_id""")),
+
     // Context-window chunking with overlap — split each doc into
     // 50-token windows advancing 40 tokens (10-token overlap), the
     // standard pretraining/RAG chunker. Pure per-row generate
