@@ -329,5 +329,31 @@ object StreamingBatch extends QueryModule {
       // per-day event counts exactly (day is the dynamic-overwrite
       // partition key, read back from the directory structure).
       Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n
-        FROM events GROUP BY day ORDER BY day""")))
+        FROM events GROUP BY day ORDER BY day""")),
+
+    // CDC upsert sink: the foreachBatch MERGE pattern — a compacted
+    // latest-event-per-user state table maintained across micro-batches
+    // (4 staged range files, maxFilesPerTrigger=1, so the merge loop
+    // genuinely iterates). Keep-latest is associative, so the final
+    // state must equal the batch argmax over ALL events regardless of
+    // micro-batch boundaries — which is exactly what the oracle checks.
+    QueryDef(
+      "stream_upsert_sink",
+      (s, dir) => {
+        val out = graft.Scratch.dir(
+          s"upsert-${java.util.UUID.randomUUID()}")
+        val finalVersion = Streams.upsertSink(s, dir, out)
+        val res = s.read.parquet(finalVersion)
+          .select("user_id", "event_id", "event_type", "value",
+            "ts")
+          .orderBy("user_id")
+        val rows = res.collect()
+        Streams.deleteRecursively(out)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, res.schema)
+      },
+      Some("""SELECT user_id, event_id, event_type, value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rk FROM events)
+        WHERE rk = 1 ORDER BY user_id""")))
 }

@@ -225,6 +225,67 @@ object Streams {
       .toDF()
   }
 
+  /** CDC-style upsert sink (foreachBatch MERGE): maintain a compacted
+    * per-key state table — latest event per user_id — across
+    * micro-batches. Each batch unions the previous state version with
+    * the incoming rows and keeps the per-key max(struct(ts, event_id,
+    * …)) (argmax-by-recency as ONE map-side-combinable aggregate, the
+    * same slim shape as IVF assignment), then writes a NEW version dir
+    * v<batchId> — never overwriting the version it is reading, the
+    * self-overwrite trap of read-modify-write sinks. Because
+    * keep-latest is associative, the final state is independent of how
+    * the stream was micro-batched; the fixture is staged as FOUR range
+    * files with maxFilesPerTrigger=1 so the merge loop genuinely runs
+    * multi-batch. At 100 TB the same foreachBatch body targets a
+    * partitioned/bucketed table and merges only touched partitions
+    * (idempotentSink's dynamic-overwrite trick); versioning stays —
+    * it is what makes replays safe. Returns the final version path. */
+  def upsertSink(spark: SparkSession, sfDir: String, outDir: String): String = {
+    val src = graft.sources.Catalog.table(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val stage = graft.Scratch.dir(s"upsert-stage-${System.nanoTime()}")
+    src.repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val ckpt = graft.Scratch.dir("ckpt", s"upsert-${System.nanoTime()}")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    def keepLatest(df: DataFrame): DataFrame = df.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"))).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"),
+        col("r.event_id").as("event_id"),
+        col("r.event_type").as("event_type"), col("r.value").as("value"))
+    def versions(): Seq[Long] =
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .toSeq.filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName.drop(1).toLong).sorted
+    try {
+      val stream = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val prev = versions().lastOption.map(v =>
+            batch.sparkSession.read.parquet(s"$outDir/v$v"))
+          val merged = keepLatest(
+            prev.map(_.unionByName(batch)).getOrElse(batch))
+          merged.write.mode("overwrite").parquet(s"$outDir/v$id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s"$outDir/v${versions().last}"
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      drainStreamingResidue(spark)
+      deleteRecursively(ckpt)
+      deleteRecursively(stage)
+    }
+  }
+
   /** Idempotent partitioned sink: every micro-batch overwrites exactly
     * the day-partitions it touches (dynamic partition overwrite) —
     * replaying a batch rewrites the same keys to the same bytes, the

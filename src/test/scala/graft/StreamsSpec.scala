@@ -209,4 +209,28 @@ class StreamsSpec extends SparkSpec {
     val second = spark.read.parquet(out).count()
     assert(first == second && first > 0)
   }
+
+  test("upsertSink: multi-batch merge reconciles with the batch argmax") {
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft-upsert-test-${java.util.UUID.randomUUID()}"
+    val finalVersion = Streams.upsertSink(spark, sf0001, out)
+    // The staging splits events into 4 range files at 1 file/trigger —
+    // the merge loop must actually have iterated, or the test isn't
+    // exercising cross-batch state carry-over at all.
+    val nVersions = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(nVersions >= 2, s"expected multi-batch merge, got $nVersions version(s)")
+    // Keep-latest is associative: the final state must equal the plain
+    // batch argmax over all events, independent of batch boundaries.
+    val streamed = spark.read.parquet(finalVersion)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    val expected = graft.sources.Catalog.table(spark, sf0001, "events")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == expected)
+    Streams.deleteRecursively(out)
+  }
 }
