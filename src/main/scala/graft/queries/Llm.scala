@@ -969,6 +969,67 @@ object Llm extends QueryModule {
         QUALIFY rk <= 3
         ORDER BY qid, rk""")),
 
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
+    // diversity-aware greedy selection — 5 picks from a 20-candidate
+    // shortlist, each round's argmax of λ·sim(q,d) − (1−λ)·max_{s∈S}
+    // sim(d,s) with λ=0.7, every similarity rounded at 6 and every
+    // argmax id-tiebroken so the greedy trajectory is engine-exact.
+    // The retrieval/dedup-sampling op that keeps a result set BOTH
+    // relevant and non-redundant. Shape: the shortlist (20 rows,
+    // localCheckpoint'd) is the only data in play after one linear
+    // scoring scan — the k rounds cost k tiny aggregates; at 100 TB
+    // the scan is the cost and the greedy loop is noise. The DuckDB
+    // oracle unrolls the same 5 rounds (mmrOracle below).
+    QueryDef(
+      "llm_mmr_select",
+      (s, dir) => {
+        import graft.operators.Similarity.{cosine, norm}
+        val emb = Catalog.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), norm(col("v")).as("qn"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(cosine(col("v"), col("qv"), norm(col("v")), col("qn")), 6)
+              .as("sq"),
+            col("v"))
+          .orderBy(desc("sq"), asc("vec_id")).limit(20)
+          .localCheckpoint()
+        var selected: org.apache.spark.sql.DataFrame = null
+        val picks = (1 to 5).map { r =>
+          val scored =
+            if (selected == null)
+              cand.select(col("vec_id"), col("sq"),
+                round(col("sq") * 0.7, 6).as("score"), col("v"))
+            else {
+              val selVecs = selected.select(col("vec_id").as("svid"),
+                col("v").as("sv"))
+              cand
+                .join(broadcast(selected.select(col("vec_id").as("svid"))),
+                  col("vec_id") === col("svid"), "left_anti")
+                .crossJoin(broadcast(selVecs))
+                .groupBy("vec_id", "sq")
+                .agg(any_value(col("v")).as("v"),
+                  max(round(cosine(col("v"), col("sv"),
+                    norm(col("v")), norm(col("sv"))), 6)).as("pen"))
+                .select(col("vec_id"), col("sq"),
+                  round(col("sq") * 0.7 - col("pen") * 0.3, 6).as("score"),
+                  col("v"))
+            }
+          val pick = scored.orderBy(desc("score"), asc("vec_id")).limit(1)
+            .localCheckpoint()
+          selected =
+            if (selected == null) pick
+            else selected.unionByName(pick)
+          pick.select(lit(r).as("rank"), col("vec_id"), col("score"))
+        }
+        picks.reduce(_.unionAll(_)).orderBy("rank")
+      },
+      Some(mmrOracle(5))),
+
     // Embedding-cosine near-dup pairs above a threshold — banded
     // SRP-LSH candidates + exact verify (no crossJoin in the plan; the
     // r2/r3 verdicts' last O(n²) declared shape). The oracle is the
@@ -2502,6 +2563,40 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
   string_agg(array_to_string(syms, ' '), ' ' ORDER BY ord) AS pieces
 FROM wdoc JOIN s$k USING (word)
 GROUP BY doc_id ORDER BY doc_id"""
+
+  /** DuckDB oracle for llm_mmr_select: the same greedy trajectory
+    * unrolled — round i scores the not-yet-selected shortlist as
+    * 0.7·sim(q,d) − 0.3·max sim(d, selected), every cosine rounded at
+    * 6, every argmax id-tiebroken. */
+  private def mmrOracle(k: Int): String = {
+    def cos(a: String, b: String) =
+      s"round(list_cosine_similarity($a, $b), 6)"
+    val steps = (2 to k).map { i =>
+      val pool = (1 until i).map(j => s"SELECT * FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""pool$i AS ($pool),
+pen$i AS (SELECT c.vec_id, c.sq, any_value(c.v) AS v,
+    max(${cos("c.v", "s.v")}) AS pen
+  FROM cand c CROSS JOIN pool$i s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM pool$i)
+  GROUP BY c.vec_id, c.sq),
+sel$i AS (SELECT vec_id, sq, v, round(sq*0.7 - pen*0.3, 6) AS score
+  FROM pen$i ORDER BY score DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS rank, vec_id, score FROM sel$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 200),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+cand AS (SELECT vec_id, ${cos("v", "qv")} AS sq, v
+  FROM emb CROSS JOIN q WHERE vec_id != 0
+  ORDER BY sq DESC, vec_id LIMIT 20),
+sel1 AS (SELECT vec_id, sq, v, round(sq*0.7, 6) AS score
+  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+$steps
+SELECT * FROM ($out) ORDER BY rank"""
+  }
 
   private def bpeOracleCtes(k: Int): String = {
     def step(i: Int): String = {
