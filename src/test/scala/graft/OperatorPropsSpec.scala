@@ -178,4 +178,55 @@ class OperatorPropsSpec extends SparkSpec {
       }
     }
   }
+
+  test("bpeTrainMerges agrees with an in-memory reference on random vocabularies") {
+    // Reference trainer: the literal Sennrich et al. algorithm in plain
+    // Scala — pair counts weighted by word freq, (cnt desc, a, b)
+    // argmax, greedy left-to-right non-overlapping rewrite. A 3-letter
+    // alphabet forces merged symbols to collide and cascade, the shapes
+    // the fixture's 31-word vocab never stresses.
+    def reference(vocab: Seq[(String, Long)], k: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      var words = vocab.map { case (w, f) =>
+        (w.split("").filter(_.nonEmpty).toVector, f)
+      }
+      (1 to k).flatMap { step =>
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.isEmpty) Seq.empty
+        else {
+          val ((a, b), cnt) = counts.toSeq
+            .minBy { case ((x, y), c) => (-c, x, y) }
+          words = words.map { case (syms, f) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = a + b
+              else out += x
+            }
+            (out.toVector, f)
+          }
+          Seq((step, a, b, a + b, cnt))
+        }
+      }
+    }
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    (0 until 3).foreach { round =>
+      val vocab = samples(wordGen, 25).distinct.zipWithIndex
+        .map { case (w, i) => (w, (i % 5 + 1).toLong) }
+      val expected = reference(vocab, 3)
+      val got = graft.operators.TextOps
+        .bpeTrainMerges(vocab.toDF("word", "freq"), 3)
+        .select("step", "left_sym", "right_sym", "merged", "cnt")
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      assert(got == expected,
+        s"round $round vocab=$vocab\n got=$got\n exp=$expected")
+    }
+  }
 }
