@@ -195,6 +195,47 @@ object Joins extends QueryModule {
           ON c.user_id = v.user_id AND v.ts <= c.ts
         ORDER BY click_id""")),
 
+    // As-of with a STALENESS TOLERANCE — the production variant: a
+    // preceding view older than 1 hour is no match at all (market-data
+    // "stale quote" semantics; ASOF alone happily joins a week-old
+    // row). Same single window pass as join_asof — the tolerance is a
+    // row-local predicate after the lookup, so the 100 TB plan is
+    // unchanged: one user_id shuffle, no range join.
+    QueryDef(
+      "join_asof_tolerance",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"),
+            when(col("event_type") === "view", 0).otherwise(1),
+            col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fresh = col("view_ts_raw").isNotNull &&
+          col("ts").cast("long") - col("view_ts_raw").cast("long") <= 3600
+        ev.withColumn("view_ts_raw",
+            last(when(col("event_type") === "view", col("ts")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"),
+            when(fresh, col("view_ts_raw")).as("view_ts"),
+            fresh.as("is_fresh"))
+          .orderBy("click_id")
+      },
+      Some("""SELECT click_id, user_id, click_ts,
+          CASE WHEN fresh THEN view_ts_raw END AS view_ts,
+          fresh AS is_fresh
+        FROM (
+          SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+            v.ts AS view_ts_raw,
+            coalesce(epoch(c.ts) - epoch(v.ts) <= 3600, FALSE) AS fresh
+          FROM (SELECT * FROM events WHERE event_type = 'click') c
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON c.user_id = v.user_id AND v.ts <= c.ts)
+        ORDER BY click_id""")),
+
     // Interval OVERLAP join — both sides are intervals (clicks span
     // 2 h, views 1 h), matched when they overlap. The scale shape:
     // explode each interval onto the hour buckets it covers, equi-join
