@@ -513,6 +513,41 @@ object Relational extends QueryModule {
           v IS NULL AS is_gap
         FROM w ORDER BY user_id, h""")),
 
+    // Dead-letter routing: parse a JSON-lines feed where some records
+    // are malformed, route parse failures to a dead-letter bucket
+    // instead of killing the job, and account for every input row —
+    // the ingestion-robustness pattern every production pipeline needs
+    // (Spark's PERMISSIVE JSON mode; from_json returns NULL on
+    // malformed input rather than throwing). The corrupt lines are
+    // synthesized deterministically from the fixture (doc_id % 50) so
+    // both engines parse the IDENTICAL byte stream — no staged file
+    // for the oracle to miss. Row-local parse + one hash aggregate.
+    QueryDef(
+      "etl_dead_letter",
+      (s, dir) => {
+        val lines = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 50 === 0, lit("{broken"))
+              .otherwise(concat(lit("{\"lang\": \""), col("lang"),
+                lit("\"}"))).as("line"))
+        lines
+          .withColumn("j", from_json(col("line"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("lang",
+                org.apache.spark.sql.types.StringType)))))
+          .groupBy(coalesce(col("j.lang"), lit("_dead_letter")).as("lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang")
+      },
+      Some("""WITH lines AS (SELECT doc_id,
+            CASE WHEN doc_id % 50 = 0 THEN '{broken'
+                 ELSE '{"lang": "' || lang || '"}' END AS line
+          FROM documents)
+        SELECT coalesce(CASE WHEN json_valid(line)
+            THEN line->>'lang' END, '_dead_letter') AS lang,
+          count(*) AS n
+        FROM lines GROUP BY 1 ORDER BY 1""")),
+
     // Z-order layout key: interleave the bits of two dimension columns
     // into one space-filling-curve value — the multi-dimensional
     // data-layout technique behind Delta/Iceberg Z-ORDER clustering.
