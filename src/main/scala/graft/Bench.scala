@@ -127,19 +127,26 @@ object Bench {
     // per-run timings are kept in BENCH_LAST.json for variance review.
     // clamped to ≥1: k=0 would crash runs.min AFTER the whole warm-up
     val benchK = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
+    // A query that throws must NOT bench as near-instant (the silent-
+    // flattery trap): any throwing run marks the query errored in the
+    // artifact, and the contract line carries n_errors so a nonzero
+    // count is impossible to miss. Correctness is a separate gate, but
+    // the bench record itself now tells the truth.
     val allRuns = (batch ++ streaming).map { case (name, fn) =>
+      var errored = false
       val runs = (1 to benchK).map { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try force(fn(spark, sfDir)) catch { case _: Throwable => errored = true }
         val dt = (System.nanoTime() - t0) / 1e9
         // Isolate queries: drop any cache a query built internally so a
         // lingering block doesn't distort later timings.
         spark.catalog.clearCache()
         dt
       }
-      name -> runs
+      (name, runs, errored)
     }
-    val results = allRuns.map { case (name, runs) => name -> runs.min }
+    val errors = allRuns.collect { case (name, _, true) => name }
+    val results = allRuns.map { case (name, runs, _) => name -> runs.min }
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
@@ -161,15 +168,17 @@ object Bench {
       s""""other_java":${otherJava()},""" +
       s""""cached_gb_start":$cachedStart,"cached_gb_end":${cachedGb()},""" +
       s""""disk_read_gb":$readGb"""
-    val contract = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"k_runs":$benchK,"agg":"min","streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},$telemetry,"queries":$top10,"sf":"$sfDir"}"""
+    val errorsJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contract = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"k_runs":$benchK,"agg":"min","n_errors":${errors.size},"errors":$errorsJson,"streaming_sec":$streamingTotal,"batch_sec":${ms(total - streamingTotal)},$telemetry,"queries":$top10,"sf":"$sfDir"}"""
     println(contract)
     // Stdout capture is tail-windowed and decorated by the launcher, so
     // ALSO persist the full record (contract line + complete per-query
     // map + every per-run timing) as a file — the machine-checkable
     // artifact survives even when the stdout tail does not parse, and
     // the per-run arrays let a reader audit the min-of-k policy.
-    val runsJson = allRuns.sortBy(_._2.min).map { case (k, rs) =>
-      "\"" + k + "\":[" + rs.map(ms).mkString(",") + "]" }.mkString("{", ",", "}")
+    val runsJson = allRuns.sortBy(_._2.min).map { case (k, rs, err) =>
+      "\"" + k + "\":{\"runs\":[" + rs.map(ms).mkString(",") +
+        s"],\"error\":$err}" }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"),
       s"""{"contract":$contract,"detail":${fmt(results.sortBy(_._2))},"runs":$runsJson}""")

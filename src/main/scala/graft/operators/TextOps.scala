@@ -505,6 +505,21 @@ object TextOps {
   def bpeVocabSyms(wordFreq: DataFrame, k: Int): DataFrame =
     bpeTrain(wordFreq, k)._2
 
+  /** Serve-time (word → pieces) lookup join against a trained
+    * segmentation table. Real vocabs are MB-scale (~100k types) and the
+    * broadcast map-side join is the right 100 TB shape — but the size is
+    * DATA-dependent, and a degenerate corpus (the repo's own ×1000
+    * adversarial fixture trains ~300M types) would OOM the driver on an
+    * unconditional broadcast. Guard on the vocab row count (cheap: the
+    * trainer's output reads from localCheckpoint'd frames) and above
+    * the threshold fall back to a shuffle-hash join — identical output,
+    * one extra shuffle of the corpus side. */
+  def joinSegmentation(words: DataFrame, vocab: DataFrame,
+      maxBroadcastRows: Long = 10000000L): DataFrame =
+    if (vocab.count() <= maxBroadcastRows)
+      words.join(broadcast(vocab), Seq("word"))
+    else words.join(vocab.hint("SHUFFLE_HASH"), Seq("word"))
+
   /** (a, b, wfreq) adjacent-pair rows of a (freq, syms) frame. */
   private def bpePairs(df: DataFrame): DataFrame = {
     val nPairs = greatest(size(col("syms")) - 1, lit(0))

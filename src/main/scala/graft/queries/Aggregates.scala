@@ -135,6 +135,16 @@ object Aggregates extends QueryModule {
 
     // Spark `percentile` is the exact interpolating aggregate —
     // semantics match DuckDB quantile_cont (SURVEY §2.4).
+    //
+    // SCALE CONTRACT (agg_median + agg_percentile): the EXACT aggregate
+    // buffers every group value on one reducer per group — with 3
+    // groups over 100 TB of lineitem that single-reducer buffer is the
+    // scale killer, and it exists here ONLY for oracle parity with
+    // quantile_cont. At scale use `agg_percentile_approx`
+    // (percentile_approx / t-digest): mergeable, bounded-memory,
+    // map-side-combinable — its bracketing contract oracle below pins
+    // the approximation to the exact value. Same swap meta_profile
+    // documents for count_distinct → approx_count_distinct.
     QueryDef(
       "agg_median",
       (s, dir) =>

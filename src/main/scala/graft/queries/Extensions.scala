@@ -101,8 +101,13 @@ object Extensions extends QueryModule {
         val b = ev.crossJoin(broadcast(st))
           .select(col("event_type"),
             when(col("tm") <= col("mid"), "ref").otherwise("cur").as("side"),
-            least(floor((col("value") - col("vmin")) /
-              (col("vmax") - col("vmin")) * 10).cast("int"), lit(9)).as("bkt"))
+            // Zero-width guard: all-equal values make vmax = vmin and
+            // 0/0 would NaN the bucketing; nullif turns the width into
+            // NULL and the coalesce pins the degenerate axis to bucket
+            // 0 — identically in the DuckDB oracle below.
+            coalesce(least(floor((col("value") - col("vmin")) /
+              nullif(col("vmax") - col("vmin"), lit(0)) * 10).cast("int"),
+              lit(9)), lit(0)).as("bkt"))
         val c = b.groupBy("event_type", "side", "bkt")
           .agg(count(lit(1)).as("c"))
         val t = c.groupBy("event_type")
@@ -138,7 +143,8 @@ object Extensions extends QueryModule {
             (min(tm) + max(tm)) // 2 AS mid FROM ev),
         b AS (SELECT event_type,
             CASE WHEN tm <= mid THEN 'ref' ELSE 'cur' END AS side,
-            least(CAST(floor((value - vmin) / (vmax - vmin) * 10) AS INT), 9)
+            coalesce(least(CAST(floor((value - vmin)
+                / nullif(vmax - vmin, 0) * 10) AS INT), 9), 0)
               AS bkt
           FROM ev CROSS JOIN st),
         c AS (SELECT event_type, side, bkt, count(*) AS c

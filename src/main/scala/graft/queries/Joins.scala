@@ -211,8 +211,11 @@ object Joins extends QueryModule {
             when(col("event_type") === "view", 0).otherwise(1),
             col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Sub-second-exact staleness: whole-second casts would floor a
+        // 3600.4 s gap to 3600 (fresh) while the oracle's fractional
+        // epoch sees stale — compare in microseconds on BOTH engines.
         val fresh = col("view_ts_raw").isNotNull &&
-          col("ts").cast("long") - col("view_ts_raw").cast("long") <= 3600
+          unix_micros(col("ts")) - unix_micros(col("view_ts_raw")) <= 3600000000L
         ev.withColumn("view_ts_raw",
             last(when(col("event_type") === "view", col("ts")),
               ignoreNulls = true).over(w))
@@ -230,7 +233,7 @@ object Joins extends QueryModule {
         FROM (
           SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
             v.ts AS view_ts_raw,
-            coalesce(epoch(c.ts) - epoch(v.ts) <= 3600, FALSE) AS fresh
+            coalesce(epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000, FALSE) AS fresh
           FROM (SELECT * FROM events WHERE event_type = 'click') c
           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
             ON c.user_id = v.user_id AND v.ts <= c.ts)

@@ -2180,9 +2180,11 @@ object Llm extends QueryModule {
       Some(bpeOracle(6))),
 
     // BPE APPLICATION — the serve-time half of llm_bpe_train: corpus
-    // words broadcast-join the trained vocab-sized (word → pieces)
-    // segmentation table, so tokenizing 100 TB never re-runs the merge
-    // fold per document — one map-side join + one doc-keyed aggregate.
+    // words join the trained vocab-sized (word → pieces) segmentation
+    // table (broadcast while the vocab is broadcast-sized, guarded
+    // shuffle-hash fallback above — TextOps.joinSegmentation), so
+    // tokenizing 100 TB never re-runs the merge fold per document —
+    // one map-side join + one doc-keyed aggregate.
     // Every corpus word hits the vocab by construction (trained on the
     // same corpus); OOV handling at serve time is llm_tokens_to_ids's
     // [UNK] path, orthogonal to segmentation.
@@ -2194,10 +2196,10 @@ object Llm extends QueryModule {
           .select(explode(TextOps.tokens(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("freq"))
         val vocab = TextOps.bpeVocabSyms(wordFreq, 6)
-        docs
-          .select(col("doc_id"),
-            posexplode(TextOps.tokens(col("text"))).as(Seq("ord", "word")))
-          .join(broadcast(vocab.select("word", "syms")), Seq("word"))
+        TextOps.joinSegmentation(
+          docs.select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("ord", "word"))),
+          vocab.select("word", "syms"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
             sum(size(col("syms"))).as("n_pieces"),

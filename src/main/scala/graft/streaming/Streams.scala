@@ -255,6 +255,9 @@ object Streams {
       .select(col("user_id"), col("r.ts").as("ts"),
         col("r.event_id").as("event_id"),
         col("r.event_type").as("event_type"), col("r.value").as("value"))
+    // Local-FS listing is fine for the test harness; on a cluster this
+    // becomes org.apache.hadoop.fs.FileSystem.listStatus against the
+    // object store (same v<id> naming, same strictly-below filter).
     def versions(): Seq[Long] =
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .toSeq.filter(f => f.isDirectory && f.getName.startsWith("v"))
@@ -267,7 +270,13 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val prev = versions().lastOption.map(v =>
+          // Previous state = max version STRICTLY BELOW this batch id.
+          // versions().lastOption would, on a checkpoint replay of
+          // batch N, read the partially-written v<N> while
+          // mode(overwrite)-writing v<N> — the self-overwrite trap.
+          // Keying on id also makes replays idempotent: re-running
+          // batch N re-derives v<N> from the same v<N-1>.
+          val prev = versions().filter(_ < id).lastOption.map(v =>
             batch.sparkSession.read.parquet(s"$outDir/v$v"))
           val merged = keepLatest(
             prev.map(_.unionByName(batch)).getOrElse(batch))

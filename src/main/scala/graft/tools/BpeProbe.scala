@@ -31,12 +31,28 @@ object BpeProbe {
 
     val wordFreq = docs.select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var cur = t("s0 checkpoint (wordfreq + char split)") {
+    // Mirror the SHIPPED TextOps.bpeTrain state exactly: a checkpointed
+    // flat base plus a per-round checkpointed overrides set, with
+    // current = base ∖ overrides ∪ overrides via one broadcast
+    // anti-join. (An earlier probe revision kept the replaced
+    // chained-filter form and so timed an algorithm that no longer
+    // ships — its 11→143 s/round growth was the probe's own replay,
+    // not the trainer's.)
+    val base = t("s0 checkpoint (wordfreq + char split)") {
       wordFreq.select(col("word"), col("freq"),
         filter(split(col("word"), ""), s => s =!= "").as("syms"))
         .localCheckpoint()
     }
-    println(s"[bpe] vocab types: ${cur.count()}")
+    println(s"[bpe] vocab types: ${base.count()}")
+    import org.apache.spark.sql.types._
+    var overrides = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("word", StringType),
+        StructField("freq", LongType),
+        StructField("syms", ArrayType(StringType)))))
+    def current: DataFrame = base
+      .join(broadcast(overrides.select("word")), Seq("word"), "left_anti")
+      .unionAll(overrides)
 
     def bpePairs(df: DataFrame): DataFrame = {
       val nPairs = greatest(size(col("syms")) - 1, lit(0))
@@ -49,7 +65,7 @@ object BpeProbe {
     }
 
     var counts = t("initial pair counts") {
-      bpePairs(cur).groupBy("a", "b").agg(sum("freq").as("cnt"))
+      bpePairs(base).groupBy("a", "b").agg(sum("freq").as("cnt"))
         .localCheckpoint()
     }
     println(s"[bpe] distinct pairs: ${counts.count()}")
@@ -75,7 +91,7 @@ object BpeProbe {
           concat(slice(acc, lit(1), size(acc) - 1), array(col("mm"))))
           .otherwise(concat(acc, array(x))))
       val changed = t(s"r$i changed (filter+fold+checkpoint)") {
-        cur.crossJoin(broadcast(top.select(col("a").as("ma"),
+        current.crossJoin(broadcast(top.select(col("a").as("ma"),
           col("b").as("mb"), col("m").as("mm"))))
           .filter(hasPair)
           .select(col("word"), col("freq"), col("syms").as("old_syms"),
@@ -83,12 +99,12 @@ object BpeProbe {
           .localCheckpoint()
       }
       println(s"[bpe] r$i changed words: ${changed.count()}")
-      cur = cur
-        .crossJoin(broadcast(top.select(col("a").as("ma"),
-          col("b").as("mb"))))
-        .filter(!hasPair)
-        .select(col("word"), col("freq"), col("syms"))
-        .unionAll(changed.select(col("word"), col("freq"), col("syms")))
+      overrides = t(s"r$i overrides checkpoint") {
+        overrides
+          .join(broadcast(changed.select("word")), Seq("word"), "left_anti")
+          .unionAll(changed.select(col("word"), col("freq"), col("syms")))
+          .localCheckpoint()
+      }
       val delta = bpePairs(changed.select(col("freq"),
         col("old_syms").as("syms")))
         .groupBy("a", "b").agg((-sum("freq")).as("cnt"))
@@ -101,7 +117,7 @@ object BpeProbe {
           .localCheckpoint()
       }
     }
-    t("final vocab force")(cur.count())
+    t("final vocab force")(current.count())
     spark.stop()
   }
 }

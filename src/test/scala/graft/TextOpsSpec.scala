@@ -39,6 +39,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == 3L && out(3L) == 1L && out(6L) == 3L)
   }
 
+  test("joinSegmentation shuffle fallback matches the broadcast path") {
+    // The broadcast guard must be output-invisible: force the fallback
+    // with a zero threshold and compare row-for-row against the
+    // broadcast path on the same trained vocab.
+    val wordFreq = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)
+    ).toDF("word", "freq")
+    val vocab = TextOps.bpeVocabSyms(wordFreq, 4).select("word", "syms")
+    val words = Seq((1L, 0, "low"), (1L, 1, "newest"), (2L, 0, "widest"))
+      .toDF("doc_id", "ord", "word")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("ord"), col("word"),
+        array_join(col("syms"), " ").as("p"))
+      .as[(Long, Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    val bc = rows(TextOps.joinSegmentation(words, vocab))
+    val sh = rows(TextOps.joinSegmentation(words, vocab,
+      maxBroadcastRows = 0L))
+    assert(bc.nonEmpty && bc.toSeq == sh.toSeq)
+    // And the fallback's LOOKUP join really is the shuffle-hash form
+    // (the vocab's internal base∖overrides anti-join stays broadcast —
+    // that one is bounded by the overrides set, not the vocab size).
+    val plan = TextOps.joinSegmentation(words, vocab, maxBroadcastRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+  }
+
   test("fingerprint native kernel equals the regex reference form") {
     // The fused one-pass normalization must be byte-identical to the
     // regex chain the DuckDB oracle computes — on the whole fixture
