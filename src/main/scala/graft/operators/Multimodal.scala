@@ -352,6 +352,39 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a REAL baseline JPEG (flat 8x8 blocks +
+    * unit quant tables → decode is bit-exact; restart interval cycles
+    * per id — see Codecs.synthBaselineJpeg). */
+  def synthJpegImageMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthBaselineJpeg(d), "image/jpeg",
+          Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL baseline-JPEG decode per partition: marker walk, Huffman
+    * entropy decode (with restarts), dequant, IDCT, fixed-point
+    * YCbCr→RGB. Same feature row as the BMP/PNG twins. */
+  def decodeJpegFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        bmpFeatureRow(d, Codecs.decodeJpeg(bytes))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
+  }
+
   /** ids → media rows carrying a structurally real ISO-BMFF metadata
     * shell (ftyp + varying free + moov{mvhd v0/v1, trak/tkhd}). */
   def synthMp4Media(ids: DataFrame, idCol: String): DataFrame = {

@@ -262,6 +262,134 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.mp4Meta(Codecs.encodeMp4Meta(meta, 0, innerFree = false)) == meta)
   }
 
+  // ------------------------------------------------- baseline JPEG decode
+
+  /** reference fixed-point RGB→YCbCr→RGB round-trip, re-derived in the
+    * test so codec + oracle drift are both caught. */
+  private def yccRoundTrip(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def cl(v: Long) = math.min(255L, math.max(0L, v)).toInt
+    val y0 = (299L * r + 587L * g + 114L * b + 500) / 1000
+    val cb = cl((128000000L - 168736L * r - 331264L * g + 500000L * b
+      + 500000) / 1000000)
+    val cr = cl((128000000L + 500000L * r - 418688L * g - 81312L * b
+      + 500000) / 1000000)
+    def inv(x: Long) = cl((x + 500 + 512000) / 1000 - 512)
+    (inv(1000 * y0 + 1402 * (cr - 128)),
+      inv(1000 * y0 - 344 * (cb - 128) - 714 * (cr - 128)),
+      inv(1000 * y0 + 1772 * (cb - 128)))
+  }
+
+  test("JPEG decode is bit-exact on flat-block fixtures (gray + color + restarts)") {
+    (0L until 40L).foreach { d =>
+      val img = Codecs.synthJpegImage(d)
+      val dec = Codecs.decodeJpeg(Codecs.synthBaselineJpeg(d))
+      assert(dec.width == img.width && dec.height == img.height, s"dims d=$d")
+      val gray = d % 5 == 0
+      var bad = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val (r, g, b) = img.pixels(y)(x)
+        val want = if (gray) (r, r, r) else yccRoundTrip(r, g, b)
+        if (dec.pixels(y)(x) != want) bad += 1
+      }
+      assert(bad == 0, s"d=$d: $bad mismatched pixels")
+    }
+  }
+
+  test("JPEG decode matches the JDK's independent ImageIO decoder on lossy color images") {
+    // Arbitrary (non-flat) pixels through the REAL lossy path (AC
+    // coefficients, ZRL/EOB runs, a non-unit quantizer), decoded by
+    // BOTH this codec and the JDK's own JPEG plugin. IDCT rounding may
+    // differ per implementation; the tolerance is per-channel ±2.
+    val imgGen = for {
+      w <- Gen.choose(9, 24); h <- Gen.choose(9, 20)
+      px <- Gen.listOfN(h, Gen.listOfN(w, pixelGen))
+    } yield Bmp(w, h, px.map(_.toArray).toArray)
+    val imgs = samples(imgGen, 12)
+    assert(imgs.size >= 10)
+    imgs.zipWithIndex.foreach { case (img, i) =>
+      val bytes = Codecs.encodeJpeg(img,
+        quantLuma = Codecs.jpegLossyQuant,
+        quantChroma = Codecs.jpegLossyQuant,
+        restartInterval = i % 3)
+      val ours = Codecs.decodeJpeg(bytes)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, "ImageIO could not parse our JPEG output")
+      assert(ref.getWidth == img.width && ref.getHeight == img.height)
+      var maxd = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val rgb = ref.getRGB(x, y)
+        val (r, g, b) = ours.pixels(y)(x)
+        maxd = math.max(maxd, math.abs(((rgb >> 16) & 0xff) - r))
+        maxd = math.max(maxd, math.abs(((rgb >> 8) & 0xff) - g))
+        maxd = math.max(maxd, math.abs((rgb & 0xff) - b))
+      }
+      assert(maxd <= 2, s"img $i: max channel delta $maxd vs ImageIO")
+    }
+  }
+
+  test("JPEG decode handles a third-party (ImageIO-written) grayscale baseline stream") {
+    // The inverse independence check: a JPEG our encoder did NOT
+    // produce — JDK-written, standard Huffman tables, real quantizer,
+    // dense AC coefficients — must decode within IDCT tolerance of the
+    // JDK's own reading of the same bytes.
+    val w = 40; val h = 24
+    val buf = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 11 + y * 29 + (x * y) % 31) % 256
+      buf.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(buf, "jpg", bos))
+    val bytes = bos.toByteArray
+    val ours = Codecs.decodeJpeg(bytes)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ours.width == w && ours.height == h)
+    var maxd = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      // raw raster sample, NOT getRGB: TYPE_BYTE_GRAY is a linear-gray
+      // colorspace and getRGB applies a linear→sRGB conversion that has
+      // nothing to do with the JPEG bytes under test.
+      val rv = ref.getRaster.getSample(x, y, 0)
+      maxd = math.max(maxd, math.abs(ours.pixels(y)(x)._1 - rv))
+    }
+    assert(maxd <= 2, s"max gray delta $maxd vs ImageIO on its own stream")
+  }
+
+  test("JPEG decode enforces restart-marker sequence and rejects corruption") {
+    val d = 3L // d%4=3 → DRI of 3 MCUs; color
+    val ok = Codecs.synthBaselineJpeg(d)
+    assert(Codecs.decodeJpeg(ok).width == Codecs.synthJpegImage(d).width)
+    // find the first RST0 marker in the entropy stream and break it
+    val idx = (2 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xd0)
+    assert(idx.nonEmpty, "fixture should contain a restart marker")
+    val bad = ok.clone(); bad(idx.get + 1) = 0xd5.toByte // wrong RST index
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(bad))
+  }
+
+  test("JPEG decode rejects malformed payloads loudly") {
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpeg("notajpeg!!".getBytes("US-ASCII")))
+    val ok = Codecs.synthBaselineJpeg(7L)
+    // truncation inside the entropy stream
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpeg(ok.take(ok.length - 6)))
+    // progressive: the metadata SHELL with SOF2 must be rejected by the
+    // baseline decoder (jpegMeta still reads it)
+    val prog = Codecs.synthJpeg(1L) // odd id → SOF2
+    assert(Codecs.jpegMeta(prog).progressive)
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(prog))
+    // subsampled SOF: patch the fixture's sampling byte to 4:2:0
+    val sub = ok.clone()
+    val sofAt = (2 until sub.length - 10).find(i =>
+      (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0).get
+    sub(sofAt + 11) = 0x22.toByte // first component 2x2 sampling
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(sub))
+  }
+
   test("MP4 box walk rejects malformed payloads loudly") {
     intercept[IllegalArgumentException](
       Codecs.mp4Meta("notanmp4".getBytes("US-ASCII")))
