@@ -505,6 +505,63 @@ object TextOps {
   def bpeVocabSyms(wordFreq: DataFrame, k: Int): DataFrame =
     bpeTrain(wordFreq, k)._2
 
+  /** EXACT shared-substring spans WITH LOCATION — the Lee et al.
+    * suffix-array dedup capability, Spark-shaped. Emits every maximal
+    * run of ≥ `minLen` tokens shared verbatim between two documents as
+    * (id_a, id_b, a_start, b_start, len_tokens), token-indexed from 0.
+    *
+    * Anchor-chain formulation instead of a suffix array: every k-token
+    * window keys a 60-bit md5-derived anchor; two docs sharing a
+    * verbatim run of L ≥ k tokens share exactly L−k+1 anchors at
+    * consecutive positions on one (id_a, id_b, pa−pb) DIAGONAL, so
+    * maximal runs are precisely the islands of consecutive positions
+    * per diagonal (gaps-and-islands: pa − row_number) with token
+    * length island+k−1 — an equi-join + one window, no quadratic
+    * member, and unlike a distributed suffix array every stage is a
+    * plain hash shuffle on 8-byte keys.
+    *
+    * Anchors with document frequency outside [2, dfCap] are dropped
+    * before pairing: df=1 cannot pair, and df > dfCap is boilerplate
+    * (the boilerplate_ngrams family's job) whose pair volume would
+    * grow as df² per anchor — the same practical cap the
+    * suffix-array dedup pipelines apply to hot substrings. The md5
+    * long key keeps the shuffle on longs AND gives DuckDB an
+    * identical join key; hash-collision risk is the family's
+    * documented 2^-60 trade. */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minLen: Int = 10, dfCap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> named_struct(" +
+          s"'pos', i, 'key', CAST(conv(substring(md5(" +
+          s"array_join(slice(w, i + 1, $k), ' ')), 1, 15), 16, 10)" +
+          " AS BIGINT)))")).as("a"))
+      .select(col("doc_id"), col("a.pos").as("pos"), col("a.key").as("key"))
+    val pairable = anchors.groupBy("key")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("key")
+    val pa = anchors.join(pairable, Seq("key"))
+    val pairs = pa
+      .select(col("key"), col("doc_id").as("id_a"), col("pos").as("pa"))
+      .join(pa.select(col("key"), col("doc_id").as("id_b"),
+        col("pos").as("pb")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val wnd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(wnd))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (count(lit(1)) + lit(k - 1)).as("len_tokens"))
+      .filter(col("len_tokens") >= minLen)
+      .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
+  }
+
   /** Serve-time (word → pieces) lookup join against a trained
     * segmentation table. Real vocabs are MB-scale (~100k types) and the
     * broadcast map-side join is the right 100 TB shape — but the size is

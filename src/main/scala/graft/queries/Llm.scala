@@ -2082,6 +2082,48 @@ object Llm extends QueryModule {
         FROM w JOIN df USING (span)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // EXACT substring dedup WITH LOCATION (TextOps.sharedSpans — the
+    // Lee et al. suffix-array capability the repeated-spans scorer
+    // lacks): maximal verbatim runs of ≥ 10 tokens shared between doc
+    // pairs, located on BOTH sides as (a_start, b_start, len_tokens).
+    // Anchor-chain shape: per-position 8-gram md5-long anchors,
+    // df∈[2,8] pairability cap (boilerplate beyond the cap is the
+    // boilerplate_ngrams family's job), equi-join on the 8-byte key,
+    // gaps-and-islands per (pair, diagonal) window. DuckDB recomputes
+    // anchors, cap, pairing, and the island reconstruction end-to-end.
+    QueryDef(
+      "llm_substring_dedup",
+      (s, dir) => TextOps.sharedSpans(
+        Catalog.table(s, dir, "documents"), "doc_id", "text",
+        k = 8, minLen = 10, dfCap = 8)
+        .orderBy("id_a", "id_b", "a_start", "b_start"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        a0 AS (SELECT doc_id, w,
+            unnest(range(0, len(w) - 7)) AS pos FROM t),
+        a AS (SELECT doc_id, pos,
+            ('0x' || substr(md5(array_to_string(w[pos + 1 : pos + 8],
+              ' ')), 1, 15))::BIGINT AS key
+          FROM a0),
+        kd AS (SELECT key FROM (SELECT key,
+            count(DISTINCT doc_id) AS df FROM a GROUP BY key)
+          WHERE df BETWEEN 2 AND 8),
+        p AS (SELECT a1.doc_id AS id_a, a2.doc_id AS id_b,
+            a1.pos AS pa, a2.pos AS pb, a1.pos - a2.pos AS diag
+          FROM (SELECT a.* FROM a JOIN kd USING (key)) a1
+          JOIN (SELECT a.* FROM a JOIN kd USING (key)) a2 USING (key)
+          WHERE a1.doc_id < a2.doc_id),
+        g AS (SELECT id_a, id_b, diag, pa, pb,
+            pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+              ORDER BY pa) AS grp
+          FROM p)
+        SELECT id_a, id_b, CAST(min(pa) AS INT) AS a_start,
+          CAST(min(pb) AS INT) AS b_start,
+          CAST(count(*) + 7 AS BIGINT) AS len_tokens
+        FROM g GROUP BY id_a, id_b, diag, grp
+        HAVING count(*) + 7 >= 10
+        ORDER BY id_a, id_b, a_start, b_start""")),
+
     // C4-style line dedup — the REWRITE op the scoring family feeds:
     // 10-word non-overlapping segments stand in for lines (the fixture
     // corpus is single-line), each distinct segment survives only at

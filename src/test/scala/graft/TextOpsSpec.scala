@@ -65,6 +65,61 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"))
   }
 
+  test("sharedSpans LOCATES a 60-token verbatim run repeated_spans only scores") {
+    // Two docs share a 60-token verbatim run embedded at DIFFERENT
+    // offsets (17 in doc 1, 5 in doc 2). llm_repeated_spans can say
+    // "doc 1 has duplicated 8-grams" but not where or with whom;
+    // sharedSpans must emit exactly one maximal span per doc pair
+    // with both start positions and the exact token length.
+    def uniq(tag: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"u$tag$i")
+    val run = (0 until 60).map(i => s"shared$i")
+    val doc1 = (uniq("a", 17) ++ run ++ uniq("b", 9)).mkString(" ")
+    val doc2 = (uniq("c", 5) ++ run ++ uniq("d", 21)).mkString(" ")
+    val doc3 = uniq("e", 40).mkString(" ") // no overlap
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val spans = TextOps.sharedSpans(docs, "doc_id", "text",
+      k = 8, minLen = 50, dfCap = 8)
+      .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(spans == Seq((1L, 2L, 17, 5, 60L)))
+    // the located positions really do address the run: slice both docs
+    val s1 = doc1.split(" ").slice(17, 17 + 60).toSeq
+    val s2 = doc2.split(" ").slice(5, 5 + 60).toSeq
+    assert(s1 == run && s2 == run)
+    // and repeated_spans on the same corpus scores the duplication but
+    // carries no location/pair information in its schema at all
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = SparkEntry.queries("llm_repeated_spans")(spark, dir)
+    assert(!rs.columns.exists(c => c.contains("start") || c.contains("pos")))
+    val dup = rs.filter(col("doc_id") === 1L)
+      .select("n_dup").as[Long].collect().head
+    assert(dup == 53) // 60-token run → 53 duplicated 8-gram windows
+  }
+
+  test("sharedSpans caps boilerplate anchors and keeps sub-minLen runs out") {
+    // dfCap: an 8-gram shared by MANY docs (template boilerplate) must
+    // not explode into pairs; a shared run shorter than minLen must
+    // not emit.
+    val boiler = (0 until 12).map(i => s"tpl$i").mkString(" ")
+    val short = (0 until 20).map(i => s"sh$i").mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, s"$boiler uu$i vv$i ww$i")) ++
+      Seq((20L, s"$short x20a x20b"), (21L, s"y21a y21b $short")))
+      .toDF("doc_id", "text")
+    // boilerplate run appears in 10 docs > dfCap=8 → no pairs from it;
+    // the 20-token run is shared but minLen=50 excludes it
+    val spans = TextOps.sharedSpans(docs, "doc_id", "text",
+      k = 8, minLen = 50, dfCap = 8).collect()
+    assert(spans.isEmpty)
+    // with minLen at the 20-token run's length it emits exactly that
+    val spans2 = TextOps.sharedSpans(docs, "doc_id", "text",
+      k = 8, minLen = 20, dfCap = 8)
+      .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(spans2 == Seq((20L, 21L, 0, 2, 20L)))
+  }
+
   test("fingerprint native kernel equals the regex reference form") {
     // The fused one-pass normalization must be byte-identical to the
     // regex chain the DuckDB oracle computes — on the whole fixture
