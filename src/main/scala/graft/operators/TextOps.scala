@@ -588,34 +588,69 @@ object TextOps {
       .select(col("pr.a"), col("pr.b"), col("freq"))
   }
 
+  private def bpeBaseOf(wordFreq: DataFrame): DataFrame = wordFreq
+    .select(col("word"), col("freq"),
+      filter(split(col("word"), ""), s => s =!= "").as("syms"))
+    .localCheckpoint()
+
   private def bpeTrain(wordFreq: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = bpeTrainShards(Seq(bpeBaseOf(wordFreq)), k)
+
+  /** Horizontally SHARDED trainer — the ×1000 decade's documented scale
+    * dimension, implemented. BASELINE.md records the ~300M-type step as
+    * spill/OOM-bound in exactly two places: the word-frequency hash
+    * aggregate (outright `[AGGREGATE_OUT_OF_MEMORY]` at 48g) and the
+    * ~30 GB single base checkpoint. Every word-keyed structure shards
+    * cleanly by xxhash64(word) — the aggregate, the base checkpoint,
+    * the per-round containment scan, and the pair-delta fold carry zero
+    * cross-shard state; only the tiny (a,b) pair-count table and the
+    * 1-row top-merge selection are global. `words` is the UN-aggregated
+    * token stream (column `word`, one row per occurrence) so the
+    * frequency aggregate itself runs at 1/shards size — merge output is
+    * IDENTICAL to the unsharded trainer (counts are sums over disjoint
+    * word sets; the global top-1 sees the same totals). On a cluster the
+    * shards are a dimension to spread across executor groups; on one
+    * box they run sequentially, trading passes for peak memory. */
+  def bpeTrainMergesSharded(words: DataFrame, k: Int,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val bases = (0 until shards).map { s =>
+      bpeBaseOf(words
+        .filter(pmod(xxhash64(col("word")), lit(shards)) === s)
+        .groupBy("word").agg(count(lit(1)).as("freq")))
+    }
+    bpeTrainShards(bases, k)._1
+  }
+
+  private def bpeTrainShards(bases: Seq[DataFrame], k: Int)
       : (DataFrame, DataFrame) = {
-    // The base vocab is checkpointed ONCE and never re-derived. The
-    // current state is base ∖ rewritten-words ∪ overrides, where
-    // overrides is the (tiny, checkpointed-per-round) set of words any
-    // merge has touched — so every round reads the SAME flat base scan
-    // through one broadcast anti-join, instead of replaying an
-    // ever-growing chain of per-round containment filters (profiled at
-    // ×100/30M types: the chained-filter form spent 11→143 s/round on
-    // replay; this form pays one ~constant scan per round).
-    val base = wordFreq
-      .select(col("word"), col("freq"),
-        filter(split(col("word"), ""), s => s =!= "").as("syms"))
-      .localCheckpoint()
-    val spark = base.sparkSession
+    // Each base shard is checkpointed ONCE and never re-derived. The
+    // per-shard current state is base ∖ rewritten-words ∪ overrides,
+    // where overrides is the (tiny, checkpointed-per-round) set of
+    // words any merge has touched — so every round reads the SAME flat
+    // base scans through one broadcast anti-join each, instead of
+    // replaying an ever-growing chain of per-round containment filters
+    // (profiled at ×100/30M types: the chained-filter form spent
+    // 11→143 s/round on replay; this form pays one ~constant scan per
+    // round per shard).
+    val spark = bases.head.sparkSession
     import org.apache.spark.sql.types._
-    val emptyOverrides = spark.createDataFrame(
+    def emptyOverrides = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       StructType(Seq(StructField("word", StringType),
         StructField("freq", LongType),
         StructField("syms", ArrayType(StringType)))))
-    var overrides = emptyOverrides
-    def current: DataFrame = base
-      .join(broadcast(overrides.select("word")), Seq("word"), "left_anti")
-      .unionAll(overrides)
-    // The maintained pair-count table: full aggregation exactly once.
-    var counts = bpePairs(base)
-      .groupBy("a", "b").agg(sum("freq").as("cnt"))
+    val overrides = Array.fill(bases.size)(emptyOverrides)
+    def current(s: Int): DataFrame = bases(s)
+      .join(broadcast(overrides(s).select("word")), Seq("word"), "left_anti")
+      .unionAll(overrides(s))
+    // The maintained GLOBAL pair-count table: distinct (a,b) symbol
+    // pairs only — tiny — merged from one full aggregation per shard.
+    var counts = bases
+      .map(b => bpePairs(b).groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .localCheckpoint())
+      .reduce(_.unionAll(_))
+      .groupBy("a", "b").agg(sum("cnt").as("cnt"))
       .localCheckpoint()
     val steps = (1 to k).map { i =>
       val top = counts
@@ -637,34 +672,37 @@ object TextOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(col("mm"))))
           .otherwise(concat(acc, array(x))))
       // Only the words CONTAINING (a,b) change this round; materialize
-      // their before/after symbol lists once — the overrides update and
-      // the count delta both read from this small frame.
-      val changed = current
-        .crossJoin(broadcast(top.select(col("a").as("ma"),
-          col("b").as("mb"), col("m").as("mm"))))
-        .filter(hasPair)
-        .select(col("word"), col("freq"), col("syms").as("old_syms"),
-          fold.as("syms"))
-        .localCheckpoint()
-      overrides = overrides
-        .join(broadcast(changed.select("word")), Seq("word"), "left_anti")
-        .unionAll(changed.select(col("word"), col("freq"), col("syms")))
-        .localCheckpoint()
-      // Count delta: -old pairs +new pairs of the changed words. Every
-      // occurrence of (a,b) lives in a changed word by definition, so
-      // its count nets to <= 0 and the filter retires it.
-      val delta = bpePairs(changed.select(col("freq"),
-          col("old_syms").as("syms")))
-          .groupBy("a", "b").agg((-sum("freq")).as("cnt"))
-        .unionAll(bpePairs(changed)
-          .groupBy("a", "b").agg(sum("freq").as("cnt")))
-      counts = counts.unionAll(delta)
+      // their before/after symbol lists once per shard — the overrides
+      // update and the count delta both read from this small frame.
+      val deltas = bases.indices.map { s =>
+        val changed = current(s)
+          .crossJoin(broadcast(top.select(col("a").as("ma"),
+            col("b").as("mb"), col("m").as("mm"))))
+          .filter(hasPair)
+          .select(col("word"), col("freq"), col("syms").as("old_syms"),
+            fold.as("syms"))
+          .localCheckpoint()
+        overrides(s) = overrides(s)
+          .join(broadcast(changed.select("word")), Seq("word"), "left_anti")
+          .unionAll(changed.select(col("word"), col("freq"), col("syms")))
+          .localCheckpoint()
+        // Count delta: -old pairs +new pairs of the changed words. Every
+        // occurrence of (a,b) lives in a changed word by definition, so
+        // its count nets to <= 0 globally and the filter retires it.
+        bpePairs(changed.select(col("freq"),
+            col("old_syms").as("syms")))
+            .groupBy("a", "b").agg((-sum("freq")).as("cnt"))
+          .unionAll(bpePairs(changed)
+            .groupBy("a", "b").agg(sum("freq").as("cnt")))
+      }
+      counts = (counts +: deltas).reduce(_.unionAll(_))
         .groupBy("a", "b").agg(sum("cnt").as("cnt"))
         .filter(col("cnt") > 0)
         .localCheckpoint()
       top.select(lit(i).as("step"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("m").as("merged"), col("cnt"))
     }
-    (steps.reduce(_.unionAll(_)).orderBy("step"), current)
+    (steps.reduce(_.unionAll(_)).orderBy("step"),
+      bases.indices.map(current).reduce(_.unionAll(_)))
   }
 }

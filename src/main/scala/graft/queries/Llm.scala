@@ -529,12 +529,19 @@ object Llm extends QueryModule {
     QueryDef(
       "llm_unigram_logprob",
       (s, dir) => {
+        // Model and scoring join key on xxhash64(token) LONGS (r8 audit
+        // sweep): the occurrence stream is the big side, and an 8-byte
+        // shuffle key beats shipping token strings per occurrence. The
+        // 2^-64 collision (two tokens sharing a count row) is the
+        // hash-family trade documented across the dedup ops; the
+        // string-keyed DuckDB oracle pins the values.
         val tok = Catalog.table(s, dir, "documents")
           .filter(col("doc_id") < 300)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        val counts = tok.groupBy("h").agg(count(lit(1)).as("c"))
         val total = counts.agg(sum("c").as("tot"))
-        tok.join(counts, "w")
+        tok.join(counts, "h")
           .crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(round(avg(log(col("c").cast("double") / col("tot"))), 6)
@@ -566,11 +573,14 @@ object Llm extends QueryModule {
     QueryDef(
       "llm_perplexity_filter",
       (s, dir) => {
+        // xxhash64 long keys for the model + scoring join, as in
+        // llm_unigram_logprob (r8 audit sweep).
         val tok = Catalog.table(s, dir, "documents")
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        val counts = tok.groupBy("h").agg(count(lit(1)).as("c"))
         val total = counts.agg(sum("c").as("tot"))
-        val scored = tok.join(counts, "w")
+        val scored = tok.join(counts, "h")
           .crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(round(avg(log(col("c").cast("double") / col("tot"))), 6)
@@ -627,10 +637,15 @@ object Llm extends QueryModule {
                                  element_at(toks, i) AS w))
                  ELSE array() END"""))
               .as("bg"))
-          .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
-        val bi = docs.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
-        val uni = docs.groupBy("prev").agg(count(lit(1)).as("cp"))
-        docs.join(bi, Seq("prev", "w")).join(uni, Seq("prev"))
+          // xxhash64 long keys for both model joins (r8 audit sweep):
+          // hb keys the bigram, hp the unigram denominator — the
+          // occurrence stream never ships its token strings.
+          .select(col("doc_id"),
+            xxhash64(col("bg.prev"), col("bg.w")).as("hb"),
+            xxhash64(col("bg.prev")).as("hp"))
+        val bi = docs.groupBy("hb").agg(count(lit(1)).as("cbw"))
+        val uni = docs.groupBy("hp").agg(count(lit(1)).as("cp"))
+        docs.join(bi, Seq("hb")).join(uni, Seq("hp"))
           .groupBy("doc_id")
           .agg(round(avg(log(col("cbw").cast("double") / col("cp"))), 6)
               .as("mean_logp"),
@@ -758,10 +773,14 @@ object Llm extends QueryModule {
           .filter(col("doc_id") < 100)
         val tok = docs.select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("w"))
+        // tf carries the term string (it IS the output), but the df
+        // table and its join key on xxhash64 longs (r8 audit sweep) —
+        // df rows need no strings at all.
         val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+          .withColumn("h", xxhash64(col("w")))
+        val dfq = tf.groupBy("h").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(dfq, "w")
+        val scored = tf.join(dfq, "h")
           .crossJoin(broadcast(nDocs))
           .withColumn("tfidf", round(col("tf") *
             log(col("n_docs").cast("double") / col("df")), 6))

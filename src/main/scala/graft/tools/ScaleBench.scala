@@ -197,6 +197,15 @@ object ScaleBench {
         .groupBy("word").agg(count(lit(1)).as("freq"))
       force(TextOps.bpeTrainMerges(wf, 6))
     }
+    // Horizontally sharded trainer (round-9): word-hash shards bound
+    // the frequency aggregate and base checkpoint at 1/shards each —
+    // the fix for the ×1000 step where the single-shard form OOM'd at
+    // 48g and spilled at 80g. SPARK_GRAFT_BPE_SHARDS tunes it.
+    time("bpe_train_sharded") {
+      val shards = sys.env.getOrElse("SPARK_GRAFT_BPE_SHARDS", "8").toInt
+      force(TextOps.bpeTrainMergesSharded(
+        docs.select(explode(split(col("text"), " ")).as("word")), 6, shards))
+    }
     // COMPOSED pipelines (r8 verdict #1): every individual stage has a
     // scale decade, but linearity does not compose automatically —
     // shuffle overlap and executor memory pressure are properties of
