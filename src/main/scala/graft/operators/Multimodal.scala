@@ -385,6 +385,28 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
   }
 
+  /** Transcode pipeline: decode the baseline JPEG, nearest-neighbor
+    * resize, RE-ENCODE AS PNG (lossless — a JPEG re-encode of the
+    * resized grid would quantize off the closed form), decode the PNG,
+    * and emit the second decode's features. The realistic
+    * thumbnail-extraction shape with BOTH codec families on the oracle
+    * path in one pass. */
+  def transcodeJpegPngFeatures(df: DataFrame, idCol: String,
+      w2: Int, h2: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val png = Codecs.encodePng(
+          Codecs.resizeNearest(Codecs.decodeJpeg(bytes), w2, h2))
+        bmpFeatureRow(d, Codecs.decodePng(png))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, bmpFeatureSchema)
+  }
+
   /** ids → media rows carrying a structurally real ISO-BMFF metadata
     * shell (ftyp + varying free + moov{mvhd v0/v1, trak/tkhd}). */
   def synthMp4Media(ids: DataFrame, idCol: String): DataFrame = {

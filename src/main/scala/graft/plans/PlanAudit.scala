@@ -77,6 +77,22 @@ object PlanAudit {
               "correct, but every row ships the full key bytes. For " +
               "high-cardinality derived keys (shingles, spans, URLs) " +
               "shuffle on xxhash64(key) longs and keep strings at the scan.")
+      // Exact percentile/collect aggregates buffer EVERY group value on
+      // the reducer — fine for bounded groups, a scale killer on large
+      // ones. The mergeable sketch twins (percentile_approx, t-digest)
+      // are the 100 TB path, as agg_percentile's operator doc records.
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        val buffering = a.aggregateExpressions
+          .map(_.aggregateFunction.getClass.getSimpleName)
+          .filter(Set("Percentile", "PercentileDisc", "Median",
+            "CollectList", "CollectSet", "CollectTopK"))
+        if (buffering.nonEmpty)
+          fs += Finding("info", "full-value-buffer-agg",
+            s"Aggregate holds every group value in memory " +
+              s"(${buffering.distinct.mkString(", ")}) — exact " +
+              "percentile/collect semantics need the whole group on one " +
+              "reducer. Fine for bounded groups; for large ones use the " +
+              "mergeable sketch twin (percentile_approx / t-digest).")
       // Filter whose DIRECT scan child (through narrow per-row wrappers
       // only — codegen, columnar bridge, project) pushed nothing into
       // the reader: the predicate is evaluated after reading. Pairing

@@ -185,6 +185,17 @@ object ScaleBench {
     time("line_dedup") {
       force(TextOps.lineDedup(docs, "doc_id", "text"))
     }
+    // Exact substring dedup with location (llm_substring_dedup): the
+    // per-position anchor explode matches repeated_spans' window
+    // volume; on the replica corpus the df∈[2,8] cap is load-bearing —
+    // original-text 8-grams recur in all `mult` replicas (df ≈ mult,
+    // dropped as boilerplate), so pairs come from the rep-0/1 shared
+    // salts: each original yields one exact-dup pair whose salted run
+    // the op must LOCATE. Pair volume stays ∝ originals, never mult².
+    time("substring_dedup") {
+      force(TextOps.sharedSpans(docs, "doc_id", "text",
+        k = 8, minLen = 10, dfCap = 8))
+    }
     // BPE merge training (llm_bpe_train): corpus touched once for the
     // word-frequency vocab (localCheckpoint'd), then 6 rounds of
     // vocab-sized pair explode + aggregate + broadcast 1-row fold. The
