@@ -62,6 +62,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!fs.exists(_.rule == "unpushed-filter"), fs.mkString("\n"))
   }
 
+  test("full-value-buffer aggregates flag as info; sketch twins do not") {
+    import spark.implicits._
+    val df = spark.range(1000).select(($"id" % 7).as("g"), $"id".as("v"))
+    val exact = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+    assert(PlanAudit.audit(exact)
+      .exists(f => f.rule == "full-value-buffer-agg" && f.severity == "info"))
+    val collect = df.groupBy("g").agg(collect_list("v").as("vs"))
+    assert(PlanAudit.audit(collect).exists(_.rule == "full-value-buffer-agg"))
+    val sketch = df.groupBy("g").agg(expr("percentile_approx(v, 0.5, 100)"))
+    assert(!PlanAudit.audit(sketch).exists(_.rule == "full-value-buffer-agg"),
+      "the mergeable sketch twin must not flag")
+  }
+
   test("whole declared surface audits error-free") {
     // Plan-time sweep of every declared query. Collects only severity
     // `error` (warn/info shapes are the documented bounded-broadcast /
