@@ -2143,6 +2143,90 @@ object Llm extends QueryModule {
         HAVING count(*) + 7 >= 10
         ORDER BY id_a, id_b, a_start, b_start""")),
 
+    // Substring-dedup REWRITE — the second half of Lee et al.: the
+    // located spans are actually CUT. Every token position of the
+    // LATER doc (id_b side) covered by any shared span is dropped
+    // (overlaps union via the distinct position set; the id_a first
+    // occurrence survives intact), and each doc is rebuilt from its
+    // surviving tokens. Fully-deduplicated docs keep a row with
+    // n_kept=0. Scale shape: the covered-position explode is bounded
+    // by the corpus's true duplicated-token volume (linear), the
+    // anti-join keys on (doc_id, ord) longs, and the reassembly is
+    // the line-dedup family's doc-keyed aggregate.
+    QueryDef(
+      "llm_substring_dedup_rewrite",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val spans = TextOps.sharedSpans(docs, "doc_id", "text",
+          k = 8, minLen = 10, dfCap = 8)
+        val covered = spans
+          .select(col("id_b").as("doc_id"),
+            explode(sequence(col("b_start"),
+              (col("b_start") + col("len_tokens") - 1).cast("int")))
+              .as("ord"))
+          .distinct()
+        val toks = docs.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("ord", "w")))
+        val kept = toks
+          .join(covered, Seq("doc_id", "ord"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "named_struct('o', ord, 'w', w))), x -> x.w), ' ')")
+              .as("text_dedup"))
+        docs
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).as("n_orig"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_orig"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        a0 AS (SELECT doc_id, w,
+            unnest(range(0, len(w) - 7)) AS pos FROM t),
+        a AS (SELECT doc_id, pos,
+            ('0x' || substr(md5(array_to_string(w[pos + 1 : pos + 8],
+              ' ')), 1, 15))::BIGINT AS key
+          FROM a0),
+        kd AS (SELECT key FROM (SELECT key,
+            count(DISTINCT doc_id) AS df FROM a GROUP BY key)
+          WHERE df BETWEEN 2 AND 8),
+        p AS (SELECT a1.doc_id AS id_a, a2.doc_id AS id_b,
+            a1.pos AS pa, a2.pos AS pb, a1.pos - a2.pos AS diag
+          FROM (SELECT a.* FROM a JOIN kd USING (key)) a1
+          JOIN (SELECT a.* FROM a JOIN kd USING (key)) a2 USING (key)
+          WHERE a1.doc_id < a2.doc_id),
+        g AS (SELECT id_a, id_b, diag, pa, pb,
+            pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+              ORDER BY pa) AS grp
+          FROM p),
+        spans AS (SELECT id_b, min(pb) AS b_start,
+            count(*) + 7 AS len_tokens
+          FROM g GROUP BY id_a, id_b, diag, grp
+          HAVING count(*) + 7 >= 10),
+        cov AS (SELECT DISTINCT id_b AS doc_id,
+            unnest(range(b_start, b_start + len_tokens)) AS ord
+          FROM spans),
+        toks AS (SELECT doc_id, unnest(w) AS word,
+            generate_subscripts(w, 1) - 1 AS ord
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents)),
+        kept AS (SELECT t2.doc_id, count(*) AS n_kept,
+            array_to_string(list(t2.word ORDER BY t2.ord), ' ') AS text_dedup
+          FROM toks t2 LEFT JOIN cov
+            ON t2.doc_id = cov.doc_id AND t2.ord = cov.ord
+          WHERE cov.ord IS NULL
+          GROUP BY t2.doc_id)
+        SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT)
+            AS n_orig,
+          CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+          coalesce(k.text_dedup, '') AS text_dedup
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+        ORDER BY doc_id""")),
+
     // C4-style line dedup — the REWRITE op the scoring family feeds:
     // 10-word non-overlapping segments stand in for lines (the fixture
     // corpus is single-line), each distinct segment survives only at

@@ -118,6 +118,26 @@ class TextOpsSpec extends SparkSpec {
     assert(dup == 53) // 60-token run → 53 duplicated 8-gram windows
   }
 
+  test("substring-dedup rewrite cuts the located run from the LATER doc only") {
+    val run = (0 until 60).map(i => s"shared$i")
+    val doc1 = ((0 until 17).map(i => s"ua$i") ++ run ++
+      (0 until 9).map(i => s"ub$i")).mkString(" ")
+    val doc2 = ((0 until 5).map(i => s"uc$i") ++ run ++
+      (0 until 21).map(i => s"ud$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("cut").toString
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_substring_dedup_rewrite")(spark, dir)
+      .select("doc_id", "n_orig", "n_kept", "text_dedup")
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1)
+    // doc 1 (first occurrence) intact; doc 2 loses exactly the 60 tokens
+    assert(out(0) == ((1L, 86, 86L, doc1)))
+    assert(out(1)._2 == 86 && out(1)._3 == 26L)
+    assert(out(1)._4 ==
+      ((0 until 5).map(i => s"uc$i") ++ (0 until 21).map(i => s"ud$i"))
+        .mkString(" "))
+  }
+
   test("sharedSpans caps boilerplate anchors and keeps sub-minLen runs out") {
     // dfCap: an 8-gram shared by MANY docs (template boilerplate) must
     // not explode into pairs; a shared run shorter than minLen must
