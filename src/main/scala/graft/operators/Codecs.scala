@@ -1064,31 +1064,36 @@ object Codecs {
     ftyp ++ free ++ moov
   }
 
+  private final case class Mp4Box(typ: String, start: Int, end: Int)
+
+  /** Walk the sibling boxes of [from, to); supports 64-bit `size==1`
+    * largesize headers; fails loudly on truncation / size overrun. */
+  private def mp4Walk(bytes: Array[Byte], from: Int, to: Int): List[Mp4Box] = {
+    var pos = from
+    val out = List.newBuilder[Mp4Box]
+    while (pos < to) {
+      require(pos + 8 <= to, "truncated MP4 box header")
+      val size32 = u32be(bytes, pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val (size, hdr) =
+        if (size32 == 1) {
+          require(pos + 16 <= to, "truncated MP4 largesize header")
+          val hi = u32be(bytes, pos + 8).toLong << 32
+          ((hi | (u32be(bytes, pos + 12) & 0xffffffffL)), 16)
+        } else (size32.toLong, 8)
+      require(size >= hdr && pos + size <= to, s"bad MP4 box size in $typ")
+      out += Mp4Box(typ, pos + hdr, pos + size.toInt)
+      pos += size.toInt
+    }
+    out.result()
+  }
+
   /** ISO-BMFF box walk: find moov at the top level, then mvhd (v0 or
     * v1 — the field widths differ) and trak/tkhd inside it. Supports
     * 64-bit `size==1` largesize headers; fails loudly on truncation or
     * missing boxes. */
   def mp4Meta(bytes: Array[Byte]): Mp4Meta = {
-    final case class Box(typ: String, start: Int, end: Int)
-    def walk(from: Int, to: Int): List[Box] = {
-      var pos = from
-      val out = List.newBuilder[Box]
-      while (pos < to) {
-        require(pos + 8 <= to, "truncated MP4 box header")
-        val size32 = u32be(bytes, pos)
-        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
-        val (size, hdr) =
-          if (size32 == 1) {
-            require(pos + 16 <= to, "truncated MP4 largesize header")
-            val hi = u32be(bytes, pos + 8).toLong << 32
-            ((hi | (u32be(bytes, pos + 12) & 0xffffffffL)), 16)
-          } else (size32.toLong, 8)
-        require(size >= hdr && pos + size <= to, s"bad MP4 box size in $typ")
-        out += Box(typ, pos + hdr, pos + size.toInt)
-        pos += size.toInt
-      }
-      out.result()
-    }
+    def walk(from: Int, to: Int): List[Mp4Box] = mp4Walk(bytes, from, to)
     require(bytes.length >= 8 &&
       new String(bytes, 4, 4, "US-ASCII") == "ftyp", "not an MP4 payload")
     val top = walk(0, bytes.length)
@@ -1115,6 +1120,173 @@ object Codecs {
     Mp4Meta(timescale, duration / timescale,
       u32be(bytes, tkhd.start + 76) >>> 16, u32be(bytes, tkhd.start + 80) >>> 16,
       u32be(bytes, tkhd.start + 12), ver)
+  }
+
+  // --------------------------------------- ISO-BMFF sample tables (stbl)
+  //
+  // One level deeper than mvhd/tkhd metadata: the sample tables are
+  // what a frame-sampling pipeline reads to know how many samples a
+  // track has, how many bytes they cover, and where they sit — BEFORE
+  // any codec runs. Real layouts: stts (time-to-sample runs), stsz
+  // (uniform-or-per-sample sizes), stco (chunk offsets), nested
+  // moov/trak/mdia/minf/stbl.
+
+  final case class Mp4Samples(nSamples: Int, totalBytes: Long,
+      maxSampleBytes: Int, durationTicks: Long, nChunks: Int)
+
+  /** Structurally real moov with a full trak/mdia/minf/stbl subtree:
+    * mdhd (v0), stts with `sttsRuns` (count, delta) entries, stsz
+    * (per-sample sizes, or uniform when all equal and `forceUniform`),
+    * stco with `chunkOffsets`. */
+  def encodeMp4SampleShell(timescale: Int, sttsRuns: Seq[(Int, Int)],
+      sampleSizes: Seq[Int], chunkOffsets: Seq[Int],
+      forceUniform: Boolean = false): Array[Byte] = {
+    require(sttsRuns.map(_._1.toLong).sum == sampleSizes.length,
+      "stts sample count must equal stsz entry count")
+    val ftyp = mp4Box("ftyp", {
+      val p = new Array[Byte](16)
+      System.arraycopy("isom".getBytes("US-ASCII"), 0, p, 0, 4)
+      put32be(p, 4, 0x200)
+      System.arraycopy("isom".getBytes("US-ASCII"), 0, p, 8, 4)
+      System.arraycopy("mp41".getBytes("US-ASCII"), 0, p, 12, 4)
+      p
+    })
+    val durationTicks = sttsRuns.map { case (n, d) => n.toLong * d }.sum
+    require(durationTicks <= 0xffffffffL, "v0 mdhd duration overflow")
+    val mvhd = mp4Box("mvhd", {
+      val p = new Array[Byte](100)
+      put32be(p, 12, timescale); put32be(p, 16, durationTicks.toInt)
+      put32be(p, 20, 0x00010000); p(24) = 1
+      put32be(p, 36, 0x00010000); put32be(p, 52, 0x00010000)
+      put32be(p, 68, 0x40000000); put32be(p, 96, 2)
+      p
+    })
+    val tkhd = mp4Box("tkhd", {
+      val p = new Array[Byte](84)
+      p(3) = 7; put32be(p, 12, 1); put32be(p, 20, durationTicks.toInt)
+      put32be(p, 40, 0x00010000); put32be(p, 56, 0x00010000)
+      put32be(p, 72, 0x40000000)
+      put32be(p, 76, 320 << 16); put32be(p, 80, 240 << 16)
+      p
+    })
+    val mdhd = mp4Box("mdhd", {
+      val p = new Array[Byte](24)
+      put32be(p, 12, timescale); put32be(p, 16, durationTicks.toInt)
+      p(20) = 0x55; p(21) = 0xc4.toByte // language 'und'
+      p
+    })
+    val stts = mp4Box("stts", {
+      val p = new Array[Byte](8 + 8 * sttsRuns.size)
+      put32be(p, 4, sttsRuns.size)
+      sttsRuns.zipWithIndex.foreach { case ((n, d), i) =>
+        put32be(p, 8 + 8 * i, n); put32be(p, 12 + 8 * i, d)
+      }
+      p
+    })
+    val uniform = forceUniform && sampleSizes.distinct.size == 1
+    val stsz = mp4Box("stsz", {
+      if (uniform) {
+        val p = new Array[Byte](12)
+        put32be(p, 4, sampleSizes.head); put32be(p, 8, sampleSizes.size)
+        p
+      } else {
+        val p = new Array[Byte](12 + 4 * sampleSizes.size)
+        put32be(p, 4, 0); put32be(p, 8, sampleSizes.size)
+        sampleSizes.zipWithIndex.foreach { case (sz, i) =>
+          put32be(p, 12 + 4 * i, sz)
+        }
+        p
+      }
+    })
+    val stco = mp4Box("stco", {
+      val p = new Array[Byte](8 + 4 * chunkOffsets.size)
+      put32be(p, 4, chunkOffsets.size)
+      chunkOffsets.zipWithIndex.foreach { case (o, i) =>
+        put32be(p, 8 + 4 * i, o)
+      }
+      p
+    })
+    val stbl = mp4Box("stbl", stts ++ stsz ++ stco)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", mdhd ++ minf)
+    val trak = mp4Box("trak", tkhd ++ mdia)
+    val moov = mp4Box("moov", mvhd ++ trak)
+    ftyp ++ moov
+  }
+
+  /** Parse the sample tables: moov → trak → mdia → minf → stbl →
+    * {stts, stsz, stco}. Handles uniform AND per-sample stsz, multiple
+    * stts runs; cross-checks the stts total against the stsz count
+    * (a malformed pairing fails loudly, as a frame sampler must). */
+  def mp4Samples(bytes: Array[Byte]): Mp4Samples = {
+    require(bytes.length >= 8 &&
+      new String(bytes, 4, 4, "US-ASCII") == "ftyp", "not an MP4 payload")
+    def one(boxes: List[Mp4Box], typ: String): Mp4Box =
+      boxes.find(_.typ == typ)
+        .getOrElse(sys.error(s"MP4 missing $typ box"))
+    val moov = one(mp4Walk(bytes, 0, bytes.length), "moov")
+    val trak = one(mp4Walk(bytes, moov.start, moov.end), "trak")
+    val mdia = one(mp4Walk(bytes, trak.start, trak.end), "mdia")
+    val minf = one(mp4Walk(bytes, mdia.start, mdia.end), "minf")
+    val stbl = one(mp4Walk(bytes, minf.start, minf.end), "stbl")
+    val kids = mp4Walk(bytes, stbl.start, stbl.end)
+    val stts = one(kids, "stts")
+    val nRuns = u32be(bytes, stts.start + 4)
+    require(nRuns >= 0 && stts.start + 8 + 8L * nRuns <= stts.end,
+      "truncated stts")
+    var sttsCount = 0L; var durTicks = 0L
+    (0 until nRuns).foreach { i =>
+      val n = u32be(bytes, stts.start + 8 + 8 * i)
+      val d = u32be(bytes, stts.start + 12 + 8 * i)
+      require(n >= 0 && d >= 0, "bad stts run")
+      sttsCount += n; durTicks += n.toLong * d
+    }
+    val stsz = one(kids, "stsz")
+    val uniformSize = u32be(bytes, stsz.start + 4)
+    val nSamples = u32be(bytes, stsz.start + 8)
+    require(nSamples >= 0, "bad stsz count")
+    require(sttsCount == nSamples,
+      s"stts total $sttsCount != stsz count $nSamples")
+    var total = 0L; var maxSz = 0
+    if (uniformSize != 0) {
+      total = uniformSize.toLong * nSamples; maxSz = uniformSize
+    } else {
+      require(stsz.start + 12 + 4L * nSamples <= stsz.end, "truncated stsz")
+      var i = 0
+      while (i < nSamples) {
+        val sz = u32be(bytes, stsz.start + 12 + 4 * i)
+        require(sz >= 0, "bad stsz entry")
+        total += sz; if (sz > maxSz) maxSz = sz
+        i += 1
+      }
+    }
+    val stco = one(kids, "stco")
+    val nChunks = u32be(bytes, stco.start + 4)
+    require(nChunks >= 0 && stco.start + 8 + 4L * nChunks <= stco.end,
+      "truncated stco")
+    Mp4Samples(nSamples, total, maxSz, durTicks, nChunks)
+  }
+
+  /** Closed-form sample-table shell: sample count, per-sample sizes,
+    * stts run structure, and chunk count all derive from doc_id alone
+    * so DuckDB recomputes every feature. Every 4th id exercises the
+    * UNIFORM stsz branch (all sizes equal → one size field, no table);
+    * ids alternate 1 vs 2 stts runs. */
+  def synthMp4Samples(d: Long): Array[Byte] = {
+    val n = (24 + d % 40).toInt
+    val delta = (512 + d % 100).toInt
+    val uniform = d % 4 == 0
+    val sizes =
+      if (uniform) Seq.fill(n)((200 + d % 300).toInt)
+      else (0 until n).map(i => (100 + (7 * d + 13 * i) % 900).toInt)
+    val runs =
+      if (d % 2 == 0) Seq((n, delta))
+      else Seq((n / 2, delta), (n - n / 2, delta + 7))
+    encodeMp4SampleShell(
+      timescale = (600 + 100 * (d % 9)).toInt,
+      sttsRuns = runs, sampleSizes = sizes,
+      chunkOffsets = (0 until (1 + d % 5).toInt).map(j => 4096 + 777 * j),
+      forceUniform = uniform)
   }
 
   // ------------------------------------------- deterministic generators

@@ -445,6 +445,47 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a structurally real moov with full
+    * trak/mdia/minf/stbl sample tables (stts/stsz/stco). */
+  def synthMp4SamplesMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthMp4Samples(d), "video/mp4",
+          Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL sample-table walk per partition — sample count / byte volume
+    * / duration ticks / chunk count without touching sample data: what
+    * a frame-sampling pipeline reads to budget its decode pass. */
+  def mp4SampleFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("total_bytes", LongType),
+      StructField("max_sample_bytes", IntegerType),
+      StructField("duration_ticks", LongType),
+      StructField("n_chunks", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = Codecs.mp4Samples(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+        Row(d, m.nSamples, m.totalBytes, m.maxSampleBytes, m.durationTicks,
+          m.nChunks)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition batched decode: one "codec" per partition, rows
     * streamed through it. Output schema: id, mime, n_bytes, features. */
   def decode(df: DataFrame, idCol: String): DataFrame = {

@@ -2723,6 +2723,42 @@ object Llm extends QueryModule {
             AS mvhd_version
         FROM documents WHERE doc_id < 300 ORDER BY id""")),
 
+    // SAMPLE-TABLE walk (Codecs.mp4Samples): one box level deeper than
+    // llm_video_meta — moov→trak→mdia→minf→stbl→{stts,stsz,stco}. The
+    // frame-sampling pre-pass reads these to budget its decode (how
+    // many samples, how many bytes, where) with ZERO codec work. The
+    // payload's tables are real: per-sample AND uniform stsz branches
+    // (every 4th id), 1- or 2-run stts, varying chunk counts; the
+    // parser cross-checks stts totals against stsz counts. Oracle
+    // recomputes sizes/durations from the closed forms, summing the
+    // per-sample size series in SQL.
+    QueryDef(
+      "llm_video_samples",
+      (s, dir) => Multimodal.mp4SampleFeatures(
+        Multimodal.synthMp4SamplesMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(24 + doc_id % 40 AS INT) AS n,
+            CAST(512 + doc_id % 100 AS INT) AS delta,
+            doc_id % 4 = 0 AS uniform,
+            CAST(200 + doc_id % 300 AS INT) AS usize
+          FROM documents WHERE doc_id < 300),
+        sz AS (SELECT d.doc_id,
+            CASE WHEN d.uniform THEN CAST(d.usize AS BIGINT)
+              ELSE 100 + (7 * d.doc_id + 13 * i.i) % 900 END AS s
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i),
+        agg AS (SELECT doc_id, sum(s) AS total_bytes,
+            max(s) AS max_bytes FROM sz GROUP BY doc_id)
+        SELECT d.doc_id AS id, d.n AS n_samples,
+          CAST(agg.total_bytes AS BIGINT) AS total_bytes,
+          CAST(agg.max_bytes AS INT) AS max_sample_bytes,
+          CAST(CASE WHEN d.doc_id % 2 = 0 THEN d.n * d.delta
+            ELSE (d.n // 2) * d.delta + (d.n - d.n // 2) * (d.delta + 7)
+            END AS BIGINT) AS duration_ticks,
+          CAST(1 + d.doc_id % 5 AS INT) AS n_chunks
+        FROM d JOIN agg USING (doc_id) ORDER BY id""")),
+
     // Temperature-based domain mixture (the standard training-mix op:
     // sample domain d with p_d ∝ tokens_d^τ, τ < 1 upweighting small
     // domains — GPT-3/PaLM-style rebalancing). Emits, per source, the

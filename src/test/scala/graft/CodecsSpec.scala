@@ -390,6 +390,49 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeJpeg(sub))
   }
 
+  test("MP4 sample tables round-trip uniform and per-sample stsz, multi-run stts") {
+    (0L until 24L).foreach { d =>
+      val m = Codecs.mp4Samples(Codecs.synthMp4Samples(d))
+      val n = (24 + d % 40).toInt
+      val delta = (512 + d % 100).toInt
+      assert(m.nSamples == n, s"d=$d")
+      if (d % 4 == 0) {
+        val sz = (200 + d % 300).toInt
+        assert(m.totalBytes == sz.toLong * n && m.maxSampleBytes == sz)
+      } else {
+        val sizes = (0 until n).map(i => (100 + (7 * d + 13 * i) % 900).toInt)
+        assert(m.totalBytes == sizes.map(_.toLong).sum &&
+          m.maxSampleBytes == sizes.max)
+      }
+      val wantDur =
+        if (d % 2 == 0) n.toLong * delta
+        else (n / 2).toLong * delta + (n - n / 2).toLong * (delta + 7)
+      assert(m.durationTicks == wantDur && m.nChunks == (1 + d % 5).toInt)
+    }
+  }
+
+  test("MP4 sample-table walk rejects inconsistent or truncated tables") {
+    // stts total != stsz count must fail loudly (a frame sampler that
+    // trusts one table over the other reads garbage offsets)
+    intercept[IllegalArgumentException](
+      Codecs.encodeMp4SampleShell(600, Seq((5, 100)), Seq(10, 20, 30),
+        Seq(4096)))
+    val ok = Codecs.synthMp4Samples(1L)
+    intercept[Exception](Codecs.mp4Samples(ok.take(ok.length - 8)))
+    // a plain metadata shell has no stbl — the walk must say so
+    val noStbl = Codecs.synthMp4(2L)
+    val e = intercept[RuntimeException](Codecs.mp4Samples(noStbl))
+    assert(e.getMessage.contains("missing"))
+    // corrupt the stsz count so it disagrees with stts
+    val bad = ok.clone()
+    val at = (0 until bad.length - 4).find(i =>
+      new String(bad, i, 4, "US-ASCII") == "stsz").get
+    // payload = [verflags 4][sample_size 4][sample_count 4]; +15 is the
+    // low byte of sample_count — bump it so stts and stsz disagree
+    bad(at + 15) = (bad(at + 15) + 1).toByte
+    intercept[IllegalArgumentException](Codecs.mp4Samples(bad))
+  }
+
   test("MP4 box walk rejects malformed payloads loudly") {
     intercept[IllegalArgumentException](
       Codecs.mp4Meta("notanmp4".getBytes("US-ASCII")))
