@@ -67,6 +67,18 @@ object Streams {
       spark.readStream.schema(footerSchema).parquet(dir.toString))
   }
 
+  /** Any fixture table replayed through the file source — the same
+    * fingerprint-keyed staging cache as eventsStream, minus the events
+    * ts normalization (document/text tables have no event-time column
+    * to normalize). */
+  def tableStream(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val file = s"$sfDir/$name.parquet"
+    val footerSchema = spark.read.parquet(file).schema
+    val dir = stageEventsDir(file)
+    spark.readStream.schema(footerSchema).parquet(dir.toString)
+  }
+
   /** Recursively delete a checkpoint/staging directory. Tolerant of
     * concurrent modification: state-store maintenance threads can still
     * be writing snapshot/delta files into a checkpoint right after
