@@ -42,10 +42,16 @@ object Streams {
       src, classOf[java.nio.file.attribute.BasicFileAttributes])
     val gen = s"${attrs.lastModifiedTime().toMillis}-${attrs.size()}"
     stagedDirs.computeIfAbsent(s"$file@$gen", { _ =>
+      // "-v2" versions the on-disk layout: earlier rounds staged every
+      // table under the fixed name events.parquet, and reusing one of
+      // those dirs after the rename below would leave BOTH symlinks in
+      // place — the stream would silently read the table twice.
       val d = java.nio.file.Paths.get(
-        graft.Scratch.dir(s"events-stream-${math.abs(file.hashCode)}-$gen"))
+        graft.Scratch.dir(s"table-stream-v2-${math.abs(file.hashCode)}-$gen"))
       java.nio.file.Files.createDirectories(d)
-      val dst = d.resolve("events.parquet")
+      // named after the source table — the helper stages ANY fixture
+      // table now (tableStream), not just events
+      val dst = d.resolve(src.getFileName)
       if (!java.nio.file.Files.exists(dst))
         try java.nio.file.Files.createSymbolicLink(dst, src)
         catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
