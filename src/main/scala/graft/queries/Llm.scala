@@ -2304,6 +2304,45 @@ object Llm extends QueryModule {
         FROM w LEFT JOIN vocab USING (word)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Vocabulary COVERAGE CURVE — the measurement that sizes a vocab
+    // before committing to one: for each candidate vocab budget k
+    // (1..16, the fixture's tokens_to_ids budget), the share of token
+    // OCCURRENCES the top-k words cover and the residual OOV rate.
+    // Scale shape: one fine-key count aggregate, a TakeOrdered top-16
+    // (never a global sort), a broadcast 1-row total; the rank/cumsum
+    // windows run over the 16-row table — bounded input, the
+    // tokens_to_ids family's documented single-partition-window class.
+    QueryDef(
+      "llm_vocab_coverage",
+      (s, dir) => {
+        val words = Catalog.table(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+        val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        val top = counts.orderBy(desc("cnt"), asc("word")).limit(16)
+        val total = words.agg(count(lit(1)).as("tot"))
+        val ord = Window.orderBy(desc("cnt"), asc("word"))
+        top
+          .withColumn("k", row_number().over(ord))
+          .withColumn("cum", sum("cnt").over(ord))
+          .crossJoin(broadcast(total))
+          .select(col("k").as("vocab_size"), col("cum").as("n_covered"),
+            round(lit(1.0) - col("cum").cast("double") / col("tot"), 6)
+              .as("oov_rate"))
+          .orderBy("vocab_size")
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 16),
+        tot AS (SELECT count(*) AS tot FROM w),
+        r AS (SELECT cnt,
+            row_number() OVER (ORDER BY cnt DESC, word) AS k,
+            sum(cnt) OVER (ORDER BY cnt DESC, word) AS cum
+          FROM top)
+        SELECT k AS vocab_size, CAST(cum AS BIGINT) AS n_covered,
+          round(1.0 - cum::DOUBLE / tot, 6) AS oov_rate
+        FROM r CROSS JOIN tot ORDER BY vocab_size""")),
+
     // BPE merge-rule TRAINING (Sennrich et al. 2016): 6 rounds of
     // most-frequent-adjacent-pair merging over the corpus vocabulary,
     // greedy left-to-right — the tokenizer-training step upstream of
