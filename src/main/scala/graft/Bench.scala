@@ -133,20 +133,31 @@ object Bench {
     // count is impossible to miss. Correctness is a separate gate, but
     // the bench record itself now tells the truth.
     val allRuns = (batch ++ streaming).map { case (name, fn) =>
-      var errored = false
       val runs = (1 to benchK).map { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => errored = true }
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // Isolate queries: drop any cache a query built internally so a
         // lingering block doesn't distort later timings.
         spark.catalog.clearCache()
-        dt
+        (dt, ok)
       }
-      (name, runs, errored)
+      (name, runs, runs.exists(!_._2))
     }
     val errors = allRuns.collect { case (name, _, true) => name }
-    val results = allRuns.map { case (name, runs, _) => name -> runs.min }
+    // Per-query figure of record: min over the CLEAN runs only. A
+    // throwing run typically fails near-instantly, and letting it into
+    // the min would bench an errored query as ~0 s — flagged by
+    // n_errors yet still flattering the headline total. When every run
+    // errored there is no honest timing; record the MAX (the fullest
+    // account of the time burned) so the artifact stays numeric/JSON
+    // where NaN would not parse.
+    val results = allRuns.map { case (name, runs, _) =>
+      val clean = runs.collect { case (dt, true) => dt }
+      name -> (if (clean.nonEmpty) clean.min else runs.map(_._1).max)
+    }
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
@@ -176,8 +187,8 @@ object Bench {
     // map + every per-run timing) as a file — the machine-checkable
     // artifact survives even when the stdout tail does not parse, and
     // the per-run arrays let a reader audit the min-of-k policy.
-    val runsJson = allRuns.sortBy(_._2.min).map { case (k, rs, err) =>
-      "\"" + k + "\":{\"runs\":[" + rs.map(ms).mkString(",") +
+    val runsJson = allRuns.sortBy(_._2.map(_._1).min).map { case (k, rs, err) =>
+      "\"" + k + "\":{\"runs\":[" + rs.map(r => ms(r._1)).mkString(",") +
         s"],\"error\":$err}" }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"),

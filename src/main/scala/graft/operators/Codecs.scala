@@ -782,6 +782,11 @@ object Codecs {
             o += 17 + total
           }
         case 0xc0 | 0xc1 => // SOF0/1: baseline
+          // The outer check proved `len` bytes exist; the SOF reads
+          // below must ALSO fit inside the declared length, or a
+          // truncated/under-length SOF would silently read the next
+          // segment's bytes (or throw a raw index error at EOF).
+          require(len >= 8, "truncated JPEG SOF segment")
           require(bytes(body) == 8, "only 8-bit JPEG supported")
           h = ((bytes(body + 1) & 0xff) << 8) | (bytes(body + 2) & 0xff)
           w = ((bytes(body + 3) & 0xff) << 8) | (bytes(body + 4) & 0xff)
@@ -789,6 +794,7 @@ object Codecs {
             s"bad JPEG dimensions ${w}x$h")
           val n = bytes(body + 5) & 0xff
           require(n == 1 || n == 3, "only 1- or 3-component JPEG supported")
+          require(len >= 8 + 3 * n, "JPEG SOF length/component mismatch")
           comps = Array.tabulate(n) { i =>
             require((bytes(body + 7 + 3 * i) & 0xff) == 0x11,
               "only 1x1 sampling (4:4:4 / grayscale) JPEG supported")
@@ -802,11 +808,14 @@ object Codecs {
           require(requirement = false,
             f"unsupported JPEG SOF marker 0xff$m%02x")
         case 0xdd =>
+          require(len >= 4, "truncated JPEG DRI segment")
           dri = ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
         case 0xda =>
           require(comps != null, "JPEG SOS before SOF")
+          require(len >= 3, "truncated JPEG SOS segment")
           val ns = bytes(body) & 0xff
           require(ns == comps.length, "partial JPEG scans not supported")
+          require(len >= 2 + 1 + 2 * ns + 3, "JPEG SOS length/component mismatch")
           // scan component → (component index, dc table, ac table)
           val sel = Array.tabulate(ns) { i =>
             val cid = bytes(body + 1 + 2 * i) & 0xff
@@ -1231,6 +1240,11 @@ object Codecs {
     val stbl = one(mp4Walk(bytes, minf.start, minf.end), "stbl")
     val kids = mp4Walk(bytes, stbl.start, stbl.end)
     val stts = one(kids, "stts")
+    // Each table's FIXED header must fit inside its box before any
+    // count field is read — a truncated/tiny box would otherwise read
+    // the next sibling box's bytes as its own (silently wrong values)
+    // instead of failing loudly.
+    require(stts.end - stts.start >= 8, "truncated stts header")
     val nRuns = u32be(bytes, stts.start + 4)
     require(nRuns >= 0 && stts.start + 8 + 8L * nRuns <= stts.end,
       "truncated stts")
@@ -1242,7 +1256,11 @@ object Codecs {
       sttsCount += n; durTicks += n.toLong * d
     }
     val stsz = one(kids, "stsz")
+    require(stsz.end - stsz.start >= 12, "truncated stsz header")
     val uniformSize = u32be(bytes, stsz.start + 4)
+    // u32 read as signed Int: a >2^31 sample_size would go negative and
+    // poison totalBytes — out of any sane scope, reject it.
+    require(uniformSize >= 0, "bad stsz uniform sample size")
     val nSamples = u32be(bytes, stsz.start + 8)
     require(nSamples >= 0, "bad stsz count")
     require(sttsCount == nSamples,
@@ -1261,6 +1279,7 @@ object Codecs {
       }
     }
     val stco = one(kids, "stco")
+    require(stco.end - stco.start >= 8, "truncated stco header")
     val nChunks = u32be(bytes, stco.start + 4)
     require(nChunks >= 0 && stco.start + 8 + 4L * nChunks <= stco.end,
       "truncated stco")

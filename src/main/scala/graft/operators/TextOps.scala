@@ -505,6 +505,18 @@ object TextOps {
   def bpeVocabSyms(wordFreq: DataFrame, k: Int): DataFrame =
     bpeTrain(wordFreq, k)._2
 
+  /** `bpeVocabSyms` plus the vocab row count, read once from the
+    * trainer's eager base checkpoint (a cached-block scan, not a plan
+    * replay). The count is invariant under merges — rounds rewrite
+    * `syms`, never add/remove words — so serve-time callers can feed
+    * it straight to `joinSegmentation`'s broadcast guard instead of
+    * paying a count job per invocation. */
+  def bpeVocabSymsWithCount(wordFreq: DataFrame, k: Int): (DataFrame, Long) = {
+    val base = bpeBaseOf(wordFreq)
+    val n = base.count()
+    (bpeTrainShards(Seq(base), k)._2, n)
+  }
+
   /** EXACT shared-substring spans WITH LOCATION — the Lee et al.
     * suffix-array dedup capability, Spark-shaped. Emits every maximal
     * run of ≥ `minLen` tokens shared verbatim between two documents as
@@ -524,8 +536,22 @@ object TextOps {
     * before pairing: df=1 cannot pair, and df > dfCap is boilerplate
     * (the boilerplate_ngrams family's job) whose pair volume would
     * grow as df² per anchor — the same practical cap the
-    * suffix-array dedup pipelines apply to hot substrings. The md5
-    * long key keeps the shuffle on longs AND gives DuckDB an
+    * suffix-array dedup pipelines apply to hot substrings.
+    *
+    * KNOWN FALSE-NEGATIVE MODE of the cap (not just a boilerplate
+    * exclusion): an over-cap anchor INSIDE an otherwise-rare
+    * duplicated run is dropped too, so a ≥ minLen verbatim run whose
+    * interior contains a corpus-popular k-gram (a common phrase inside
+    * a rare passage) is reported as two shorter islands — or missed
+    * entirely when neither fragment reaches minLen — and a downstream
+    * rewrite leaves that text uncut. This is the deliberate
+    * recall-for-boundedness trade every df-capped dedup pipeline
+    * makes; raise `dfCap` to shrink the mode at the cost of pair
+    * volume (worst case df² per anchor), or run the boilerplate
+    * family first so hot substrings are removed rather than silently
+    * fragmenting spans.
+    *
+    * The md5 long key keeps the shuffle on longs AND gives DuckDB an
     * identical join key; hash-collision risk is the family's
     * documented 2^-60 trade. */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
@@ -567,13 +593,20 @@ object TextOps {
     * broadcast map-side join is the right 100 TB shape — but the size is
     * DATA-dependent, and a degenerate corpus (the repo's own ×1000
     * adversarial fixture trains ~300M types) would OOM the driver on an
-    * unconditional broadcast. Guard on the vocab row count (cheap: the
-    * trainer's output reads from localCheckpoint'd frames) and above
+    * unconditional broadcast. Guard on the vocab row count and above
     * the threshold fall back to a shuffle-hash join — identical output,
-    * one extra shuffle of the corpus side. */
+    * one extra shuffle of the corpus side.
+    *
+    * Pass `vocabRows` when the caller already knows the count (the
+    * trainer's word count is invariant under merges — merges rewrite
+    * `syms`, never add or remove words — so `bpeVocabSymsWithCount`
+    * hands it over for free); recomputing it here costs one extra
+    * Spark job per invocation, which was a measured 0.4 s/query
+    * regression on the bench suite (BENCH_r09 llm_bpe_apply). */
   def joinSegmentation(words: DataFrame, vocab: DataFrame,
-      maxBroadcastRows: Long = 10000000L): DataFrame =
-    if (vocab.count() <= maxBroadcastRows)
+      maxBroadcastRows: Long = 10000000L,
+      vocabRows: Option[Long] = None): DataFrame =
+    if (vocabRows.getOrElse(vocab.count()) <= maxBroadcastRows)
       words.join(broadcast(vocab), Seq("word"))
     else words.join(vocab.hint("SHUFFLE_HASH"), Seq("word"))
 

@@ -2379,11 +2379,11 @@ object Llm extends QueryModule {
         val wordFreq = docs
           .select(explode(TextOps.tokens(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("freq"))
-        val vocab = TextOps.bpeVocabSyms(wordFreq, 6)
+        val (vocab, nVocab) = TextOps.bpeVocabSymsWithCount(wordFreq, 6)
         TextOps.joinSegmentation(
           docs.select(col("doc_id"),
             posexplode(TextOps.tokens(col("text"))).as(Seq("ord", "word"))),
-          vocab.select("word", "syms"))
+          vocab.select("word", "syms"), vocabRows = Some(nVocab))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
             sum(size(col("syms"))).as("n_pieces"),
