@@ -53,6 +53,60 @@ object TopN {
       .drop(SaltCol)
   }
 
+  /** Exact GLOBAL row_number over `order` WITHOUT the single-reducer
+    * sort a bare `row_number().over(Window.orderBy(...))` plans — that
+    * shape funnels the whole input through one task, the classic
+    * 100 TB scale-killer this library's own PlanAudit warns on.
+    *
+    * Two-phase construction, fully deterministic (no sampling, no
+    * spark_partition_id — both halves of the plan recompute the SAME
+    * bucket assignment, which sampled range partitioning cannot
+    * promise across re-evaluations):
+    *
+    *   Phase 1 — `bucketOf` coarsens the order into a BOUNDED set of
+    *   buckets (caller contract: bucket values must be monotone
+    *   non-decreasing along `order`, e.g. `-floor(score * 8)` for a
+    *   `desc(score)` order; ties in the order share a bucket
+    *   automatically when the bucket derives from the order key
+    *   alone). A count aggregate per bucket — map-side combinable,
+    *   bucket-count rows total — is collected and turned into exact
+    *   integer rank OFFSETS (rows in all strictly-earlier buckets).
+    *
+    *   Phase 2 — row_number PARTITIONED by bucket (parallel across
+    *   buckets) plus the broadcast-literal offset = the exact global
+    *   rank.
+    *
+    * The driver-side collect is bounded by the bucket count (hundreds
+    * for any sane granularity — same bounded-metadata class as AQE's
+    * own shuffle statistics), never by the data. Skew caveat: rows
+    * sharing one bucket value serialize through that bucket's window
+    * task; pick `bucketOf` granularity so no single bucket holds a
+    * memory-breaking share (a wider score histogram = more parallel
+    * buckets).
+    *
+    * Returns (input + rankCol, total row count) — the total falls out
+    * of phase 1 for free, so callers needing rank arithmetic against n
+    * (tercile cuts, top-p fractions) skip a separate count job. */
+  def bucketedGlobalRank(df: DataFrame, bucketOf: Column,
+      order: Seq[Column], rankCol: String): (DataFrame, Long) = {
+    val BktCol = "__graft_bkt"
+    val b = df.withColumn(BktCol, bucketOf.cast("long"))
+    val counts = b.groupBy(BktCol)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(BktCol)
+      .collect()
+    var running = 0L
+    val offsets = counts.map { r =>
+      val o = running; running += r.getLong(1); (r.getLong(0), o)
+    }.toMap
+    val w = Window.partitionBy(BktCol).orderBy(order: _*)
+    val ranked = b
+      .withColumn(rankCol,
+        element_at(typedLit(offsets), col(BktCol)) + row_number().over(w))
+      .drop(BktCol)
+    (ranked, running)
+  }
+
   /** All rows whose dense_rank per key is ≤ n, with exact `rank` and
     * `dense_rank` columns appended (ties preserved). */
   def saltedDenseRank(df: DataFrame, keys: Seq[Column], order: Seq[Column],

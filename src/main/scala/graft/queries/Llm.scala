@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
@@ -566,10 +567,15 @@ object Llm extends QueryModule {
     // ranking on mean_logp IS ranking on perplexity without the exp).
     // Tercile boundaries are INTEGER rank arithmetic (r*3 vs n), never
     // interpolated quantiles — engine-identical by construction where
-    // a float cutoff could flap on tied scores at the boundary. The
-    // global rank is one sort at fixture scale; at 100 TB the same
-    // boundary comes from a distributed sort or a two-phase
-    // count-below-threshold pass, same downstream CASE.
+    // a float cutoff could flap on tied scores at the boundary.
+    //
+    // The global rank is TopN.bucketedGlobalRank (round 10): a
+    // -floor(8·mean_logp) histogram bucket coarsens the order, exact
+    // integer offsets come off the bounded bucket-count aggregate, and
+    // the row_number window is PARTITIONED by bucket — every stage
+    // parallel, where the previous unpartitioned Window.orderBy ranked
+    // the whole scored corpus through one task (the one scale-killer
+    // the r9 audit flagged). n falls out of phase 1 for free.
     QueryDef(
       "llm_perplexity_filter",
       (s, dir) => {
@@ -585,13 +591,13 @@ object Llm extends QueryModule {
           .groupBy("doc_id")
           .agg(round(avg(log(col("c").cast("double") / col("tot"))), 6)
             .as("mean_logp"))
-        val n1 = scored.agg(count(lit(1)).as("n"))
-        scored.crossJoin(broadcast(n1))
-          .withColumn("r", row_number().over(
-            Window.orderBy(desc("mean_logp"), asc("doc_id"))))
+        val (ranked, n) = graft.operators.TopN.bucketedGlobalRank(scored,
+          -floor(col("mean_logp") * 8),
+          Seq(desc("mean_logp"), asc("doc_id")), "r")
+        ranked
           .select(col("doc_id"), col("mean_logp"),
-            when(col("r") * 3 <= col("n"), "head")
-              .when(col("r") * 3 <= col("n") * 2, "middle")
+            when(col("r") * 3 <= n, "head")
+              .when(col("r") * 3 <= n * 2, "middle")
               .otherwise("tail").as("ppl_bucket"))
           .orderBy("doc_id")
       },
@@ -2314,22 +2320,8 @@ object Llm extends QueryModule {
     // tokens_to_ids family's documented single-partition-window class.
     QueryDef(
       "llm_vocab_coverage",
-      (s, dir) => {
-        val words = Catalog.table(s, dir, "documents")
-          .select(explode(TextOps.tokens(col("text"))).as("word"))
-        val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-        val top = counts.orderBy(desc("cnt"), asc("word")).limit(16)
-        val total = words.agg(count(lit(1)).as("tot"))
-        val ord = Window.orderBy(desc("cnt"), asc("word"))
-        top
-          .withColumn("k", row_number().over(ord))
-          .withColumn("cum", sum("cnt").over(ord))
-          .crossJoin(broadcast(total))
-          .select(col("k").as("vocab_size"), col("cum").as("n_covered"),
-            round(lit(1.0) - col("cum").cast("double") / col("tot"), 6)
-              .as("oov_rate"))
-          .orderBy("vocab_size")
-      },
+      (s, dir) =>
+        vocabCoverage(Catalog.table(s, dir, "documents"), "text", 16),
       Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
             FROM documents),
         c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
@@ -2879,6 +2871,29 @@ object Llm extends QueryModule {
     * match in a run ("aaaa"+(a,a) merges positions 1 and 3), the symbol
     * after a kept match is dropped, the kept position becomes the
     * merged symbol. */
+  /** Vocabulary coverage curve body, budget-parameterized (round 10):
+    * the declared llm_vocab_coverage runs it at the fixture's k=16;
+    * ScaleBench drives k=1000 on the ×100 corpus so the curve is
+    * exercised at a real budget. One fine-key count aggregate, a
+    * TakeOrdered top-k (never a global sort), a broadcast 1-row total;
+    * the rank/cumsum windows see only the k-row table — the
+    * tokens_to_ids family's documented bounded-input window class. */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(desc("cnt"), asc("word")).limit(k)
+    val total = words.agg(count(lit(1)).as("tot"))
+    val ord = Window.orderBy(desc("cnt"), asc("word"))
+    top
+      .withColumn("k", row_number().over(ord))
+      .withColumn("cum", sum("cnt").over(ord))
+      .crossJoin(broadcast(total))
+      .select(col("k").as("vocab_size"), col("cum").as("n_covered"),
+        round(lit(1.0) - col("cum").cast("double") / col("tot"), 6)
+          .as("oov_rate"))
+      .orderBy("vocab_size")
+  }
+
   private def bpeOracle(k: Int): String = {
     val out = (1 to k).map(i =>
       s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, cnt FROM t$i")

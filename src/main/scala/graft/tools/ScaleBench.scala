@@ -227,6 +227,21 @@ object ScaleBench {
       graft.SparkEntry.queries("llm_pipeline_e2e")(spark, out)))
     time("pipeline_curation")(force(
       graft.SparkEntry.queries("llm_pipeline_curation")(spark, out)))
+    // CCNet tercile bucketing via the bucketed two-phase global rank
+    // (round 10): the corpus-wide rank that used to funnel every scored
+    // doc through ONE window task now runs partitioned by score-
+    // histogram bucket. The probe drives the exact declared query on
+    // the scaled corpus — token explode + LM join + per-bucket rank.
+    time("perplexity_filter")(force(
+      graft.SparkEntry.queries("llm_perplexity_filter")(spark, out)))
+    // Vocabulary coverage at a REAL budget (round 10): the declared
+    // query's 16-word budget exercises the plumbing; this probes the
+    // curve where it matters — top-1k candidate vocab over the scaled
+    // corpus (~30M types at x100), TakeOrdered top-k, windows over the
+    // bounded k-row table only.
+    time("vocab_coverage_1k")(force(
+      graft.queries.Llm.vocabCoverage(
+        spark.read.parquet(docsPath), "text", 1000)))
     // PageRank at ×mult the sf0.1 customer–supplier graph: `mult`
     // id-offset DISJOINT copies of the bipartite projection, so node
     // and edge counts scale exactly ×mult while per-copy structure

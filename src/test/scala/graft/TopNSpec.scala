@@ -44,6 +44,41 @@ class TopNSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("bucketedGlobalRank == plain global row_number at every granularity") {
+    val orders = Catalog.table(spark, sf0001, "orders").limit(500)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val order = Seq(desc("o_totalprice"), asc("o_orderkey"))
+    val plain = orders
+      .withColumn("r", row_number().over(Window.orderBy(order: _*)))
+    // Granularities from "everything in one bucket" (degenerate: the
+    // whole corpus through one window task, still EXACT) through a fine
+    // histogram; each must reproduce the single-window rank bit-for-bit.
+    for (bucket <- Seq(lit(0), -floor(col("o_totalprice") / 10000),
+        -floor(col("o_totalprice")))) {
+      val (ranked, n) = TopN.bucketedGlobalRank(orders, bucket, order, "r")
+      assert(n == 500)
+      assert(plain.exceptAll(ranked).isEmpty && ranked.exceptAll(plain).isEmpty)
+    }
+  }
+
+  test("bucketedGlobalRank keeps tied order keys deterministic via tiebreak") {
+    import spark.implicits._
+    // heavy ties on the score; doc id is the tiebreak — same contract
+    // as llm_perplexity_filter's (mean_logp desc, doc_id asc)
+    val df = (0 until 100).map(i => (i.toLong, (i % 5).toDouble))
+      .toDF("id", "score")
+    val order = Seq(desc("score"), asc("id"))
+    val plain = df.withColumn("r", row_number().over(Window.orderBy(order: _*)))
+    val (ranked, n) = TopN.bucketedGlobalRank(df,
+      -floor(col("score") * 8), order, "r")
+    assert(n == 100)
+    assert(plain.exceptAll(ranked).isEmpty && ranked.exceptAll(plain).isEmpty)
+    // and the ranking window really is partitioned (no single-task rank)
+    val warns = graft.plans.PlanAudit.audit(ranked)
+      .filter(_.rule == "single-partition-window")
+    assert(warns.isEmpty, s"expected no single-partition window, got $warns")
+  }
+
   test("salted pre-filter keeps ALL tied rows of a boundary value") {
     import spark.implicits._
     // 40 rows: value 10 ×20 (rank 1, tied), value 9 ×19, value 8 ×1 —
