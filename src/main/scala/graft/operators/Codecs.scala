@@ -361,11 +361,12 @@ object Codecs {
   // ------------------------------------------- JPEG (baseline sequential)
   //
   // Full baseline JPEG decode needs no external library either: Huffman
-  // entropy decode, dequantize, de-zigzag, IDCT, and the YCbCr→RGB
-  // transform are plain arithmetic. Scope: 8-bit BASELINE (SOF0/SOF1),
-  // grayscale or 4:4:4 (1x1 sampling) — progressive (SOF2), subsampled,
-  // and arithmetic-coded streams are rejected loudly; MP4 sample decode
-  // stays behind the documented stub boundary.
+  // entropy decode, dequantize, de-zigzag, IDCT, chroma upsampling, and
+  // the YCbCr→RGB transform are plain arithmetic. Scope: 8-bit BASELINE
+  // (SOF0/SOF1), grayscale, 4:4:4 (1x1 sampling), or 4:2:0 (luma 2x2 —
+  // the real-world color default, round 10); progressive (SOF2), other
+  // samplings (4:2:2/4:1:1), and arithmetic-coded streams are rejected
+  // loudly; MP4 sample decode stays behind the documented stub boundary.
   //
   // Cross-engine exactness design (what gives full-pixel decode a DuckDB
   // oracle despite JPEG being lossy):
@@ -599,67 +600,113 @@ object Codecs {
   }
 
   /** Baseline sequential JPEG ENCODER — gray (1 component, the Bmp's R
-    * channel) or YCbCr 4:4:4 via the fixed-point transform. Exists so
-    * fixtures are REAL files; fidelity is governed by the quant tables
-    * (unit tables + flat blocks → lossless, see header comment). */
+    * channel), YCbCr 4:4:4, or (subsample=true) YCbCr 4:2:0 — luma
+    * 2x2 against 1x1 chroma, the layout real-world color JPEGs
+    * overwhelmingly use: each MCU interleaves 4 luma blocks with one
+    * Cb and one Cr block covering 16x16 pixels, chroma planes
+    * box-average-downsampled 2x2 (replicated edges, round half-up).
+    * Exists so fixtures are REAL files; fidelity is governed by the
+    * quant tables (unit tables + flat blocks → lossless, see header
+    * comment; for 4:2:0 the chroma must additionally be constant over
+    * each downsample footprint — the synth420 fixtures hold it
+    * constant corpus-wide). */
   def encodeJpeg(img: Bmp, gray: Boolean = false,
       quantLuma: Array[Int] = jpegUnitQuant,
       quantChroma: Array[Int] = jpegUnitQuant,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0,
+      subsample: Boolean = false): Array[Byte] = {
+    require(!(gray && subsample), "chroma subsampling applies to color only")
     val w = img.width; val h = img.height
     val nComp = if (gray) 1 else 3
-    val planes = Array.fill(nComp)(new Array[Int](w * h))
+    val hs = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
+    val vs = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
+    val hmax = hs(0); val vmax = vs(0) // luma always carries the max
+    val full = Array.fill(nComp)(new Array[Int](w * h))
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val (r, g, b) = img.pixels(y)(x)
-        if (gray) planes(0)(y * w + x) = r
+        if (gray) full(0)(y * w + x) = r
         else {
           val (yy, cb, cr) = rgbToYcc(r, g, b)
-          planes(0)(y * w + x) = yy
-          planes(1)(y * w + x) = cb
-          planes(2)(y * w + x) = cr
+          full(0)(y * w + x) = yy
+          full(1)(y * w + x) = cb
+          full(2)(y * w + x) = cr
         }
         x += 1
       }
       y += 1
     }
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val coefs = Array.tabulate(bh * bw, nComp) { (m, c) =>
-      fdctQuant(getBlock(planes(c), w, h, m % bw, m / bw),
-        if (c == 0) quantLuma else quantChroma)
+    val compW = Array.tabulate(nComp)(c => (w * hs(c) + hmax - 1) / hmax)
+    val compH = Array.tabulate(nComp)(c => (h * vs(c) + vmax - 1) / vmax)
+    val planes = Array.tabulate(nComp) { c =>
+      if (hs(c) == hmax && vs(c) == vmax) full(c)
+      else {
+        val cw = compW(c); val ch = compH(c)
+        val p = new Array[Int](cw * ch)
+        var cy = 0
+        while (cy < ch) {
+          var cx = 0
+          while (cx < cw) {
+            val x0 = cx * 2; val y0 = cy * 2
+            val x1 = math.min(x0 + 1, w - 1)
+            val y1 = math.min(y0 + 1, h - 1)
+            p(cy * cw + cx) = (full(c)(y0 * w + x0) + full(c)(y0 * w + x1) +
+              full(c)(y1 * w + x0) + full(c)(y1 * w + x1) + 2) / 4
+            cx += 1
+          }
+          cy += 1
+        }
+        p
+      }
     }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     // token stream: (cls, tid, sym, extraVal, extraBits); RST = null
     final case class Tok(cls: Int, tid: Int, sym: Int, ev: Int, eb: Int)
     val toks = collection.mutable.ArrayBuffer.empty[Tok]
     val pred = new Array[Int](nComp)
     var mcu = 0
-    while (mcu < bh * bw) {
+    while (mcu < mcusX * mcusY) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         toks += null // restart sentinel
         java.util.Arrays.fill(pred, 0)
       }
+      val mx = mcu % mcusX; val my = mcu / mcusX
       var c = 0
       while (c < nComp) {
         val tid = if (c == 0) 0 else 1
-        val cf = coefs(mcu)(c)
-        val diff = cf(0) - pred(c); pred(c) = cf(0)
-        val (t, ev) = category(diff)
-        toks += Tok(0, tid, t, ev, t)
-        var k = 1; var run = 0
-        while (k < 64) {
-          val v = cf(zigzag(k))
-          if (v == 0) run += 1
-          else {
-            while (run >= 16) { toks += Tok(1, tid, 0xf0, 0, 0); run -= 16 }
-            val (sz, bv) = category(v)
-            toks += Tok(1, tid, (run << 4) | sz, bv, sz)
-            run = 0
+        // hs(c)×vs(c) blocks per MCU, raster order (JPEG interleave,
+        // spec A.2.3); DC prediction accumulates per component in
+        // exactly this encounter order.
+        var bv = 0
+        while (bv < vs(c)) {
+          var bhh = 0
+          while (bhh < hs(c)) {
+            val cf = fdctQuant(getBlock(planes(c), compW(c), compH(c),
+              mx * hs(c) + bhh, my * vs(c) + bv),
+              if (c == 0) quantLuma else quantChroma)
+            val diff = cf(0) - pred(c); pred(c) = cf(0)
+            val (t, ev) = category(diff)
+            toks += Tok(0, tid, t, ev, t)
+            var k = 1; var run = 0
+            while (k < 64) {
+              val v = cf(zigzag(k))
+              if (v == 0) run += 1
+              else {
+                while (run >= 16) { toks += Tok(1, tid, 0xf0, 0, 0); run -= 16 }
+                val (sz, bvv) = category(v)
+                toks += Tok(1, tid, (run << 4) | sz, bvv, sz)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) toks += Tok(1, tid, 0x00, 0, 0) // EOB
+            bhh += 1
           }
-          k += 1
+          bv += 1
         }
-        if (run > 0) toks += Tok(1, tid, 0x00, 0, 0) // EOB
         c += 1
       }
       mcu += 1
@@ -689,7 +736,7 @@ object Codecs {
     var c = 0
     while (c < nComp) {
       sof(6 + 3 * c) = (c + 1).toByte
-      sof(7 + 3 * c) = 0x11.toByte
+      sof(7 + 3 * c) = ((hs(c) << 4) | vs(c)).toByte
       sof(8 + 3 * c) = (if (c == 0) 0 else 1).toByte
       c += 1
     }
@@ -727,17 +774,23 @@ object Codecs {
     out.toByteArray
   }
 
+  /** One frame component: id, sampling factors, quant table id. */
+  private final case class JComp(cid: Int, h: Int, v: Int, tq: Int)
+
   /** Baseline sequential JPEG DECODER: marker walk (DQT/DHT/SOF0/DRI),
     * Huffman entropy decode with byte unstuffing and restart handling,
-    * dequantize, de-zigzag, IDCT, fixed-point YCbCr→RGB. Rejects
-    * progressive/subsampled/arithmetic/truncated input loudly. */
+    * dequantize, de-zigzag, IDCT, 4:2:0 chroma upsampling (libjpeg-
+    * style triangular filter), fixed-point YCbCr→RGB. Accepts 1x1
+    * sampling (grayscale / 4:4:4) and 4:2:0 (luma 2x2 — the layout
+    * real-world color JPEGs overwhelmingly use); rejects progressive /
+    * other samplings / arithmetic / truncated input loudly. */
   def decodeJpeg(bytes: Array[Byte]): Bmp = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG payload")
     val quant = new Array[Array[Int]](4)
     val huff = collection.mutable.Map.empty[(Int, Int), HuffDec]
     var w = -1; var h = -1
-    var comps: Array[(Int, Int)] = null // (componentId, quantTableId)
+    var comps: Array[JComp] = null
     var dri = 0
     var pos = 2
     var scan = -1
@@ -796,10 +849,18 @@ object Codecs {
           require(n == 1 || n == 3, "only 1- or 3-component JPEG supported")
           require(len >= 8 + 3 * n, "JPEG SOF length/component mismatch")
           comps = Array.tabulate(n) { i =>
-            require((bytes(body + 7 + 3 * i) & 0xff) == 0x11,
-              "only 1x1 sampling (4:4:4 / grayscale) JPEG supported")
-            (bytes(body + 6 + 3 * i) & 0xff, bytes(body + 8 + 3 * i) & 0xff)
+            val samp = bytes(body + 7 + 3 * i) & 0xff
+            JComp(bytes(body + 6 + 3 * i) & 0xff,
+              (samp >> 4) & 0x0f, samp & 0x0f,
+              bytes(body + 8 + 3 * i) & 0xff)
           }
+          val all11 = comps.forall(c => c.h == 1 && c.v == 1)
+          val is420 = comps.length == 3 &&
+            comps(0).h == 2 && comps(0).v == 2 &&
+            comps.tail.forall(c => c.h == 1 && c.v == 1)
+          require(all11 || is420,
+            "only 1x1 (4:4:4 / grayscale) or 4:2:0 (luma 2x2) JPEG " +
+              "sampling supported")
         case 0xc2 =>
           require(requirement = false,
             "progressive JPEG (SOF2) not supported by the baseline decoder")
@@ -819,7 +880,7 @@ object Codecs {
           // scan component → (component index, dc table, ac table)
           val sel = Array.tabulate(ns) { i =>
             val cid = bytes(body + 1 + 2 * i) & 0xff
-            val ci = comps.indexWhere(_._1 == cid)
+            val ci = comps.indexWhere(_.cid == cid)
             require(ci >= 0, s"JPEG scan references unknown component $cid")
             (ci, (bytes(body + 2 + 2 * i) >> 4) & 0x0f,
               bytes(body + 2 + 2 * i) & 0x0f)
@@ -835,55 +896,73 @@ object Codecs {
   }
 
   private def decodeScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
-      comps: Array[(Int, Int)], sel: Array[(Int, Int, Int)],
+      comps: Array[JComp], sel: Array[(Int, Int, Int)],
       quant: Array[Array[Int]], huff: Map[(Int, Int), HuffDec],
       dri: Int): Bmp = {
     val nComp = comps.length
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val pw = bw * 8
-    val planes = Array.fill(nComp)(new Array[Int](pw * bh * 8))
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val pw = Array.tabulate(nComp)(i => mcusX * comps(i).h * 8)
+    val planes = Array.tabulate(nComp)(i =>
+      new Array[Int](pw(i) * mcusY * comps(i).v * 8))
     val br = new BitReader(bytes, start)
     val pred = new Array[Int](nComp)
     var rst = 0
     var mcu = 0
-    while (mcu < bw * bh) {
+    while (mcu < mcusX * mcusY) {
       if (dri > 0 && mcu > 0 && mcu % dri == 0) {
         br.expectRestart(rst); rst = (rst + 1) % 8
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = mcu % bw; val by = mcu / bw
+      val mx = mcu % mcusX; val my = mcu / mcusX
       var s = 0
       while (s < nComp) {
         val (ci, dcT, acT) = sel(s)
-        val q = quant(comps(ci)._2)
+        val q = quant(comps(ci).tq)
         require(q != null, "JPEG scan before its quant table")
         val dc = huff.getOrElse((0, dcT),
           sys.error(s"JPEG missing DC Huffman table $dcT"))
         val ac = huff.getOrElse((1, acT),
           sys.error(s"JPEG missing AC Huffman table $acT"))
-        val coef = new Array[Int](64)
-        val t = dc.decode(br)
-        require(t <= 11, s"bad JPEG DC category $t")
-        pred(ci) += extendBits(br.receive(t), t)
-        coef(0) = pred(ci) * q(0)
-        var k = 1
-        while (k < 64) {
-          val sym = ac.decode(br)
-          if (sym == 0x00) k = 64 // EOB
-          else if (sym == 0xf0) k += 16 // ZRL
-          else {
-            k += (sym >> 4) & 0x0f
-            require(k < 64, "JPEG AC coefficient index out of range")
-            val sz = sym & 0x0f
-            coef(zigzag(k)) = extendBits(br.receive(sz), sz) * q(zigzag(k))
-            k += 1
+        // comps(ci).h × comps(ci).v blocks per MCU, raster order (JPEG
+        // interleave, spec A.2.3) — 1 block at 1x1, 4 luma blocks at
+        // 4:2:0; DC prediction accumulates per component across blocks
+        // in this encounter order.
+        var bv = 0
+        while (bv < comps(ci).v) {
+          var bhh = 0
+          while (bhh < comps(ci).h) {
+            val coef = new Array[Int](64)
+            val t = dc.decode(br)
+            require(t <= 11, s"bad JPEG DC category $t")
+            pred(ci) += extendBits(br.receive(t), t)
+            coef(0) = pred(ci) * q(0)
+            var k = 1
+            while (k < 64) {
+              val sym = ac.decode(br)
+              if (sym == 0x00) k = 64 // EOB
+              else if (sym == 0xf0) k += 16 // ZRL
+              else {
+                k += (sym >> 4) & 0x0f
+                require(k < 64, "JPEG AC coefficient index out of range")
+                val sz = sym & 0x0f
+                coef(zigzag(k)) = extendBits(br.receive(sz), sz) * q(zigzag(k))
+                k += 1
+              }
+            }
+            val px = idct(coef)
+            val bx = mx * comps(ci).h + bhh
+            val by = my * comps(ci).v + bv
+            var y = 0
+            while (y < 8) {
+              System.arraycopy(px, y * 8, planes(ci),
+                (by * 8 + y) * pw(ci) + bx * 8, 8)
+              y += 1
+            }
+            bhh += 1
           }
-        }
-        val px = idct(coef)
-        var y = 0
-        while (y < 8) {
-          System.arraycopy(px, y * 8, planes(ci), (by * 8 + y) * pw + bx * 8, 8)
-          y += 1
+          bv += 1
         }
         s += 1
       }
@@ -893,6 +972,14 @@ object Codecs {
     require(br.pos + 2 <= bytes.length &&
       (bytes(br.pos) & 0xff) == 0xff && (bytes(br.pos + 1) & 0xff) == 0xd9,
       "JPEG entropy stream not followed by EOI")
+    val subsampled = hmax > 1 || vmax > 1
+    // 4:2:0 chroma at full resolution via the triangular filter
+    val (cbF, crF) =
+      if (nComp == 3 && subsampled) {
+        val cw = (w + 1) / 2; val ch = (h + 1) / 2
+        (upsampleFancy2x2(planes(1), pw(1), cw, ch, w, h),
+          upsampleFancy2x2(planes(2), pw(2), cw, ch, w, h))
+      } else (null, null)
     val out = Array.ofDim[(Int, Int, Int)](h, w)
     var y = 0
     while (y < h) {
@@ -900,14 +987,48 @@ object Codecs {
       while (x < w) {
         out(y)(x) =
           if (nComp == 1) {
-            val v = planes(0)(y * pw + x); (v, v, v)
-          } else yccToRgb(planes(0)(y * pw + x), planes(1)(y * pw + x),
-            planes(2)(y * pw + x))
+            val v = planes(0)(y * pw(0) + x); (v, v, v)
+          } else if (subsampled)
+            yccToRgb(planes(0)(y * pw(0) + x), cbF(y * w + x), crF(y * w + x))
+          else yccToRgb(planes(0)(y * pw(0) + x), planes(1)(y * pw(1) + x),
+            planes(2)(y * pw(2) + x))
         x += 1
       }
       y += 1
     }
     Bmp(w, h, out)
+  }
+
+  /** h2v2 "fancy" (triangular) chroma upsampling — the libjpeg default
+    * real decoders apply, implemented from the published algorithm so
+    * our full-resolution chroma matches what the JDK's IJG-derived
+    * ImageIO decoder produces on the same coefficients: each output
+    * pixel is the 9:3:3:1 blend of its nearest chroma sample, the
+    * horizontal neighbor toward the pixel, the vertical neighbor, and
+    * the diagonal, rounded by +8 >> 4; edges replicate (neighbor
+    * clamped into [0, cw/ch)). `pw` is the padded plane stride; only
+    * [0,cw)×[0,ch) content samples are read, so MCU edge padding never
+    * leaks into the output. */
+  private def upsampleFancy2x2(plane: Array[Int], pw: Int, cw: Int, ch: Int,
+      w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val ny = y >> 1
+      val fy =
+        if ((y & 1) == 0) math.max(ny - 1, 0) else math.min(ny + 1, ch - 1)
+      var x = 0
+      while (x < w) {
+        val nx = x >> 1
+        val fx =
+          if ((x & 1) == 0) math.max(nx - 1, 0) else math.min(nx + 1, cw - 1)
+        out(y * w + x) = (9 * plane(ny * pw + nx) + 3 * plane(ny * pw + fx) +
+          3 * plane(fy * pw + nx) + plane(fy * pw + fx) + 8) >> 4
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
   //
   // Full JPEG decode (Huffman + DCT) and MP4 video decode remain behind
@@ -1350,6 +1471,41 @@ object Codecs {
     * fixture, unit quant tables for the lossless-decode contract. */
   def synthBaselineJpeg(d: Long): Array[Byte] =
     encodeJpeg(synthJpegImage(d), gray = d % 5 == 0,
+      restartInterval = (d % 4).toInt)
+
+  /** Per-doc constant GRAY-AXIS OFFSETS for the 4:2:0 fixtures, in
+    * [-10, 10]. Pixels (v+a, v+g, v+b) have EXACTLY constant chroma
+    * under the fixed-point forward transform — the v terms cancel
+    * (−168736 − 331264 + 500000 = 0 for Cb, likewise Cr) and the floor
+    * applies to a v-independent remainder — while Y = v + floor(K/1000)
+    * tracks the per-block v. That is what makes full 4:2:0 decode
+    * closed-form: flat Y blocks are DC-lossless under unit quant, and
+    * the corpus-wide-constant chroma is invariant under BOTH the 2x2
+    * box downsample and any upsampling filter. */
+  def synth420Offsets(d: Long): (Int, Int, Int) =
+    (((d % 21) - 10).toInt, (((3 * d) % 21) - 10).toInt,
+      (((5 * d) % 21) - 10).toInt)
+
+  /** Closed-form image for the 4:2:0 oracle: luma constant per 16x16
+    * MCU (so all four Y blocks of an MCU are flat), chroma constant
+    * over the whole image (see synth420Offsets). v ∈ [20, 219] keeps
+    * every channel inside [10, 229] — no clamp ever fires. Dimensions
+    * deliberately non-multiples of 16 so edge-MCU padding/cropping and
+    * the chroma half-plane rounding are load-bearing. */
+  def synthJpegImage420(d: Long): Bmp = {
+    val w = (40 + d % 27).toInt; val h = (24 + d % 23).toInt
+    val (a, g, b) = synth420Offsets(d)
+    Bmp(w, h, Array.tabulate(h, w) { (y, x) =>
+      val mx = x / 16; val my = y / 16
+      val v = (20 + (d + 31 * mx + 47 * my) % 200).toInt
+      (v + a, v + g, v + b)
+    })
+  }
+
+  /** Closed-form REAL 4:2:0 baseline JPEG: 2x2-subsampled color, unit
+    * quant tables, restart interval cycling 0-3 MCUs. */
+  def synthBaselineJpeg420(d: Long): Array[Byte] =
+    encodeJpeg(synthJpegImage420(d), subsample = true,
       restartInterval = (d % 4).toInt)
 
   /** Closed-form JPEG shell — every field the DuckDB oracle recomputes

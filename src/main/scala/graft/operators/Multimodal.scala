@@ -369,6 +369,25 @@ object Multimodal {
     ids.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a REAL 4:2:0 (2x2-subsampled) baseline
+    * JPEG — the layout real-world color JPEGs overwhelmingly use. Luma
+    * is constant per 16x16 MCU and chroma exactly constant per doc, so
+    * full decode through the subsampled path is bit-exact (see
+    * Codecs.synthJpegImage420). */
+  def synthJpeg420Media(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthBaselineJpeg420(d), "image/jpeg",
+          Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL baseline-JPEG decode per partition: marker walk, Huffman
     * entropy decode (with restarts), dequant, IDCT, fixed-point
     * YCbCr→RGB. Same feature row as the BMP/PNG twins. */

@@ -2598,6 +2598,66 @@ object Llm extends QueryModule {
           CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
         FROM dec GROUP BY doc_id ORDER BY id""")),
 
+    // REAL 4:2:0 (2x2-subsampled) baseline JPEG decode — the layout
+    // real-world color JPEGs overwhelmingly use, through the full
+    // subsampled path: 4-luma+Cb+Cr MCU interleave, per-component DC
+    // prediction, chroma plane decode, upsampling, fixed-point
+    // YCbCr→RGB. Exactness contract (Codecs.synthJpegImage420): luma
+    // constant per 16x16 MCU (all four interleaved Y blocks flat →
+    // DC-only under unit quant) and chroma EXACTLY constant per doc
+    // (gray-axis offsets — the luma terms of the fixed-point forward
+    // transform cancel), so the 2x2 box downsample, the DC path, and
+    // the upsampling filter are all lossless and DuckDB recomputes
+    // every decoded pixel in integer arithmetic. Non-flat chroma
+    // content is pinned separately against the JDK's independent
+    // ImageIO decoder in CodecsSpec (both directions).
+    QueryDef(
+      "llm_image_decode_jpeg420",
+      (s, dir) => Multimodal.decodeJpegFeatures(
+        Multimodal.synthJpeg420Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(40 + doc_id % 27 AS INT) AS w,
+            CAST(24 + doc_id % 23 AS INT) AS h,
+            doc_id % 21 - 10 AS oa,
+            (3 * doc_id) % 21 - 10 AS og,
+            (5 * doc_id) % 21 - 10 AS ob
+          FROM documents WHERE doc_id < 300),
+        px AS (SELECT d.doc_id, d.w, d.h, d.oa, d.og, d.ob, x.x AS x, y.y AS y,
+            20 + (d.doc_id + 31 * (x.x // 16) + 47 * (y.y // 16)) % 200 AS v
+          FROM d, (SELECT unnest(range(0, 67)) AS x) x,
+            (SELECT unnest(range(0, 47)) AS y) y
+          WHERE x.x < d.w AND y.y < d.h),
+        c AS (SELECT *, v + oa AS r, v + og AS g, v + ob AS b FROM px),
+        yc AS (SELECT *,
+            (299 * r + 587 * g + 114 * b + 500) // 1000 AS y0,
+            least(greatest((128000000 - 168736 * r - 331264 * g
+              + 500000 * b + 500000) // 1000000, 0), 255) AS cb,
+            least(greatest((128000000 + 500000 * r - 418688 * g
+              - 81312 * b + 500000) // 1000000, 0), 255) AS cr
+          FROM c),
+        dec AS (SELECT doc_id, w, h, x, y,
+            least(greatest(
+              (1000 * y0 + 1402 * (cr - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) AS dr,
+            least(greatest(
+              (1000 * y0 - 344 * (cb - 128) - 714 * (cr - 128) + 500
+                + 512000) // 1000 - 512, 0), 255) AS dg,
+            least(greatest(
+              (1000 * y0 + 1772 * (cb - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) AS db
+          FROM yc)
+        SELECT doc_id AS id, CAST(max(w) AS INT) AS width,
+          CAST(max(h) AS INT) AS height,
+          CAST(sum(dr) AS BIGINT) AS sum_r,
+          CAST(sum(dg) AS BIGINT) AS sum_g,
+          CAST(sum(db) AS BIGINT) AS sum_b,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dr END) AS INT) AS px32_r,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dg END) AS INT) AS px32_g,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
+        FROM dec GROUP BY doc_id ORDER BY id""")),
+
     // Cross-FORMAT transcode (the thumbnail-extraction pipeline): real
     // baseline-JPEG decode → nearest resize to 12x8 → lossless PNG
     // re-encode → PNG decode, features off the SECOND decode, so the

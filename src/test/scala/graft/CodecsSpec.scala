@@ -358,6 +358,109 @@ class CodecsSpec extends AnyFunSuite {
     assert(maxd <= 2, s"max gray delta $maxd vs ImageIO on its own stream")
   }
 
+  test("4:2:0 JPEG decode is bit-exact on MCU-flat constant-chroma fixtures") {
+    // The subsampled analogue of the flat-block contract: luma constant
+    // per 16x16 MCU (all four interleaved Y blocks flat → DC-only) and
+    // chroma EXACTLY constant corpus-wide (gray-axis offsets — the v
+    // terms of the fixed-point transform cancel), so the 2x2 box
+    // downsample, the DC path, and ANY upsampling filter are all
+    // lossless. Restart intervals cycle 0-3 across the ids.
+    (0L until 40L).foreach { d =>
+      val img = Codecs.synthJpegImage420(d)
+      val dec = Codecs.decodeJpeg(Codecs.synthBaselineJpeg420(d))
+      assert(dec.width == img.width && dec.height == img.height, s"dims d=$d")
+      var bad = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val (r, g, b) = img.pixels(y)(x)
+        if (dec.pixels(y)(x) != yccRoundTrip(r, g, b)) bad += 1
+      }
+      assert(bad == 0, s"d=$d: $bad mismatched pixels")
+    }
+  }
+
+  test("4:2:0 JPEG decode matches ImageIO on our own lossy subsampled stream") {
+    // Direction 1 of the independence check at 2x2 sampling: arbitrary
+    // pixels, real quantizer, OUR encoder's 4:2:0 interleave — both
+    // decoders read the same coefficients, so agreement bounds IDCT +
+    // upsample + color-convert rounding differences. Tolerance ±3, not
+    // the smooth-content ±2: per-pixel random chroma maximizes chroma
+    // AC energy, the two independent IDCTs can disagree ±1 per chroma
+    // sample, and the inverse transform amplifies a Cb delta by 1.772
+    // into blue (1.402 into red) before the luma ±1 stacks on top —
+    // the honest bound is ~3.5, measured 3.
+    val imgGen = for {
+      w <- Gen.choose(9, 34); h <- Gen.choose(9, 30)
+      px <- Gen.listOfN(h, Gen.listOfN(w, pixelGen))
+    } yield Bmp(w, h, px.map(_.toArray).toArray)
+    samples(imgGen, 10).zipWithIndex.foreach { case (img, i) =>
+      val bytes = Codecs.encodeJpeg(img,
+        quantLuma = Codecs.jpegLossyQuant,
+        quantChroma = Codecs.jpegLossyQuant,
+        restartInterval = i % 3, subsample = true)
+      val ours = Codecs.decodeJpeg(bytes)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, "ImageIO could not parse our 4:2:0 JPEG output")
+      assert(ref.getWidth == img.width && ref.getHeight == img.height)
+      var maxd = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val rgb = ref.getRGB(x, y)
+        val (r, g, b) = ours.pixels(y)(x)
+        maxd = math.max(maxd, math.abs(((rgb >> 16) & 0xff) - r))
+        maxd = math.max(maxd, math.abs(((rgb >> 8) & 0xff) - g))
+        maxd = math.max(maxd, math.abs((rgb & 0xff) - b))
+      }
+      assert(maxd <= 3, s"img $i: max channel delta $maxd vs ImageIO")
+    }
+  }
+
+  test("JPEG decode handles a third-party (ImageIO-written) 4:2:0 color stream") {
+    // Direction 2: a color JPEG our encoder did NOT produce. The JDK
+    // writer's default for RGB is exactly the real-world layout this
+    // round adds — 2x2 luma against 1x1 chroma (asserted below from
+    // the SOF bytes) with the standard Annex-K-style tables. Smooth
+    // gradient content (photographic regime) pins ±2; a harsh
+    // mod-256-wrap pattern is allowed ±3 — with maximal AC energy the
+    // two independent IDCT + color-convert roundings stack one count
+    // higher, measured and documented rather than hidden by skipping
+    // the adversarial content.
+    def jdkJpeg(sharp: Boolean): Array[Byte] = {
+      val w = 37; val h = 21
+      val buf = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) =
+          if (sharp) ((x * 17 + y * 3) % 256, (x * 5 + y * 29) % 256,
+            (x * 11 + y * 13) % 256)
+          else (40 + x * 3 + y * 2, 200 - x * 2 - y, 30 + x + y * 4)
+        buf.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(buf, "jpg", bos))
+      bos.toByteArray
+    }
+    for ((sharp, tol) <- Seq((false, 2), (true, 3))) {
+      val bytes = jdkJpeg(sharp)
+      val sofAt = (2 until bytes.length - 10).find(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+      assert((0 until 3).map(i => bytes(sofAt + 11 + 3 * i) & 0xff) ==
+        Seq(0x22, 0x11, 0x11), "JDK writer no longer emits 4:2:0")
+      val ours = Codecs.decodeJpeg(bytes)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var maxd = 0
+      for (y <- 0 until 21; x <- 0 until 37) {
+        val rgb = ref.getRGB(x, y)
+        val (r, g, b) = ours.pixels(y)(x)
+        maxd = math.max(maxd, math.abs(((rgb >> 16) & 0xff) - r))
+        maxd = math.max(maxd, math.abs(((rgb >> 8) & 0xff) - g))
+        maxd = math.max(maxd, math.abs((rgb & 0xff) - b))
+      }
+      assert(maxd <= tol,
+        s"sharp=$sharp: max channel delta $maxd vs ImageIO (tol $tol)")
+    }
+  }
+
   test("JPEG decode enforces restart-marker sequence and rejects corruption") {
     val d = 3L // d%4=3 → DRI of 3 MCUs; color
     val ok = Codecs.synthBaselineJpeg(d)
@@ -382,11 +485,12 @@ class CodecsSpec extends AnyFunSuite {
     val prog = Codecs.synthJpeg(1L) // odd id → SOF2
     assert(Codecs.jpegMeta(prog).progressive)
     intercept[IllegalArgumentException](Codecs.decodeJpeg(prog))
-    // subsampled SOF: patch the fixture's sampling byte to 4:2:0
+    // unsupported sampling: 4:2:0 is decoded for real since round 10,
+    // so the loud-rejection pin moves to 4:2:2 (luma 2x1)
     val sub = ok.clone()
     val sofAt = (2 until sub.length - 10).find(i =>
       (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0).get
-    sub(sofAt + 11) = 0x22.toByte // first component 2x2 sampling
+    sub(sofAt + 11) = 0x21.toByte // first component 2x1 sampling
     intercept[IllegalArgumentException](Codecs.decodeJpeg(sub))
   }
 
