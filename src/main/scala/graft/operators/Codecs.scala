@@ -1267,12 +1267,22 @@ object Codecs {
   /** Structurally real moov with a full trak/mdia/minf/stbl subtree:
     * mdhd (v0), stts with `sttsRuns` (count, delta) entries, stsz
     * (per-sample sizes, or uniform when all equal and `forceUniform`),
-    * stco with `chunkOffsets`. */
+    * stco with `chunkOffsets`, and — when `samplesPerChunk` is given —
+    * an stsc (sample-to-chunk) table with RUN-compressed entries
+    * (consecutive chunks sharing a samples-per-chunk value share one
+    * entry, exactly the compression real muxers emit). */
   def encodeMp4SampleShell(timescale: Int, sttsRuns: Seq[(Int, Int)],
       sampleSizes: Seq[Int], chunkOffsets: Seq[Int],
-      forceUniform: Boolean = false): Array[Byte] = {
+      forceUniform: Boolean = false,
+      samplesPerChunk: Seq[Int] = Nil): Array[Byte] = {
     require(sttsRuns.map(_._1.toLong).sum == sampleSizes.length,
       "stts sample count must equal stsz entry count")
+    if (samplesPerChunk.nonEmpty) {
+      require(samplesPerChunk.map(_.toLong).sum == sampleSizes.length,
+        "stsc samples-per-chunk must sum to the stsz entry count")
+      require(samplesPerChunk.size == chunkOffsets.size,
+        "one samples-per-chunk value per stco chunk")
+    }
     val ftyp = mp4Box("ftyp", {
       val p = new Array[Byte](16)
       System.arraycopy("isom".getBytes("US-ASCII"), 0, p, 0, 4)
@@ -1336,7 +1346,24 @@ object Codecs {
       }
       p
     })
-    val stbl = mp4Box("stbl", stts ++ stsz ++ stco)
+    // stsc run compression: an entry (first_chunk, samples_per_chunk,
+    // sample_description_index=1) only where the per-chunk value CHANGES
+    val stscEntries = samplesPerChunk.zipWithIndex.collect {
+      case (spc, i) if i == 0 || samplesPerChunk(i - 1) != spc => (i + 1, spc)
+    }
+    val stsc =
+      if (samplesPerChunk.isEmpty) Array.emptyByteArray
+      else mp4Box("stsc", {
+        val p = new Array[Byte](8 + 12 * stscEntries.size)
+        put32be(p, 4, stscEntries.size)
+        stscEntries.zipWithIndex.foreach { case ((fc, spc), i) =>
+          put32be(p, 8 + 12 * i, fc)
+          put32be(p, 12 + 12 * i, spc)
+          put32be(p, 16 + 12 * i, 1)
+        }
+        p
+      })
+    val stbl = mp4Box("stbl", stts ++ stsc ++ stsz ++ stco)
     val minf = mp4Box("minf", stbl)
     val mdia = mp4Box("mdia", mdhd ++ minf)
     val trak = mp4Box("trak", tkhd ++ mdia)
@@ -1348,18 +1375,25 @@ object Codecs {
     * {stts, stsz, stco}. Handles uniform AND per-sample stsz, multiple
     * stts runs; cross-checks the stts total against the stsz count
     * (a malformed pairing fails loudly, as a frame sampler must). */
-  def mp4Samples(bytes: Array[Byte]): Mp4Samples = {
+  private def oneBox(boxes: List[Mp4Box], typ: String): Mp4Box =
+    boxes.find(_.typ == typ).getOrElse(sys.error(s"MP4 missing $typ box"))
+
+  /** moov → trak → mdia → minf → stbl descent, returning the sample
+    * tables (shared by mp4Samples and mp4SampleLocations). */
+  private def stblKids(bytes: Array[Byte]): List[Mp4Box] = {
     require(bytes.length >= 8 &&
       new String(bytes, 4, 4, "US-ASCII") == "ftyp", "not an MP4 payload")
-    def one(boxes: List[Mp4Box], typ: String): Mp4Box =
-      boxes.find(_.typ == typ)
-        .getOrElse(sys.error(s"MP4 missing $typ box"))
-    val moov = one(mp4Walk(bytes, 0, bytes.length), "moov")
-    val trak = one(mp4Walk(bytes, moov.start, moov.end), "trak")
-    val mdia = one(mp4Walk(bytes, trak.start, trak.end), "mdia")
-    val minf = one(mp4Walk(bytes, mdia.start, mdia.end), "minf")
-    val stbl = one(mp4Walk(bytes, minf.start, minf.end), "stbl")
-    val kids = mp4Walk(bytes, stbl.start, stbl.end)
+    val moov = oneBox(mp4Walk(bytes, 0, bytes.length), "moov")
+    val trak = oneBox(mp4Walk(bytes, moov.start, moov.end), "trak")
+    val mdia = oneBox(mp4Walk(bytes, trak.start, trak.end), "mdia")
+    val minf = oneBox(mp4Walk(bytes, mdia.start, mdia.end), "minf")
+    val stbl = oneBox(mp4Walk(bytes, minf.start, minf.end), "stbl")
+    mp4Walk(bytes, stbl.start, stbl.end)
+  }
+
+  def mp4Samples(bytes: Array[Byte]): Mp4Samples = {
+    def one(boxes: List[Mp4Box], typ: String): Mp4Box = oneBox(boxes, typ)
+    val kids = stblKids(bytes)
     val stts = one(kids, "stts")
     // Each table's FIXED header must fit inside its box before any
     // count field is read — a truncated/tiny box would otherwise read
@@ -1427,6 +1461,113 @@ object Codecs {
       sttsRuns = runs, sampleSizes = sizes,
       chunkOffsets = (0 until (1 + d % 5).toInt).map(j => 4096 + 777 * j),
       forceUniform = uniform)
+  }
+
+  final case class Mp4SampleLoc(sampleIdx: Int, chunkIdx: Int,
+      offset: Long, size: Int)
+
+  /** Sample → chunk → file-offset map: the stsc walk (ISO 14496-12
+    * §8.7.4) joined against stco and stsz — the table a frame sampler
+    * actually reads to know WHERE each sample's bytes sit before any
+    * codec runs. Real MP4s pack multiple samples per chunk, so the
+    * per-chunk run table must be expanded: the entry governing chunk c
+    * is the last one with first_chunk ≤ c; a sample's offset is its
+    * chunk's stco offset plus the sizes of the samples before it in
+    * that chunk.
+    *
+    * Fails loudly on every inconsistency a malformed mux can produce:
+    * first_chunk not starting at 1 / not strictly increasing, a
+    * non-positive samples-per-chunk, an entry past the stco chunk
+    * count, or an stsc expansion whose implied sample total disagrees
+    * with stsz (both directions). */
+  def mp4SampleLocations(bytes: Array[Byte]): Array[Mp4SampleLoc] = {
+    val kids = stblKids(bytes)
+    val stsz = oneBox(kids, "stsz")
+    require(stsz.end - stsz.start >= 12, "truncated stsz header")
+    val uniformSize = u32be(bytes, stsz.start + 4)
+    require(uniformSize >= 0, "bad stsz uniform sample size")
+    val nSamples = u32be(bytes, stsz.start + 8)
+    require(nSamples >= 0, "bad stsz count")
+    if (uniformSize == 0)
+      require(stsz.start + 12 + 4L * nSamples <= stsz.end, "truncated stsz")
+    def sizeOf(i: Int): Int =
+      if (uniformSize != 0) uniformSize
+      else {
+        val sz = u32be(bytes, stsz.start + 12 + 4 * i)
+        require(sz >= 0, "bad stsz entry"); sz
+      }
+    val stco = oneBox(kids, "stco")
+    require(stco.end - stco.start >= 8, "truncated stco header")
+    val nChunks = u32be(bytes, stco.start + 4)
+    require(nChunks >= 0 && stco.start + 8 + 4L * nChunks <= stco.end,
+      "truncated stco")
+    def chunkOffset(c: Int): Long = // c is 1-based
+      u32be(bytes, stco.start + 8 + 4 * (c - 1)) & 0xffffffffL
+    val stsc = oneBox(kids, "stsc")
+    require(stsc.end - stsc.start >= 8, "truncated stsc header")
+    val nEntries = u32be(bytes, stsc.start + 4)
+    require(nEntries >= 1 && stsc.start + 8 + 12L * nEntries <= stsc.end,
+      "truncated stsc")
+    val entries = Array.tabulate(nEntries) { i =>
+      (u32be(bytes, stsc.start + 8 + 12 * i),
+        u32be(bytes, stsc.start + 12 + 12 * i))
+    }
+    require(entries(0)._1 == 1, "stsc first entry must cover chunk 1")
+    (1 until nEntries).foreach { i =>
+      require(entries(i)._1 > entries(i - 1)._1,
+        "stsc first_chunk values must be strictly increasing")
+    }
+    entries.foreach { case (fc, spc) =>
+      require(spc > 0, "stsc samples-per-chunk must be positive")
+      require(fc <= nChunks || nChunks == 0,
+        s"stsc entry for chunk $fc exceeds the $nChunks-chunk stco")
+    }
+    val out = new Array[Mp4SampleLoc](nSamples)
+    var e = 0; var s = 0; var c = 1
+    while (c <= nChunks) {
+      while (e + 1 < nEntries && entries(e + 1)._1 <= c) e += 1
+      val spc = entries(e)._2
+      var off = chunkOffset(c)
+      var k = 0
+      while (k < spc) {
+        require(s < nSamples,
+          s"stsc implies more than the $nSamples stsz samples")
+        val sz = sizeOf(s)
+        out(s) = Mp4SampleLoc(s, c, off, sz)
+        off += sz; s += 1; k += 1
+      }
+      c += 1
+    }
+    require(s == nSamples,
+      s"stsc expansion yields $s samples over $nChunks chunks, stsz has $nSamples")
+    out
+  }
+
+  /** Closed-form stsc-bearing shell: per-sample sizes, alternating
+    * samples-per-chunk patterned from doc_id (the last chunk ragged),
+    * chunks CONTIGUOUS from a doc-varying base offset — so DuckDB
+    * recomputes every sample's (chunk, offset, size) with integer
+    * arithmetic + one prefix sum. k1 == k2 ids collapse the stsc to a
+    * single run entry, so the run compression is load-bearing too. */
+  def synthMp4Chunks(d: Long): Array[Byte] = {
+    val n = (24 + d % 40).toInt
+    val delta = (512 + d % 100).toInt
+    val sizes = (0 until n).map(i => (100 + (7 * d + 13 * i) % 900).toInt)
+    val k1 = (3 + d % 4).toInt; val k2 = (1 + d % 3).toInt
+    // J = max chunk count whose pattern total fits inside n samples
+    // (scanLeft emits cum(0)=0 first, so J = |cums ≤ n| - 1)
+    val spcFull = Iterator.continually(Seq(k1, k2)).flatten
+      .scanLeft(0)(_ + _).takeWhile(_ <= n).size - 1
+    val pattern = Iterator.continually(Seq(k1, k2)).flatten.take(spcFull).toSeq
+    val covered = pattern.sum
+    val spc = if (covered < n) pattern :+ (n - covered) else pattern
+    val base = 4096L + d % 512
+    val offsets = spc.scanLeft(0)(_ + _).dropRight(1)
+      .map(firstSample => (base + sizes.take(firstSample).map(_.toLong).sum).toInt)
+    encodeMp4SampleShell(
+      timescale = (600 + 100 * (d % 9)).toInt,
+      sttsRuns = Seq((n, delta)), sampleSizes = sizes,
+      chunkOffsets = offsets, samplesPerChunk = spc)
   }
 
   // ------------------------------------------- deterministic generators

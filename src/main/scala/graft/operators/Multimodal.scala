@@ -505,6 +505,49 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows whose moov carries a REAL stsc (sample-to-chunk)
+    * table: multi-sample chunks in an alternating doc-derived pattern,
+    * run-compressed entries, contiguous chunk layout (see
+    * Codecs.synthMp4Chunks). */
+  def synthMp4ChunksMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthMp4Chunks(d), "video/mp4",
+          Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL sample→chunk→offset walk per partition: the stsc expansion
+    * joined with stco/stsz (Codecs.mp4SampleLocations), fanned out to
+    * one row per sample — the exact table a frame sampler consumes to
+    * slice sample bytes out of a real multi-sample-chunk MP4. */
+  def mp4SampleLocationFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_idx", IntegerType),
+      StructField("chunk_idx", IntegerType),
+      StructField("offset", LongType),
+      StructField("n_bytes", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        Codecs.mp4SampleLocations(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+          .iterator.map(l =>
+            Row(d, l.sampleIdx, l.chunkIdx, l.offset, l.size))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition batched decode: one "codec" per partition, rows
     * streamed through it. Output schema: id, mime, n_bytes, features. */
   def decode(df: DataFrame, idCol: String): DataFrame = {

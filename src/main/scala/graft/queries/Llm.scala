@@ -2850,6 +2850,45 @@ object Llm extends QueryModule {
           CAST(1 + d.doc_id % 5 AS INT) AS n_chunks
         FROM d JOIN agg USING (doc_id) ORDER BY id""")),
 
+    // SAMPLE → CHUNK → OFFSET walk (Codecs.mp4SampleLocations): the
+    // stsc table real MP4s need once chunks pack MULTIPLE samples —
+    // llm_video_samples' shells sidestep it; this fixture does not.
+    // The parser expands run-compressed stsc entries (the entry
+    // governing chunk c is the last with first_chunk ≤ c), joins stco
+    // for the chunk base and stsz for within-chunk offsets, and fans
+    // out one row per sample — the exact table a frame sampler uses to
+    // slice sample bytes before any codec runs. Fixture chunks
+    // alternate doc-derived sizes (k1/k2, last chunk ragged; k1 == k2
+    // ids collapse the stsc to ONE run entry) and sit contiguously
+    // from a doc-varying base, so every (chunk, offset, size) is
+    // integer arithmetic + one prefix sum in DuckDB.
+    QueryDef(
+      "llm_video_chunks",
+      (s, dir) => Multimodal.mp4SampleLocationFeatures(
+        Multimodal.synthMp4ChunksMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "sample_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(24 + doc_id % 40 AS INT) AS n,
+            CAST(3 + doc_id % 4 AS INT) AS k1,
+            CAST(1 + doc_id % 3 AS INT) AS k2,
+            4096 + doc_id % 512 AS base
+          FROM documents WHERE doc_id < 300),
+        s AS (SELECT d.doc_id, d.k1, d.k2, d.base, i.i AS i,
+            100 + (7 * d.doc_id + 13 * i.i) % 900 AS sz
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i),
+        o AS (SELECT doc_id, i, sz, k1, k2, base,
+            sum(sz) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
+          FROM s)
+        SELECT doc_id AS id, CAST(i AS INT) AS sample_idx,
+          CAST(2 * (i // (k1 + k2))
+            + CASE WHEN i % (k1 + k2) < k1 THEN 1 ELSE 2 END AS INT)
+            AS chunk_idx,
+          CAST(base + coalesce(pre, 0) AS BIGINT) AS "offset",
+          CAST(sz AS INT) AS n_bytes
+        FROM o ORDER BY id, sample_idx""")),
+
     // Temperature-based domain mixture (the standard training-mix op:
     // sample domain d with p_d ∝ tokens_d^τ, τ < 1 upweighting small
     // domains — GPT-3/PaLM-style rebalancing). Emits, per source, the

@@ -494,6 +494,67 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeJpeg(sub))
   }
 
+  test("MP4 stsc walk maps every sample to its chunk and file offset") {
+    (0L until 24L).foreach { d =>
+      val bytes = Codecs.synthMp4Chunks(d)
+      val locs = Codecs.mp4SampleLocations(bytes)
+      val n = (24 + d % 40).toInt
+      val k1 = (3 + d % 4).toInt; val k2 = (1 + d % 3).toInt
+      val base = 4096L + d % 512
+      assert(locs.length == n, s"d=$d")
+      var pre = 0L
+      locs.zipWithIndex.foreach { case (l, i) =>
+        assert(l.sampleIdx == i)
+        assert(l.size == (100 + (7 * d + 13 * i) % 900).toInt, s"d=$d i=$i")
+        // closed-form chunk: alternating k1/k2 pattern, ragged tail
+        // provably folded into the same formula (see the query doc)
+        val p = k1 + k2
+        val want = 2 * (i / p) + (if (i % p < k1) 1 else 2)
+        assert(l.chunkIdx == want, s"d=$d i=$i chunk ${l.chunkIdx} != $want")
+        assert(l.offset == base + pre, s"d=$d i=$i offset")
+        pre += l.size
+      }
+      // run compression is real: equal alternating sizes (k1 == k2)
+      // must collapse to at most 2 stsc entries (one run + ragged tail)
+      val stscAt = (0 until bytes.length - 4).find(i =>
+        bytes(i) == 's' && bytes(i + 1) == 't' && bytes(i + 2) == 's' &&
+          bytes(i + 3) == 'c').get
+      val nEntries = ((bytes(stscAt + 8) & 0xff) << 24) |
+        ((bytes(stscAt + 9) & 0xff) << 16) |
+        ((bytes(stscAt + 10) & 0xff) << 8) | (bytes(stscAt + 11) & 0xff)
+      if (k1 == k2) assert(nEntries <= 2, s"d=$d: $nEntries stsc entries")
+      else assert(nEntries >= 2, s"d=$d")
+    }
+  }
+
+  test("MP4 stsc walk rejects inconsistent stsc/stco/stsz tables") {
+    val ok = Codecs.synthMp4Chunks(5L)
+    assert(Codecs.mp4SampleLocations(ok).nonEmpty)
+    def stscAt(b: Array[Byte]): Int = (0 until b.length - 4).find(i =>
+      b(i) == 's' && b(i + 1) == 't' && b(i + 2) == 's' && b(i + 3) == 'c').get
+    // payload layout after the 4-byte type tag at stscAt: verflags
+    // (+4..7), entry_count (+8..11), then 12-byte entries —
+    // first_chunk (+12..15), samples_per_chunk (+16..19), sdi (+20..23)
+    // samples-per-chunk bumped → stsc expansion disagrees with stsz
+    val moreSamples = ok.clone()
+    moreSamples(stscAt(moreSamples) + 19) =
+      (moreSamples(stscAt(moreSamples) + 19) + 1).toByte
+    intercept[IllegalArgumentException](Codecs.mp4SampleLocations(moreSamples))
+    // first entry not covering chunk 1
+    val badFirst = ok.clone()
+    badFirst(stscAt(badFirst) + 15) = 2.toByte
+    intercept[IllegalArgumentException](Codecs.mp4SampleLocations(badFirst))
+    // entry count past the box end
+    val trunc = ok.clone()
+    trunc(stscAt(trunc) + 11) = 99.toByte
+    intercept[IllegalArgumentException](Codecs.mp4SampleLocations(trunc))
+    // samples-per-chunk zeroed → non-positive rejected
+    val zero = ok.clone()
+    val za = stscAt(zero)
+    zero(za + 16) = 0; zero(za + 17) = 0; zero(za + 18) = 0; zero(za + 19) = 0
+    intercept[IllegalArgumentException](Codecs.mp4SampleLocations(zero))
+  }
+
   test("MP4 sample tables round-trip uniform and per-sample stsz, multi-run stts") {
     (0L until 24L).foreach { d =>
       val m = Codecs.mp4Samples(Codecs.synthMp4Samples(d))
