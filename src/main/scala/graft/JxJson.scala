@@ -153,6 +153,40 @@ object JxJson {
       case w => df = df.filter(compile(w))
     }
 
+    // dedup: {"on": [exprs], "sort": [...]} — keep the FIRST row per
+    // key under the given order: the llm_exact_dedup shape (row_number
+    // window partitioned by a high-cardinality key) reachable from the
+    // JSON front door, composing with the curation kernel via the
+    // "fingerprint" expression. `sort` is REQUIRED: which duplicate
+    // survives must be deterministic, not partition-order luck.
+    (q \ "dedup") match {
+      case JNothing | JNull => ()
+      case d =>
+        val keys = (d \ "on") match {
+          case JArray(xs) => xs.map(operand)
+          case JNothing | JNull => sys.error("jx: dedup needs 'on'")
+          case x => Seq(operand(x))
+        }
+        val order = (d \ "sort") match {
+          case JNothing | JNull =>
+            sys.error("jx: dedup needs 'sort' (deterministic keep order)")
+          case s => (s match { case JArray(xs) => xs; case x => Seq(x) }).map {
+            case JString(k) => asc(k)
+            case so: JObject =>
+              val v = (so \ "value") match { case JString(k) => k
+                case other => sys.error(s"jx: dedup sort $other") }
+              (so \ "sort") match {
+                case JString("desc") => desc(v); case _ => asc(v) }
+            case other => sys.error(s"jx: dedup sort $other")
+          }
+        }
+        val rn = "_jx_dedup_rn"
+        df = df
+          .withColumn(rn,
+            row_number().over(W.partitionBy(keys: _*).orderBy(order: _*)))
+          .filter(col(rn) === 1).drop(rn)
+    }
+
     // window: [{name, value?, aggregate, edges: [partition cols],
     // sort: [...], range: {min, max}?}] — adds columns to the row set
     // (reference jx window clauses per SURVEY §2.6 [P]); later select/
@@ -643,6 +677,12 @@ object JxJson {
       case "concat" => concat(varargs(args): _*)
       case "number" => tryCastDouble(operand(args))
       case "string" => operand(args).cast("string")
+      // Content fingerprint (lowercase, strip non-alnum, squeeze
+      // spaces, md5) — the exact-dedup kernel the curation pipeline
+      // keys on (TextOps.fingerprint's fused TextNorm form), exposed
+      // as a front-door expression so a JSON caller can dedup/group
+      // on content identity.
+      case "fingerprint" => graft.operators.TextOps.fingerprint(operand(args))
       case "literal" => lit(litOf(args))
       case other => sys.error(s"jx: op '$other'")
     }

@@ -469,6 +469,30 @@ object Extensions extends QueryModule {
         WHERE n_orders >= 8
         GROUP BY n_orders ORDER BY n_orders""")),
 
+    // JX `dedup` through the JSON front door (round 10): the
+    // llm_exact_dedup curation op — keep the lowest-id row per content
+    // fingerprint — declared ENTIRELY as a JSON query, proving the
+    // front door composes with the pipeline kernels ("fingerprint"
+    // compiles onto TextOps.fingerprint's fused TextNorm form; the
+    // clause compiles onto the same partitioned row_number shape).
+    QueryDef(
+      "jx_json_dedup",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "documents",
+          "dedup": {"on": [{"fingerprint": "text"}], "sort": "doc_id"},
+          "select": ["doc_id",
+            {"name": "fp", "value": {"fingerprint": "text"}}],
+          "sort": "doc_id"
+        }"""),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+        FROM (SELECT *, row_number() OVER (
+            PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+            ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1 ORDER BY doc_id""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).

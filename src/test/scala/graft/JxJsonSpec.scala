@@ -300,4 +300,22 @@ class JxJsonSpec extends SparkSpec {
       assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
     }
   }
+
+  test("dedup clause == TextOps.exactDedup through the front door") {
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "documents",
+          "dedup": {"on": [{"fingerprint": "text"}], "sort": "doc_id"},
+          "select": ["doc_id",
+            {"name": "fp", "value": {"fingerprint": "text"}}],
+          "sort": "doc_id"}""")
+    val direct = graft.operators.TextOps.exactDedup(
+      Catalog.table(spark, sf0001, "documents"), "doc_id", "text")
+      .select("doc_id", "fp").orderBy("doc_id")
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+    // dedup without a deterministic keep order is an error, not luck
+    intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "documents",
+          "dedup": {"on": [{"fingerprint": "text"}]},
+          "select": ["doc_id"]}"""))
+  }
 }
