@@ -8,16 +8,30 @@ import graft.plans.MinHashLsh
 /** Stage-by-stage row counts + timings of minhashNearDupPairs on a
   * /tmp scaled corpus — locates which stage's volume bent when the
   * ×1000 run exhausted the box's spill disk.
-  * Usage: runMain graft.tools.MinhashScaleProbe [corpusDir]
+  * Usage: runMain graft.tools.MinhashScaleProbe [corpusDir] [e2e]
+  *
+  * `e2e` additionally runs the FULL minhashDedup — candidates → exact
+  * jaccard verify → survivor anti-join — the round-9 verdict's last
+  * "sized, not timed" member. The verify shuffle carries one shingle
+  * array per candidate pair (~0.1 TB at ×1000), so the run wants every
+  * spill device the box has: SPARK_GRAFT_LOCAL_DIRS (comma-separated)
+  * overrides spark.local.dir to spread spill across /tmp AND a bounded
+  * tmpfs share — the same multiple-disk configuration a real cluster
+  * node runs with, where local.dir lists every NVMe.
   */
 object MinhashScaleProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/graft-scale-x1000")
+    val dir = args.filterNot(_ == "e2e").headOption
+      .getOrElse("/tmp/graft-scale-x1000")
+    val spill = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIRS",
+      graft.Scratch.dir("spark-local"))
+    spill.split(',').foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", graft.Scratch.dir("spark-local"))
+      .config("spark.local.dir", spill)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](label: String)(f: => T): T = {
@@ -59,6 +73,18 @@ object MinhashScaleProbe {
       .select("id_a", "id_b")
       .distinct()
     time("candidates")(println("[mhprobe] cand=" + cand.count()))
+    if (args.contains("e2e")) {
+      // The REAL operator end-to-end: the verify stage joins each
+      // candidate pair back to its two shingle-hash arrays and keeps
+      // exact jaccard >= 0.5; survivors = docs with no verified dup of
+      // smaller id. On the x1000 adversarial corpus this is the
+      // ~123M-pair / ~0.1 TB shuffle the r6 record sized.
+      time("e2e_minhash_dedup") {
+        val survivors = graft.operators.TextOps
+          .minhashDedup(docs, "doc_id", "text")
+        println("[mhprobe] survivors=" + survivors.count())
+      }
+    }
     spark.stop()
   }
 }
