@@ -170,9 +170,9 @@ object Codecs {
   // rest is chunk framing (length/type/data/CRC32), big-endian header
   // arithmetic, and the five per-row byte filters
   // (None/Sub/Up/Average/Paeth). Scope: 8-bit truecolor (color type 2),
-  // non-interlaced — the layout real RGB corpora use. Baseline JPEG is
-  // also real (see the JPEG section below); progressive JPEG and MP4
-  // sample decode remain behind the documented stub boundary.
+  // non-interlaced — the layout real RGB corpora use. Baseline AND
+  // progressive JPEG are also real (see the JPEG section below); MP4
+  // sample decode remains behind the documented stub boundary.
 
   private def u32be(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
@@ -360,13 +360,15 @@ object Codecs {
 
   // ------------------------------------------- JPEG (baseline sequential)
   //
-  // Full baseline JPEG decode needs no external library either: Huffman
-  // entropy decode, dequantize, de-zigzag, IDCT, chroma upsampling, and
-  // the YCbCr→RGB transform are plain arithmetic. Scope: 8-bit BASELINE
-  // (SOF0/SOF1), grayscale, 4:4:4 (1x1 sampling), or 4:2:0 (luma 2x2 —
-  // the real-world color default, round 10); progressive (SOF2), other
-  // samplings (4:2:2/4:1:1), and arithmetic-coded streams are rejected
-  // loudly; MP4 sample decode stays behind the documented stub boundary.
+  // Full JPEG decode needs no external library either: Huffman entropy
+  // decode, dequantize, de-zigzag, IDCT, chroma upsampling, and the
+  // YCbCr→RGB transform are plain arithmetic. Scope: 8-bit BASELINE
+  // (SOF0/SOF1) and PROGRESSIVE (SOF2, round 10 — DC/AC successive
+  // approximation, EOB runs, multi-scan coefficient accumulation);
+  // grayscale, 4:4:4 (1x1 sampling), or 4:2:0 (luma 2x2 — the
+  // real-world color default); other samplings (4:2:2/4:1:1) and
+  // arithmetic-coded streams are rejected loudly; MP4 sample decode
+  // stays behind the documented stub boundary.
   //
   // Cross-engine exactness design (what gives full-pixel decode a DuckDB
   // oracle despite JPEG being lossy):
@@ -599,28 +601,16 @@ object Codecs {
     out
   }
 
-  /** Baseline sequential JPEG ENCODER — gray (1 component, the Bmp's R
-    * channel), YCbCr 4:4:4, or (subsample=true) YCbCr 4:2:0 — luma
-    * 2x2 against 1x1 chroma, the layout real-world color JPEGs
-    * overwhelmingly use: each MCU interleaves 4 luma blocks with one
-    * Cb and one Cr block covering 16x16 pixels, chroma planes
-    * box-average-downsampled 2x2 (replicated edges, round half-up).
-    * Exists so fixtures are REAL files; fidelity is governed by the
-    * quant tables (unit tables + flat blocks → lossless, see header
-    * comment; for 4:2:0 the chroma must additionally be constant over
-    * each downsample footprint — the synth420 fixtures hold it
-    * constant corpus-wide). */
-  def encodeJpeg(img: Bmp, gray: Boolean = false,
-      quantLuma: Array[Int] = jpegUnitQuant,
-      quantChroma: Array[Int] = jpegUnitQuant,
-      restartInterval: Int = 0,
-      subsample: Boolean = false): Array[Byte] = {
-    require(!(gray && subsample), "chroma subsampling applies to color only")
+  /** Shared encoder front half: RGB→YCC planes at component
+    * resolution, chroma box-downsampled when `subsample`. Returns
+    * (hs, vs, compW, compH, planes). */
+  private def jpegPlanes(img: Bmp, gray: Boolean, subsample: Boolean)
+      : (Array[Int], Array[Int], Array[Int], Array[Int], Array[Array[Int]]) = {
     val w = img.width; val h = img.height
     val nComp = if (gray) 1 else 3
     val hs = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
     val vs = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
-    val hmax = hs(0); val vmax = vs(0) // luma always carries the max
+    val hmax = hs(0); val vmax = vs(0)
     val full = Array.fill(nComp)(new Array[Int](w * h))
     var y = 0
     while (y < h) {
@@ -661,6 +651,30 @@ object Codecs {
         p
       }
     }
+    (hs, vs, compW, compH, planes)
+  }
+
+  /** Baseline sequential JPEG ENCODER — gray (1 component, the Bmp's R
+    * channel), YCbCr 4:4:4, or (subsample=true) YCbCr 4:2:0 — luma
+    * 2x2 against 1x1 chroma, the layout real-world color JPEGs
+    * overwhelmingly use: each MCU interleaves 4 luma blocks with one
+    * Cb and one Cr block covering 16x16 pixels, chroma planes
+    * box-average-downsampled 2x2 (replicated edges, round half-up).
+    * Exists so fixtures are REAL files; fidelity is governed by the
+    * quant tables (unit tables + flat blocks → lossless, see header
+    * comment; for 4:2:0 the chroma must additionally be constant over
+    * each downsample footprint — the synth420 fixtures hold it
+    * constant corpus-wide). */
+  def encodeJpeg(img: Bmp, gray: Boolean = false,
+      quantLuma: Array[Int] = jpegUnitQuant,
+      quantChroma: Array[Int] = jpegUnitQuant,
+      restartInterval: Int = 0,
+      subsample: Boolean = false): Array[Byte] = {
+    require(!(gray && subsample), "chroma subsampling applies to color only")
+    val w = img.width; val h = img.height
+    val nComp = if (gray) 1 else 3
+    val (hs, vs, compW, compH, planes) = jpegPlanes(img, gray, subsample)
+    val hmax = hs(0); val vmax = vs(0) // luma always carries the max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     // token stream: (cls, tid, sym, extraVal, extraBits); RST = null
@@ -774,16 +788,215 @@ object Codecs {
     out.toByteArray
   }
 
+  /** PROGRESSIVE (SOF2) JPEG ENCODER — the minimal standard scan
+    * script that exercises every successive-approximation machine the
+    * decoder has to implement for real files:
+    *
+    *   scan 1: DC, interleaved, Ah=0 Al=1 (point-transformed first pass)
+    *   scan 2: DC, interleaved, Ah=1 Al=0 (refinement — RAW bits)
+    *   scan k: AC 1..63 per component, Ah=0 Al=0, EOB-RUN coded
+    *
+    * (AC successive approximation is NOT emitted — its decode path is
+    * pinned against JDK-ImageIO-written streams, whose default
+    * progressive script uses it.) Gray / 4:4:4 / 4:2:0 like the
+    * baseline encoder; fidelity contract identical (unit quant + flat
+    * blocks → lossless; DC point transform is exactly invertible:
+    * first pass codes DC>>1, refinement restores bit 0). */
+  def encodeJpegProgressive(img: Bmp, gray: Boolean = false,
+      quantLuma: Array[Int] = jpegUnitQuant,
+      quantChroma: Array[Int] = jpegUnitQuant,
+      subsample: Boolean = false): Array[Byte] = {
+    require(!(gray && subsample), "chroma subsampling applies to color only")
+    val w = img.width; val h = img.height
+    val nComp = if (gray) 1 else 3
+    val (hs, vs, compW, compH, planes) = jpegPlanes(img, gray, subsample)
+    val hmax = hs(0); val vmax = vs(0)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component PADDED block grid of quantized coefficients (the
+    // interleaved DC scans code padded dummy blocks too, exactly what
+    // the decoder's store expects)
+    val coefB = Array.tabulate(nComp) { c =>
+      val bX = mcusX * hs(c); val bY = mcusY * vs(c)
+      Array.tabulate(bX * bY)(b =>
+        fdctQuant(getBlock(planes(c), compW(c), compH(c), b % bX, b / bX),
+          if (c == 0) quantLuma else quantChroma))
+    }
+    // cls 0 = DC Huffman, 1 = AC Huffman, 2 = RAW bits (no table)
+    final case class Tok(cls: Int, tid: Int, sym: Int, ev: Int, eb: Int)
+    // ---- scan 1: DC first, interleaved, Al=1
+    val scan1 = collection.mutable.ArrayBuffer.empty[Tok]
+    locally {
+      val pred = new Array[Int](nComp)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var c = 0
+        while (c < nComp) {
+          val tid = if (c == 0) 0 else 1
+          var bv = 0
+          while (bv < vs(c)) {
+            var bh = 0
+            while (bh < hs(c)) {
+              val dc = coefB(c)((my * vs(c) + bv) * (mcusX * hs(c)) +
+                mx * hs(c) + bh)(0) >> 1 // point transform (arith shift)
+              val diff = dc - pred(c); pred(c) = dc
+              val (t, ev) = category(diff)
+              scan1 += Tok(0, tid, t, ev, t)
+              bh += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    }
+    // ---- scan 2: DC refinement, interleaved, Ah=1 Al=0 — raw bit 0
+    val scan2 = collection.mutable.ArrayBuffer.empty[Tok]
+    locally {
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var c = 0
+        while (c < nComp) {
+          var bv = 0
+          while (bv < vs(c)) {
+            var bh = 0
+            while (bh < hs(c)) {
+              val dc = coefB(c)((my * vs(c) + bv) * (mcusX * hs(c)) +
+                mx * hs(c) + bh)(0)
+              scan2 += Tok(2, 0, 0, dc & 1, 1)
+              bh += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    }
+    // ---- AC scans: per component, band 1..63, first pass, EOB runs
+    // over the component's OWN (unpadded) block grid
+    val acScans = (0 until nComp).map { c =>
+      val tid = if (c == 0) 0 else 1
+      val wB = (compW(c) + 7) / 8; val hB = (compH(c) + 7) / 8
+      val padBX = mcusX * hs(c)
+      val toks = collection.mutable.ArrayBuffer.empty[Tok]
+      var eobcnt = 0
+      def flushEob(): Unit = while (eobcnt > 0) {
+        val run = math.min(eobcnt, 32767)
+        val r = 31 - Integer.numberOfLeadingZeros(run)
+        toks += Tok(1, tid, r << 4, run - (1 << r), r)
+        eobcnt -= run
+      }
+      var b = 0
+      while (b < wB * hB) {
+        val cf = coefB(c)((b / wB) * padBX + b % wB)
+        var lastNz = 0
+        var k = 63
+        while (k >= 1 && lastNz == 0) { if (cf(zigzag(k)) != 0) lastNz = k; k -= 1 }
+        if (lastNz == 0) eobcnt += 1
+        else {
+          flushEob()
+          var kk = 1; var run = 0
+          while (kk <= lastNz) {
+            val v = cf(zigzag(kk))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) { toks += Tok(1, tid, 0xf0, 0, 0); run -= 16 }
+              val (sz, bv) = category(v)
+              toks += Tok(1, tid, (run << 4) | sz, bv, sz)
+              run = 0
+            }
+            kk += 1
+          }
+          if (lastNz < 63) eobcnt += 1 // this block's own EOB starts a run
+        }
+        b += 1
+      }
+      flushEob()
+      (c, toks)
+    }
+    // ---- Huffman tables over every coded symbol (RAW toks excluded)
+    val allToks = (scan1 ++ acScans.flatMap(_._2)).filter(_.cls != 2)
+    val tables = allToks.groupBy(t => (t.cls, t.tid))
+      .map { case (k, ts) => k -> fixedLengthTable(ts.map(_.sym).toSet) }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(tq: Int, tab: Array[Int]): Unit =
+      seg(0xdb, tq.toByte +: Array.tabulate(64)(i => tab(zigzag(i)).toByte))
+    dqt(0, quantLuma)
+    if (!gray) dqt(1, quantChroma)
+    val sof = new Array[Byte](6 + 3 * nComp)
+    sof(0) = 8
+    sof(1) = ((h >> 8) & 0xff).toByte; sof(2) = (h & 0xff).toByte
+    sof(3) = ((w >> 8) & 0xff).toByte; sof(4) = (w & 0xff).toByte
+    sof(5) = nComp.toByte
+    var c = 0
+    while (c < nComp) {
+      sof(6 + 3 * c) = (c + 1).toByte
+      sof(7 + 3 * c) = ((hs(c) << 4) | vs(c)).toByte
+      sof(8 + 3 * c) = (if (c == 0) 0 else 1).toByte
+      c += 1
+    }
+    seg(0xc2, sof)
+    tables.toSeq.sortBy(_._1).foreach { case ((cls, tid), (bits, vals, _)) =>
+      seg(0xc4, ((cls << 4) | tid).toByte +:
+        (Array.tabulate(16)(i => bits(i + 1).toByte) ++ vals.map(_.toByte)))
+    }
+    def writeScan(comps: Seq[Int], ss: Int, se: Int, ahal: Int,
+        toks: collection.Seq[Tok]): Unit = {
+      val sos = new Array[Byte](1 + 2 * comps.size + 3)
+      sos(0) = comps.size.toByte
+      comps.zipWithIndex.foreach { case (ci, i) =>
+        sos(1 + 2 * i) = (ci + 1).toByte
+        val tid = if (ci == 0) 0 else 1
+        sos(2 + 2 * i) = ((tid << 4) | tid).toByte
+      }
+      sos(1 + 2 * comps.size) = ss.toByte
+      sos(2 + 2 * comps.size) = se.toByte
+      sos(3 + 2 * comps.size) = ahal.toByte
+      seg(0xda, sos)
+      val bwr = new BitWriter(out)
+      toks.foreach { t =>
+        if (t.cls == 2) bwr.put(t.ev, t.eb)
+        else {
+          val (_, _, enc) = tables((t.cls, t.tid))
+          val (code, len) = enc(t.sym)
+          bwr.put(code, len)
+          if (t.eb > 0) bwr.put(t.ev, t.eb)
+        }
+      }
+      bwr.flush()
+    }
+    writeScan(0 until nComp, 0, 0, 0x01, scan1)
+    writeScan(0 until nComp, 0, 0, 0x10, scan2)
+    acScans.foreach { case (ci, toks) => writeScan(Seq(ci), 1, 63, 0x00, toks) }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** One frame component: id, sampling factors, quant table id. */
   private final case class JComp(cid: Int, h: Int, v: Int, tq: Int)
 
-  /** Baseline sequential JPEG DECODER: marker walk (DQT/DHT/SOF0/DRI),
-    * Huffman entropy decode with byte unstuffing and restart handling,
-    * dequantize, de-zigzag, IDCT, 4:2:0 chroma upsampling (libjpeg-
-    * style triangular filter), fixed-point YCbCr→RGB. Accepts 1x1
-    * sampling (grayscale / 4:4:4) and 4:2:0 (luma 2x2 — the layout
-    * real-world color JPEGs overwhelmingly use); rejects progressive /
-    * other samplings / arithmetic / truncated input loudly. */
+  /** JPEG DECODER, baseline (SOF0/1) and progressive (SOF2): marker
+    * walk (DQT/DHT/DRI), Huffman entropy decode with byte unstuffing
+    * and restart handling, progressive successive-approximation scans
+    * accumulated to EOI, dequantize, de-zigzag, IDCT, 4:2:0 chroma
+    * upsampling (libjpeg-style triangular filter), fixed-point
+    * YCbCr→RGB. Accepts 1x1 sampling (grayscale / 4:4:4) and 4:2:0
+    * (luma 2x2 — the layout real-world color JPEGs overwhelmingly
+    * use); rejects other samplings / arithmetic coding / malformed
+    * scan scripts / truncated input loudly. */
   def decodeJpeg(bytes: Array[Byte]): Bmp = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG payload")
@@ -792,17 +1005,31 @@ object Codecs {
     var w = -1; var h = -1
     var comps: Array[JComp] = null
     var dri = 0
+    var progressive = false
+    var sawScan = false
+    // progressive coefficient store: [component][padded block index][64
+    // raw (unquantized) coefficients], accumulated across scans and
+    // dequantized + IDCT'd only at EOI
+    var coefs: Array[Array[Array[Int]]] = null
     var pos = 2
-    var scan = -1
-    while (scan < 0) {
-      require(pos + 4 <= bytes.length, "truncated JPEG (no SOS)")
+    while (true) {
+      require(pos + 2 <= bytes.length,
+        if (sawScan) "truncated JPEG (no EOI)" else "truncated JPEG (no SOS)")
       require((bytes(pos) & 0xff) == 0xff, s"bad JPEG marker at $pos")
       val m = bytes(pos + 1) & 0xff
-      require(m != 0xd9, "JPEG EOI before SOS")
+      if (m == 0xd9) {
+        // EOI: terminates a progressive stream after >= 1 scan (the
+        // baseline path returns from inside its single SOS)
+        require(progressive && sawScan, "JPEG EOI before SOS")
+        return assembleProgressive(w, h, comps, quant, coefs)
+      }
+      require(pos + 4 <= bytes.length,
+        if (sawScan) "truncated JPEG (no EOI)" else "truncated JPEG (no SOS)")
       val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
       require(len >= 2 && pos + 2 + len <= bytes.length,
         "truncated JPEG segment")
       val body = pos + 4
+      var next = pos + 2 + len
       m match {
         case 0xdb => // DQT: one or more tables per segment
           var o = body
@@ -834,7 +1061,8 @@ object Codecs {
             huff((cls, tid)) = new HuffDec(bits, vals)
             o += 17 + total
           }
-        case 0xc0 | 0xc1 => // SOF0/1: baseline
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
+          progressive = m == 0xc2
           // The outer check proved `len` bytes exist; the SOF reads
           // below must ALSO fit inside the declared length, or a
           // truncated/under-length SOF would silently read the next
@@ -861,9 +1089,14 @@ object Codecs {
           require(all11 || is420,
             "only 1x1 (4:4:4 / grayscale) or 4:2:0 (luma 2x2) JPEG " +
               "sampling supported")
-        case 0xc2 =>
-          require(requirement = false,
-            "progressive JPEG (SOF2) not supported by the baseline decoder")
+          if (progressive) {
+            val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            coefs = Array.tabulate(comps.length)(i =>
+              Array.fill(mcusX * comps(i).h * mcusY * comps(i).v)(
+                new Array[Int](64)))
+          }
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
             0xce | 0xcf =>
           require(requirement = false,
@@ -875,7 +1108,9 @@ object Codecs {
           require(comps != null, "JPEG SOS before SOF")
           require(len >= 3, "truncated JPEG SOS segment")
           val ns = bytes(body) & 0xff
-          require(ns == comps.length, "partial JPEG scans not supported")
+          if (!progressive)
+            require(ns == comps.length, "partial JPEG scans not supported")
+          else require(ns >= 1 && ns <= comps.length, "bad JPEG scan count")
           require(len >= 2 + 1 + 2 * ns + 3, "JPEG SOS length/component mismatch")
           // scan component → (component index, dc table, ac table)
           val sel = Array.tabulate(ns) { i =>
@@ -885,14 +1120,220 @@ object Codecs {
             (ci, (bytes(body + 2 + 2 * i) >> 4) & 0x0f,
               bytes(body + 2 + 2 * i) & 0x0f)
           }
-          scan = body + 1 + 2 * ns + 3 // skip Ss/Se/AhAl
-          return decodeScan(bytes, scan, w, h, comps, sel, quant,
-            huff.toMap, dri)
+          val entropy = body + 1 + 2 * ns + 3 // past Ss/Se/AhAl
+          if (!progressive)
+            return decodeScan(bytes, entropy, w, h, comps, sel, quant,
+              huff.toMap, dri)
+          val ss = bytes(body + 1 + 2 * ns) & 0xff
+          val se = bytes(body + 2 + 2 * ns) & 0xff
+          val ahal = bytes(body + 3 + 2 * ns) & 0xff
+          sawScan = true
+          next = decodeProgScan(bytes, entropy, w, h, comps, sel,
+            huff.toMap, coefs, ss, se, (ahal >> 4) & 0x0f, ahal & 0x0f, dri)
         case _ => () // APPn / COM / other ancillary segments
       }
-      pos += 2 + len
+      pos = next
     }
     sys.error("unreachable")
+  }
+
+  /** One progressive scan (T.81 Annex G): DC first / DC refinement /
+    * AC first with EOB runs / AC refinement with correction bits, over
+    * interleaved MCUs (multi-component, DC only) or the single
+    * component's own block grid. Coefficients accumulate RAW
+    * (unquantized, point-transformed by Al) into `coefs`; returns the
+    * position just past the scan's entropy data. */
+  private def decodeProgScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[JComp], sel: Array[(Int, Int, Int)],
+      huff: Map[(Int, Int), HuffDec], coefs: Array[Array[Array[Int]]],
+      ss: Int, se: Int, ah: Int, al: Int, dri: Int): Int = {
+    require(ss <= se && se <= 63, s"bad progressive spectral band $ss..$se")
+    if (ss == 0) require(se == 0,
+      "progressive DC scan must have Se=0 (no mixed DC/AC bands)")
+    else require(sel.length == 1,
+      "progressive AC scans must be single-component")
+    require(ah == 0 || ah == al + 1,
+      s"bad successive-approximation pair Ah=$ah Al=$al")
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val br = new BitReader(bytes, start)
+    val pred = new Array[Int](sel.length)
+    var eobrun = 0
+    var rst = 0
+    def dcTable(s: Int): HuffDec = huff.getOrElse((0, sel(s)._2),
+      sys.error(s"JPEG missing DC Huffman table ${sel(s)._2}"))
+    def decodeDc(s: Int, coef: Array[Int]): Unit =
+      if (ah == 0) {
+        val t = dcTable(s).decode(br)
+        require(t <= 11, s"bad JPEG DC category $t")
+        pred(s) += extendBits(br.receive(t), t)
+        coef(0) = pred(s) << al
+      } else if (br.receive(1) != 0) coef(0) |= 1 << al
+    if (sel.length > 1) {
+      // interleaved: DC scans only (enforced above), MCU order
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          br.expectRestart(rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(pred, 0); eobrun = 0
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var s = 0
+        while (s < sel.length) {
+          val ci = sel(s)._1
+          var bv = 0
+          while (bv < comps(ci).v) {
+            var bh = 0
+            while (bh < comps(ci).h) {
+              decodeDc(s, coefs(ci)(
+                (my * comps(ci).v + bv) * (mcusX * comps(ci).h) +
+                  mx * comps(ci).h + bh))
+              bh += 1
+            }
+            bv += 1
+          }
+          s += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: the component's OWN block grid (ceil of the
+      // sampled dims — NOT the MCU-padded grid; padded dummy blocks
+      // are coded only by interleaved scans)
+      val ci = sel(0)._1
+      val acT = sel(0)._3
+      lazy val ac = huff.getOrElse((1, acT),
+        sys.error(s"JPEG missing AC Huffman table $acT"))
+      val cw = (w * comps(ci).h + hmax - 1) / hmax
+      val chh = (h * comps(ci).v + vmax - 1) / vmax
+      val wB = (cw + 7) / 8; val hB = (chh + 7) / 8
+      val padBX = mcusX * comps(ci).h
+      var b = 0
+      while (b < wB * hB) {
+        if (dri > 0 && b > 0 && b % dri == 0) {
+          br.expectRestart(rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(pred, 0); eobrun = 0
+        }
+        val coef = coefs(ci)((b / wB) * padBX + b % wB)
+        if (ss == 0) decodeDc(0, coef)
+        else if (ah == 0) eobrun = acFirst(br, ac, coef, ss, se, al, eobrun)
+        else eobrun = acRefine(br, ac, coef, ss, se, al, eobrun)
+        b += 1
+      }
+    }
+    br.align()
+    br.pos
+  }
+
+  /** Progressive AC band, first pass (Ah=0): run-length symbols with
+    * EOB-run extension — returns the remaining EOB run. */
+  private def acFirst(br: BitReader, ac: HuffDec, coef: Array[Int],
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    if (eobrunIn > 0) return eobrunIn - 1
+    var k = ss
+    while (k <= se) {
+      val sym = ac.decode(br)
+      val r = (sym >> 4) & 0x0f; val s = sym & 0x0f
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL
+        else return (1 << r) + (if (r > 0) br.receive(r) else 0) - 1
+      } else {
+        k += r
+        require(k <= se, "JPEG AC coefficient index out of band")
+        coef(zigzag(k)) = extendBits(br.receive(s), s) << al
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** Progressive AC band, refinement pass (Ah=Al+1): each new nonzero
+    * is ±1<<Al; every already-nonzero coefficient passed over carries a
+    * correction bit (T.81 G.1.2.3 / the algorithm every real decoder
+    * implements). Returns the remaining EOB run. */
+  private def acRefine(br: BitReader, ac: HuffDec, coef: Array[Int],
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    var eobrun = eobrunIn
+    val p1 = 1 << al; val m1 = -1 << al
+    def correct(z: Int): Unit =
+      if (br.receive(1) != 0 && (coef(z) & p1) == 0)
+        coef(z) += (if (coef(z) >= 0) p1 else m1)
+    var k = ss
+    if (eobrun == 0) {
+      var inEob = false
+      while (k <= se && !inEob) {
+        val sym = ac.decode(br)
+        var r = (sym >> 4) & 0x0f
+        val s = sym & 0x0f
+        var newval = 0
+        if (s == 0) {
+          if (r != 15) {
+            eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+            inEob = true
+          }
+          // r == 15: ZRL — pass over 16 zero-history coefficients
+        } else {
+          require(s == 1, "bad JPEG AC refinement magnitude")
+          newval = if (br.receive(1) != 0) p1 else m1
+        }
+        if (!inEob) {
+          var placed = false
+          while (k <= se && !placed) {
+            val z = zigzag(k)
+            if (coef(z) != 0) correct(z)
+            else if (r == 0) { if (s != 0) coef(z) = newval; placed = true }
+            else r -= 1
+            k += 1
+          }
+          require(placed || s == 0, "JPEG AC refinement ran out of band")
+        }
+      }
+    }
+    if (eobrun > 0) {
+      // inside an EOB run: only correction bits for existing nonzeros
+      while (k <= se) { val z = zigzag(k); if (coef(z) != 0) correct(z); k += 1 }
+      eobrun - 1
+    } else 0
+  }
+
+  /** Progressive finish at EOI: dequantize the accumulated raw
+    * coefficients, IDCT every padded block into the component planes,
+    * and assemble exactly like the baseline path. */
+  private def assembleProgressive(w: Int, h: Int,
+      comps: Array[JComp], quant: Array[Array[Int]],
+      coefs: Array[Array[Array[Int]]]): Bmp = {
+    val nComp = comps.length
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val pw = Array.tabulate(nComp)(i => mcusX * comps(i).h * 8)
+    val planes = Array.tabulate(nComp)(i =>
+      new Array[Int](pw(i) * mcusY * comps(i).v * 8))
+    var ci = 0
+    while (ci < nComp) {
+      val q = quant(comps(ci).tq)
+      require(q != null, "JPEG scan before its quant table")
+      val bX = mcusX * comps(ci).h
+      val bY = mcusY * comps(ci).v
+      var b = 0
+      while (b < bX * bY) {
+        val raw = coefs(ci)(b)
+        val dq = new Array[Int](64)
+        var j = 0
+        while (j < 64) { dq(j) = raw(j) * q(j); j += 1 }
+        val px = idct(dq)
+        val bx = b % bX; val by = b / bX
+        var y = 0
+        while (y < 8) {
+          System.arraycopy(px, y * 8, planes(ci), (by * 8 + y) * pw(ci) + bx * 8, 8)
+          y += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
+    assemblePixels(planes, pw, comps, w, h)
   }
 
   private def decodeScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
@@ -972,6 +1413,17 @@ object Codecs {
     require(br.pos + 2 <= bytes.length &&
       (bytes(br.pos) & 0xff) == 0xff && (bytes(br.pos + 1) & 0xff) == 0xd9,
       "JPEG entropy stream not followed by EOI")
+    assemblePixels(planes, pw, comps, w, h)
+  }
+
+  /** Component planes → RGB pixels: grayscale passthrough, 4:4:4 direct
+    * color transform, or 4:2:0 triangular chroma upsample + transform.
+    * Shared by the baseline single-scan path and the progressive
+    * multi-scan path. */
+  private def assemblePixels(planes: Array[Array[Int]], pw: Array[Int],
+      comps: Array[JComp], w: Int, h: Int): Bmp = {
+    val nComp = comps.length
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
     val subsampled = hmax > 1 || vmax > 1
     // 4:2:0 chroma at full resolution via the triangular filter
     val (cbF, crF) =
@@ -1031,8 +1483,9 @@ object Codecs {
     out
   }
   //
-  // Full JPEG decode (Huffman + DCT) and MP4 video decode remain behind
-  // the documented stub boundary — but METADATA does not need a decoder.
+  // JPEG decode (baseline AND progressive) is real above; MP4 video
+  // SAMPLE decode remains behind the documented stub boundary — but
+  // METADATA does not need a decoder.
   // At 100 TB the first multimodal pass is "filter by dims / duration /
   // codec BEFORE paying for decode", and that pass is plain header
   // arithmetic: a JPEG marker walk to the SOF segment, an ISO-BMFF box
@@ -1648,6 +2101,13 @@ object Codecs {
   def synthBaselineJpeg420(d: Long): Array[Byte] =
     encodeJpeg(synthJpegImage420(d), subsample = true,
       restartInterval = (d % 4).toInt)
+
+  /** Closed-form REAL PROGRESSIVE (SOF2) JPEG over the same flat-block
+    * images as the baseline fixture — DC successive approximation +
+    * EOB-run AC scans, losslessly decodable, so the SAME integer
+    * oracle covers both frame types. */
+  def synthProgressiveJpeg(d: Long): Array[Byte] =
+    encodeJpegProgressive(synthJpegImage(d), gray = d % 5 == 0)
 
   /** Closed-form JPEG shell — every field the DuckDB oracle recomputes
     * from doc_id alone. Odd ids are progressive (SOF2), every 5th is

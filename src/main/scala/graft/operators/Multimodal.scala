@@ -388,6 +388,24 @@ object Multimodal {
     ids.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a REAL progressive (SOF2) JPEG of the
+    * same closed-form flat-block images as the baseline fixture — DC
+    * successive approximation + EOB-run AC scans (see
+    * Codecs.synthProgressiveJpeg). */
+  def synthProgressiveJpegMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthProgressiveJpeg(d), "image/jpeg",
+          Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL baseline-JPEG decode per partition: marker walk, Huffman
     * entropy decode (with restarts), dequant, IDCT, fixed-point
     * YCbCr→RGB. Same feature row as the BMP/PNG twins. */

@@ -2658,6 +2658,65 @@ object Llm extends QueryModule {
           CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
         FROM dec GROUP BY doc_id ORDER BY id""")),
 
+    // REAL PROGRESSIVE (SOF2) JPEG decode — the multi-scan frame type
+    // that was the stub boundary's top remaining member: DC successive
+    // approximation (point-transformed first pass + raw-bit
+    // refinement), EOB-run-coded AC band scans, coefficient
+    // accumulation across scans, dequant+IDCT at EOI
+    // (Codecs.decodeProgScan/assembleProgressive). The fixture is the
+    // SAME closed-form flat-block family as llm_image_decode_jpeg —
+    // progressive coding of a DC-only image is lossless (the point
+    // transform is exactly invertible) — so the identical integer
+    // oracle pins both frame types; the AC-successive-approximation
+    // path real libjpeg scripts use is pinned against JDK-ImageIO-
+    // written progressive streams in CodecsSpec.
+    QueryDef(
+      "llm_image_decode_jpeg_prog",
+      (s, dir) => Multimodal.decodeJpegFeatures(
+        Multimodal.synthProgressiveJpegMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(24 + doc_id % 13 AS INT) AS w,
+            CAST(16 + doc_id % 11 AS INT) AS h, doc_id % 5 = 0 AS gray
+          FROM documents WHERE doc_id < 300),
+        px AS (SELECT d.doc_id, d.w, d.h, d.gray, x.x AS x, y.y AS y,
+            x.x // 8 AS bx, y.y // 8 AS by
+          FROM d, (SELECT unnest(range(0, 37)) AS x) x,
+            (SELECT unnest(range(0, 27)) AS y) y
+          WHERE x.x < d.w AND y.y < d.h),
+        c AS (SELECT *, (doc_id + 17 * bx + 29 * by) % 256 AS r,
+            (3 * doc_id + 11 * bx + 7 * by) % 256 AS g,
+            (5 * doc_id + 13 * bx + 19 * by) % 256 AS b
+          FROM px),
+        yc AS (SELECT *,
+            (299 * r + 587 * g + 114 * b + 500) // 1000 AS y0,
+            least(greatest((128000000 - 168736 * r - 331264 * g
+              + 500000 * b + 500000) // 1000000, 0), 255) AS cb,
+            least(greatest((128000000 + 500000 * r - 418688 * g
+              - 81312 * b + 500000) // 1000000, 0), 255) AS cr
+          FROM c),
+        dec AS (SELECT doc_id, w, h, x, y,
+            CASE WHEN gray THEN r ELSE least(greatest(
+              (1000 * y0 + 1402 * (cr - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) END AS dr,
+            CASE WHEN gray THEN r ELSE least(greatest(
+              (1000 * y0 - 344 * (cb - 128) - 714 * (cr - 128) + 500
+                + 512000) // 1000 - 512, 0), 255) END AS dg,
+            CASE WHEN gray THEN r ELSE least(greatest(
+              (1000 * y0 + 1772 * (cb - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) END AS db
+          FROM yc)
+        SELECT doc_id AS id, CAST(max(w) AS INT) AS width,
+          CAST(max(h) AS INT) AS height,
+          CAST(sum(dr) AS BIGINT) AS sum_r,
+          CAST(sum(dg) AS BIGINT) AS sum_g,
+          CAST(sum(db) AS BIGINT) AS sum_b,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dr END) AS INT) AS px32_r,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dg END) AS INT) AS px32_g,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
+        FROM dec GROUP BY doc_id ORDER BY id""")),
+
     // Cross-FORMAT transcode (the thumbnail-extraction pipeline): real
     // baseline-JPEG decode → nearest resize to 12x8 → lossless PNG
     // re-encode → PNG decode, features off the SECOND decode, so the
