@@ -601,15 +601,22 @@ object Codecs {
     out
   }
 
+  /** Sampling factors for the three supported layouts. */
+  private def jpegSampling(nComp: Int, subsample: Boolean,
+      subsample422: Boolean): (Array[Int], Array[Int]) =
+    if (subsample) (Array(2, 1, 1), Array(2, 1, 1))       // 4:2:0
+    else if (subsample422) (Array(2, 1, 1), Array(1, 1, 1)) // 4:2:2
+    else (Array.fill(nComp)(1), Array.fill(nComp)(1))     // 4:4:4 / gray
+
   /** Shared encoder front half: RGB→YCC planes at component
-    * resolution, chroma box-downsampled when `subsample`. Returns
-    * (hs, vs, compW, compH, planes). */
-  private def jpegPlanes(img: Bmp, gray: Boolean, subsample: Boolean)
-      : (Array[Int], Array[Int], Array[Int], Array[Int], Array[Array[Int]]) = {
+    * resolution, chroma box-downsampled by the per-component sampling
+    * ratio (fx×fy box, replicated edges, round half-up). Returns
+    * (compW, compH, planes). */
+  private def jpegPlanes(img: Bmp, gray: Boolean,
+      hs: Array[Int], vs: Array[Int])
+      : (Array[Int], Array[Int], Array[Array[Int]]) = {
     val w = img.width; val h = img.height
     val nComp = if (gray) 1 else 3
-    val hs = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
-    val vs = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
     val hmax = hs(0); val vmax = vs(0)
     val full = Array.fill(nComp)(new Array[Int](w * h))
     var y = 0
@@ -633,17 +640,25 @@ object Codecs {
     val planes = Array.tabulate(nComp) { c =>
       if (hs(c) == hmax && vs(c) == vmax) full(c)
       else {
+        val fx = hmax / hs(c); val fy = vmax / vs(c)
         val cw = compW(c); val ch = compH(c)
         val p = new Array[Int](cw * ch)
         var cy = 0
         while (cy < ch) {
           var cx = 0
           while (cx < cw) {
-            val x0 = cx * 2; val y0 = cy * 2
-            val x1 = math.min(x0 + 1, w - 1)
-            val y1 = math.min(y0 + 1, h - 1)
-            p(cy * cw + cx) = (full(c)(y0 * w + x0) + full(c)(y0 * w + x1) +
-              full(c)(y1 * w + x0) + full(c)(y1 * w + x1) + 2) / 4
+            var sum = 0
+            var dy = 0
+            while (dy < fy) {
+              var dx = 0
+              while (dx < fx) {
+                sum += full(c)(math.min(cy * fy + dy, h - 1) * w +
+                  math.min(cx * fx + dx, w - 1))
+                dx += 1
+              }
+              dy += 1
+            }
+            p(cy * cw + cx) = (sum + fx * fy / 2) / (fx * fy)
             cx += 1
           }
           cy += 1
@@ -651,7 +666,7 @@ object Codecs {
         p
       }
     }
-    (hs, vs, compW, compH, planes)
+    (compW, compH, planes)
   }
 
   /** Baseline sequential JPEG ENCODER — gray (1 component, the Bmp's R
@@ -669,11 +684,15 @@ object Codecs {
       quantLuma: Array[Int] = jpegUnitQuant,
       quantChroma: Array[Int] = jpegUnitQuant,
       restartInterval: Int = 0,
-      subsample: Boolean = false): Array[Byte] = {
-    require(!(gray && subsample), "chroma subsampling applies to color only")
+      subsample: Boolean = false,
+      subsample422: Boolean = false): Array[Byte] = {
+    require(!(gray && (subsample || subsample422)),
+      "chroma subsampling applies to color only")
+    require(!(subsample && subsample422), "pick ONE subsampling layout")
     val w = img.width; val h = img.height
     val nComp = if (gray) 1 else 3
-    val (hs, vs, compW, compH, planes) = jpegPlanes(img, gray, subsample)
+    val (hs, vs) = jpegSampling(nComp, subsample, subsample422)
+    val (compW, compH, planes) = jpegPlanes(img, gray, hs, vs)
     val hmax = hs(0); val vmax = vs(0) // luma always carries the max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
@@ -805,11 +824,15 @@ object Codecs {
   def encodeJpegProgressive(img: Bmp, gray: Boolean = false,
       quantLuma: Array[Int] = jpegUnitQuant,
       quantChroma: Array[Int] = jpegUnitQuant,
-      subsample: Boolean = false): Array[Byte] = {
-    require(!(gray && subsample), "chroma subsampling applies to color only")
+      subsample: Boolean = false,
+      subsample422: Boolean = false): Array[Byte] = {
+    require(!(gray && (subsample || subsample422)),
+      "chroma subsampling applies to color only")
+    require(!(subsample && subsample422), "pick ONE subsampling layout")
     val w = img.width; val h = img.height
     val nComp = if (gray) 1 else 3
-    val (hs, vs, compW, compH, planes) = jpegPlanes(img, gray, subsample)
+    val (hs, vs) = jpegSampling(nComp, subsample, subsample422)
+    val (compW, compH, planes) = jpegPlanes(img, gray, hs, vs)
     val hmax = hs(0); val vmax = vs(0)
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
@@ -1086,9 +1109,12 @@ object Codecs {
           val is420 = comps.length == 3 &&
             comps(0).h == 2 && comps(0).v == 2 &&
             comps.tail.forall(c => c.h == 1 && c.v == 1)
-          require(all11 || is420,
-            "only 1x1 (4:4:4 / grayscale) or 4:2:0 (luma 2x2) JPEG " +
-              "sampling supported")
+          val is422 = comps.length == 3 &&
+            comps(0).h == 2 && comps(0).v == 1 &&
+            comps.tail.forall(c => c.h == 1 && c.v == 1)
+          require(all11 || is420 || is422,
+            "only 1x1 (4:4:4 / grayscale), 4:2:0 (luma 2x2), or 4:2:2 " +
+              "(luma 2x1) JPEG sampling supported")
           if (progressive) {
             val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
             val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
@@ -1425,12 +1451,17 @@ object Codecs {
     val nComp = comps.length
     val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
     val subsampled = hmax > 1 || vmax > 1
-    // 4:2:0 chroma at full resolution via the triangular filter
+    // subsampled chroma at full resolution via the triangular filters
     val (cbF, crF) =
       if (nComp == 3 && subsampled) {
-        val cw = (w + 1) / 2; val ch = (h + 1) / 2
-        (upsampleFancy2x2(planes(1), pw(1), cw, ch, w, h),
-          upsampleFancy2x2(planes(2), pw(2), cw, ch, w, h))
+        val cw = (w + 1) / 2
+        if (vmax > 1) {
+          val ch = (h + 1) / 2
+          (upsampleFancy2x2(planes(1), pw(1), cw, ch, w, h),
+            upsampleFancy2x2(planes(2), pw(2), cw, ch, w, h))
+        } else
+          (upsampleFancy2x1(planes(1), pw(1), cw, w, h),
+            upsampleFancy2x1(planes(2), pw(2), cw, w, h))
       } else (null, null)
     val out = Array.ofDim[(Int, Int, Int)](h, w)
     var y = 0
@@ -1461,6 +1492,32 @@ object Codecs {
     * clamped into [0, cw/ch)). `pw` is the padded plane stride; only
     * [0,cw)×[0,ch) content samples are read, so MCU edge padding never
     * leaks into the output. */
+  /** h2v1 "fancy" (triangular) upsampling for 4:2:2 — horizontal-only
+    * 3:1 blend with libjpeg's asymmetric +1/+2 rounding (even columns
+    * round toward the previous sample, odd toward the next, so the
+    * pair is bias-free); edges replicate, and the clamped formula
+    * reproduces libjpeg's exact-copy edge samples ((4c+1)>>2 = c). */
+  private def upsampleFancy2x1(plane: Array[Int], pw: Int, cw: Int,
+      w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val nx = x >> 1
+        out(y * w + x) =
+          if ((x & 1) == 0)
+            (3 * plane(y * pw + nx) + plane(y * pw + math.max(nx - 1, 0)) + 1) >> 2
+          else
+            (3 * plane(y * pw + nx) +
+              plane(y * pw + math.min(nx + 1, cw - 1)) + 2) >> 2
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def upsampleFancy2x2(plane: Array[Int], pw: Int, cw: Int, ch: Int,
       w: Int, h: Int): Array[Int] = {
     val out = new Array[Int](w * h)
@@ -2100,6 +2157,14 @@ object Codecs {
     * quant tables, restart interval cycling 0-3 MCUs. */
   def synthBaselineJpeg420(d: Long): Array[Byte] =
     encodeJpeg(synthJpegImage420(d), subsample = true,
+      restartInterval = (d % 4).toInt)
+
+  /** Closed-form REAL 4:2:2 baseline JPEG: 2x1-subsampled color over
+    * the same MCU-flat constant-chroma image family (16x8 MCUs are
+    * flat because the luma is constant per 16x16), unit quant tables,
+    * restart interval cycling 0-3 MCUs. */
+  def synthBaselineJpeg422(d: Long): Array[Byte] =
+    encodeJpeg(synthJpegImage420(d), subsample422 = true,
       restartInterval = (d % 4).toInt)
 
   /** Closed-form REAL PROGRESSIVE (SOF2) JPEG over the same flat-block

@@ -388,6 +388,23 @@ object Multimodal {
     ids.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a REAL 4:2:2 (2x1-subsampled) baseline
+    * JPEG over the same MCU-flat constant-chroma family as the 4:2:0
+    * fixture (see Codecs.synthBaselineJpeg422). */
+  def synthJpeg422Media(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthBaselineJpeg422(d), "image/jpeg",
+          Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** ids → media rows carrying a REAL progressive (SOF2) JPEG of the
     * same closed-form flat-block images as the baseline fixture — DC
     * successive approximation + EOB-run AC scans (see

@@ -378,6 +378,55 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2 JPEG decode is bit-exact on MCU-flat constant-chroma fixtures") {
+    // Horizontal-only (2x1) subsampling over the same constant-chroma
+    // family: 16x8 MCUs are flat because the luma is constant per
+    // 16x16, the h2v1 box downsample and triangular upsample are both
+    // exact on a constant chroma plane ((4c+1)>>2 = (4c+2)>>2 = c).
+    (0L until 40L).foreach { d =>
+      val img = Codecs.synthJpegImage420(d)
+      val dec = Codecs.decodeJpeg(Codecs.synthBaselineJpeg422(d))
+      assert(dec.width == img.width && dec.height == img.height, s"dims d=$d")
+      var bad = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val (r, g, b) = img.pixels(y)(x)
+        if (dec.pixels(y)(x) != yccRoundTrip(r, g, b)) bad += 1
+      }
+      assert(bad == 0, s"d=$d: $bad mismatched pixels")
+    }
+  }
+
+  test("4:2:2 JPEG decode matches ImageIO on our own lossy subsampled stream") {
+    // ImageIO (libjpeg lineage) decodes h2v1 streams with the same
+    // fancy upsampler; the JDK WRITER cannot be asked for 4:2:2, so
+    // this layout gets the our-encode direction only. Same tolerance
+    // reasoning as the 4:2:0 twin.
+    val imgGen = for {
+      w <- Gen.choose(9, 34); h <- Gen.choose(9, 30)
+      px <- Gen.listOfN(h, Gen.listOfN(w, pixelGen))
+    } yield Bmp(w, h, px.map(_.toArray).toArray)
+    samples(imgGen, 8).zipWithIndex.foreach { case (img, i) =>
+      val bytes = Codecs.encodeJpeg(img,
+        quantLuma = Codecs.jpegLossyQuant,
+        quantChroma = Codecs.jpegLossyQuant,
+        restartInterval = i % 3, subsample422 = true)
+      val ours = Codecs.decodeJpeg(bytes)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, "ImageIO could not parse our 4:2:2 JPEG output")
+      assert(ref.getWidth == img.width && ref.getHeight == img.height)
+      var maxd = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val rgb = ref.getRGB(x, y)
+        val (r, g, b) = ours.pixels(y)(x)
+        maxd = math.max(maxd, math.abs(((rgb >> 16) & 0xff) - r))
+        maxd = math.max(maxd, math.abs(((rgb >> 8) & 0xff) - g))
+        maxd = math.max(maxd, math.abs((rgb & 0xff) - b))
+      }
+      assert(maxd <= 3, s"img $i: max channel delta $maxd vs ImageIO")
+    }
+  }
+
   test("4:2:0 JPEG decode matches ImageIO on our own lossy subsampled stream") {
     // Direction 1 of the independence check at 2x2 sampling: arbitrary
     // pixels, real quantizer, OUR encoder's 4:2:0 interleave — both
@@ -480,14 +529,17 @@ class CodecsSpec extends AnyFunSuite {
       }
       assert(bad == 0, s"d=$d: $bad mismatched pixels")
       val img4 = Codecs.synthJpegImage420(d)
-      val dec4 = Codecs.decodeJpeg(
-        Codecs.encodeJpegProgressive(img4, subsample = true))
-      var bad4 = 0
-      for (y <- 0 until img4.height; x <- 0 until img4.width) {
-        val (r, g, b) = img4.pixels(y)(x)
-        if (dec4.pixels(y)(x) != yccRoundTrip(r, g, b)) bad4 += 1
+      for ((label, bytes) <- Seq(
+          ("4:2:0", Codecs.encodeJpegProgressive(img4, subsample = true)),
+          ("4:2:2", Codecs.encodeJpegProgressive(img4, subsample422 = true)))) {
+        val dec4 = Codecs.decodeJpeg(bytes)
+        var bad4 = 0
+        for (y <- 0 until img4.height; x <- 0 until img4.width) {
+          val (r, g, b) = img4.pixels(y)(x)
+          if (dec4.pixels(y)(x) != yccRoundTrip(r, g, b)) bad4 += 1
+        }
+        assert(bad4 == 0, s"d=$d $label: $bad4 mismatched pixels")
       }
-      assert(bad4 == 0, s"d=$d 4:2:0: $bad4 mismatched pixels")
     }
   }
 
@@ -610,12 +662,12 @@ class CodecsSpec extends AnyFunSuite {
     val prog = Codecs.synthJpeg(1L) // odd id → SOF2
     assert(Codecs.jpegMeta(prog).progressive)
     intercept[IllegalArgumentException](Codecs.decodeJpeg(prog))
-    // unsupported sampling: 4:2:0 is decoded for real since round 10,
-    // so the loud-rejection pin moves to 4:2:2 (luma 2x1)
+    // unsupported sampling: 4:2:0 AND 4:2:2 decode for real since
+    // round 10, so the loud-rejection pin moves to 1x2 (vertical-only)
     val sub = ok.clone()
     val sofAt = (2 until sub.length - 10).find(i =>
       (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0).get
-    sub(sofAt + 11) = 0x21.toByte // first component 2x1 sampling
+    sub(sofAt + 11) = 0x12.toByte // first component 1x2 sampling
     intercept[IllegalArgumentException](Codecs.decodeJpeg(sub))
   }
 
