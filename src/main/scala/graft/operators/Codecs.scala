@@ -1951,6 +1951,82 @@ object Codecs {
     Mp4Samples(nSamples, total, maxSz, durTicks, nChunks)
   }
 
+  /** Structurally real MP4 WITH DATA: the stsc-bearing moov of
+    * encodeMp4SampleShell plus an actual mdat whose payload carries the
+    * samples contiguously at the offsets stco records — absolute file
+    * offsets, the way real muxers write them. The moov is built twice
+    * with identical entry counts (its size is layout-independent), so
+    * the second pass records the true mdat-relative offsets. */
+  def encodeMp4DataShell(timescale: Int, sttsRuns: Seq[(Int, Int)],
+      sampleBytes: Seq[Array[Byte]], samplesPerChunk: Seq[Int]): Array[Byte] = {
+    val sizes = sampleBytes.map(_.length)
+    // chunk-contiguous layout: chunk c starts at the cumulative byte
+    // offset of its first sample
+    def offsetsFrom(dataStart: Int): Seq[Int] = {
+      val firstSample = samplesPerChunk.scanLeft(0)(_ + _).dropRight(1)
+      firstSample.map(fs => dataStart + sizes.take(fs).sum)
+    }
+    val probe = encodeMp4SampleShell(timescale, sttsRuns, sizes,
+      offsetsFrom(0), forceUniform = false, samplesPerChunk)
+    val dataStart = probe.length + 8 // moov shell + mdat header
+    val shell = encodeMp4SampleShell(timescale, sttsRuns, sizes,
+      offsetsFrom(dataStart), forceUniform = false, samplesPerChunk)
+    require(shell.length == probe.length, "moov size must be layout-free")
+    val mdat = mp4Box("mdat", sampleBytes.toArray.flatten)
+    shell ++ mdat
+  }
+
+  final case class Mp4SampleData(sampleIdx: Int, chunkIdx: Int,
+      dataOffset: Long, size: Int, byteSum: Long)
+
+  /** Extract every sample's actual bytes: the stsc/stco/stsz location
+    * walk (mp4SampleLocations) plus a containment check that each
+    * sample's byte range lies INSIDE the mdat payload — a sampler must
+    * never silently read moov bytes as media data. Returns per sample
+    * the MDAT-RELATIVE offset (the layout-independent quantity) and
+    * the unsigned byte sum of the actual slice. */
+  def mp4ExtractSamples(bytes: Array[Byte]): Array[Mp4SampleData] = {
+    val locs = mp4SampleLocations(bytes)
+    val mdat = oneBox(mp4Walk(bytes, 0, bytes.length), "mdat")
+    locs.map { l =>
+      require(l.offset >= mdat.start && l.offset + l.size <= mdat.end,
+        s"sample ${l.sampleIdx} [${l.offset}, ${l.offset + l.size}) " +
+          s"outside the mdat payload [${mdat.start}, ${mdat.end})")
+      var sum = 0L
+      var j = 0
+      while (j < l.size) { sum += bytes(l.offset.toInt + j) & 0xff; j += 1 }
+      Mp4SampleData(l.sampleIdx, l.chunkIdx, l.offset - mdat.start, l.size, sum)
+    }
+  }
+
+  /** Closed-form data-bearing MP4: same sample-count/size/chunk
+    * construction as synthMp4Chunks, byte j of sample i =
+    * (7·doc + 13·i + j) mod 251 — per-sample AND per-position varying,
+    * so an extraction offset that is wrong by even one byte breaks the
+    * checksum. */
+  /** Alternating k1/k2 samples-per-chunk pattern with a ragged tail —
+    * shared by the stsc fixtures; closed-form in (d, n). */
+  private def synthChunkPattern(d: Long, n: Int): Seq[Int] = {
+    val k1 = (3 + d % 4).toInt; val k2 = (1 + d % 3).toInt
+    // J = max chunk count whose pattern total fits inside n samples
+    // (scanLeft emits cum(0)=0 first, so J = |cums <= n| - 1)
+    val spcFull = Iterator.continually(Seq(k1, k2)).flatten
+      .scanLeft(0)(_ + _).takeWhile(_ <= n).size - 1
+    val pattern = Iterator.continually(Seq(k1, k2)).flatten.take(spcFull).toSeq
+    val covered = pattern.sum
+    if (covered < n) pattern :+ (n - covered) else pattern
+  }
+
+  def synthMp4Data(d: Long): Array[Byte] = {
+    val n = (24 + d % 40).toInt
+    val delta = (512 + d % 100).toInt
+    val sizes = (0 until n).map(i => (100 + (7 * d + 13 * i) % 900).toInt)
+    val payloads = (0 until n).map(i =>
+      Array.tabulate(sizes(i))(j => ((7 * d + 13 * i + j) % 251).toByte))
+    encodeMp4DataShell((600 + 100 * (d % 9)).toInt,
+      Seq((n, delta)), payloads, synthChunkPattern(d, n))
+  }
+
   /** Closed-form sample-table shell: sample count, per-sample sizes,
     * stts run structure, and chunk count all derive from doc_id alone
     * so DuckDB recomputes every feature. Every 4th id exercises the
@@ -2063,14 +2139,7 @@ object Codecs {
     val n = (24 + d % 40).toInt
     val delta = (512 + d % 100).toInt
     val sizes = (0 until n).map(i => (100 + (7 * d + 13 * i) % 900).toInt)
-    val k1 = (3 + d % 4).toInt; val k2 = (1 + d % 3).toInt
-    // J = max chunk count whose pattern total fits inside n samples
-    // (scanLeft emits cum(0)=0 first, so J = |cums ≤ n| - 1)
-    val spcFull = Iterator.continually(Seq(k1, k2)).flatten
-      .scanLeft(0)(_ + _).takeWhile(_ <= n).size - 1
-    val pattern = Iterator.continually(Seq(k1, k2)).flatten.take(spcFull).toSeq
-    val covered = pattern.sum
-    val spc = if (covered < n) pattern :+ (n - covered) else pattern
+    val spc = synthChunkPattern(d, n)
     val base = 4096L + d % 512
     val offsets = spc.scanLeft(0)(_ + _).dropRight(1)
       .map(firstSample => (base + sizes.take(firstSample).map(_.toLong).sum).toInt)

@@ -583,6 +583,49 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying an MP4 WITH an actual mdat: samples at
+    * real absolute file offsets, byte content closed-form per
+    * (doc, sample, position) — see Codecs.synthMp4Data. */
+  def synthMp4DataMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        Row(d, Row(Codecs.synthMp4Data(d), "video/mp4",
+          Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL sample-byte extraction per partition: the stsc/stco/stsz
+    * location walk PLUS the actual mdat slice (containment-checked),
+    * one row per sample with its unsigned byte sum — the operation a
+    * frame sampler performs before handing bytes to a codec. */
+  def mp4SampleByteFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_idx", IntegerType),
+      StructField("chunk_idx", IntegerType),
+      StructField("data_offset", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("byte_sum", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        Codecs.mp4ExtractSamples(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+          .iterator.map(s =>
+            Row(d, s.sampleIdx, s.chunkIdx, s.dataOffset, s.size, s.byteSum))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition batched decode: one "codec" per partition, rows
     * streamed through it. Output schema: id, mime, n_bytes, features. */
   def decode(df: DataFrame, idCol: String): DataFrame = {

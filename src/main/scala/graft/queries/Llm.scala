@@ -3001,6 +3001,48 @@ object Llm extends QueryModule {
           CAST(sz AS INT) AS n_bytes
         FROM o ORDER BY id, sample_idx""")),
 
+    // SAMPLE BYTE EXTRACTION from a REAL mdat
+    // (Codecs.mp4ExtractSamples): the step past llm_video_chunks —
+    // the located byte ranges are actually SLICED out of the media
+    // data box (containment-checked: a range escaping the mdat payload
+    // fails loudly instead of reading moov bytes as media). Byte
+    // content varies per (doc, sample, position), so an extraction
+    // offset wrong by even one byte breaks the checksum; offsets are
+    // mdat-relative (the layout-independent quantity both engines can
+    // derive — a prefix sum over the chunk-contiguous sizes). This is
+    // the last pre-codec step: what remains stubbed is only the codec
+    // bitstream itself.
+    QueryDef(
+      "llm_video_sample_bytes",
+      (s, dir) => Multimodal.mp4SampleByteFeatures(
+        Multimodal.synthMp4DataMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "sample_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(24 + doc_id % 40 AS INT) AS n,
+            CAST(3 + doc_id % 4 AS INT) AS k1,
+            CAST(1 + doc_id % 3 AS INT) AS k2
+          FROM documents WHERE doc_id < 300),
+        s AS (SELECT d.doc_id, d.k1, d.k2, i.i AS i,
+            100 + (7 * d.doc_id + 13 * i.i) % 900 AS sz
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i),
+        o AS (SELECT doc_id, i, sz, k1, k2,
+            coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM s),
+        b AS (SELECT doc_id, i, sz, k1, k2, pre,
+            sum((7 * doc_id + 13 * i + j.j) % 251) AS bsum
+          FROM o, LATERAL (SELECT unnest(range(0, o.sz)) AS j) j
+          GROUP BY doc_id, i, sz, k1, k2, pre)
+        SELECT doc_id AS id, CAST(i AS INT) AS sample_idx,
+          CAST(2 * (i // (k1 + k2))
+            + CASE WHEN i % (k1 + k2) < k1 THEN 1 ELSE 2 END AS INT)
+            AS chunk_idx,
+          CAST(pre AS BIGINT) AS data_offset,
+          CAST(sz AS INT) AS n_bytes,
+          CAST(bsum AS BIGINT) AS byte_sum
+        FROM b ORDER BY id, sample_idx""")),
+
     // Temperature-based domain mixture (the standard training-mix op:
     // sample domain d with p_d ∝ tokens_d^τ, τ < 1 upweighting small
     // domains — GPT-3/PaLM-style rebalancing). Emits, per source, the

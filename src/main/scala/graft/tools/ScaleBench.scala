@@ -27,11 +27,19 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SCALE_MULT", "100").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_LOCAL_DIRS (comma-separated) spreads shuffle spill
+    // across multiple devices — the local.dir-lists-every-NVMe shape a
+    // real cluster node runs; the x1000 exact-verify shuffles (~80 GB)
+    // exceed any single device this box has.
+    val spill = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIRS",
+      graft.Scratch.dir("spark-local"))
+    spill.split(',').foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", graft.Scratch.dir("spark-local"))
+      .config("spark.local.dir", spill)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/root/testdata/sf0.1"

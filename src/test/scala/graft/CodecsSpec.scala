@@ -732,6 +732,42 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.mp4SampleLocations(zero))
   }
 
+  test("MP4 mdat sample extraction slices the actual bytes at stco offsets") {
+    (0L until 24L).foreach { d =>
+      val out = Codecs.mp4ExtractSamples(Codecs.synthMp4Data(d))
+      val n = (24 + d % 40).toInt
+      assert(out.length == n, s"d=$d")
+      var pre = 0L
+      out.zipWithIndex.foreach { case (s, i) =>
+        val sz = (100 + (7 * d + 13 * i) % 900).toInt
+        assert(s.size == sz && s.dataOffset == pre, s"d=$d i=$i")
+        val want = (0 until sz).map(j => (7 * d + 13 * i + j) % 251).sum
+        assert(s.byteSum == want, s"d=$d i=$i byte sum")
+        pre += sz
+      }
+    }
+  }
+
+  test("MP4 mdat extraction rejects sample ranges escaping the payload") {
+    val ok = Codecs.synthMp4Data(3L)
+    assert(Codecs.mp4ExtractSamples(ok).nonEmpty)
+    // push the LAST chunk's offset to the end of file: its samples
+    // would read past the mdat — must fail loudly, not read garbage
+    val stcoAt = (0 until ok.length - 4).find(i =>
+      ok(i) == 's' && ok(i + 1) == 't' && ok(i + 2) == 'c' &&
+        ok(i + 3) == 'o').get
+    val nChunks = ((ok(stcoAt + 8) & 0xff) << 24) |
+      ((ok(stcoAt + 9) & 0xff) << 16) |
+      ((ok(stcoAt + 10) & 0xff) << 8) | (ok(stcoAt + 11) & 0xff)
+    val bad = ok.clone()
+    val lastOff = stcoAt + 12 + 4 * (nChunks - 1)
+    bad(lastOff) = ((ok.length >> 24) & 0xff).toByte
+    bad(lastOff + 1) = ((ok.length >> 16) & 0xff).toByte
+    bad(lastOff + 2) = ((ok.length >> 8) & 0xff).toByte
+    bad(lastOff + 3) = (ok.length & 0xff).toByte
+    intercept[IllegalArgumentException](Codecs.mp4ExtractSamples(bad))
+  }
+
   test("MP4 sample tables round-trip uniform and per-sample stsz, multi-run stts") {
     (0L until 24L).foreach { d =>
       val m = Codecs.mp4Samples(Codecs.synthMp4Samples(d))
