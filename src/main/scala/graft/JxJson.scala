@@ -153,6 +153,33 @@ object JxJson {
       case w => df = df.filter(compile(w))
     }
 
+    // sample: {"rate": r, "on": <expr>} — DETERMINISTIC
+    // content-addressed sampling (the llm_holdout_split /
+    // sample_stratified primitive from the JSON front door): keep a
+    // row iff the first 4 md5 hex digits of its key hash below
+    // floor(r·65536). No RNG, no stored sample table — the same row
+    // is kept on every engine and cluster size, and the predicate is
+    // a pure row-local filter.
+    (q \ "sample") match {
+      case JNothing | JNull => ()
+      case s =>
+        val rate = (s \ "rate") match {
+          case JDouble(r) => r
+          case JDecimal(r) => r.toDouble
+          case JInt(r) => r.toDouble
+          case other => sys.error(s"jx: sample rate $other")
+        }
+        require(rate >= 0.0 && rate <= 1.0, s"jx: sample rate $rate not in [0,1]")
+        val key = (s \ "on") match {
+          case JNothing | JNull => sys.error(
+            "jx: sample needs 'on' (the content-address key)")
+          case k => operand(k)
+        }
+        val cut = f"${math.min(math.floor(rate * 65536).toLong, 65535L)}%04x"
+        df = df.filter(
+          substring(md5(key.cast("string")), 1, 4) < lit(cut))
+    }
+
     // dedup: {"on": [exprs], "sort": [...]} — keep the FIRST row per
     // key under the given order: the llm_exact_dedup shape (row_number
     // window partitioned by a high-cardinality key) reachable from the

@@ -493,6 +493,30 @@ object Extensions extends QueryModule {
           FROM documents)
         WHERE rn = 1 ORDER BY doc_id""")),
 
+    // JX `sample` through the JSON front door (round 10): the
+    // deterministic content-addressed sampling primitive
+    // (llm_holdout_split's md5-cut construction) as a query clause —
+    // composed here with a groupby so the sampled subset feeds an
+    // aggregation in the same fused plan.
+    QueryDef(
+      "jx_json_sample",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "orders",
+          "sample": {"rate": 0.25, "on": "o_orderkey"},
+          "groupby": ["o_orderstatus"],
+          "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "max_price", "value": "o_totalprice", "aggregate": "max"}
+          ],
+          "sort": "o_orderstatus"
+        }"""),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+          max(o_totalprice) AS max_price
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).

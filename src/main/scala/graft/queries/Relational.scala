@@ -415,6 +415,51 @@ object Relational extends QueryModule {
           FROM batch WHERE fp NOT IN (SELECT fp FROM hist))
         WHERE rk = 1 ORDER BY doc_id""")),
 
+    // Corpus VERSION DIFF (round 10): classify every doc id across two
+    // corpus versions as added / removed / changed / unchanged by
+    // full-outer-joining the two versions' content fingerprints — the
+    // dataset-release audit every training-data pipeline runs before
+    // shipping v(N+1). v2 is derived deterministically from the fixture
+    // (every 7th doc removed, the next class rewritten, the next class
+    // re-added under a shifted id) so both engines diff identical
+    // corpora. One sort-merge full-outer join on doc_id; at 100 TB both
+    // versions are bucketed by doc_id and the join runs exchange-free.
+    QueryDef(
+      "etl_delta_corpus",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp1"))
+        val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 1, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("fp2"))
+          .unionAll(docs.filter(col("doc_id") % 7 === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              md5(col("text")).as("fp2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") =!= col("fp2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+        v2 AS (SELECT doc_id,
+            md5(CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END)
+              AS fp2
+          FROM documents WHERE doc_id % 7 != 0
+          UNION ALL
+          SELECT doc_id + 1000000, md5(text) FROM documents
+          WHERE doc_id % 7 = 2)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v1.fp1 IS NULL THEN 'added'
+               WHEN v2.fp2 IS NULL THEN 'removed'
+               WHEN v1.fp1 != v2.fp2 THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id""")),
+
     // Time-series resample + gap fill: snap an irregular event stream
     // to a dense fixed-interval axis (hourly), averaging observations
     // per bucket and forward-filling buckets with no data — the

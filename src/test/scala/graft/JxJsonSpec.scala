@@ -301,6 +301,29 @@ class JxJsonSpec extends SparkSpec {
     }
   }
 
+  test("sample clause is deterministic, rate-accurate, and composes") {
+    import org.apache.spark.sql.functions._
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "orders",
+          "sample": {"rate": 0.25, "on": "o_orderkey"},
+          "select": ["o_orderkey"], "sort": "o_orderkey"}""")
+    val direct = Catalog.table(spark, sf0001, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 4) < "4000")
+      .select("o_orderkey").orderBy("o_orderkey")
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+    val n = Catalog.table(spark, sf0001, "orders").count()
+    val k = out.count()
+    assert(math.abs(k.toDouble / n - 0.25) < 0.05, s"rate drifted: $k/$n")
+    // a second run keeps EXACTLY the same rows (content-addressed)
+    assert(JxJson.run(spark, sf0001,
+      """{"from": "orders",
+          "sample": {"rate": 0.25, "on": "o_orderkey"},
+          "select": ["o_orderkey"], "sort": "o_orderkey"}""")
+      .exceptAll(out).isEmpty)
+    intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "orders", "sample": {"rate": 0.25}, "select": ["o_orderkey"]}"""))
+  }
+
   test("dedup clause == TextOps.exactDedup through the front door") {
     val out = JxJson.run(spark, sf0001,
       """{"from": "documents",
