@@ -235,6 +235,21 @@ object ScaleBench {
       graft.SparkEntry.queries("llm_pipeline_e2e")(spark, out)))
     time("pipeline_curation")(force(
       graft.SparkEntry.queries("llm_pipeline_curation")(spark, out)))
+    // JPEG decode THROUGHPUT at corpus scale (round 10): one real
+    // 4:2:0 baseline JPEG per scaled doc id, decoded through the full
+    // Huffman + IDCT + chroma-upsample path. The media frame is
+    // localCheckpoint'd so the timed number is the DECODE pass, not
+    // fixture synthesis; per-partition mapPartitions parallelism is
+    // the shape a real corpus decode runs with.
+    if (only.isEmpty || only.exists("jpeg_decode".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthJpeg420Media(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val nImgs = media.count()
+      time(s"jpeg_decode_420(n=$nImgs)")(
+        force(Multimodal.decodeJpegFeatures(media, "id")))
+      media.unpersist()
+    }
     // CCNet tercile bucketing via the bucketed two-phase global rank
     // (round 10): the corpus-wide rank that used to funnel every scored
     // doc through ONE window task now runs partitioned by score-
