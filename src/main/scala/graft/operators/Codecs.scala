@@ -516,19 +516,95 @@ object Codecs {
     }
   }
 
-  /** Fixed-length canonical table over the symbols actually emitted:
-    * every code gets length ceil(log2(S+1)) (the +1 keeps the all-ones
-    * code unused, so 1-padding before markers can never alias a
-    * symbol). Terrible compression, perfectly valid JPEG — and the
-    * decoder must parse DHT for real either way. */
-  private def fixedLengthTable(symbols: collection.Set[Int])
+  /** OPTIMAL length-limited canonical Huffman table from symbol
+    * frequencies — the T.81 Annex K.2 procedure every real encoder
+    * runs: pairwise least-frequency merges accumulate code sizes
+    * through an `others` chain, the size histogram is folded down to
+    * the 16-bit limit (K.3 pair-move adjustment), and a frequency-1
+    * pseudo-symbol reserves the ALL-ONES code point (dropped as the
+    * longest code afterwards) so 1-padding before markers can never
+    * alias a symbol. Output tables have genuinely variable code
+    * lengths, so the decoder's Annex-C mincode/maxcode walk is
+    * exercised across lengths by our own fixtures, not only by
+    * third-party streams. */
+  private def optimalTable(freqIn: collection.Map[Int, Long])
       : (Array[Int], Array[Int], Map[Int, (Int, Int)]) = {
-    val syms = symbols.toArray.sorted
-    var len = 1
-    while ((1 << len) - 1 < syms.length) len += 1
-    val bits = new Array[Int](17); bits(len) = syms.length
-    val enc = syms.zipWithIndex.map { case (s, i) => s -> (i, len) }.toMap
-    (bits, syms, enc)
+    val freq = new Array[Long](257)
+    freqIn.foreach { case (s, f) => freq(s) = f }
+    freq(256) = 1 // reserved: claims the all-ones code
+    val codesize = new Array[Int](257)
+    val others = Array.fill(257)(-1)
+    var done = false
+    while (!done) {
+      // v1 = least-frequency symbol (ties -> larger index, per spec),
+      // v2 = next least excluding v1
+      var v1 = -1; var v2 = -1
+      var i = 0
+      while (i <= 256) {
+        if (freq(i) > 0) {
+          if (v1 < 0 || freq(i) < freq(v1) ||
+            (freq(i) == freq(v1) && i > v1)) v1 = i
+        }
+        i += 1
+      }
+      i = 0
+      while (i <= 256) {
+        if (freq(i) > 0 && i != v1) {
+          if (v2 < 0 || freq(i) < freq(v2) ||
+            (freq(i) == freq(v2) && i > v2)) v2 = i
+        }
+        i += 1
+      }
+      if (v2 < 0) done = true
+      else {
+        freq(v1) += freq(v2); freq(v2) = 0
+        codesize(v1) += 1
+        var p = v1
+        while (others(p) >= 0) { p = others(p); codesize(p) += 1 }
+        others(p) = v2
+        codesize(v2) += 1
+        p = v2
+        while (others(p) >= 0) { p = others(p); codesize(p) += 1 }
+      }
+    }
+    // size histogram (code sizes can reach 57 before limiting)
+    val hist = new Array[Int](64)
+    (0 to 256).foreach(i => if (codesize(i) > 0) hist(codesize(i)) += 1)
+    // K.3: fold sizes > 16 down — remove a pair at length i (one moves
+    // to i-1, the pair's slot is paid for by splitting a shorter code)
+    var i = 63
+    while (i > 16) {
+      while (hist(i) > 0) {
+        var j = i - 2
+        while (hist(j) == 0) j -= 1
+        hist(i) -= 2; hist(i - 1) += 1; hist(j + 1) += 2; hist(j) -= 1
+      }
+      i -= 1
+    }
+    // drop the reserved pseudo-symbol's (longest) code point
+    var k = 16
+    while (hist(k) == 0) k -= 1
+    hist(k) -= 1
+    // canonical assignment: real symbols sorted by (merge code size,
+    // symbol), lengths dealt from the ADJUSTED histogram in order
+    val syms = (0 until 256).filter(codesize(_) > 0)
+      .sortBy(s => (codesize(s), s)).toArray
+    val bits = new Array[Int](17)
+    (1 to 16).foreach(l => bits(l) = hist(l))
+    require(bits.sum == syms.length, "Huffman histogram/symbol mismatch")
+    val enc = Map.newBuilder[Int, (Int, Int)]
+    var code = 0; var si = 0
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < bits(l)) {
+        enc += syms(si) -> (code, l)
+        code += 1; si += 1; c += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    (bits, syms, enc.result())
   }
 
   private def getBlock(plane: Array[Int], w: Int, h: Int,
@@ -745,7 +821,8 @@ object Codecs {
       mcu += 1
     }
     val tables = toks.filter(_ != null).groupBy(t => (t.cls, t.tid))
-      .map { case (k, ts) => k -> fixedLengthTable(ts.map(_.sym).toSet) }
+      .map { case (k, ts) => k -> optimalTable(
+        ts.groupBy(_.sym).map { case (s, xs) => s -> xs.size.toLong }) }
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Byte]): Unit = {
@@ -944,7 +1021,8 @@ object Codecs {
     // ---- Huffman tables over every coded symbol (RAW toks excluded)
     val allToks = (scan1 ++ acScans.flatMap(_._2)).filter(_.cls != 2)
     val tables = allToks.groupBy(t => (t.cls, t.tid))
-      .map { case (k, ts) => k -> fixedLengthTable(ts.map(_.sym).toSet) }
+      .map { case (k, ts) => k -> optimalTable(
+        ts.groupBy(_.sym).map { case (s, xs) => s -> xs.size.toLong }) }
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Byte]): Unit = {
