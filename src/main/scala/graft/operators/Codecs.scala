@@ -902,7 +902,8 @@ object Codecs {
       quantLuma: Array[Int] = jpegUnitQuant,
       quantChroma: Array[Int] = jpegUnitQuant,
       subsample: Boolean = false,
-      subsample422: Boolean = false): Array[Byte] = {
+      subsample422: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
     require(!(gray && (subsample || subsample422)),
       "chroma subsampling applies to color only")
     require(!(subsample && subsample422), "pick ONE subsampling layout")
@@ -930,6 +931,10 @@ object Codecs {
       val pred = new Array[Int](nComp)
       var mcu = 0
       while (mcu < mcusX * mcusY) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          scan1 += null // restart sentinel
+          java.util.Arrays.fill(pred, 0)
+        }
         val mx = mcu % mcusX; val my = mcu / mcusX
         var c = 0
         while (c < nComp) {
@@ -957,6 +962,8 @@ object Codecs {
     locally {
       var mcu = 0
       while (mcu < mcusX * mcusY) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
+          scan2 += null
         val mx = mcu % mcusX; val my = mcu / mcusX
         var c = 0
         while (c < nComp) {
@@ -992,6 +999,10 @@ object Codecs {
       }
       var b = 0
       while (b < wB * hB) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          flushEob()
+          toks += null // restart sentinel; EOB runs never span it
+        }
         val cf = coefB(c)((b / wB) * padBX + b % wB)
         var lastNz = 0
         var k = 63
@@ -1019,7 +1030,8 @@ object Codecs {
       (c, toks)
     }
     // ---- Huffman tables over every coded symbol (RAW toks excluded)
-    val allToks = (scan1 ++ acScans.flatMap(_._2)).filter(_.cls != 2)
+    val allToks = (scan1 ++ acScans.flatMap(_._2))
+      .filter(t => t != null && t.cls != 2)
     val tables = allToks.groupBy(t => (t.cls, t.tid))
       .map { case (k, ts) => k -> optimalTable(
         ts.groupBy(_.sym).map { case (s, xs) => s -> xs.size.toLong }) }
@@ -1054,6 +1066,9 @@ object Codecs {
       seg(0xc4, ((cls << 4) | tid).toByte +:
         (Array.tabulate(16)(i => bits(i + 1).toByte) ++ vals.map(_.toByte)))
     }
+    if (restartInterval > 0)
+      seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
     def writeScan(comps: Seq[Int], ss: Int, se: Int, ahal: Int,
         toks: collection.Seq[Tok]): Unit = {
       val sos = new Array[Byte](1 + 2 * comps.size + 3)
@@ -1068,14 +1083,18 @@ object Codecs {
       sos(3 + 2 * comps.size) = ahal.toByte
       seg(0xda, sos)
       val bwr = new BitWriter(out)
-      toks.foreach { t =>
-        if (t.cls == 2) bwr.put(t.ev, t.eb)
-        else {
-          val (_, _, enc) = tables((t.cls, t.tid))
-          val (code, len) = enc(t.sym)
-          bwr.put(code, len)
-          if (t.eb > 0) bwr.put(t.ev, t.eb)
-        }
+      var rst = 0
+      toks.foreach {
+        case null =>
+          bwr.flush(); marker(0xd0 + rst); rst = (rst + 1) % 8
+        case t =>
+          if (t.cls == 2) bwr.put(t.ev, t.eb)
+          else {
+            val (_, _, enc) = tables((t.cls, t.tid))
+            val (code, len) = enc(t.sym)
+            bwr.put(code, len)
+            if (t.eb > 0) bwr.put(t.ev, t.eb)
+          }
       }
       bwr.flush()
     }
@@ -2319,7 +2338,8 @@ object Codecs {
     * EOB-run AC scans, losslessly decodable, so the SAME integer
     * oracle covers both frame types. */
   def synthProgressiveJpeg(d: Long): Array[Byte] =
-    encodeJpegProgressive(synthJpegImage(d), gray = d % 5 == 0)
+    encodeJpegProgressive(synthJpegImage(d), gray = d % 5 == 0,
+      restartInterval = (d % 4).toInt)
 
   /** Closed-form JPEG shell — every field the DuckDB oracle recomputes
     * from doc_id alone. Odd ids are progressive (SOF2), every 5th is
