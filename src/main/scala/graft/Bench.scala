@@ -187,9 +187,14 @@ object Bench {
     // map + every per-run timing) as a file — the machine-checkable
     // artifact survives even when the stdout tail does not parse, and
     // the per-run arrays let a reader audit the min-of-k policy.
-    val runsJson = allRuns.sortBy(_._2.map(_._1).min).map { case (k, rs, err) =>
-      "\"" + k + "\":{\"runs\":[" + rs.map(r => ms(r._1)).mkString(",") +
-        s"],\"error\":$err}" }.mkString("{", ",", "}")
+    // order by the FIGURE OF RECORD (clean-runs min / all-errored max),
+    // not the raw min — an instantly-erroring query must not sort to
+    // the top of the audit artifact as if it were the fastest query
+    val figure = results.toMap
+    val runsJson = allRuns.sortBy { case (k, _, _) => figure(k) }
+      .map { case (k, rs, err) =>
+        "\"" + k + "\":{\"runs\":[" + rs.map(r => ms(r._1)).mkString(",") +
+          s"],\"error\":$err}" }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"),
       s"""{"contract":$contract,"detail":${fmt(results.sortBy(_._2))},"runs":$runsJson}""")

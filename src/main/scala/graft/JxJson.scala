@@ -175,9 +175,14 @@ object JxJson {
             "jx: sample needs 'on' (the content-address key)")
           case k => operand(k)
         }
-        val cut = f"${math.min(math.floor(rate * 65536).toLong, 65535L)}%04x"
-        df = df.filter(
-          substring(md5(key.cast("string")), 1, 4) < lit(cut))
+        // rate 1.0 keeps EVERYTHING — no filter. (A clamped 0xffff cut
+        // with a strict < would silently drop the ~1/65536 of rows
+        // whose hash prefix is "ffff".)
+        if (rate < 1.0) {
+          val cut = f"${math.floor(rate * 65536).toLong}%04x"
+          df = df.filter(
+            substring(md5(key.cast("string")), 1, 4) < lit(cut))
+        }
     }
 
     // dedup: {"on": [exprs], "sort": [...]} — keep the FIRST row per

@@ -745,6 +745,51 @@ object Codecs {
     (compW, compH, planes)
   }
 
+  /** Shared container-header emission for BOTH encoders: SOI, JFIF
+    * APP0, DQTs, SOF (the marker byte is the only frame-type
+    * difference), the DHT serialization of every built table, and an
+    * optional DRI — one writer to fix, two frame types served. */
+  private def writeJpegHeaders(out: java.io.ByteArrayOutputStream,
+      sofMarker: Int, w: Int, h: Int, nComp: Int,
+      hs: Array[Int], vs: Array[Int],
+      quantLuma: Array[Int], quantChroma: Array[Int], gray: Boolean,
+      tables: Map[(Int, Int), (Array[Int], Array[Int], Map[Int, (Int, Int)])],
+      restartInterval: Int): Unit = {
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(tq: Int, tab: Array[Int]): Unit =
+      seg(0xdb, tq.toByte +: Array.tabulate(64)(i => tab(zigzag(i)).toByte))
+    dqt(0, quantLuma)
+    if (!gray) dqt(1, quantChroma)
+    val sof = new Array[Byte](6 + 3 * nComp)
+    sof(0) = 8
+    sof(1) = ((h >> 8) & 0xff).toByte; sof(2) = (h & 0xff).toByte
+    sof(3) = ((w >> 8) & 0xff).toByte; sof(4) = (w & 0xff).toByte
+    sof(5) = nComp.toByte
+    var c = 0
+    while (c < nComp) {
+      sof(6 + 3 * c) = (c + 1).toByte
+      sof(7 + 3 * c) = ((hs(c) << 4) | vs(c)).toByte
+      sof(8 + 3 * c) = (if (c == 0) 0 else 1).toByte
+      c += 1
+    }
+    seg(sofMarker, sof)
+    tables.toSeq.sortBy(_._1).foreach { case ((cls, tid), (bits, vals, _)) =>
+      seg(0xc4, ((cls << 4) | tid).toByte +:
+        (Array.tabulate(16)(i => bits(i + 1).toByte) ++ vals.map(_.toByte)))
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+  }
+
   /** Baseline sequential JPEG ENCODER — gray (1 component, the Bmp's R
     * channel), YCbCr 4:4:4, or (subsample=true) YCbCr 4:2:0 — luma
     * 2x2 against 1x1 chroma, the layout real-world color JPEGs
@@ -831,36 +876,11 @@ object Codecs {
       out.write((len >> 8) & 0xff); out.write(len & 0xff)
       out.write(payload)
     }
-    marker(0xd8)
-    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
-    // DQT in zigzag order, table 0 (luma) and, for color, table 1
-    def dqt(tq: Int, tab: Array[Int]): Unit =
-      seg(0xdb, tq.toByte +: Array.tabulate(64)(i => tab(zigzag(i)).toByte))
-    dqt(0, quantLuma)
-    if (!gray) dqt(1, quantChroma)
-    val sof = new Array[Byte](6 + 3 * nComp)
-    sof(0) = 8
-    sof(1) = ((h >> 8) & 0xff).toByte; sof(2) = (h & 0xff).toByte
-    sof(3) = ((w >> 8) & 0xff).toByte; sof(4) = (w & 0xff).toByte
-    sof(5) = nComp.toByte
-    var c = 0
-    while (c < nComp) {
-      sof(6 + 3 * c) = (c + 1).toByte
-      sof(7 + 3 * c) = ((hs(c) << 4) | vs(c)).toByte
-      sof(8 + 3 * c) = (if (c == 0) 0 else 1).toByte
-      c += 1
-    }
-    seg(0xc0, sof)
-    tables.toSeq.sortBy(_._1).foreach { case ((cls, tid), (bits, vals, _)) =>
-      seg(0xc4, ((cls << 4) | tid).toByte +:
-        (Array.tabulate(16)(i => bits(i + 1).toByte) ++ vals.map(_.toByte)))
-    }
-    if (restartInterval > 0)
-      seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
-        (restartInterval & 0xff).toByte))
+    writeJpegHeaders(out, 0xc0, w, h, nComp, hs, vs,
+      quantLuma, quantChroma, gray, tables, restartInterval)
     val sos = new Array[Byte](1 + 2 * nComp + 3)
     sos(0) = nComp.toByte
-    c = 0
+    var c = 0
     while (c < nComp) {
       sos(1 + 2 * c) = (c + 1).toByte
       sos(2 + 2 * c) = (if (c == 0) 0x00 else 0x11).toByte
@@ -1043,32 +1063,8 @@ object Codecs {
       out.write((len >> 8) & 0xff); out.write(len & 0xff)
       out.write(payload)
     }
-    marker(0xd8)
-    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
-    def dqt(tq: Int, tab: Array[Int]): Unit =
-      seg(0xdb, tq.toByte +: Array.tabulate(64)(i => tab(zigzag(i)).toByte))
-    dqt(0, quantLuma)
-    if (!gray) dqt(1, quantChroma)
-    val sof = new Array[Byte](6 + 3 * nComp)
-    sof(0) = 8
-    sof(1) = ((h >> 8) & 0xff).toByte; sof(2) = (h & 0xff).toByte
-    sof(3) = ((w >> 8) & 0xff).toByte; sof(4) = (w & 0xff).toByte
-    sof(5) = nComp.toByte
-    var c = 0
-    while (c < nComp) {
-      sof(6 + 3 * c) = (c + 1).toByte
-      sof(7 + 3 * c) = ((hs(c) << 4) | vs(c)).toByte
-      sof(8 + 3 * c) = (if (c == 0) 0 else 1).toByte
-      c += 1
-    }
-    seg(0xc2, sof)
-    tables.toSeq.sortBy(_._1).foreach { case ((cls, tid), (bits, vals, _)) =>
-      seg(0xc4, ((cls << 4) | tid).toByte +:
-        (Array.tabulate(16)(i => bits(i + 1).toByte) ++ vals.map(_.toByte)))
-    }
-    if (restartInterval > 0)
-      seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
-        (restartInterval & 0xff).toByte))
+    writeJpegHeaders(out, 0xc2, w, h, nComp, hs, vs,
+      quantLuma, quantChroma, gray, tables, restartInterval)
     def writeScan(comps: Seq[Int], ss: Int, se: Int, ahal: Int,
         toks: collection.Seq[Tok]): Unit = {
       val sos = new Array[Byte](1 + 2 * comps.size + 3)
@@ -1579,16 +1575,6 @@ object Codecs {
     Bmp(w, h, out)
   }
 
-  /** h2v2 "fancy" (triangular) chroma upsampling — the libjpeg default
-    * real decoders apply, implemented from the published algorithm so
-    * our full-resolution chroma matches what the JDK's IJG-derived
-    * ImageIO decoder produces on the same coefficients: each output
-    * pixel is the 9:3:3:1 blend of its nearest chroma sample, the
-    * horizontal neighbor toward the pixel, the vertical neighbor, and
-    * the diagonal, rounded by +8 >> 4; edges replicate (neighbor
-    * clamped into [0, cw/ch)). `pw` is the padded plane stride; only
-    * [0,cw)×[0,ch) content samples are read, so MCU edge padding never
-    * leaks into the output. */
   /** h2v1 "fancy" (triangular) upsampling for 4:2:2 — horizontal-only
     * 3:1 blend with libjpeg's asymmetric +1/+2 rounding (even columns
     * round toward the previous sample, odd toward the next, so the
@@ -1615,6 +1601,20 @@ object Codecs {
     out
   }
 
+  /** h2v2 "fancy" (triangular) chroma upsampling — the libjpeg default
+    * real decoders apply, implemented from the published algorithm so
+    * our full-resolution chroma matches what the JDK's IJG-derived
+    * ImageIO decoder produces on the same coefficients: each output
+    * pixel is the 9:3:3:1 blend of its nearest chroma sample, the
+    * horizontal neighbor toward the pixel, the vertical neighbor, and
+    * the diagonal — rounded +8 on EVEN output columns and +7 on ODD
+    * (libjpeg's asymmetric pair, bias-free across the column pair; a
+    * uniform +8 sits one count above libjpeg on odd columns whenever
+    * the blend lands exactly on the half). Edges replicate (neighbor
+    * clamped into [0, cw/ch)); the clamped forms reproduce libjpeg's
+    * edge columns exactly ((16c+8)>>4 = (16c+7)>>4 = c). `pw` is the
+    * padded plane stride; only [0,cw)×[0,ch) content samples are
+    * read, so MCU edge padding never leaks into the output. */
   private def upsampleFancy2x2(plane: Array[Int], pw: Int, cw: Int, ch: Int,
       w: Int, h: Int): Array[Int] = {
     val out = new Array[Int](w * h)
@@ -1626,10 +1626,12 @@ object Codecs {
       var x = 0
       while (x < w) {
         val nx = x >> 1
+        val even = (x & 1) == 0
         val fx =
-          if ((x & 1) == 0) math.max(nx - 1, 0) else math.min(nx + 1, cw - 1)
+          if (even) math.max(nx - 1, 0) else math.min(nx + 1, cw - 1)
         out(y * w + x) = (9 * plane(ny * pw + nx) + 3 * plane(ny * pw + fx) +
-          3 * plane(fy * pw + nx) + plane(fy * pw + fx) + 8) >> 4
+          3 * plane(fy * pw + nx) + plane(fy * pw + fx) +
+          (if (even) 8 else 7)) >> 4
         x += 1
       }
       y += 1

@@ -140,38 +140,35 @@ object Multimodal {
   // drift all break the driver hash.
   // ------------------------------------------------------------------
 
-  /** ids → media rows carrying an actual 24-bit BMP payload. */
-  def synthBmpMedia(ids: DataFrame, idCol: String): DataFrame = {
+  /** Shared synth-media wrapper: one closed-form payload per id,
+    * wrapped into the media struct schema — every fixture generator
+    * differs only in the byte generator, mime, and metadata. */
+  private def synthMedia(ids: DataFrame, idCol: String, mime: String,
+      meta: Map[String, String])(gen: Long => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType), StructField("media", mediaType)))
     val idIdx = ids.schema.fieldIndex(idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.encodeBmp(Codecs.synthBmp(d)), "image/bmp",
-          Map("w" -> "16", "h" -> "12")))
+        Row(d, Row(gen(d), mime, meta))
       }
     }
     ids.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying an actual 24-bit BMP payload. */
+  def synthBmpMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/bmp", Map("w" -> "16", "h" -> "12"))(
+      d => Codecs.encodeBmp(Codecs.synthBmp(d)))
+
   /** ids → media rows carrying an actual 8-bit RGB PNG payload — same
     * closed-form pixels as the BMP twin, so the same oracle formulas
     * apply; the per-row filter cycles 0-4, so every payload exercises
     * all five PNG unfilter paths (Sub/Up/Average/Paeth included). */
-  def synthPngMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.encodePng(Codecs.synthBmp(d)), "image/png",
-          Map("w" -> "16", "h" -> "12")))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthPngMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/png", Map("w" -> "16", "h" -> "12"))(
+      d => Codecs.encodePng(Codecs.synthBmp(d)))
 
   /** REAL PNG decode per partition: chunk/CRC parse, zlib inflate,
     * per-row unfilter. Same feature row as the BMP decode, so the
@@ -210,19 +207,9 @@ object Multimodal {
   }
 
   /** ids → media rows carrying an actual RIFF/PCM16 WAV payload. */
-  def synthWavMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.encodeWavPcm16(Codecs.synthWav(d)), "audio/wav",
-          Map("sr" -> "8000", "n" -> "2000")))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthWavMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "audio/wav", Map("sr" -> "8000", "n" -> "2000"))(
+      d => Codecs.encodeWavPcm16(Codecs.synthWav(d)))
 
   private val bmpFeatureSchema = StructType(Seq(
     StructField("id", LongType),
@@ -318,18 +305,8 @@ object Multimodal {
 
   /** ids → media rows carrying a structurally real JPEG shell (SOI,
     * JFIF APP0, varying-length COM, DQT, SOF0/SOF2, SOS stub). */
-  def synthJpegMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthJpeg(d), "image/jpeg", Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthJpegMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthJpeg)
 
   /** REAL JPEG marker walk per partition — dims/components/progressive
     * without decoding the entropy stream: the "filter a 100 TB image
@@ -355,73 +332,29 @@ object Multimodal {
   /** ids → media rows carrying a REAL baseline JPEG (flat 8x8 blocks +
     * unit quant tables → decode is bit-exact; restart interval cycles
     * per id — see Codecs.synthBaselineJpeg). */
-  def synthJpegImageMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthBaselineJpeg(d), "image/jpeg",
-          Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthJpegImageMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthBaselineJpeg)
 
   /** ids → media rows carrying a REAL 4:2:0 (2x2-subsampled) baseline
     * JPEG — the layout real-world color JPEGs overwhelmingly use. Luma
     * is constant per 16x16 MCU and chroma exactly constant per doc, so
     * full decode through the subsampled path is bit-exact (see
     * Codecs.synthJpegImage420). */
-  def synthJpeg420Media(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthBaselineJpeg420(d), "image/jpeg",
-          Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthJpeg420Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthBaselineJpeg420)
 
   /** ids → media rows carrying a REAL 4:2:2 (2x1-subsampled) baseline
     * JPEG over the same MCU-flat constant-chroma family as the 4:2:0
     * fixture (see Codecs.synthBaselineJpeg422). */
-  def synthJpeg422Media(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthBaselineJpeg422(d), "image/jpeg",
-          Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthJpeg422Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthBaselineJpeg422)
 
   /** ids → media rows carrying a REAL progressive (SOF2) JPEG of the
     * same closed-form flat-block images as the baseline fixture — DC
     * successive approximation + EOB-run AC scans (see
     * Codecs.synthProgressiveJpeg). */
-  def synthProgressiveJpegMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthProgressiveJpeg(d), "image/jpeg",
-          Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthProgressiveJpegMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthProgressiveJpeg)
 
   /** REAL baseline-JPEG decode per partition: marker walk, Huffman
     * entropy decode (with restarts), dequant, IDCT, fixed-point
@@ -463,18 +396,8 @@ object Multimodal {
 
   /** ids → media rows carrying a structurally real ISO-BMFF metadata
     * shell (ftyp + varying free + moov{mvhd v0/v1, trak/tkhd}). */
-  def synthMp4Media(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthMp4(d), "video/mp4", Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthMp4Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/mp4", Map.empty)(Codecs.synthMp4)
 
   /** REAL ISO-BMFF box walk per partition — duration/dims/track
     * metadata without touching sample data. */
@@ -501,19 +424,8 @@ object Multimodal {
 
   /** ids → media rows carrying a structurally real moov with full
     * trak/mdia/minf/stbl sample tables (stts/stsz/stco). */
-  def synthMp4SamplesMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthMp4Samples(d), "video/mp4",
-          Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthMp4SamplesMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/mp4", Map.empty)(Codecs.synthMp4Samples)
 
   /** REAL sample-table walk per partition — sample count / byte volume
     * / duration ticks / chunk count without touching sample data: what
@@ -544,19 +456,8 @@ object Multimodal {
     * table: multi-sample chunks in an alternating doc-derived pattern,
     * run-compressed entries, contiguous chunk layout (see
     * Codecs.synthMp4Chunks). */
-  def synthMp4ChunksMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthMp4Chunks(d), "video/mp4",
-          Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthMp4ChunksMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/mp4", Map.empty)(Codecs.synthMp4Chunks)
 
   /** REAL sample→chunk→offset walk per partition: the stsc expansion
     * joined with stco/stsz (Codecs.mp4SampleLocations), fanned out to
@@ -586,19 +487,8 @@ object Multimodal {
   /** ids → media rows carrying an MP4 WITH an actual mdat: samples at
     * real absolute file offsets, byte content closed-form per
     * (doc, sample, position) — see Codecs.synthMp4Data. */
-  def synthMp4DataMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("media", mediaType)))
-    val idIdx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(idIdx)
-        Row(d, Row(Codecs.synthMp4Data(d), "video/mp4",
-          Map.empty[String, String]))
-      }
-    }
-    ids.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def synthMp4DataMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/mp4", Map.empty)(Codecs.synthMp4Data)
 
   /** REAL sample-byte extraction per partition: the stsc/stco/stsz
     * location walk PLUS the actual mdat slice (containment-checked),

@@ -97,6 +97,14 @@ object TopN {
       .collect()
     var running = 0L
     val offsets = counts.map { r =>
+      // enforce the bucketOf contract loudly: a null bucket (null score
+      // reaching floor(), a missing column) would otherwise surface as
+      // an opaque NPE here or as silently-null ranks after the join.
+      // NaN scores are the caller's to filter — NaN casts to 0L and
+      // cannot be told apart from a real bucket at this point.
+      require(!r.isNullAt(0),
+        "bucketedGlobalRank: bucketOf produced NULL — every row must " +
+          "map to a non-null bucket (filter null scores first)")
       val o = running; running += r.getLong(1); (r.getLong(0), o)
     }.toMap
     val w = Window.partitionBy(BktCol).orderBy(order: _*)

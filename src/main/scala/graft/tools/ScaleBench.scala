@@ -241,7 +241,9 @@ object ScaleBench {
     // localCheckpoint'd so the timed number is the DECODE pass, not
     // fixture synthesis; per-partition mapPartitions parallelism is
     // the shape a real corpus decode runs with.
-    if (only.isEmpty || only.exists("jpeg_decode".contains)) {
+    // same filter convention as time(): an arg matches when it is a
+    // substring of the op label
+    if (only.isEmpty || only.exists("jpeg_decode_420".contains)) {
       import graft.operators.Multimodal
       val media = Multimodal.synthJpeg420Media(
         docs.select("doc_id"), "doc_id").localCheckpoint()

@@ -322,6 +322,14 @@ class JxJsonSpec extends SparkSpec {
       .exceptAll(out).isEmpty)
     intercept[RuntimeException](JxJson.run(spark, sf0001,
       """{"from": "orders", "sample": {"rate": 0.25}, "select": ["o_orderkey"]}"""))
+    // rate 1.0 keeps EVERY row (the clamped-cut edge would silently
+    // drop hash prefix "ffff"); rate 0.0 keeps none
+    assert(JxJson.run(spark, sf0001,
+      """{"from": "orders", "sample": {"rate": 1.0, "on": "o_orderkey"},
+          "select": ["o_orderkey"]}""").count() == n)
+    assert(JxJson.run(spark, sf0001,
+      """{"from": "orders", "sample": {"rate": 0.0, "on": "o_orderkey"},
+          "select": ["o_orderkey"]}""").count() == 0)
   }
 
   test("dedup clause == TextOps.exactDedup through the front door") {
