@@ -670,6 +670,80 @@ object Llm extends QueryModule {
         FROM docs JOIN bi USING (prev, w) JOIN uni USING (prev)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995 — the
+    // smoothing family the KenLM models behind CCNet-style filters
+    // actually use): absolute discount d=0.75 off every seen bigram,
+    // the freed mass redistributed via the CONTINUATION probability —
+    // p_cont(w) ∝ how many distinct contexts w follows, not how often
+    // it occurs (the classic "Francisco" fix: frequent but follows one
+    // context, so its continuation weight is tiny).
+    //   p(w|prev) = max(c(prev,w)−d, 0)/c(prev)
+    //             + d·N1+(prev·)/c(prev) · N1+(·w)/N1+(··)
+    // Model = the bigram-count table plus three distinct-type
+    // aggregates OVER it (all fine-key, map-side combinable; the
+    // type-level tables are vocab-sized, never corpus-sized); scoring
+    // is three hash joins on xxhash64 longs + a broadcast 1-row type
+    // total. Seen-bigram scoring only (this is a same-corpus quality
+    // score, every occurrence is in the model by construction); the
+    // interpolation term is what distinguishes boilerplate-heavy docs
+    // whose bigrams are frequent-but-context-poor.
+    QueryDef(
+      "llm_bigram_kn",
+      (s, dir) => {
+        val occ = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(expr(
+              """CASE WHEN size(toks) >= 2 THEN
+                   transform(sequence(2, size(toks)),
+                     i -> struct(element_at(toks, i - 1) AS prev,
+                                 element_at(toks, i) AS w))
+                 ELSE array() END""")).as("bg"))
+          .select(col("doc_id"),
+            xxhash64(col("bg.prev"), col("bg.w")).as("hb"),
+            xxhash64(col("bg.prev")).as("hp"),
+            xxhash64(col("bg.w")).as("hw"))
+        // every occurrence of a bigram type shares hp/hw, so first()
+        // carries them through the type aggregate deterministically
+        val bi = occ.groupBy("hb").agg(count(lit(1)).as("cbw"),
+          first("hp").as("bhp"), first("hw").as("bhw"))
+        val cPrev = occ.groupBy("hp").agg(count(lit(1)).as("cp"))
+        val n1Prev = bi.groupBy("bhp").agg(count(lit(1)).as("n1p"))
+          .withColumnRenamed("bhp", "hp")
+        val n1W = bi.groupBy("bhw").agg(count(lit(1)).as("n1w"))
+          .withColumnRenamed("bhw", "hw")
+        val tot = bi.agg(count(lit(1)).as("n1tot"))
+        val p = greatest(col("cbw") - 0.75, lit(0.0)) / col("cp") +
+          lit(0.75) * col("n1p") / col("cp") * (col("n1w") / col("n1tot"))
+        occ.join(bi.select("hb", "cbw"), Seq("hb"))
+          .join(cPrev, Seq("hp"))
+          .join(n1Prev, Seq("hp"))
+          .join(n1W, Seq("hw"))
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(round(avg(log(p)), 6).as("mean_logp"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+            w[i - 1] AS prev, w[i] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 300),
+            LATERAL (SELECT unnest(range(2, len(w) + 1)) AS i)),
+        bi AS (SELECT prev, w, count(*) AS cbw FROM docs GROUP BY 1, 2),
+        cprev AS (SELECT prev, count(*) AS cp FROM docs GROUP BY 1),
+        n1p AS (SELECT prev, count(*) AS n1p FROM bi GROUP BY 1),
+        n1w AS (SELECT w, count(*) AS n1w FROM bi GROUP BY 1),
+        tot AS (SELECT count(*) AS n1tot FROM bi)
+        SELECT doc_id,
+          round(avg(ln(greatest(cbw - 0.75, 0.0) / cp
+            + 0.75 * n1p / cp * (n1w / n1tot::DOUBLE))), 6) AS mean_logp,
+          count(*) AS n_bigrams
+        FROM docs JOIN bi USING (prev, w) JOIN cprev USING (prev)
+          JOIN n1p USING (prev) JOIN n1w USING (w) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // T5-style span corruption (Raffel et al. 2020, public): replace
     // fixed-position 2-token spans with numbered sentinel tokens and
     // emit the (input_text, targets) training pair. Span selection is
