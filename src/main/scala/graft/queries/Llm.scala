@@ -1744,6 +1744,60 @@ object Llm extends QueryModule {
         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
         FROM documents ORDER BY doc_id""")),
 
+    // WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    // 2003 — the MOSS local fingerprinting algorithm): hash every
+    // 4-gram, slide a 4-hash window, keep each window's MINIMUM; the
+    // distinct selected hashes are the fingerprint set. The guarantee
+    // that makes it the plagiarism/near-dup standard: any shared run
+    // of ≥ w+k−1 tokens shares at least one SELECTED fingerprint, yet
+    // only ~2/(w+1) of positions are kept — position-robust dedup at a
+    // fraction of every-position cost (contrast llm_repeated_spans,
+    // which keeps every position). Entirely ROW-LOCAL (two HOF passes,
+    // no shuffle until the per-doc project); md5-long hashes give
+    // DuckDB the identical selection.
+    QueryDef(
+      "llm_winnowing",
+      (s, dir) =>
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .withColumn("hs", expr(
+            """CASE WHEN size(w) >= 4 THEN
+                 transform(sequence(1, size(w) - 3), i ->
+                   CAST(conv(substring(md5(
+                     array_join(slice(w, i, 4), ' ')), 1, 15), 16, 10)
+                     AS BIGINT))
+               ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+          .withColumn("sel", expr(
+            """array_sort(array_distinct(
+                 CASE WHEN size(hs) >= 4 THEN
+                   transform(sequence(1, size(hs) - 3), i ->
+                     array_min(slice(hs, i, 4)))
+                 ELSE CAST(array() AS ARRAY<BIGINT>) END))"""))
+          .select(col("doc_id"),
+            size(col("sel")).cast("long").as("n_prints"),
+            expr("array_join(transform(sel, x -> CAST(x AS STRING)), ' ')")
+              .as("prints"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+        hs AS (SELECT doc_id,
+            CASE WHEN len(w) >= 4 THEN
+              list_transform(range(1, len(w) - 2), i ->
+                ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')),
+                  1, 15))::BIGINT)
+            ELSE [] END AS hs
+          FROM t),
+        sel AS (SELECT doc_id, list_sort(list_distinct(
+            CASE WHEN len(hs) >= 4 THEN
+              list_transform(range(1, len(hs) - 2), i ->
+                list_min(hs[i:i+3]))
+            ELSE [] END)) AS s
+          FROM hs)
+        SELECT doc_id, CAST(len(s) AS BIGINT) AS n_prints,
+          array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ' ')
+            AS prints
+        FROM sel ORDER BY doc_id""")),
+
     // Deterministic content-addressed train/holdout split: the split
     // is a pure function of md5(doc_id) — reproducible on any engine,
     // any cluster size, any day, with no stored assignment table and

@@ -182,6 +182,41 @@ object StreamingBatch extends QueryModule {
         FROM sh s CROSS JOIN bench b
         WHERE s.doc_id >= 10 ORDER BY s.doc_id""")),
 
+    // Ingest-time QUALITY GATE (round 10): the gopher-style row-local
+    // quality score applied as documents ARRIVE — stateless Append
+    // (no state store, no watermark: the score reads one row), the
+    // right shape for gating 100 TB/day of arrivals before anything
+    // stateful sees them. Companion to stream_decontaminate: together
+    // they are the streaming halves of the llm_pipeline_curation gate
+    // stages.
+    QueryDef(
+      "stream_quality_gate",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.tableStream(s, dir, "documents")
+            .select(col("doc_id"),
+              graft.operators.TextOps.qualityScore(col("text")).as("quality"))
+            .withColumn("kept", col("quality") > 0.3),
+          s"squal_${System.nanoTime()}", OutputMode.Append())
+        out.orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          round(least(length(text)::DOUBLE / 500, 1.0) * 0.3
+            + (len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+              / greatest(len(string_split(text, ' ')), 1)) * 0.5
+            + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+              / greatest(len(string_split(text, ' ')), 1)) * 0.2, 6)
+            AS quality,
+          round(least(length(text)::DOUBLE / 500, 1.0) * 0.3
+            + (len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+              / greatest(len(string_split(text, ' ')), 1)) * 0.5
+            + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+              / greatest(len(string_split(text, ' ')), 1)) * 0.2, 6) > 0.3
+            AS kept
+        FROM documents ORDER BY doc_id""")),
+
     // True streaming run of the tumbling window, now with a HARD
     // oracle: the replay is staged as ONE file → one micro-batch, so
     // the emitted set is exactly the windows closed at the final
