@@ -53,10 +53,23 @@ object PlanAudit {
             "broadcast (domain tables, 1-row totals), quadratic otherwise. " +
             "Check the broadcast side is bounded by construction.")
       case w: WindowExec if w.partitionSpec.isEmpty =>
-        fs += Finding("warn", "single-partition-window",
-          "Window with no PARTITION BY moves every row to one task. For " +
-            "global ranks over large data, aggregate per-partition then " +
-            "merge, or add a partition key and offset ranks.")
+        // A LIMIT below the window bounds its input by construction —
+        // the 16-row vocab tables, top-k candidate sets — so the
+        // one-task sort is over ≤ limit rows, not the corpus: report
+        // as info (known-bounded), not a scale warn. Data-dependent
+        // bounds (a low-cardinality aggregate) stay warns: the audit
+        // cannot prove them statically.
+        val limited = boundedByLimit(w.child, 100000)
+        if (limited)
+          fs += Finding("info", "single-partition-window",
+            "Window with no PARTITION BY — but its input is bounded by " +
+              "a LIMIT below it, so the single task sees at most that " +
+              "many rows. Fine; verify the limit is the one you expect.")
+        else
+          fs += Finding("warn", "single-partition-window",
+            "Window with no PARTITION BY moves every row to one task. For " +
+              "global ranks over large data, aggregate per-partition then " +
+              "merge, or add a partition key and offset ranks.")
       case e: ExpandExec =>
         fs += Finding("info", "distinct-expand",
           s"Expand (x${e.projections.size} row multiplication) — usually " +
@@ -137,6 +150,24 @@ object PlanAudit {
     case a: AdaptiveSparkPlanExec => scanBelow(a.executedPlan)
     case q: QueryStageExec => scanBelow(q.plan)
     case _ => None
+  }
+
+  /** True when every row reaching `p` passed a LIMIT ≤ `cap` somewhere
+    * below — walked through exchanges/projections/joins' STREAMED
+    * side... conservatively: we only claim boundedness when EVERY leaf
+    * path goes through a qualifying limit, so we walk down and require
+    * a limit before hitting a scan. */
+  private def boundedByLimit(p: SparkPlan, cap: Long): Boolean = {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    p match {
+      case g: GlobalLimitExec if g.limit <= cap => true
+      case l: LocalLimitExec if l.limit <= cap => true
+      case t: TakeOrderedAndProjectExec if t.limit <= cap => true
+      case a: AdaptiveSparkPlanExec => boundedByLimit(a.executedPlan, cap)
+      case q: QueryStageExec => boundedByLimit(q.plan, cap)
+      case _ if p.children.isEmpty => false
+      case _ => p.children.forall(boundedByLimit(_, cap))
+    }
   }
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {

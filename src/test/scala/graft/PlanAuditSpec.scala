@@ -35,6 +35,16 @@ class PlanAuditSpec extends SparkSpec {
       fs.mkString("\n"))
   }
 
+  test("unpartitioned window over a LIMIT-bounded input downgrades to info") {
+    import org.apache.spark.sql.expressions.Window
+    // the vocab-table shape: top-k LIMIT below the rank window bounds
+    // the one-task sort by construction — info, not a scale warn
+    val df = spark.range(100000).toDF("x").orderBy(desc("x")).limit(16)
+      .withColumn("rk", row_number().over(Window.orderBy(desc("x"))))
+    val fs = PlanAudit.audit(df).filter(_.rule == "single-partition-window")
+    assert(fs.nonEmpty && fs.forall(_.severity == "info"), fs.mkString("\n"))
+  }
+
   test("clean long-key aggregate has no findings") {
     val df = graft.sources.Catalog.table(spark, sf0001, "lineitem")
       .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
