@@ -1152,6 +1152,7 @@ object Codecs {
           while (o < pos + 2 + len) {
             require((bytes(o) & 0xf0) == 0, "only 8-bit JPEG quant tables")
             val tq = bytes(o) & 0x0f
+            require(tq <= 3, s"bad JPEG quant table id $tq")
             require(o + 65 <= pos + 2 + len, "truncated DQT")
             val tab = new Array[Int](64)
             var i = 0
@@ -1194,9 +1195,12 @@ object Codecs {
           require(len >= 8 + 3 * n, "JPEG SOF length/component mismatch")
           comps = Array.tabulate(n) { i =>
             val samp = bytes(body + 7 + 3 * i) & 0xff
+            val tq = bytes(body + 8 + 3 * i) & 0xff
+            // Tq is 0-3 per the spec; a corrupt byte would otherwise
+            // index past the 4-slot quant array as a raw array error
+            require(tq <= 3, s"bad JPEG quant table id $tq")
             JComp(bytes(body + 6 + 3 * i) & 0xff,
-              (samp >> 4) & 0x0f, samp & 0x0f,
-              bytes(body + 8 + 3 * i) & 0xff)
+              (samp >> 4) & 0x0f, samp & 0x0f, tq)
           }
           val all11 = comps.forall(c => c.h == 1 && c.v == 1)
           val is420 = comps.length == 3 &&

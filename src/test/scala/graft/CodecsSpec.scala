@@ -768,6 +768,62 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.mp4ExtractSamples(bad))
   }
 
+  test("decoders terminate (decode or throw) under random corruption — never hang") {
+    // Deterministic mutation fuzz over every decoder: flip 1-8 bytes
+    // of a valid payload at seeded positions, or feed pure garbage.
+    // The contract is TERMINATION with either a decoded result (benign
+    // flip in a comment/pixel) or an exception — a corrupt length
+    // field, Huffman table, box size, or scan script must never spin a
+    // loop or allocate unboundedly. Every bounded-loop argument in the
+    // decoders (Annex-C code length <= 16, unit counts, box-walk
+    // progress, inflate-progress require) is what this test leans on.
+    val rng = new scala.util.Random(42)
+    val fixtures: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("jpeg-baseline", Codecs.synthBaselineJpeg(7L),
+        b => Codecs.decodeJpeg(b)),
+      ("jpeg-420", Codecs.synthBaselineJpeg420(3L),
+        b => Codecs.decodeJpeg(b)),
+      ("jpeg-progressive", Codecs.synthProgressiveJpeg(2L),
+        b => Codecs.decodeJpeg(b)),
+      ("png", Codecs.encodePng(Codecs.synthBmp(9L)),
+        b => Codecs.decodePng(b)),
+      ("bmp", Codecs.encodeBmp(Codecs.synthBmp(4L)),
+        b => Codecs.decodeBmp(b)),
+      ("wav", Codecs.encodeWavPcm16(Codecs.synthWav(6L)),
+        b => Codecs.decodeWav(b)),
+      ("mp4-meta", Codecs.synthMp4(5L), b => Codecs.mp4Meta(b)),
+      ("mp4-samples", Codecs.synthMp4Samples(8L), b => Codecs.mp4Samples(b)),
+      ("mp4-extract", Codecs.synthMp4Data(11L),
+        b => Codecs.mp4ExtractSamples(b)))
+    fixtures.foreach { case (label, ok, dec) =>
+      (0 until 120).foreach { trial =>
+        val bad = ok.clone()
+        val flips = 1 + rng.nextInt(8)
+        (0 until flips).foreach { _ =>
+          bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+        }
+        // the failure contract is the DOCUMENTED loud classes only:
+        // require -> IllegalArgumentException, sys.error ->
+        // RuntimeException. A raw ArrayIndexOutOfBounds / NegativeArray
+        // is a missing guard and FAILS this test (two such JPEG sites
+        // were found and fixed by exactly this fuzz: unvalidated DQT
+        // and SOF quant-table ids indexing past the 4-slot array).
+        try { dec(bad); () }
+        catch { case _: IllegalArgumentException | _: RuntimeException => () }
+        // truncations at seeded cut points
+        val cut = 1 + rng.nextInt(ok.length - 1)
+        try { dec(ok.take(cut)); () }
+        catch { case _: IllegalArgumentException | _: RuntimeException => () }
+      }
+      // pure garbage
+      (0 until 20).foreach { _ =>
+        val junk = Array.fill(64 + rng.nextInt(512))(rng.nextInt(256).toByte)
+        try { dec(junk); () }
+        catch { case _: IllegalArgumentException | _: RuntimeException => () }
+      }
+    }
+  }
+
   test("MP4 sample tables round-trip uniform and per-sample stsz, multi-run stts") {
     (0L until 24L).foreach { d =>
       val m = Codecs.mp4Samples(Codecs.synthMp4Samples(d))
