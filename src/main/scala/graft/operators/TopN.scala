@@ -108,9 +108,19 @@ object TopN {
       val o = running; running += r.getLong(1); (r.getLong(0), o)
     }.toMap
     val w = Window.partitionBy(BktCol).orderBy(order: _*)
+    // Phase 2 re-evaluates the input plan; a non-deterministic input
+    // could surface a bucket phase 1 never counted, and a silent
+    // element_at NULL would propagate into downstream rank arithmetic
+    // (tercile cuts, top-p fractions) as quietly-wrong answers. Fail
+    // loudly at the first such row instead.
+    val offset = element_at(typedLit(offsets), col(BktCol))
+    val loudOffset = when(offset.isNull, raise_error(concat(
+      lit("bucketedGlobalRank: bucket "), col(BktCol).cast("string"),
+      lit(" was not seen in the phase-1 count — the input plan is not " +
+        "re-evaluation-deterministic; localCheckpoint it first"))))
+      .otherwise(offset)
     val ranked = b
-      .withColumn(rankCol,
-        element_at(typedLit(offsets), col(BktCol)) + row_number().over(w))
+      .withColumn(rankCol, loudOffset + row_number().over(w))
       .drop(BktCol)
     (ranked, running)
   }

@@ -56,15 +56,26 @@ object PlanAudit {
         // A LIMIT below the window bounds its input by construction —
         // the 16-row vocab tables, top-k candidate sets — so the
         // one-task sort is over ≤ limit rows, not the corpus: report
-        // as info (known-bounded), not a scale warn. Data-dependent
-        // bounds (a low-cardinality aggregate) stay warns: the audit
-        // cannot prove them statically.
-        val limited = boundedByLimit(w.child, 100000)
-        if (limited)
+        // as info (known-bounded), not a scale warn. An AGGREGATE
+        // below the window bounds its input by its grouping-key
+        // cardinality — windows over per-source / per-language
+        // summaries (domain-mix, temperature-mix) see |keys| rows,
+        // not the corpus: also info, with the caveat spelled out,
+        // because the audit cannot prove the key cardinality
+        // statically (a group-by-user_id aggregate is NOT bounded).
+        // A window directly over data stays a warn.
+        if (boundedByLimit(w.child, 100000))
           fs += Finding("info", "single-partition-window",
             "Window with no PARTITION BY — but its input is bounded by " +
               "a LIMIT below it, so the single task sees at most that " +
               "many rows. Fine; verify the limit is the one you expect.")
+        else if (aggregateBelow(w.child))
+          fs += Finding("info", "single-partition-window",
+            "Window with no PARTITION BY over an AGGREGATE — the single " +
+              "task sees one row per grouping key, not the corpus. Fine " +
+              "for enum-like keys (sources, languages, domains); if the " +
+              "grouping key is high-cardinality (user ids, URLs) this is " +
+              "still a one-task sort — use a bucketed two-phase rank.")
         else
           fs += Finding("warn", "single-partition-window",
             "Window with no PARTITION BY moves every row to one task. For " +
@@ -152,21 +163,54 @@ object PlanAudit {
     case _ => None
   }
 
-  /** True when every row reaching `p` passed a LIMIT ≤ `cap` somewhere
-    * below — walked through exchanges/projections/joins' STREAMED
-    * side... conservatively: we only claim boundedness when EVERY leaf
-    * path goes through a qualifying limit, so we walk down and require
-    * a limit before hitting a scan. */
+  /** True when every row reaching `p` passed a GLOBAL limit ≤ `cap`
+    * somewhere below. Conservative on two axes the r10 advice named:
+    * (1) LocalLimitExec does NOT qualify — it caps rows per PARTITION,
+    * so a 1000-partition plan under a LocalLimit(100k) can still carry
+    * 100M rows; only GlobalLimitExec / TakeOrderedAndProjectExec prove
+    * a global bound. (2) Row-multiplying nodes (joins, unions, Expand,
+    * Generate) return false outright — two ≤cap inputs joined can
+    * produce up to cap² rows, a union sums its limits, and an explode
+    * multiplies per-row — so boundedness below them proves nothing
+    * above them. */
   private def boundedByLimit(p: SparkPlan, cap: Long): Boolean = {
-    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.{GenerateExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
     p match {
       case g: GlobalLimitExec if g.limit <= cap => true
-      case l: LocalLimitExec if l.limit <= cap => true
       case t: TakeOrderedAndProjectExec if t.limit <= cap => true
       case a: AdaptiveSparkPlanExec => boundedByLimit(a.executedPlan, cap)
       case q: QueryStageExec => boundedByLimit(q.plan, cap)
+      case _: BaseJoinExec | _: CartesianProductExec | _: UnionExec |
+          _: ExpandExec | _: GenerateExec => false
       case _ if p.children.isEmpty => false
       case _ => p.children.forall(boundedByLimit(_, cap))
+    }
+  }
+
+  /** True when `p`'s rows come from an aggregate through narrow
+    * single-child operators only (sort, exchange, project, filter,
+    * codegen wrappers) — i.e. a window directly above `p` sees one row
+    * per grouping key. Stops at row-multiplying or multi-child nodes:
+    * an aggregate below a join does NOT bound the join's output. */
+  private def aggregateBelow(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => aggregateBelow(a.executedPlan)
+      case q: QueryStageExec => aggregateBelow(q.plan)
+      case w: WholeStageCodegenExec => aggregateBelow(w.child)
+      case i: InputAdapter => aggregateBelow(i.child)
+      case c: ColumnarToRowExec => aggregateBelow(c.child)
+      case pr: ProjectExec => aggregateBelow(pr.child)
+      case f: FilterExec => aggregateBelow(f.child)
+      case s: SortExec => aggregateBelow(s.child)
+      case e: ShuffleExchangeExec => aggregateBelow(e.child)
+      // a Window is row-preserving (adds columns, never rows), so a
+      // stacked window above the aggregate is still aggregate-bounded
+      case w: WindowExec => aggregateBelow(w.child)
+      case _ => false
     }
   }
 

@@ -778,6 +778,24 @@ class CodecsSpec extends AnyFunSuite {
     // decoders (Annex-C code length <= 16, unit counts, box-walk
     // progress, inflate-progress require) is what this test leans on.
     val rng = new scala.util.Random(42)
+    // Swallow ONLY the documented loud classes — require ->
+    // IllegalArgumentException (and subclasses), sys.error -> bare
+    // RuntimeException. Every OTHER RuntimeException subclass
+    // (ArrayIndexOutOfBounds, NegativeArraySize, NullPointer,
+    // MatchError, ...) is a MISSING GUARD and must propagate so this
+    // test FAILS — the r10 advice found the old blanket
+    // `_: RuntimeException` catch silently passed exactly the
+    // regressions the test's comment claimed to catch.
+    def mustTerminateLoudly(label: String)(t: => Any): Unit =
+      try { t; () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"$label: non-contract failure class " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
     val fixtures: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
       ("jpeg-baseline", Codecs.synthBaselineJpeg(7L),
         b => Codecs.decodeJpeg(b)),
@@ -808,18 +826,15 @@ class CodecsSpec extends AnyFunSuite {
         // is a missing guard and FAILS this test (two such JPEG sites
         // were found and fixed by exactly this fuzz: unvalidated DQT
         // and SOF quant-table ids indexing past the 4-slot array).
-        try { dec(bad); () }
-        catch { case _: IllegalArgumentException | _: RuntimeException => () }
+        mustTerminateLoudly(s"$label flip trial $trial")(dec(bad))
         // truncations at seeded cut points
         val cut = 1 + rng.nextInt(ok.length - 1)
-        try { dec(ok.take(cut)); () }
-        catch { case _: IllegalArgumentException | _: RuntimeException => () }
+        mustTerminateLoudly(s"$label cut@$cut trial $trial")(dec(ok.take(cut)))
       }
       // pure garbage
-      (0 until 20).foreach { _ =>
+      (0 until 20).foreach { g =>
         val junk = Array.fill(64 + rng.nextInt(512))(rng.nextInt(256).toByte)
-        try { dec(junk); () }
-        catch { case _: IllegalArgumentException | _: RuntimeException => () }
+        mustTerminateLoudly(s"$label garbage trial $g")(dec(junk))
       }
     }
   }

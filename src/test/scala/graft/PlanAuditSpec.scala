@@ -45,6 +45,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(fs.nonEmpty && fs.forall(_.severity == "info"), fs.mkString("\n"))
   }
 
+  test("unpartitioned window over an aggregate downgrades to info") {
+    import org.apache.spark.sql.expressions.Window
+    // the domain-mix / temperature-mix shape: the window's input is one
+    // row per grouping key, not the corpus — info with the caveat, not
+    // a scale warn
+    val df = spark.range(100000).toDF("x")
+      .groupBy((col("x") % 5).as("src")).agg(sum("x").as("tot"))
+      .withColumn("rk", row_number().over(Window.orderBy(desc("tot"))))
+    val fs = PlanAudit.audit(df).filter(_.rule == "single-partition-window")
+    assert(fs.nonEmpty && fs.forall(_.severity == "info"), fs.mkString("\n"))
+  }
+
+  test("the declared bounded-aggregate windows audit as info, not warn") {
+    // the two standing r10 warns — their windows run over ~|sources|-row
+    // aggregates; the bounded-aggregate rule must adjudicate them
+    Seq("llm_domain_mix", "llm_mix_temperature").foreach { q =>
+      val fs = PlanAudit.audit(SparkEntry.queries(q)(spark, sf0001))
+        .filter(_.rule == "single-partition-window")
+      assert(fs.forall(_.severity == "info"), s"$q:\n" + fs.mkString("\n"))
+    }
+  }
+
+  test("LocalLimit alone does NOT bound an unpartitioned window") {
+    import org.apache.spark.sql.expressions.Window
+    // LocalLimit caps rows per PARTITION — 32 partitions under a
+    // LocalLimit(1000) can still carry 32k rows, so the audit must not
+    // accept it as proof of boundedness (r10 advice). A bare
+    // df.limit(n) on a multi-partition input plans LocalLimit in each
+    // task + GlobalLimit after an exchange; to isolate the LocalLimit
+    // case, build the plan with the SQL LIMIT pushed below a union of
+    // two branches — a join of two limited inputs also must not claim
+    // boundedness (cap² rows).
+    val a = spark.range(100000).toDF("x").limit(50000)
+    val b = spark.range(100000).toDF("y").limit(50000)
+    val joined = a.crossJoin(b)
+      .withColumn("rk", row_number().over(Window.orderBy("x")))
+    val fs = PlanAudit.audit(joined).filter(_.rule == "single-partition-window")
+    assert(fs.nonEmpty && fs.forall(_.severity == "warn"), fs.mkString("\n"))
+  }
+
   test("clean long-key aggregate has no findings") {
     val df = graft.sources.Catalog.table(spark, sf0001, "lineitem")
       .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
