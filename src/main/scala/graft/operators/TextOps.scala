@@ -538,18 +538,22 @@ object TextOps {
     * grow as df² per anchor — the same practical cap the
     * suffix-array dedup pipelines apply to hot substrings.
     *
-    * KNOWN FALSE-NEGATIVE MODE of the cap (not just a boilerplate
-    * exclusion): an over-cap anchor INSIDE an otherwise-rare
-    * duplicated run is dropped too, so a ≥ minLen verbatim run whose
-    * interior contains a corpus-popular k-gram (a common phrase inside
-    * a rare passage) is reported as two shorter islands — or missed
-    * entirely when neither fragment reaches minLen — and a downstream
-    * rewrite leaves that text uncut. This is the deliberate
-    * recall-for-boundedness trade every df-capped dedup pipeline
-    * makes; raise `dfCap` to shrink the mode at the cost of pair
-    * volume (worst case df² per anchor), or run the boilerplate
-    * family first so hot substrings are removed rather than silently
-    * fragmenting spans.
+    * ISLAND STITCHING closes the cap's interior-anchor hole: an
+    * over-cap anchor INSIDE an otherwise-rare duplicated run (a common
+    * phrase inside a rare passage) used to fragment the run into two
+    * shorter islands — or lose it entirely when neither fragment
+    * reached minLen — leaving real duplication uncut downstream. The
+    * fix is a second gaps-and-islands pass over the islands
+    * themselves: two islands on one (pair, diagonal) whose anchor
+    * positions are ≤ k apart have CONTIGUOUS token coverage (island
+    * ending at anchor e covers tokens through e+k−1; island starting
+    * at anchor s ≤ e+k covers from s), and every covered token is
+    * verbatim-matched by a surviving anchor — so the merged span is
+    * PROVABLY shared, no re-reading of text required. Dropped-anchor
+    * gaps of ≥ k consecutive positions (a popular subrun ≥ 2k−1 tokens
+    * long) are NOT stitched: their token coverage genuinely has a
+    * hole the anchors cannot vouch for — that residual mode is the
+    * boilerplate_ngrams family's job, as before.
     *
     * The md5 long key keeps the shuffle on longs AND gives DuckDB an
     * identical join key; hash-collision risk is the family's
@@ -579,11 +583,33 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
     val wnd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    pairs
+    val islands = pairs
       .withColumn("grp", col("pa") - row_number().over(wnd))
       .groupBy("id_a", "id_b", "diag", "grp")
       .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        max("pa").as("a_last"),
         (count(lit(1)) + lit(k - 1)).as("len_tokens"))
+    // Stitch pass: islands on one diagonal are disjoint and ordered,
+    // so adjacent-pair contiguity (next.a_start ≤ prev.a_last + k)
+    // chains transitively; the merged token span runs from the first
+    // island's a_start to the last island's end. Island count is
+    // bounded by the (already df-capped) pair volume, and both window
+    // expressions share one partition ordering — a single extra
+    // WindowExec over the island table, not the corpus. minLen is
+    // applied AFTER stitching so sub-minLen fragments can combine into
+    // a reportable span.
+    val wOrd = Window.partitionBy("id_a", "id_b", "diag").orderBy("a_start")
+    islands
+      .withColumn("new_run",
+        when(col("a_start") >
+          coalesce(lag("a_last", 1).over(wOrd), lit(Int.MinValue.toLong))
+            + lit(k), 1L).otherwise(0L))
+      .withColumn("run", sum("new_run").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id_a", "id_b", "diag", "run")
+      .agg(min("a_start").as("a_start"), min("b_start").as("b_start"),
+        (max(col("a_start") + col("len_tokens")) - min("a_start"))
+          .as("len_tokens"))
       .filter(col("len_tokens") >= minLen)
       .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
   }

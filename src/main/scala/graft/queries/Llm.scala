@@ -2269,12 +2269,25 @@ object Llm extends QueryModule {
         g AS (SELECT id_a, id_b, diag, pa, pb,
             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
               ORDER BY pa) AS grp
-          FROM p)
-        SELECT id_a, id_b, CAST(min(pa) AS INT) AS a_start,
-          CAST(min(pb) AS INT) AS b_start,
-          CAST(count(*) + 7 AS BIGINT) AS len_tokens
-        FROM g GROUP BY id_a, id_b, diag, grp
-        HAVING count(*) + 7 >= 10
+          FROM p),
+        isl AS (SELECT id_a, id_b, diag, min(pa) AS a_start,
+            min(pb) AS b_start, max(pa) AS a_last,
+            count(*) + 7 AS len_tokens
+          FROM g GROUP BY id_a, id_b, diag, grp),
+        st AS (SELECT *, CASE WHEN a_start >
+              coalesce(lag(a_last) OVER (PARTITION BY id_a, id_b, diag
+                ORDER BY a_start), -2147483648) + 8
+            THEN 1 ELSE 0 END AS new_run
+          FROM isl),
+        sg AS (SELECT *, sum(new_run) OVER (PARTITION BY id_a, id_b,
+            diag ORDER BY a_start ROWS UNBOUNDED PRECEDING) AS run
+          FROM st)
+        SELECT id_a, id_b, CAST(min(a_start) AS INT) AS a_start,
+          CAST(min(b_start) AS INT) AS b_start,
+          CAST(max(a_start + len_tokens) - min(a_start) AS BIGINT)
+            AS len_tokens
+        FROM sg GROUP BY id_a, id_b, diag, run
+        HAVING max(a_start + len_tokens) - min(a_start) >= 10
         ORDER BY id_a, id_b, a_start, b_start""")),
 
     // Substring-dedup REWRITE — the second half of Lee et al.: the
@@ -2337,10 +2350,22 @@ object Llm extends QueryModule {
             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
               ORDER BY pa) AS grp
           FROM p),
-        spans AS (SELECT id_b, min(pb) AS b_start,
+        isl AS (SELECT id_a, id_b, diag, min(pa) AS a_start,
+            min(pb) AS b_start, max(pa) AS a_last,
             count(*) + 7 AS len_tokens
-          FROM g GROUP BY id_a, id_b, diag, grp
-          HAVING count(*) + 7 >= 10),
+          FROM g GROUP BY id_a, id_b, diag, grp),
+        st AS (SELECT *, CASE WHEN a_start >
+              coalesce(lag(a_last) OVER (PARTITION BY id_a, id_b, diag
+                ORDER BY a_start), -2147483648) + 8
+            THEN 1 ELSE 0 END AS new_run
+          FROM isl),
+        sg AS (SELECT *, sum(new_run) OVER (PARTITION BY id_a, id_b,
+            diag ORDER BY a_start ROWS UNBOUNDED PRECEDING) AS run
+          FROM st),
+        spans AS (SELECT id_b, min(b_start) AS b_start,
+            max(a_start + len_tokens) - min(a_start) AS len_tokens
+          FROM sg GROUP BY id_a, id_b, diag, run
+          HAVING max(a_start + len_tokens) - min(a_start) >= 10),
         cov AS (SELECT DISTINCT id_b AS doc_id,
             unnest(range(b_start, b_start + len_tokens)) AS ord
           FROM spans),

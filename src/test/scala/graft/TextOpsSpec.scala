@@ -138,6 +138,57 @@ class TextOpsSpec extends SparkSpec {
         .mkString(" "))
   }
 
+  test("sharedSpans stitches across a popular interior anchor (dfCap recall hole)") {
+    // The r10 weak: a rare 60-token duplicated run whose INTERIOR
+    // holds one corpus-popular 8-gram. That single anchor's df exceeds
+    // dfCap and is dropped, splitting the run into two 33-token
+    // islands — with minLen=50 the OLD code emitted NOTHING and the
+    // rewrite left the duplication uncut. Island stitching must
+    // recover the full span: the islands sit 2 anchor positions apart
+    // (≤ k), so their token coverage is contiguous and every token is
+    // anchor-vouched.
+    def uniq(tag: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$tag$i")
+    val pop = uniq("pop", 8) // the popular phrase, df=11 > dfCap=8
+    val run = uniq("ra", 26) ++ pop ++ uniq("rb", 26) // 60 tokens
+    val doc1 = (uniq("ua", 17) ++ run).mkString(" ")
+    val doc2 = (uniq("uc", 5) ++ run).mkString(" ")
+    val fillers = (10L until 19L).map(i =>
+      (i, (Seq(s"f${i}x", s"f${i}y") ++ pop ++ Seq(s"f${i}z", s"f${i}w"))
+        .mkString(" ")))
+    val docs = (Seq((1L, doc1), (2L, doc2)) ++ fillers)
+      .toDF("doc_id", "text")
+    val spans = TextOps.sharedSpans(docs, "doc_id", "text",
+      k = 8, minLen = 50, dfCap = 8)
+      .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(spans == Seq((1L, 2L, 17, 5, 60L)))
+  }
+
+  test("sharedSpans does NOT stitch across a >= k anchor gap (unvouched hole)") {
+    // A popular subrun of 15 tokens (>= 2k-1) drops 8 CONSECUTIVE
+    // anchors; the islands sit 9 positions apart (> k), so one token
+    // of the coverage is vouched by no surviving anchor. Stitching
+    // must refuse — the declared semantics only report runs every
+    // token of which an anchor proves — and emit the two 27-token
+    // fragments instead.
+    def uniq(tag: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$tag$i")
+    val q = uniq("qq", 15)
+    val run = uniq("ca", 20) ++ q ++ uniq("cb", 20) // 55 tokens
+    val doc1 = (uniq("va", 3) ++ run).mkString(" ")
+    val doc2 = (uniq("vb", 7) ++ run).mkString(" ")
+    val fillers = (40L until 49L).map(i =>
+      (i, (Seq(s"g${i}x") ++ q ++ Seq(s"g${i}y")).mkString(" ")))
+    val docs = (Seq((31L, doc1), (32L, doc2)) ++ fillers)
+      .toDF("doc_id", "text")
+    val spans = TextOps.sharedSpans(docs, "doc_id", "text",
+      k = 8, minLen = 10, dfCap = 8)
+      .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq.sortBy(_._3)
+    assert(spans == Seq((31L, 32L, 3, 7, 27L), (31L, 32L, 31, 35, 27L)))
+  }
+
   test("sharedSpans caps boilerplate anchors and keeps sub-minLen runs out") {
     // dfCap: an 8-gram shared by MANY docs (template boilerplate) must
     // not explode into pairs; a shared run shorter than minLen must
