@@ -366,6 +366,38 @@ object StreamingBatch extends QueryModule {
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
         ORDER BY a.user_id, click_id, view_id""")),
 
+    // True streaming run: stream-stream LEFT OUTER interval join —
+    // views paired with the same user's clicks in the preceding 2 h,
+    // unmatched views emitting null-extended exactly once when the
+    // watermark passes their match window. The global watermark is the
+    // MIN across both sides' watermark operators (each = that side's
+    // max event time − 2h), so the AvailableNow final horizon is
+    // least(max view_ts, max click_ts) − 2h — the oracle is the batch
+    // LEFT JOIN with that horizon predicate on the null-extended rows
+    // (matched pairs emit immediately and are never withheld).
+    QueryDef(
+      "stream_join_outer",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.viewClickLeftOuterJoin(s, dir),
+          s"sjo_${System.nanoTime()}", OutputMode.Append())
+        out.orderBy("user_id", "view_id", "click_id")
+      },
+      Some("""WITH mx AS (SELECT least(
+          (SELECT max(ts) FROM events WHERE event_type = 'view'),
+          (SELECT max(ts) FROM events WHERE event_type = 'click')) AS m),
+        v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT v.user_id, v.view_id, v.view_ts, c.click_id
+          FROM v LEFT JOIN c ON v.user_id = c.c_user
+            AND c.click_ts >= v.view_ts - INTERVAL 2 HOUR
+            AND c.click_ts <= v.view_ts)
+        SELECT user_id, view_id, click_id FROM j, mx
+        WHERE click_id IS NOT NULL OR view_ts < m - INTERVAL 2 HOUR
+        ORDER BY user_id, view_id, click_id""")),
+
     // True streaming run: per-user running state via mapGroupsWithState.
     // The final state per user is the full per-user aggregate, which
     // SQL expresses directly — a hard oracle on custom state logic

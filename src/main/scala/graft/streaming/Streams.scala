@@ -202,6 +202,44 @@ object Streams {
       .select(col("user_id"), col("click_id"), col("view_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every view paired with
+    * the clicks the same user made in the 2 hours BEFORE it — and a
+    * view with no such click still emits exactly once, null-extended,
+    * when the watermark proves no future click can match it.
+    *
+    * The emit-time reasoning (this is what the oracle encodes): a view
+    * at time t can match clicks with click_ts ∈ [t − 2h, t]. Clicks
+    * arriving after the global watermark wm carry click_ts ≥ wm, so
+    * once wm > t no match can ever arrive; Spark evicts the buffered
+    * view at that point and emits the null-extended row. Under an
+    * AvailableNow replay the final watermark is max(ts) − 2h, so
+    * unmatched views NEWER than that horizon are withheld — the same
+    * Append-mode horizon semantics as the windowed aggregates, and the
+    * same construction that makes this hard-oracle-able: the batch
+    * LEFT JOIN plus the horizon predicate on the null-extended rows.
+    *
+    * State stays O(active interval) on both sides exactly as the inner
+    * form: matched pairs stream out immediately; only the unmatched
+    * tail inside the watermark horizon is buffered. */
+  def viewClickLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") - expr("INTERVAL 2 HOURS") &&
+        col("click_ts") <= col("view_ts"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** Tumbling-window counts with a 2h watermark: late rows beyond the
     * watermark are dropped and window state is evicted. */
   def tumblingWithWatermark(events: DataFrame): DataFrame =

@@ -130,6 +130,47 @@ class StreamsSpec extends SparkSpec {
       s"exact-gap boundary semantics changed: $out")
   }
 
+  test("left-outer interval join: unmatched view emits null-extended once, horizon withholds") {
+    // Three crafted cases through the DECLARED query:
+    //   v1 (minute 10, user 1): no click in its preceding 2 h and far
+    //      behind the final watermark → exactly one null-extended row.
+    //   v2 (minute 60, user 2) with click c1 (minute 50): matched pair
+    //      emits immediately regardless of the horizon.
+    //   v3 (minute 350, user 3): unmatched but NEWER than the final
+    //      watermark → withheld; a late click could still arrive for
+    //      it on a live stream.
+    //   c9 (minute 395, user 8): unmatched CLICK — clicks are the
+    //      inner side, so it never emits; its job is to advance the
+    //      clicks-side watermark. The global watermark is the MIN of
+    //      the two sides: least(max view 350, max click 395) − 2 h =
+    //      minute 230, so v1 (10 < 230) emits and v3 (350) is held.
+    //      (The first draft of this test had max click = minute 50,
+    //      which pinned the global watermark at minute −70 and proved
+    //      nothing ever emits null until BOTH sides' watermarks move —
+    //      exactly the min-across-sides rule the oracle encodes.)
+    val dir = java.nio.file.Files.createTempDirectory("sjo").toString
+    // the fixture convention is a single parquet FILE (eventsStream
+    // symlinks that path into its staged dir), so extract the one part
+    // file from Spark's directory output
+    val stage = java.nio.file.Files.createTempDirectory("sjo-stage").toString
+    Seq(
+      ev(100, 10, user = 1L, typ = "view"),
+      ev(101, 50, user = 2L, typ = "click"),
+      ev(102, 60, user = 2L, typ = "view"),
+      ev(103, 350, user = 3L, typ = "view"),
+      ev(104, 395, user = 8L, typ = "click"))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val out = SparkEntry.queries("stream_join_outer")(spark, dir)
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    assert(out == Seq((1L, 100L, -1L), (2L, 102L, 101L)), out.toString)
+  }
+
   test("stateful query resumes its state store from the checkpoint after restart") {
     // The operational recovery story: stop a stateful query, start a
     // NEW query from the same checkpoint — the state store must resume
