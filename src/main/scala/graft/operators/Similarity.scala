@@ -119,6 +119,87 @@ object Similarity {
         col("nnorm").as("cnorm"))
       .orderBy(xxhash64(col("cid")), col("cid"))
       .limit(nlist)
+    ivfSearch(c, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** kmeans-TRAINED centroids for IVF — the learned-centroid build a
+    * real ANN serving index runs, replacing ivfTopK's sampled anchors.
+    * Init = the `nlist` lowest-id corpus vectors re-keyed to dense
+    * cids 0..nlist−1 (a bounded rank window, SQL-expressible), then
+    * `rounds` Lloyd iterations: assign every vector to its
+    * argmax-rounded-cosine centroid (ties to the smallest cid — the
+    * same slim max(struct) aggregate as assignment everywhere else in
+    * this file), recompute each centroid as the per-dimension MEAN of
+    * its members ROUNDED to 6 decimals (the pqTrainEncode oracle
+    * technique: rounding makes the trained model engine-independent,
+    * so DuckDB re-derives the identical centroid table via one CTE
+    * pair per round), and keep the previous centroid for a cluster
+    * that lost all members (LEFT JOIN + coalesce — also
+    * SQL-expressible). Each round's table is nlist rows,
+    * localCheckpoint'd so round r reads materialized state, not an
+    * r-deep lineage chain (the BPE-trainer lesson, BASELINE.md r8).
+    *
+    * At 100 TB: each round is one broadcast join + two slim
+    * aggregates over (id, cid, cs) / (cid, i, x) rows — the corpus is
+    * scanned `rounds`+1 times and never shuffled wide; training is a
+    * build-time step whose output (nlist × dim doubles) is the
+    * reusable index artifact. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, rounds: Int): DataFrame = {
+    val v = corpus.select(
+      col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    var cents = v.orderBy("vec_id").limit(nlist)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+      .select(col("cid"), col("v").as("cvec"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val cn = cents.withColumn("cnorm", norm(col("cvec")))
+      val asg = v.crossJoin(broadcast(cn))
+        .select(col("vec_id"),
+          round(cosine(col("v"), col("cvec"), col("nrm"), col("cnorm")), 6)
+            .as("cs"),
+          col("cid"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+        .select(col("vec_id"), (-col("b.ncid")).as("cid"))
+      val means = v.join(asg, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(round(avg("x"), 6).as("cx"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "named_struct('i', i, 'x', cx))), s2 -> s2.x)").as("cnew"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cnew"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF search over kmeans-trained centroids — same probe/re-rank
+    * plan as ivfTopK, with the learned centroid table in place of the
+    * sampled anchors. */
+  def ivfTopKTrained(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, rounds: Int = 3): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, rounds)
+      .select(col("cid"), col("cvec"), norm(col("cvec")).as("cnorm"))
+    ivfSearch(c, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The IVF probe/assign/re-rank plan shared by the sampled-anchor
+    * and kmeans-trained builds. `c` = (nid, nvec, nnorm) corpus;
+    * `cents` = (cid, cvec, cnorm) centroid table (broadcast-sized by
+    * the nlist contract). */
+  private def ivfSearch(
+      c: DataFrame, cents: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     // Assignment argmax as a map-side-combinable AGGREGATE over SLIM
     // rows, never a window over wide ones: the N×nlist score stream
     // carries only (nid, cid, csim) — max(struct(csim, -cid)) picks

@@ -142,6 +142,50 @@ class SimilaritySpec extends SparkSpec {
       s"recall@1 below probe fraction: $hits/${approx.size}")
   }
 
+  test("kmeans-trained IVF recall@3 >= the modulus-rule variant on the declared fixture") {
+    // the r10 verdict's done-criterion: learned centroids must not be
+    // WORSE than the synthetic modulus anchors on the same fixture —
+    // both declared queries, same corpus (vec_id<400) and query set
+    // (vec_id<20), ground truth = exact brute force.
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 400)
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "nid").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val rKmeans = recall(SparkEntry.queries("llm_knn_ivf_kmeans")(spark, sf0001))
+    val rModulus = recall(SparkEntry.queries("llm_knn_ivf")(spark, sf0001))
+    assert(rKmeans >= rModulus,
+      s"kmeans recall $rKmeans < modulus recall $rModulus")
+    assert(rKmeans >= 0.4, s"kmeans recall floor: $rKmeans")
+  }
+
+  test("kmeansCentroids keeps a previous centroid when its cluster empties") {
+    // init centroids are the 4 lowest-id vectors; vec 0 and 1 are
+    // IDENTICAL, so every member ties between c0 and c1 and the
+    // smallest-cid tiebreak starves c1 — the Lloyd round must retain
+    // c1's previous centroid (LEFT JOIN + coalesce), never drop or
+    // null it.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(-1.0, 0.0)), (4L, Seq(0.9, 0.1)), (5L, Seq(0.1, 0.9)),
+      (6L, Seq(-0.9, 0.1)), (7L, Seq(0.8, 0.2)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      nlist = 4, rounds = 2).collect()
+    assert(cents.length == 4)
+    assert(cents.forall(r => !r.isNullAt(1)))
+    val c1 = cents.find(_.getLong(0) == 1L).get.getSeq[Double](1)
+    assert(c1 == Seq(1.0, 0.0), s"starved centroid must persist: $c1")
+    // and search over the trained table still returns full top-k
+    val out = Similarity.ivfTopKTrained(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2, rounds = 2)
+    assert(out.count() == 6)
+  }
+
   test("ivfTopK recall holds as nlist grows at fixed nprobe/nlist ratio") {
     // The 100 TB posture claim behind the nlist ≈ √N sizing rule:
     // recall is governed by the probe RATIO, so growing nlist with the
