@@ -2102,6 +2102,50 @@ object Codecs {
     }
   }
 
+  /** Extract each sample's raw byte SLICE (same stsc/stco/stsz walk
+    * and mdat containment check as mp4ExtractSamples) — the feed a
+    * per-sample codec consumes. Slices are defensive copies: a codec
+    * must never scribble on (or retain) the shared file buffer. */
+  def mp4SampleSlices(bytes: Array[Byte]): Array[(Int, Array[Byte])] = {
+    val locs = mp4SampleLocations(bytes)
+    val mdat = oneBox(mp4Walk(bytes, 0, bytes.length), "mdat")
+    locs.map { l =>
+      require(l.offset >= mdat.start && l.offset + l.size <= mdat.end,
+        s"sample ${l.sampleIdx} [${l.offset}, ${l.offset + l.size}) " +
+          s"outside the mdat payload [${mdat.start}, ${mdat.end})")
+      (l.sampleIdx, java.util.Arrays.copyOfRange(
+        bytes, l.offset.toInt, l.offset.toInt + l.size))
+    }
+  }
+
+  /** Decode every sample of an MJPEG-in-MP4 as a baseline/progressive
+    * JPEG frame: the composition that closes "video frame pixels"
+    * without an H.26x decoder — real MP4s with JPEG-coded tracks
+    * (Motion JPEG) are exactly this shape. A sample whose bytes are
+    * NOT a JPEG bitstream fails loudly with the sample index (a frame
+    * sampler must never hand garbage onward as pixels). */
+  def decodeMjpegFrames(bytes: Array[Byte]): Array[(Int, Bmp)] =
+    mp4SampleSlices(bytes).map { case (idx, slice) =>
+      require(slice.length >= 2 &&
+        (slice(0) & 0xff) == 0xff && (slice(1) & 0xff) == 0xd8,
+        s"sample $idx is not a JPEG bitstream (no SOI marker) — " +
+          "this track is not MJPEG")
+      (idx, decodeJpeg(slice))
+    }
+
+  /** Closed-form MJPEG-in-MP4: `3 + d%4` frames, frame f a REAL
+    * baseline JPEG of the flat-block family with seed d + 1000·f (so
+    * DuckDB recomputes every decoded pixel of every frame from
+    * (doc_id, frame) alone — the llm_image_decode_jpeg oracle
+    * parameterized by frame), packed chunk-contiguously behind a real
+    * sample table (2 chunks, so the stsc walk is load-bearing). */
+  def synthMjpegMp4(d: Long): Array[Byte] = {
+    val n = (3 + d % 4).toInt
+    val frames = (0 until n).map(f => synthBaselineJpeg(d + 1000L * f))
+    encodeMp4DataShell((600 + 100 * (d % 9)).toInt,
+      Seq((n, 512)), frames, Seq(2, n - 2))
+  }
+
   /** Closed-form data-bearing MP4: same sample-count/size/chunk
     * construction as synthMp4Chunks, byte j of sample i =
     * (7·doc + 13·i + j) mod 251 — per-sample AND per-position varying,

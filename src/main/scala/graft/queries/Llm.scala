@@ -3227,6 +3227,66 @@ object Llm extends QueryModule {
           CAST(sz AS INT) AS n_bytes
         FROM o ORDER BY id, sample_idx""")),
 
+    // VIDEO FRAME DECODE — the r10 verdict's composition: the sample
+    // walk + mdat slice (llm_video_sample_bytes' machinery) feeding
+    // the real JPEG decoder, i.e. Motion-JPEG-in-MP4, the track type
+    // that yields actual frame PIXELS without an H.26x bitstream
+    // decoder. Fixture: 3 + doc_id%4 frames per doc, frame f a real
+    // baseline JPEG of the flat-block family with seed
+    // doc_id + 1000·f, packed behind a 2-chunk sample table — so the
+    // oracle is llm_image_decode_jpeg's integer pixel reconstruction
+    // parameterized by (doc, frame), run per frame. A non-JPEG sample
+    // fails loudly (CodecsSpec pins it).
+    QueryDef(
+      "llm_video_decode_frames",
+      (s, dir) => Multimodal.videoFrameFeatures(
+        Multimodal.synthMjpegMp4Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 200).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "frame_idx"),
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS fi
+            FROM documents WHERE doc_id < 200),
+        d AS (SELECT doc_id, fi, doc_id + 1000 * fi AS s FROM f),
+        dd AS (SELECT doc_id, fi, s, CAST(24 + s % 13 AS INT) AS w,
+            CAST(16 + s % 11 AS INT) AS h, s % 5 = 0 AS gray
+          FROM d),
+        px AS (SELECT dd.doc_id, dd.fi, dd.s, dd.w, dd.h, dd.gray,
+            x.x AS x, y.y AS y, x.x // 8 AS bx, y.y // 8 AS by
+          FROM dd, (SELECT unnest(range(0, 37)) AS x) x,
+            (SELECT unnest(range(0, 27)) AS y) y
+          WHERE x.x < dd.w AND y.y < dd.h),
+        c AS (SELECT *, (s + 17 * bx + 29 * by) % 256 AS r,
+            (3 * s + 11 * bx + 7 * by) % 256 AS g,
+            (5 * s + 13 * bx + 19 * by) % 256 AS b
+          FROM px),
+        yc AS (SELECT *,
+            (299 * r + 587 * g + 114 * b + 500) // 1000 AS y0,
+            least(greatest((128000000 - 168736 * r - 331264 * g
+              + 500000 * b + 500000) // 1000000, 0), 255) AS cb,
+            least(greatest((128000000 + 500000 * r - 418688 * g
+              - 81312 * b + 500000) // 1000000, 0), 255) AS cr
+          FROM c),
+        dec AS (SELECT doc_id, fi, w, h, x, y,
+            CASE WHEN gray THEN r ELSE least(greatest(
+              (1000 * y0 + 1402 * (cr - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) END AS dr,
+            CASE WHEN gray THEN r ELSE least(greatest(
+              (1000 * y0 - 344 * (cb - 128) - 714 * (cr - 128) + 500
+                + 512000) // 1000 - 512, 0), 255) END AS dg,
+            CASE WHEN gray THEN r ELSE least(greatest(
+              (1000 * y0 + 1772 * (cb - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) END AS db
+          FROM yc)
+        SELECT doc_id AS id, CAST(fi AS INT) AS frame_idx,
+          CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+          CAST(sum(dr) AS BIGINT) AS sum_r,
+          CAST(sum(dg) AS BIGINT) AS sum_g,
+          CAST(sum(db) AS BIGINT) AS sum_b,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dr END) AS INT) AS px32_r,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dg END) AS INT) AS px32_g,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
+        FROM dec GROUP BY doc_id, fi ORDER BY id, frame_idx""")),
+
     // SAMPLE BYTE EXTRACTION from a REAL mdat
     // (Codecs.mp4ExtractSamples): the step past llm_video_chunks —
     // the located byte ranges are actually SLICED out of the media

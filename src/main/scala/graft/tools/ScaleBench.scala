@@ -252,6 +252,18 @@ object ScaleBench {
         force(Multimodal.decodeJpegFeatures(media, "id")))
       media.unpersist()
     }
+    // MJPEG-in-MP4 FRAME decode throughput (round 11): the composed
+    // sample-walk + mdat-slice + JPEG-decode path, one 3-6 frame
+    // Motion-JPEG file per scaled doc id. Frames/s = rows / sec.
+    if (only.isEmpty || only.exists("mjpeg_frames".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthMjpegMp4Media(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val nVids = media.count()
+      time(s"mjpeg_frames(n=$nVids)")(
+        force(Multimodal.videoFrameFeatures(media, "id")))
+      media.unpersist()
+    }
     // CCNet tercile bucketing via the bucketed two-phase global rank
     // (round 10): the corpus-wide rank that used to funnel every scored
     // doc through ONE window task now runs partitioned by score-

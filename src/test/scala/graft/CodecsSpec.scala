@@ -812,7 +812,9 @@ class CodecsSpec extends AnyFunSuite {
       ("mp4-meta", Codecs.synthMp4(5L), b => Codecs.mp4Meta(b)),
       ("mp4-samples", Codecs.synthMp4Samples(8L), b => Codecs.mp4Samples(b)),
       ("mp4-extract", Codecs.synthMp4Data(11L),
-        b => Codecs.mp4ExtractSamples(b)))
+        b => Codecs.mp4ExtractSamples(b)),
+      ("mp4-mjpeg", Codecs.synthMjpegMp4(6L),
+        b => Codecs.decodeMjpegFrames(b)))
     fixtures.foreach { case (label, ok, dec) =>
       (0 until 120).foreach { trial =>
         val bad = ok.clone()
@@ -837,6 +839,24 @@ class CodecsSpec extends AnyFunSuite {
         mustTerminateLoudly(s"$label garbage trial $g")(dec(junk))
       }
     }
+  }
+
+  test("MJPEG frame decode equals per-frame JPEG decode; non-JPEG samples reject loudly") {
+    (0L until 12L).foreach { d =>
+      val frames = Codecs.decodeMjpegFrames(Codecs.synthMjpegMp4(d))
+      assert(frames.length == (3 + d % 4).toInt, s"d=$d")
+      frames.foreach { case (fi, bmp) =>
+        val want = Codecs.decodeJpeg(Codecs.synthBaselineJpeg(d + 1000L * fi))
+        assert(bmp.width == want.width && bmp.height == want.height)
+        assert(bmp.pixels.flatten.toSeq == want.pixels.flatten.toSeq,
+          s"d=$d frame=$fi pixel mismatch")
+      }
+    }
+    // a data-bearing MP4 whose samples are NOT JPEGs must fail loudly
+    // with the sample index, never hand garbage onward as pixels
+    val e = intercept[IllegalArgumentException](
+      Codecs.decodeMjpegFrames(Codecs.synthMp4Data(3L)))
+    assert(e.getMessage.contains("not a JPEG"), e.getMessage)
   }
 
   test("MP4 sample tables round-trip uniform and per-sample stsz, multi-run stts") {
