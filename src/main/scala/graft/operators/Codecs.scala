@@ -677,11 +677,14 @@ object Codecs {
     out
   }
 
-  /** Sampling factors for the three supported layouts. */
+  /** Sampling factors for the five supported layouts. */
   private def jpegSampling(nComp: Int, subsample: Boolean,
-      subsample422: Boolean): (Array[Int], Array[Int]) =
+      subsample422: Boolean, subsample411: Boolean = false,
+      subsampleH1v2: Boolean = false): (Array[Int], Array[Int]) =
     if (subsample) (Array(2, 1, 1), Array(2, 1, 1))       // 4:2:0
     else if (subsample422) (Array(2, 1, 1), Array(1, 1, 1)) // 4:2:2
+    else if (subsample411) (Array(4, 1, 1), Array(1, 1, 1)) // 4:1:1
+    else if (subsampleH1v2) (Array(1, 1, 1), Array(2, 1, 1)) // h1v2
     else (Array.fill(nComp)(1), Array.fill(nComp)(1))     // 4:4:4 / gray
 
   /** Shared encoder front half: RGB→YCC planes at component
@@ -806,13 +809,17 @@ object Codecs {
       quantChroma: Array[Int] = jpegUnitQuant,
       restartInterval: Int = 0,
       subsample: Boolean = false,
-      subsample422: Boolean = false): Array[Byte] = {
-    require(!(gray && (subsample || subsample422)),
-      "chroma subsampling applies to color only")
-    require(!(subsample && subsample422), "pick ONE subsampling layout")
+      subsample422: Boolean = false,
+      subsample411: Boolean = false,
+      subsampleH1v2: Boolean = false): Array[Byte] = {
+    val anySub = subsample || subsample422 || subsample411 || subsampleH1v2
+    require(!(gray && anySub), "chroma subsampling applies to color only")
+    require(Seq(subsample, subsample422, subsample411, subsampleH1v2)
+      .count(identity) <= 1, "pick ONE subsampling layout")
     val w = img.width; val h = img.height
     val nComp = if (gray) 1 else 3
-    val (hs, vs) = jpegSampling(nComp, subsample, subsample422)
+    val (hs, vs) =
+      jpegSampling(nComp, subsample, subsample422, subsample411, subsampleH1v2)
     val (compW, compH, planes) = jpegPlanes(img, gray, hs, vs)
     val hmax = hs(0); val vmax = vs(0) // luma always carries the max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
@@ -1203,15 +1210,17 @@ object Codecs {
               (samp >> 4) & 0x0f, samp & 0x0f, tq)
           }
           val all11 = comps.forall(c => c.h == 1 && c.v == 1)
-          val is420 = comps.length == 3 &&
-            comps(0).h == 2 && comps(0).v == 2 &&
+          def lumaLayout(lh: Int, lv: Int) = comps.length == 3 &&
+            comps(0).h == lh && comps(0).v == lv &&
             comps.tail.forall(c => c.h == 1 && c.v == 1)
-          val is422 = comps.length == 3 &&
-            comps(0).h == 2 && comps(0).v == 1 &&
-            comps.tail.forall(c => c.h == 1 && c.v == 1)
-          require(all11 || is420 || is422,
-            "only 1x1 (4:4:4 / grayscale), 4:2:0 (luma 2x2), or 4:2:2 " +
-              "(luma 2x1) JPEG sampling supported")
+          val is420 = lumaLayout(2, 2)
+          val is422 = lumaLayout(2, 1)
+          val is411 = lumaLayout(4, 1)
+          val isH1v2 = lumaLayout(1, 2)
+          require(all11 || is420 || is422 || is411 || isH1v2,
+            "only 1x1 (4:4:4 / grayscale), 4:2:0 (luma 2x2), 4:2:2 " +
+              "(luma 2x1), 4:1:1 (luma 4x1), or vertical-only (luma " +
+              "1x2) JPEG sampling supported")
           if (progressive) {
             val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
             val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
@@ -1548,18 +1557,25 @@ object Codecs {
     val nComp = comps.length
     val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
     val subsampled = hmax > 1 || vmax > 1
-    // subsampled chroma at full resolution via the triangular filters
+    // Subsampled chroma at full resolution. Filter selection follows
+    // libjpeg's jdsample.c rule exactly (which is what the JDK's
+    // IJG-derived ImageIO decoder applies too): the "fancy"
+    // triangular filters exist ONLY for the h2v1 and h2v2 expansion
+    // ratios; every other ratio (4:1:1's 4x1, vertical-only's 1x2)
+    // gets plain sample replication (int_upsample).
+    def chromaAtFullRes(ci: Int): Array[Int] = {
+      val c = comps(ci)
+      val hEx = hmax / c.h; val vEx = vmax / c.v
+      val cw = (w * c.h + hmax - 1) / hmax
+      val ch = (h * c.v + vmax - 1) / vmax
+      if (hEx == 2 && vEx == 2) upsampleFancy2x2(planes(ci), pw(ci), cw, ch, w, h)
+      else if (hEx == 2 && vEx == 1) upsampleFancy2x1(planes(ci), pw(ci), cw, w, h)
+      else if (hEx == 1 && vEx == 2) upsampleFancy1x2(planes(ci), pw(ci), cw, ch, w, h)
+      else upsampleInt(planes(ci), pw(ci), cw, ch, hEx, vEx, w, h)
+    }
     val (cbF, crF) =
-      if (nComp == 3 && subsampled) {
-        val cw = (w + 1) / 2
-        if (vmax > 1) {
-          val ch = (h + 1) / 2
-          (upsampleFancy2x2(planes(1), pw(1), cw, ch, w, h),
-            upsampleFancy2x2(planes(2), pw(2), cw, ch, w, h))
-        } else
-          (upsampleFancy2x1(planes(1), pw(1), cw, w, h),
-            upsampleFancy2x1(planes(2), pw(2), cw, w, h))
-      } else (null, null)
+      if (nComp == 3 && subsampled) (chromaAtFullRes(1), chromaAtFullRes(2))
+      else (null, null)
     val out = Array.ofDim[(Int, Int, Int)](h, w)
     var y = 0
     while (y < h) {
@@ -1577,6 +1593,54 @@ object Codecs {
       y += 1
     }
     Bmp(w, h, out)
+  }
+
+  /** h1v2 (vertical-only) "fancy" triangular upsampling — the
+    * transposed h2v1 kernel: even output rows blend 3:1 toward the
+    * previous chroma row (+1 rounding), odd rows toward the next (+2),
+    * edges replicate. Cross-checked against the JDK's IJG-derived
+    * ImageIO decoder on our own 1x2 streams (the replication filter
+    * disagreed by up to ~53 on random chroma — the JDK applies the
+    * vertical fancy kernel here, so we do too; constant-chroma
+    * fixtures are exact under either, (4c+1)>>2 = (4c+2)>>2 = c). */
+  private def upsampleFancy1x2(plane: Array[Int], pw: Int, cw: Int, ch: Int,
+      w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val ny = y >> 1
+      val fy =
+        if ((y & 1) == 0) math.max(ny - 1, 0) else math.min(ny + 1, ch - 1)
+      val r = if ((y & 1) == 0) 1 else 2
+      var x = 0
+      while (x < w) {
+        out(y * w + x) =
+          (3 * plane(ny * pw + x) + plane(fy * pw + x) + r) >> 2
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Plain sample-replication upsampling (libjpeg's int_upsample) —
+    * the filter real decoders apply to every expansion ratio WITHOUT
+    * a fancy kernel (4x1, ...). Exact on constant planes, which
+    * is what makes the 4:1:1 fixtures closed-form. */
+  private def upsampleInt(plane: Array[Int], pw: Int, cw: Int, ch: Int,
+      hEx: Int, vEx: Int, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val ny = math.min(y / vEx, ch - 1)
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = plane(ny * pw + math.min(x / hEx, cw - 1))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** h2v1 "fancy" (triangular) upsampling for 4:2:2 — horizontal-only
@@ -2381,6 +2445,23 @@ object Codecs {
     * restart interval cycling 0-3 MCUs. */
   def synthBaselineJpeg422(d: Long): Array[Byte] =
     encodeJpeg(synthJpegImage420(d), subsample422 = true,
+      restartInterval = (d % 4).toInt)
+
+  /** Closed-form REAL 4:1:1 baseline JPEG (luma 4x1 — DV-lineage):
+    * the same constant-chroma image works because 16x16-constant luma
+    * is a fortiori constant per 8x8 block (every 32x8 MCU's four luma
+    * blocks are flat), and the globally-constant chroma survives the
+    * 4x1 box downsample and the replication upsample exactly — so the
+    * IDENTICAL integer oracle covers a fourth sampling geometry. */
+  def synthBaselineJpeg411(d: Long): Array[Byte] =
+    encodeJpeg(synthJpegImage420(d), subsample411 = true,
+      restartInterval = (d % 4).toInt)
+
+  /** Closed-form REAL vertical-only (luma 1x2) baseline JPEG — the
+    * transposed-4:2:2 layout some scanners/rotated pipelines emit.
+    * Same fixture family, same oracle, 8x16 MCUs. */
+  def synthBaselineJpegH1v2(d: Long): Array[Byte] =
+    encodeJpeg(synthJpegImage420(d), subsampleH1v2 = true,
       restartInterval = (d % 4).toInt)
 
   /** Closed-form REAL PROGRESSIVE (SOF2) JPEG over the same flat-block

@@ -349,6 +349,16 @@ object Multimodal {
   def synthJpeg422Media(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthBaselineJpeg422)
 
+  /** ids → media rows carrying a REAL 4:1:1 (luma 4x1) baseline JPEG —
+    * same constant-chroma family, 32x8 MCUs, replication upsample. */
+  def synthJpeg411Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthBaselineJpeg411)
+
+  /** ids → media rows carrying a REAL vertical-only (luma 1x2)
+    * baseline JPEG — same family, 8x16 MCUs, vertical fancy upsample. */
+  def synthJpegH1v2Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/jpeg", Map.empty)(Codecs.synthBaselineJpegH1v2)
+
   /** ids → media rows carrying a REAL progressive (SOF2) JPEG of the
     * same closed-form flat-block images as the baseline fixture — DC
     * successive approximation + EOB-run AC scans (see

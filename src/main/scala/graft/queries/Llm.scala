@@ -21,6 +21,53 @@ object Llm extends QueryModule {
     */
   /** sig → bands → banded candidate pairs (no similarity filter yet) —
     * shared by the Jaccard and containment pair oracles. */
+  /** The constant-chroma subsampled-JPEG pixel oracle — shared
+    * VERBATIM by the 4:2:0, 4:2:2, 4:1:1, and vertical-only decode
+    * rows: the fixture image (luma constant per 16x16, chroma
+    * constant per doc via gray-axis offsets) decodes bit-identically
+    * under every supported sampling geometry, so one integer
+    * reconstruction pins four decode paths. */
+  private val constantChromaJpegOracle: String =
+    """WITH d AS (SELECT doc_id, CAST(40 + doc_id % 27 AS INT) AS w,
+            CAST(24 + doc_id % 23 AS INT) AS h,
+            doc_id % 21 - 10 AS oa,
+            (3 * doc_id) % 21 - 10 AS og,
+            (5 * doc_id) % 21 - 10 AS ob
+          FROM documents WHERE doc_id < 300),
+        px AS (SELECT d.doc_id, d.w, d.h, d.oa, d.og, d.ob, x.x AS x, y.y AS y,
+            20 + (d.doc_id + 31 * (x.x // 16) + 47 * (y.y // 16)) % 200 AS v
+          FROM d, (SELECT unnest(range(0, 67)) AS x) x,
+            (SELECT unnest(range(0, 47)) AS y) y
+          WHERE x.x < d.w AND y.y < d.h),
+        c AS (SELECT *, v + oa AS r, v + og AS g, v + ob AS b FROM px),
+        yc AS (SELECT *,
+            (299 * r + 587 * g + 114 * b + 500) // 1000 AS y0,
+            least(greatest((128000000 - 168736 * r - 331264 * g
+              + 500000 * b + 500000) // 1000000, 0), 255) AS cb,
+            least(greatest((128000000 + 500000 * r - 418688 * g
+              - 81312 * b + 500000) // 1000000, 0), 255) AS cr
+          FROM c),
+        dec AS (SELECT doc_id, w, h, x, y,
+            least(greatest(
+              (1000 * y0 + 1402 * (cr - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) AS dr,
+            least(greatest(
+              (1000 * y0 - 344 * (cb - 128) - 714 * (cr - 128) + 500
+                + 512000) // 1000 - 512, 0), 255) AS dg,
+            least(greatest(
+              (1000 * y0 + 1772 * (cb - 128) + 500 + 512000) // 1000 - 512,
+              0), 255) AS db
+          FROM yc)
+        SELECT doc_id AS id, CAST(max(w) AS INT) AS width,
+          CAST(max(h) AS INT) AS height,
+          CAST(sum(dr) AS BIGINT) AS sum_r,
+          CAST(sum(dg) AS BIGINT) AS sum_g,
+          CAST(sum(db) AS BIGINT) AS sum_b,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dr END) AS INT) AS px32_r,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dg END) AS INT) AS px32_g,
+          CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
+        FROM dec GROUP BY doc_id ORDER BY id"""
+
   private val oracleMd5CandCte: String = """sig AS (SELECT doc_id, shingles,
             list_aggregate(list_transform(shingles, s -> md5('0' || '|' || s)), 'min') AS mh_0,
             list_aggregate(list_transform(shingles, s -> md5('1' || '|' || s)), 'min') AS mh_1,
@@ -2844,45 +2891,7 @@ object Llm extends QueryModule {
           Catalog.table(s, dir, "documents")
             .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
         "id").orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, CAST(40 + doc_id % 27 AS INT) AS w,
-            CAST(24 + doc_id % 23 AS INT) AS h,
-            doc_id % 21 - 10 AS oa,
-            (3 * doc_id) % 21 - 10 AS og,
-            (5 * doc_id) % 21 - 10 AS ob
-          FROM documents WHERE doc_id < 300),
-        px AS (SELECT d.doc_id, d.w, d.h, d.oa, d.og, d.ob, x.x AS x, y.y AS y,
-            20 + (d.doc_id + 31 * (x.x // 16) + 47 * (y.y // 16)) % 200 AS v
-          FROM d, (SELECT unnest(range(0, 67)) AS x) x,
-            (SELECT unnest(range(0, 47)) AS y) y
-          WHERE x.x < d.w AND y.y < d.h),
-        c AS (SELECT *, v + oa AS r, v + og AS g, v + ob AS b FROM px),
-        yc AS (SELECT *,
-            (299 * r + 587 * g + 114 * b + 500) // 1000 AS y0,
-            least(greatest((128000000 - 168736 * r - 331264 * g
-              + 500000 * b + 500000) // 1000000, 0), 255) AS cb,
-            least(greatest((128000000 + 500000 * r - 418688 * g
-              - 81312 * b + 500000) // 1000000, 0), 255) AS cr
-          FROM c),
-        dec AS (SELECT doc_id, w, h, x, y,
-            least(greatest(
-              (1000 * y0 + 1402 * (cr - 128) + 500 + 512000) // 1000 - 512,
-              0), 255) AS dr,
-            least(greatest(
-              (1000 * y0 - 344 * (cb - 128) - 714 * (cr - 128) + 500
-                + 512000) // 1000 - 512, 0), 255) AS dg,
-            least(greatest(
-              (1000 * y0 + 1772 * (cb - 128) + 500 + 512000) // 1000 - 512,
-              0), 255) AS db
-          FROM yc)
-        SELECT doc_id AS id, CAST(max(w) AS INT) AS width,
-          CAST(max(h) AS INT) AS height,
-          CAST(sum(dr) AS BIGINT) AS sum_r,
-          CAST(sum(dg) AS BIGINT) AS sum_g,
-          CAST(sum(db) AS BIGINT) AS sum_b,
-          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dr END) AS INT) AS px32_r,
-          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dg END) AS INT) AS px32_g,
-          CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
-        FROM dec GROUP BY doc_id ORDER BY id""")),
+      Some(constantChromaJpegOracle)),
 
     // REAL 4:2:2 (2x1-subsampled) baseline JPEG decode — the third
     // sampling layout (DV/broadcast-lineage JPEGs): 2-luma+Cb+Cr MCUs
@@ -2897,45 +2906,38 @@ object Llm extends QueryModule {
           Catalog.table(s, dir, "documents")
             .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
         "id").orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, CAST(40 + doc_id % 27 AS INT) AS w,
-            CAST(24 + doc_id % 23 AS INT) AS h,
-            doc_id % 21 - 10 AS oa,
-            (3 * doc_id) % 21 - 10 AS og,
-            (5 * doc_id) % 21 - 10 AS ob
-          FROM documents WHERE doc_id < 300),
-        px AS (SELECT d.doc_id, d.w, d.h, d.oa, d.og, d.ob, x.x AS x, y.y AS y,
-            20 + (d.doc_id + 31 * (x.x // 16) + 47 * (y.y // 16)) % 200 AS v
-          FROM d, (SELECT unnest(range(0, 67)) AS x) x,
-            (SELECT unnest(range(0, 47)) AS y) y
-          WHERE x.x < d.w AND y.y < d.h),
-        c AS (SELECT *, v + oa AS r, v + og AS g, v + ob AS b FROM px),
-        yc AS (SELECT *,
-            (299 * r + 587 * g + 114 * b + 500) // 1000 AS y0,
-            least(greatest((128000000 - 168736 * r - 331264 * g
-              + 500000 * b + 500000) // 1000000, 0), 255) AS cb,
-            least(greatest((128000000 + 500000 * r - 418688 * g
-              - 81312 * b + 500000) // 1000000, 0), 255) AS cr
-          FROM c),
-        dec AS (SELECT doc_id, w, h, x, y,
-            least(greatest(
-              (1000 * y0 + 1402 * (cr - 128) + 500 + 512000) // 1000 - 512,
-              0), 255) AS dr,
-            least(greatest(
-              (1000 * y0 - 344 * (cb - 128) - 714 * (cr - 128) + 500
-                + 512000) // 1000 - 512, 0), 255) AS dg,
-            least(greatest(
-              (1000 * y0 + 1772 * (cb - 128) + 500 + 512000) // 1000 - 512,
-              0), 255) AS db
-          FROM yc)
-        SELECT doc_id AS id, CAST(max(w) AS INT) AS width,
-          CAST(max(h) AS INT) AS height,
-          CAST(sum(dr) AS BIGINT) AS sum_r,
-          CAST(sum(dg) AS BIGINT) AS sum_g,
-          CAST(sum(db) AS BIGINT) AS sum_b,
-          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dr END) AS INT) AS px32_r,
-          CAST(max(CASE WHEN x = 3 AND y = 2 THEN dg END) AS INT) AS px32_g,
-          CAST(max(CASE WHEN x = 3 AND y = 2 THEN db END) AS INT) AS px32_b
-        FROM dec GROUP BY doc_id ORDER BY id""")),
+      Some(constantChromaJpegOracle)),
+
+    // REAL 4:1:1 (luma 4x1) baseline JPEG decode — the DV-lineage
+    // layout, 32x8 MCUs, chroma expanded by sample REPLICATION
+    // (libjpeg applies no fancy kernel at 4x ratios — ImageIO
+    // agreement pinned in CodecsSpec). Same constant-chroma fixture,
+    // same integer oracle: a fourth decode geometry for free.
+    QueryDef(
+      "llm_image_decode_jpeg411",
+      (s, dir) => Multimodal.decodeJpegFeatures(
+        Multimodal.synthJpeg411Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some(constantChromaJpegOracle)),
+
+    // REAL vertical-only (luma 1x2) baseline JPEG decode — the
+    // transposed-4:2:2 layout rotated/scanner pipelines emit, 8x16
+    // MCUs, chroma expanded by the VERTICAL fancy (triangular) kernel
+    // (the JDK's IJG-derived reader applies it at 1x2 — the
+    // replication filter disagreed by up to 53/255 on random chroma,
+    // pinned in CodecsSpec). Same fixture, same oracle: the fifth and
+    // last sampling geometry — the baseline-profile sampling family
+    // is now CLOSED.
+    QueryDef(
+      "llm_image_decode_jpeg_h1v2",
+      (s, dir) => Multimodal.decodeJpegFeatures(
+        Multimodal.synthJpegH1v2Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some(constantChromaJpegOracle)),
 
     // REAL PROGRESSIVE (SOF2) JPEG decode — the multi-scan frame type
     // that was the stub boundary's top remaining member: DC successive

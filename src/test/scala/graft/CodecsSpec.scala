@@ -396,6 +396,66 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("4:1:1 and vertical-only JPEG decode are bit-exact on constant-chroma fixtures") {
+    // The last two sampling geometries (r10 verdict #6): luma 4x1
+    // (32x8 MCUs, DV lineage) and luma 1x2 (8x16 MCUs, the transposed
+    // 4:2:2). 16x16-constant luma is a fortiori constant per 8x8
+    // block, and the globally-constant chroma survives any box
+    // downsample and the replication upsample exactly — the SAME
+    // fixture family pins a fourth and fifth decode geometry.
+    (0L until 40L).foreach { d =>
+      val img = Codecs.synthJpegImage420(d)
+      Seq(Codecs.synthBaselineJpeg411(d), Codecs.synthBaselineJpegH1v2(d))
+        .foreach { bytes =>
+          val dec = Codecs.decodeJpeg(bytes)
+          assert(dec.width == img.width && dec.height == img.height,
+            s"dims d=$d")
+          var bad = 0
+          for (y <- 0 until img.height; x <- 0 until img.width) {
+            val (r, g, b) = img.pixels(y)(x)
+            if (dec.pixels(y)(x) != yccRoundTrip(r, g, b)) bad += 1
+          }
+          assert(bad == 0, s"d=$d: $bad mismatched pixels")
+        }
+    }
+  }
+
+  test("4:1:1 / vertical-only JPEG decode matches ImageIO on our own lossy streams") {
+    // Like the 4:2:2 twin, the JDK writer cannot be asked for these
+    // layouts, so the cross-check is the our-encode direction. The
+    // JDK's IJG-derived reader applies the same int_upsample
+    // (replication) rule for non-h2v1/h2v2 ratios that we implement,
+    // so agreement bounds IDCT + color-convert rounding only (same ±3
+    // reasoning as the 4:2:0/4:2:2 random-content rows).
+    val imgGen = for {
+      w <- Gen.choose(9, 40); h <- Gen.choose(9, 34)
+      px <- Gen.listOfN(h, Gen.listOfN(w, pixelGen))
+    } yield Bmp(w, h, px.map(_.toArray).toArray)
+    samples(imgGen, 6).zipWithIndex.foreach { case (img, i) =>
+      Seq(("411", Codecs.encodeJpeg(img, quantLuma = Codecs.jpegLossyQuant,
+        quantChroma = Codecs.jpegLossyQuant, restartInterval = i % 3,
+        subsample411 = true)),
+        ("h1v2", Codecs.encodeJpeg(img, quantLuma = Codecs.jpegLossyQuant,
+          quantChroma = Codecs.jpegLossyQuant, restartInterval = i % 3,
+          subsampleH1v2 = true))).foreach { case (label, bytes) =>
+        val ours = Codecs.decodeJpeg(bytes)
+        val ref = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(ref != null, s"ImageIO could not parse our $label output")
+        assert(ref.getWidth == img.width && ref.getHeight == img.height)
+        var maxd = 0
+        for (y <- 0 until img.height; x <- 0 until img.width) {
+          val rgb = ref.getRGB(x, y)
+          val (r, g, b) = ours.pixels(y)(x)
+          maxd = math.max(maxd, math.abs(((rgb >> 16) & 0xff) - r))
+          maxd = math.max(maxd, math.abs(((rgb >> 8) & 0xff) - g))
+          maxd = math.max(maxd, math.abs((rgb & 0xff) - b))
+        }
+        assert(maxd <= 3, s"img $i $label: max channel delta $maxd vs ImageIO")
+      }
+    }
+  }
+
   test("4:2:2 JPEG decode matches ImageIO on our own lossy subsampled stream") {
     // ImageIO (libjpeg lineage) decodes h2v1 streams with the same
     // fancy upsampler; the JDK WRITER cannot be asked for 4:2:2, so
@@ -800,6 +860,10 @@ class CodecsSpec extends AnyFunSuite {
       ("jpeg-baseline", Codecs.synthBaselineJpeg(7L),
         b => Codecs.decodeJpeg(b)),
       ("jpeg-420", Codecs.synthBaselineJpeg420(3L),
+        b => Codecs.decodeJpeg(b)),
+      ("jpeg-411", Codecs.synthBaselineJpeg411(5L),
+        b => Codecs.decodeJpeg(b)),
+      ("jpeg-h1v2", Codecs.synthBaselineJpegH1v2(10L),
         b => Codecs.decodeJpeg(b)),
       ("jpeg-progressive", Codecs.synthProgressiveJpeg(2L),
         b => Codecs.decodeJpeg(b)),
