@@ -141,6 +141,8 @@ object JxJson {
     // Catalyst tree (one optimization pass over the fused plan, exactly
     // like a SQL derived table — never a materialization barrier).
     var df = (q \ "from") match {
+      case JString(from) if from.endsWith(":stream") =>
+        return runStreaming(spark, sfDir, from.stripSuffix(":stream"), q)
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)
@@ -263,6 +265,83 @@ object JxJson {
     }
 
     finishSortLimit(df, q)
+  }
+
+  /** STREAMING front door: `"from": "<table>:stream"` compiles onto
+    * the watermarked Structured Streaming operators (§2.9) instead of
+    * the batch Catalog — the same JSON body a user runs over the batch
+    * table runs over its stream, with Append-mode emit-horizon
+    * semantics. The supported clause surface is the one streaming can
+    * honor incrementally: `where` (stateless filter), a `groupby`
+    * whose entries are plain columns plus exactly one time-window
+    * entry `{"name", "value", "window": "<duration>"}`, aggregate
+    * `select`s, and the batch-side `sort`/`limit` on the drained
+    * result. A `watermark: {"on": col, "delay": "<duration>"}` clause
+    * is REQUIRED — an unbounded-state streaming aggregate is exactly
+    * the 100 TB trap, so the front door refuses to compile one.
+    * Clauses that have no incremental meaning here (edges, dedup,
+    * sample, window, nested from) fail loudly rather than silently
+    * running a batch semantics the caller did not ask for. */
+  private def runStreaming(spark: SparkSession, sfDir: String,
+      table: String, q: JValue): DataFrame = {
+    require(table == "events",
+      s"jx: only the events table streams (got '$table') — it is the " +
+        "fixture's event-time source; other tables have no ts column")
+    Seq("edges", "dedup", "sample", "window").foreach { c =>
+      require((q \ c) == JNothing || (q \ c) == JNull,
+        s"jx: '$c' is not supported over a stream — run it against " +
+          s"the batch table or move it above/below the streaming stage")
+    }
+    val wm = (q \ "watermark")
+    val wmOn = (wm \ "on") match {
+      case JString(c) => c
+      case JNothing | JNull => "ts"
+      case other => sys.error(s"jx: watermark.on $other")
+    }
+    val wmDelay = (wm \ "delay") match {
+      case JString(d) => d
+      case _ => sys.error(
+        "jx: a streaming query needs watermark: {on, delay} — without " +
+          "one the windowed aggregate's state is unbounded")
+    }
+    var df = graft.streaming.Streams.eventsStream(spark, sfDir)
+    (q \ "where") match {
+      case JNothing | JNull => ()
+      case w => df = df.filter(compile(w))
+    }
+    // groupby: plain columns + exactly one window entry
+    val entries = (q \ "groupby") match {
+      case JArray(xs) => xs
+      case JNothing | JNull =>
+        sys.error("jx: a streaming query needs a windowed groupby")
+      case x => Seq(x)
+    }
+    val winEntries = entries.collect {
+      case o: JObject if (o \ "window") != JNothing => o }
+    require(winEntries.size == 1,
+      "jx: streaming groupby needs exactly one time-window entry " +
+        """({"name", "value", "window": "<duration>"})""")
+    val winName = (winEntries.head \ "name") match {
+      case JString(n) => n; case _ => "window_start" }
+    val winValue = (winEntries.head \ "value") match {
+      case JString(v) => v
+      case _ => sys.error("jx: window groupby entry needs 'value'") }
+    val winDur = (winEntries.head \ "window") match {
+      case JString(d) => d
+      case other => sys.error(s"jx: window duration $other") }
+    val plain = entries.collect { case JString(g) => g }
+    val gbCols = window(col(winValue), winDur) +: plain.map(col)
+    val aggs = selectsOf(q).map(aggColumn)
+    require(aggs.nonEmpty, "jx: streaming groupby needs aggregate selects")
+    val agg = df.withWatermark(wmOn, wmDelay)
+      .groupBy(gbCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(winName, col("window.start"))
+      .drop("window")
+    val out = graft.streaming.Streams.runToMemory(
+      agg, s"jx_stream_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    finishSortLimit(out, q)
   }
 
   /** One snowflake-descent step: `seg` must be an array<struct> (the

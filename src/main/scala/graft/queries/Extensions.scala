@@ -517,6 +517,31 @@ object Extensions extends QueryModule {
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // JX front door over a STREAM (r10 verdict #8): the same JSON body
+    // shape as the batch queries, with "from": "events:stream"
+    // compiling onto the watermarked tumbling-window operator — the
+    // twin of stream_tumbling with the identical emit-horizon hard
+    // oracle (Append mode withholds windows newer than
+    // max(ts) − watermark). The front door REQUIRES the watermark
+    // clause: an unbounded-state streaming aggregate is refused at
+    // compile time, not discovered at 100 TB.
+    QueryDef(
+      "jx_json_stream",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": "ws"
+        }"""),
+      Some("""WITH b AS (SELECT max(ts) AS mx FROM events)
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n
+        FROM events, b
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          <= mx - INTERVAL '2 hours'
+        GROUP BY ws ORDER BY ws""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).

@@ -18,6 +18,40 @@ class JxJsonSpec extends SparkSpec {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("streaming front door equals the declared stream_tumbling twin") {
+    val jx = SparkEntry.queries("jx_json_stream")(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(1), r.getLong(0))).toSeq
+    val direct = SparkEntry.queries("stream_tumbling")(spark, sf0001)
+      .select("ws", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(jx.toMap == direct.toMap, s"jx=${jx.size} direct=${direct.size}")
+    assert(jx.nonEmpty)
+  }
+
+  test("streaming front door refuses unbounded or non-incremental bodies") {
+    // no watermark -> unbounded aggregate state: refused at compile
+    val e1 = intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "events:stream",
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n", "aggregate": "count"}]}"""))
+    assert(e1.getMessage.contains("watermark"), e1.getMessage)
+    // batch-only clause over a stream: refused, not silently batch-run
+    val e2 = intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "sample": {"rate": 0.5, "on": "event_id"},
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n", "aggregate": "count"}]}"""))
+    assert(e2.getMessage.contains("not supported over a stream"), e2.getMessage)
+    // only the events table has an event-time column to stream on
+    val e3 = intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "orders:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n", "aggregate": "count"}]}"""))
+    assert(e3.getMessage.contains("events"), e3.getMessage)
+  }
+
   test("plain select with computed expression and limit") {
     val out = JxJson.run(spark, sf0001,
       """{"from": "customer",
