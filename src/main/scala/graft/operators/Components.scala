@@ -57,12 +57,18 @@ object Components {
       // pointer jump: m is itself a vertex id (labels only ever hold
       // vertex ids), so follow it to ITS current label — label-of-label
       // doubles the propagated distance each round
+      // LAZY checkpoint + count: the convergence count's job is the
+      // one that materializes the round's checkpoint blocks — one
+      // Spark job per round instead of the eager-checkpoint-then-count
+      // pair (the fixture-scale fixpoint is pure job-scheduling
+      // overhead, so halving the action count halves the floor; at
+      // corpus scale the join work dominates and this is neutral).
       val next = cand
         .join(labels.select(col("v").as("m"), col("comp").as("jump")),
           Seq("m"), "left_outer")
         .select(col("v"), col("old"),
           least(col("m"), coalesce(col("jump"), col("m"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("comp") < col("old")).count()
       labels = next.select("v", "comp")
       i += 1

@@ -70,7 +70,17 @@ object TextOps {
         .as(Seq("band", "bucket")))
 
   def minhashPairsMd5(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = sigMd5Of(docs)
+    // The md5 family is the FIXTURE-SCALE oracle twin (every declared
+    // caller bounds docs; the xxhash64 minhashNearDupPairs family is
+    // the unbounded scale path), so the signature table is safely
+    // checkpointable. Without it the md5 signatures are recomputed on
+    // BOTH sides of the banded self-join and again for each verify
+    // join — 4 evaluations of the most expensive projection in the
+    // plan, fused to a 1-2 task fixture scan; the repartition spreads
+    // the one remaining evaluation across cores (r11 probe: the pairs
+    // stage was the whole variance band of llm_dedup_cluster_stats).
+    val sig = sigMd5Of(docs.repartition(col("doc_id")))
+      .localCheckpoint(true)
     val banded = bandsMd5Of(sig)
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
