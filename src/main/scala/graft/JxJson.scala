@@ -329,8 +329,16 @@ object JxJson {
     val winDur = (winEntries.head \ "window") match {
       case JString(d) => d
       case other => sys.error(s"jx: window duration $other") }
+    // optional "slide" turns the tumbling window into a sliding one
+    // (each event lands in window/slide overlapping windows — the
+    // stream_sliding shape); absent means tumbling.
+    val winCol = (winEntries.head \ "slide") match {
+      case JString(sl) => window(col(winValue), winDur, sl)
+      case JNothing | JNull => window(col(winValue), winDur)
+      case other => sys.error(s"jx: window slide $other")
+    }
     val plain = entries.collect { case JString(g) => g }
-    val gbCols = window(col(winValue), winDur) +: plain.map(col)
+    val gbCols = winCol +: plain.map(col)
     val aggs = selectsOf(q).map(aggColumn)
     require(aggs.nonEmpty, "jx: streaming groupby needs aggregate selects")
     val agg = df.withWatermark(wmOn, wmDelay)

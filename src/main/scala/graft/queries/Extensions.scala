@@ -542,6 +542,29 @@ object Extensions extends QueryModule {
           <= mx - INTERVAL '2 hours'
         GROUP BY ws ORDER BY ws""")),
 
+    // The sliding form of the streaming front door: a "slide" key in
+    // the window groupby entry compiles onto window(ts, dur, slide) —
+    // the stream_sliding twin (each event lands in 4 overlapping
+    // windows; emitted = windows closed at the final watermark).
+    QueryDef(
+      "jx_json_stream_sliding",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "groupby": [{"name": "ws", "value": "ts",
+                       "window": "1 hour", "slide": "15 minutes"}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": "ws"
+        }"""),
+      Some("""WITH b AS (SELECT max(ts) AS mx FROM events),
+        w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+            - k * INTERVAL '15 minutes' AS ws
+          FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+        SELECT ws, count(*) AS n FROM w, b
+        WHERE ws + INTERVAL '1 hour' <= mx - INTERVAL '2 hours'
+        GROUP BY ws ORDER BY ws""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).

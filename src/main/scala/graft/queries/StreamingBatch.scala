@@ -398,6 +398,43 @@ object StreamingBatch extends QueryModule {
         WHERE click_id IS NOT NULL OR view_ts < m - INTERVAL 2 HOUR
         ORDER BY user_id, view_id, click_id""")),
 
+    // True streaming run: stream-stream FULL OUTER interval join —
+    // both null-extension directions with their ASYMMETRIC horizons:
+    // an unmatched view emits when the final watermark passes view_ts;
+    // an unmatched click emits when it passes click_ts + 2h (the top
+    // of its match window). Horizon = least(max view_ts, max click_ts)
+    // − 2h as in the left-outer row.
+    QueryDef(
+      "stream_join_full",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.viewClickFullOuterJoin(s, dir),
+          s"sjf_${System.nanoTime()}", OutputMode.Append())
+        // NULLS LAST explicitly: Spark's asc is nulls-first, DuckDB's
+        // is nulls-last, and with nulls in a MIDDLE sort key (view_id)
+        // the row orders diverge — the left-outer row never hit this
+        // because its only nullable column is the final tiebreak.
+        out.orderBy(col("user_id"), asc_nulls_last("view_id"),
+          asc_nulls_last("click_id"))
+      },
+      Some("""WITH mx AS (SELECT least(
+          (SELECT max(ts) FROM events WHERE event_type = 'view'),
+          (SELECT max(ts) FROM events WHERE event_type = 'click')) AS m),
+        v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT coalesce(v.user_id, c.c_user) AS user_id,
+            v.view_id, v.view_ts, c.click_id, c.click_ts
+          FROM v FULL JOIN c ON v.user_id = c.c_user
+            AND c.click_ts >= v.view_ts - INTERVAL 2 HOUR
+            AND c.click_ts <= v.view_ts)
+        SELECT user_id, view_id, click_id FROM j, mx
+        WHERE (view_id IS NOT NULL AND click_id IS NOT NULL)
+           OR (click_id IS NULL AND view_ts < m - INTERVAL 2 HOUR)
+           OR (view_id IS NULL AND click_ts < m - INTERVAL 4 HOUR)
+        ORDER BY user_id, view_id, click_id""")),
+
     // True streaming run: per-user running state via mapGroupsWithState.
     // The final state per user is the full per-user aggregate, which
     // SQL expresses directly — a hard oracle on custom state logic

@@ -240,6 +240,37 @@ object Streams {
       .select(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — both directions of the
+    * left-outer form at once: matched (view, click) pairs stream out
+    * immediately; a view with no click in its preceding 2 h emits
+    * (user, view, null) once the watermark passes view_ts (no future
+    * click with click_ts ≥ wm can satisfy click_ts ≤ view_ts); a
+    * click no view answered within 2 h emits (user, null, click) once
+    * the watermark passes click_ts + 2h (future views have
+    * view_ts ≥ wm but must satisfy view_ts ≤ click_ts + 2h). The two
+    * eviction horizons are ASYMMETRIC — exactly the per-side
+    * predicates the oracle encodes — and state on each side stays
+    * O(active interval), as in the inner form. */
+  def viewClickFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") - expr("INTERVAL 2 HOURS") &&
+        col("click_ts") <= col("view_ts"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("view_id"), col("click_id"))
+  }
+
   /** Tumbling-window counts with a 2h watermark: late rows beyond the
     * watermark are dropped and window state is evicted. */
   def tumblingWithWatermark(events: DataFrame): DataFrame =

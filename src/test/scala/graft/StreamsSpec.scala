@@ -171,6 +171,41 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((1L, 100L, -1L), (2L, 102L, 101L)), out.toString)
   }
 
+  test("full-outer interval join: both null directions, asymmetric horizons") {
+    // Final watermark = least(max view 500, max click 520) − 2 h =
+    // minute 380. Unmatched VIEWS emit when view_ts < 380; unmatched
+    // CLICKS only when click_ts + 2 h < 380 (the top of their match
+    // window must close), i.e. click_ts < 260 — the asymmetry this
+    // test pins:
+    //   v1 (10, u1) unmatched, 10 < 380            -> (1, 100, null)
+    //   c1 (50, u2) + v2 (60, u2) matched          -> (2, 102, 101)
+    //   c5 (10, u5) unmatched, 10 < 260            -> (5, null, 104)
+    //   c6 (300, u6) unmatched, 300 >= 260         -> withheld
+    //   v9 (500, u9) unmatched, 500 >= 380         -> withheld
+    //   c9 (520, u8) unmatched, 520 >= 260         -> withheld
+    val dir = java.nio.file.Files.createTempDirectory("sjf").toString
+    val stage = java.nio.file.Files.createTempDirectory("sjf-stage").toString
+    Seq(
+      ev(100, 10, user = 1L, typ = "view"),
+      ev(101, 50, user = 2L, typ = "click"),
+      ev(102, 60, user = 2L, typ = "view"),
+      ev(104, 10, user = 5L, typ = "click"),
+      ev(105, 300, user = 6L, typ = "click"),
+      ev(106, 500, user = 9L, typ = "view"),
+      ev(107, 520, user = 8L, typ = "click"))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val out = SparkEntry.queries("stream_join_full")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    assert(out == Seq((1L, 100L, -1L), (2L, 102L, 101L), (5L, -1L, 104L)),
+      out.toString)
+  }
+
   test("stateful query resumes its state store from the checkpoint after restart") {
     // The operational recovery story: stop a stateful query, start a
     // NEW query from the same checkpoint — the state store must resume
