@@ -70,6 +70,19 @@ object IvfRecall {
     }.mkString("[", ",", "]")
     println(s"""{"metric":"ivf_recall_curve","nlist":$nlist,"k":$k,""" +
       s""""n_queries":$nq,"brute_sec":$tBrute,"curve":$json}""")
+
+    // kmeans-TRAINED centroids (round 11) at the middle nprobe: does
+    // Lloyd training buy recall over the sampled anchors on the same
+    // corpus? (The replica corpus clusters tightly, so the sampled
+    // anchors are already strong — the honest comparison to publish.)
+    val npMid = nprobes(nprobes.size / 2)
+    val trained = Similarity.ivfTopKTrained(emb, queries, "vec_id",
+      "embedding", k, nlist, npMid, rounds = 3)
+      .select(col("qid"), col("nid")).cache()
+    val (nTr, tTr) = timed(trained.count())
+    val hitsTr = trained.join(gt, Seq("qid", "nid")).count()
+    println(f"[ivfrecall] TRAINED nprobe=$npMid%3d  " +
+      f"recall@$k=${hitsTr.toDouble / nGt}%.4f  cost=$tTr%.1f s  rows=$nTr")
     spark.stop()
   }
 }

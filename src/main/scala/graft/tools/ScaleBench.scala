@@ -324,6 +324,14 @@ object ScaleBench {
     time(s"knn_ivf(nlist=$nlist)")(force(
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
         nlist = nlist, nprobe = math.max(1, nlist / 16))))
+    // kmeans-TRAINED IVF (round 11): the 3-round Lloyd build + the
+    // same probe/re-rank. Training cost = rounds × (one broadcast
+    // assignment pass + one slim per-dimension mean aggregate) over
+    // the corpus — the build-time step a real index amortizes across
+    // query batches; search cost matches knn_ivf.
+    time(s"knn_ivf_kmeans(nlist=$nlist)")(force(
+      Similarity.ivfTopKTrained(emb, queries, "vec_id", "embedding", 10,
+        nlist = nlist, nprobe = math.max(1, nlist / 16), rounds = 3)))
     // PQ-ADC compressed scan: N×|Q| row-local lookup sums behind a
     // broadcast of the query tables, WindowGroupLimit pruning the
     // shortlist map-side, exact re-rank on |Q|×50 rows only. ADC is

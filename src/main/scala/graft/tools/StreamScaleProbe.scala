@@ -144,6 +144,39 @@ object StreamScaleProbe {
         col("view_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
       .select(col("user_id"), col("click_id"), col("view_id"))
     runCounted("stream_join")(joined, OutputMode.Append())
+    // OUTER interval joins (round 11): state is the same
+    // O(active interval) as the inner form — the null-extensions ride
+    // watermark eviction, so emitted rows = matched pairs + the
+    // unmatched side(s) behind the horizon; scale claim: throughput
+    // flat vs the inner join, emitted counts linear in events.
+    def outerSides(): (DataFrame, DataFrame) = (
+      stream().filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("view_ts", "2 hours"),
+      stream().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "2 hours"))
+    def outerCond(v: DataFrame, c: DataFrame) =
+      v("user_id") === c("c_user") &&
+        c("click_ts") >= v("view_ts") - expr("INTERVAL 2 HOURS") &&
+        c("click_ts") <= v("view_ts")
+    locally {
+      val (v, c) = outerSides()
+      runCounted("stream_join_outer")(
+        v.join(c, outerCond(v, c), "left_outer")
+          .select(col("user_id"), col("view_id"), col("click_id")),
+        OutputMode.Append())
+    }
+    locally {
+      val (v, c) = outerSides()
+      runCounted("stream_join_full")(
+        v.join(c, outerCond(v, c), "full_outer")
+          .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+            col("view_id"), col("click_id")),
+        OutputMode.Append())
+    }
     spark.stop()
   }
 }
