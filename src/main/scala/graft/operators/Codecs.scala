@@ -930,13 +930,17 @@ object Codecs {
       quantChroma: Array[Int] = jpegUnitQuant,
       subsample: Boolean = false,
       subsample422: Boolean = false,
-      restartInterval: Int = 0): Array[Byte] = {
-    require(!(gray && (subsample || subsample422)),
-      "chroma subsampling applies to color only")
-    require(!(subsample && subsample422), "pick ONE subsampling layout")
+      restartInterval: Int = 0,
+      subsample411: Boolean = false,
+      subsampleH1v2: Boolean = false): Array[Byte] = {
+    val anySub = subsample || subsample422 || subsample411 || subsampleH1v2
+    require(!(gray && anySub), "chroma subsampling applies to color only")
+    require(Seq(subsample, subsample422, subsample411, subsampleH1v2)
+      .count(identity) <= 1, "pick ONE subsampling layout")
     val w = img.width; val h = img.height
     val nComp = if (gray) 1 else 3
-    val (hs, vs) = jpegSampling(nComp, subsample, subsample422)
+    val (hs, vs) =
+      jpegSampling(nComp, subsample, subsample422, subsample411, subsampleH1v2)
     val (compW, compH, planes) = jpegPlanes(img, gray, hs, vs)
     val hmax = hs(0); val vmax = vs(0)
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)

@@ -420,6 +420,31 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("PROGRESSIVE 4:1:1 and vertical-only streams decode bit-exact too") {
+    // the multi-scan frame type over the two new geometries: the
+    // interleaved DC successive-approximation scans and per-component
+    // AC band scans are generic in (h, v), and the constant-chroma
+    // family stays lossless — one fixture, all frame types, all
+    // samplings.
+    (0L until 16L).foreach { d =>
+      val img = Codecs.synthJpegImage420(d)
+      Seq(
+        Codecs.encodeJpegProgressive(img, subsample411 = true,
+          restartInterval = (d % 3).toInt),
+        Codecs.encodeJpegProgressive(img, subsampleH1v2 = true,
+          restartInterval = (d % 3).toInt)).foreach { bytes =>
+        val dec = Codecs.decodeJpeg(bytes)
+        assert(dec.width == img.width && dec.height == img.height)
+        var bad = 0
+        for (y <- 0 until img.height; x <- 0 until img.width) {
+          val (r, g, b) = img.pixels(y)(x)
+          if (dec.pixels(y)(x) != yccRoundTrip(r, g, b)) bad += 1
+        }
+        assert(bad == 0, s"d=$d: $bad mismatched pixels")
+      }
+    }
+  }
+
   test("4:1:1 / vertical-only JPEG decode matches ImageIO on our own lossy streams") {
     // Like the 4:2:2 twin, the JDK writer cannot be asked for these
     // layouts, so the cross-check is the our-encode direction. The
