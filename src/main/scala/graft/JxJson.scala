@@ -317,25 +317,38 @@ object JxJson {
       case x => Seq(x)
     }
     val winEntries = entries.collect {
-      case o: JObject if (o \ "window") != JNothing => o }
+      case o: JObject
+          if (o \ "window") != JNothing || (o \ "session_gap") != JNothing =>
+        o }
     require(winEntries.size == 1,
       "jx: streaming groupby needs exactly one time-window entry " +
-        """({"name", "value", "window": "<duration>"})""")
+        """({"name", "value", "window": "<duration>"} or """ +
+        """{"name", "value", "session_gap": "<duration>"})""")
     val winName = (winEntries.head \ "name") match {
       case JString(n) => n; case _ => "window_start" }
     val winValue = (winEntries.head \ "value") match {
       case JString(v) => v
       case _ => sys.error("jx: window groupby entry needs 'value'") }
-    val winDur = (winEntries.head \ "window") match {
-      case JString(d) => d
-      case other => sys.error(s"jx: window duration $other") }
-    // optional "slide" turns the tumbling window into a sliding one
-    // (each event lands in window/slide overlapping windows — the
-    // stream_sliding shape); absent means tumbling.
-    val winCol = (winEntries.head \ "slide") match {
-      case JString(sl) => window(col(winValue), winDur, sl)
-      case JNothing | JNull => window(col(winValue), winDur)
-      case other => sys.error(s"jx: window slide $other")
+    // three window shapes: tumbling ("window"), sliding ("window" +
+    // "slide" — each event lands in window/slide overlapping windows),
+    // session ("session_gap" — gap-merged per-key ranges, the
+    // stream_session shape). The struct column Spark emits is named
+    // after the construct, so track it for the start-projection.
+    val (winCol, structName) = (winEntries.head \ "session_gap") match {
+      case JString(gap) =>
+        require((winEntries.head \ "window") == JNothing,
+          "jx: pick window OR session_gap, not both")
+        (session_window(col(winValue), gap), "session_window")
+      case JNothing | JNull =>
+        val winDur = (winEntries.head \ "window") match {
+          case JString(d) => d
+          case other => sys.error(s"jx: window duration $other") }
+        ((winEntries.head \ "slide") match {
+          case JString(sl) => window(col(winValue), winDur, sl)
+          case JNothing | JNull => window(col(winValue), winDur)
+          case other => sys.error(s"jx: window slide $other")
+        }, "window")
+      case other => sys.error(s"jx: session_gap $other")
     }
     val plain = entries.collect { case JString(g) => g }
     val gbCols = winCol +: plain.map(col)
@@ -344,8 +357,8 @@ object JxJson {
     val agg = df.withWatermark(wmOn, wmDelay)
       .groupBy(gbCols: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn(winName, col("window.start"))
-      .drop("window")
+      .withColumn(winName, col(s"$structName.start"))
+      .drop(structName)
     val out = graft.streaming.Streams.runToMemory(
       agg, s"jx_stream_${System.nanoTime()}",
       org.apache.spark.sql.streaming.OutputMode.Append())

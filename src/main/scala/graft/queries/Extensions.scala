@@ -565,6 +565,36 @@ object Extensions extends QueryModule {
         WHERE ws + INTERVAL '1 hour' <= mx - INTERVAL '2 hours'
         GROUP BY ws ORDER BY ws""")),
 
+    // The session form: "session_gap" in the window entry compiles
+    // onto session_window — gap-merged per-user ranges, the
+    // stream_session_true twin with the same closed-at-final-watermark
+    // hard oracle (a session emits only when its end + gap clears the
+    // horizon).
+    QueryDef(
+      "jx_json_stream_session",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "groupby": ["user_id",
+                      {"name": "session_start", "value": "ts",
+                       "session_gap": "30 minutes"}],
+          "select": [{"name": "n_events", "aggregate": "count"}],
+          "sort": ["user_id", "session_start"]
+        }"""),
+      Some("""WITH x AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x),
+        sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events FROM y GROUP BY user_id, sid),
+        b AS (SELECT max(ts) AS mx FROM events)
+        SELECT user_id, session_start, n_events FROM sess, b
+        WHERE session_end + INTERVAL '30 minutes' <= mx - INTERVAL '2 hours'
+        ORDER BY user_id, session_start""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).
