@@ -47,11 +47,27 @@ object PlanAudit {
             "this is O(|L|x|R|). Bound one side and broadcast it, or add " +
             "an equi-join key (even a coarse bucket) so a hash join plans.")
       case j: BroadcastNestedLoopJoinExec =>
-        fs += Finding("warn", "nested-loop-join",
-          s"BroadcastNestedLoopJoin (${j.joinType}) scans the streamed side " +
-            "once per broadcast row batch — fine for a truly tiny " +
-            "broadcast (domain tables, 1-row totals), quadratic otherwise. " +
-            "Check the broadcast side is bounded by construction.")
+        // A grouping-less aggregate emits EXACTLY one row, so a
+        // crossJoin against its broadcast is the scalar-multiply
+        // pattern (corpus totals, pagerank's N) — provably linear,
+        // report info. Broadcasts the audit cannot statically bound
+        // (a filtered scan, a grouped aggregate) stay warns.
+        val bcast = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        if (provablyOneRow(bcast))
+          fs += Finding("info", "nested-loop-join",
+            s"BroadcastNestedLoopJoin (${j.joinType}) whose broadcast side " +
+              "is a grouping-less aggregate — exactly one row, the " +
+              "scalar-multiply pattern (corpus totals). Linear by " +
+              "construction.")
+        else
+          fs += Finding("warn", "nested-loop-join",
+            s"BroadcastNestedLoopJoin (${j.joinType}) scans the streamed side " +
+              "once per broadcast row batch — fine for a truly tiny " +
+              "broadcast (domain tables, 1-row totals), quadratic otherwise. " +
+              "Check the broadcast side is bounded by construction.")
       case w: WindowExec if w.partitionSpec.isEmpty =>
         // A LIMIT below the window bounds its input by construction —
         // the 16-row vocab tables, top-k candidate sets — so the
@@ -185,6 +201,28 @@ object PlanAudit {
           _: ExpandExec | _: GenerateExec => false
       case _ if p.children.isEmpty => false
       case _ => p.children.forall(boundedByLimit(_, cap))
+    }
+  }
+
+  /** True when `p` provably emits EXACTLY one row: a grouping-less
+    * aggregate, reached through narrow row-preserving-or-reducing
+    * wrappers (a Filter on one row stays ≤ 1; projections and
+    * exchanges are 1:1). Used to adjudicate broadcast crossJoins. */
+  private def provablyOneRow(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    p match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case a: AdaptiveSparkPlanExec => provablyOneRow(a.executedPlan)
+      case q: QueryStageExec => provablyOneRow(q.plan)
+      case w: WholeStageCodegenExec => provablyOneRow(w.child)
+      case i: InputAdapter => provablyOneRow(i.child)
+      case c: ColumnarToRowExec => provablyOneRow(c.child)
+      case pr: ProjectExec => provablyOneRow(pr.child)
+      case f: FilterExec => provablyOneRow(f.child)
+      case b: BroadcastExchangeExec => provablyOneRow(b.child)
+      case e: ShuffleExchangeExec => provablyOneRow(e.child)
+      case _ => false
     }
   }
 

@@ -85,6 +85,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(fs.nonEmpty && fs.forall(_.severity == "warn"), fs.mkString("\n"))
   }
 
+  test("1-row-broadcast crossJoin is info; unbounded broadcast stays warn") {
+    import spark.implicits._
+    val big = spark.range(100000).toDF("x")
+    // scalar-multiply: crossJoin against a grouping-less aggregate —
+    // exactly one broadcast row, provably linear
+    val total = big.agg(sum("x").as("t"))
+    val scalarMul = big.crossJoin(broadcast(total))
+      .select(($"x" / $"t").as("share"))
+    val fs1 = PlanAudit.audit(scalarMul).filter(_.rule == "nested-loop-join")
+    assert(fs1.nonEmpty && fs1.forall(_.severity == "info"), fs1.mkString("\n"))
+    // a broadcast the audit cannot bound (filtered scan) stays a warn
+    val qside = spark.range(1000).toDF("q").filter($"q" % 7 === 0)
+    val unbounded = big.crossJoin(broadcast(qside)).filter($"x" * $"q" > 10)
+    val fs2 = PlanAudit.audit(unbounded).filter(_.rule == "nested-loop-join")
+    assert(fs2.nonEmpty && fs2.forall(_.severity == "warn"), fs2.mkString("\n"))
+  }
+
   test("clean long-key aggregate has no findings") {
     val df = graft.sources.Catalog.table(spark, sf0001, "lineitem")
       .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
