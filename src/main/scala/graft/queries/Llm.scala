@@ -933,6 +933,100 @@ object Llm extends QueryModule {
           FROM scored)
         WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
+    // BM25 retrieval scoring (Robertson/Spärck Jones — the Okapi
+    // formula every lexical retriever runs): queries = the first 5
+    // tokens of the first 3 docs, scored against the corpus through
+    // an INVERTED-INDEX join — query terms join the postings on the
+    // term key, never query×corpus — the same shape as
+    // llm_decontaminate, which is what makes it the 100 TB retrieval
+    // path (hard-negative mining, retrieval-based dedup). Per-term
+    // contributions are rounded to 6 before the sum and the sum
+    // rounded again, so engine ulp/order differences cannot flip a
+    // rank; idf uses the +1-inside-log form (always positive), k1=1.2,
+    // b=0.75. Term joins key on xxhash64 longs (r8 audit rule);
+    // corpus stats (N, avgdl) ride a 1-row broadcast.
+    QueryDef(
+      "llm_bm25_topk",
+      (s, dir) => bm25TopK(
+        Catalog.table(s, dir, "documents").filter(col("doc_id") < 300),
+        nQueries = 3, k = 5).orderBy("qid", "rk"),
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+            WHERE doc_id < 300),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM corpus),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl
+          FROM dl),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        qterms AS (SELECT DISTINCT doc_id AS qid, unnest(
+            (string_split(text, ' '))[1:5]) AS w
+          FROM corpus WHERE doc_id < 3),
+        contrib AS (SELECT q.qid, t.doc_id,
+            round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+              t.tf * 2.2 /
+              (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6) AS c
+          FROM qterms q
+          JOIN tf t ON t.w = q.w
+          JOIN dfq d ON d.w = q.w
+          JOIN dl l ON l.doc_id = t.doc_id
+          CROSS JOIN stats s),
+        scored AS (SELECT qid, doc_id, round(sum(c), 6) AS score
+          FROM contrib GROUP BY 1, 2)
+        SELECT qid, rk, doc_id, score FROM (
+          SELECT qid, doc_id, score,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // The PRUNED scale form of BM25: query terms with df > cap are
+    // dropped before the postings probe — stopword/impact pruning,
+    // near-lossless because idf ≈ 0 at high df. The cap is inside the
+    // oracle (a HAVING on the df CTE), so the scale dial itself is
+    // differentially tested, like the dfCap in the substring family.
+    // Cap 230 sits INSIDE the fixture's df range (first-5-token dfs
+    // run 222-243 of 300 — the synthetic corpus draws from a tiny
+    // shared vocabulary, so every term is stopword-grade), making the
+    // pruning PARTIAL: some terms survive per query, results stay
+    // non-empty, and pruned != unpruned — a vacuous all-pruned cap
+    // would only prove the two engines agree on emptiness.
+    QueryDef(
+      "llm_bm25_topk_pruned",
+      (s, dir) => bm25TopK(
+        Catalog.table(s, dir, "documents").filter(col("doc_id") < 300),
+        nQueries = 3, k = 5, maxDf = Some(230L)).orderBy("qid", "rk"),
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+            WHERE doc_id < 300),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM corpus),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl
+          FROM dl),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
+          HAVING count(*) <= 230),
+        qterms AS (SELECT DISTINCT doc_id AS qid, unnest(
+            (string_split(text, ' '))[1:5]) AS w
+          FROM corpus WHERE doc_id < 3),
+        contrib AS (SELECT q.qid, t.doc_id,
+            round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+              t.tf * 2.2 /
+              (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6) AS c
+          FROM qterms q
+          JOIN dfq d ON d.w = q.w
+          JOIN tf t ON t.w = q.w
+          JOIN dl l ON l.doc_id = t.doc_id
+          CROSS JOIN stats s),
+        scored AS (SELECT qid, doc_id, round(sum(c), 6) AS score
+          FROM contrib GROUP BY 1, 2)
+        SELECT qid, rk, doc_id, score FROM (
+          SELECT qid, doc_id, score,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= 5 ORDER BY qid, rk""")),
+
     // Near-dup GROUPING: pairs → duplicate clusters via distributed
     // min-label propagation (Components.connectedComponents), so a
     // whole cluster keeps one survivor, not just pairwise picks.
@@ -3419,6 +3513,60 @@ object Llm extends QueryModule {
     * TakeOrdered top-k (never a global sort), a broadcast 1-row total;
     * the rank/cumsum windows see only the k-row table — the
     * tokens_to_ids family's documented bounded-input window class. */
+  /** Okapi BM25 top-k over a (doc_id, text) corpus: queries are the
+    * distinct first-5 tokens of docs with doc_id < nQueries, scored
+    * through the inverted-index join (query terms → postings on
+    * xxhash64 term keys — never query×corpus). Per-term contributions
+    * and the final sum are rounded to 6 so engine ulps cannot flip a
+    * rank; k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * COST MODEL (the 100 TB dial): the probe touches Σ_{t∈q} df(t)
+    * postings per query, so common-term queries degenerate toward
+    * scoring the whole corpus — measured at ×100 (500k docs, replica
+    * corpus = every query term's df multiplied ×100): 367 s for 1000
+    * queries unpruned. `maxDf` is the standard mitigation every
+    * lexical engine applies (stopword/impact pruning): drop query
+    * terms with df > maxDf BEFORE the probe. Near-lossless by
+    * construction — a term at df ≈ N carries idf ≈ ln(1 + 0.5/N) ≈ 0,
+    * so the dropped contributions are the ones that could not move a
+    * rank. The pruned form is itself oracle-tested
+    * (llm_bm25_topk_pruned). */
+  def bm25TopK(corpus: DataFrame, nQueries: Long, k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    val tok = corpus.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      round(avg("dl"), 6).as("avgdl"))
+    val dfq0 = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val dfq = maxDf.fold(dfq0)(cap => dfq0.filter(col("df") <= cap))
+    val qterms = corpus.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(
+          slice(TextOps.tokens(col("text")), 1, 5))).as("qw"))
+      .withColumn("h", xxhash64(col("qw")))
+      .select("qid", "h")
+    // join dfq FIRST: with a cap it is the pruning filter, so capped
+    // terms never reach the postings join at all
+    val contrib = qterms
+      .join(dfq, "h").join(tf, "h").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", round(
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(round(sum("c"), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "rk", "doc_id", "score")
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val words = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
     val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))

@@ -279,6 +279,24 @@ object ScaleBench {
     time("vocab_coverage_1k")(force(
       graft.queries.Llm.vocabCoverage(
         spark.read.parquet(docsPath), "text", 1000)))
+    // BM25 retrieval at corpus scale (round 11): 1000 five-token
+    // queries against the full scaled corpus through the
+    // inverted-index join — the lexical-retrieval half of
+    // hard-negative mining / retrieval-based dedup. Cost = the
+    // postings build (two fine-key aggregates over the token explode)
+    // + the term-keyed probe, query×corpus never materializes.
+    // UNPRUNED at 100 queries: on this corpus every token is
+    // stopword-grade (tiny shared vocabulary → df ≈ 0.75N for every
+    // term), so a df cap is all-or-nothing — capped runs return 0
+    // rows and measure nothing. The honest scale number is the
+    // unpruned probe, which on all-common-term queries degenerates to
+    // ~query×corpus scoring BY THE COST MODEL (Σ df per query): 1000
+    // queries measured 367 s (BASELINE r11); 100 queries keep the
+    // regression row inside the family sweep budget. Real corpora
+    // have Zipfian vocabularies where the maxDf dial prunes partially
+    // (the fixture-scale llm_bm25_topk_pruned oracle-pins that).
+    time("bm25_topk_100")(force(
+      graft.queries.Llm.bm25TopK(docs, nQueries = 100L, k = 10)))
     // PageRank at ×mult the sf0.1 customer–supplier graph: `mult`
     // id-offset DISJOINT copies of the bipartite projection, so node
     // and edge counts scale exactly ×mult while per-copy structure
