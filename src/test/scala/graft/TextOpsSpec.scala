@@ -189,6 +189,66 @@ class TextOpsSpec extends SparkSpec {
     assert(spans == Seq((31L, 32L, 3, 7, 27L), (31L, 32L, 31, 35, 27L)))
   }
 
+  test("sharedSpans equals brute-force maximal runs on adversarial small-alphabet corpora") {
+    // Property pair proving the island stitching sound AND complete:
+    //  (1) with dfCap = ∞ the reported set EQUALS the brute-force
+    //      maximal shared runs — stitching can never merge across a
+    //      true mismatch, because no anchor covers the mismatched
+    //      token, which forces an anchor gap ≥ k+1 (> the stitch
+    //      bound k);
+    //  (2) under a tight dfCap every reported span must still be
+    //      VERBATIM true on both sides (soundness — only recall may
+    //      drop). An 6-token alphabet forces heavy within- and
+    //      cross-doc k-gram repetition, the adversarial regime for
+    //      the diagonal construction.
+    val rng = new scala.util.Random(7)
+    val alpha = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, Seq.fill(30 + rng.nextInt(50))(
+        alpha(rng.nextInt(alpha.size))).mkString(" "))
+    }
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    def bruteMaximalRuns(a: Vector[String], b: Vector[String], minLen: Int)
+        : Set[(Int, Int, Long)] = {
+      val out = collection.mutable.Set.empty[(Int, Int, Long)]
+      for (diag <- -(b.size - 1) to (a.size - 1)) {
+        var run = 0
+        val lo = math.max(0, diag); val hi = math.min(a.size, b.size + diag)
+        for (pa <- lo until hi) {
+          if (a(pa) == b(pa - diag)) run += 1
+          else {
+            if (run >= minLen) out += ((pa - run, pa - run - diag, run.toLong))
+            run = 0
+          }
+        }
+        if (run >= minLen) out += ((hi - run, hi - run - diag, run.toLong))
+      }
+      out.toSet
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.sharedSpans(df, "doc_id", "text",
+      k = 8, minLen = 10, dfCap = 1000000)
+      .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val want = (for {
+      i <- docs.indices; j <- (i + 1) until docs.size
+      (as, bs, len) <- bruteMaximalRuns(toks(i.toLong), toks(j.toLong), 10)
+    } yield (i.toLong, j.toLong, as, bs, len)).toSet
+    assert(got == want,
+      s"uncapped mismatch: extra=${got -- want} missing=${want -- got}")
+    // (2) tight cap: subset of truth, and every span verbatim-checked
+    val capped = TextOps.sharedSpans(df, "doc_id", "text",
+      k = 8, minLen = 10, dfCap = 3)
+      .select("id_a", "id_b", "a_start", "b_start", "len_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect()
+    capped.foreach { case (ia, ib, as, bs, len) =>
+      val sa = toks(ia).slice(as, as + len.toInt)
+      val sb = toks(ib).slice(bs, bs + len.toInt)
+      assert(sa == sb && sa.size == len.toInt,
+        s"capped span not verbatim: ($ia,$ib,$as,$bs,$len)")
+    }
+  }
+
   test("sharedSpans caps boilerplate anchors and keeps sub-minLen runs out") {
     // dfCap: an 8-gram shared by MANY docs (template boilerplate) must
     // not explode into pairs; a shared run shorter than minLen must
