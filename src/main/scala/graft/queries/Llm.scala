@@ -3532,6 +3532,17 @@ object Llm extends QueryModule {
     * rank. The pruned form is itself oracle-tested
     * (llm_bm25_topk_pruned). */
   def bm25TopK(corpus: DataFrame, nQueries: Long, k: Int,
+      maxDf: Option[Long] = None): DataFrame =
+    bm25TopKQueries(corpus,
+      corpus.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(
+            slice(TextOps.tokens(col("text")), 1, 5))).as("qw")),
+      k, maxDf)
+
+  /** BM25 against caller-supplied (qid, qw) query-term rows — the
+    * general entry bm25TopK's first-5-token convenience wraps. */
+  def bm25TopKQueries(corpus: DataFrame, queryTerms: DataFrame, k: Int,
       maxDf: Option[Long] = None): DataFrame = {
     val tok = corpus.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("w"))
@@ -3542,10 +3553,7 @@ object Llm extends QueryModule {
       round(avg("dl"), 6).as("avgdl"))
     val dfq0 = tf.groupBy("h").agg(count(lit(1)).as("df"))
     val dfq = maxDf.fold(dfq0)(cap => dfq0.filter(col("df") <= cap))
-    val qterms = corpus.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(
-          slice(TextOps.tokens(col("text")), 1, 5))).as("qw"))
+    val qterms = queryTerms
       .withColumn("h", xxhash64(col("qw")))
       .select("qid", "h")
     // join dfq FIRST: with a cap it is the pruning filter, so capped

@@ -297,6 +297,19 @@ object ScaleBench {
     // (the fixture-scale llm_bm25_topk_pruned oracle-pins that).
     time("bm25_topk_100")(force(
       graft.queries.Llm.bm25TopK(docs, nQueries = 100L, k = 10)))
+    // The RARE-TERM end of the cost model: queries built from the
+    // replica-salt tail tokens (df ≈ dozens, not 0.75N), with the
+    // maxDf dial active — candidates collapse to Σ df ≈ thousands and
+    // the probe is postings-build-bound. Together with the
+    // common-term row above this brackets BM25's Σ-df cost model from
+    // both ends on the same corpus.
+    time("bm25_rare_1k")(force(
+      graft.queries.Llm.bm25TopKQueries(docs,
+        docs.filter(col("doc_id") < 1000)
+          .select(col("doc_id").as("qid"),
+            explode(expr("slice(split(text, ' '), -5, 5)")).as("qw"))
+          .distinct(),
+        k = 10, maxDf = Some(nDocs / 10))))
     // PageRank at ×mult the sf0.1 customer–supplier graph: `mult`
     // id-offset DISJOINT copies of the bipartite projection, so node
     // and edge counts scale exactly ×mult while per-copy structure
