@@ -2502,4 +2502,361 @@ object Codecs {
         mvhdVersion = if (d % 3 == 0) 1 else 0),
       freeLen = (d % 32).toInt,
       innerFree = d % 2 == 1)
+
+  // ---------------------------------------------------- WARC (ISO 28500)
+  // The web-archive container Common-Crawl-scale corpora actually ship
+  // in: a 100 TB text-curation pipeline's FIRST operation is walking
+  // WARC records out of (usually per-record-gzipped) archive files.
+  // The parser is a real one — header fields in any order and case,
+  // bounded header counts/line lengths, loud failures on truncation,
+  // bad framing, or a missing mandatory field — and the gzip form
+  // rides the JDK's zlib (GZIPInputStream handles the concatenated
+  // per-record members WARC specifies).
+
+  final case class WarcRecord(recIdx: Int, recType: String,
+      targetUri: String, contentLength: Int, payloadStart: Int)
+
+  /** Parse a plain (uncompressed) WARC file into its records. */
+  def warcRecords(bytes: Array[Byte]): Array[WarcRecord] = {
+    val out = collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    def line(): String = {
+      var e = pos
+      val cap = math.min(bytes.length - 1, pos + 4096)
+      while (e < cap && !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
+      require(e < cap || (e < bytes.length - 1 &&
+        bytes(e) == '\r' && bytes(e + 1) == '\n'),
+        s"WARC header line at $pos unterminated (or > 4096 bytes)")
+      val s = new String(bytes, pos, e - pos, "UTF-8")
+      pos = e + 2
+      s
+    }
+    var rec = 0
+    while (pos < bytes.length) {
+      val magic = line()
+      require(magic == "WARC/1.0" || magic == "WARC/1.1",
+        s"record $rec: bad WARC version line '$magic'")
+      var typ: String = null; var uri = ""; var clen = -1
+      var h = line()
+      var nHeaders = 0
+      while (h.nonEmpty) {
+        require(nHeaders < 64, s"record $rec: too many WARC headers")
+        val i = h.indexOf(':')
+        require(i > 0, s"record $rec: malformed WARC header '$h'")
+        val v = h.substring(i + 1).trim
+        h.substring(0, i).trim.toLowerCase match {
+          case "warc-type" => typ = v
+          case "warc-target-uri" => uri = v
+          case "content-length" =>
+            clen = v.toInt // NumberFormatException IS the loud contract
+            require(clen >= 0, s"record $rec: negative Content-Length")
+          case _ => ()
+        }
+        h = line(); nHeaders += 1
+      }
+      require(typ != null, s"record $rec: missing WARC-Type")
+      require(clen >= 0, s"record $rec: missing Content-Length")
+      require(pos + clen + 4 <= bytes.length,
+        s"record $rec: truncated payload (need ${clen + 4} at $pos)")
+      val start = pos
+      pos += clen
+      require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+        bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+        s"record $rec: missing record separator after payload")
+      pos += 4
+      out += WarcRecord(rec, typ, uri, clen, start)
+      rec += 1
+    }
+    out.toArray
+  }
+
+  /** Inflate a (possibly multi-member, as WARC specifies) gzip stream
+    * with a bounded output guard — corrupt members must fail, not
+    * allocate unboundedly. */
+  def gunzipAll(bytes: Array[Byte], maxOut: Int = 1 << 26): Array[Byte] = {
+    // the CONSTRUCTOR already reads the first member header and can
+    // throw ZipException — it must sit inside the normalization try
+    // (the corruption fuzz found exactly this escape)
+    var in: java.util.zip.GZIPInputStream = null
+    try {
+      in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        require(out.size <= maxOut, s"gzip output exceeds $maxOut bytes")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      // ZipException et al. are IOExceptions — normalize to the loud
+      // decode contract classes
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"bad gzip stream: ${e.getMessage}")
+    } finally if (in != null) in.close()
+  }
+
+  /** Records of a per-record-gzipped WARC (concatenated members). */
+  def warcRecordsGz(bytes: Array[Byte]): (Array[Byte], Array[WarcRecord]) = {
+    val plain = gunzipAll(bytes)
+    (plain, warcRecords(plain))
+  }
+
+  /** Closed-form WARC: 4 + d%5 records — record 0 warcinfo, odd
+    * records response (with a Target-URI), even records metadata.
+    * Payload length 50 + (7d+13i)%200, byte j = (3d+5i+j)%251 — every
+    * feature (type, uri, length, byte sum) integer-recomputable from
+    * (doc_id, record) alone, and per-position-varying content makes a
+    * one-byte framing error break the checksum. */
+  def synthWarc(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = (4 + d % 5).toInt
+    (0 until n).foreach { i =>
+      val typ =
+        if (i == 0) "warcinfo" else if (i % 2 == 1) "response" else "metadata"
+      val clen = (50 + (7 * d + 13 * i) % 200).toInt
+      val hdr = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: $typ\r\n")
+        .append(s"WARC-Record-ID: <urn:uuid:$d-$i>\r\n")
+      if (typ == "response")
+        hdr.append(s"WARC-Target-URI: http://site$d.example/page$i\r\n")
+      hdr.append(s"Content-Length: $clen\r\n").append("\r\n")
+      out.write(hdr.toString.getBytes("UTF-8"))
+      (0 until clen).foreach(j => out.write(((3 * d + 5 * i + j) % 251).toInt))
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    out.toByteArray
+  }
+
+  /** The same records as synthWarc, one gzip member per record — the
+    * layout real WARC archives use so records are independently
+    * seekable. */
+  def synthWarcGz(d: Long): Array[Byte] = {
+    val plain = synthWarc(d)
+    val recs = warcRecords(plain)
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      // member = the record's full byte span: headers..payload + sep
+      val from = if (r.recIdx == 0) 0 else {
+        // start of this record's headers = previous record's end
+        val prev = recs(r.recIdx - 1)
+        prev.payloadStart + prev.contentLength + 4
+      }
+      val to = r.payloadStart + r.contentLength + 4
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(plain, from, to - from)
+      // close(), not finish(): close ends the native Deflater; at
+      // corpus scale a finish()-only loop leaks one zlib context per
+      // member and the OS kills the JVM long before the heap fills.
+      // (ByteArrayOutputStream.close() is a no-op, so `out` survives.)
+      gz.close()
+    }
+    out.toByteArray
+  }
+
+  // --------------------------------------------------- HTTP/1.1 (RFC 9112)
+  // The payload of a WARC `response` record IS an HTTP message — the
+  // second operation of a web-corpus pipeline is framing the entity
+  // body out of it. This is a real message parser: status line,
+  // any-order/any-case headers, Content-Length AND chunked
+  // transfer-coding bodies, loud failures on truncation, bad chunk
+  // framing, or a missing length. Bounds mirror the WARC parser's
+  // (header count/line length) so fuzzed corruption terminates loudly.
+
+  final case class HttpResponse(status: Int, reason: String,
+      headers: Array[(String, String)], body: Array[Byte]) {
+    def header(name: String): Option[String] = {
+      val n = name.toLowerCase
+      headers.collectFirst { case (k, v) if k == n => v }
+    }
+  }
+
+  /** Parse one HTTP/1.x response message occupying `bytes` exactly. */
+  def httpParse(bytes: Array[Byte]): HttpResponse = {
+    var pos = 0
+    def line(): String = {
+      var e = pos
+      val cap = math.min(bytes.length - 1, pos + 4096)
+      while (e < cap && !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
+      require(e < cap || (e < bytes.length - 1 &&
+        bytes(e) == '\r' && bytes(e + 1) == '\n'),
+        s"HTTP line at $pos unterminated (or > 4096 bytes)")
+      val s = new String(bytes, pos, e - pos, "ISO-8859-1")
+      pos = e + 2
+      s
+    }
+    val status = line()
+    require(status.startsWith("HTTP/1.0 ") || status.startsWith("HTTP/1.1 "),
+      s"bad HTTP status line '${status.take(40)}'")
+    val sp2 = status.indexOf(' ', 9)
+    require(sp2 > 9, s"bad HTTP status line '${status.take(40)}'")
+    val code = status.substring(9, sp2).toInt // NFE IS the loud contract
+    require(code >= 100 && code <= 599, s"HTTP status $code out of range")
+    val reason = status.substring(sp2 + 1)
+    val hdrs = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var h = line()
+    while (h.nonEmpty) {
+      require(hdrs.length < 64, "too many HTTP headers")
+      val i = h.indexOf(':')
+      require(i > 0, s"malformed HTTP header '${h.take(40)}'")
+      hdrs += ((h.substring(0, i).trim.toLowerCase, h.substring(i + 1).trim))
+      h = line()
+    }
+    val te = hdrs.collectFirst { case ("transfer-encoding", v) => v }
+    val body: Array[Byte] =
+      if (te.exists(_.equalsIgnoreCase("chunked"))) {
+        // chunk = hex-size CRLF data CRLF, terminated by a 0 chunk
+        val out = new java.io.ByteArrayOutputStream()
+        var done = false
+        while (!done) {
+          val szLine = line()
+          require(szLine.nonEmpty && szLine.forall(c =>
+            Character.digit(c, 16) >= 0), s"bad chunk size '$szLine'")
+          require(szLine.length <= 7, s"chunk size '$szLine' too large")
+          val sz = Integer.parseInt(szLine, 16)
+          if (sz == 0) done = true
+          else {
+            require(pos + sz + 2 <= bytes.length, "truncated chunk data")
+            out.write(bytes, pos, sz)
+            pos += sz
+            require(bytes(pos) == '\r' && bytes(pos + 1) == '\n',
+              "missing CRLF after chunk data")
+            pos += 2
+          }
+        }
+        // terminal CRLF after the last-chunk line (no trailers emitted)
+        require(pos + 2 <= bytes.length &&
+          bytes(pos) == '\r' && bytes(pos + 1) == '\n',
+          "missing terminal CRLF after last chunk")
+        pos += 2
+        out.toByteArray
+      } else {
+        val cl = hdrs.collectFirst { case ("content-length", v) => v }
+        require(cl.isDefined, "HTTP message has neither Content-Length " +
+          "nor chunked Transfer-Encoding")
+        val n = cl.get.toInt
+        require(n >= 0, "negative Content-Length")
+        require(pos + n <= bytes.length, s"truncated HTTP body (need $n)")
+        val b = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+        pos += n
+        b
+      }
+    require(pos == bytes.length,
+      s"${bytes.length - pos} trailing bytes after HTTP body")
+    HttpResponse(code, reason, hdrs.toArray, body)
+  }
+
+  /** Closed-form HTML page for (doc d, record i) — every feature the
+    * extractor emits (title, word count, link targets, visible text)
+    * is integer-recomputable. The page exercises the extractor's
+    * whole surface: head/title, script AND style (must be skipped),
+    * a comment, entity references in text and in an attribute value,
+    * and adjacent-tag text nodes (the tag-is-a-separator rule). */
+  def synthHtml(d: Long, i: Int): String = {
+    val np = (2 + (d + i) % 3).toInt
+    val nl = ((3 * d + i) % 4).toInt
+    val sb = new StringBuilder()
+      .append(s"<html><head><title>Doc $d page $i</title>")
+      .append(s"<script>var x = $d*$i;</script>")
+      .append("<style>p { color: #123; }</style></head>")
+      .append(s"<body><h1>Heading $d-$i</h1><!-- comment $d -->")
+    (0 until np).foreach(p =>
+      sb.append(s"<p>word${d}_${i}_$p text &amp; entity $p</p>"))
+    (0 until nl).foreach(l =>
+      sb.append(s"""<a href="http://ref$l.example/x?d=$d&amp;l=$l">""")
+        .append(s"link $l</a>"))
+    sb.append("</body></html>").toString
+  }
+
+  /** Closed-form HTTP response for (d, i): status 404 when (d+i)%7=0
+    * else 200; chunked transfer-coding when (d+i)%3=0 else
+    * Content-Length; body = synthHtml. ASCII throughout, so DuckDB
+    * length() equals byte length. */
+  def synthHttpResponse(d: Long, i: Int): Array[Byte] = {
+    val body = synthHtml(d, i).getBytes("UTF-8")
+    val notFound = (d + i) % 7 == 0
+    val chunked = (d + i) % 3 == 0
+    val sb = new StringBuilder()
+      .append(if (notFound) "HTTP/1.1 404 Not Found\r\n"
+              else "HTTP/1.1 200 OK\r\n")
+      .append("Content-Type: text/html; charset=UTF-8\r\n")
+      .append(s"X-Seq: ${(31 * d + 17 * i) % 997}\r\n")
+    val out = new java.io.ByteArrayOutputStream()
+    if (chunked) {
+      sb.append("Transfer-Encoding: chunked\r\n\r\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+      var off = 0
+      var k = 0
+      while (off < body.length) {
+        val sz = math.min(body.length - off, (5 + (d + i + k) % 9).toInt)
+        out.write(s"${sz.toHexString}\r\n".getBytes("UTF-8"))
+        out.write(body, off, sz)
+        out.write("\r\n".getBytes("UTF-8"))
+        off += sz; k += 1
+      }
+      out.write("0\r\n\r\n".getBytes("UTF-8"))
+    } else {
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(body)
+    }
+    out.toByteArray
+  }
+
+  /** WARC file whose `response` records carry REAL HTTP messages with
+    * HTML bodies (the Common Crawl layout); warcinfo/metadata records
+    * keep synthWarc's modular payloads. Record count and type layout
+    * match synthWarc: 4 + d%5 records, record 0 warcinfo, odd
+    * response, even metadata. */
+  def synthWarcWeb(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = (4 + d % 5).toInt
+    (0 until n).foreach { i =>
+      val typ =
+        if (i == 0) "warcinfo" else if (i % 2 == 1) "response" else "metadata"
+      val payload: Array[Byte] =
+        if (typ == "response") synthHttpResponse(d, i)
+        else {
+          val clen = (50 + (7 * d + 13 * i) % 200).toInt
+          Array.tabulate(clen)(j => ((3 * d + 5 * i + j) % 251).toByte)
+        }
+      val hdr = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: $typ\r\n")
+        .append(s"WARC-Record-ID: <urn:uuid:$d-$i>\r\n")
+      if (typ == "response")
+        hdr.append(s"WARC-Target-URI: http://site$d.example/page$i\r\n")
+          .append("Content-Type: application/http;msgtype=response\r\n")
+      hdr.append(s"Content-Length: ${payload.length}\r\n").append("\r\n")
+      out.write(hdr.toString.getBytes("UTF-8"))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    out.toByteArray
+  }
+
+  /** Per-record-gzipped form of synthWarcWeb (the shipped CC layout). */
+  def synthWarcWebGz(d: Long): Array[Byte] = {
+    val plain = synthWarcWeb(d)
+    val recs = warcRecords(plain)
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val from = if (r.recIdx == 0) 0 else {
+        val prev = recs(r.recIdx - 1)
+        prev.payloadStart + prev.contentLength + 4
+      }
+      val to = r.payloadStart + r.contentLength + 4
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(plain, from, to - from)
+      // close(), not finish(): close ends the native Deflater; at
+      // corpus scale a finish()-only loop leaks one zlib context per
+      // member and the OS kills the JVM long before the heap fills.
+      // (ByteArrayOutputStream.close() is a no-op, so `out` survives.)
+      gz.close()
+    }
+    out.toByteArray
+  }
 }

@@ -556,6 +556,118 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a plain closed-form WARC file. */
+  def synthWarcMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/warc", Map.empty)(Codecs.synthWarc)
+
+  /** ids → media rows carrying the per-record-gzipped WARC form. */
+  def synthWarcGzMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/warc", Map.empty)(Codecs.synthWarcGz)
+
+  /** ids → media rows: WARC whose response records are real HTTP
+    * messages with HTML bodies (plain form). */
+  def synthWarcWebMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/warc", Map.empty)(Codecs.synthWarcWeb)
+
+  /** Per-record-gzipped form — the shipped Common Crawl layout. */
+  def synthWarcWebGzMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/warc", Map.empty)(
+      Codecs.synthWarcWebGz)
+
+  private val webFeatureSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("rec_idx", IntegerType),
+    StructField("uri", StringType),
+    StructField("status", IntegerType),
+    StructField("chunked", BooleanType),
+    StructField("content_type", StringType),
+    StructField("x_seq", IntegerType),
+    StructField("body_len", IntegerType),
+    StructField("title", StringType),
+    StructField("n_links", IntegerType),
+    StructField("first_link", StringType),
+    StructField("n_words", IntegerType),
+    StructField("text", StringType)))
+
+  /** The full web-ingest chain, one partition-local pass: WARC record
+    * walk (optionally per-record-gunzip) → keep `response` records →
+    * HTTP message parse (Content-Length AND chunked bodies) → HTML
+    * visible-text extraction. One row per response record. This is
+    * the crawl-archive-to-documents primitive: pure per-document
+    * compute, zero shuffle — the whole 100 TB input streams through
+    * map tasks and only the (much smaller) extracted text moves on.
+    */
+  def webTextFeatures(df: DataFrame, idCol: String,
+      gz: Boolean = false): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        val raw = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val (plain, recs) =
+          if (gz) Codecs.warcRecordsGz(raw)
+          else (raw, Codecs.warcRecords(raw))
+        recs.iterator.filter(_.recType == "response").map { rec =>
+          val msg = java.util.Arrays.copyOfRange(
+            plain, rec.payloadStart, rec.payloadStart + rec.contentLength)
+          val http = Codecs.httpParse(msg)
+          val html = new String(http.body, "UTF-8")
+          val doc = Html.extract(html)
+          Row(d, rec.recIdx, rec.targetUri, http.status,
+            http.header("transfer-encoding").exists(
+              _.equalsIgnoreCase("chunked")),
+            http.header("content-type").getOrElse(""),
+            http.header("x-seq").map(_.toInt).getOrElse(-1),
+            http.body.length,
+            doc.title, doc.links.length,
+            if (doc.links.isEmpty) "" else doc.links.head,
+            if (doc.text.isEmpty) 0 else doc.text.split(" ").length,
+            doc.text)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, webFeatureSchema)
+  }
+
+  private val warcFeatureSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("rec_idx", IntegerType),
+    StructField("rec_type", StringType),
+    StructField("uri", StringType),
+    StructField("content_length", IntegerType),
+    StructField("byte_sum", LongType)))
+
+  /** REAL WARC record walk per partition — record framing, header
+    * parse, payload checksum; `gz = true` inflates the concatenated
+    * per-record gzip members first (the Common Crawl layout). One row
+    * per record: the ingest-side primitive every web-corpus curation
+    * pipeline starts with. */
+  def warcRecordFeatures(df: DataFrame, idCol: String,
+      gz: Boolean = false): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        val raw = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val (plain, recs) =
+          if (gz) Codecs.warcRecordsGz(raw)
+          else (raw, Codecs.warcRecords(raw))
+        recs.iterator.map { rec =>
+          var sum = 0L
+          var j = 0
+          while (j < rec.contentLength) {
+            sum += plain(rec.payloadStart + j) & 0xff; j += 1
+          }
+          Row(d, rec.recIdx, rec.recType, rec.targetUri,
+            rec.contentLength, sum)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, warcFeatureSchema)
+  }
+
   /** Per-partition batched decode: one "codec" per partition, rows
     * streamed through it. Output schema: id, mime, n_bytes, features. */
   def decode(df: DataFrame, idCol: String): DataFrame = {

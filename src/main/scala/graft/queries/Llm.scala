@@ -92,6 +92,44 @@ object Llm extends QueryModule {
           FROM cand JOIN sig sa ON sa.doc_id = id_a
             JOIN sig sb ON sb.doc_id = id_b) WHERE j >= 0.5)"""
 
+  /** Shared web-ingest oracle prefix: rebuilds, from (doc_id, rec_idx)
+    * integer arithmetic alone, the EXACT HTML page each WARC response
+    * record carries (Codecs.synthHtml) and the exact visible text the
+    * extractor must produce — `h(doc_id, i, np, nl, html, text)`. */
+  private val webOracleCte: String =
+    """WITH d AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS i
+        FROM documents WHERE doc_id < 300),
+      r AS (SELECT doc_id, CAST(i AS INT) AS i,
+          CAST(2 + (doc_id + i) % 3 AS INT) AS np,
+          CAST((3 * doc_id + i) % 4 AS INT) AS nl
+        FROM d WHERE i % 2 = 1),
+      p AS (SELECT r.doc_id, r.i,
+          (SELECT string_agg('<p>word' || r.doc_id || '_' || r.i || '_' ||
+             t.p || ' text &amp; entity ' || t.p || '</p>', ''
+             ORDER BY t.p)
+           FROM (SELECT unnest(range(0, r.np)) AS p) t) AS ptags,
+          (SELECT string_agg('word' || r.doc_id || '_' || r.i || '_' ||
+             t.p || ' text & entity ' || t.p, ' ' ORDER BY t.p)
+           FROM (SELECT unnest(range(0, r.np)) AS p) t) AS ptext,
+          (SELECT coalesce(string_agg('<a href="http://ref' || t.l ||
+             '.example/x?d=' || r.doc_id || '&amp;l=' || t.l ||
+             '">link ' || t.l || '</a>', '' ORDER BY t.l), '')
+           FROM (SELECT unnest(range(0, r.nl)) AS l) t) AS ltags,
+          (SELECT coalesce(string_agg('link ' || t.l, ' '
+             ORDER BY t.l), '')
+           FROM (SELECT unnest(range(0, r.nl)) AS l) t) AS ltext
+        FROM r),
+      h AS (SELECT r.doc_id, r.i, r.np, r.nl,
+          '<html><head><title>Doc ' || r.doc_id || ' page ' || r.i ||
+          '</title><script>var x = ' || r.doc_id || '*' || r.i ||
+          ';</script><style>p { color: #123; }</style></head><body>' ||
+          '<h1>Heading ' || r.doc_id || '-' || r.i || '</h1><!-- comment '
+          || r.doc_id || ' -->' || p.ptags || p.ltags ||
+          '</body></html>' AS html,
+          'Heading ' || r.doc_id || '-' || r.i || ' ' || p.ptext ||
+          CASE WHEN r.nl > 0 THEN ' ' || p.ltext ELSE '' END AS text
+        FROM r JOIN p ON r.doc_id = p.doc_id AND r.i = p.i)"""
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -3322,6 +3360,204 @@ object Llm extends QueryModule {
           CAST(base + coalesce(pre, 0) AS BIGINT) AS "offset",
           CAST(sz AS INT) AS n_bytes
         FROM o ORDER BY id, sample_idx""")),
+
+    // WARC record walk (ISO 28500 — the Common Crawl container): the
+    // FIRST operation of a web-corpus curation pipeline, parsed for
+    // real per partition — record framing, any-order/any-case header
+    // fields, payload checksum; per-position-varying payload bytes
+    // make a one-byte framing error break the sum. The oracle
+    // recomputes every feature (type, uri, length, byte sum) from
+    // (doc_id, record) integer arithmetic.
+    QueryDef(
+      "llm_warc_records",
+      (s, dir) => Multimodal.warcRecordFeatures(
+        Multimodal.synthWarcMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "rec_idx"),
+      Some("""WITH d AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS i
+            FROM documents WHERE doc_id < 300),
+        r AS (SELECT doc_id, i,
+            CASE WHEN i = 0 THEN 'warcinfo'
+                 WHEN i % 2 = 1 THEN 'response'
+                 ELSE 'metadata' END AS rec_type,
+            CASE WHEN i % 2 = 1 AND i != 0
+              THEN 'http://site' || doc_id || '.example/page' || i
+              ELSE '' END AS uri,
+            CAST(50 + (7 * doc_id + 13 * i) % 200 AS INT) AS clen
+          FROM d),
+        b AS (SELECT doc_id, i, rec_type, uri, clen,
+            sum((3 * doc_id + 5 * i + j.j) % 251) AS bsum
+          FROM r, LATERAL (SELECT unnest(range(0, r.clen)) AS j) j
+          GROUP BY doc_id, i, rec_type, uri, clen)
+        SELECT doc_id AS id, CAST(i AS INT) AS rec_idx, rec_type, uri,
+          clen AS content_length, CAST(bsum AS BIGINT) AS byte_sum
+        FROM b ORDER BY id, rec_idx""")),
+
+    // The per-record-GZIP form — the layout real WARC archives use so
+    // records stay independently seekable. Same records, same oracle:
+    // the inflate (JDK zlib, concatenated members) must be
+    // byte-transparent or the checksums break.
+    QueryDef(
+      "llm_warc_gz_records",
+      (s, dir) => Multimodal.warcRecordFeatures(
+        Multimodal.synthWarcGzMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", gz = true).orderBy("id", "rec_idx"),
+      Some("""WITH d AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS i
+            FROM documents WHERE doc_id < 300),
+        r AS (SELECT doc_id, i,
+            CASE WHEN i = 0 THEN 'warcinfo'
+                 WHEN i % 2 = 1 THEN 'response'
+                 ELSE 'metadata' END AS rec_type,
+            CASE WHEN i % 2 = 1 AND i != 0
+              THEN 'http://site' || doc_id || '.example/page' || i
+              ELSE '' END AS uri,
+            CAST(50 + (7 * doc_id + 13 * i) % 200 AS INT) AS clen
+          FROM d),
+        b AS (SELECT doc_id, i, rec_type, uri, clen,
+            sum((3 * doc_id + 5 * i + j.j) % 251) AS bsum
+          FROM r, LATERAL (SELECT unnest(range(0, r.clen)) AS j) j
+          GROUP BY doc_id, i, rec_type, uri, clen)
+        SELECT doc_id AS id, CAST(i AS INT) AS rec_idx, rec_type, uri,
+          clen AS content_length, CAST(bsum AS BIGINT) AS byte_sum
+        FROM b ORDER BY id, rec_idx""")),
+
+    // HTTP MESSAGE PARSE — the second operation of the web-ingest
+    // chain: frame the entity body out of each WARC response record's
+    // HTTP/1.1 message, covering BOTH body framings (Content-Length
+    // and chunked transfer-coding — chunk-size hex lines, per-chunk
+    // CRLFs, terminal 0-chunk). The oracle rebuilds the HTML body
+    // string character-for-character in SQL, so body_len pins the
+    // chunk reassembly exactly: one mis-framed chunk shifts a length.
+    QueryDef(
+      "llm_http_parse",
+      (s, dir) => Multimodal.webTextFeatures(
+        Multimodal.synthWarcWebMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id")
+        .select(col("id"), col("rec_idx"), col("status"),
+          col("chunked").cast("int").as("chunked"),
+          col("content_type"), col("x_seq"), col("body_len"))
+        .orderBy("id", "rec_idx"),
+      Some(s"""$webOracleCte
+        SELECT doc_id AS id, i AS rec_idx,
+          CAST(CASE WHEN (doc_id + i) % 7 = 0 THEN 404 ELSE 200 END AS INT)
+            AS status,
+          CAST(CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END AS INT)
+            AS chunked,
+          'text/html; charset=UTF-8' AS content_type,
+          CAST((31 * doc_id + 17 * i) % 997 AS INT) AS x_seq,
+          CAST(length(html) AS INT) AS body_len
+        FROM h ORDER BY id, rec_idx""")),
+
+    // HTML → TEXT EXTRACTION — the step that turns crawl archives
+    // into the `documents` table: tag-as-separator visible text,
+    // script/style/comment removal, title capture, entity decoding
+    // (in text and href attributes), link collection. The oracle
+    // recomputes the EXACT extracted strings — title, first href
+    // (entity-decoded), and the full normalized text — from
+    // (doc_id, rec_idx) integer arithmetic, so every extractor rule
+    // is pinned character-for-character.
+    QueryDef(
+      "llm_html_text",
+      (s, dir) => Multimodal.webTextFeatures(
+        Multimodal.synthWarcWebMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id")
+        .select(col("id"), col("rec_idx"), col("title"), col("n_links"),
+          col("first_link"), col("n_words"), col("text"))
+        .orderBy("id", "rec_idx"),
+      Some(s"""$webOracleCte
+        SELECT doc_id AS id, i AS rec_idx,
+          'Doc ' || doc_id || ' page ' || i AS title,
+          nl AS n_links,
+          CASE WHEN nl > 0
+            THEN 'http://ref0.example/x?d=' || doc_id || '&l=0'
+            ELSE '' END AS first_link,
+          CAST(2 + 5 * np + 2 * nl AS INT) AS n_words,
+          text
+        FROM h ORDER BY id, rec_idx""")),
+
+    // WEB PIPELINE E2E — the whole crawl-to-corpus first mile in one
+    // DAG over the per-record-GZIPPED form (the layout CC actually
+    // ships): gunzip → WARC walk → HTTP frame → HTML extract →
+    // per-site rollup. Everything before the groupBy is partition-
+    // local map work — at 100 TB the only thing that shuffles is the
+    // per-site feature row, ~5 orders of magnitude smaller than the
+    // archive bytes.
+    QueryDef(
+      "llm_web_pipeline",
+      (s, dir) => Multimodal.webTextFeatures(
+        Multimodal.synthWarcWebGzMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", gz = true)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          sum(col("n_links").cast("long")).as("total_links"))
+        .orderBy("id"),
+      Some(s"""$webOracleCte
+        SELECT doc_id AS id, count(*) AS n_pages,
+          CAST(sum(CASE WHEN (doc_id + i) % 7 = 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_ok,
+          CAST(sum(2 + 5 * np + 2 * nl) AS BIGINT) AS total_words,
+          CAST(sum(nl) AS BIGINT) AS total_links
+        FROM h GROUP BY doc_id ORDER BY id""")),
+
+    // URL PARSE + NORMALIZE — host/path/query/fragment/param
+    // decomposition and the canonical form URL-keyed dedup runs on
+    // (lowercased host, fragment stripped, explicit port kept). Pure
+    // codegen'd expressions (parse_url and string functions) — no
+    // UDF, no shuffle; the oracle reconstructs every part closed-form.
+    QueryDef(
+      "llm_url_parse",
+      (s, dir) => Catalog.table(s, dir, "documents")
+        .selectExpr("doc_id",
+          """concat('https://Sub', doc_id % 7, '.Example', doc_id % 3,
+             '.org', CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END,
+             '/Path', doc_id % 11, '/page?q=', doc_id, '&r=', doc_id % 5,
+             CASE WHEN doc_id % 2 = 1
+               THEN concat('#sec', doc_id % 6) ELSE '' END) AS url""")
+        .selectExpr("doc_id AS id",
+          "parse_url(url, 'PROTOCOL') AS proto",
+          "lower(parse_url(url, 'HOST')) AS host",
+          """CAST(coalesce(nullif(regexp_extract(
+             parse_url(url, 'AUTHORITY'), ':(\\d+)$', 1), ''), '0')
+             AS INT) AS port""",
+          "parse_url(url, 'PATH') AS path",
+          "parse_url(url, 'QUERY') AS query",
+          "parse_url(url, 'QUERY', 'q') AS q_param",
+          "coalesce(parse_url(url, 'REF'), '') AS fragment",
+          """substring_index(lower(parse_url(url, 'HOST')), '.', -2)
+             AS reg_domain""",
+          """concat(parse_url(url, 'PROTOCOL'), '://',
+             lower(parse_url(url, 'AUTHORITY')),
+             parse_url(url, 'PATH'), '?', parse_url(url, 'QUERY'))
+             AS url_norm""")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          'https' AS proto,
+          'sub' || (doc_id % 7) || '.example' || (doc_id % 3) || '.org'
+            AS host,
+          CAST(CASE WHEN doc_id % 4 = 0 THEN 8443 ELSE 0 END AS INT)
+            AS port,
+          '/Path' || (doc_id % 11) || '/page' AS path,
+          'q=' || doc_id || '&r=' || (doc_id % 5) AS query,
+          CAST(doc_id AS VARCHAR) AS q_param,
+          CASE WHEN doc_id % 2 = 1 THEN 'sec' || (doc_id % 6) ELSE '' END
+            AS fragment,
+          'example' || (doc_id % 3) || '.org' AS reg_domain,
+          'https://sub' || (doc_id % 7) || '.example' || (doc_id % 3) ||
+            '.org' || (CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END) ||
+            '/Path' || (doc_id % 11) || '/page?q=' || doc_id || '&r=' ||
+            (doc_id % 5) AS url_norm
+        FROM documents ORDER BY id""")),
 
     // VIDEO FRAME DECODE — the r10 verdict's composition: the sample
     // walk + mdat slice (llm_video_sample_bytes' machinery) feeding

@@ -264,6 +264,30 @@ object ScaleBench {
         force(Multimodal.videoFrameFeatures(media, "id")))
       media.unpersist()
     }
+    // WARC ingest throughput (round 11): per-record-gzipped archives
+    // inflated + record-walked per partition — the Common Crawl
+    // first-pass at corpus scale, records/s = rows / sec.
+    if (only.isEmpty || only.exists("warc_ingest".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthWarcGzMedia(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val nArch = media.count()
+      time(s"warc_ingest(n=$nArch)")(
+        force(Multimodal.warcRecordFeatures(media, "id", gz = true)))
+      media.unpersist()
+    }
+    // Full web-ingest chain (round 11): gunzip → WARC walk → HTTP
+    // frame (Content-Length + chunked) → HTML visible-text extract,
+    // one partition-local pass; pages/s = rows / sec.
+    if (only.isEmpty || only.exists("web_ingest".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthWarcWebGzMedia(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val nArch = media.count()
+      time(s"web_ingest(n=$nArch)")(
+        force(Multimodal.webTextFeatures(media, "id", gz = true)))
+      media.unpersist()
+    }
     // CCNet tercile bucketing via the bucketed two-phase global rank
     // (round 10): the corpus-wide rank that used to funnel every scored
     // doc through ONE window task now runs partitioned by score-

@@ -903,7 +903,19 @@ class CodecsSpec extends AnyFunSuite {
       ("mp4-extract", Codecs.synthMp4Data(11L),
         b => Codecs.mp4ExtractSamples(b)),
       ("mp4-mjpeg", Codecs.synthMjpegMp4(6L),
-        b => Codecs.decodeMjpegFrames(b)))
+        b => Codecs.decodeMjpegFrames(b)),
+      ("warc", Codecs.synthWarc(9L), b => Codecs.warcRecords(b)),
+      ("warc-gz", Codecs.synthWarcGz(4L), b => Codecs.warcRecordsGz(b)),
+      ("http-cl", Codecs.synthHttpResponse(2L, 3), b => Codecs.httpParse(b)),
+      ("http-chunked", Codecs.synthHttpResponse(2L, 1),
+        b => Codecs.httpParse(b)),
+      ("warc-web", Codecs.synthWarcWebGz(7L), { b =>
+        val (plain, recs) = Codecs.warcRecordsGz(b)
+        recs.filter(_.recType == "response").map { r =>
+          Codecs.httpParse(java.util.Arrays.copyOfRange(
+            plain, r.payloadStart, r.payloadStart + r.contentLength))
+        }
+      }))
     fixtures.foreach { case (label, ok, dec) =>
       (0 until 120).foreach { trial =>
         val bad = ok.clone()
@@ -946,6 +958,111 @@ class CodecsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Codecs.decodeMjpegFrames(Codecs.synthMp4Data(3L)))
     assert(e.getMessage.contains("not a JPEG"), e.getMessage)
+  }
+
+  test("WARC record walk round-trips plain and per-record-gzip forms") {
+    (0L until 20L).foreach { d =>
+      val plain = Codecs.synthWarc(d)
+      Seq(Codecs.warcRecords(plain), Codecs.warcRecordsGz(Codecs.synthWarcGz(d))._2)
+        .foreach { recs =>
+          assert(recs.length == (4 + d % 5).toInt, s"d=$d")
+          recs.foreach { r =>
+            val wantType = if (r.recIdx == 0) "warcinfo"
+              else if (r.recIdx % 2 == 1) "response" else "metadata"
+            assert(r.recType == wantType, s"d=$d rec=${r.recIdx}")
+            assert(r.targetUri == (if (wantType == "response")
+              s"http://site$d.example/page${r.recIdx}" else ""))
+            assert(r.contentLength == (50 + (7 * d + 13 * r.recIdx) % 200).toInt)
+          }
+        }
+      // and the gz inflate is byte-transparent: same payload bytes
+      val (inflated, _) = Codecs.warcRecordsGz(Codecs.synthWarcGz(d))
+      assert(inflated.toSeq == plain.toSeq, s"d=$d gz not transparent")
+    }
+  }
+
+  test("WARC parser rejects malformed framing loudly") {
+    val ok = Codecs.synthWarc(3L)
+    // bad version line
+    val badVer = ok.clone(); badVer(4) = 'X'
+    val e1 = intercept[IllegalArgumentException](Codecs.warcRecords(badVer))
+    assert(e1.getMessage.contains("version"), e1.getMessage)
+    // truncated payload
+    intercept[IllegalArgumentException](
+      Codecs.warcRecords(ok.take(ok.length - 10)))
+    // non-numeric Content-Length (NumberFormatException is an IAE)
+    val s = new String(ok, "ISO-8859-1")
+    val badLen = s.replaceFirst("Content-Length: \\d+", "Content-Length: xx")
+      .getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](Codecs.warcRecords(badLen))
+    // corrupted record separator
+    val recs = Codecs.warcRecords(ok)
+    val sepAt = recs(0).payloadStart + recs(0).contentLength
+    val badSep = ok.clone(); badSep(sepAt) = 'Z'
+    val e2 = intercept[IllegalArgumentException](Codecs.warcRecords(badSep))
+    assert(e2.getMessage.contains("separator"), e2.getMessage)
+    // corrupt gzip stream
+    val gz = Codecs.synthWarcGz(3L)
+    val badGz = gz.clone(); badGz(gz.length / 2) = (badGz(gz.length / 2) ^ 0x55).toByte
+    intercept[IllegalArgumentException](Codecs.warcRecordsGz(badGz))
+  }
+
+  test("HTTP parse round-trips both body framings") {
+    (0L until 12L).foreach { d =>
+      (1 to 7 by 2).foreach { i =>
+        val r = Codecs.httpParse(Codecs.synthHttpResponse(d, i))
+        val wantStatus = if ((d + i) % 7 == 0) 404 else 200
+        assert(r.status == wantStatus, s"d=$d i=$i")
+        assert(r.reason == (if (wantStatus == 404) "Not Found" else "OK"))
+        val chunked = (d + i) % 3 == 0
+        assert(r.header("transfer-encoding").isDefined == chunked)
+        assert(r.header("x-seq").get.toInt == ((31 * d + 17 * i) % 997).toInt)
+        // the body must reassemble to the exact HTML regardless of framing
+        assert(new String(r.body, "UTF-8") == Codecs.synthHtml(d, i),
+          s"d=$d i=$i chunked=$chunked")
+      }
+    }
+  }
+
+  test("HTTP parse accepts any header order and case") {
+    val body = "hello world"
+    val msg = ("HTTP/1.1 200 OK\r\n" +
+      s"CONTENT-length: ${body.length}\r\n" +
+      "x-SEQ:  42\r\n\r\n" + body).getBytes("UTF-8")
+    val r = Codecs.httpParse(msg)
+    assert(r.status == 200 && new String(r.body, "UTF-8") == body)
+    assert(r.header("x-seq").contains("42"))
+  }
+
+  test("HTTP parse rejects malformed messages loudly") {
+    val ok = Codecs.synthHttpResponse(5L, 3) // content-length form
+    // bad protocol token
+    val bad1 = ok.clone(); bad1(0) = 'X'
+    intercept[IllegalArgumentException](Codecs.httpParse(bad1))
+    // truncated body
+    intercept[IllegalArgumentException](
+      Codecs.httpParse(ok.take(ok.length - 5)))
+    // trailing garbage after the framed body
+    intercept[IllegalArgumentException](
+      Codecs.httpParse(ok ++ Array[Byte]('x')))
+    // neither Content-Length nor chunked
+    intercept[IllegalArgumentException](Codecs.httpParse(
+      "HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n\r\nbody".getBytes("UTF-8")))
+    // status code out of range
+    intercept[IllegalArgumentException](Codecs.httpParse(
+      "HTTP/1.1 999 Nope\r\nContent-Length: 0\r\n\r\n".getBytes("UTF-8")))
+    // chunked: non-hex size line
+    intercept[IllegalArgumentException](Codecs.httpParse(
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "zz\r\nhi\r\n0\r\n\r\n").getBytes("UTF-8")))
+    // chunked: missing terminal 0 chunk
+    intercept[IllegalArgumentException](Codecs.httpParse(
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "2\r\nhi\r\n").getBytes("UTF-8")))
+    // chunked: size larger than remaining data
+    intercept[IllegalArgumentException](Codecs.httpParse(
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "ff\r\nhi\r\n0\r\n\r\n").getBytes("UTF-8")))
   }
 
   test("MP4 sample tables round-trip uniform and per-sample stsz, multi-run stts") {
