@@ -2771,6 +2771,106 @@ object Codecs {
     sb.append("</body></html>").toString
   }
 
+  // ------------------------------------------------------ text charsets
+  // Crawl bytes arrive in whatever encoding the server declared, and
+  // UTF-8 payloads arrive CORRUPTED — a real ingest decodes by the
+  // declared charset and validates UTF-8 strictly, counting
+  // replacements so quality gates can drop mojibake documents.
+
+  /** Strict UTF-8 decode with U+FFFD replacement: validates
+    * continuation bytes, rejects overlong encodings, surrogates, and
+    * values beyond U+10FFFF. On an invalid sequence: emit one U+FFFD,
+    * advance one byte (declared rule — simple, deterministic, and
+    * what the oracle recomputes). Returns (decoded, nReplacements). */
+  def decodeUtf8Strict(bytes: Array[Byte]): (String, Int) = {
+    val sb = new StringBuilder(bytes.length)
+    var repl = 0
+    var i = 0
+    val n = bytes.length
+    def cont(j: Int): Boolean = j < n && (bytes(j) & 0xc0) == 0x80
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) { sb.append(b.toChar); i += 1 }
+      else if (b >= 0xc2 && b <= 0xdf && cont(i + 1)) {
+        sb.append((((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f)).toChar)
+        i += 2
+      } else if (b >= 0xe0 && b <= 0xef && cont(i + 1) && cont(i + 2)) {
+        val cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f)
+        if (cp >= 0x800 && !(cp >= 0xd800 && cp <= 0xdfff)) {
+          sb.append(cp.toChar); i += 3
+        } else { sb.append('�'); repl += 1; i += 1 } // overlong/surrogate
+      } else if (b >= 0xf0 && b <= 0xf4 && cont(i + 1) && cont(i + 2) &&
+          cont(i + 3)) {
+        val cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        if (cp >= 0x10000 && cp <= 0x10ffff) {
+          sb.appendAll(Character.toChars(cp)); i += 4
+        } else { sb.append('�'); repl += 1; i += 1 }
+      } else { sb.append('�'); repl += 1; i += 1 }
+    }
+    (sb.toString, repl)
+  }
+
+  /** Decode by declared charset: ISO-8859-1 maps bytes to codepoints
+    * 1:1 (never invalid); UTF-8 goes through the strict validator. */
+  def decodeCharset(bytes: Array[Byte], charset: String): (String, Int) =
+    charset.toUpperCase match {
+      case "ISO-8859-1" | "LATIN1" | "LATIN-1" =>
+        (new String(bytes, "ISO-8859-1"), 0)
+      case "UTF-8" | "UTF8" => decodeUtf8Strict(bytes)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported charset '$other'")
+    }
+
+  /** Closed-form encoded-text fixture: d%3=0 → ISO-8859-1 with
+    * high-byte chars; else UTF-8 with 2-byte chars, corrupted for
+    * d%5=0 (interior lone continuation byte when d%10=0, else a
+    * truncated trailing lead byte) — exactly one U+FFFD either way. */
+  def synthEncodedText(d: Long): (String, Array[Byte]) = {
+    val k = (1 + d % 3).toInt
+    if (d % 3 == 0) {
+      val ch = (192 + d % 32).toInt // À..ß block, codepoint == byte
+      val s = s"w$d " + ch.toChar.toString * k
+      ("ISO-8859-1", s.getBytes("ISO-8859-1"))
+    } else {
+      val cp = (0x100 + d % 64).toInt // Ā.. block, 2-byte UTF-8
+      val seq = new String(Character.toChars(cp)) * k
+      val prefix = s"w$d ".getBytes("UTF-8")
+      val body = seq.getBytes("UTF-8")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(prefix)
+      if (d % 10 == 0) out.write(0x80) // lone continuation, interior
+      out.write(body)
+      if (d % 5 == 0 && d % 10 != 0) out.write(0xc3) // truncated lead
+      ("UTF-8", out.toByteArray)
+    }
+  }
+
+  /** Closed-form page with the block anatomy boilerplate removal
+    * feeds on: a link-only nav, a real headline, np prose paragraphs,
+    * a link-dominated "read more" stub, and a short footer. Expected
+    * content blocks under the jusText rule (≥3 words, link-word ratio
+    * ≤ 1/2): the headline + the np paragraphs, nothing else. */
+  def synthWebPage(d: Long): String = {
+    val nn = (2 + d % 3).toInt
+    val np = (3 + d % 4).toInt
+    val sb = new StringBuilder()
+      .append(s"<html><head><title>Site $d</title>")
+      .append("<style>nav { x: 1 }</style></head><body>")
+      .append("<div>")
+    (0 until nn).foreach(k =>
+      sb.append(s"""<a href="/n$k">nav $k</a>"""))
+    sb.append("</div>")
+      .append(s"<h1>Big story number $d</h1>")
+    (0 until np).foreach(p =>
+      sb.append(s"<p>para${d}_$p has some real content words $p</p>"))
+    sb.append(s"""<p>See <a href="/more$d">more $d</a></p>""")
+      .append(s"<footer>c $d</footer>")
+      .append("</body></html>")
+    sb.toString
+  }
+
   /** Closed-form HTTP response for (d, i): status 404 when (d+i)%7=0
     * else 200; chunked transfer-coding when (d+i)%3=0 else
     * Content-Length; body = synthHtml. ASCII throughout, so DuckDB

@@ -109,6 +109,91 @@ object Html {
     None
   }
 
+  final case class HtmlBlock(idx: Int, text: String, nWords: Int,
+      nLinkWords: Int) {
+    /** jusText-style content rule: enough words AND not link-dominated. */
+    def isContent: Boolean = nWords >= 3 && nLinkWords * 2 <= nWords
+  }
+
+  private val blockTags = Set("p", "h1", "h2", "h3", "h4", "h5", "h6",
+    "div", "li", "ul", "ol", "nav", "footer", "header", "section",
+    "article", "td", "tr", "table", "br", "blockquote", "pre", "body")
+
+  /** Segment a page into text blocks at block-level tag boundaries,
+    * counting anchor-enclosed words per block — the input to
+    * boilerplate removal (jusText/trafilatura family): navigation,
+    * footers, and "read more" stubs are link-dominated or too short,
+    * body prose is neither. Same tolerance contract as extract():
+    * never throws on hostile markup. */
+  def blocks(html: String): Array[HtmlBlock] = {
+    val out = collection.mutable.ArrayBuffer.empty[HtmlBlock]
+    val text = new StringBuilder()
+    val linkText = new StringBuilder()
+    var anchorDepth = 0
+    def words(s: String): Array[String] =
+      decodeEntities(s).split("\\s+").filter(_.nonEmpty)
+    def flush(): Unit = {
+      val w = words(text.toString)
+      if (w.nonEmpty)
+        out += HtmlBlock(out.length, w.mkString(" "), w.length,
+          words(linkText.toString).length)
+      text.clear(); linkText.clear()
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          text.append(' ')
+        } else {
+          val name = tagName(html, i)
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) { text.append(html.substring(i)); i = n }
+          else {
+            val isEnd = i + 1 < n && html.charAt(i + 1) == '/'
+            name match {
+              case "script" | "style" | "title" if !isEnd =>
+                val closeTag = "</" + name
+                var j = close + 1
+                var found = -1
+                while (found < 0 && j >= 0 && j < n) {
+                  j = html.indexOf('<', j)
+                  if (j < 0) found = n
+                  else if (j + closeTag.length <= n &&
+                      html.regionMatches(true, j, closeTag, 0,
+                        closeTag.length)) {
+                    val e = html.indexOf('>', j)
+                    found = if (e < 0) n else e + 1
+                  } else j += 1
+                }
+                i = if (found < 0) n else found
+                text.append(' ')
+              case "a" =>
+                anchorDepth = math.max(0, anchorDepth + (if (isEnd) -1 else 1))
+                i = close + 1
+                text.append(' '); linkText.append(' ')
+              case t if blockTags.contains(t) =>
+                flush()
+                i = close + 1
+              case _ =>
+                i = close + 1
+                text.append(' ')
+            }
+          }
+        }
+      } else {
+        text.append(c)
+        if (anchorDepth > 0) linkText.append(c)
+        i += 1
+      }
+    }
+    flush()
+    out.toArray
+  }
+
   /** One forward scan; never throws on malformed markup (truncated
     * tags and stray '<' degrade to text, per the declared semantics —
     * crawl HTML is hostile and an extractor that aborts a partition

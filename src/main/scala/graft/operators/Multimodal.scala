@@ -630,6 +630,54 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, webFeatureSchema)
   }
 
+  private val charsetSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("charset", StringType),
+    StructField("n_chars", IntegerType),
+    StructField("n_repl", IntegerType),
+    StructField("text", StringType)))
+
+  /** Charset-dispatch decode over media rows whose meta carries the
+    * declared charset (the HTTP Content-Type plumbing shape): strict
+    * UTF-8 validation with replacement counts, 1:1 ISO-8859-1. */
+  def charsetDecodeFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val (cs, bytes) = Codecs.synthEncodedText(d)
+        val (text, repl) = Codecs.decodeCharset(bytes, cs)
+        Row(d, cs, text.codePointCount(0, text.length), repl, text)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, charsetSchema)
+  }
+
+  private val mainContentSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_blocks", IntegerType),
+    StructField("n_content", IntegerType),
+    StructField("n_words_main", IntegerType),
+    StructField("main_text", StringType)))
+
+  /** Boilerplate removal over synthetic closed-form pages: segment
+    * into blocks (Html.blocks), keep content blocks under the jusText
+    * rule, join their text. Pure per-row compute — zero shuffle. */
+  def mainContentFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bs = Html.blocks(Codecs.synthWebPage(d))
+        val content = bs.filter(_.isContent)
+        val mainText = content.map(_.text).mkString(" ")
+        Row(d, bs.length, content.length,
+          content.map(_.nWords).sum, mainText)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, mainContentSchema)
+  }
+
   private val warcFeatureSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("rec_idx", IntegerType),

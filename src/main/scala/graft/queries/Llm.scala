@@ -3559,6 +3559,123 @@ object Llm extends QueryModule {
             (doc_id % 5) AS url_norm
         FROM documents ORDER BY id""")),
 
+    // CHARSET DECODE — crawl bytes arrive in the server's declared
+    // encoding, and UTF-8 arrives CORRUPTED; the ingest decodes by
+    // declared charset (the Content-Type plumbing shape) and
+    // validates UTF-8 strictly (continuations, overlongs, surrogates,
+    // range), counting U+FFFD replacements so quality gates can drop
+    // mojibake. The oracle rebuilds the exact decoded strings —
+    // including replacement position — via chr() codepoint arithmetic.
+    QueryDef(
+      "llm_charset_decode",
+      (s, dir) => Multimodal.charsetDecodeFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH c AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS k
+            FROM documents),
+          t AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'ISO-8859-1'
+                 ELSE 'UTF-8' END AS charset,
+            CASE WHEN doc_id % 3 = 0
+              THEN 'w' || doc_id || ' ' ||
+                repeat(chr(CAST(192 + doc_id % 32 AS INT)), k)
+              WHEN doc_id % 10 = 0
+              THEN 'w' || doc_id || ' ' || chr(65533) ||
+                repeat(chr(CAST(256 + doc_id % 64 AS INT)), k)
+              WHEN doc_id % 5 = 0
+              THEN 'w' || doc_id || ' ' ||
+                repeat(chr(CAST(256 + doc_id % 64 AS INT)), k) || chr(65533)
+              ELSE 'w' || doc_id || ' ' ||
+                repeat(chr(CAST(256 + doc_id % 64 AS INT)), k) END AS text,
+            CAST(CASE WHEN doc_id % 3 != 0 AND doc_id % 5 = 0
+              THEN 1 ELSE 0 END AS INT) AS n_repl
+          FROM c)
+        SELECT doc_id AS id, charset,
+          CAST(length(text) AS INT) AS n_chars, n_repl, text
+        FROM t ORDER BY id""")),
+
+    // MAIN-CONTENT EXTRACTION (boilerplate removal, jusText family) —
+    // after llm_html_text strips tags, THIS is what separates body
+    // prose from navigation/footer/"read more" chrome: block
+    // segmentation at block-tag boundaries with per-block link-word
+    // ratios; a block survives iff ≥3 words AND ≤1/2 link words. The
+    // fixture page carries one of each chrome anatomy (link-only nav,
+    // short footer, link-dominated stub) and the oracle rebuilds the
+    // EXACT surviving text from integers — a block misclassified in
+    // either direction breaks the string.
+    QueryDef(
+      "llm_main_content",
+      (s, dir) => Multimodal.mainContentFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH n AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS np
+            FROM documents),
+          p AS (SELECT n.doc_id, n.np,
+             (SELECT string_agg('para' || n.doc_id || '_' || t.p ||
+                ' has some real content words ' || t.p, ' ' ORDER BY t.p)
+              FROM (SELECT unnest(range(0, n.np)) AS p) t) AS ptext
+            FROM n)
+        SELECT doc_id AS id, CAST(np + 4 AS INT) AS n_blocks,
+          CAST(np + 1 AS INT) AS n_content,
+          CAST(4 + 7 * np AS INT) AS n_words_main,
+          'Big story number ' || doc_id || ' ' || ptext AS main_text
+        FROM p ORDER BY id""")),
+
+    // ROBOTS.TXT FILTER — the crawl-policy gate (RFC 9309) applied
+    // before a page may enter the corpus. The rules table is a
+    // per-HOST dimension (one robots.txt per site vs millions of
+    // pages) parsed by a REAL REP parser — specific-agent groups the
+    // `*` rules must not absorb, comments, empty Disallow, the
+    // longest-match/Allow-wins precedence — then broadcast to the URL
+    // facts: at 100 TB the URL side never shuffles; precedence is one
+    // struct-max aggregate. Oracle recomputes the verdict closed-form.
+    QueryDef(
+      "llm_robots_filter",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val hosts = docs.select((col("doc_id") % 20).as("k")).distinct()
+        val rulesSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("allow",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("prefix",
+            org.apache.spark.sql.types.StringType)))
+        val rules = s.createDataFrame(
+          hosts.rdd.mapPartitions(_.flatMap { r =>
+            val k = r.getLong(0)
+            graft.operators.Robots.parse(
+              graft.operators.Robots.synthRobots(k))
+              .iterator.map(rule =>
+                org.apache.spark.sql.Row(k, rule.allow, rule.prefix))
+          }), rulesSchema)
+        val urls = docs.selectExpr("doc_id AS id", "doc_id % 20 AS k",
+          "concat('site', doc_id % 20, '.example') AS host",
+          """CASE WHEN doc_id % 5 = 0
+             THEN concat('/a', doc_id % 7, '/ok', doc_id)
+             ELSE concat('/a', doc_id % 7, '/p', doc_id) END AS path""")
+        urls.join(broadcast(rules), Seq("k"), "left")
+          .withColumn("hit",
+            col("prefix").isNotNull && expr("startswith(path, prefix)"))
+          .groupBy("id", "host", "path")
+          // RFC 9309 precedence as a struct-max: longest prefix wins,
+          // ties resolve to Allow (1 > 0), no match ⇒ allowed
+          .agg(max(when(col("hit"),
+            struct(length(col("prefix")).as("l"),
+              col("allow").cast("int").as("a")))).as("best"))
+          .select(col("id"), col("host"), col("path"),
+            coalesce(col("best.a"), lit(1)).cast("int").as("allowed"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+          'site' || (doc_id % 20) || '.example' AS host,
+          CASE WHEN doc_id % 5 = 0
+            THEN '/a' || (doc_id % 7) || '/ok' || doc_id
+            ELSE '/a' || (doc_id % 7) || '/p' || doc_id END AS path,
+          CAST(CASE WHEN (doc_id % 7) != ((doc_id % 20) % 7)
+               OR doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS allowed
+        FROM documents ORDER BY id""")),
+
     // VIDEO FRAME DECODE — the r10 verdict's composition: the sample
     // walk + mdat slice (llm_video_sample_bytes' machinery) feeding
     // the real JPEG decoder, i.e. Motion-JPEG-in-MP4, the track type

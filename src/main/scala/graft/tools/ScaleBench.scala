@@ -288,6 +288,20 @@ object ScaleBench {
         force(Multimodal.webTextFeatures(media, "id", gz = true)))
       media.unpersist()
     }
+    // Boilerplate removal (round 11): block segmentation + link-density
+    // classification over closed-form pages, pure map work.
+    if (only.isEmpty || only.exists("main_content".contains)) {
+      import graft.operators.Multimodal
+      time(s"main_content")(
+        force(Multimodal.mainContentFeatures(docs.select("doc_id"), "doc_id")))
+    }
+    // Charset-dispatch decode + strict UTF-8 validation (round 11).
+    if (only.isEmpty || only.exists("charset_decode".contains)) {
+      import graft.operators.Multimodal
+      time(s"charset_decode")(
+        force(Multimodal.charsetDecodeFeatures(
+          docs.select("doc_id"), "doc_id")))
+    }
     // CCNet tercile bucketing via the bucketed two-phase global rank
     // (round 10): the corpus-wide rank that used to funnel every scored
     // doc through ONE window task now runs partitioned by score-

@@ -1007,6 +1007,37 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.warcRecordsGz(badGz))
   }
 
+  test("strict UTF-8 decode: valid sequences of every width") {
+    def dec(bs: Int*) = Codecs.decodeUtf8Strict(bs.map(_.toByte).toArray)
+    assert(dec(0x41, 0x42) == ("AB", 0))
+    assert(dec(0xc3, 0xa9) == ("é", 0)) // 2-byte
+    assert(dec(0xe2, 0x82, 0xac) == ("€", 0)) // 3-byte
+    assert(dec(0xf0, 0x9f, 0x98, 0x80) == ("😀", 0)) // 4-byte astral
+    // round-trip the whole BMP-sampling fixture space
+    (0L until 40L).foreach { d =>
+      val (cs, bytes) = Codecs.synthEncodedText(d)
+      val (text, repl) = Codecs.decodeCharset(bytes, cs)
+      val wantRepl = if (d % 3 != 0 && d % 5 == 0) 1 else 0
+      assert(repl == wantRepl, s"d=$d")
+      assert(text.count(_ == '�') == wantRepl, s"d=$d")
+    }
+  }
+
+  test("strict UTF-8 decode: each invalid shape replaces loudly") {
+    def dec(bs: Int*) = Codecs.decodeUtf8Strict(bs.map(_.toByte).toArray)
+    assert(dec(0x80) == ("�", 1)) // lone continuation
+    assert(dec(0xc3) == ("�", 1)) // truncated 2-byte
+    assert(dec(0xc0, 0x80) == ("��", 2)) // overlong NUL
+    assert(dec(0xe0, 0x80, 0x80)._2 == 3) // overlong 3-byte
+    assert(dec(0xed, 0xa0, 0x80)._2 == 3) // surrogate D800
+    assert(dec(0xf4, 0x90, 0x80, 0x80)._2 == 4) // beyond U+10FFFF
+    assert(dec(0xff, 0x41) == ("�A", 1)) // invalid lead, resync
+    // ISO-8859-1 never replaces; unknown charsets fail loudly
+    assert(Codecs.decodeCharset(Array(0xe9.toByte), "latin1") == ("é", 0))
+    intercept[IllegalArgumentException](
+      Codecs.decodeCharset(Array[Byte](65), "KOI8-R"))
+  }
+
   test("HTTP parse round-trips both body framings") {
     (0L until 12L).foreach { d =>
       (1 to 7 by 2).foreach { i =>

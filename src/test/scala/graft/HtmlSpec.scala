@@ -66,6 +66,53 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extract("<p data-x=\"href=z\">t</p>").links.isEmpty)
   }
 
+  test("blocks segment at block tags with per-block link-word counts") {
+    val bs = Html.blocks(
+      """<body><div><a href="/a">nav one</a><a href="/b">nav two</a></div>
+        |<h1>Big story number 7</h1>
+        |<p>real prose with plenty of words here</p>
+        |<p>See <a href="/m">more 7</a></p>
+        |<footer>c 7</footer></body>""".stripMargin)
+    assert(bs.map(_.text).toSeq == Seq(
+      "nav one nav two", "Big story number 7",
+      "real prose with plenty of words here", "See more 7", "c 7"))
+    assert(bs.map(b => (b.nWords, b.nLinkWords)).toSeq ==
+      Seq((4, 4), (4, 0), (7, 0), (3, 2), (2, 0)))
+    assert(bs.map(_.isContent).toSeq ==
+      Seq(false, true, true, false, false))
+  }
+
+  test("content rule boundaries: exactly 3 words, exactly half links") {
+    // 3 words, 0 links → content (>= 3 is inclusive)
+    assert(Html.blocks("<p>a b c</p>").head.isContent)
+    // 2 words → boilerplate
+    assert(!Html.blocks("<p>a b</p>").head.isContent)
+    // 4 words, 2 in links → ratio exactly 1/2 → content (<= is inclusive)
+    assert(Html.blocks("<p>a b <a href='u'>c d</a></p>").head.isContent)
+    // 4 words, 3 in links → boilerplate
+    assert(!Html.blocks("<p>a <a href='u'>b c d</a></p>").head.isContent)
+  }
+
+  test("blocks skip script/style/title and survive hostile markup") {
+    val bs = Html.blocks(
+      "<title>t</title><p>x<script>var a=1;</script>y</p><p></p>trail")
+    assert(bs.map(_.text).toSeq == Seq("x y", "trail"))
+    assert(Html.blocks("").isEmpty)
+    assert(Html.blocks("<p>a</a></a>b</p>").head.text == "a b") // depth floor
+  }
+
+  test("synthetic web pages block-extract to the closed-form features") {
+    (0L until 12L).foreach { d =>
+      val bs = Html.blocks(graft.operators.Codecs.synthWebPage(d))
+      val np = (3 + d % 4).toInt
+      assert(bs.length == np + 4, s"d=$d")
+      val content = bs.filter(_.isContent)
+      assert(content.length == np + 1)
+      assert(content.map(_.nWords).sum == 4 + 7 * np)
+      assert(content.head.text == s"Big story number $d")
+    }
+  }
+
   test("whitespace collapses: newlines, tabs, runs") {
     assert(Html.extract("<p>a\n\n  b\t c </p>\n<p> d</p>").text == "a b c d")
   }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Robots
+
+/** Pins the REP parser and RFC 9309 precedence rules the
+  * llm_robots_filter oracle recomputes. */
+class RobotsSpec extends AnyFunSuite {
+
+  test("only the * group's rules apply; comments and unknowns skipped") {
+    val rules = Robots.parse(Robots.synthRobots(3L))
+    // the exoticbot Disallow: / must NOT leak into the * group
+    assert(rules.toSeq == Seq(
+      Robots.RobotsRule(allow = false, "/a3/"),
+      Robots.RobotsRule(allow = true, "/a3/ok")))
+  }
+
+  test("longest match wins; tie goes to Allow; no match allows") {
+    val rules = Array(
+      Robots.RobotsRule(allow = false, "/a/"),
+      Robots.RobotsRule(allow = true, "/a/ok"))
+    assert(!Robots.allowed(rules, "/a/page"))
+    assert(Robots.allowed(rules, "/a/ok123")) // longer Allow wins
+    assert(Robots.allowed(rules, "/b/anything")) // no match
+    // exact tie between Allow and Disallow of equal length → Allow
+    val tie = Array(
+      Robots.RobotsRule(allow = false, "/x/"),
+      Robots.RobotsRule(allow = true, "/x/"))
+    assert(Robots.allowed(tie, "/x/page"))
+  }
+
+  test("a user-agent line after rules starts a new group") {
+    val rules = Robots.parse(
+      """User-agent: *
+        |Disallow: /keep/
+        |User-agent: otherbot
+        |Disallow: /not-ours/
+        |""".stripMargin)
+    assert(rules.toSeq == Seq(Robots.RobotsRule(allow = false, "/keep/")))
+  }
+
+  test("stacked user-agent lines share one group") {
+    val rules = Robots.parse(
+      """User-agent: somebot
+        |User-agent: *
+        |Disallow: /both/
+        |""".stripMargin)
+    assert(rules.toSeq == Seq(Robots.RobotsRule(allow = false, "/both/")))
+  }
+
+  test("empty Disallow matches nothing; blank line ends a group") {
+    assert(Robots.parse("User-agent: *\nDisallow:\n").isEmpty)
+    val rules = Robots.parse(
+      "User-agent: *\n\nDisallow: /orphan/\n") // rule outside any group
+    assert(rules.isEmpty)
+  }
+
+  test("field names are case-insensitive, inline comments stripped") {
+    val rules = Robots.parse(
+      "USER-AGENT: *\nDISALLOW: /a/ # private\nALLOW: /a/b\n")
+    assert(rules.toSeq == Seq(
+      Robots.RobotsRule(allow = false, "/a/"),
+      Robots.RobotsRule(allow = true, "/a/b")))
+  }
+}
