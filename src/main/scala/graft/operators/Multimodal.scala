@@ -587,7 +587,8 @@ object Multimodal {
     StructField("n_links", IntegerType),
     StructField("first_link", StringType),
     StructField("n_words", IntegerType),
-    StructField("text", StringType)))
+    StructField("text", StringType),
+    StructField("links", ArrayType(StringType))))
 
   /** The full web-ingest chain, one partition-local pass: WARC record
     * walk (optionally per-record-gunzip) → keep `response` records →
@@ -623,7 +624,7 @@ object Multimodal {
             doc.title, doc.links.length,
             if (doc.links.isEmpty) "" else doc.links.head,
             if (doc.text.isEmpty) 0 else doc.text.split(" ").length,
-            doc.text)
+            doc.text, doc.links.toSeq)
         }
       }
     }

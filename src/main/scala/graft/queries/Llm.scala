@@ -3559,6 +3559,89 @@ object Llm extends QueryModule {
             (doc_id % 5) AS url_norm
         FROM documents ORDER BY id""")),
 
+    // STREAMING WEB INGEST — the archive-extraction chain applied as
+    // archives ARRIVE: per-record gunzip → WARC walk → HTTP frame →
+    // HTML extract → quality verdict, all STATELESS Append (no state
+    // store, no watermark — extraction reads one archive row), the
+    // right shape for turning 100 TB/day of crawl arrivals into
+    // gated pages before anything stateful sees them. Companion to
+    // stream_quality_gate/stream_decontaminate; emission is
+    // deterministic (every input row emits exactly once), so the
+    // batch web oracle applies verbatim.
+    QueryDef(
+      "stream_web_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Codecs, Html}
+        val extracted = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { d =>
+              val (plain, recs) =
+                Codecs.warcRecordsGz(Codecs.synthWarcWebGz(d))
+              recs.iterator.filter(_.recType == "response").map { rec =>
+                val http = Codecs.httpParse(java.util.Arrays.copyOfRange(
+                  plain, rec.payloadStart,
+                  rec.payloadStart + rec.contentLength))
+                val doc = Html.extract(new String(http.body, "UTF-8"))
+                (d, rec.recIdx, http.status, doc.title,
+                  if (doc.text.isEmpty) 0 else doc.text.split(" ").length,
+                  doc.links.length)
+              }
+            }
+          }
+          .toDF("id", "rec_idx", "status", "title", "n_words", "n_links")
+          .withColumn("kept",
+            col("status") === 200 && col("n_words") >= 18)
+        graft.streaming.Streams.runToMemory(extracted,
+          s"sweb_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id", "rec_idx")
+      },
+      Some(s"""$webOracleCte
+        SELECT doc_id AS id, i AS rec_idx,
+          CAST(CASE WHEN (doc_id + i) % 7 = 0 THEN 404 ELSE 200 END AS INT)
+            AS status,
+          'Doc ' || doc_id || ' page ' || i AS title,
+          CAST(2 + 5 * np + 2 * nl AS INT) AS n_words,
+          nl AS n_links,
+          ((doc_id + i) % 7 != 0 AND 2 + 5 * np + 2 * nl >= 18) AS kept
+        FROM h ORDER BY id, rec_idx""")),
+
+    // OUTLINK DOMAIN GRAPH — the composed curation DAG that feeds
+    // crawl-frontier ranking (PageRank seeding): extract pages from
+    // the gzipped archives, gate on quality (status 200 AND enough
+    // words), explode the collected hrefs, roll up by target
+    // registered domain. Everything before the explode is map work;
+    // the only shuffle carries (domain, page) pairs — at 100 TB the
+    // link table is the small output of the big scan, exactly where
+    // the shuffle belongs.
+    QueryDef(
+      "llm_outlink_graph",
+      (s, dir) => Multimodal.webTextFeatures(
+        Multimodal.synthWarcWebGzMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", gz = true)
+        .filter(col("status") === 200 && col("n_words") >= 18)
+        .select(col("id"), explode(col("links")).as("link"))
+        .withColumn("domain", expr("parse_url(link, 'HOST')"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("id")).as("n_sites"))
+        .orderBy("domain"),
+      Some(s"""$webOracleCte,
+        g AS (SELECT doc_id, i, nl FROM h
+          WHERE (doc_id + i) % 7 != 0 AND 2 + 5 * np + 2 * nl >= 18),
+        e AS (SELECT doc_id, i, t.l AS l
+          FROM g, LATERAL (SELECT unnest(range(0, g.nl)) AS l) t)
+        SELECT 'ref' || l || '.example' AS domain,
+          count(*) AS n_refs,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sites
+        FROM e GROUP BY 1 ORDER BY domain""")),
+
     // CHARSET DECODE — crawl bytes arrive in the server's declared
     // encoding, and UTF-8 arrives CORRUPTED; the ingest decodes by
     // declared charset (the Content-Type plumbing shape) and

@@ -295,6 +295,23 @@ object ScaleBench {
       time(s"main_content")(
         force(Multimodal.mainContentFeatures(docs.select("doc_id"), "doc_id")))
     }
+    // Outlink domain graph (round 11): full extraction chain + quality
+    // gate + link explode + domain rollup — the one web-family member
+    // with a real shuffle (the exploded link table).
+    if (only.isEmpty || only.exists("outlink".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthWarcWebGzMedia(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      time(s"outlink_graph")(
+        force(Multimodal.webTextFeatures(media, "id", gz = true)
+          .filter(col("status") === 200 && col("n_words") >= 18)
+          .select(col("id"), explode(col("links")).as("link"))
+          .withColumn("domain", expr("parse_url(link, 'HOST')"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_refs"),
+            countDistinct(col("id")).as("n_sites"))))
+      media.unpersist()
+    }
     // Charset-dispatch decode + strict UTF-8 validation (round 11).
     if (only.isEmpty || only.exists("charset_decode".contains)) {
       import graft.operators.Multimodal
