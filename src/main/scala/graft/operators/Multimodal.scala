@@ -631,6 +631,31 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, webFeatureSchema)
   }
 
+  private val sitemapSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("entry_idx", IntegerType),
+    StructField("loc", StringType),
+    StructField("lastmod", DateType),
+    StructField("changefreq", StringType),
+    StructField("priority", DoubleType)))
+
+  /** Per-site sitemap.xml walk (Sitemap.parse) over closed-form
+    * fixtures — one row per <url> entry, pure map work. */
+  def sitemapFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        Sitemap.parse(Sitemap.synth(d)).zipWithIndex.iterator.map {
+          case (e, j) =>
+            Row(d, j, e.loc, java.sql.Date.valueOf(e.lastmod),
+              e.changefreq, e.priority)
+        }
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, sitemapSchema)
+  }
+
   private val charsetSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("charset", StringType),

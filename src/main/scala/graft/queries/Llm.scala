@@ -3559,6 +3559,31 @@ object Llm extends QueryModule {
             (doc_id % 5) AS url_norm
         FROM documents ORDER BY id""")),
 
+    // SITEMAP PARSE — robots.txt's companion crawl-policy file: the
+    // per-site URL inventory (sitemaps.org urlset) a crawl planner
+    // diffs against its frontier. A real schema-scoped XML walk —
+    // prolog, any-order child elements (the fixture ROTATES child
+    // order per entry), entity references in <loc>, loud failures on
+    // bad nesting or a missing mandatory field. The oracle rebuilds
+    // loc/lastmod/changefreq/priority from integer arithmetic.
+    QueryDef(
+      "llm_sitemap_parse",
+      (s, dir) => Multimodal.sitemapFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id", "entry_idx"),
+      Some("""WITH e AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents)
+        SELECT doc_id AS id, j AS entry_idx,
+          'http://site' || doc_id || '.example/p' || j ||
+            '?x=' || doc_id || '&y=' || j AS loc,
+          CAST(DATE '2024-01-01'
+            + CAST((7 * doc_id + j) % 365 AS INT) AS DATE) AS lastmod,
+          CASE (doc_id + j) % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+          (5 + (doc_id + j) % 5) / 10.0 AS priority
+        FROM e ORDER BY id, entry_idx""")),
+
     // STREAMING WEB INGEST — the archive-extraction chain applied as
     // archives ARRIVE: per-record gunzip → WARC walk → HTTP frame →
     // HTML extract → quality verdict, all STATELESS Append (no state

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sitemap
+
+class SitemapSpec extends AnyFunSuite {
+
+  test("closed-form sitemaps round-trip every field and child order") {
+    (0L until 20L).foreach { d =>
+      val es = Sitemap.parse(Sitemap.synth(d))
+      assert(es.length == (2 + d % 4).toInt, s"d=$d")
+      es.zipWithIndex.foreach { case (e, j) =>
+        assert(e.loc == s"http://site$d.example/p$j?x=$d&y=$j") // decoded
+        assert(e.lastmod == java.time.LocalDate.of(2024, 1, 1)
+          .plusDays((7 * d + j) % 365).toString)
+        assert(e.changefreq ==
+          Seq("daily", "weekly", "monthly")(((d + j) % 3).toInt))
+        assert(e.priority == (5 + (d + j) % 5) / 10.0)
+      }
+    }
+  }
+
+  test("whitespace-tolerant, prolog optional, entities decode in loc") {
+    val es = Sitemap.parse(
+      """<urlset xmlns="x">
+        |  <url>
+        |    <loc>http://a.example/?q=1&amp;r=2</loc>
+        |  </url>
+        |</urlset>""".stripMargin)
+    assert(es.length == 1)
+    assert(es.head.loc == "http://a.example/?q=1&r=2")
+    assert(es.head.lastmod == "" && es.head.priority == -1.0)
+  }
+
+  test("malformed sitemaps fail loudly") {
+    // unknown child element
+    intercept[IllegalArgumentException](Sitemap.parse(
+      "<urlset><url><loc>u</loc><bogus>x</bogus></url></urlset>"))
+    // missing mandatory loc
+    intercept[IllegalArgumentException](Sitemap.parse(
+      "<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"))
+    // unterminated urlset
+    intercept[IllegalArgumentException](Sitemap.parse(
+      "<urlset><url><loc>u</loc></url>"))
+    // mismatched nesting (url closed before child)
+    intercept[IllegalArgumentException](Sitemap.parse(
+      "<urlset><url><loc>u</url></loc></urlset>"))
+    // priority out of range
+    intercept[IllegalArgumentException](Sitemap.parse(
+      "<urlset><url><loc>u</loc><priority>1.5</priority></url></urlset>"))
+    // non-numeric priority (NumberFormatException is an IAE)
+    intercept[IllegalArgumentException](Sitemap.parse(
+      "<urlset><url><loc>u</loc><priority>hi</priority></url></urlset>"))
+  }
+}
