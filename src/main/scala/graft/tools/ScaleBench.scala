@@ -312,6 +312,14 @@ object ScaleBench {
             countDistinct(col("id")).as("n_sites"))))
       media.unpersist()
     }
+    // Trained quality classifier (round 11): 4 full-batch perceptron
+    // rounds, each one slim aggregate over the checkpointed 4-long
+    // projection; model state crossing the driver = 4 doubles/round.
+    if (only.isEmpty || only.exists("quality_classifier".contains)) {
+      time(s"quality_classifier")(
+        force(graft.operators.Classifier.perceptronQuality(
+          docs, "doc_id", "text")))
+    }
     // Charset-dispatch decode + strict UTF-8 validation (round 11).
     if (only.isEmpty || only.exists("charset_decode".contains)) {
       import graft.operators.Multimodal
