@@ -25,7 +25,10 @@ package graft.operators
 object Html {
 
   final case class HtmlDoc(title: String, text: String,
-      links: Array[String])
+      links: Array[String], linkTexts: Array[String]) {
+    /** (href, anchor text) pairs in document order. */
+    def anchors: Array[(String, String)] = links.zip(linkTexts)
+  }
 
   private def decodeEntities(s: String): String = {
     val amp = s.indexOf('&')
@@ -202,6 +205,14 @@ object Html {
     val text = new StringBuilder(html.length / 2)
     val title = new StringBuilder()
     val links = collection.mutable.ArrayBuffer.empty[String]
+    val linkTexts = collection.mutable.ArrayBuffer.empty[String]
+    // active when inside an <a href=...> whose href was collected —
+    // anchor text is the link-graph's relevance signal, captured in
+    // parallel with the normal text flow (same separator rules)
+    var anchorBuf: StringBuilder = null
+    def normalize(sb: StringBuilder): String =
+      decodeEntities(sb.toString).split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
     var i = 0
     var inTitle = false
     val n = html.length
@@ -243,8 +254,18 @@ object Html {
                 i = close + 1
                 text.append(' ')
               case "a" if !isEnd =>
-                attrValue(html.substring(i, close + 1), "href")
-                  .foreach(links += _)
+                attrValue(html.substring(i, close + 1), "href").foreach {
+                  href =>
+                    links += href
+                    anchorBuf = new StringBuilder()
+                }
+                i = close + 1
+                text.append(' ')
+              case "a" =>
+                if (anchorBuf != null) {
+                  linkTexts += normalize(anchorBuf)
+                  anchorBuf = null
+                }
                 i = close + 1
                 text.append(' ')
               case _ =>
@@ -255,13 +276,16 @@ object Html {
         }
       } else {
         (if (inTitle) title else text).append(c)
+        if (anchorBuf != null && !inTitle) anchorBuf.append(c)
         i += 1
       }
     }
+    // an anchor left open at EOF still yields its text
+    if (anchorBuf != null) linkTexts += normalize(anchorBuf)
     val norm = decodeEntities(text.toString)
       .split("\\s+").filter(_.nonEmpty).mkString(" ")
     val t = decodeEntities(title.toString)
       .split("\\s+").filter(_.nonEmpty).mkString(" ")
-    HtmlDoc(t, norm, links.toArray)
+    HtmlDoc(t, norm, links.toArray, linkTexts.toArray)
   }
 }

@@ -588,7 +588,8 @@ object Multimodal {
     StructField("first_link", StringType),
     StructField("n_words", IntegerType),
     StructField("text", StringType),
-    StructField("links", ArrayType(StringType))))
+    StructField("links", ArrayType(StringType)),
+    StructField("link_texts", ArrayType(StringType))))
 
   /** The full web-ingest chain, one partition-local pass: WARC record
     * walk (optionally per-record-gunzip) → keep `response` records →
@@ -624,7 +625,7 @@ object Multimodal {
             doc.title, doc.links.length,
             if (doc.links.isEmpty) "" else doc.links.head,
             if (doc.text.isEmpty) 0 else doc.text.split(" ").length,
-            doc.text, doc.links.toSeq)
+            doc.text, doc.links.toSeq, doc.linkTexts.toSeq)
         }
       }
     }

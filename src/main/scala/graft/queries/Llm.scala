@@ -3617,6 +3617,70 @@ object Llm extends QueryModule {
             (doc_id % 5) AS url_norm
         FROM documents ORDER BY id""")),
 
+    // ANCHOR TEXT — the link-graph's relevance signal (what the web
+    // says a target is about): per-link (href, anchor text) pairs in
+    // document order, anchor text captured under the same separator/
+    // entity rules as body text. posexplode keeps the ordinal so the
+    // oracle pins ORDER within a page, not just the pair set.
+    QueryDef(
+      "llm_anchor_text",
+      (s, dir) => Multimodal.webTextFeatures(
+        Multimodal.synthWarcWebMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id")
+        .select(col("id"), col("rec_idx"),
+          posexplode(arrays_zip(col("links"), col("link_texts"))))
+        .select(col("id"), col("rec_idx"), col("pos").cast("int").as("l"),
+          col("col.links").as("href"), col("col.link_texts").as("anchor"))
+        .orderBy("id", "rec_idx", "l"),
+      Some(s"""$webOracleCte
+        SELECT doc_id AS id, i AS rec_idx, CAST(t.l AS INT) AS l,
+          'http://ref' || t.l || '.example/x?d=' || doc_id || '&l=' || t.l
+            AS href,
+          'link ' || t.l AS anchor
+        FROM h, LATERAL (SELECT unnest(range(0, h.nl)) AS l) t
+        ORDER BY id, rec_idx, l""")),
+
+    // CRAWL FRONTIER — robots × sitemap composed: each site's sitemap
+    // inventory filtered by that site's crawl policy, then the top-2
+    // fetch candidates per site by priority. The rules dim broadcasts;
+    // the only shuffle is the per-site window — partitioned by site,
+    // never global.
+    QueryDef(
+      "llm_crawl_frontier",
+      (s, dir) => {
+        val entries = Multimodal.sitemapFeatures(
+          Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+          .withColumn("pathq",
+            expr("concat(parse_url(loc, 'PATH'), '?', parse_url(loc, 'QUERY'))"))
+        val rules = Catalog.table(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            concat(lit("/p"), col("doc_id") % 4).as("banned"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("priority").desc, col("entry_idx"))
+        entries.join(broadcast(rules), Seq("id"))
+          .filter(!expr("startswith(pathq, banned)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .select(col("id"), col("loc"), col("priority"),
+            col("rk").cast("int").as("rk"))
+          .orderBy("id", "rk")
+      },
+      Some("""WITH e AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents),
+        a AS (SELECT doc_id, j, (5 + (doc_id + j) % 5) / 10.0 AS priority
+          FROM e WHERE j != doc_id % 4),
+        r AS (SELECT doc_id, j, priority, row_number() OVER
+            (PARTITION BY doc_id ORDER BY priority DESC, j) AS rk
+          FROM a)
+        SELECT doc_id AS id,
+          'http://site' || doc_id || '.example/p' || j ||
+            '?x=' || doc_id || '&y=' || j AS loc,
+          priority, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= 2 ORDER BY id, rk""")),
+
     // SITEMAP PARSE — robots.txt's companion crawl-policy file: the
     // per-site URL inventory (sitemaps.org urlset) a crawl planner
     // diffs against its frontier. A real schema-scoped XML walk —

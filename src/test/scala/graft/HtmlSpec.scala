@@ -66,6 +66,25 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extract("<p data-x=\"href=z\">t</p>").links.isEmpty)
   }
 
+  test("anchor texts pair with hrefs in document order") {
+    val doc = Html.extract(
+      """<a href="/a">first &amp; link</a>x<a href="/b"> second  one </a>""" +
+        """<a name="no-href">skipped</a><a href="/c">""")
+    assert(doc.links.toSeq == Seq("/a", "/b", "/c"))
+    // entity-decoded, whitespace-normalized; no-href anchors skipped;
+    // an anchor left open at EOF still yields its (empty) text
+    assert(doc.linkTexts.toSeq == Seq("first & link", "second one", ""))
+    assert(doc.anchors.toSeq ==
+      Seq(("/a", "first & link"), ("/b", "second one"), ("/c", "")))
+    // synthetic pages: anchor l reads "link l"
+    (0L until 8L).foreach { d =>
+      val p = Html.extract(graft.operators.Codecs.synthHtml(d, 3))
+      p.anchors.zipWithIndex.foreach { case ((href, t), l) =>
+        assert(t == s"link $l" && href.endsWith(s"l=$l"), s"d=$d l=$l")
+      }
+    }
+  }
+
   test("blocks segment at block tags with per-block link-word counts") {
     val bs = Html.blocks(
       """<body><div><a href="/a">nav one</a><a href="/b">nav two</a></div>
