@@ -171,7 +171,73 @@ object Llm extends QueryModule {
       FROM f, w$rounds w ORDER BY doc_id"""
   }
 
+  /** Unrolled WordPiece oracle: step k finds the longest vocab piece
+    * at offset o_{k-1} via a correlated max-length subquery — the SQL
+    * mirror of WordPiece.pieces' CASE cascade — then the 8 piece
+    * columns union back to ordered rows and the BERT whole-word-[UNK]
+    * rule applies per word. */
+  private def wordPieceOracle(rounds: Int): String = {
+    val init = graft.operators.WordPiece.initVocab
+      .map(p => s"'$p'").mkString(", ")
+    val cont = graft.operators.WordPiece.contVocab
+      .map(p => s"'$p'").mkString(", ")
+    val steps = (1 to rounds).map { k =>
+      val tbl = if (k == 1) "vi" else "vc"
+      val pfx = if (k == 1) "''" else "'##'"
+      s""",
+      s$k AS (SELECT *,
+          CASE WHEN o${k - 1} >= length(word) THEN NULL
+               WHEN ml$k IS NULL THEN '[UNK]'
+               ELSE $pfx || substr(word, o${k - 1} + 1, ml$k) END AS p$k,
+          CASE WHEN o${k - 1} >= length(word) THEN o${k - 1}
+               WHEN ml$k IS NULL THEN length(word)
+               ELSE o${k - 1} + ml$k END AS o$k
+        FROM (SELECT *,
+            (SELECT max(length(p)) FROM $tbl
+             WHERE p = substr(word, o${k - 1} + 1, length(p))) AS ml$k
+          FROM s${k - 1}))"""
+    }.mkString
+    val unions = (1 to rounds).map(k =>
+      s"""SELECT doc_id, word_ord, word, ${k - 1} AS k, p$k AS piece
+          FROM s$rounds WHERE p$k IS NOT NULL""").mkString(" UNION ALL ")
+    s"""WITH vi AS (SELECT unnest([$init]) AS p),
+      vc AS (SELECT unnest([$cont]) AS p),
+      s0 AS (SELECT doc_id,
+          CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT)
+            AS word_ord,
+          unnest(string_split(text, ' ')) AS word, 0 AS o0
+        FROM documents WHERE doc_id < 100)$steps,
+      raw AS ($unions),
+      lab AS (SELECT doc_id, word_ord, word,
+          bool_or(piece = '[UNK]') AS failed FROM raw GROUP BY 1, 2, 3),
+      fin AS (SELECT r.doc_id, r.word_ord, r.word,
+          CASE WHEN l.failed THEN 0 ELSE r.k END AS piece_ord,
+          CASE WHEN l.failed THEN '[UNK]' ELSE r.piece END AS piece
+        FROM raw r JOIN lab l
+          ON r.doc_id = l.doc_id AND r.word_ord = l.word_ord
+        WHERE NOT l.failed OR r.k = 0)
+      SELECT doc_id, word_ord, word, CAST(piece_ord AS INT) AS piece_ord,
+        piece
+      FROM fin ORDER BY doc_id, word_ord, piece_ord"""
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    // WORDPIECE TOKENIZE — BERT's deployment-side greedy
+    // longest-match-first segmenter beside the BPE train/apply pair,
+    // compiled ENTIRELY to Catalyst expressions: the longest-match is
+    // a CASE cascade over piece lengths (literal-array membership)
+    // and the offset walk is 8 unrolled expression steps, so the
+    // whole tokenizer is one whole-stage-codegen projection — no UDF,
+    // no join, no shuffle, with an assert_true guard that fails
+    // loudly if a word outruns the unroll instead of truncating.
+    QueryDef(
+      "llm_wordpiece_apply",
+      (s, dir) => graft.operators.WordPiece.tokenize(
+        Catalog.table(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text")
+        .orderBy("doc_id", "word_ord", "piece_ord"),
+      Some(wordPieceOracle(8))),
 
     // TRAINED QUALITY CLASSIFIER — the fastText-style learned gate
     // real CC pipelines run after heuristic filters, with the WHOLE

@@ -312,6 +312,12 @@ object ScaleBench {
             countDistinct(col("id")).as("n_sites"))))
       media.unpersist()
     }
+    // WordPiece tokenize (round 11): the aggregate-HOF greedy walk,
+    // one codegen'd projection over the corpus — pieces/s = rows/sec.
+    if (only.isEmpty || only.exists("wordpiece".contains)) {
+      time(s"wordpiece")(
+        force(graft.operators.WordPiece.tokenize(docs, "doc_id", "text")))
+    }
     // Trained quality classifier (round 11): 4 full-batch perceptron
     // rounds, each one slim aggregate over the checkpointed 4-long
     // projection; model state crossing the driver = 4 doubles/round.
