@@ -256,6 +256,10 @@ object Html {
               case "a" if !isEnd =>
                 attrValue(html.substring(i, close + 1), "href").foreach {
                   href =>
+                    // an anchor opening while another is still open
+                    // (missing </a> — the fuzz found this) finalizes
+                    // the previous one, keeping links/linkTexts paired
+                    if (anchorBuf != null) linkTexts += normalize(anchorBuf)
                     links += href
                     anchorBuf = new StringBuilder()
                 }

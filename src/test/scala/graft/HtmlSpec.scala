@@ -132,6 +132,28 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: extract and blocks terminate on arbitrary corruption") {
+    // the extractor's contract is TOLERANCE — hostile markup degrades
+    // to text, never throws, never hangs (crawl HTML is adversarial)
+    val rng = new scala.util.Random(41)
+    val seeds = Seq(
+      graft.operators.Codecs.synthHtml(7L, 3),
+      graft.operators.Codecs.synthWebPage(11L))
+    seeds.foreach { ok =>
+      (0 until 200).foreach { _ =>
+        val chars = ok.toCharArray
+        (0 until 1 + rng.nextInt(8)).foreach { _ =>
+          chars(rng.nextInt(chars.length)) =
+            "<>&;#/\"'= abz-!".charAt(rng.nextInt(15))
+        }
+        val bad = new String(chars)
+        val doc = Html.extract(bad) // must not throw
+        assert(doc.links.length == doc.linkTexts.length)
+        Html.blocks(bad) // must not throw
+      }
+    }
+  }
+
   test("whitespace collapses: newlines, tabs, runs") {
     assert(Html.extract("<p>a\n\n  b\t c </p>\n<p> d</p>").text == "a b c d")
   }

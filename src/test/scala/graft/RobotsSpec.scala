@@ -55,6 +55,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(rules.isEmpty)
   }
 
+  test("fuzz: robots parse is total — arbitrary text never throws") {
+    val rng = new scala.util.Random(47)
+    val ok = Robots.synthRobots(5L)
+    (0 until 200).foreach { _ =>
+      val chars = ok.toCharArray
+      (0 until 1 + rng.nextInt(6)).foreach { _ =>
+        chars(rng.nextInt(chars.length)) =
+          ":#*/ \nabz-".charAt(rng.nextInt(10))
+      }
+      val rules = Robots.parse(new String(chars)) // tolerant by contract
+      rules.foreach(r => Robots.allowed(Array(r), "/any/path"))
+    }
+  }
+
   test("field names are case-insensitive, inline comments stripped") {
     val rules = Robots.parse(
       "USER-AGENT: *\nDISALLOW: /a/ # private\nALLOW: /a/b\n")

@@ -32,6 +32,26 @@ class SitemapSpec extends AnyFunSuite {
     assert(es.head.lastmod == "" && es.head.priority == -1.0)
   }
 
+  test("fuzz: corrupted sitemaps either parse or fail with the loud class") {
+    val rng = new scala.util.Random(43)
+    val ok = Sitemap.synth(9L)
+    (0 until 200).foreach { trial =>
+      val chars = ok.toCharArray
+      (0 until 1 + rng.nextInt(6)).foreach { _ =>
+        chars(rng.nextInt(chars.length)) =
+          "<>/&; =\"ablz0".charAt(rng.nextInt(13))
+      }
+      try { Sitemap.parse(new String(chars)); () }
+      catch {
+        // IllegalArgumentException (incl. NumberFormatException) IS
+        // the declared loud contract; DateTimeParse etc. never leak
+        // because the parser returns strings — any other throwable is
+        // a missing guard and fails this test
+        case _: IllegalArgumentException => ()
+      }
+    }
+  }
+
   test("malformed sitemaps fail loudly") {
     // unknown child element
     intercept[IllegalArgumentException](Sitemap.parse(
