@@ -2771,6 +2771,271 @@ object Codecs {
     sb.append("</body></html>").toString
   }
 
+  // ----------------------------------------------------------- GIF (LZW)
+  // GIF87a/89a — the one common web-image format whose compression
+  // (LZW with variable-width codes) is NOT in the JDK's zip machinery,
+  // so both directions are implemented from the spec: the encoder is a
+  // real LZW compressor (dictionary growth, width bumps, 4096-entry
+  // reset) and the decoder handles the KwKwK case, deferred clears,
+  // interlacing, and 89a extension blocks, failing loudly on bad
+  // codes, truncation, or malformed sub-block framing.
+
+  /** Paletted image: `idx(y)(x)` indexes `palette` (RGB triples). */
+  final case class PalImage(width: Int, height: Int,
+      palette: Array[(Int, Int, Int)], idx: Array[Array[Int]])
+
+  private def gifBits(nColors: Int): Int = {
+    var b = 1
+    while ((1 << b) < nColors) b += 1
+    b
+  }
+
+  /** LZW-compress pixel indices (GIF variant): variable code width
+    * from codeSize+1 to 12 bits, CLEAR on dictionary overflow. */
+  private def lzwCompress(indices: Array[Int], codeSize: Int): Array[Byte] = {
+    val clear = 1 << codeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nBits = 0
+    var width = codeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits; nBits += width
+      while (nBits >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8
+      }
+    }
+    var dict = collection.mutable.HashMap.empty[String, Int]
+    var next = eoi + 1
+    def reset(): Unit = { dict = collection.mutable.HashMap.empty
+      next = eoi + 1; width = codeSize + 1 }
+    emit(clear)
+    var cur = ""
+    indices.foreach { k =>
+      val ch = k.toChar.toString
+      val ext = cur + ch
+      // single indices are implicit dictionary entries
+      if (cur.isEmpty || dict.contains(ext)) cur = ext
+      else {
+        val code = if (cur.length == 1) cur.charAt(0).toInt else dict(cur)
+        emit(code)
+        dict(ext) = next; next += 1
+        if (next == (1 << width) + 1 && width < 12) width += 1
+        if (next == 4096) { emit(clear); reset() }
+        cur = ch
+      }
+    }
+    if (cur.nonEmpty)
+      emit(if (cur.length == 1) cur.charAt(0).toInt else dict(cur))
+    emit(eoi)
+    if (nBits > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Encode a paletted image as GIF89a; `interlaced` uses the 4-pass
+    * row order. Palette size must be a power of two in [2, 256]. */
+  def encodeGif(img: PalImage, interlaced: Boolean = false): Array[Byte] = {
+    val nc = img.palette.length
+    require(nc >= 2 && nc <= 256 && (nc & (nc - 1)) == 0,
+      s"GIF palette size $nc not a power of two in [2,256]")
+    val bits = gifBits(nc)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(img.width); u16(img.height)
+    out.write(0x80 | ((bits - 1) << 4) | (bits - 1)) // GCT present
+    out.write(0); out.write(0) // bg index, aspect
+    img.palette.foreach { case (r, g, b) =>
+      out.write(r); out.write(g); out.write(b) }
+    // a Graphic Control Extension, so the decoder's 89a path is real
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0); u16(0); out.write(0); out.write(0)
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(img.width); u16(img.height)
+    out.write(if (interlaced) 0x40 else 0x00) // no local table
+    val codeSize = math.max(2, bits)
+    out.write(codeSize)
+    val rows =
+      if (!interlaced) (0 until img.height).toArray
+      else Array(0 until img.height by 8, 4 until img.height by 8,
+        2 until img.height by 4, 1 until img.height by 2).flatten
+    val indices = rows.flatMap(y => img.idx(y))
+    val lzw = lzwCompress(indices, codeSize)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a GIF (first frame) to RGB pixels via its color table. */
+  def decodeGif(bytes: Array[Byte]): Bmp = {
+    var pos = 0
+    def u8(): Int = {
+      require(pos < bytes.length, s"GIF truncated at $pos")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    require(bytes.length >= 6 && {
+      val m = new String(bytes, 0, 6, "US-ASCII")
+      m == "GIF87a" || m == "GIF89a"
+    }, "not a GIF: bad magic")
+    pos = 6
+    val width = u16(); val height = u16()
+    require(width > 0 && height > 0 && width <= (1 << 14) &&
+      height <= (1 << 14), s"GIF dims ${width}x$height out of range")
+    val flags = u8(); u8(); u8() // bg, aspect
+    val gct: Array[(Int, Int, Int)] =
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        Array.fill(n)((u8(), u8(), u8()))
+      } else Array.empty
+    // skip extensions until the image descriptor
+    var b = u8()
+    while (b == 0x21) {
+      u8() // label
+      var len = u8()
+      while (len != 0) { // sub-blocks
+        require(pos + len <= bytes.length, "GIF extension truncated")
+        pos += len; len = u8()
+      }
+      b = u8()
+    }
+    require(b == 0x2c, f"GIF: expected image descriptor, got 0x$b%02x")
+    val ix = u16(); val iy = u16(); val iw = u16(); val ih = u16()
+    require(ix == 0 && iy == 0 && iw == width && ih == height,
+      "GIF: sub-rectangle frames not supported by this decoder")
+    val iflags = u8()
+    val interlaced = (iflags & 0x40) != 0
+    val table: Array[(Int, Int, Int)] =
+      if ((iflags & 0x80) != 0) {
+        val n = 2 << (iflags & 7)
+        Array.fill(n)((u8(), u8(), u8()))
+      } else gct
+    require(table.nonEmpty, "GIF: no color table")
+    val codeSize = u8()
+    require(codeSize >= 2 && codeSize <= 11, s"GIF: bad LZW size $codeSize")
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var len = u8()
+    while (len != 0) {
+      require(pos + len <= bytes.length, "GIF image data truncated")
+      data.write(bytes, pos, len); pos += len; len = u8()
+    }
+    val lzw = data.toByteArray
+    // LZW decode
+    val clear = 1 << codeSize
+    val eoi = clear + 1
+    val nPix = width * height
+    val outIdx = new Array[Int](nPix)
+    var outN = 0
+    var width2 = codeSize + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var bitPos = 0
+    def readCode(): Int = {
+      var v = 0; var got = 0
+      while (got < width2) {
+        require(bitPos / 8 < lzw.length, "GIF LZW stream truncated")
+        val byte = lzw(bitPos / 8) & 0xff
+        val avail = 8 - (bitPos % 8)
+        val take = math.min(avail, width2 - got)
+        v |= (((byte >> (bitPos % 8)) & ((1 << take) - 1)) << got)
+        got += take; bitPos += take
+      }
+      v
+    }
+    def expand(code: Int, extra: Int): Unit = {
+      // walk the prefix chain; emit in forward order via a scratch
+      val chain = collection.mutable.ArrayBuffer.empty[Int]
+      var c = code
+      var guard = 0
+      while (c >= clear + 2) {
+        chain += suffix(c); c = prefix(c)
+        guard += 1
+        require(guard <= 4096, "GIF LZW prefix cycle")
+      }
+      chain += c // root literal
+      require(c < clear, s"GIF LZW root $c out of palette range")
+      val start = outN
+      require(outN + chain.length + (if (extra >= 0) 1 else 0) <= nPix,
+        "GIF LZW emits more pixels than the frame holds")
+      var i = chain.length - 1
+      while (i >= 0) { outIdx(outN) = chain(i); outN += 1; i -= 1 }
+      if (extra >= 0) { outIdx(outN) = outIdx(start); outN += 1 }
+    }
+    var prev = -1
+    var done = false
+    while (!done && outN < nPix) {
+      val code = readCode()
+      if (code == clear) { next = eoi + 1; width2 = codeSize + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else {
+        require(code <= next, s"GIF LZW code $code beyond dictionary")
+        if (prev < 0) {
+          require(code < clear, s"GIF LZW first code $code not a literal")
+          outIdx(outN) = code; outN += 1
+        } else {
+          val kwkwk = code == next
+          if (kwkwk) {
+            // entry being defined: prev + first(prev)
+            expand(prev, extra = 0)
+          } else expand(code, extra = -1)
+          if (next < 4096) {
+            prefix(next) = prev
+            // new entry = string(prev) + first(string(code)); in the
+            // KwKwK case code == next, whose first equals first(prev)
+            suffix(next) =
+              firstOf(if (kwkwk) prev else code, prefix, clear)
+            next += 1
+            if (next == (1 << width2) && width2 < 12) width2 += 1
+          }
+        }
+        prev = code
+      }
+    }
+    require(outN == nPix,
+      s"GIF: decoded $outN of $nPix pixels before stream end")
+    val rows =
+      if (!interlaced) (0 until height).toArray
+      else Array(0 until height by 8, 4 until height by 8,
+        2 until height by 4, 1 until height by 2).flatten
+    val px = Array.ofDim[(Int, Int, Int)](height, width)
+    rows.zipWithIndex.foreach { case (y, r) =>
+      (0 until width).foreach { x =>
+        val i = outIdx(r * width + x)
+        require(i < table.length, s"GIF pixel index $i beyond palette")
+        px(y)(x) = table(i)
+      }
+    }
+    Bmp(width, height, px)
+  }
+
+  private def firstOf(code: Int, prefix: Array[Int], clear: Int): Int = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c
+  }
+
+  /** Closed-form paletted fixture: palette entry i of doc d is
+    * ((7i+d)%256, (11i+2d)%256, (13i+3d)%256); pixel (x,y) uses index
+    * (d + 3x + 5y) % nColors with nColors = 2^(2 + d%4); dimensions
+    * 20+d%13 × 14+d%9 (odd sizes so interlace pass boundaries are
+    * load-bearing). Every decoded RGB is integer-recomputable. */
+  def synthGif(d: Long): PalImage = {
+    val w = (20 + d % 13).toInt
+    val h = (14 + d % 9).toInt
+    val nc = 1 << (2 + d % 4).toInt
+    PalImage(w, h,
+      Array.tabulate(nc)(i =>
+        (((7 * i + d) % 256).toInt, ((11 * i + 2 * d) % 256).toInt,
+          ((13 * i + 3 * d) % 256).toInt)),
+      Array.tabulate(h, w)((y, x) => ((d + 3 * x + 5 * y) % nc).toInt))
+  }
+
   // ------------------------------------------------------ text charsets
   // Crawl bytes arrive in whatever encoding the server declared, and
   // UTF-8 payloads arrive CORRUPTED — a real ingest decodes by the

@@ -564,6 +564,51 @@ object Multimodal {
   def synthWarcGzMedia(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "application/warc", Map.empty)(Codecs.synthWarcGz)
 
+  /** ids → media rows carrying a real GIF89a payload (LZW-compressed
+    * paletted pixels; odd docs interlaced so both row orders sit on
+    * the oracle path). */
+  def synthGifMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/gif", Map.empty)(
+      d => Codecs.encodeGif(Codecs.synthGif(d), interlaced = d % 2 == 1))
+
+  /** GIF decode → the shared BMP feature row (palette applied). */
+  def decodeGifFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val bmp = Codecs.decodeGif(bytes)
+        gifFeatureRow(d, bmp)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, gifFeatureSchema)
+  }
+
+  private val gifFeatureSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("px32_r", IntegerType),
+    StructField("px32_g", IntegerType),
+    StructField("px32_b", IntegerType)))
+
+  private def gifFeatureRow(d: Long, bmp: Codecs.Bmp): Row = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    (0 until bmp.height).foreach { y =>
+      (0 until bmp.width).foreach { x =>
+        val (r, g, b) = bmp.pixels(y)(x)
+        sr += r; sg += g; sb += b
+      }
+    }
+    val (pr, pg, pb) = bmp.pixels(2)(3)
+    Row(d, bmp.width, bmp.height, sr, sg, sb, pr, pg, pb)
+  }
+
   /** ids → media rows: WARC whose response records are real HTTP
     * messages with HTML bodies (plain form). */
   def synthWarcWebMedia(ids: DataFrame, idCol: String): DataFrame =

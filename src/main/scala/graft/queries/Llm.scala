@@ -3747,6 +3747,43 @@ object Llm extends QueryModule {
           priority, CAST(rk AS INT) AS rk
         FROM r WHERE rk <= 2 ORDER BY id, rk""")),
 
+    // GIF DECODE — the remaining common web-image format, and the one
+    // whose compression (LZW, variable-width codes) is NOT in the
+    // JDK: both directions implemented from the spec (encoder with
+    // dictionary growth/width bumps/4096 resets; decoder with the
+    // KwKwK case, deferred clears, interlacing). Odd docs are
+    // INTERLACED so both row orders sit on the oracle path; the
+    // oracle recomputes every decoded RGB from the closed-form
+    // palette + index arithmetic. ImageIO cross-checks both
+    // directions in CodecsSpec, same rigor as the JPEG rows.
+    QueryDef(
+      "llm_image_decode_gif",
+      (s, dir) => Multimodal.decodeGifFeatures(
+        Multimodal.synthGifMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(20 + doc_id % 13 AS INT) AS w,
+            CAST(14 + doc_id % 9 AS INT) AS h,
+            CAST(1 << CAST(2 + doc_id % 4 AS INT) AS INT) AS nc
+          FROM documents WHERE doc_id < 300),
+        px AS (SELECT d.doc_id, d.w, d.h, x.x AS x, y.y AS y,
+            (d.doc_id + 3 * x.x + 5 * y.y) % d.nc AS i
+          FROM d, (SELECT unnest(range(0, 32)) AS x) x,
+            (SELECT unnest(range(0, 22)) AS y) y
+          WHERE x.x < d.w AND y.y < d.h)
+        SELECT doc_id AS id, max(w) AS width, max(h) AS height,
+          CAST(sum((7 * i + doc_id) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((11 * i + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((13 * i + 3 * doc_id) % 256) AS BIGINT) AS sum_b,
+          CAST(max(CASE WHEN x = 3 AND y = 2
+            THEN (7 * i + doc_id) % 256 END) AS INT) AS px32_r,
+          CAST(max(CASE WHEN x = 3 AND y = 2
+            THEN (11 * i + 2 * doc_id) % 256 END) AS INT) AS px32_g,
+          CAST(max(CASE WHEN x = 3 AND y = 2
+            THEN (13 * i + 3 * doc_id) % 256 END) AS INT) AS px32_b
+        FROM px GROUP BY doc_id ORDER BY id""")),
+
     // SITEMAP PARSE — robots.txt's companion crawl-policy file: the
     // per-site URL inventory (sitemaps.org urlset) a crawl planner
     // diffs against its frontier. A real schema-scoped XML walk —

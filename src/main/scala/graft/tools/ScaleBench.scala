@@ -312,6 +312,15 @@ object ScaleBench {
             countDistinct(col("id")).as("n_sites"))))
       media.unpersist()
     }
+    // GIF decode throughput (round 11): LZW + palette + interlace,
+    // per-partition batch decode like the JPEG rows.
+    if (only.isEmpty || only.exists("gif_decode".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthGifMedia(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      time(s"gif_decode")(force(Multimodal.decodeGifFeatures(media, "id")))
+      media.unpersist()
+    }
     // WordPiece tokenize (round 11): the aggregate-HOF greedy walk,
     // one codegen'd projection over the corpus — pieces/s = rows/sec.
     if (only.isEmpty || only.exists("wordpiece".contains)) {

@@ -906,6 +906,10 @@ class CodecsSpec extends AnyFunSuite {
         b => Codecs.decodeMjpegFrames(b)),
       ("warc", Codecs.synthWarc(9L), b => Codecs.warcRecords(b)),
       ("warc-gz", Codecs.synthWarcGz(4L), b => Codecs.warcRecordsGz(b)),
+      ("gif", Codecs.encodeGif(Codecs.synthGif(5L)),
+        b => Codecs.decodeGif(b)),
+      ("gif-interlaced", Codecs.encodeGif(Codecs.synthGif(6L),
+        interlaced = true), b => Codecs.decodeGif(b)),
       ("http-cl", Codecs.synthHttpResponse(2L, 3), b => Codecs.httpParse(b)),
       ("http-chunked", Codecs.synthHttpResponse(2L, 1),
         b => Codecs.httpParse(b)),
@@ -1005,6 +1009,86 @@ class CodecsSpec extends AnyFunSuite {
     val gz = Codecs.synthWarcGz(3L)
     val badGz = gz.clone(); badGz(gz.length / 2) = (badGz(gz.length / 2) ^ 0x55).toByte
     intercept[IllegalArgumentException](Codecs.warcRecordsGz(badGz))
+  }
+
+  test("GIF round-trips the closed-form palette fixtures, both row orders") {
+    (0L until 30L).foreach { d =>
+      val img = Codecs.synthGif(d)
+      Seq(false, true).foreach { interlaced =>
+        val bmp = Codecs.decodeGif(Codecs.encodeGif(img, interlaced))
+        assert(bmp.width == img.width && bmp.height == img.height,
+          s"d=$d i=$interlaced")
+        (0 until img.height).foreach { y =>
+          (0 until img.width).foreach { x =>
+            assert(bmp.pixels(y)(x) == img.palette(img.idx(y)(x)),
+              s"d=$d i=$interlaced ($x,$y)")
+          }
+        }
+      }
+    }
+  }
+
+  test("GIF LZW survives dictionary resets on a 4096-entry stream") {
+    // a long non-repeating-enough index stream forces dict growth past
+    // width bumps and into the 4096 CLEAR/reset path
+    val nc = 256
+    val w = 200; val h = 120
+    val img = Codecs.PalImage(w, h,
+      Array.tabulate(nc)(i => (i, (i * 2) % 256, (i * 3) % 256)),
+      Array.tabulate(h, w)((y, x) => (x * x + y * 31 + (x * y) % 97) % nc))
+    val bmp = Codecs.decodeGif(Codecs.encodeGif(img))
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      assert(bmp.pixels(y)(x) == img.palette(img.idx(y)(x)), s"($x,$y)")
+    }}
+  }
+
+  test("GIF decode matches the JDK's ImageIO on our own streams") {
+    (0L until 12L).foreach { d =>
+      val gif = Codecs.encodeGif(Codecs.synthGif(d), interlaced = d % 2 == 1)
+      val ours = Codecs.decodeGif(gif)
+      val theirs = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(gif))
+      assert(theirs.getWidth == ours.width && theirs.getHeight == ours.height)
+      (0 until ours.height).foreach { y =>
+        (0 until ours.width).foreach { x =>
+          val rgb = theirs.getRGB(x, y)
+          val want = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          assert(ours.pixels(y)(x) == want, s"d=$d ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("GIF decode handles a third-party (ImageIO-written) stream") {
+    val img = Codecs.synthGif(7L)
+    val cm = new java.awt.image.IndexColorModel(8, img.palette.length,
+      img.palette.map(_._1.toByte), img.palette.map(_._2.toByte),
+      img.palette.map(_._3.toByte))
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    (0 until img.height).foreach { y => (0 until img.width).foreach { x =>
+      val (r, g, b) = img.palette(img.idx(y)(x))
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }}
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", out))
+    val ours = Codecs.decodeGif(out.toByteArray)
+    (0 until img.height).foreach { y => (0 until img.width).foreach { x =>
+      assert(ours.pixels(y)(x) == img.palette(img.idx(y)(x)), s"($x,$y)")
+    }}
+  }
+
+  test("GIF decode rejects malformed payloads loudly") {
+    val ok = Codecs.encodeGif(Codecs.synthGif(3L))
+    val badMagic = ok.clone(); badMagic(0) = 'X'
+    val e = intercept[IllegalArgumentException](Codecs.decodeGif(badMagic))
+    assert(e.getMessage.contains("magic"))
+    intercept[IllegalArgumentException](
+      Codecs.decodeGif(ok.take(ok.length / 2))) // truncated
+    // an LZW stream claiming more pixels than the frame: corrupt the
+    // declared height downward
+    val short = ok.clone(); short(8) = 1; short(9) = 0
+    intercept[IllegalArgumentException](Codecs.decodeGif(short))
   }
 
   test("strict UTF-8 decode: valid sequences of every width") {
