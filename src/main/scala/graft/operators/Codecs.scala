@@ -2886,6 +2886,10 @@ object Codecs {
     val width = u16(); val height = u16()
     require(width > 0 && height > 0 && width <= (1 << 14) &&
       height <= (1 << 14), s"GIF dims ${width}x$height out of range")
+    // bound total allocation BEFORE buffers exist: a crafted header
+    // claiming 16384x16384 would otherwise allocate ~1 GB up front
+    require(width.toLong * height <= (1L << 24),
+      s"GIF pixel count ${width.toLong * height} exceeds decoder cap")
     val flags = u8(); u8(); u8() // bg, aspect
     val gct: Array[(Int, Int, Int)] =
       if ((flags & 0x80) != 0) {

@@ -1089,6 +1089,12 @@ class CodecsSpec extends AnyFunSuite {
     // declared height downward
     val short = ok.clone(); short(8) = 1; short(9) = 0
     intercept[IllegalArgumentException](Codecs.decodeGif(short))
+    // a hostile header claiming a ~268M-pixel frame must be rejected
+    // BEFORE any buffer is allocated
+    val huge = ok.clone()
+    huge(6) = 0; huge(7) = 0x40; huge(8) = 0; huge(9) = 0x40
+    val e2 = intercept[IllegalArgumentException](Codecs.decodeGif(huge))
+    assert(e2.getMessage.contains("cap"), e2.getMessage)
   }
 
   test("strict UTF-8 decode: valid sequences of every width") {
