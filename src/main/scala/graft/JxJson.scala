@@ -143,6 +143,19 @@ object JxJson {
     var df = (q \ "from") match {
       case JString(from) if from.endsWith(":stream") =>
         return runStreaming(spark, sfDir, from.stripSuffix(":stream"), q)
+      // the WEB-INGEST front door: `"from": "web:archives"` exposes
+      // the extracted crawl pages (gunzip → WARC → HTTP → HTML, the
+      // llm_web_* fixture chain) as a queryable JX source, so every
+      // relational clause below composes with archive extraction in
+      // ONE fused plan — the extraction is partition-local map work
+      // ahead of whatever the query shuffles on.
+      case JString("web:archives") =>
+        graft.operators.Multimodal.webTextFeatures(
+          graft.operators.Multimodal.synthWarcWebGzMedia(
+            Catalog.table(spark, sfDir, "documents")
+              .filter(org.apache.spark.sql.functions.col("doc_id") < 300)
+              .select("doc_id"), "doc_id"),
+          "id", gz = true)
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)

@@ -3747,6 +3747,30 @@ object Llm extends QueryModule {
           priority, CAST(rk AS INT) AS rk
         FROM r WHERE rk <= 2 ORDER BY id, rk""")),
 
+    // JX FRONT DOOR → WEB — `"from": "web:archives"` exposes the
+    // extracted crawl pages as a JX source, so the reference's JSON
+    // query language reaches the web-ingest family: here a quality
+    // gate + per-link-count rollup, all in one fused plan (extraction
+    // is map work; only the grouped feature rows shuffle).
+    QueryDef(
+      "jx_json_web",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "web:archives",
+          "where": {"eq": ["status", {"literal": 200}]},
+          "groupby": ["n_links"],
+          "select": [
+            {"name": "n_pages", "aggregate": "count"},
+            {"name": "total_words", "aggregate": "sum", "value": "n_words"}
+          ],
+          "sort": "n_links"
+        }"""),
+      Some(s"""$webOracleCte
+        SELECT nl AS n_links, count(*) AS n_pages,
+          CAST(sum(2 + 5 * np + 2 * nl) AS BIGINT) AS total_words
+        FROM h WHERE (doc_id + i) % 7 != 0
+        GROUP BY nl ORDER BY n_links""")),
+
     // GIF DECODE — the remaining common web-image format, and the one
     // whose compression (LZW, variable-width codes) is NOT in the
     // JDK: both directions implemented from the spec (encoder with
