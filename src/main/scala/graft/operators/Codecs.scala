@@ -2870,8 +2870,74 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Encode an ANIMATED GIF89a: shared global palette, a NETSCAPE
+    * loop extension (so the app-extension skip path is on the oracle
+    * path), one GCE (delay, centiseconds) per full-canvas frame. */
+  def encodeGifAnim(frames: Seq[PalImage], delaysCs: Seq[Int]): Array[Byte] = {
+    require(frames.nonEmpty && frames.length == delaysCs.length,
+      "encodeGifAnim: frames/delays mismatch")
+    val f0 = frames.head
+    require(frames.forall(f => f.width == f0.width && f.height == f0.height
+      && (f.palette sameElements f0.palette)),
+      "encodeGifAnim: frames must share canvas and palette")
+    val nc = f0.palette.length
+    val bits = gifBits(nc)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(f0.width); u16(f0.height)
+    out.write(0x80 | ((bits - 1) << 4) | (bits - 1))
+    out.write(0); out.write(0)
+    f0.palette.foreach { case (r, g, b) =>
+      out.write(r); out.write(g); out.write(b) }
+    // NETSCAPE2.0 application extension (infinite loop)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(0); out.write(0)
+    frames.zip(delaysCs).foreach { case (f, delay) =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); u16(delay); out.write(0); out.write(0)
+      out.write(0x2c)
+      u16(0); u16(0); u16(f.width); u16(f.height)
+      out.write(0x00)
+      val codeSize = math.max(2, bits)
+      out.write(codeSize)
+      val lzw = lzwCompress(f.idx.flatten, codeSize)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Closed-form animated fixture: 2 + d%3 frames over synthGif(d)'s
+    * canvas/palette, frame f's pixel index shifted by 7f, delay
+    * 4 + (d+f)%6 cs — every frame's RGB and every delay
+    * integer-recomputable. */
+  def synthGifAnim(d: Long): (Seq[PalImage], Seq[Int]) = {
+    val base = synthGif(d)
+    val nc = base.palette.length
+    val nf = (2 + d % 3).toInt
+    val frames = (0 until nf).map { f =>
+      base.copy(idx = Array.tabulate(base.height, base.width)(
+        (y, x) => ((d + 3 * x + 5 * y + 7 * f) % nc).toInt))
+    }
+    (frames, (0 until nf).map(f => (4 + (d + f) % 6).toInt))
+  }
+
   /** Decode a GIF (first frame) to RGB pixels via its color table. */
-  def decodeGif(bytes: Array[Byte]): Bmp = {
+  def decodeGif(bytes: Array[Byte]): Bmp = decodeGifFrames(bytes).head._2
+
+  /** Decode ALL frames of a (possibly animated) GIF with their GCE
+    * delays in centiseconds — the frame-sampling primitive for the
+    * one animated format the web actually ships. Frames must be
+    * full-canvas (this decoder declares no sub-rectangle composition
+    * or disposal blending). */
+  def decodeGifFrames(bytes: Array[Byte]): Array[(Int, Bmp)] = {
     var pos = 0
     def u8(): Int = {
       require(pos < bytes.length, s"GIF truncated at $pos")
@@ -2896,126 +2962,141 @@ object Codecs {
         val n = 2 << (flags & 7)
         Array.fill(n)((u8(), u8(), u8()))
       } else Array.empty
-    // skip extensions until the image descriptor
-    var b = u8()
-    while (b == 0x21) {
-      u8() // label
+    def decodeImage(): Bmp = {
+      val ix = u16(); val iy = u16(); val iw = u16(); val ih = u16()
+      require(ix == 0 && iy == 0 && iw == width && ih == height,
+        "GIF: sub-rectangle frames not supported by this decoder")
+      val iflags = u8()
+      val interlaced = (iflags & 0x40) != 0
+      val table: Array[(Int, Int, Int)] =
+        if ((iflags & 0x80) != 0) {
+          val n = 2 << (iflags & 7)
+          Array.fill(n)((u8(), u8(), u8()))
+        } else gct
+      require(table.nonEmpty, "GIF: no color table")
+      val codeSize = u8()
+      require(codeSize >= 2 && codeSize <= 11, s"GIF: bad LZW size $codeSize")
+      // concatenate sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
       var len = u8()
-      while (len != 0) { // sub-blocks
-        require(pos + len <= bytes.length, "GIF extension truncated")
-        pos += len; len = u8()
+      while (len != 0) {
+        require(pos + len <= bytes.length, "GIF image data truncated")
+        data.write(bytes, pos, len); pos += len; len = u8()
+      }
+      val lzw = data.toByteArray
+      // LZW decode
+      val clear = 1 << codeSize
+      val eoi = clear + 1
+      val nPix = width * height
+      val outIdx = new Array[Int](nPix)
+      var outN = 0
+      var width2 = codeSize + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      var next = eoi + 1
+      var bitPos = 0
+      def readCode(): Int = {
+        var v = 0; var got = 0
+        while (got < width2) {
+          require(bitPos / 8 < lzw.length, "GIF LZW stream truncated")
+          val byte = lzw(bitPos / 8) & 0xff
+          val avail = 8 - (bitPos % 8)
+          val take = math.min(avail, width2 - got)
+          v |= (((byte >> (bitPos % 8)) & ((1 << take) - 1)) << got)
+          got += take; bitPos += take
+        }
+        v
+      }
+      def expand(code: Int, extra: Int): Unit = {
+        // walk the prefix chain; emit in forward order via a scratch
+        val chain = collection.mutable.ArrayBuffer.empty[Int]
+        var c = code
+        var guard = 0
+        while (c >= clear + 2) {
+          chain += suffix(c); c = prefix(c)
+          guard += 1
+          require(guard <= 4096, "GIF LZW prefix cycle")
+        }
+        chain += c // root literal
+        require(c < clear, s"GIF LZW root $c out of palette range")
+        val start = outN
+        require(outN + chain.length + (if (extra >= 0) 1 else 0) <= nPix,
+          "GIF LZW emits more pixels than the frame holds")
+        var i = chain.length - 1
+        while (i >= 0) { outIdx(outN) = chain(i); outN += 1; i -= 1 }
+        if (extra >= 0) { outIdx(outN) = outIdx(start); outN += 1 }
+      }
+      var prev = -1
+      var done = false
+      while (!done && outN < nPix) {
+        val code = readCode()
+        if (code == clear) { next = eoi + 1; width2 = codeSize + 1; prev = -1 }
+        else if (code == eoi) done = true
+        else {
+          require(code <= next, s"GIF LZW code $code beyond dictionary")
+          if (prev < 0) {
+            require(code < clear, s"GIF LZW first code $code not a literal")
+            outIdx(outN) = code; outN += 1
+          } else {
+            val kwkwk = code == next
+            if (kwkwk) {
+              // entry being defined: prev + first(prev)
+              expand(prev, extra = 0)
+            } else expand(code, extra = -1)
+            if (next < 4096) {
+              prefix(next) = prev
+              // new entry = string(prev) + first(string(code)); in the
+              // KwKwK case code == next, whose first equals first(prev)
+              suffix(next) =
+                firstOf(if (kwkwk) prev else code, prefix, clear)
+              next += 1
+              if (next == (1 << width2) && width2 < 12) width2 += 1
+            }
+          }
+          prev = code
+        }
+      }
+      require(outN == nPix,
+        s"GIF: decoded $outN of $nPix pixels before stream end")
+      val rows =
+        if (!interlaced) (0 until height).toArray
+        else Array(0 until height by 8, 4 until height by 8,
+          2 until height by 4, 1 until height by 2).flatten
+      val px = Array.ofDim[(Int, Int, Int)](height, width)
+      rows.zipWithIndex.foreach { case (y, r) =>
+        (0 until width).foreach { x =>
+          val i = outIdx(r * width + x)
+          require(i < table.length, s"GIF pixel index $i beyond palette")
+          px(y)(x) = table(i)
+        }
+      }
+      Bmp(width, height, px)
+    }
+    val frames = collection.mutable.ArrayBuffer.empty[(Int, Bmp)]
+    var delayCs = 0
+    var b = u8()
+    while (b != 0x3b) {
+      if (b == 0x21) {
+        val label = u8()
+        var len = u8()
+        var firstBlock = true
+        while (len != 0) { // sub-blocks
+          require(pos + len <= bytes.length, "GIF extension truncated")
+          // Graphic Control Extension: capture the frame delay
+          if (label == 0xf9 && firstBlock && len >= 3)
+            delayCs = (bytes(pos + 1) & 0xff) | ((bytes(pos + 2) & 0xff) << 8)
+          firstBlock = false
+          pos += len; len = u8()
+        }
+      } else {
+        require(b == 0x2c, f"GIF: expected image descriptor, got 0x$b%02x")
+        frames += ((delayCs, decodeImage()))
+        delayCs = 0
       }
       b = u8()
     }
-    require(b == 0x2c, f"GIF: expected image descriptor, got 0x$b%02x")
-    val ix = u16(); val iy = u16(); val iw = u16(); val ih = u16()
-    require(ix == 0 && iy == 0 && iw == width && ih == height,
-      "GIF: sub-rectangle frames not supported by this decoder")
-    val iflags = u8()
-    val interlaced = (iflags & 0x40) != 0
-    val table: Array[(Int, Int, Int)] =
-      if ((iflags & 0x80) != 0) {
-        val n = 2 << (iflags & 7)
-        Array.fill(n)((u8(), u8(), u8()))
-      } else gct
-    require(table.nonEmpty, "GIF: no color table")
-    val codeSize = u8()
-    require(codeSize >= 2 && codeSize <= 11, s"GIF: bad LZW size $codeSize")
-    // concatenate sub-blocks
-    val data = new java.io.ByteArrayOutputStream()
-    var len = u8()
-    while (len != 0) {
-      require(pos + len <= bytes.length, "GIF image data truncated")
-      data.write(bytes, pos, len); pos += len; len = u8()
-    }
-    val lzw = data.toByteArray
-    // LZW decode
-    val clear = 1 << codeSize
-    val eoi = clear + 1
-    val nPix = width * height
-    val outIdx = new Array[Int](nPix)
-    var outN = 0
-    var width2 = codeSize + 1
-    val prefix = new Array[Int](4096)
-    val suffix = new Array[Int](4096)
-    var next = eoi + 1
-    var bitPos = 0
-    def readCode(): Int = {
-      var v = 0; var got = 0
-      while (got < width2) {
-        require(bitPos / 8 < lzw.length, "GIF LZW stream truncated")
-        val byte = lzw(bitPos / 8) & 0xff
-        val avail = 8 - (bitPos % 8)
-        val take = math.min(avail, width2 - got)
-        v |= (((byte >> (bitPos % 8)) & ((1 << take) - 1)) << got)
-        got += take; bitPos += take
-      }
-      v
-    }
-    def expand(code: Int, extra: Int): Unit = {
-      // walk the prefix chain; emit in forward order via a scratch
-      val chain = collection.mutable.ArrayBuffer.empty[Int]
-      var c = code
-      var guard = 0
-      while (c >= clear + 2) {
-        chain += suffix(c); c = prefix(c)
-        guard += 1
-        require(guard <= 4096, "GIF LZW prefix cycle")
-      }
-      chain += c // root literal
-      require(c < clear, s"GIF LZW root $c out of palette range")
-      val start = outN
-      require(outN + chain.length + (if (extra >= 0) 1 else 0) <= nPix,
-        "GIF LZW emits more pixels than the frame holds")
-      var i = chain.length - 1
-      while (i >= 0) { outIdx(outN) = chain(i); outN += 1; i -= 1 }
-      if (extra >= 0) { outIdx(outN) = outIdx(start); outN += 1 }
-    }
-    var prev = -1
-    var done = false
-    while (!done && outN < nPix) {
-      val code = readCode()
-      if (code == clear) { next = eoi + 1; width2 = codeSize + 1; prev = -1 }
-      else if (code == eoi) done = true
-      else {
-        require(code <= next, s"GIF LZW code $code beyond dictionary")
-        if (prev < 0) {
-          require(code < clear, s"GIF LZW first code $code not a literal")
-          outIdx(outN) = code; outN += 1
-        } else {
-          val kwkwk = code == next
-          if (kwkwk) {
-            // entry being defined: prev + first(prev)
-            expand(prev, extra = 0)
-          } else expand(code, extra = -1)
-          if (next < 4096) {
-            prefix(next) = prev
-            // new entry = string(prev) + first(string(code)); in the
-            // KwKwK case code == next, whose first equals first(prev)
-            suffix(next) =
-              firstOf(if (kwkwk) prev else code, prefix, clear)
-            next += 1
-            if (next == (1 << width2) && width2 < 12) width2 += 1
-          }
-        }
-        prev = code
-      }
-    }
-    require(outN == nPix,
-      s"GIF: decoded $outN of $nPix pixels before stream end")
-    val rows =
-      if (!interlaced) (0 until height).toArray
-      else Array(0 until height by 8, 4 until height by 8,
-        2 until height by 4, 1 until height by 2).flatten
-    val px = Array.ofDim[(Int, Int, Int)](height, width)
-    rows.zipWithIndex.foreach { case (y, r) =>
-      (0 until width).foreach { x =>
-        val i = outIdx(r * width + x)
-        require(i < table.length, s"GIF pixel index $i beyond palette")
-        px(y)(x) = table(i)
-      }
-    }
-    Bmp(width, height, px)
+    require(frames.nonEmpty, "GIF: no image data before trailer")
+    frames.toArray
   }
 
   private def firstOf(code: Int, prefix: Array[Int], clear: Int): Int = {

@@ -609,6 +609,48 @@ object Multimodal {
     Row(d, bmp.width, bmp.height, sr, sg, sb, pr, pg, pb)
   }
 
+  /** ids → media rows carrying an animated GIF89a (shared palette,
+    * NETSCAPE loop extension, per-frame GCE delays). */
+  def synthGifAnimMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/gif", Map.empty) { d =>
+      val (frames, delays) = Codecs.synthGifAnim(d)
+      Codecs.encodeGifAnim(frames, delays)
+    }
+
+  private val gifFrameSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("delay_cs", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** Animated-GIF frame walk: one row per frame with its GCE delay
+    * and channel sums — the frame-sampling primitive for the one
+    * animated format the web ships. */
+  def gifFrameFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        Codecs.decodeGifFrames(bytes).zipWithIndex.iterator.map {
+          case ((delay, bmp), f) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            (0 until bmp.height).foreach { y =>
+              (0 until bmp.width).foreach { x =>
+                val (rr, gg, bb) = bmp.pixels(y)(x)
+                sr += rr; sg += gg; sb += bb
+              }
+            }
+            Row(d, f, delay, sr, sg, sb)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, gifFrameSchema)
+  }
+
   /** ids → media rows: WARC whose response records are real HTTP
     * messages with HTML bodies (plain form). */
   def synthWarcWebMedia(ids: DataFrame, idCol: String): DataFrame =

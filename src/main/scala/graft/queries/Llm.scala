@@ -3747,6 +3747,35 @@ object Llm extends QueryModule {
           priority, CAST(rk AS INT) AS rk
         FROM r WHERE rk <= 2 ORDER BY id, rk""")),
 
+    // ANIMATED GIF FRAMES — the frame-sampling primitive for the one
+    // animated format the web ships (the GIF twin of the MJPEG-in-MP4
+    // row): per-frame LZW decode + GCE delay capture, through the
+    // NETSCAPE application-extension skip path. Oracle recomputes
+    // every frame's channel sums and every delay from integers.
+    QueryDef(
+      "llm_gif_frames",
+      (s, dir) => Multimodal.gifFrameFeatures(
+        Multimodal.synthGifAnimMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "frame_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(20 + doc_id % 13 AS INT) AS w,
+            CAST(14 + doc_id % 9 AS INT) AS h,
+            CAST(1 << CAST(2 + doc_id % 4 AS INT) AS INT) AS nc,
+            CAST(unnest(range(0, 2 + doc_id % 3)) AS INT) AS f
+          FROM documents WHERE doc_id < 300),
+        px AS (SELECT d.doc_id, d.f, x.x AS x, y.y AS y,
+            (d.doc_id + 3 * x.x + 5 * y.y + 7 * d.f) % d.nc AS i
+          FROM d, (SELECT unnest(range(0, 32)) AS x) x,
+            (SELECT unnest(range(0, 22)) AS y) y
+          WHERE x.x < d.w AND y.y < d.h)
+        SELECT doc_id AS id, f AS frame_idx,
+          CAST(4 + (doc_id + f) % 6 AS INT) AS delay_cs,
+          CAST(sum((7 * i + doc_id) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((11 * i + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((13 * i + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id, f ORDER BY id, frame_idx""")),
+
     // JX FRONT DOOR → WEB — `"from": "web:archives"` exposes the
     // extracted crawl pages as a JX source, so the reference's JSON
     // query language reaches the web-ingest family: here a quality

@@ -1078,6 +1078,41 @@ class CodecsSpec extends AnyFunSuite {
     }}
   }
 
+  test("animated GIF round-trips every frame and delay") {
+    (0L until 16L).foreach { d =>
+      val (frames, delays) = Codecs.synthGifAnim(d)
+      val got = Codecs.decodeGifFrames(Codecs.encodeGifAnim(frames, delays))
+      assert(got.length == frames.length, s"d=$d")
+      got.zip(frames).zip(delays).foreach { case (((delay, bmp), want), wd) =>
+        assert(delay == wd, s"d=$d")
+        (0 until want.height).foreach { y =>
+          (0 until want.width).foreach { x =>
+            assert(bmp.pixels(y)(x) == want.palette(want.idx(y)(x)),
+              s"d=$d ($x,$y)")
+          }
+        }
+      }
+    }
+  }
+
+  test("animated GIF frames match the JDK's ImageIO frame reader") {
+    val (frames, delays) = Codecs.synthGifAnim(9L)
+    val gif = Codecs.encodeGifAnim(frames, delays)
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    val ours = Codecs.decodeGifFrames(gif)
+    assert(rdr.getNumImages(true) == ours.length)
+    ours.zipWithIndex.foreach { case ((_, bmp), f) =>
+      val img = rdr.read(f)
+      (0 until bmp.height).foreach { y => (0 until bmp.width).foreach { x =>
+        val rgb = img.getRGB(x, y)
+        assert(bmp.pixels(y)(x) ==
+          ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff), s"f=$f ($x,$y)")
+      }}
+    }
+  }
+
   test("GIF decode rejects malformed payloads loudly") {
     val ok = Codecs.encodeGif(Codecs.synthGif(3L))
     val badMagic = ok.clone(); badMagic(0) = 'X'
