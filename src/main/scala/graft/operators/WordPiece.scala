@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * word-initial vocab and a `##`-continuation vocab; a word any
   * position of which cannot be matched collapses to a single [UNK].
   *
-  * Built ENTIRELY from Catalyst expressions — the longest-match is a
-  * CASE cascade over piece lengths (literal-array membership, longest
-  * first), and the offset walk is an `aggregate` higher-order
-  * function over character positions — so the whole tokenizer is one
-  * codegen'd projection: no UDF, no join, no shuffle, no per-row
-  * interpreter. At 100 TB this is a pure map over the corpus,
-  * exactly like the scalar string ops.
+  * The production path is the native kernel expression
+  * (graft.plans.WordPieceExpr — codegen'd monomorphic loop, stable
+  * ×100 wall); the `aggregate`-HOF formulation below is KEPT as the
+  * declarative reference implementation, and a differential spec
+  * pins kernel == HOF on the fixture corpus. (History: a
+  * plan-unrolled step chain blew the optimizer up exponentially via
+  * constraint propagation; the HOF fixed the plan but is
+  * CodegenFallback — interpreted, with bimodal 25-104 s ×100 walls
+  * on JIT/GC mode luck — hence the kernel.)
   *
   * The companion BPE pair (llm_bpe_train/apply) covers merge-based
   * training; this is the deployment-side greedy segmenter, declared
@@ -26,13 +28,9 @@ object WordPiece {
     * both tables (so the fixture corpus never UNKs; the UNK path is
     * spec-pinned with crafted words) plus multi-char pieces that
     * actually win the longest-match race on common corpus words. */
-  val initVocab: Seq[String] =
-    ('a' to 'z').map(_.toString) ++
-      Seq("sc", "ba", "cu", "jo", "ha", "val", "tab", "que", "str")
+  val initVocab: Seq[String] = graft.plans.WordPieceExpr.initVocab
   /** Continuation pieces, stored WITHOUT the ## prefix. */
-  val contVocab: Seq[String] =
-    ('a' to 'z').map(_.toString) ++
-      Seq("an", "tch", "stomer", "in", "sh", "ue", "eam", "ble", "ry")
+  val contVocab: Seq[String] = graft.plans.WordPieceExpr.contVocab
 
   private def byLen(v: Seq[String]): Seq[(Int, Seq[String])] =
     v.groupBy(_.length).toSeq.sortBy(-_._1)
@@ -60,7 +58,7 @@ object WordPiece {
     * Positions that are not the current offset pass the accumulator
     * through; boundary positions consume the longest matching piece
     * or mark the word failed ([UNK] consumes the rest). */
-  def pieces(word: Column): Column = {
+  def piecesHof(word: Column): Column = {
     val unk = "[UNK]"
     val init = struct(lit(0).as("off"),
       array().cast("array<string>").as("ps"), lit(false).as("failed"))
@@ -92,12 +90,24 @@ object WordPiece {
           s.getField("ps"))))
   }
 
-  /** docs → one row per (doc, word ordinal, piece ordinal, piece). */
+  /** Reference implementation on the HOF walk — differentially
+    * pinned against the kernel path in WordPieceSpec. */
+  def tokenizeHof(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("word_ord", "word")))
+      .select(col("doc_id"), col("word_ord"), col("word"),
+        posexplode(piecesHof(col("word")))
+          .as(Seq("piece_ord", "piece")))
+
+  /** Production path — the native kernel expression: one codegen'd
+    * monomorphic loop per word, inside whole-stage codegen. One row
+    * per (doc, word ordinal, piece ordinal, piece). */
   def tokenize(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("word_ord", "word")))
       .select(col("doc_id"), col("word_ord"), col("word"),
-        posexplode(pieces(col("word")))
+        posexplode(graft.plans.WordPieceExpr.pieces(col("word")))
           .as(Seq("piece_ord", "piece")))
 }

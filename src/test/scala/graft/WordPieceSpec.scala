@@ -32,6 +32,17 @@ class WordPieceSpec extends SparkSpec {
     assert(t("ok") == Seq("o", "##k"))
   }
 
+  test("native kernel and HOF reference implementations agree exactly") {
+    val docs = graft.sources.Catalog.table(spark, sf0001, "documents")
+      .filter(col("doc_id") < 80)
+    val kernel = WordPiece.tokenize(docs, "doc_id", "text")
+      .orderBy("doc_id", "word_ord", "piece_ord").collect()
+    val hof = WordPiece.tokenizeHof(docs, "doc_id", "text")
+      .orderBy("doc_id", "word_ord", "piece_ord").collect()
+    assert(kernel.length == hof.length)
+    assert(kernel.sameElements(hof))
+  }
+
   test("piece sequences reassemble the word exactly when not [UNK]") {
     val docs = graft.sources.Catalog.table(spark, sf0001, "documents")
       .filter(col("doc_id") < 50)
