@@ -165,6 +165,34 @@ object Sources extends QueryModule {
           round(sum(p_retailprice), 2) AS sum_price
         FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ZSTD parquet round-trip — the codec knob that matters at 100 TB
+    // (zstd trades ~2-3× better ratio than snappy for modest CPU; at
+    // petabyte scan volumes that's the storage/egress bill). Write
+    // lineitem with compression=zstd, read it back, aggregate: the
+    // values must match the oracle on the original snappy fixture, so
+    // both the zstd write and read paths sit on the oracle path.
+    QueryDef(
+      "sink_parquet_zstd",
+      (s, dir) => {
+        val out = staged("zstd", dir, "lineitem") { o =>
+          Catalog.table(s, dir, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_quantity",
+              "l_extendedprice")
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(o)
+        }
+        s.read.parquet(out)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          round(sum(l_quantity), 2) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ORC round-trip: fixture → ORC → read back → aggregate must match
     // the oracle computed on the original parquet.
     QueryDef(
