@@ -435,6 +435,37 @@ object StreamingBatch extends QueryModule {
            OR (view_id IS NULL AND click_ts < m - INTERVAL 4 HOUR)
         ORDER BY user_id, view_id, click_id""")),
 
+    // True streaming run: stream-stream RIGHT OUTER interval join —
+    // the last join form beside inner/left/full: unmatched CLICKS
+    // null-extend once the final watermark passes click_ts + 2h (the
+    // top of the click's match window — the click-side horizon the
+    // full-outer row proved, isolated here).
+    QueryDef(
+      "stream_join_right",
+      (s, dir) => {
+        val out = Streams.runToMemory(
+          Streams.viewClickRightOuterJoin(s, dir),
+          s"sjr_${System.nanoTime()}", OutputMode.Append())
+        // view_id is the nullable MIDDLE sort key: NULLS LAST to match
+        // DuckDB, as in the full-outer row
+        out.orderBy(col("user_id"), asc_nulls_last("view_id"),
+          asc_nulls_last("click_id"))
+      },
+      Some("""WITH mx AS (SELECT least(
+          (SELECT max(ts) FROM events WHERE event_type = 'view'),
+          (SELECT max(ts) FROM events WHERE event_type = 'click')) AS m),
+        v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT c.c_user AS user_id, v.view_id, c.click_id, c.click_ts
+          FROM v RIGHT JOIN c ON v.user_id = c.c_user
+            AND c.click_ts >= v.view_ts - INTERVAL 2 HOUR
+            AND c.click_ts <= v.view_ts)
+        SELECT user_id, view_id, click_id FROM j, mx
+        WHERE view_id IS NOT NULL OR click_ts < m - INTERVAL 4 HOUR
+        ORDER BY user_id, view_id NULLS LAST, click_id""")),
+
     // True streaming run: per-user running state via mapGroupsWithState.
     // The final state per user is the full per-user aggregate, which
     // SQL expresses directly — a hard oracle on custom state logic

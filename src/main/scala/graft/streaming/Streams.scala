@@ -271,6 +271,32 @@ object Streams {
         col("view_id"), col("click_id"))
   }
 
+  /** Stream-stream RIGHT OUTER interval join — the remaining join
+    * form beside inner/left/full: matched (view, click) pairs stream
+    * out immediately; a click no view answered within 2 h emits
+    * (user, null, click) once the watermark passes click_ts + 2h
+    * (the top of its match window) — the click-side half of the
+    * full-outer form's asymmetric horizons, isolated. */
+  def viewClickRightOuterJoin(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") - expr("INTERVAL 2 HOURS") &&
+        col("click_ts") <= col("view_ts"),
+      "right_outer")
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** Tumbling-window counts with a 2h watermark: late rows beyond the
     * watermark are dropped and window state is evicted. */
   def tumblingWithWatermark(events: DataFrame): DataFrame =
