@@ -177,6 +177,14 @@ object StreamScaleProbe {
             col("view_id"), col("click_id")),
         OutputMode.Append())
     }
+    locally {
+      val (v, c) = outerSides()
+      runCounted("stream_join_right")(
+        v.join(c, outerCond(v, c), "right_outer")
+          .select(col("c_user").as("user_id"),
+            col("view_id"), col("click_id")),
+        OutputMode.Append())
+    }
     spark.stop()
   }
 }
