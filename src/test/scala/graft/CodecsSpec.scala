@@ -910,6 +910,10 @@ class CodecsSpec extends AnyFunSuite {
         b => Codecs.decodeGif(b)),
       ("gif-interlaced", Codecs.encodeGif(Codecs.synthGif(6L),
         interlaced = true), b => Codecs.decodeGif(b)),
+      ("gif-anim", {
+        val (fs, ds) = Codecs.synthGifAnim(8L)
+        Codecs.encodeGifAnim(fs, ds)
+      }, b => Codecs.decodeGifFrames(b)),
       ("http-cl", Codecs.synthHttpResponse(2L, 3), b => Codecs.httpParse(b)),
       ("http-chunked", Codecs.synthHttpResponse(2L, 1),
         b => Codecs.httpParse(b)),
