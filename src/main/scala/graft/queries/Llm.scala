@@ -239,6 +239,25 @@ object Llm extends QueryModule {
         .orderBy("doc_id", "word_ord", "piece_ord"),
       Some(wordPieceOracle(8))),
 
+    // WORDPIECE VOCAB USAGE — the per-piece corpus frequency table a
+    // tokenizer team actually monitors (dead pieces, fertility,
+    // distribution drift): the kernel segmenter feeding one hash
+    // aggregate on the piece key. At 100 TB: map-side partial counts
+    // into a |vocab|-bounded result.
+    QueryDef(
+      "llm_wordpiece_vocab_usage",
+      (s, dir) => graft.operators.WordPiece.tokenize(
+        Catalog.table(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text")
+        .groupBy("piece")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("word")).as("n_words"))
+        .orderBy("piece"),
+      Some(s"""SELECT piece, count(*) AS n,
+          CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM (${wordPieceOracle(8)})
+        GROUP BY piece ORDER BY piece""")),
+
     // TRAINED QUALITY CLASSIFIER — the fastText-style learned gate
     // real CC pipelines run after heuristic filters, with the WHOLE
     // TRAINING LOOP inside the oracle (the bpe_train/kmeans/PQ
