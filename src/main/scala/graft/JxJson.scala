@@ -31,6 +31,18 @@ object JxJson {
     */
   val MaxCubeCells: Int = 1000000
 
+  /** Front-door contract for `"from": "web:archives"`: the source is
+    * the SYNTHESIZED crawl-archive fixture (gunzip → WARC → HTTP →
+    * HTML over the documents table), and by default it materializes
+    * archives for the first `WebArchiveFixtureDocs` doc_ids — the same
+    * slice every llm_web_* fixture query uses, so the front door and
+    * the hand-written queries agree byte-for-byte. A query that wants
+    * a different slice says so explicitly with a top-level
+    * `"archive_docs": n` (n ≤ total documents); the bound is never
+    * silent — it is THIS documented constant or the caller's number.
+    */
+  val WebArchiveFixtureDocs: Int = 300
+
   /** JX `format: "cube"` result (SURVEY §1.1 Cube row): dense N-dim
     * arrays — one axis per edge in declared order, every domain part
     * present (zero-filled counts / nulls for value aggs). An edge whose
@@ -150,10 +162,19 @@ object JxJson {
       // ONE fused plan — the extraction is partition-local map work
       // ahead of whatever the query shuffles on.
       case JString("web:archives") =>
+        // Bound is the documented front-door constant, overridable per
+        // query with "archive_docs" — never a silent truncation.
+        val archiveDocs = (q \ "archive_docs") match {
+          case JInt(n) =>
+            require(n > 0, s"jx: archive_docs must be positive, got $n")
+            n.toInt
+          case JNothing | JNull => WebArchiveFixtureDocs
+          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
+        }
         graft.operators.Multimodal.webTextFeatures(
           graft.operators.Multimodal.synthWarcWebGzMedia(
             Catalog.table(spark, sfDir, "documents")
-              .filter(org.apache.spark.sql.functions.col("doc_id") < 300)
+              .filter(org.apache.spark.sql.functions.col("doc_id") < archiveDocs)
               .select("doc_id"), "doc_id"),
           "id", gz = true)
       case JString(from) =>
@@ -364,6 +385,16 @@ object JxJson {
       case other => sys.error(s"jx: session_gap $other")
     }
     val plain = entries.collect { case JString(g) => g }
+    // Fail-loudly contract (matches the batch path): every groupby
+    // entry must be consumed as either a plain column or THE window
+    // entry — an object with a typo'd key ("windw") must error, not
+    // silently vanish from the grouping.
+    val leftovers = entries.filterNot(e =>
+      e.isInstanceOf[JString] || winEntries.contains(e))
+    require(leftovers.isEmpty,
+      s"jx: unrecognized streaming groupby entr${if (leftovers.size == 1) "y" else "ies"} " +
+        s"${leftovers.mkString(", ")} — each entry must be a column name " +
+        """or a window object ({"name", "value", "window"|"session_gap"})""")
     val gbCols = winCol +: plain.map(col)
     val aggs = selectsOf(q).map(aggColumn)
     require(aggs.nonEmpty, "jx: streaming groupby needs aggregate selects")

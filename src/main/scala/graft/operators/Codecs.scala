@@ -2544,7 +2544,7 @@ object Codecs {
         val i = h.indexOf(':')
         require(i > 0, s"record $rec: malformed WARC header '$h'")
         val v = h.substring(i + 1).trim
-        h.substring(0, i).trim.toLowerCase match {
+        h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT) match {
           case "warc-type" => typ = v
           case "warc-target-uri" => uri = v
           case "content-length" =>
@@ -2669,7 +2669,7 @@ object Codecs {
   final case class HttpResponse(status: Int, reason: String,
       headers: Array[(String, String)], body: Array[Byte]) {
     def header(name: String): Option[String] = {
-      val n = name.toLowerCase
+      val n = name.toLowerCase(java.util.Locale.ROOT)
       headers.collectFirst { case (k, v) if k == n => v }
     }
   }
@@ -2702,7 +2702,7 @@ object Codecs {
       require(hdrs.length < 64, "too many HTTP headers")
       val i = h.indexOf(':')
       require(i > 0, s"malformed HTTP header '${h.take(40)}'")
-      hdrs += ((h.substring(0, i).trim.toLowerCase, h.substring(i + 1).trim))
+      hdrs += ((h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT), h.substring(i + 1).trim))
       h = line()
     }
     val te = hdrs.collectFirst { case ("transfer-encoding", v) => v }
@@ -3165,7 +3165,7 @@ object Codecs {
   /** Decode by declared charset: ISO-8859-1 maps bytes to codepoints
     * 1:1 (never invalid); UTF-8 goes through the strict validator. */
   def decodeCharset(bytes: Array[Byte], charset: String): (String, Int) =
-    charset.toUpperCase match {
+    charset.toUpperCase(java.util.Locale.ROOT) match {
       case "ISO-8859-1" | "LATIN1" | "LATIN-1" =>
         (new String(bytes, "ISO-8859-1"), 0)
       case "UTF-8" | "UTF8" => decodeUtf8Strict(bytes)

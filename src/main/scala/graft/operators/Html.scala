@@ -87,7 +87,7 @@ object Html {
   /** Extract an attribute value from the tag source `[tagStart, tagEnd)`
     * (quoted forms only — the forms this extractor declares). */
   private def attrValue(tag: String, attr: String): Option[String] = {
-    val lower = tag.toLowerCase
+    val lower = tag.toLowerCase(java.util.Locale.ROOT)
     var from = 0
     while (from >= 0 && from < lower.length) {
       val at = lower.indexOf(attr, from)

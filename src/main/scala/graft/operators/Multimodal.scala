@@ -751,9 +751,12 @@ object Multimodal {
     StructField("n_repl", IntegerType),
     StructField("text", StringType)))
 
-  /** Charset-dispatch decode over media rows whose meta carries the
-    * declared charset (the HTTP Content-Type plumbing shape): strict
-    * UTF-8 validation with replacement counts, 1:1 ISO-8859-1. */
+  /** Id-driven FIXTURE feature generator (like sitemapFeatures): each
+    * input row's id re-synthesizes its (charset, bytes) payload via
+    * Codecs.synthEncodedText, then runs the real charset-dispatch
+    * decode — strict UTF-8 validation with replacement counts, 1:1
+    * ISO-8859-1. It does NOT read charset/bytes from the input row;
+    * real media rows go through Codecs.decodeCharset directly. */
   def charsetDecodeFeatures(ids: DataFrame, idCol: String): DataFrame = {
     val idIdx = ids.schema.fieldIndex(idCol)
     val rdd = ids.rdd.mapPartitions { rows =>

@@ -37,7 +37,7 @@ object Robots {
       } else {
         val i = line.indexOf(':')
         if (i > 0) {
-          val field = line.substring(0, i).trim.toLowerCase
+          val field = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(i + 1).trim
           field match {
             case "user-agent" =>

@@ -181,7 +181,7 @@ object Extensions extends QueryModule {
       (s, dir) => {
         val slug = udf((name: String) =>
           if (name == null) null
-          else name.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+          else name.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", "-"))
         Catalog.table(s, dir, "customer")
           .select(col("c_custkey"), slug(col("c_name")).as("slug"))
           .orderBy("c_custkey")

@@ -383,4 +383,44 @@ class JxJsonSpec extends SparkSpec {
           "dedup": {"on": [{"fingerprint": "text"}]},
           "select": ["doc_id"]}"""))
   }
+
+  test("streaming groupby rejects unconsumed entries (typo'd window key)") {
+    // an object entry whose key is misspelled ("windw") must error, not
+    // silently vanish from the grouping — the fail-loudly contract the
+    // batch path already enforces
+    val e = intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "groupby": [
+            {"name": "ws", "value": "ts", "window": "1 hour"},
+            {"name": "oops", "value": "ts", "windw": "1 hour"}],
+          "select": [{"name": "n", "aggregate": "count"}]}"""))
+    assert(e.getMessage.contains("unrecognized streaming groupby"), e.getMessage)
+  }
+
+  test("web:archives bound is the documented constant, overridable, never silent") {
+    // default slice == an explicit archive_docs at the documented
+    // constant (each archive holds several pages, so compare slices,
+    // not doc counts)
+    def pages(json: String): Long =
+      JxJson.run(spark, sf0001, json).collect()(0).getLong(0)
+    val dflt = pages(
+      """{"from": "web:archives",
+          "select": [{"name": "n_pages", "aggregate": "count"}]}""")
+    val explicit = pages(
+      s"""{"from": "web:archives",
+          "archive_docs": ${JxJson.WebArchiveFixtureDocs},
+          "select": [{"name": "n_pages", "aggregate": "count"}]}""")
+    assert(dflt == explicit && dflt > 0)
+    // explicit archive_docs narrows the slice
+    val narrow = pages(
+      """{"from": "web:archives", "archive_docs": 10,
+          "select": [{"name": "n_pages", "aggregate": "count"}]}""")
+    assert(narrow > 0 && narrow < dflt)
+    // a malformed bound is an error, not a silent default
+    val e = intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "web:archives", "archive_docs": "lots",
+          "select": [{"name": "n_pages", "aggregate": "count"}]}"""))
+    assert(e.getMessage.contains("archive_docs"), e.getMessage)
+  }
 }
