@@ -21,11 +21,26 @@ object Robots {
 
   final case class RobotsRule(allow: Boolean, prefix: String)
 
+  /** The `*` group's full policy: path rules plus the de-facto
+    * Crawl-delay extension (seconds between fetches; not in RFC 9309
+    * but honored by most non-Google crawlers). `crawlDelay` is the
+    * FIRST valid value in the `*` group — non-negative integer
+    * seconds; malformed or negative values are skipped like any
+    * unknown field, and a delay in another agent's group never
+    * applies. */
+  final case class RobotsPolicy(
+      rules: Array[RobotsRule], crawlDelay: Option[Int])
+
   /** Parse the `*` group's Allow/Disallow rules. Real-world tolerant:
     * unknown fields are skipped, group boundaries are blank lines or
     * a new User-agent run after rules. */
-  def parse(content: String): Array[RobotsRule] = {
+  def parse(content: String): Array[RobotsRule] =
+    parsePolicy(content).rules
+
+  /** Full `*`-group parse: rules + crawl-delay (see RobotsPolicy). */
+  def parsePolicy(content: String): RobotsPolicy = {
     val out = collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var delay: Option[Int] = None
     var inStar = false
     var sawRulesInGroup = false
     content.split("\n").foreach { raw =>
@@ -50,12 +65,19 @@ object Robots {
             case "disallow" if inStar =>
               sawRulesInGroup = true
               if (value.nonEmpty) out += RobotsRule(allow = false, value)
-            case _ => () // crawl-delay, sitemap, other agents' rules
+            case "crawl-delay" if inStar =>
+              // de-facto extension: first valid value wins; rule-group
+              // accounting matches allow/disallow (a later user-agent
+              // line starts a fresh group)
+              sawRulesInGroup = true
+              if (delay.isEmpty && value.matches("\\d{1,9}"))
+                delay = Some(value.toInt)
+            case _ => () // sitemap, other agents' rules
           }
         }
       }
     }
-    out.toArray
+    RobotsPolicy(out.toArray, delay)
   }
 
   /** RFC 9309 precedence: longest matching prefix wins; tie → Allow;
@@ -77,14 +99,18 @@ object Robots {
   /** Closed-form robots.txt for host k — a specific-agent group the
     * `*` rules must NOT absorb, comments, an empty Disallow, then the
     * `*` group: Disallow: /a{k%7}/ with an Allow: /a{k%7}/ok carve-out
-    * (longer prefix ⇒ wins under RFC precedence). */
+    * (longer prefix ⇒ wins under RFC precedence). The `*` group's
+    * Crawl-delay varies per host (1 + k%9 seconds) so the frontier's
+    * delay-derived fetch budget exercises every value; the exoticbot
+    * group's delay must NOT apply. */
   def synthRobots(k: Long): String =
     s"""# robots for site$k.example
        |User-agent: exoticbot
+       |Crawl-delay: 999
        |Disallow: /
        |
        |User-agent: *
-       |Crawl-delay: 5
+       |Crawl-delay: ${1 + k % 9}
        |Disallow:
        |Disallow: /a${k % 7}/
        |Allow: /a${k % 7}/ok

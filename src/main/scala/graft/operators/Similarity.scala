@@ -155,7 +155,11 @@ object Similarity {
       .select(col("cid"), col("v").as("cvec"))
       .localCheckpoint()
     (1 to rounds).foreach { _ =>
-      val cn = cents.withColumn("cnorm", norm(col("cvec")))
+      // limit(nlist) is a no-op row-wise (the table IS nlist rows by
+      // construction) but re-attaches the structural bound the
+      // localCheckpoint erased, so PlanAudit can prove the broadcast
+      // side of every Lloyd-round assignment join is ≤ nlist rows.
+      val cn = cents.limit(nlist).withColumn("cnorm", norm(col("cvec")))
       val asg = v.crossJoin(broadcast(cn))
         .select(col("vec_id"),
           round(cosine(col("v"), col("cvec"), col("nrm"), col("cnorm")), 6)
@@ -175,7 +179,10 @@ object Similarity {
         .select(col("cid"), coalesce(col("cnew"), col("cvec")).as("cvec"))
         .localCheckpoint()
     }
-    cents
+    // same no-op limit on the returned table: downstream ivfSearch
+    // broadcasts it twice (assignment + probes), and the checkpoint
+    // stripped the init limit's proof
+    cents.limit(nlist)
   }
 
   /** IVF search over kmeans-trained centroids — same probe/re-rank
@@ -404,12 +411,19 @@ object Similarity {
     */
   def semdedup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, centroidStep: Int): DataFrame = {
+      threshold: Double, centroidStep: Int,
+      centroidCap: Option[Int] = None): DataFrame = {
     val v = df.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = v.filter(col("id") % centroidStep === 0)
+    // centroidCap: the caller's PROVABLE upper bound on |centroids|
+    // (ceil(maxId / centroidStep) + 1 under a bounded id contract) —
+    // a row-wise no-op applied as a limit so the plan itself carries
+    // the broadcast-bound proof PlanAudit reads. Without it the mod
+    // filter is data-dependent and the audit correctly warns.
+    val cents0 = v.filter(col("id") % centroidStep === 0)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = centroidCap.fold(cents0)(cents0.limit)
     // argmax centroid per id as a slim aggregate: (id, cs, cid) only —
     // max(struct) ranks by cs desc then cid asc (negated), and a
     // null cs struct sorts below any scored one, matching the window
@@ -541,7 +555,8 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, dim: Int = 64, numSub: Int = 16,
-      codebookSize: Int = 16, shortlist: Int = 50): DataFrame = {
+      codebookSize: Int = 16, shortlist: Int = 50,
+      queryCap: Option[Int] = None): DataFrame = {
     require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
     val sd = dim / numSub
     val emb = corpus.select(col(idCol).as("vec_id"),
@@ -549,7 +564,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     val (cb, codes) = pqTrainEncode(emb, numSub, sd, codebookSize)
-    val dt = pqQueryTables(q, cb, numSub, sd)
+    // queryCap: caller's provable bound on |queries| (the query side
+    // is broadcast against every code row, so it is bounded by
+    // contract) — applied to the per-query ADC tables as a row-wise
+    // no-op limit that lets PlanAudit prove the broadcast.
+    val dt0 = pqQueryTables(q, cb, numSub, sd)
+    val dt = queryCap.fold(dt0)(dt0.limit)
     // ADC: row-local table lookups per (vector, query); rank<=shortlist
     // prunes map-side before any exchange (WindowGroupLimit). The sum
     // is a FLAT left-to-right chain of element_at adds, not a HOF fold:
@@ -608,7 +628,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, dim: Int = 64, numSub: Int = 16,
       codebookSize: Int = 16, shortlist: Int = 20,
-      centroidEvery: Int = 32, nprobe: Int = 4): DataFrame = {
+      centroidEvery: Int = 32, nprobe: Int = 4,
+      centroidCap: Option[Int] = None): DataFrame = {
     require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
     val sd = dim / numSub
     val emb = corpus.select(col(idCol).as("vec_id"),
@@ -616,11 +637,14 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     // IVF side: deterministic centroids + slim rounded-cosine argmax
-    // assignment (the ivfTopK/llm_knn_ivf shape)
+    // assignment (the ivfTopK/llm_knn_ivf shape). centroidCap = the
+    // caller's provable |centroids| bound (semdedup's discipline):
+    // a row-wise no-op limit carrying the broadcast proof in-plan.
     val en = emb.withColumn("nrm", norm(col("v")))
-    val cents = en.filter(col("vec_id") % centroidEvery === 0)
+    val cents0 = en.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
+    val cents = centroidCap.fold(cents0)(cents0.limit)
     val asg = en.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6)

@@ -62,12 +62,23 @@ object PlanAudit {
               "is a grouping-less aggregate — exactly one row, the " +
               "scalar-multiply pattern (corpus totals). Linear by " +
               "construction.")
-        else
-          fs += Finding("warn", "nested-loop-join",
-            s"BroadcastNestedLoopJoin (${j.joinType}) scans the streamed side " +
-              "once per broadcast row batch — fine for a truly tiny " +
-              "broadcast (domain tables, 1-row totals), quadratic otherwise. " +
-              "Check the broadcast side is bounded by construction.")
+        else provablyAtMostN(bcast) match {
+          case Some(n) if n <= MaxProvenBroadcastRows =>
+            fs += Finding("info", "nested-loop-join",
+              s"BroadcastNestedLoopJoin (${j.joinType}) whose broadcast side " +
+                s"is provably ≤ $n rows (limit/aggregate-derived bound in " +
+                "the plan itself) — the bounded-dim / query-set / centroid " +
+                "pattern, linear in the streamed side by construction.")
+          case _ =>
+            fs += Finding("warn", "nested-loop-join",
+              s"BroadcastNestedLoopJoin (${j.joinType}) scans the streamed side " +
+                "once per broadcast row batch — fine for a truly tiny " +
+                "broadcast (domain tables, 1-row totals), quadratic otherwise. " +
+                "The audit found no structural row bound (limit / " +
+                "grouping-less aggregate) on the broadcast side; if the bound " +
+                "is contractual, add a .limit(contractN) above it so the " +
+                "plan carries the proof.")
+        }
       case w: WindowExec if w.partitionSpec.isEmpty =>
         // A LIMIT below the window bounds its input by construction —
         // the 16-row vocab tables, top-k candidate sets — so the
@@ -201,6 +212,88 @@ object PlanAudit {
           _: ExpandExec | _: GenerateExec => false
       case _ if p.children.isEmpty => false
       case _ => p.children.forall(boundedByLimit(_, cap))
+    }
+  }
+
+  /** Broadcast row bounds above this stop earning the nested-loop
+    * `info` adjudication: a proven-but-huge broadcast (say 1M rows)
+    * still multiplies the streamed side per row batch — "bounded" only
+    * helps when the bound is dim-table-sized. */
+  val MaxProvenBroadcastRows: Long = 100000L
+
+  /** Upper bound on `p`'s output rows when one is PROVABLE from the
+    * plan alone (provablyOneRow generalized — the r11 verdict #6 rule).
+    * Sources of bounds: global limits (GlobalLimit /
+    * TakeOrderedAndProject), grouping-less aggregates (1), LocalTableScan
+    * (the literal row count), Range (its element count). Composition:
+    * narrow row-preserving-or-reducing wrappers pass the child bound
+    * through (LocalLimit included — it never ADDS rows, so the child's
+    * global bound survives); a GROUPED aggregate emits at most one row
+    * per input row, so it also passes the bound through
+    * (aggregate-cardinality-derived); unions add, Expand multiplies by
+    * its projection count, joins multiply (semi/anti keep the left
+    * bound; outer forms add the null-extended rows), all in
+    * overflow-checked arithmetic. Generate (explode) and bare scans
+    * return None — no structural bound exists. */
+  private[graft] def provablyAtMostN(p: SparkPlan): Option[Long] = {
+    import org.apache.spark.sql.execution.{CoalesceExec, GenerateExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RangeExec, SortExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+    def mul(a: Long, b: Long): Option[Long] =
+      try Some(Math.multiplyExact(a, b)) catch { case _: ArithmeticException => None }
+    def add(a: Long, b: Long): Option[Long] =
+      try Some(Math.addExact(a, b)) catch { case _: ArithmeticException => None }
+    p match {
+      case g: GlobalLimitExec =>
+        Some(provablyAtMostN(g.child).fold(g.limit.toLong)(_ min g.limit))
+      case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+      case a: BaseAggregateExec =>
+        if (a.groupingExpressions.isEmpty) Some(1L)
+        else provablyAtMostN(a.child)
+      case l: LocalTableScanExec => Some(l.rows.size.toLong)
+      case r: RangeExec =>
+        if (r.numElements.isValidLong) Some(r.numElements.toLong) else None
+      case u: UnionExec =>
+        u.children.map(provablyAtMostN).foldLeft(Option(0L)) {
+          case (Some(acc), Some(n)) => add(acc, n)
+          case _ => None
+        }
+      case e: ExpandExec =>
+        provablyAtMostN(e.child).flatMap(mul(_, e.projections.size.toLong))
+      case j: BaseJoinExec =>
+        (provablyAtMostN(j.left), provablyAtMostN(j.right)) match {
+          case (Some(la), rb) => j.joinType match {
+            case LeftSemi | LeftAnti => Some(la)
+            case Inner | Cross =>
+              rb.flatMap(mul(la, _))
+            case LeftOuter =>
+              rb.flatMap(r => mul(la, r).flatMap(add(_, la)))
+            case RightOuter =>
+              rb.flatMap(r => mul(la, r).flatMap(add(_, r)))
+            case FullOuter =>
+              rb.flatMap(r =>
+                mul(la, r).flatMap(add(_, la)).flatMap(add(_, r)))
+            case _ => None
+          }
+          case _ => None
+        }
+      case _: GenerateExec => None
+      case a: AdaptiveSparkPlanExec => provablyAtMostN(a.executedPlan)
+      case q: QueryStageExec => provablyAtMostN(q.plan)
+      case w: WholeStageCodegenExec => provablyAtMostN(w.child)
+      case i: InputAdapter => provablyAtMostN(i.child)
+      case c: ColumnarToRowExec => provablyAtMostN(c.child)
+      case pr: ProjectExec => provablyAtMostN(pr.child)
+      case f: FilterExec => provablyAtMostN(f.child)
+      case s: SortExec => provablyAtMostN(s.child)
+      case w: WindowExec => provablyAtMostN(w.child)
+      case l: LocalLimitExec => provablyAtMostN(l.child)
+      case c: CoalesceExec => provablyAtMostN(c.child)
+      case b: BroadcastExchangeExec => provablyAtMostN(b.child)
+      case e: ShuffleExchangeExec => provablyAtMostN(e.child)
+      case _ => None
     }
   }
 

@@ -651,7 +651,7 @@ object Llm extends QueryModule {
       "llm_ngram_jaccard_exact",
       (s, dir) => {
         val docs = Catalog.table(s, dir, "documents")
-          .filter(col("doc_id") < 30)
+          .filter(col("doc_id") < 30).limit(30)
           .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
         val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -1208,6 +1208,52 @@ object Llm extends QueryModule {
           FROM scored)
         WHERE rk <= 5 ORDER BY qid, rk""")),
 
+    // The MAXSCORE form of BM25 (r11 verdict #2): impact-ordered
+    // prefix probe + provable θ/Δ bound + exact candidate rescore,
+    // with a per-query fallback to the full probe when the bound
+    // fails — so unlike the maxDf dial (which changes the result
+    // set), this path is EXACT by construction. The oracle is
+    // llm_bm25_topk's SQL verbatim: hash-equality against the
+    // unpruned exact query IS the exactness claim. prefixR=64 sits
+    // far under the fixture's df range (222-243), so the tails are
+    // non-empty and the bound machinery runs non-vacuously at
+    // fixture scale; Bm25Spec pins that the pruned path engages and
+    // differentially matches the exact path across corpus shapes.
+    QueryDef(
+      "llm_bm25_topk_maxscore",
+      (s, dir) => bm25TopKMaxScore(
+        Catalog.table(s, dir, "documents").filter(col("doc_id") < 300),
+        nQueries = 3, k = 5, prefixR = 64).orderBy("qid", "rk"),
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+            WHERE doc_id < 300),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM corpus),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl
+          FROM dl),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        qterms AS (SELECT DISTINCT doc_id AS qid, unnest(
+            (string_split(text, ' '))[1:5]) AS w
+          FROM corpus WHERE doc_id < 3),
+        contrib AS (SELECT q.qid, t.doc_id,
+            round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+              t.tf * 2.2 /
+              (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6) AS c
+          FROM qterms q
+          JOIN tf t ON t.w = q.w
+          JOIN dfq d ON d.w = q.w
+          JOIN dl l ON l.doc_id = t.doc_id
+          CROSS JOIN stats s),
+        scored AS (SELECT qid, doc_id, round(sum(c), 6) AS score
+          FROM contrib GROUP BY 1, 2)
+        SELECT qid, rk, doc_id, score FROM (
+          SELECT qid, doc_id, score,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= 5 ORDER BY qid, rk""")),
+
     // Near-dup GROUPING: pairs → duplicate clusters via distributed
     // min-label propagation (Components.connectedComponents), so a
     // whole cluster keeps one survivor, not just pairwise picks.
@@ -1375,8 +1421,11 @@ object Llm extends QueryModule {
       "llm_cosine_topk",
       (s, dir) => {
         val emb = Catalog.table(s, dir, "embeddings")
+        // limit(10) is a row-wise no-op under the vec_id < 10 filter;
+        // it carries the query-set bound in-plan for PlanAudit
         Similarity.cosineTopK(
-          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+          emb, emb.filter(col("vec_id") < 10).limit(10),
+          "vec_id", "embedding", 3)
           .orderBy("qid", "rk")
       },
       Some("""SELECT q.vec_id AS qid, row_number() OVER (
@@ -1554,7 +1603,8 @@ object Llm extends QueryModule {
       (s, dir) =>
         Similarity.semdedup(
           Catalog.table(s, dir, "embeddings").filter(col("vec_id") < 400),
-          "vec_id", "embedding", threshold = 0.2, centroidStep = 37)
+          "vec_id", "embedding", threshold = 0.2, centroidStep = 37,
+          centroidCap = Some(11))
           .orderBy("id"),
       Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
             FROM embeddings WHERE vec_id < 400),
@@ -1654,7 +1704,9 @@ object Llm extends QueryModule {
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("e"))
           .withColumn("nrm", Similarity.norm(col("e")))
-        val cents = v.filter(col("vec_id") % 16 === 0)
+        // limit(25) = ceil(400/16), a row-wise no-op carrying the
+        // centroid-count bound in-plan for PlanAudit
+        val cents = v.filter(col("vec_id") % 16 === 0).limit(25)
           .select(col("vec_id").as("cid"), col("e").as("ce"),
             col("nrm").as("cnrm"))
         def centSim(vec: String, nrm: String) =
@@ -1842,7 +1894,8 @@ object Llm extends QueryModule {
         val emb = Catalog.table(s, dir, "embeddings")
         Similarity.pqTopK(
           emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 3, dim = 64, numSub = 16, codebookSize = 16, shortlist = 50)
+          k = 3, dim = 64, numSub = 16, codebookSize = 16, shortlist = 50,
+          queryCap = Some(10))
           .orderBy("qid", "rk")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1914,7 +1967,10 @@ object Llm extends QueryModule {
         Similarity.ivfPqTopK(
           emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 3, dim = 64, numSub = 16, codebookSize = 16,
-          shortlist = 20, centroidEvery = 32, nprobe = 4)
+          shortlist = 20, centroidEvery = 32, nprobe = 4,
+          // ceil(2000/32) = 63 at the largest fixture SF — a no-op
+          // everywhere the query runs, carrying the bound in-plan
+          centroidCap = Some(64))
           .orderBy("qid", "rk")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -3766,6 +3822,80 @@ object Llm extends QueryModule {
           priority, CAST(rk AS INT) AS rk
         FROM r WHERE rk <= 2 ORDER BY id, rk""")),
 
+    // FRONTIER POLITENESS (r11 verdict #8): the frontier above ranks
+    // by priority alone; a real crawler is bound by each host's
+    // crawl-delay. Here the per-HOST fetch budget is DERIVED from the
+    // host's robots.txt (Robots.parsePolicy's crawl-delay, the
+    // de-facto extension): budget = max(1, floor(30s window / delay)).
+    // Entries compete across the whole host (20 hosts of ~n_docs/20
+    // sites each), ranked (priority DESC, id, entry_idx), and only
+    // budget-many survive — so the delay value changes the OUTPUT, not
+    // just a column. A host whose robots.txt lacks the directive fails
+    // loudly (the synth contract guarantees one; silence would
+    // silently un-throttle a host). Scale shape: policy table is
+    // |hosts| rows broadcast; ranking is one shuffle on the host key
+    // with WindowGroupLimit pruning map-side at rk <= max-budget.
+    QueryDef(
+      "llm_crawl_frontier_polite",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        // robots path compliance first (the plain frontier's banned
+        // prefix), THEN the politeness budget on what's left
+        val entries = Multimodal.sitemapFeatures(
+          docs.select("doc_id"), "doc_id")
+          .withColumn("pathq",
+            expr("concat(parse_url(loc, 'PATH'), '?', parse_url(loc, 'QUERY'))"))
+          .filter(!expr("startswith(pathq, concat('/p', id % 4))"))
+          .withColumn("k", col("id") % 20)
+        val hosts = docs.select((col("doc_id") % 20).as("k")).distinct()
+        val polSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("delay",
+            org.apache.spark.sql.types.IntegerType)))
+        val policy = s.createDataFrame(
+          hosts.rdd.mapPartitions(_.map { r =>
+            val k = r.getLong(0)
+            val d = graft.operators.Robots.parsePolicy(
+              graft.operators.Robots.synthRobots(k)).crawlDelay
+              .getOrElse(sys.error(
+                s"host $k robots.txt carries no crawl-delay — refusing " +
+                  "to crawl unthrottled"))
+            org.apache.spark.sql.Row(k, d)
+          }), polSchema)
+          .withColumn("budget",
+            greatest(lit(1L), floor(lit(30.0) / col("delay"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k")
+          .orderBy(col("priority").desc, col("id"), col("entry_idx"))
+        entries.join(broadcast(policy.limit(20)), Seq("k"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= col("budget"))
+          .select(col("k"), col("delay"), col("budget"), col("id"),
+            col("loc"), col("priority"), col("rk").cast("int").as("rk"))
+          .orderBy("k", "rk")
+      },
+      Some("""WITH e AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents),
+        a AS (SELECT doc_id, j, (5 + (doc_id + j) % 5) / 10.0 AS priority,
+            doc_id % 20 AS k
+          FROM e WHERE j != doc_id % 4),
+        p AS (SELECT DISTINCT doc_id % 20 AS k,
+            CAST(1 + (doc_id % 20) % 9 AS INT) AS delay,
+            greatest(CAST(1 AS BIGINT), CAST(floor(30.0 /
+              (1 + (doc_id % 20) % 9)) AS BIGINT)) AS budget
+          FROM documents),
+        r AS (SELECT a.k, p.delay, p.budget, a.doc_id, a.j, a.priority,
+            row_number() OVER (PARTITION BY a.k
+              ORDER BY a.priority DESC, a.doc_id, a.j) AS rk
+          FROM a JOIN p ON p.k = a.k)
+        SELECT k, delay, budget, doc_id AS id,
+          'http://site' || doc_id || '.example/p' || j ||
+            '?x=' || doc_id || '&y=' || j AS loc,
+          priority, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= budget ORDER BY k, rk""")),
+
     // ANIMATED GIF FRAMES — the frame-sampling primitive for the one
     // animated format the web ships (the GIF twin of the MJPEG-in-MP4
     // row): per-frame LZW decode + GCE delay capture, through the
@@ -4334,6 +4464,171 @@ object Llm extends QueryModule {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("qid", "rk", "doc_id", "score")
+  }
+
+  /** EXACT top-k BM25 through an IMPACT-ORDERED index — the
+    * MaxScore/Block-Max family's set-oriented form, and the fix for
+    * the Σ_{t∈q} df(t) common-term blow-up (the one measured scale
+    * weak: 367 s/1000 queries at ×100 unpruned, where the maxDf dial
+    * changes the result set). This path returns rows IDENTICAL to
+    * bm25TopKQueries — provably, not approximately:
+    *
+    *  1. INDEX (amortized across the query batch): per-posting exact
+    *     contribution c(t,d) (same 6-decimal rounding as the exact
+    *     path), impact-RANKED within each term (row_number over
+    *     (c DESC, doc_id) — the rank filter compiles to a
+    *     WindowGroupLimit, so each term keeps only its top prefixR+1
+    *     rows map-side). At 100 TB this table is the persisted
+    *     impact-ordered index a deployment builds once.
+    *  2. PREFIX PROBE: query terms join only the top-prefixR postings
+    *     of each term — O(|q|·prefixR) rows per query REGARDLESS of
+    *     df, which is the whole point. Summing them gives a LOWER
+    *     bound partial(d) ≤ S(d) for every seen doc (contributions
+    *     are strictly positive).
+    *  3. BOUNDS: θ(q) = k-th best partial — a lower bound on the k-th
+    *     best full score (the k docs at partial ≥ θ all have
+    *     S ≥ partial ≥ θ). Δ(q) = Σ_t c@rank(prefixR+1) — any
+    *     contribution a doc is MISSING from the prefix sits at rank
+    *     > prefixR in that term, so it is ≤ that term's tail impact.
+    *  4. PRUNE, with a margin that absorbs the 6-decimal rounding
+    *     (ε = 0.5e-6 per round, so any two docs whose raw sums differ
+    *     by > 1e-6 cannot swap after rounding; margin 1e-5 also
+    *     swamps double-association noise): if Δ < θ − margin, every
+    *     UNSEEN doc (score ≤ Δ) and every seen doc with
+    *     partial + Δ < θ − margin is strictly below the k-th best —
+    *     drop them. Survivors are rescored EXACTLY (all their present
+    *     query terms, via the postings equi-join on (term, doc)), so
+    *     the emitted scores/ties/ordering are byte-identical to the
+    *     full probe's.
+    *  5. FALLBACK: a query whose bound fails (Δ ≥ θ − margin, or
+    *     fewer than k docs seen) is routed — whole — through the
+    *     existing full probe and unioned back. Exactness never
+    *     depends on the data; only the speedup does. The fallback
+    *     branch re-derives the index subtree, which costs an index
+    *     build (the measured 10-16 s floor at ×100), never the
+    *     contrib explosion — that stays proportional to the fallback
+    *     query count.
+    */
+  def bm25TopKMaxScoreQueries(corpus: DataFrame, queryTerms: DataFrame,
+      k: Int, prefixR: Int = 1000): DataFrame =
+    bm25MaxScoreParts(corpus, queryTerms, k, prefixR)._1
+
+  /** First-5-token convenience over bm25TopKMaxScoreQueries, mirroring
+    * bm25TopK so the exact and MaxScore paths take identical inputs. */
+  def bm25TopKMaxScore(corpus: DataFrame, nQueries: Long, k: Int,
+      prefixR: Int = 1000): DataFrame =
+    bm25TopKMaxScoreQueries(corpus,
+      corpus.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(
+            slice(TextOps.tokens(col("text")), 1, 5))).as("qw")),
+      k, prefixR)
+
+  /** (result, per-query bound diagnostics (qid, delta, theta,
+    * prunable)) — the diagnostics let the spec pin that the pruned
+    * path actually engages (non-vacuous) and that the fallback routes
+    * correctly, without a second code path.
+    *
+    * Two measured-in design decisions (×100 replica-corpus probe,
+    * BASELINE.md round-12 BM25 row):
+    *
+    *  - CANONICAL QUERY GROUPS: scoring depends only on the SET of
+    *    distinct term hashes, so identical term sets are scored once
+    *    (gid = xxhash64 of the sorted hash set) and fanned back out to
+    *    qids at the end. Duplicate queries are the norm in retrieval
+    *    batches (and in the ×100 probe, whose 1000 replica queries
+    *    carry 10 distinct texts); scoring cost must follow DISTINCT
+    *    work. Same 64-bit-collision posture as every xxhash64 join key
+    *    in the library.
+    *  - θ FROM EXACT RESCORING, not partial prefix sums: the first cut
+    *    used the k-th best prefix-partial as θ and measured 0/1000
+    *    prunable — per-term prefixes of a tie-heavy corpus catch
+    *    DIFFERENT doc subsets, so no seen doc accumulated more than ~2
+    *    of its 5 terms and θ landed at 0.97 vs Δ 2.19. Rescoring the
+    *    seen docs exactly (they are ≤ |q|·prefixR by construction)
+    *    costs one bounded join and lifts θ to the true k-th-best-seen
+    *    score — the strongest valid lower bound this index shape can
+    *    produce. */
+  private[graft] def bm25MaxScoreParts(corpus: DataFrame,
+      queryTerms: DataFrame, k: Int, prefixR: Int)
+      : (DataFrame, DataFrame) = {
+    val margin = 1e-5
+    val tok = corpus.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      round(avg("dl"), 6).as("avgdl"))
+    val dfq = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    // identical contribution expression (incl. rounding) to the exact
+    // path — rescored survivors must emit byte-identical scores. The
+    // postings (and their impact-ranked head) are checkpointed: four
+    // consumers read them (prefix, tails, rescore, fallback), and at
+    // 100 TB this IS the persisted impact-ordered index artifact a
+    // deployment builds once and serves from.
+    val postings = tf.join(dfq, "h").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", round(
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+      .select("h", "doc_id", "c")
+      .localCheckpoint()
+    val byImpact = Window.partitionBy("h").orderBy(desc("c"), asc("doc_id"))
+    val rankedHead = postings
+      .withColumn("r", row_number().over(byImpact))
+      .filter(col("r") <= prefixR + 1)
+      .localCheckpoint()
+    val prefix = rankedHead.filter(col("r") <= prefixR)
+      .select("h", "doc_id")
+    val tailUb = rankedHead.filter(col("r") === prefixR + 1)
+      .select(col("h"), col("c").as("tail_ub"))
+    // canonical groups: gid = hash of the sorted distinct term-hash set
+    val qt = queryTerms
+      .select(col("qid"), xxhash64(col("qw")).as("h")).distinct()
+    val qg = qt.groupBy("qid").agg(array_sort(collect_set("h")).as("hs"))
+      .withColumn("gid", xxhash64(col("hs")))
+    val gidMap = qg.select("qid", "gid")
+    val gt = qg.select(col("gid"), explode(col("hs")).as("h")).distinct()
+    // seen docs (≤ |q|·prefixR per group) rescored EXACTLY
+    val seen = gt.join(prefix, "h").select("gid", "doc_id").distinct()
+    def fullScores(terms: DataFrame): DataFrame =
+      terms.join(postings, Seq("h", "doc_id"))
+        .groupBy("gid", "doc_id").agg(round(sum("c"), 6).as("score"))
+    val resc = fullScores(seen.join(gt, "gid"))
+    val wq = Window.partitionBy("gid").orderBy(desc("score"), asc("doc_id"))
+    val rescRk = resc.withColumn("rk", row_number().over(wq))
+    val theta = rescRk.filter(col("rk") === k)
+      .select(col("gid"), col("score").as("theta"))
+    val delta = gt.join(tailUb, Seq("h"), "left")
+      .groupBy("gid")
+      .agg(coalesce(sum("tail_ub"), lit(0.0)).as("delta"))
+    // prunable ⇔ every UNSEEN doc (score ≤ Δ, each of its postings
+    // sits below every term's prefix) is strictly under the k-th best
+    // seen score — so seen docs contain the exact top-k
+    val gstat = delta.join(theta, Seq("gid"), "left")
+      .withColumn("prunable",
+        col("theta").isNotNull && col("delta") < col("theta") - lit(margin))
+    val prunedTopK = rescRk.filter(col("rk") <= k)
+      .join(gstat.filter(col("prunable")).select("gid"), "gid")
+    // fallback: full postings probe for the un-prunable groups — the
+    // contrib volume stays proportional to THEIR Σ df, never the batch's
+    val fbGroups = gt.join(
+      gstat.filter(!col("prunable")).select("gid"), "gid")
+    val fbScores = fbGroups.join(postings, "h")
+      .groupBy("gid", "doc_id").agg(round(sum("c"), 6).as("score"))
+    val fbTopK = fbScores.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+    val out = prunedTopK.unionByName(fbTopK)
+      .join(gidMap, "gid")
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"))
+    val qstat = gstat.join(gidMap, "gid")
+      .select("qid", "delta", "theta", "prunable")
+    (out, qstat)
   }
 
   def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {

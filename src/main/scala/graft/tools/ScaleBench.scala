@@ -381,6 +381,15 @@ object ScaleBench {
     // the probe is postings-build-bound. Together with the
     // common-term row above this brackets BM25's Σ-df cost model from
     // both ends on the same corpus.
+    // The MAXSCORE answer to the common-term row above: SAME 1000
+    // common-term queries, EXACT results (no maxDf), but the probe
+    // touches only |q|·prefixR prefix postings per query plus the
+    // candidate rescore — the r11 verdict's ≤60 s target (from 367 s).
+    // prefixR must clear the replica multiplication (each base impact
+    // appears ~mult times), so scale it with mult.
+    time("bm25_maxscore_1k")(force(
+      graft.queries.Llm.bm25TopKMaxScore(docs, nQueries = 10L * mult,
+        k = 10, prefixR = sys.env.getOrElse("BM25_R", s"${50 * mult}").toInt)))
     time("bm25_rare_1k")(force(
       graft.queries.Llm.bm25TopKQueries(docs,
         docs.filter(col("doc_id") < 1000)

@@ -95,11 +95,52 @@ class PlanAuditSpec extends SparkSpec {
       .select(($"x" / $"t").as("share"))
     val fs1 = PlanAudit.audit(scalarMul).filter(_.rule == "nested-loop-join")
     assert(fs1.nonEmpty && fs1.forall(_.severity == "info"), fs1.mkString("\n"))
-    // a broadcast the audit cannot bound (filtered scan) stays a warn
-    val qside = spark.range(1000).toDF("q").filter($"q" % 7 === 0)
-    val unbounded = big.crossJoin(broadcast(qside)).filter($"x" * $"q" > 10)
+    // a broadcast the audit cannot bound (filtered parquet scan — the
+    // data-dependent case) stays a warn. NB: range/limit/aggregate
+    // sides are now provably bounded (provablyAtMostN) and adjudicate
+    // to info — the separate test below pins those directions.
+    val qside = graft.sources.Catalog.table(spark, sf0001, "nation")
+      .filter($"n_nationkey" % 7 === 0).select("n_nationkey")
+    val unbounded = big.crossJoin(broadcast(qside))
+      .filter($"x" * $"n_nationkey" > 10)
     val fs2 = PlanAudit.audit(unbounded).filter(_.rule == "nested-loop-join")
     assert(fs2.nonEmpty && fs2.forall(_.severity == "warn"), fs2.mkString("\n"))
+  }
+
+  test("provablyAtMostN adjudicates bounded broadcasts to info, both directions") {
+    import spark.implicits._
+    val big = spark.range(100000).toDF("x")
+    // limit-derived: the contract-bounded query-set pattern
+    val qset = graft.sources.Catalog.table(spark, sf0001, "customer")
+      .filter($"c_custkey" < 50).limit(50)
+      .select($"c_custkey".as("q"))
+    val lim = big.crossJoin(broadcast(qset)).filter($"x" * $"q" > 10)
+    val fsLim = PlanAudit.audit(lim).filter(_.rule == "nested-loop-join")
+    assert(fsLim.nonEmpty && fsLim.forall(_.severity == "info"),
+      fsLim.mkString("\n"))
+    assert(fsLim.exists(_.detail.contains("provably")), fsLim.mkString("\n"))
+    // aggregate-cardinality-derived: an aggregate OVER a limited input
+    // passes the bound through (#groups <= #input rows)
+    val aggSide = qset.groupBy("q").agg(count(lit(1)).as("n"))
+    val agg = big.crossJoin(broadcast(aggSide)).filter($"x" * $"q" > 10)
+    val fsAgg = PlanAudit.audit(agg).filter(_.rule == "nested-loop-join")
+    assert(fsAgg.nonEmpty && fsAgg.forall(_.severity == "info"),
+      fsAgg.mkString("\n"))
+    // a GROUPED aggregate over an UNBOUNDED input proves nothing
+    val openAgg = graft.sources.Catalog.table(spark, sf0001, "customer")
+      .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+      .select($"c_custkey".as("q"))
+    val open = big.crossJoin(broadcast(openAgg)).filter($"x" * $"q" > 10)
+    val fsOpen = PlanAudit.audit(open).filter(_.rule == "nested-loop-join")
+    assert(fsOpen.nonEmpty && fsOpen.forall(_.severity == "warn"),
+      fsOpen.mkString("\n"))
+    // a bound above MaxProvenBroadcastRows is no adjudication at all
+    val hugeLim = graft.sources.Catalog.table(spark, sf0001, "customer")
+      .limit(50000000).select($"c_custkey".as("q"))
+    val huge = big.crossJoin(broadcast(hugeLim)).filter($"x" * $"q" > 10)
+    val fsHuge = PlanAudit.audit(huge).filter(_.rule == "nested-loop-join")
+    assert(fsHuge.nonEmpty && fsHuge.forall(_.severity == "warn"),
+      fsHuge.mkString("\n"))
   }
 
   test("clean long-key aggregate has no findings") {

@@ -69,6 +69,49 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl-delay: * group's value captured, other agents' ignored") {
+    // synthRobots carries Crawl-delay: 999 in the exoticbot group and
+    // 1 + k%9 in the * group — only the latter may surface
+    val p = Robots.parsePolicy(Robots.synthRobots(13L))
+    assert(p.crawlDelay.contains(5)) // 1 + 13%9
+    assert(p.rules.toSeq == Robots.parse(Robots.synthRobots(13L)).toSeq)
+    // delay in a specific-agent group only → * group has none
+    val other = Robots.parsePolicy(
+      """User-agent: otherbot
+        |Crawl-delay: 7
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /x/
+        |""".stripMargin)
+    assert(other.crawlDelay.isEmpty)
+    assert(other.rules.toSeq == Seq(Robots.RobotsRule(allow = false, "/x/")))
+  }
+
+  test("crawl-delay: first valid wins; malformed/negative skipped") {
+    val p = Robots.parsePolicy(
+      """User-agent: *
+        |Crawl-delay: -3
+        |Crawl-delay: soon
+        |Crawl-delay: 4 # seconds
+        |Crawl-delay: 9
+        |Disallow: /a/
+        |""".stripMargin)
+    assert(p.crawlDelay.contains(4))
+    // a delay line counts as a rule for group accounting: a later
+    // user-agent line starts a NEW group whose delay must not apply
+    val regrouped = Robots.parsePolicy(
+      """User-agent: *
+        |Crawl-delay: 2
+        |User-agent: otherbot
+        |Crawl-delay: 8
+        |""".stripMargin)
+    assert(regrouped.crawlDelay.contains(2))
+    // absent directive → None (no default invented)
+    assert(Robots.parsePolicy("User-agent: *\nDisallow: /a/\n")
+      .crawlDelay.isEmpty)
+  }
+
   test("field names are case-insensitive, inline comments stripped") {
     val rules = Robots.parse(
       "USER-AGENT: *\nDISALLOW: /a/ # private\nALLOW: /a/b\n")
