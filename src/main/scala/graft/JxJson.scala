@@ -326,6 +326,14 @@ object JxJson {
         s"jx: '$c' is not supported over a stream — run it against " +
           s"the batch table or move it above/below the streaming stage")
     }
+    (q \ "join") match {
+      case JNothing | JNull => ()
+      case j =>
+        require((q \ "groupby") == JNothing || (q \ "groupby") == JNull,
+          "jx: a stream-stream join query takes no groupby — aggregate " +
+            "the join's output in a downstream batch query instead")
+        return finishSortLimit(streamStreamJoin(spark, sfDir, j, q), q)
+    }
     val wm = (q \ "watermark")
     val wmOn = (wm \ "on") match {
       case JString(c) => c
@@ -407,6 +415,98 @@ object JxJson {
       agg, s"jx_stream_${System.nanoTime()}",
       org.apache.spark.sql.streaming.OutputMode.Append())
     finishSortLimit(out, q)
+  }
+
+  /** Stream-stream interval join through the front door (r11 verdict
+    * #7, the jx twin of Streams.clickViewJoin): both sides are
+    * filtered projections of the events stream, each REQUIRED to carry
+    * its own watermark and the join REQUIRED to carry a time interval
+    * — without both watermarks and the bound, buffered join state
+    * grows with the stream, so a query missing either is refused at
+    * COMPILE time, not discovered at 100 TB. Shape:
+    *   "join": {"left":  {"where": …, "fields": {new: src, …},
+    *                      "watermark": {"on": …, "delay": …}},
+    *            "right": {…},
+    *            "on": {"left": col, "right": col},
+    *            "interval": {"left": t0, "right": t1, "within": dur}}
+    * Semantics: rows match when the key columns are equal and
+    * t1 ∈ [t0, t0 + within] — right-side events in the `within`
+    * window AFTER the left event. */
+  private def streamStreamJoin(spark: SparkSession, sfDir: String,
+      j: JValue, q: JValue): DataFrame = {
+    def side(name: String): (DataFrame, List[String]) = {
+      val s = (j \ name)
+      require(s != JNothing && s != JNull, s"jx: join needs '$name'")
+      var df = graft.streaming.Streams.eventsStream(spark, sfDir)
+      (s \ "where") match {
+        case JNothing | JNull => ()
+        case w => df = df.filter(compile(w))
+      }
+      val fields = (s \ "fields") match {
+        case JObject(fs) if fs.nonEmpty => fs
+        case _ => sys.error(s"jx: join.$name needs 'fields' " +
+          """({"new_name": "source_col", …}) — the two sides meet in """ +
+          "one row, so their columns must be explicitly disjoint")
+      }
+      val proj = df.select(fields.map {
+        case (n, JString(src)) => col(src).as(n)
+        case (n, other) => sys.error(s"jx: join.$name.fields.$n $other")
+      }: _*)
+      val wm = (s \ "watermark")
+      ((wm \ "on"), (wm \ "delay")) match {
+        case (JString(on), JString(d)) =>
+          require(fields.exists(_._1 == on),
+            s"jx: join.$name watermark.on '$on' is not a declared field")
+          (proj.withWatermark(on, d), fields.map(_._1))
+        case _ => sys.error(s"jx: join.$name needs watermark " +
+          "{on, delay} — a stream-stream join cannot evict buffered " +
+          "state unless BOTH sides are watermarked")
+      }
+    }
+    val (left, lCols) = side("left")
+    val (right, rCols) = side("right")
+    val dup = lCols.intersect(rCols)
+    require(dup.isEmpty,
+      s"jx: join sides both declare ${dup.mkString(", ")} — rename in 'fields'")
+    val (lk, rk) = ((j \ "on" \ "left"), (j \ "on" \ "right")) match {
+      case (JString(a), JString(b)) => (a, b)
+      case _ => sys.error("""jx: join.on needs {"left": col, "right": col}""")
+    }
+    val (lt, rt, within) = ((j \ "interval" \ "left"),
+        (j \ "interval" \ "right"), (j \ "interval" \ "within")) match {
+      case (JString(a), JString(b), JString(w)) =>
+        require(w.matches("\\d+ [a-z]+"),
+          s"jx: interval.within '$w' is not a '<n> <unit>' duration")
+        (a, b, w)
+      case _ => sys.error("jx: join needs interval {left, right, " +
+        "within} — an un-time-bounded stream-stream join buffers " +
+        "unbounded state")
+    }
+    (j \ "type") match {
+      case JNothing | JNull | JString("inner") => ()
+      case JString(t) => sys.error(s"jx: join.type '$t' — the front " +
+        "door compiles inner interval joins; outer forms run through " +
+        "the declared stream_join_outer/_full operators")
+      case other => sys.error(s"jx: join.type $other")
+    }
+    val joined = left.join(right,
+      col(lk) === col(rk) && col(rt) >= col(lt) &&
+        col(rt) <= col(lt) + expr(s"INTERVAL '$within'"))
+    val out = (q \ "select") match {
+      case JNothing | JNull => joined
+      case sel =>
+        val names = (sel match {
+          case JArray(xs) => xs; case x => List(x)
+        }).map {
+          case JString(n) => n
+          case other => sys.error(s"jx: stream-join select $other — " +
+            "plain output column names only")
+        }
+        joined.select(names.map(col): _*)
+    }
+    graft.streaming.Streams.runToMemory(
+      out, s"jx_sj_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** One snowflake-descent step: `seg` must be an array<struct> (the

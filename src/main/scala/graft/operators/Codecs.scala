@@ -3309,4 +3309,395 @@ object Codecs {
     }
     out.toByteArray
   }
+
+  // ===================== H.264/AVC NAL + SPS walk =====================
+  // The "filter before decode" pass for real video: NAL unit framing
+  // (both wire forms — AVCC length prefixes and Annex-B start codes),
+  // emulation-prevention unescaping, and the SPS parse that yields
+  // profile/level/dimensions through bounded Exp-Golomb integer reads.
+  // NO entropy decode, NO slice parsing — exactly the metadata a
+  // 100 TB video corpus reads to drop/route content before paying for
+  // a decoder. Payload bitstreams beyond the SPS stay out of scope
+  // (the documented inter-frame stub boundary).
+
+  final case class AvcMeta(framing: String, nNals: Int, nSlices: Int,
+      profileIdc: Int, levelIdc: Int, width: Int, height: Int,
+      ppsRbspLen: Int)
+
+  /** MSB-first bit reader over an RBSP with H.264's bounded integer
+    * reads: u(n) and ue(v) (Exp-Golomb). Every read is loud on
+    * truncation; ue leading-zero runs are capped at 31 (the spec's
+    * 32-bit codeNum bound) so a zero-filled buffer cannot spin. */
+  private final class ExpGolombReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      (0 until n).foreach { _ =>
+        val byteIdx = pos >> 3
+        require(byteIdx < bytes.length, "SPS truncated mid-read")
+        v = (v << 1) | ((bytes(byteIdx) >> (7 - (pos & 7))) & 1)
+        pos += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        require(zeros <= 31, "Exp-Golomb run exceeds 32-bit bound")
+      }
+      (1 << zeros) - 1 + u(zeros)
+    }
+  }
+
+  /** Strip emulation-prevention bytes: 00 00 03 → 00 00 (the 03 is
+    * the escape, legal only before 00/01/02/03). */
+  def rbspUnescape(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length)
+    var i = 0
+    while (i < nal.length) {
+      if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+          nal(i + 2) == 3) {
+        out.write(0); out.write(0); i += 3
+      } else { out.write(nal(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Inverse of rbspUnescape for the synths: escape 00 00 0x
+    * (x ≤ 3) runs with an emulation-prevention 03. */
+  def rbspEscape(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var i = 0
+    var zeros = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i) & 0xff
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Split a stream into NAL units. AVCC: 4-byte big-endian length
+    * prefixes, each length required in [1, remaining]. Annex-B:
+    * 3- or 4-byte start codes, stream must BEGIN with one. Returns
+    * (framing, escaped NAL bytes incl. the header byte). */
+  def nalUnits(bytes: Array[Byte]): (String, Array[Array[Byte]]) = {
+    require(bytes.length >= 5, "AVC stream shorter than one NAL")
+    val annexB = bytes(0) == 0 && bytes(1) == 0 &&
+      (bytes(2) == 1 || (bytes(2) == 0 && bytes(3) == 1))
+    if (annexB) {
+      val starts = collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i + 2 < bytes.length) {
+        if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+          starts += i + 3; i += 3
+        } else i += 1
+      }
+      require(starts.nonEmpty, "Annex-B stream without a start code")
+      val nals = starts.zipWithIndex.map { case (from, k) =>
+        // a start code's own leading zeros belong to the PREVIOUS
+        // nal's trailing boundary, not its payload
+        val rawTo =
+          if (k + 1 < starts.length) starts(k + 1) - 3 else bytes.length
+        var to = rawTo
+        while (to > from && bytes(to - 1) == 0) to -= 1
+        require(to > from, "empty NAL unit")
+        bytes.slice(from, to)
+      }
+      ("annexb", nals.toArray)
+    } else {
+      val nals = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      while (i < bytes.length) {
+        require(i + 4 <= bytes.length, "truncated AVCC length prefix")
+        val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+          ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        require(len >= 1 && i + 4 + len <= bytes.length,
+          s"AVCC NAL length $len out of bounds at offset $i")
+        nals += bytes.slice(i + 4, i + 4 + len)
+        i += 4 + len
+      }
+      ("avcc", nals.toArray)
+    }
+  }
+
+  /** SPS parse (ITU-T H.264 §7.3.2.1.1) up to the cropping window —
+    * profile/level/dims via bounded u(n)/ue(v) reads only. `rbsp`
+    * EXCLUDES the NAL header byte. */
+  def parseSps(rbsp: Array[Byte]): (Int, Int, Int, Int) = {
+    val r = new ExpGolombReader(rbsp)
+    val profile = r.u(8)
+    r.u(8) // constraint_set flags + reserved
+    val level = r.u(8)
+    r.ue() // seq_parameter_set_id
+    var chromaFormatIdc = 1
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile)) {
+      chromaFormatIdc = r.ue()
+      require(chromaFormatIdc <= 3, s"bad chroma_format_idc $chromaFormatIdc")
+      if (chromaFormatIdc == 3) r.u(1) // separate_colour_plane
+      r.ue(); r.ue() // bit depths
+      r.u(1) // qpprime_y_zero_transform_bypass
+      require(r.u(1) == 0, "seq_scaling_matrix unsupported in meta walk")
+    }
+    r.ue() // log2_max_frame_num_minus4
+    val pocType = r.ue()
+    require(pocType == 2,
+      s"fixture SPS carries pic_order_cnt_type 2, read $pocType")
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed
+    val widthMbs = r.ue() + 1
+    val heightMaps = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field
+    r.u(1) // direct_8x8_inference
+    val cropping = r.u(1)
+    var (cl, cr, ct, cb) = (0, 0, 0, 0)
+    if (cropping == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+    // CropUnitX/Y for chroma_format_idc 1 (4:2:0): 2 and 2·(2−mbsOnly)
+    val cropX = if (chromaFormatIdc == 0 || chromaFormatIdc == 3) 1 else 2
+    val cropY = (if (chromaFormatIdc == 1) 2 else 1) * (2 - frameMbsOnly)
+    val width = widthMbs * 16 - cropX * (cl + cr)
+    val height = (2 - frameMbsOnly) * heightMaps * 16 - cropY * (ct + cb)
+    (profile, level, width, height)
+  }
+
+  /** Full stream walk: framing detect → NAL split → per-NAL header
+    * check → SPS parse → PPS RBSP length (proves unescaping: the wire
+    * form carries an emulation-prevention byte the RBSP must not). */
+  def avcNalMeta(bytes: Array[Byte]): AvcMeta = {
+    val (framing, nals) = nalUnits(bytes)
+    var sps: Option[(Int, Int, Int, Int)] = None
+    var ppsLen = -1
+    var slices = 0
+    nals.foreach { nal =>
+      require(nal.length >= 1, "empty NAL")
+      val hdr = nal(0) & 0xff
+      require((hdr & 0x80) == 0, "forbidden_zero_bit set")
+      val rbsp = rbspUnescape(nal.drop(1))
+      (hdr & 0x1f) match {
+        case 7 =>
+          require(sps.isEmpty, "duplicate SPS in metadata shell")
+          sps = Some(parseSps(rbsp))
+        case 8 => ppsLen = rbsp.length
+        case 1 | 5 => slices += 1
+        case t => sys.error(s"unexpected NAL type $t in metadata shell")
+      }
+    }
+    val (p, l, w, h) = sps.getOrElse(sys.error("stream carries no SPS"))
+    require(ppsLen >= 0, "stream carries no PPS")
+    AvcMeta(framing, nals.length, slices, p, l, w, h, ppsLen)
+  }
+
+  /** MSB-first bit writer for the SPS synth. */
+  private final class ExpGolombWriter {
+    private val buf = collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0; private var nbits = 0
+    def u(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { i =>
+      cur = (cur << 1) | ((v >> i) & 1); nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def ue(v: Int): Unit = {
+      val zeros = 31 - Integer.numberOfLeadingZeros(v + 1)
+      u(0, zeros); u(v + 1, zeros + 1)
+    }
+    def rbspTrailing(): Array[Byte] = {
+      u(1, 1)
+      if (nbits > 0) u(0, 8 - nbits)
+      buf.toArray
+    }
+  }
+
+  /** Closed-form AVC metadata shell for doc d: SPS + PPS + 1+d%3
+    * slice NALs, AVCC framing for even d, Annex-B for odd (mixed 4-
+    * and 3-byte start codes). The PPS RBSP embeds a 00 00 01 triple,
+    * so the wire form REQUIRES an emulation-prevention byte on both
+    * framings — parsers that skip unescaping report the wrong
+    * pps_rbsp_len. Oracle columns (id < 300):
+    *   framing  = d%2=0 → 'avcc' else 'annexb'
+    *   n_nals   = 3 + d%3, n_slices = 1 + d%3
+    *   profile  = [66,77,100][d%3], level = [30,31,40,41,50][d%5]
+    *   width    = 16·(2+d%5) − (d%4=0 ? 2·(1+(d/4)%2) : 0)
+    *   height   = 16·(2+d%3) − (d%4=0 ? 2·((d/4)%2) : 0)
+    *   pps_rbsp_len = 8 + d%4 */
+  /** The fixture SPS NAL (escaped, header byte included) for doc d —
+    * shared by the raw-stream synth and the avcC-in-MP4 synth. */
+  def synthSpsNal(d: Long): Array[Byte] = {
+    val profile = Array(66, 77, 100)((d % 3).toInt)
+    val level = Array(30, 31, 40, 41, 50)((d % 5).toInt)
+    val w = new ExpGolombWriter
+    w.u(profile, 8); w.u(0, 8); w.u(level, 8)
+    w.ue(0) // seq_parameter_set_id
+    if (profile == 100) {
+      w.ue(1) // chroma_format_idc 4:2:0
+      w.ue(0); w.ue(0) // bit depths
+      w.u(0, 1); w.u(0, 1) // qpprime, scaling matrix
+    }
+    w.ue((d % 5).toInt) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type
+    w.ue(1 + (d % 4).toInt) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num
+    w.ue(1 + (d % 5).toInt) // pic_width_in_mbs_minus1
+    w.ue(1 + (d % 3).toInt) // pic_height_in_map_units_minus1
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8_inference
+    if (d % 4 == 0) {
+      w.u(1, 1) // frame_cropping
+      w.ue(0); w.ue(1 + ((d / 4) % 2).toInt) // left, right
+      w.ue(0); w.ue(((d / 4) % 2).toInt) // top, bottom
+    } else w.u(0, 1)
+    w.u(0, 1) // vui_parameters_present
+    (0x67.toByte) +: rbspEscape(w.rbspTrailing())
+  }
+
+  /** The fixture PPS NAL: 8 + d%4 RBSP bytes with an embedded
+    * 00 00 01 triple, so the wire form ALWAYS carries an
+    * emulation-prevention byte. */
+  def synthPpsNal(d: Long): Array[Byte] = {
+    val ppsRbsp = new Array[Byte](8 + (d % 4).toInt)
+    // never 0x00: a zero-valued trailing byte would be eaten by the
+    // Annex-B boundary recovery (trailing zeros belong to the next
+    // start code), shifting pps_rbsp_len
+    ppsRbsp.indices.foreach(i => ppsRbsp(i) = ((d + 31 * i) % 250 + 1).toByte)
+    // the forced emulation case: a start-code triple inside the RBSP
+    ppsRbsp(2) = 0; ppsRbsp(3) = 0; ppsRbsp(4) = 1
+    (0x68.toByte) +: rbspEscape(ppsRbsp)
+  }
+
+  def synthAvcStream(d: Long): Array[Byte] = {
+    val spsNal = synthSpsNal(d)
+    val ppsNal = synthPpsNal(d)
+    val slices = (0 to (d % 3).toInt).map { s =>
+      val payload = new Array[Byte](6 + s)
+      payload.indices.foreach(i => payload(i) = ((d + 7 * s + i) % 97 + 1).toByte)
+      ((if (s == 0) 0x65 else 0x41).toByte) +: payload
+    }
+    val nals = Seq(spsNal, ppsNal) ++ slices
+    val out = new java.io.ByteArrayOutputStream()
+    if (d % 2 == 0) nals.foreach { n =>
+      val len = new Array[Byte](4); put32be(len, 0, n.length)
+      out.write(len); out.write(n)
+    } else nals.zipWithIndex.foreach { case (n, i) =>
+      // first start code 4-byte; later ones alternate 4/3 per doc
+      if (i == 0 || d % 3 != 0) out.write(0)
+      out.write(0); out.write(0); out.write(1); out.write(n)
+    }
+    out.toByteArray
+  }
+
+  final case class AvccMeta(nSps: Int, nPps: Int, nalLenSize: Int,
+      profileIdc: Int, levelIdc: Int, width: Int, height: Int)
+
+  private def u16be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** How real MP4s carry H.264 configuration: the
+    * AVCDecoderConfigurationRecord inside stsd/avc1/avcC — the walk a
+    * video pipeline runs to learn codec/profile/dims from the moov
+    * WITHOUT touching mdat. Parses the record (version, profile/level
+    * bytes, lengthSizeMinusOne, SPS/PPS sets), then parses the FIRST
+    * SPS through the same Exp-Golomb path as the raw-stream walk and
+    * CROSS-CHECKS: the record's profile/level bytes must equal the
+    * SPS's own, and the avc1 visual-sample-entry width/height must
+    * equal the SPS-derived (cropped) dims — a muxer that disagrees
+    * with its own bitstream is rejected loudly. */
+  def avccMeta(bytes: Array[Byte]): AvccMeta = {
+    val kids = stblKids(bytes)
+    val stsd = oneBox(kids, "stsd")
+    require(stsd.end - stsd.start >= 8, "truncated stsd header")
+    val nEntries = u32be(bytes, stsd.start + 4)
+    require(nEntries == 1, s"stsd carries $nEntries entries, expected 1")
+    val entries = mp4Walk(bytes, stsd.start + 8, stsd.end)
+    val avc1 = oneBox(entries, "avc1")
+    // VisualSampleEntry: 6 reserved + u16 data_ref_index + 16 bytes
+    // pre_defined/reserved + u16 width + u16 height + ... = 78 bytes
+    // before the child boxes
+    require(avc1.end - avc1.start >= 78, "truncated avc1 sample entry")
+    val entryW = u16be(bytes, avc1.start + 24)
+    val entryH = u16be(bytes, avc1.start + 26)
+    val avcc = oneBox(mp4Walk(bytes, avc1.start + 78, avc1.end), "avcC")
+    val a = java.util.Arrays.copyOfRange(bytes, avcc.start, avcc.end)
+    require(a.length >= 7, "truncated AVCDecoderConfigurationRecord")
+    require((a(0) & 0xff) == 1,
+      s"avcC configurationVersion ${a(0) & 0xff} != 1")
+    val recProfile = a(1) & 0xff
+    val recLevel = a(3) & 0xff
+    val nalLenSize = (a(4) & 0x3) + 1
+    val nSps = a(5) & 0x1f
+    require(nSps >= 1, "avcC carries no SPS")
+    var pos = 6
+    var sps: Option[(Int, Int, Int, Int)] = None
+    (0 until nSps).foreach { i =>
+      require(pos + 2 <= a.length, "truncated SPS length")
+      val len = u16be(a, pos); pos += 2
+      require(len >= 1 && pos + len <= a.length,
+        s"SPS length $len out of bounds")
+      if (i == 0) {
+        require((a(pos) & 0x1f) == 7, "first parameter set is not an SPS")
+        sps = Some(parseSps(rbspUnescape(
+          java.util.Arrays.copyOfRange(a, pos + 1, pos + len))))
+      }
+      pos += len
+    }
+    require(pos < a.length, "truncated PPS count")
+    val nPps = a(pos) & 0xff; pos += 1
+    require(nPps >= 1, "avcC carries no PPS")
+    (0 until nPps).foreach { _ =>
+      require(pos + 2 <= a.length, "truncated PPS length")
+      val len = u16be(a, pos); pos += 2
+      require(len >= 1 && pos + len <= a.length,
+        s"PPS length $len out of bounds")
+      require((a(pos) & 0x1f) == 8, "parameter set is not a PPS")
+      pos += len
+    }
+    val (p, l, w, h) = sps.get
+    require(p == recProfile,
+      s"avcC profile $recProfile disagrees with SPS $p")
+    require(l == recLevel, s"avcC level $recLevel disagrees with SPS $l")
+    require(w == entryW && h == entryH,
+      s"avc1 dims ${entryW}x$entryH disagree with SPS ${w}x$h")
+    AvccMeta(nSps, nPps, nalLenSize, p, l, w, h)
+  }
+
+  /** Closed-form MP4 shell whose trak carries a REAL stsd/avc1/avcC
+    * configuration (the synthSpsNal/synthPpsNal fixture sets) — same
+    * oracle columns as the raw-stream walk minus framing/slices. The
+    * avc1 entry's declared width/height are the SPS-derived cropped
+    * dims, as a correct muxer writes them. */
+  def synthAvcMp4(d: Long): Array[Byte] = {
+    val spsNal = synthSpsNal(d)
+    val ppsNal = synthPpsNal(d)
+    val (profile, level, w, h) = parseSps(rbspUnescape(spsNal.drop(1)))
+    val rec = new java.io.ByteArrayOutputStream()
+    rec.write(1); rec.write(profile); rec.write(0); rec.write(level)
+    rec.write(0xff) // reserved | lengthSizeMinusOne = 3
+    rec.write(0xe1) // reserved | numOfSPS = 1
+    rec.write(spsNal.length >> 8); rec.write(spsNal.length & 0xff)
+    rec.write(spsNal)
+    rec.write(1) // numOfPPS
+    rec.write(ppsNal.length >> 8); rec.write(ppsNal.length & 0xff)
+    rec.write(ppsNal)
+    val avcc = mp4Box("avcC", rec.toByteArray)
+    val entry = new Array[Byte](78)
+    entry(7) = 1 // data_reference_index
+    entry(24) = (w >> 8).toByte; entry(25) = (w & 0xff).toByte
+    entry(26) = (h >> 8).toByte; entry(27) = (h & 0xff).toByte
+    put32be(entry, 28, 0x00480000); put32be(entry, 32, 0x00480000) // 72 dpi
+    entry(40) = 1 // frame_count
+    entry(74) = 0x18 // depth 24
+    entry(76) = 0xff.toByte; entry(77) = 0xff.toByte // pre_defined -1
+    val avc1 = mp4Box("avc1", entry ++ avcc)
+    val stsd = mp4Box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ avc1)
+    val stbl = mp4Box("stbl", stsd)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", minf)
+    val trak = mp4Box("trak", mdia)
+    val moov = mp4Box("moov", trak)
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomavc1".getBytes("US-ASCII"))
+    ftyp ++ moov
+  }
 }

@@ -432,6 +432,67 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  def synthAvcMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/h264", Map.empty)(d =>
+      Codecs.synthAvcStream(d))
+
+  /** REAL H.264 NAL walk per partition: framing detect (AVCC and
+    * Annex-B), emulation-prevention unescape, Exp-Golomb SPS parse →
+    * profile/level/dims — the filter-before-decode pass. */
+  def avcNalFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("framing", StringType),
+      StructField("n_nals", IntegerType),
+      StructField("n_slices", IntegerType),
+      StructField("profile_idc", IntegerType),
+      StructField("level_idc", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("pps_rbsp_len", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = Codecs.avcNalMeta(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+        Row(d, m.framing, m.nNals, m.nSlices, m.profileIdc, m.levelIdc,
+          m.width, m.height, m.ppsRbspLen)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  def synthAvcMp4Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/mp4", Map.empty)(d =>
+      Codecs.synthAvcMp4(d))
+
+  /** stsd/avc1/avcC walk per partition: the
+    * AVCDecoderConfigurationRecord + SPS parse with record-vs-SPS and
+    * avc1-vs-SPS cross-checks (Codecs.avccMeta). */
+  def avccFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_sps", IntegerType),
+      StructField("n_pps", IntegerType),
+      StructField("nal_len_size", IntegerType),
+      StructField("profile_idc", IntegerType),
+      StructField("level_idc", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = Codecs.avccMeta(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+        Row(d, m.nSps, m.nPps, m.nalLenSize, m.profileIdc, m.levelIdc,
+          m.width, m.height)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** ids → media rows carrying a structurally real moov with full
     * trak/mdia/minf/stbl sample tables (stts/stsz/stco). */
   def synthMp4SamplesMedia(ids: DataFrame, idCol: String): DataFrame =

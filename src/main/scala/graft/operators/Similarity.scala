@@ -630,11 +630,29 @@ object Similarity {
       codebookSize: Int = 16, shortlist: Int = 20,
       centroidEvery: Int = 32, nprobe: Int = 4,
       centroidCap: Option[Int] = None): DataFrame = {
+    val (cents, cb, coded) = ivfPqBuildIndex(corpus, idCol, vecCol,
+      dim, numSub, codebookSize, centroidEvery, centroidCap)
+    ivfPqServe(cents, cb, coded, queries, corpus, idCol, vecCol,
+      k, dim, numSub, codebookSize, shortlist, nprobe)
+  }
+
+  /** The TRAINED IVF-PQ index artifacts — exactly the three tables a
+    * 100 TB deployment persists once and serves from (FAISS's
+    * quantizer + codebook + inverted lists, as columnar tables):
+    *   centroids (cid, cv, cnrm)   — |lists| rows of raw floats
+    *   codebook  (am, cw, av)      — numSub×codebookSize subvectors
+    *   coded     (vec_id, codes, cid) — numSub bytes-worth per corpus
+    *                                    vector + its list id
+    * All three round-trip parquet EXACTLY (doubles and longs are
+    * stored binary), so serving from a load is hash-identical to
+    * serving in-memory — llm_knn_index_persist pins that. */
+  def ivfPqBuildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int, codebookSize: Int, centroidEvery: Int,
+      centroidCap: Option[Int]): (DataFrame, DataFrame, DataFrame) = {
     require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
     val sd = dim / numSub
     val emb = corpus.select(col(idCol).as("vec_id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
-    val q = queries.select(col(idCol).as("qid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     // IVF side: deterministic centroids + slim rounded-cosine argmax
     // assignment (the ivfTopK/llm_knn_ivf shape). centroidCap = the
@@ -655,7 +673,24 @@ object Similarity {
       .select(col("vec_id"), (-col("b.ncid")).as("cid"))
     // PQ side: shared train + encode; codes pick up their list id
     val (cb, codes) = pqTrainEncode(emb, numSub, sd, codebookSize)
-    val coded = codes.join(asg, Seq("vec_id"))
+    (cents, cb, codes.join(asg, Seq("vec_id")))
+  }
+
+  /** Serve queries from (possibly loaded) index artifacts: probe the
+    * top-nprobe lists per query, ADC-score only those lists' codes,
+    * exact-re-rank the shortlist against the raw vector store
+    * (`corpus` — touched ONLY for |Q|·shortlist rows). */
+  def ivfPqServe(
+      cents: DataFrame, cb: DataFrame, coded: DataFrame,
+      queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, numSub: Int,
+      codebookSize: Int, shortlist: Int, nprobe: Int): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val sd = dim / numSub
+    val emb = corpus.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = queries.select(col(idCol).as("qid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     // query probes (top-nprobe lists) + ADC tables, joined so each
     // probe row carries its query's flattened table
     val qn = q.withColumn("qnrm", norm(col("v")))

@@ -595,6 +595,41 @@ object Extensions extends QueryModule {
         WHERE session_end + INTERVAL '30 minutes' <= mx - INTERVAL '2 hours'
         ORDER BY user_id, session_start""")),
 
+    // The stream-STREAM form (r11 verdict #7): the front door's join
+    // clause compiles onto the watermarked interval join — the
+    // stream_join twin carrying its emit-horizon hard oracle (inner
+    // interval matches emit immediately and completely under
+    // AvailableNow, so the batch join SQL applies verbatim). The
+    // compiler refuses a join missing EITHER side's watermark or the
+    // time interval — unbounded join state is a compile-time error.
+    QueryDef(
+      "jx_json_stream_join",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "events:stream",
+          "join": {
+            "left": {"where": {"eq": ["event_type", {"literal": "click"}]},
+                     "fields": {"user_id": "user_id", "click_ts": "ts",
+                                "click_id": "event_id"},
+                     "watermark": {"on": "click_ts", "delay": "2 hours"}},
+            "right": {"where": {"eq": ["event_type", {"literal": "view"}]},
+                      "fields": {"v_user": "user_id", "view_ts": "ts",
+                                 "view_id": "event_id"},
+                      "watermark": {"on": "view_ts", "delay": "2 hours"}},
+            "on": {"left": "user_id", "right": "v_user"},
+            "interval": {"left": "click_ts", "right": "view_ts",
+                         "within": "2 hours"}
+          },
+          "select": ["user_id", "click_id", "view_id"],
+          "sort": ["user_id", "click_id", "view_id"]
+        }"""),
+      Some("""SELECT a.user_id AS user_id, a.event_id AS click_id,
+          b.event_id AS view_id
+        FROM events a JOIN events b ON a.user_id = b.user_id
+          AND a.event_type = 'click' AND b.event_type = 'view'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+        ORDER BY a.user_id, click_id, view_id""")),
+
     // JX `window` through the JSON front door: per-customer order
     // sequence numbers (high-cardinality partition key — scale-safe,
     // no single-reducer funnel).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
-import graft.operators.{Multimodal, Similarity, TextOps}
+import graft.operators.{Multimodal, Similarity, TextOps, Unigram}
 import graft.plans.VectorExprs
 import graft.sources.Catalog
 
@@ -1950,6 +1950,37 @@ object Llm extends QueryModule {
             JOIN e n ON n.vec_id = s2.nid)
         WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // ANN INDEX PERSISTENCE (r11 verdict #5) — what a 100 TB
+    // deployment actually runs: the trained IVF-PQ artifacts
+    // (centroids, codebook, coded lists) are WRITTEN as parquet via
+    // the ordinary sink path, read back, and the query set is served
+    // entirely FROM THE LOADED INDEX (corpus raw vectors touched only
+    // for the |Q|x-shortlist exact re-rank). Doubles/longs round-trip
+    // parquet bit-exactly, so the oracle is llm_knn_ivf_pq's SQL
+    // VERBATIM — hash-equality against the in-memory build IS the
+    // round-trip proof (SimilaritySpec pins it table-by-table too).
+    QueryDef(
+      "llm_knn_index_persist",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val (cents, cb, coded) = Similarity.ivfPqBuildIndex(
+          emb, "vec_id", "embedding", dim = 64, numSub = 16,
+          codebookSize = 16, centroidEvery = 32, centroidCap = Some(64))
+        val ix = graft.Scratch.dir("ivfpq-index")
+        cents.write.mode("overwrite").parquet(s"$ix/centroids.parquet")
+        cb.write.mode("overwrite").parquet(s"$ix/codebook.parquet")
+        coded.write.mode("overwrite").parquet(s"$ix/codes.parquet")
+        Similarity.ivfPqServe(
+          s.read.parquet(s"$ix/centroids.parquet").limit(64),
+          s.read.parquet(s"$ix/codebook.parquet"),
+          s.read.parquet(s"$ix/codes.parquet"),
+          emb.filter(col("vec_id") < 10).limit(10), emb,
+          "vec_id", "embedding", k = 3, dim = 64, numSub = 16,
+          codebookSize = 16, shortlist = 20, nprobe = 4)
+          .orderBy("qid", "rk")
+      },
+      Some(ivfPqOracleSql)),
+
     // IVF-PQ — the composed 100 TB ANN serving shape (FAISS IVFADC;
     // Jégou et al. 2011 §IV): IVF prunes ROWS (only nprobe=4 of the 16
     // modulus-rule inverted lists are scanned per query), PQ shrinks
@@ -1973,75 +2004,7 @@ object Llm extends QueryModule {
           centroidCap = Some(64))
           .orderBy("qid", "rk")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-            FROM embeddings),
-          a AS (SELECT vec_id AS cw, v AS av FROM e WHERE vec_id < 16),
-          ms AS (SELECT unnest(range(0, 16)) AS m),
-          sq0 AS (SELECT e.vec_id, ms.m, a.cw,
-              round(list_sum(list_transform(range(1, 5),
-                i -> (e.v[ms.m * 4 + i] - a.av[ms.m * 4 + i])
-                   * (e.v[ms.m * 4 + i] - a.av[ms.m * 4 + i]))), 6) AS d
-            FROM e, ms, a),
-          assign0 AS (SELECT vec_id, m, cw AS code0 FROM (
-              SELECT sq0.*, row_number() OVER (PARTITION BY vec_id, m
-                  ORDER BY d, cw) AS rn FROM sq0) WHERE rn = 1),
-          dims AS (SELECT e.vec_id, ms.m, i.i, e.v[ms.m * 4 + i.i] AS x
-            FROM e, ms, (SELECT unnest(range(1, 5)) AS i) i),
-          cb AS (SELECT m, code0 AS cw, list(cx ORDER BY i) AS av FROM (
-              SELECT d2.m, a0.code0, d2.i, round(avg(d2.x), 6) AS cx
-              FROM dims d2 JOIN assign0 a0
-                ON d2.vec_id = a0.vec_id AND d2.m = a0.m
-              GROUP BY d2.m, a0.code0, d2.i)
-            GROUP BY m, code0),
-          sq1 AS (SELECT e.vec_id, cb.m, cb.cw,
-              round(list_sum(list_transform(range(1, 5),
-                i -> (e.v[cb.m * 4 + i] - cb.av[i])
-                   * (e.v[cb.m * 4 + i] - cb.av[i]))), 6) AS d
-            FROM e, cb),
-          codes AS (SELECT vec_id, m, cw AS code FROM (
-              SELECT sq1.*, row_number() OVER (PARTITION BY vec_id, m
-                  ORDER BY d, cw) AS rn FROM sq1) WHERE rn = 1),
-          cents AS (SELECT vec_id AS cid, v AS cv FROM e
-            WHERE vec_id % 32 = 0),
-          asg AS (SELECT vec_id, cid FROM (
-              SELECT e.vec_id, cents.cid,
-                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                  round(list_cosine_similarity(e.v, cents.cv), 6) DESC,
-                  cents.cid) AS crk
-              FROM e, cents) WHERE crk = 1),
-          probes AS (SELECT qid, cid FROM (
-              SELECT qv.vec_id AS qid, cents.cid,
-                row_number() OVER (PARTITION BY qv.vec_id ORDER BY
-                  round(list_cosine_similarity(qv.v, cents.cv), 6) DESC,
-                  cents.cid) AS crk
-              FROM (SELECT * FROM e WHERE vec_id < 10) qv, cents)
-            WHERE crk <= 4),
-          dt AS (SELECT vec_id AS qid, m, cw, d FROM sq1
-            WHERE vec_id < 10),
-          adc AS (SELECT dt.qid, c.vec_id AS nid,
-              round(list_sum(list_transform(list_sort(
-                list(struct_pack(m := c.m, d := dt.d))), x -> x.d)), 6)
-                AS adc
-            FROM codes c
-            JOIN asg ON asg.vec_id = c.vec_id
-            JOIN probes p ON p.cid = asg.cid
-            JOIN dt ON dt.m = c.m AND dt.cw = c.code AND dt.qid = p.qid
-            WHERE c.vec_id != dt.qid
-            GROUP BY dt.qid, c.vec_id),
-          short AS (SELECT qid, nid FROM (SELECT adc.*,
-              row_number() OVER (PARTITION BY qid ORDER BY adc, nid)
-                AS srk FROM adc) WHERE srk <= 20)
-        SELECT qid, rk, nid, dist FROM (
-          SELECT s2.qid, s2.nid,
-            round(list_sum(list_transform(range(1, 65),
-              i -> (q2.v[i] - n.v[i]) * (q2.v[i] - n.v[i]))), 6) AS dist,
-            row_number() OVER (PARTITION BY s2.qid ORDER BY
-              round(list_sum(list_transform(range(1, 65),
-                i -> (q2.v[i] - n.v[i]) * (q2.v[i] - n.v[i]))), 6),
-              s2.nid) AS rk
-          FROM short s2 JOIN e q2 ON q2.vec_id = s2.qid
-            JOIN e n ON n.vec_id = s2.nid)
-        WHERE rk <= 3 ORDER BY qid, rk""")),
+      Some(ivfPqOracleSql)),
 
     QueryDef(
       "llm_text_stats",
@@ -2990,6 +2953,59 @@ object Llm extends QueryModule {
       },
       Some(bpeApplyOracle(6))),
 
+    // UNIGRAM-LM TRAINING (Kudo 2018 — the SentencePiece trainer; r11
+    // verdict #3): the third standard tokenizer beside BPE and
+    // WordPiece. Seed substring counts → 3 Viterbi-EM rounds (segment
+    // every word TYPE optimally under current unigram probabilities,
+    // recount, prune unused) — the ENTIRE training loop re-runs inside
+    // the DuckDB oracle (the bpe_train/kmeans/quality_classifier
+    // discipline): probabilities are single IEEE divisions, scores are
+    // fixed-association products, NO exp/log anywhere, and the argmax
+    // tie-break (score DESC, parts DESC) is total because two distinct
+    // compositions of one word always differ before either ends. See
+    // operators/Unigram.scala for why both engines ENUMERATE
+    // compositions rather than running a DP.
+    QueryDef(
+      "llm_unigram_train",
+      (s, dir) => {
+        val wf = Catalog.table(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        Unigram.train(wf, rounds = 3, vocabCap = Some(1024))
+          .orderBy(desc("cnt"), asc("piece"))
+      },
+      Some(unigramOracle(3))),
+
+    // UNIGRAM-LM APPLY — the serve half: one more Viterbi pass under
+    // the final vocabulary builds the word→pieces segmentation table,
+    // and the corpus joins it exactly like llm_bpe_apply (broadcast
+    // table + doc-keyed aggregate; tokenizing 100 TB never re-runs
+    // the Viterbi per document). Oracle = the train oracle's CTEs
+    // plus a 4th segmentation round and the bpe_apply-style per-doc
+    // reassembly.
+    QueryDef(
+      "llm_unigram_apply",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val wf = docs
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val seg = Unigram.trainSegmentation(wf, rounds = 3,
+          vocabCap = Some(1024))
+        Unigram.tokenize(
+          docs.select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("ord", "word"))),
+          seg, segRows = Some(1024))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("pieces"))).as("n_pieces"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "named_struct('o', ord, 'p', array_join(pieces, ' ')))), " +
+              "x -> x.p), ' ')").as("pieces"))
+          .orderBy("doc_id")
+      },
+      Some(unigramApplyOracle(3))),
+
     // PII-style scrubbing: mask digit runs and count redactions — pure
     // codegen'd regexp over each row, no shuffle. (The synthetic corpus
     // text carries no emails/phones; customer names are the fixture's
@@ -3483,6 +3499,70 @@ object Llm extends QueryModule {
           CAST(1 + doc_id % 3 AS INT) AS track_id,
           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
             AS mvhd_version
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
+    // H.264 NAL + SPS WALK (r11 verdict #4) — the layer BELOW the
+    // ISO-BMFF boxes: NAL unit framing in both wire forms (AVCC
+    // length prefixes / Annex-B start codes, mixed 3- and 4-byte),
+    // emulation-prevention unescaping, and the Exp-Golomb SPS parse
+    // that yields profile/level/dimensions (incl. the frame-cropping
+    // window arithmetic for non-mod-16 dims) — all bounded integer
+    // reads, no entropy decode. The fixture PPS embeds a 00 00 01
+    // triple so BOTH framings force an emulation-prevention byte on
+    // the wire: a parser that skips unescaping reports the wrong
+    // pps_rbsp_len (and under Annex-B would mis-split the stream).
+    // Malformed NAL lengths/truncated SPS fail loudly (CodecsSpec
+    // fuzzes). This completes filter-before-decode for real video;
+    // the inter-frame slice BITSTREAM stays the documented stub
+    // boundary.
+    QueryDef(
+      "llm_video_nal_meta",
+      (s, dir) => Multimodal.avcNalFeatures(
+        Multimodal.synthAvcMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 'avcc' ELSE 'annexb' END AS framing,
+          CAST(3 + doc_id % 3 AS INT) AS n_nals,
+          CAST(1 + doc_id % 3 AS INT) AS n_slices,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+            ELSE 100 END AS INT) AS profile_idc,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
+            WHEN 3 THEN 41 ELSE 50 END AS INT) AS level_idc,
+          CAST(16 * (2 + doc_id % 5) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * (1 + (doc_id // 4) % 2) ELSE 0 END AS INT) AS width,
+          CAST(16 * (2 + doc_id % 3) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * ((doc_id // 4) % 2) ELSE 0 END AS INT) AS height,
+          CAST(8 + doc_id % 4 AS INT) AS pps_rbsp_len
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
+    // avcC-IN-MP4 (the composition of the two walks): how real MP4s
+    // carry H.264 configuration — stsd/avc1/avcC holding the
+    // AVCDecoderConfigurationRecord with the SPS/PPS sets inline. The
+    // parser walks the box tree, parses the record, runs the SAME
+    // Exp-Golomb SPS parse as llm_video_nal_meta, and CROSS-CHECKS
+    // record-vs-SPS profile/level and avc1-vs-SPS dims — a muxer that
+    // disagrees with its own bitstream fails loudly (CodecsSpec pins
+    // both disagreement directions + fuzz).
+    QueryDef(
+      "llm_video_avcc_meta",
+      (s, dir) => Multimodal.avccFeatures(
+        Multimodal.synthAvcMp4Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(1 AS INT) AS n_sps, CAST(1 AS INT) AS n_pps,
+          CAST(4 AS INT) AS nal_len_size,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+            ELSE 100 END AS INT) AS profile_idc,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
+            WHEN 3 THEN 41 ELSE 50 END AS INT) AS level_idc,
+          CAST(16 * (2 + doc_id % 5) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * (1 + (doc_id // 4) % 2) ELSE 0 END AS INT) AS width,
+          CAST(16 * (2 + doc_id % 3) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * ((doc_id // 4) % 2) ELSE 0 END AS INT) AS height
         FROM documents WHERE doc_id < 300 ORDER BY id""")),
 
     // SAMPLE-TABLE walk (Codecs.mp4Samples): one box level deeper than
@@ -4700,6 +4780,179 @@ sel1 AS (SELECT vec_id, sq, v, round(sq*0.7, 6) AS score
   FROM cand ORDER BY score DESC, vec_id LIMIT 1),
 $steps
 SELECT * FROM ($out) ORDER BY rank"""
+  }
+
+  /** Shared by llm_knn_ivf_pq and llm_knn_index_persist: the
+    * persisted-index query must be HASH-EQUAL to the in-memory build,
+    * so both carry the identical oracle. */
+  private val ivfPqOracleSql: String = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings),
+          a AS (SELECT vec_id AS cw, v AS av FROM e WHERE vec_id < 16),
+          ms AS (SELECT unnest(range(0, 16)) AS m),
+          sq0 AS (SELECT e.vec_id, ms.m, a.cw,
+              round(list_sum(list_transform(range(1, 5),
+                i -> (e.v[ms.m * 4 + i] - a.av[ms.m * 4 + i])
+                   * (e.v[ms.m * 4 + i] - a.av[ms.m * 4 + i]))), 6) AS d
+            FROM e, ms, a),
+          assign0 AS (SELECT vec_id, m, cw AS code0 FROM (
+              SELECT sq0.*, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d, cw) AS rn FROM sq0) WHERE rn = 1),
+          dims AS (SELECT e.vec_id, ms.m, i.i, e.v[ms.m * 4 + i.i] AS x
+            FROM e, ms, (SELECT unnest(range(1, 5)) AS i) i),
+          cb AS (SELECT m, code0 AS cw, list(cx ORDER BY i) AS av FROM (
+              SELECT d2.m, a0.code0, d2.i, round(avg(d2.x), 6) AS cx
+              FROM dims d2 JOIN assign0 a0
+                ON d2.vec_id = a0.vec_id AND d2.m = a0.m
+              GROUP BY d2.m, a0.code0, d2.i)
+            GROUP BY m, code0),
+          sq1 AS (SELECT e.vec_id, cb.m, cb.cw,
+              round(list_sum(list_transform(range(1, 5),
+                i -> (e.v[cb.m * 4 + i] - cb.av[i])
+                   * (e.v[cb.m * 4 + i] - cb.av[i]))), 6) AS d
+            FROM e, cb),
+          codes AS (SELECT vec_id, m, cw AS code FROM (
+              SELECT sq1.*, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d, cw) AS rn FROM sq1) WHERE rn = 1),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % 32 = 0),
+          asg AS (SELECT vec_id, cid FROM (
+              SELECT e.vec_id, cents.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_cosine_similarity(e.v, cents.cv), 6) DESC,
+                  cents.cid) AS crk
+              FROM e, cents) WHERE crk = 1),
+          probes AS (SELECT qid, cid FROM (
+              SELECT qv.vec_id AS qid, cents.cid,
+                row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                  round(list_cosine_similarity(qv.v, cents.cv), 6) DESC,
+                  cents.cid) AS crk
+              FROM (SELECT * FROM e WHERE vec_id < 10) qv, cents)
+            WHERE crk <= 4),
+          dt AS (SELECT vec_id AS qid, m, cw, d FROM sq1
+            WHERE vec_id < 10),
+          adc AS (SELECT dt.qid, c.vec_id AS nid,
+              round(list_sum(list_transform(list_sort(
+                list(struct_pack(m := c.m, d := dt.d))), x -> x.d)), 6)
+                AS adc
+            FROM codes c
+            JOIN asg ON asg.vec_id = c.vec_id
+            JOIN probes p ON p.cid = asg.cid
+            JOIN dt ON dt.m = c.m AND dt.cw = c.code AND dt.qid = p.qid
+            WHERE c.vec_id != dt.qid
+            GROUP BY dt.qid, c.vec_id),
+          short AS (SELECT qid, nid FROM (SELECT adc.*,
+              row_number() OVER (PARTITION BY qid ORDER BY adc, nid)
+                AS srk FROM adc) WHERE srk <= 20)
+        SELECT qid, rk, nid, dist FROM (
+          SELECT s2.qid, s2.nid,
+            round(list_sum(list_transform(range(1, 65),
+              i -> (q2.v[i] - n.v[i]) * (q2.v[i] - n.v[i]))), 6) AS dist,
+            row_number() OVER (PARTITION BY s2.qid ORDER BY
+              round(list_sum(list_transform(range(1, 65),
+                i -> (q2.v[i] - n.v[i]) * (q2.v[i] - n.v[i]))), 6),
+              s2.nid) AS rk
+          FROM short s2 JOIN e q2 ON q2.vec_id = s2.qid
+            JOIN e n ON n.vec_id = s2.nid)
+        WHERE rk <= 3 ORDER BY qid, rk"""
+
+  /** Final unigram vocabulary after `r` Viterbi-EM rounds. */
+  private def unigramOracle(r: Int): String =
+    s"""${unigramOracleCtes(r)}
+SELECT piece, cnt FROM v$r ORDER BY cnt DESC, piece"""
+
+  /** Serve twin: one more Viterbi pass (round r+1's segmentation CTEs
+    * under v_r) builds the word→pieces table; per-doc reassembly is
+    * the bpe_apply shape. */
+  private def unigramApplyOracle(r: Int): String = {
+    val f = r + 1
+    s"""${unigramOracleCtes(r)},
+${unigramRoundCtes(f, r, segmentOnly = true)},
+wp AS (SELECT word, list(piece ORDER BY pos) AS pieces FROM bq$f
+  GROUP BY word),
+wdoc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+    generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+  string_agg(array_to_string(pieces, ' '), ' ' ORDER BY ord) AS pieces
+FROM wdoc JOIN wp USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Unigram-LM EM replay, machine-generated per round (the bpeOracle
+    * discipline). Bit-exactness contract with operators/Unigram.scala:
+    * probabilities are single BIGINT→DOUBLE divisions, segmentation
+    * scores the left-associative product 1.0*s1*…*s12 with absent
+    * slots coalesced to the exact-identity 1.0, and the per-word
+    * argmax breaks score ties on the parts list DESC — every
+    * comparison happens on bit-identical doubles in both engines. */
+  private def unigramOracleCtes(r: Int): String = {
+    val rounds = (1 to r).map(i =>
+      unigramRoundCtes(i, i - 1, segmentOnly = false)).mkString(",\n")
+    // compositions of each word length into ordered parts 1..4 (the
+    // candidate segmentation shapes), built once recursively
+    s"""WITH RECURSIVE comp AS (
+  SELECT [CAST(l AS INT)] AS parts, CAST(l AS INT) AS tot
+  FROM (SELECT unnest(generate_series(1, 4)) AS l)
+  UNION ALL
+  SELECT list_append(parts, CAST(l AS INT)), tot + CAST(l AS INT)
+  FROM comp, (SELECT unnest(generate_series(1, 4)) AS l)
+  WHERE tot + l <= 12),
+w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word),
+wl AS (SELECT word, freq, CAST(strlen(word) AS INT) AS len FROM w0),
+sub AS (SELECT substring(word, i, l) AS piece,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT word, freq, len,
+        unnest(generate_series(1, len)) AS i FROM wl),
+       (SELECT unnest(generate_series(1, 4)) AS l)
+  WHERE i + l - 1 <= len GROUP BY 1),
+v0 AS (SELECT piece, cnt FROM sub
+  WHERE cnt >= 2 OR strlen(piece) = 1),
+$rounds"""
+  }
+
+  /** One EM round's CTEs: score candidates under v$prev, pick each
+    * word's best segmentation (b$i / bq$i); unless segmentOnly, also
+    * re-estimate v$i from the chosen pieces. */
+  private def unigramRoundCtes(i: Int, prev: Int,
+      segmentOnly: Boolean): String = {
+    val prodSlots = (1 to 12).map(p =>
+      s"coalesce(max(CASE WHEN pos = $p THEN s END), 1.0)")
+      .mkString(" * ")
+    val recount = if (segmentOnly) "" else s""",
+v$i AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM bq$i
+  GROUP BY piece)"""
+    s"""t$i AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$prev),
+cp$i AS (SELECT word, freq, parts,
+    CAST(generate_subscripts(parts, 1) AS INT) AS pos,
+    unnest(parts) AS p
+  FROM (SELECT w.word, w.freq, c.parts
+        FROM wl w JOIN comp c ON c.tot = w.len)),
+cq$i AS (SELECT word, freq, parts, pos,
+    substring(word,
+      CAST(coalesce(list_sum(parts[1:pos-1]), 0) AS INT) + 1, p) AS piece
+  FROM cp$i),
+cs$i AS (SELECT q.word, q.freq, q.parts, q.pos,
+    CAST(v.cnt AS DOUBLE) / t.t AS s
+  FROM cq$i q JOIN v$prev v ON v.piece = q.piece CROSS JOIN t$i t),
+pr$i AS (SELECT word, any_value(freq) AS freq, parts,
+    1.0 * $prodSlots AS prod
+  FROM cs$i GROUP BY word, parts
+  HAVING count(*) = len(parts)),
+b$i AS (SELECT word, freq, parts FROM (
+    SELECT word, freq, parts, row_number() OVER (
+      PARTITION BY word ORDER BY prod DESC, parts DESC) AS rk
+    FROM pr$i) WHERE rk = 1),
+bp$i AS (SELECT word, freq, parts,
+    CAST(generate_subscripts(parts, 1) AS INT) AS pos,
+    unnest(parts) AS p
+  FROM b$i),
+bq$i AS (SELECT word, freq, pos,
+    substring(word,
+      CAST(coalesce(list_sum(parts[1:pos-1]), 0) AS INT) + 1, p) AS piece
+  FROM bp$i)$recount"""
   }
 
   private def bpeOracleCtes(k: Int): String = {

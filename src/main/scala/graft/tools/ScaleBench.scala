@@ -390,6 +390,38 @@ object ScaleBench {
     time("bm25_maxscore_1k")(force(
       graft.queries.Llm.bm25TopKMaxScore(docs, nQueries = 10L * mult,
         k = 10, prefixR = sys.env.getOrElse("BM25_R", s"${50 * mult}").toInt)))
+    // UNIGRAM-LM at corpus scale (round 12). The synthetic replica
+    // corpus is the WORST case for a unigram trainer: ~30M distinct
+    // salt types (random 8-char hex, count 1-2) vs a real corpus's
+    // Zipfian head. The honest scale shape is SentencePiece's own:
+    // TRAIN on the frequency head (top-50k types — EM counts from
+    // singleton types are noise; seed pruning is standard), SERVE the
+    // full corpus through the broadcast segmentation table with
+    // char-level fallback for the tail (Unigram.tokenize), so apply
+    // covers all 55M word occurrences without enumerating
+    // compositions for 30M rare types.
+    time("unigram_train") {
+      val wf = docs
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("word")).limit(50000)
+      force(graft.operators.Unigram.train(wf, rounds = 3))
+    }
+    time("unigram_apply") {
+      val wf = docs
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("word")).limit(50000)
+      val seg = graft.operators.Unigram.trainSegmentation(wf, rounds = 3)
+        .localCheckpoint()
+      force(graft.operators.Unigram.tokenize(
+        docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word")),
+        seg, segRows = Some(50000))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("pieces"))).as("n_pieces")))
+    }
     time("bm25_rare_1k")(force(
       graft.queries.Llm.bm25TopKQueries(docs,
         docs.filter(col("doc_id") < 1000)

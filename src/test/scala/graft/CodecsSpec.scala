@@ -923,7 +923,10 @@ class CodecsSpec extends AnyFunSuite {
           Codecs.httpParse(java.util.Arrays.copyOfRange(
             plain, r.payloadStart, r.payloadStart + r.contentLength))
         }
-      }))
+      }),
+      ("avc-avcc", Codecs.synthAvcStream(4L), b => Codecs.avcNalMeta(b)),
+      ("avc-annexb", Codecs.synthAvcStream(7L), b => Codecs.avcNalMeta(b)),
+      ("avcc-mp4", Codecs.synthAvcMp4(9L), b => Codecs.avccMeta(b)))
     fixtures.foreach { case (label, ok, dec) =>
       (0 until 120).foreach { trial =>
         val bad = ok.clone()
@@ -1279,5 +1282,83 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.mp4Meta(bad))
     // ftyp alone: must report missing moov
     intercept[RuntimeException](Codecs.mp4Meta(ok.take(24)))
+  }
+
+  test("avc: emulation prevention round-trips and actually fires") {
+    // every 00 00 0x (x<=3) run must gain an escape byte on the wire
+    for (tail <- Seq[Byte](0, 1, 2, 3)) {
+      val rbsp = Array[Byte](9, 0, 0, tail, 5)
+      val wire = Codecs.rbspEscape(rbsp)
+      assert(wire.toSeq == Seq[Byte](9, 0, 0, 3, tail, 5))
+      assert(Codecs.rbspUnescape(wire).toSeq == rbsp.toSeq)
+    }
+    // 00 00 04 needs no escape
+    assert(Codecs.rbspEscape(Array[Byte](0, 0, 4)).toSeq == Seq[Byte](0, 0, 4))
+    // the fixture PPS embeds 00 00 01, so EVERY synth stream carries
+    // a live emulation-prevention byte — find it on the wire
+    val (_, nals) = Codecs.nalUnits(Codecs.synthAvcStream(6L))
+    val pps = nals.find(n => (n(0) & 0x1f) == 8).get
+    assert(pps.sliding(3).exists(w =>
+      w(0) == 0 && w(1) == 0 && w(2) == 3), "PPS wire lacks the escape")
+  }
+
+  test("avc: SPS fields and crop arithmetic match the closed form") {
+    for (d <- 0L to 40L) {
+      val m = Codecs.avcNalMeta(Codecs.synthAvcStream(d))
+      assert(m.framing == (if (d % 2 == 0) "avcc" else "annexb"))
+      assert(m.nNals == 3 + (d % 3) && m.nSlices == 1 + (d % 3))
+      assert(m.profileIdc == Array(66, 77, 100)((d % 3).toInt))
+      val rawW = 16 * (2 + (d % 5).toInt)
+      val expW =
+        if (d % 4 == 0) rawW - 2 * (1 + ((d / 4) % 2).toInt) else rawW
+      assert(m.width == expW, s"d=$d width ${m.width} != $expW")
+      assert(m.ppsRbspLen == 8 + (d % 4))
+    }
+  }
+
+  test("avcC record matches the raw-stream walk; cross-checks fire") {
+    // the two walks agree on every shared field for the same doc
+    for (d <- 0L to 20L) {
+      val rec = Codecs.avccMeta(Codecs.synthAvcMp4(d))
+      val raw = Codecs.avcNalMeta(Codecs.synthAvcStream(d))
+      assert((rec.profileIdc, rec.levelIdc, rec.width, rec.height) ==
+        (raw.profileIdc, raw.levelIdc, raw.width, raw.height), s"d=$d")
+      assert(rec.nSps == 1 && rec.nPps == 1 && rec.nalLenSize == 4)
+    }
+    // record-vs-SPS disagreement: corrupt the record's profile byte
+    // (avcC payload offset 1 — find it by scanning for the box type)
+    val ok = Codecs.synthAvcMp4(3L)
+    def at(pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      (0 until ok.length - 4).find(i => p.indices.forall(j =>
+        ok(i + j) == p(j))).get
+    }
+    val badProfile = ok.clone()
+    badProfile(at("avcC") + 5) = 13 // configurationVersion..profile
+    intercept[IllegalArgumentException](Codecs.avccMeta(badProfile))
+    // avc1-vs-SPS dims disagreement: corrupt the entry's width field
+    val badW = ok.clone()
+    badW(at("avc1") + 4 + 25) = 0x77
+    intercept[IllegalArgumentException](Codecs.avccMeta(badW))
+  }
+
+  test("avc: malformed NAL sizes and truncations fail loudly") {
+    val avcc = Codecs.synthAvcStream(2L) // even id -> AVCC
+    // length prefix pointing past the buffer
+    val bad = avcc.clone(); bad(0) = 0x7f.toByte
+    intercept[IllegalArgumentException](Codecs.avcNalMeta(bad))
+    // zero-length NAL
+    val zero = avcc.clone()
+    zero(0) = 0; zero(1) = 0; zero(2) = 0; zero(3) = 0
+    intercept[IllegalArgumentException](Codecs.avcNalMeta(zero))
+    // truncated mid-SPS: cut inside the first NAL
+    intercept[IllegalArgumentException](Codecs.avcNalMeta(avcc.take(7)))
+    // a stream with no start code and no sane AVCC prefix
+    intercept[IllegalArgumentException](
+      Codecs.avcNalMeta(Array.fill[Byte](16)(0x55)))
+    // Annex-B garbage before the first start code must be rejected
+    val annexb = Codecs.synthAvcStream(3L)
+    intercept[RuntimeException](
+      Codecs.avcNalMeta(Array[Byte](9, 9) ++ annexb))
   }
 }

@@ -496,4 +496,75 @@ class TextOpsSpec extends SparkSpec {
       .select("left_sym", "right_sym").as[(String, String)].collect().toSeq
     assert(out == Seq(("x", "y")))
   }
+
+  test("unigram viterbi: global optimum beats greedy longest-match") {
+    import graft.operators.Unigram
+    // The crafted ambiguity: "abcd" where the greedy longest-prefix
+    // ("abc" then forced "d", score (2/T)·(2/T)) loses to the global
+    // Viterbi split "a"+"bcd" ((10/T)·(10/T)) — the case separating
+    // unigram-LM from WordPiece's greedy walk.
+    val wf = Seq(("abcd", 1L)).toDF("word", "freq")
+    val vocab = Seq(("abc", 2L), ("d", 2L), ("a", 10L), ("bcd", 10L),
+      ("b", 1L), ("c", 1L)).toDF("piece", "cnt")
+    val seg = Unigram.viterbiSegment(wf, vocab, 4, 12)
+      .select("word", "parts", "pieces")
+      .as[(String, Seq[Int], Seq[String])].collect().toSeq
+    assert(seg == Seq(("abcd", Seq(1, 3), Seq("a", "bcd"))))
+  }
+
+  test("unigram viterbi: exact score tie breaks to parts DESC") {
+    import graft.operators.Unigram
+    // Dyadic counts make the tie EXACT in binary floating point:
+    // T = 2+8+1+5 = 16, p(ab) = 1/16 and p(a)·p(b) = (2/16)·(8/16)
+    // = 1/16 — bit-equal products, so the (score, parts DESC) argmax
+    // must pick the single-piece [2] over [1,1].
+    val wf = Seq(("ab", 1L)).toDF("word", "freq")
+    val vocab = Seq(("a", 2L), ("b", 8L), ("ab", 1L), ("z", 5L))
+      .toDF("piece", "cnt")
+    val seg = Unigram.viterbiSegment(wf, vocab, 4, 12)
+      .select("parts", "pieces")
+      .as[(Seq[Int], Seq[String])].collect().toSeq
+    assert(seg == Seq((Seq(2), Seq("ab"))))
+  }
+
+  test("unigram train: EM prunes unused pieces, keeps coverage") {
+    import graft.operators.Unigram
+    val wf = Seq(("aaab", 2L), ("ab", 1L)).toDF("word", "freq")
+    val vocab = Unigram.train(wf, rounds = 3, minCount = 2)
+      .as[(String, Long)].collect().toMap
+    // every word still segmentable under the final vocab (coverage),
+    // and every surviving piece was actually used (cnt > 0)
+    assert(vocab.values.forall(_ > 0))
+    val seg = Unigram.viterbiSegment(wf,
+      vocab.toSeq.toDF("piece", "cnt"), 4, 12)
+    assert(seg.count() == 2)
+    // counts are consistent: piece usage re-derived from the final
+    // segmentation reproduces the vocab exactly (EM's fixed point)
+    val recount = seg
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(recount == vocab)
+  }
+
+  test("unigram tokenize: char fallback covers out-of-table words") {
+    import graft.operators.Unigram
+    val seg = Seq(("hello", Seq("hel", "lo"))).toDF("word", "pieces")
+    val words = Seq((1L, "hello"), (1L, "xq7")).toDF("doc_id", "word")
+    val out = Unigram.tokenize(words, seg, segRows = Some(1))
+      .select("word", "pieces")
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("hello") == Seq("hel", "lo"))
+    assert(out("xq7") == Seq("x", "q", "7")) // SentencePiece-style fallback
+  }
+
+  test("unigram: word over maxWordLen fails loudly, never drops") {
+    import graft.operators.Unigram
+    val wf = Seq(("a" * 13, 1L)).toDF("word", "freq")
+    val vocab = Seq(("a", 5L)).toDF("piece", "cnt")
+    val e = intercept[Exception] {
+      Unigram.viterbiSegment(wf, vocab, 4, 12).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
