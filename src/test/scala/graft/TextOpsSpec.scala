@@ -532,19 +532,38 @@ class TextOpsSpec extends SparkSpec {
     val wf = Seq(("aaab", 2L), ("ab", 1L)).toDF("word", "freq")
     val vocab = Unigram.train(wf, rounds = 3, minCount = 2)
       .as[(String, Long)].collect().toMap
-    // every word still segmentable under the final vocab (coverage),
-    // and every surviving piece was actually used (cnt > 0)
-    assert(vocab.values.forall(_ > 0))
+    // unused MULTI-CHAR pieces are pruned (cnt > 0); single chars are
+    // the permanent coverage floor — kept even at cnt 0
+    assert(vocab.collect { case (p, c) if p.length > 1 => c }
+      .forall(_ > 0))
+    assert(Set("a", "b").subsetOf(vocab.keySet))
     val seg = Unigram.viterbiSegment(wf,
       vocab.toSeq.toDF("piece", "cnt"), 4, 12)
     assert(seg.count() == 2)
     // counts are consistent: piece usage re-derived from the final
-    // segmentation reproduces the vocab exactly (EM's fixed point)
+    // segmentation reproduces every POSITIVE count exactly (EM's
+    // fixed point); the remainder is the 0-count char floor
     val recount = seg
       .select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
       .as[(String, Long)].collect().toMap
-    assert(recount == vocab)
+    assert(recount == vocab.filter(_._2 > 0))
+    assert(vocab.filter(_._2 == 0L).keySet.forall(_.length == 1))
+  }
+
+  test("unigram targetVocab prune keeps chars, bites on multi-char") {
+    import graft.operators.Unigram
+    val wf = Seq(("aaab", 2L), ("ab", 1L), ("bb", 3L)).toDF("word", "freq")
+    val pruned = Unigram.train(wf, rounds = 3, minCount = 2,
+      targetVocab = Some(2)).as[(String, Long)].collect().toMap
+    // every single char survives the prune unconditionally (coverage)
+    val chars = pruned.keySet.filter(_.length == 1)
+    assert(chars.contains("a") && chars.contains("b"))
+    // multi-char survivors are capped at the target
+    assert(pruned.keySet.count(_.length > 1) <= 2)
+    // coverage: all words still segment under the pruned vocab
+    assert(Unigram.viterbiSegment(wf,
+      pruned.toSeq.toDF("piece", "cnt"), 4, 12).count() == 3)
   }
 
   test("unigram tokenize: char fallback covers out-of-table words") {
