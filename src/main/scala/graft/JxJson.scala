@@ -321,7 +321,7 @@ object JxJson {
     require(table == "events",
       s"jx: only the events table streams (got '$table') — it is the " +
         "fixture's event-time source; other tables have no ts column")
-    Seq("edges", "dedup", "sample", "window").foreach { c =>
+    Seq("edges", "sample", "window").foreach { c =>
       require((q \ c) == JNothing || (q \ c) == JNull,
         s"jx: '$c' is not supported over a stream — run it against " +
           s"the batch table or move it above/below the streaming stage")
@@ -350,6 +350,49 @@ object JxJson {
     (q \ "where") match {
       case JNothing | JNull => ()
       case w => df = df.filter(compile(w))
+    }
+    // dedup over the stream: watermark-scoped dropDuplicates ahead of
+    // the windowed aggregate (two chained stateful operators). Plain
+    // entries are key columns; a {"name","value","window"} entry keys
+    // on the row's time-window START — the streaming
+    // count-DISTINCT-per-window shape (dedup on (key, window), then
+    // count), which stays hard-oracle-able because the surviving row's
+    // window is fixed by the dedup key even though WHICH row survives
+    // is arrival-order-dependent. State on both operators is evicted
+    // by the same watermark.
+    var watermarked = false
+    (q \ "dedup") match {
+      case JNothing | JNull => ()
+      case d =>
+        val entries = d match {
+          case JArray(xs) => xs
+          case x => List(x)
+        }
+        require(entries.nonEmpty, "jx: streaming dedup needs key entries")
+        // the ONE watermark declaration (chained stateful operators
+        // share it; redefining downstream is an error)
+        df = df.withWatermark(wmOn, wmDelay)
+        watermarked = true
+        val keys = entries.map {
+          case JString(c) => c
+          case o: JObject =>
+            val n = (o \ "name") match {
+              case JString(s2) => s2
+              case _ => sys.error("jx: dedup window entry needs 'name'") }
+            val v = (o \ "value") match {
+              case JString(s2) => s2
+              case _ => sys.error("jx: dedup window entry needs 'value'") }
+            val dur = (o \ "window") match {
+              case JString(s2) => s2
+              case _ => sys.error("jx: dedup window entry needs 'window'") }
+            df = df.withColumn(n, window(col(v), dur)("start"))
+            n
+          case other => sys.error(s"jx: dedup entry $other — a column " +
+            """name or {"name", "value", "window"}""")
+        }
+        df = df.dropDuplicates(keys).drop(
+          entries.collect { case o: JObject =>
+            (o \ "name").asInstanceOf[JString].s }: _*)
     }
     // groupby: plain columns + exactly one window entry
     val entries = (q \ "groupby") match {
@@ -406,7 +449,7 @@ object JxJson {
     val gbCols = winCol +: plain.map(col)
     val aggs = selectsOf(q).map(aggColumn)
     require(aggs.nonEmpty, "jx: streaming groupby needs aggregate selects")
-    val agg = df.withWatermark(wmOn, wmDelay)
+    val agg = (if (watermarked) df else df.withWatermark(wmOn, wmDelay))
       .groupBy(gbCols: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn(winName, col(s"$structName.start"))

@@ -595,6 +595,34 @@ object Extensions extends QueryModule {
         WHERE session_end + INTERVAL '30 minutes' <= mx - INTERVAL '2 hours'
         ORDER BY user_id, session_start""")),
 
+    // Streaming DEDUP through the front door: watermark-scoped
+    // dropDuplicates chained ahead of the windowed aggregate (two
+    // stateful operators under one watermark) — keyed on
+    // (user_id, hour window), then counted per window: the streaming
+    // COUNT-DISTINCT-per-window shape, the scalable alternative to a
+    // sketch when exactness matters. Hard-oracle-able because the
+    // surviving row's window is pinned by the dedup key even though
+    // WHICH duplicate survives is arrival-order-dependent.
+    QueryDef(
+      "jx_json_stream_dedup",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "dedup": ["user_id", {"name": "wb", "value": "ts",
+                                "window": "1 hour"}],
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n_users", "aggregate": "count"}],
+          "sort": "ws"
+        }"""),
+      Some("""WITH b AS (SELECT max(ts) AS mx FROM events)
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+          count(DISTINCT user_id) AS n_users
+        FROM events, b
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          <= mx - INTERVAL '2 hours'
+        GROUP BY ws ORDER BY ws""")),
+
     // The stream-STREAM form (r11 verdict #7): the front door's join
     // clause compiles onto the watermarked interval join — the
     // stream_join twin carrying its emit-horizon hard oracle (inner

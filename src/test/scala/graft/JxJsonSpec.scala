@@ -384,6 +384,44 @@ class JxJsonSpec extends SparkSpec {
           "select": ["doc_id"]}"""))
   }
 
+  test("streaming dedup clause equals batch count-DISTINCT within the horizon") {
+    // dedup on (user_id, hour-window) then count per window == exact
+    // count(DISTINCT user_id) per window, restricted to windows fully
+    // below the final watermark (max ts - delay)
+    val jx = SparkEntry.queries("jx_json_stream_dedup")(spark, sf0001)
+      .select("ws", "n_users")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val ev = Catalog.table(spark, sf0001, "events")
+    val mx = ev.agg(org.apache.spark.sql.functions.max("ts")).head.getTimestamp(0)
+    val batch = ev
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour")("start").as("ws"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n_users"))
+      .where($"ws" + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") <=
+        org.apache.spark.sql.functions.lit(mx) - org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(jx == batch, s"jx=${jx.size} batch=${batch.size}")
+    assert(jx.nonEmpty)
+  }
+
+  test("streaming dedup rejects malformed entries loudly") {
+    // a window entry missing its duration must error at compile, not
+    // silently key on nothing
+    val e = intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "dedup": ["user_id", {"name": "wb", "value": "ts"}],
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n", "aggregate": "count"}]}"""))
+    assert(e.getMessage.contains("window"), e.getMessage)
+    val e2 = intercept[RuntimeException](JxJson.run(spark, sf0001,
+      """{"from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "dedup": [42],
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n", "aggregate": "count"}]}"""))
+    assert(e2.getMessage.contains("dedup entry"), e2.getMessage)
+  }
+
   test("streaming groupby rejects unconsumed entries (typo'd window key)") {
     // an object entry whose key is misspelled ("windw") must error, not
     // silently vanish from the grouping — the fail-loudly contract the
