@@ -3700,4 +3700,138 @@ object Codecs {
         "isomavc1".getBytes("US-ASCII"))
     ftyp ++ moov
   }
+
+  // ---------------------------------------------------------------------
+  // MP3 (MPEG-1 Audio Layer III) frame-header walk — the audio twin of
+  // the H.264 NAL walk: duration / bitrate / channel layout from the
+  // 4-byte frame headers alone, no subband/huffman decode. ISO/IEC
+  // 11172-3 §2.4.1.3 header layout; ID3v2.3 tag skip via the syncsafe
+  // 28-bit size (ID3v2 spec §3.1); ID3v1 is the fixed 128-byte "TAG"
+  // trailer. The entropy-coded granule payload stays the documented
+  // stub boundary (as H.26x slice data does for video).
+
+  final case class Mp3Meta(id3v2Len: Int, nFrames: Int, sampleRate: Int,
+      mode: String, avgKbps: Int, frameBytes: Long, durationMs: Long,
+      hasId3v1: Boolean)
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 is "free
+    * format" and 15 is forbidden — both rejected loudly. */
+  private val mp3BitrateKbps =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  /** MPEG-1 sample-rate table, index 0..2; 3 is reserved. */
+  private val mp3SampleRates = Array(44100, 48000, 32000)
+  private val mp3Modes = Array("stereo", "joint", "dual", "mono")
+
+  /** Walk an MP3 byte stream: optional ID3v2 prefix (skipped by its
+    * declared syncsafe size), then consecutive MPEG-1 Layer III frames
+    * advanced by the computed frame length
+    * (144·bitrate/sampleRate + padding), then either EOF or a 128-byte
+    * ID3v1 trailer. Per-frame bitrates may vary (VBR); sample rate and
+    * channel mode must not (a real single-stream property — drift
+    * means the walk desynced). Anything unrecognized is loud. */
+  def mp3Meta(bytes: Array[Byte]): Mp3Meta = {
+    var pos = 0
+    var id3v2Len = 0
+    if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      require(bytes.length >= 10, "ID3v2 header truncated")
+      require((bytes(5) & 0x10) == 0, "ID3v2 footer unsupported in meta walk")
+      var size = 0
+      (6 until 10).foreach { i =>
+        require((bytes(i) & 0x80) == 0,
+          s"ID3v2 size byte $i not syncsafe (high bit set)")
+        size = (size << 7) | (bytes(i) & 0x7f)
+      }
+      id3v2Len = 10 + size
+      require(id3v2Len <= bytes.length, s"ID3v2 tag ($id3v2Len B) " +
+        s"overruns the stream (${bytes.length} B)")
+      pos = id3v2Len
+    }
+    var nFrames = 0
+    var sampleRate = 0
+    var mode: String = null
+    var kbpsSum = 0L
+    var frameBytes = 0L
+    var done = false
+    while (!done) {
+      if (pos == bytes.length) done = true
+      else if (bytes.length - pos == 128 && bytes(pos) == 'T' &&
+          bytes(pos + 1) == 'A' && bytes(pos + 2) == 'G') done = true
+      else {
+        require(pos + 4 <= bytes.length,
+          s"truncated MP3 frame header at offset $pos")
+        val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
+        val b3 = bytes(pos + 2) & 0xff; val b4 = bytes(pos + 3) & 0xff
+        require(b1 == 0xff && (b2 & 0xe0) == 0xe0,
+          s"lost MP3 frame sync at offset $pos")
+        require(((b2 >> 3) & 3) == 3,
+          s"not MPEG-1 (version bits ${(b2 >> 3) & 3}) at offset $pos")
+        require(((b2 >> 1) & 3) == 1,
+          s"not Layer III (layer bits ${(b2 >> 1) & 3}) at offset $pos")
+        val bitIdx = (b3 >> 4) & 0xf
+        require(bitIdx >= 1 && bitIdx <= 14,
+          s"MP3 bitrate index $bitIdx (free/forbidden) at offset $pos")
+        val srIdx = (b3 >> 2) & 3
+        require(srIdx != 3, s"reserved MP3 sample-rate index at offset $pos")
+        val kbps = mp3BitrateKbps(bitIdx)
+        val sr = mp3SampleRates(srIdx)
+        val pad = (b3 >> 1) & 1
+        val m = mp3Modes((b4 >> 6) & 3)
+        if (nFrames == 0) { sampleRate = sr; mode = m }
+        else {
+          require(sr == sampleRate, s"sample rate changed $sampleRate→$sr " +
+            s"mid-stream at offset $pos — frame walk desynced")
+          require(m == mode, s"channel mode changed $mode→$m mid-stream " +
+            s"at offset $pos — frame walk desynced")
+        }
+        val frameLen = 144000 * kbps / sr + pad
+        require(pos + frameLen <= bytes.length,
+          s"MP3 frame ($frameLen B) at offset $pos overruns the stream")
+        nFrames += 1; kbpsSum += kbps; frameBytes += frameLen
+        pos += frameLen
+      }
+    }
+    require(nFrames > 0, "MP3 stream carries no frames")
+    val hasId3v1 = pos < bytes.length
+    Mp3Meta(id3v2Len, nFrames, sampleRate, mode,
+      (kbpsSum / nFrames).toInt, frameBytes,
+      nFrames.toLong * 1152L * 1000L / sampleRate, hasId3v1)
+  }
+
+  /** Closed-form structurally real MP3: even ids carry an ID3v2 tag of
+    * 10+(d%50) payload bytes; frame f's bitrate index is
+    * 1+((d+3f)%14) (a VBR stream — every table row exercised), padding
+    * set when (d+f)%3==0; ids ≡1 (mod 4) end with an ID3v1 trailer.
+    * Filler bytes are taken mod 251, so no 0xFF can alias a sync word
+    * and no 'TAG' can appear inside a frame. Every reported field is
+    * an integer the DuckDB oracle recomputes from d. */
+  def synthMp3(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (d % 2 == 0) {
+      val payload = (10 + d % 50).toInt
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0) // v2.3.0, no flags
+      out.write(0); out.write(0); out.write(0); out.write(payload)
+      (0 until payload).foreach(i => out.write(((d + i) % 251).toInt))
+    }
+    val srIdx = (d % 3).toInt
+    val sr = mp3SampleRates(srIdx)
+    val modeBits = (d % 4).toInt
+    val n = (5 + d % 7).toInt
+    (0 until n).foreach { f =>
+      val bitIdx = (1 + (d + 3 * f) % 14).toInt
+      val pad = if ((d + f) % 3 == 0) 1 else 0
+      val frameLen = 144000 * mp3BitrateKbps(bitIdx) / sr + pad
+      out.write(0xff); out.write(0xfb) // sync, MPEG-1, Layer III, no CRC
+      out.write((bitIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write(modeBits << 6)
+      (4 until frameLen).foreach(i =>
+        out.write(((d * 7 + f * 13 + i) % 251).toInt))
+    }
+    if (d % 4 == 1) {
+      out.write('T'); out.write('A'); out.write('G')
+      (3 until 128).foreach(i => out.write(((d + 5 * i) % 251).toInt))
+    }
+    out.toByteArray
+  }
 }

@@ -463,6 +463,38 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  def synthMp3Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "audio/mpeg", Map.empty)(d => Codecs.synthMp3(d))
+
+  /** MP3 frame-header walk per partition (Codecs.mp3Meta): ID3v2
+    * syncsafe skip, sync/bitrate/samplerate/padding frame advance,
+    * ID3v1 trailer — duration and bitrate with zero audio decode,
+    * the audio filter-before-decode pass. */
+  def mp3Features(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("id3v2_len", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("mode", StringType),
+      StructField("avg_kbps", IntegerType),
+      StructField("frame_bytes", LongType),
+      StructField("duration_ms", LongType),
+      StructField("has_id3v1", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = Codecs.mp3Meta(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+        Row(d, m.id3v2Len, m.nFrames, m.sampleRate, m.mode, m.avgKbps,
+          m.frameBytes, m.durationMs, if (m.hasId3v1) 1 else 0)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   def synthAvcMp4Media(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "video/mp4", Map.empty)(d =>
       Codecs.synthAvcMp4(d))

@@ -3517,6 +3517,56 @@ object Llm extends QueryModule {
           CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM w GROUP BY doc_id ORDER BY id""")),
 
+    // MP3 FRAME-HEADER WALK (Codecs.mp3Meta) — the audio twin of
+    // llm_video_nal_meta: duration / average bitrate / channel layout
+    // from the 4-byte MPEG-1 Layer III frame headers alone (ISO/IEC
+    // 11172-3 §2.4.1.3), advancing by the computed frame length
+    // 144·bitrate/sr + padding — no subband/huffman decode (the
+    // granule payload is the documented audio stub boundary, as H.26x
+    // slice data is for video). The fixture is a VBR stream (frame f's
+    // bitrate index cycles all 14 table rows), even ids carry an ID3v2
+    // prefix skipped via its syncsafe 28-bit size, ids ≡1 (mod 4) an
+    // ID3v1 "TAG" trailer. A walk that drops the padding bit or
+    // mis-sizes one frame desyncs and fails loudly (CodecsSpec
+    // fuzzes); the per-frame VBR sum makes the oracle re-derive every
+    // frame length in SQL.
+    QueryDef(
+      "llm_audio_mp3_meta",
+      (s, dir) => Multimodal.mp3Features(
+        Multimodal.synthMp3Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS INT) AS sr,
+            CAST(5 + doc_id % 7 AS INT) AS n
+          FROM documents WHERE doc_id < 300),
+        fr AS (SELECT d.doc_id, d.sr, d.n,
+            CASE (d.doc_id + 3 * i.f) % 14
+              WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48 WHEN 3 THEN 56
+              WHEN 4 THEN 64 WHEN 5 THEN 80 WHEN 6 THEN 96 WHEN 7 THEN 112
+              WHEN 8 THEN 128 WHEN 9 THEN 160 WHEN 10 THEN 192
+              WHEN 11 THEN 224 WHEN 12 THEN 256 ELSE 320 END AS kbps,
+            CASE WHEN (d.doc_id + i.f) % 3 = 0 THEN 1 ELSE 0 END AS pad
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS f) i),
+        agg AS (SELECT doc_id,
+            CAST(sum(144000 * kbps // sr + pad) AS BIGINT) AS frame_bytes,
+            CAST(sum(kbps) // max(n) AS INT) AS avg_kbps
+          FROM fr GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+          CAST(CASE WHEN d.doc_id % 2 = 0 THEN 20 + d.doc_id % 50
+            ELSE 0 END AS INT) AS id3v2_len,
+          d.n AS n_frames, d.sr AS sample_rate,
+          CASE d.doc_id % 4 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint'
+            WHEN 2 THEN 'dual' ELSE 'mono' END AS mode,
+          agg.avg_kbps, agg.frame_bytes,
+          CAST(CAST(d.n AS BIGINT) * 1152 * 1000 // d.sr AS BIGINT)
+            AS duration_ms,
+          CAST(CASE WHEN d.doc_id % 4 = 1 THEN 1 ELSE 0 END AS INT)
+            AS has_id3v1
+        FROM d JOIN agg USING (doc_id) ORDER BY id""")),
+
     // Header-only JPEG metadata (graft.operators.Codecs.jpegMeta): the
     // payload is a structurally real JPEG shell — SOI, JFIF APP0, a
     // COM segment whose length varies per doc, DQT, then SOF0 (even

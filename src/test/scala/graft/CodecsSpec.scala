@@ -926,7 +926,9 @@ class CodecsSpec extends AnyFunSuite {
       }),
       ("avc-avcc", Codecs.synthAvcStream(4L), b => Codecs.avcNalMeta(b)),
       ("avc-annexb", Codecs.synthAvcStream(7L), b => Codecs.avcNalMeta(b)),
-      ("avcc-mp4", Codecs.synthAvcMp4(9L), b => Codecs.avccMeta(b)))
+      ("avcc-mp4", Codecs.synthAvcMp4(9L), b => Codecs.avccMeta(b)),
+      ("mp3-id3v2", Codecs.synthMp3(6L), b => Codecs.mp3Meta(b)),
+      ("mp3-id3v1", Codecs.synthMp3(5L), b => Codecs.mp3Meta(b)))
     fixtures.foreach { case (label, ok, dec) =>
       (0 until 120).foreach { trial =>
         val bad = ok.clone()
@@ -1360,5 +1362,69 @@ class CodecsSpec extends AnyFunSuite {
     val annexb = Codecs.synthAvcStream(3L)
     intercept[RuntimeException](
       Codecs.avcNalMeta(Array[Byte](9, 9) ++ annexb))
+  }
+
+  test("mp3: frame walk matches the closed form across ID3/VBR variants") {
+    val rates = Array(44100, 48000, 32000)
+    val kbpsTable =
+      Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    for (d <- 0L to 40L) {
+      val m = Codecs.mp3Meta(Codecs.synthMp3(d))
+      assert(m.id3v2Len == (if (d % 2 == 0) (20 + d % 50).toInt else 0),
+        s"d=$d")
+      val n = (5 + d % 7).toInt
+      val sr = rates((d % 3).toInt)
+      assert(m.nFrames == n && m.sampleRate == sr, s"d=$d")
+      val modes = Array("stereo", "joint", "dual", "mono")
+      assert(m.mode == modes((d % 4).toInt))
+      val kbps = (0 until n).map(f => kbpsTable(((d + 3 * f) % 14).toInt))
+      assert(m.avgKbps == (kbps.map(_.toLong).sum / n).toInt, s"d=$d")
+      val fb = (0 until n).map { f =>
+        144000L * kbpsTable(((d + 3 * f) % 14).toInt) / sr +
+          (if ((d + f) % 3 == 0) 1 else 0)
+      }.sum
+      assert(m.frameBytes == fb, s"d=$d frameBytes ${m.frameBytes} != $fb")
+      assert(m.durationMs == n.toLong * 1152 * 1000 / sr, s"d=$d")
+      assert(m.hasId3v1 == (d % 4 == 1), s"d=$d")
+    }
+  }
+
+  test("mp3: malformed streams fail loudly, not silently") {
+    val ok = Codecs.synthMp3(3L) // odd id: no ID3v2, has ID3v1 at d%4==3? no
+    // free-format bitrate index (0) must be rejected
+    val free = ok.clone(); free(2) = (free(2) & 0x0f).toByte
+    intercept[IllegalArgumentException](Codecs.mp3Meta(free))
+    // forbidden bitrate index (15)
+    val forb = ok.clone(); forb(2) = (forb(2) | 0xf0).toByte
+    intercept[IllegalArgumentException](Codecs.mp3Meta(forb))
+    // reserved sample-rate index (3)
+    val rsr = ok.clone(); rsr(2) = (rsr(2) | 0x0c).toByte
+    intercept[IllegalArgumentException](Codecs.mp3Meta(rsr))
+    // flipping a padding bit desyncs the walk → loud, never silent
+    val pad = ok.clone(); pad(2) = (pad(2) ^ 0x02).toByte
+    intercept[RuntimeException](Codecs.mp3Meta(pad))
+    // truncation mid-frame
+    intercept[IllegalArgumentException](
+      Codecs.mp3Meta(ok.take(ok.length - 7)))
+    // trailing garbage that is neither a frame nor a 128-byte ID3v1
+    intercept[IllegalArgumentException](
+      Codecs.mp3Meta(ok ++ Array.fill[Byte](17)(0x41)))
+    // a non-syncsafe ID3v2 size byte (high bit set)
+    val withTag = Codecs.synthMp3(4L)
+    assert(withTag(0) == 'I')
+    val badTag = withTag.clone(); badTag(9) = (badTag(9) | 0x80).toByte
+    intercept[IllegalArgumentException](Codecs.mp3Meta(badTag))
+    // an ID3v2 whose declared size overruns the stream
+    val overTag = withTag.clone(); overTag(8) = 0x7f.toByte
+    intercept[IllegalArgumentException](Codecs.mp3Meta(overTag))
+    // MPEG-2 version bits / non-Layer-III layer bits rejected
+    val v2 = ok.clone(); v2(1) = (v2(1) & ~0x08).toByte
+    intercept[IllegalArgumentException](Codecs.mp3Meta(v2))
+    val l1 = ok.clone(); l1(1) = (l1(1) | 0x06).toByte
+    intercept[IllegalArgumentException](Codecs.mp3Meta(l1))
+    // empty / garbage
+    intercept[IllegalArgumentException](Codecs.mp3Meta(Array.emptyByteArray))
+    intercept[RuntimeException](
+      Codecs.mp3Meta(Array.fill[Byte](64)(0x2a)))
   }
 }
