@@ -1698,86 +1698,61 @@ object Llm extends QueryModule {
     // search path differentially tested end-to-end.
     QueryDef(
       "llm_knn_ivf",
-      (s, dir) => {
-        val v = Catalog.table(s, dir, "embeddings")
-          .filter(col("vec_id") < 400)
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("e"))
-          .withColumn("nrm", Similarity.norm(col("e")))
-        // limit(25) = ceil(400/16), a row-wise no-op carrying the
-        // centroid-count bound in-plan for PlanAudit
-        val cents = v.filter(col("vec_id") % 16 === 0).limit(25)
-          .select(col("vec_id").as("cid"), col("e").as("ce"),
-            col("nrm").as("cnrm"))
-        def centSim(vec: String, nrm: String) =
-          round(Similarity.cosine(col(vec), col("ce"), col(nrm), col("cnrm")), 6)
-        // assignment argmax as the slim max(struct) aggregate (scores
-        // projected inside the broadcast join; vectors rejoin by id) —
-        // the same shape as Similarity.ivfTopK/semdedup, so the
-        // declared oracle op and the scale path share one plan story
-        val bestA = v.crossJoin(broadcast(cents))
-          .select(col("vec_id"), centSim("e", "nrm").as("cs"), col("cid"))
-          .groupBy("vec_id")
-          .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
-          .select(col("vec_id"), (-col("b.ncid")).as("cid"))
-        val assigned = bestA.join(v, "vec_id")
-          .select(col("cid"), col("vec_id").as("nid"),
-            col("e").as("ne"), col("nrm").as("nnrm"))
-        // nprobe=2 probe set: top-2 needs a rank window, but over slim
-        // (qid, cs, cid) rows only; query vectors rejoin afterward
-        val wP = Window.partitionBy("qid")
-          .orderBy(desc_nulls_last("cs"), asc("cid"))
-        val q = v.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("e").as("qe"),
-            col("nrm").as("qnrm"))
-        val probes = q.crossJoin(broadcast(cents))
-          .select(col("qid"),
-            round(Similarity.cosine(col("qe"), col("ce"), col("qnrm"), col("cnrm")), 6)
-              .as("cs"),
-            col("cid"))
-          .withColumn("crk", row_number().over(wP))
-          .filter(col("crk") <= 2)
-          .select("cid", "qid")
-          .join(q, "qid")
-        val wK = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-        assigned.join(broadcast(probes), Seq("cid"))
-          .filter(col("nid") =!= col("qid"))
-          .select(col("qid"), col("nid"),
-            round(Similarity.cosine(col("qe"), col("ne"), col("qnrm"), col("nnrm")), 6)
-              .as("sim"))
-          .withColumn("rk", row_number().over(wK))
-          .filter(col("rk") <= 3)
-          .select("qid", "rk", "nid", "sim")
-          .orderBy("qid", "rk")
-      },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-            FROM embeddings WHERE vec_id < 400),
-        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 16 = 0),
-        asg AS (SELECT vec_id, cid FROM (
-            SELECT v.vec_id, cent.cid,
-              row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
-                cent.cid) AS crk
-            FROM v, cent) WHERE crk = 1),
-        probes AS (SELECT qid, cid FROM (
-            SELECT q.vec_id AS qid, cent.cid,
-              row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                round(list_cosine_similarity(q.e, cent.ce), 6) DESC,
-                cent.cid) AS crk
-            FROM (SELECT * FROM v WHERE vec_id < 20) q, cent)
-          WHERE crk <= 2),
-        scored AS (SELECT p.qid, a.vec_id AS nid,
-            round(list_cosine_similarity(qv.e, nv.e), 6) AS sim
-          FROM probes p
-          JOIN asg a ON a.cid = p.cid AND a.vec_id != p.qid
-          JOIN v qv ON qv.vec_id = p.qid
-          JOIN v nv ON nv.vec_id = a.vec_id),
-        ranked AS (SELECT qid, nid, sim,
-            CAST(row_number() OVER (PARTITION BY qid
-              ORDER BY sim DESC, nid) AS BIGINT) AS rk
-          FROM scored)
+      (s, dir) => ivfHardTopK(s, dir),
+      Some(s"""WITH $ivfOracleCtes
         SELECT qid, rk, nid, sim FROM ranked WHERE rk <= 3
         ORDER BY qid, rk""")),
+
+    // ANN RECALL EVALUATION as a first-class query — the index-quality
+    // measurement every ANN deployment runs before trusting an
+    // approximate index: per-query overlap of the IVF top-3
+    // (ivfHardTopK, the llm_knn_ivf pipeline) against the exact
+    // brute-force top-3 (Similarity.cosineTopK) over the SAME
+    // query/corpus sets, reported as n_hits and recall@3. Both sides
+    // are already hard-oracled pipelines, so the composed metric stays
+    // cross-engine exact — DuckDB recomputes approximate AND exact
+    // sides and intersects them. Scale shape: the intersection join is
+    // over two |Q|·k result sets (tiny); the real cost is the exact
+    // ground-truth side, which a deployment runs over a SAMPLED query
+    // set by construction (graft.tools.IvfRecall is the ×100 form:
+    // 1000 sampled queries against a 200k corpus).
+    QueryDef(
+      "llm_knn_recall_eval",
+      (s, dir) => {
+        val approx = ivfHardTopK(s, dir).select("qid", "nid")
+        val corpus = Catalog.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 400)
+        // limit(20) = row-wise no-op carrying the query-set bound
+        // in-plan for PlanAudit
+        val queries = corpus.filter(col("vec_id") < 20).limit(20)
+        val exact = Similarity.cosineTopK(corpus, queries,
+          "vec_id", "embedding", 3).select(col("qid"), col("nid"))
+        val hits = exact.join(approx, Seq("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        queries.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("h"), lit(0L)) / 3.0, 6).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $ivfOracleCtes,
+        ex AS (SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, n.vec_id AS nid,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                round(list_cosine_similarity(q.e, n.e), 6) DESC,
+                n.vec_id) AS rk
+            FROM (SELECT * FROM v WHERE vec_id < 20) q
+            JOIN v n ON n.vec_id != q.vec_id) WHERE rk <= 3),
+        iv AS (SELECT qid, nid FROM ranked WHERE rk <= 3),
+        hits AS (SELECT ex.qid, count(*) AS h
+          FROM ex JOIN iv ON iv.qid = ex.qid AND iv.nid = ex.nid
+          GROUP BY ex.qid)
+        SELECT q.vec_id AS qid,
+          CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+          round(coalesce(h.h, 0) / 3.0, 6) AS recall
+        FROM (SELECT vec_id FROM v WHERE vec_id < 20) q
+        LEFT JOIN hits h ON h.qid = q.vec_id ORDER BY qid""")),
 
     // The unbounded scale path: xxhash64-sampled centroids, native
     // expressions, salted top-k — recall vs brute force and the
@@ -4901,6 +4876,93 @@ SELECT * FROM ($out) ORDER BY rank"""
   /** Shared by llm_knn_ivf_pq and llm_knn_index_persist: the
     * persisted-index query must be HASH-EQUAL to the in-memory build,
     * so both carry the identical oracle. */
+  /** Shared Spark body of llm_knn_ivf (and the recall-eval's
+    * approximate side): hard-oracle IVF — vec_id%16 centroids, nprobe=2
+    * probe set, exact re-rank inside the probed inverted lists. */
+  private def ivfHardTopK(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val v = Catalog.table(s, dir, "embeddings")
+      .filter(col("vec_id") < 400)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    // limit(25) = ceil(400/16), a row-wise no-op carrying the
+    // centroid-count bound in-plan for PlanAudit
+    val cents = v.filter(col("vec_id") % 16 === 0).limit(25)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+    def centSim(vec: String, nrm: String) =
+      round(Similarity.cosine(col(vec), col("ce"), col(nrm), col("cnrm")), 6)
+    // assignment argmax as the slim max(struct) aggregate (scores
+    // projected inside the broadcast join; vectors rejoin by id) —
+    // the same shape as Similarity.ivfTopK/semdedup, so the
+    // declared oracle op and the scale path share one plan story
+    val bestA = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), centSim("e", "nrm").as("cs"), col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("vec_id"), (-col("b.ncid")).as("cid"))
+    val assigned = bestA.join(v, "vec_id")
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("e").as("ne"), col("nrm").as("nnrm"))
+    // nprobe=2 probe set: top-2 needs a rank window, but over slim
+    // (qid, cs, cid) rows only; query vectors rejoin afterward
+    val wP = Window.partitionBy("qid")
+      .orderBy(desc_nulls_last("cs"), asc("cid"))
+    val q = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        round(Similarity.cosine(col("qe"), col("ce"), col("qnrm"), col("cnrm")), 6)
+          .as("cs"),
+        col("cid"))
+      .withColumn("crk", row_number().over(wP))
+      .filter(col("crk") <= 2)
+      .select("cid", "qid")
+      .join(q, "qid")
+    val wK = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(Similarity.cosine(col("qe"), col("ne"), col("qnrm"), col("nnrm")), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= 3)
+      .select("qid", "rk", "nid", "sim")
+      .orderBy("qid", "rk")
+  }
+
+  /** The CTE chain DuckDB uses to recompute ivfHardTopK — shared by
+    * llm_knn_ivf's oracle and the recall-eval oracle's approximate
+    * side. */
+  private val ivfOracleCtes: String = """v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE vec_id < 400),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 16 = 0),
+        asg AS (SELECT vec_id, cid FROM (
+            SELECT v.vec_id, cent.cid,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                cent.cid) AS crk
+            FROM v, cent) WHERE crk = 1),
+        probes AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, cent.cid,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                round(list_cosine_similarity(q.e, cent.ce), 6) DESC,
+                cent.cid) AS crk
+            FROM (SELECT * FROM v WHERE vec_id < 20) q, cent)
+          WHERE crk <= 2),
+        scored AS (SELECT p.qid, a.vec_id AS nid,
+            round(list_cosine_similarity(qv.e, nv.e), 6) AS sim
+          FROM probes p
+          JOIN asg a ON a.cid = p.cid AND a.vec_id != p.qid
+          JOIN v qv ON qv.vec_id = p.qid
+          JOIN v nv ON nv.vec_id = a.vec_id),
+        ranked AS (SELECT qid, nid, sim,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid) AS BIGINT) AS rk
+          FROM scored)"""
+
   private val ivfPqOracleSql: String = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
             FROM embeddings),
           a AS (SELECT vec_id AS cw, v AS av FROM e WHERE vec_id < 16),
