@@ -3834,4 +3834,157 @@ object Codecs {
     }
     out.toByteArray
   }
+
+  // ---------------------------------------------------------------------
+  // MP4 audio configuration (stsd/mp4a/esds) — the audio twin of the
+  // avcC walk: how real MP4s carry AAC configuration. The esds box
+  // holds an MPEG-4 ES_Descriptor chain (ISO/IEC 14496-1 §7.2.6) with
+  // the variable-length 0x80-continuation size encoding, ending in the
+  // DecoderSpecificInfo's AudioSpecificConfig (ISO/IEC 14496-3 §1.6.2.1:
+  // 5-bit audioObjectType, 4-bit samplingFrequencyIndex, 4-bit
+  // channelConfiguration). The parser cross-checks the mp4a sample
+  // entry's declared channelcount/samplerate against the ASC — a muxer
+  // that disagrees with its own bitstream fails loudly, exactly as the
+  // avcC walk treats avc1-vs-SPS dims.
+
+  final case class Mp4aMeta(objectType: Int, srIndex: Int, sampleRate: Int,
+      channels: Int, avgBitrate: Int, maxBitrate: Int)
+
+  /** AAC sampling-frequency table (14496-3 Table 1.18), index 0..12. */
+  private val aacSampleRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Read one MPEG-4 descriptor size: 1–4 bytes, each contributing 7
+    * bits, high bit = continuation. Returns (size, bytesRead). */
+  private def readDescLen(b: Array[Byte], o: Int): (Int, Int) = {
+    var size = 0; var n = 0; var more = true
+    while (more) {
+      require(o + n < b.length, "truncated descriptor length")
+      require(n < 4, "descriptor length exceeds 4 bytes")
+      val x = b(o + n) & 0xff
+      size = (size << 7) | (x & 0x7f)
+      more = (x & 0x80) != 0
+      n += 1
+    }
+    (size, n)
+  }
+
+  /** Walk stsd → mp4a → esds → ES/DecoderConfig/DecoderSpecificInfo
+    * descriptors → AudioSpecificConfig, cross-checking the sample
+    * entry against the ASC. */
+  def mp4aMeta(bytes: Array[Byte]): Mp4aMeta = {
+    val stsd = oneBox(stblKids(bytes), "stsd")
+    require(stsd.end - stsd.start >= 8, "truncated stsd header")
+    val nEntries = u32be(bytes, stsd.start + 4)
+    require(nEntries == 1, s"stsd carries $nEntries entries, expected 1")
+    val mp4a = oneBox(mp4Walk(bytes, stsd.start + 8, stsd.end), "mp4a")
+    // AudioSampleEntry: 6 reserved + u16 data_ref_index + 8 reserved +
+    // u16 channelcount + u16 samplesize + 4 pre_defined/reserved +
+    // u32 samplerate (16.16) = 28 bytes before the child boxes
+    require(mp4a.end - mp4a.start >= 28, "truncated mp4a sample entry")
+    val entryChannels = u16be(bytes, mp4a.start + 16)
+    val entryRate = u16be(bytes, mp4a.start + 24) // 16.16 integer part
+    val esds = oneBox(mp4Walk(bytes, mp4a.start + 28, mp4a.end), "esds")
+    val a = java.util.Arrays.copyOfRange(bytes, esds.start, esds.end)
+    require(a.length >= 4, "truncated esds version/flags")
+    var pos = 4
+    def tag(expect: Int, name: String): Int = {
+      require(pos < a.length, s"truncated $name descriptor tag")
+      val t = a(pos) & 0xff
+      require(t == expect, s"$name descriptor tag 0x${t.toHexString}, " +
+        s"expected 0x${expect.toHexString}")
+      pos += 1
+      val (len, n) = readDescLen(a, pos)
+      pos += n
+      require(pos + len <= a.length, s"$name descriptor length $len " +
+        "overruns esds")
+      len
+    }
+    tag(0x03, "ES") // ES_Descriptor
+    require(pos + 3 <= a.length, "truncated ES_ID")
+    pos += 2 // ES_ID
+    require((a(pos) & 0xff) == 0,
+      "ES_Descriptor optional-field flags unsupported in meta walk")
+    pos += 1
+    tag(0x04, "DecoderConfig")
+    require(pos + 13 <= a.length, "truncated DecoderConfigDescriptor")
+    val oti = a(pos) & 0xff
+    require(oti == 0x40, s"objectTypeIndication 0x${oti.toHexString}, " +
+      "expected 0x40 (MPEG-4 Audio)")
+    val maxBitrate = u32be(a, pos + 5)
+    val avgBitrate = u32be(a, pos + 9)
+    pos += 13
+    val ascLen = tag(0x05, "DecoderSpecificInfo")
+    require(ascLen >= 2, s"AudioSpecificConfig of $ascLen bytes")
+    val b0 = a(pos) & 0xff; val b1 = a(pos + 1) & 0xff
+    val aot = b0 >> 3
+    require(aot >= 1 && aot <= 30,
+      s"audioObjectType $aot (reserved/escape) unsupported in meta walk")
+    val srIdx = ((b0 & 0x7) << 1) | (b1 >> 7)
+    require(srIdx <= 12,
+      s"samplingFrequencyIndex $srIdx (reserved/escape) unsupported")
+    val chan = (b1 >> 3) & 0xf
+    require(chan >= 1 && chan <= 7, s"channelConfiguration $chan " +
+      "outside the predefined layouts")
+    require(entryChannels == chan, s"mp4a channelcount $entryChannels " +
+      s"disagrees with ASC channelConfiguration $chan")
+    require(entryRate == aacSampleRates(srIdx), s"mp4a samplerate " +
+      s"$entryRate disagrees with ASC index $srIdx " +
+      s"(${aacSampleRates(srIdx)})")
+    Mp4aMeta(aot, srIdx, aacSampleRates(srIdx), chan, avgBitrate, maxBitrate)
+  }
+
+  /** Closed-form MP4 shell whose trak carries a REAL stsd/mp4a/esds
+    * configuration. The ES_Descriptor's size is deliberately written
+    * in the two-byte 0x80-continuation form so a parser that assumes
+    * single-byte descriptor lengths desyncs and fails loudly; the
+    * inner descriptors use the one-byte form — both paths exercised on
+    * every payload. */
+  def synthMp4aMp4(d: Long): Array[Byte] = {
+    val aot = (1 + d % 4).toInt
+    val srIdx = (3 + d % 9).toInt // 48000..11025: fits the u16 entry field
+    val chan = (1 + d % 6).toInt
+    val avg = (32000 + 1000 * (d % 100)).toInt
+    val mx = avg + 16000
+    val asc = Array[Byte](
+      ((aot << 3) | (srIdx >> 1)).toByte,
+      (((srIdx & 1) << 7) | (chan << 3)).toByte)
+    val dsi = Array[Byte](0x05, asc.length.toByte) ++ asc
+    val dcd = {
+      val p = new Array[Byte](13)
+      p(0) = 0x40 // objectTypeIndication: MPEG-4 Audio
+      p(1) = ((0x05 << 2) | 1).toByte // streamType AudioStream, reserved
+      p(2) = 0; p(3) = 0x20; p(4) = 0 // bufferSizeDB
+      put32be(p, 5, mx); put32be(p, 9, avg)
+      Array[Byte](0x04, (13 + dsi.length).toByte) ++ p ++ dsi
+    }
+    val slc = Array[Byte](0x06, 1, 0x02)
+    val esBody = {
+      val p = new Array[Byte](3)
+      p(0) = ((d % 100) >> 8).toByte; p(1) = (d % 100).toByte // ES_ID
+      p(2) = 0 // no optional fields
+      p ++ dcd ++ slc
+    }
+    val esd = Array[Byte](0x03,
+      (0x80 | (esBody.length >> 7)).toByte, (esBody.length & 0x7f).toByte) ++
+      esBody
+    val esds = mp4Box("esds", Array[Byte](0, 0, 0, 0) ++ esd)
+    val entry = new Array[Byte](28)
+    entry(7) = 1 // data_reference_index
+    entry(16) = 0; entry(17) = chan.toByte
+    entry(18) = 0; entry(19) = 16 // samplesize
+    val sr = aacSampleRates(srIdx)
+    entry(24) = (sr >> 8).toByte; entry(25) = (sr & 0xff).toByte
+    val mp4a = mp4Box("mp4a", entry ++ esds)
+    val stsd = mp4Box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ mp4a)
+    val stbl = mp4Box("stbl", stsd)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", minf)
+    val trak = mp4Box("trak", mdia)
+    val moov = mp4Box("moov", trak)
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    ftyp ++ moov
+  }
 }

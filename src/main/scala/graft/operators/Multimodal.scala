@@ -495,6 +495,35 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  def synthMp4aMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "audio/mp4", Map.empty)(d => Codecs.synthMp4aMp4(d))
+
+  /** stsd/mp4a/esds walk per partition (Codecs.mp4aMeta): descriptor
+    * chain + AudioSpecificConfig with sample-entry cross-checks — the
+    * audio twin of avccFeatures. */
+  def mp4aFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("object_type", IntegerType),
+      StructField("sr_index", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("avg_bitrate", IntegerType),
+      StructField("max_bitrate", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = Codecs.mp4aMeta(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes"))
+        Row(d, m.objectType, m.srIndex, m.sampleRate, m.channels,
+          m.avgBitrate, m.maxBitrate)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   def synthAvcMp4Media(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "video/mp4", Map.empty)(d =>
       Codecs.synthAvcMp4(d))

@@ -3656,6 +3656,37 @@ object Llm extends QueryModule {
             THEN 2 * ((doc_id // 4) % 2) ELSE 0 END AS INT) AS height
         FROM documents WHERE doc_id < 300 ORDER BY id""")),
 
+    // mp4a/esds-IN-MP4 — the audio twin of llm_video_avcc_meta: how
+    // real MP4s carry AAC configuration. The parser walks
+    // stsd/mp4a/esds, reads the MPEG-4 descriptor chain (ES →
+    // DecoderConfig → DecoderSpecificInfo) with the variable-length
+    // 0x80-continuation size encoding (the fixture writes the outer
+    // size in 2-byte form and the inner ones in 1-byte form, so BOTH
+    // paths run on every payload), parses the AudioSpecificConfig's
+    // 5/4/4-bit fields, and CROSS-CHECKS the sample entry's declared
+    // channelcount/samplerate against the ASC — a muxer that disagrees
+    // with its own config record fails loudly (CodecsSpec pins both
+    // disagreement directions + fuzz).
+    QueryDef(
+      "llm_audio_mp4a_meta",
+      (s, dir) => Multimodal.mp4aFeatures(
+        Multimodal.synthMp4aMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(1 + doc_id % 4 AS INT) AS object_type,
+          CAST(3 + doc_id % 9 AS INT) AS sr_index,
+          CAST(CASE 3 + doc_id % 9
+            WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+            WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+            WHEN 9 THEN 12000 WHEN 10 THEN 11025 ELSE 8000 END AS INT)
+            AS sample_rate,
+          CAST(1 + doc_id % 6 AS INT) AS channels,
+          CAST(32000 + 1000 * (doc_id % 100) AS INT) AS avg_bitrate,
+          CAST(48000 + 1000 * (doc_id % 100) AS INT) AS max_bitrate
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
     // SAMPLE-TABLE walk (Codecs.mp4Samples): one box level deeper than
     // llm_video_meta — moov→trak→mdia→minf→stbl→{stts,stsz,stco}. The
     // frame-sampling pre-pass reads these to budget its decode (how

@@ -928,7 +928,8 @@ class CodecsSpec extends AnyFunSuite {
       ("avc-annexb", Codecs.synthAvcStream(7L), b => Codecs.avcNalMeta(b)),
       ("avcc-mp4", Codecs.synthAvcMp4(9L), b => Codecs.avccMeta(b)),
       ("mp3-id3v2", Codecs.synthMp3(6L), b => Codecs.mp3Meta(b)),
-      ("mp3-id3v1", Codecs.synthMp3(5L), b => Codecs.mp3Meta(b)))
+      ("mp3-id3v1", Codecs.synthMp3(5L), b => Codecs.mp3Meta(b)),
+      ("mp4a-esds", Codecs.synthMp4aMp4(7L), b => Codecs.mp4aMeta(b)))
     fixtures.foreach { case (label, ok, dec) =>
       (0 until 120).foreach { trial =>
         val bad = ok.clone()
@@ -1362,6 +1363,51 @@ class CodecsSpec extends AnyFunSuite {
     val annexb = Codecs.synthAvcStream(3L)
     intercept[RuntimeException](
       Codecs.avcNalMeta(Array[Byte](9, 9) ++ annexb))
+  }
+
+  test("mp4a/esds walk matches the closed form; cross-checks fire") {
+    val rates = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
+      22050, 16000, 12000, 11025, 8000, 7350)
+    for (d <- 0L to 40L) {
+      val m = Codecs.mp4aMeta(Codecs.synthMp4aMp4(d))
+      assert(m.objectType == 1 + (d % 4).toInt, s"d=$d")
+      val srIdx = 3 + (d % 9).toInt
+      assert(m.srIndex == srIdx && m.sampleRate == rates(srIdx), s"d=$d")
+      assert(m.channels == 1 + (d % 6).toInt, s"d=$d")
+      assert(m.avgBitrate == (32000 + 1000 * (d % 100)).toInt)
+      assert(m.maxBitrate == m.avgBitrate + 16000)
+    }
+    val ok = Codecs.synthMp4aMp4(9L)
+    val e = ok.indexOfSlice("esds".getBytes("US-ASCII"))
+    val a = ok.indexOfSlice("mp4a".getBytes("US-ASCII"))
+    assert(e > 0 && a > 0)
+    // mp4a channelcount disagreeing with the ASC channelConfiguration
+    val badCh = ok.clone(); badCh(a + 4 + 17) = (badCh(a + 4 + 17) + 1).toByte
+    val ex1 = intercept[IllegalArgumentException](Codecs.mp4aMeta(badCh))
+    assert(ex1.getMessage.contains("channelcount"), ex1.getMessage)
+    // mp4a samplerate disagreeing with the ASC index
+    val badSr = ok.clone(); badSr(a + 4 + 25) = (badSr(a + 4 + 25) ^ 0x55).toByte
+    val ex2 = intercept[IllegalArgumentException](Codecs.mp4aMeta(badSr))
+    assert(ex2.getMessage.contains("samplerate"), ex2.getMessage)
+    // non-AAC objectTypeIndication (0x6B = MP3-in-MP4)
+    val badOti = ok.clone(); badOti(e + 16) = 0x6b.toByte
+    val ex3 = intercept[IllegalArgumentException](Codecs.mp4aMeta(badOti))
+    assert(ex3.getMessage.contains("objectTypeIndication"), ex3.getMessage)
+    // escape audioObjectType (31) and escape samplingFrequencyIndex (15)
+    val badAot = ok.clone()
+    badAot(e + 31) = ((31 << 3) | (badAot(e + 31) & 7)).toByte
+    intercept[IllegalArgumentException](Codecs.mp4aMeta(badAot))
+    val badIdx = ok.clone()
+    badIdx(e + 31) = ((badIdx(e + 31) & 0xf8) | 0x7).toByte
+    badIdx(e + 32) = (badIdx(e + 32) | 0x80).toByte
+    val ex4 = intercept[IllegalArgumentException](Codecs.mp4aMeta(badIdx))
+    assert(ex4.getMessage.contains("samplingFrequencyIndex"), ex4.getMessage)
+    // ES_Descriptor optional-field flags are refused, not skipped blind
+    val badFl = ok.clone(); badFl(e + 13) = 0x80.toByte
+    val ex5 = intercept[IllegalArgumentException](Codecs.mp4aMeta(badFl))
+    assert(ex5.getMessage.contains("optional-field"), ex5.getMessage)
+    // a 5-byte descriptor length must be rejected (spec caps at 4)
+    intercept[IllegalArgumentException](Codecs.mp4aMeta(ok.take(e + 9)))
   }
 
   test("mp3: frame walk matches the closed form across ID3/VBR variants") {
