@@ -3987,4 +3987,326 @@ object Codecs {
         "isomiso2".getBytes("US-ASCII"))
     ftyp ++ moov
   }
+
+  // ---------------------------------------------------------------------
+  // Archive walks — training corpora arrive as archives; listing an
+  // archive's members (names, sizes, kinds) WITHOUT extracting them is
+  // the ingest pre-pass that decides what to read at all. TAR: POSIX
+  // ustar 512-byte headers (IEEE 1003.1) with octal fields and the
+  // space-substituted header checksum. ZIP: PKWARE APPNOTE layout —
+  // EOCD backward scan, central-directory walk, and per-entry local
+  // header cross-validation including a REAL integrity check (stored:
+  // CRC32 over the payload; deflated: raw-inflate and CRC the result).
+
+  final case class TarEntry(idx: Int, name: String, typeflag: String,
+      size: Long, mtime: Long, payloadSum: Long)
+
+  /** Parse a 0-to-11-digit octal field, NUL/space terminated, leading
+    * spaces allowed — the ustar numeric encoding. */
+  private def tarOctal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    while (i < end && b(i) == ' ') i += 1
+    require(i < end && b(i) >= '0' && b(i) <= '7',
+      s"tar octal field at $off has no digits")
+    var v = 0L
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = (v << 3) | (b(i) - '0'); i += 1
+    }
+    while (i < end) {
+      require(b(i) == 0 || b(i) == ' ',
+        s"tar octal field at $off has trailing junk")
+      i += 1
+    }
+    v
+  }
+
+  /** Walk ustar headers: magic + checksum verified per header, octal
+    * size/mtime parsed, payload skipped in 512-byte blocks, the
+    * end-of-archive marked by two zero blocks (anything after must be
+    * zero padding). Regular files and directories only — other
+    * typeflags are loud, not skipped blind. */
+  def tarEntries(bytes: Array[Byte]): Array[TarEntry] = {
+    val out = collection.mutable.ArrayBuffer.empty[TarEntry]
+    var pos = 0
+    var ended = false
+    while (!ended) {
+      require(pos + 512 <= bytes.length,
+        s"truncated tar header at offset $pos")
+      val zero = (pos until pos + 512).forall(bytes(_) == 0)
+      if (zero) {
+        require(pos + 1024 <= bytes.length,
+          "tar end-of-archive marker is one zero block, not two")
+        (pos + 512 until bytes.length).foreach { i =>
+          require(bytes(i) == 0, s"non-zero byte at $i after tar end marker")
+        }
+        ended = true
+      } else {
+        require(new String(bytes, pos + 257, 5, "US-ASCII") == "ustar",
+          s"tar header at $pos lacks the ustar magic")
+        val declared = tarOctal(bytes, pos + 148, 8)
+        var sum = 0L
+        (0 until 512).foreach { i =>
+          sum += (if (i >= 148 && i < 156) 0x20 else bytes(pos + i) & 0xff)
+        }
+        require(sum == declared,
+          s"tar header checksum $sum != declared $declared at offset $pos")
+        var nameEnd = pos
+        while (nameEnd < pos + 100 && bytes(nameEnd) != 0) nameEnd += 1
+        require(nameEnd > pos, s"tar header at $pos has an empty name")
+        val name = new String(bytes, pos, nameEnd - pos, "US-ASCII")
+        val size = tarOctal(bytes, pos + 124, 12)
+        val mtime = tarOctal(bytes, pos + 136, 12)
+        val tf = bytes(pos + 156)
+        val kind = tf match {
+          case '0' | 0 => "file"
+          case '5' => "dir"
+          case other => sys.error(
+            s"tar typeflag '${other.toChar}' unsupported in the walk")
+        }
+        if (kind == "dir") require(size == 0, s"tar dir $name with size $size")
+        // a corrupted 12-digit octal size can reach 8 GiB — bound it by
+        // the archive BEFORE the block arithmetic so the walk cannot
+        // Int-overflow into a backwards (infinite) scan
+        require(size <= bytes.length.toLong - pos - 512,
+          s"tar member $name size $size overruns the archive")
+        // payload digest proves the walk's data offsets, not just its
+        // header arithmetic — a one-block misalignment changes the sum
+        var psum = 0L
+        var i = pos + 512
+        val dataEnd = pos + 512 + size.toInt
+        while (i < dataEnd) { psum += bytes(i) & 0xff; i += 1 }
+        out += TarEntry(out.length, name, kind, size, mtime, psum)
+        val dataBlocks = ((size + 511) / 512) * 512
+        pos += 512 + dataBlocks.toInt
+      }
+    }
+    require(out.nonEmpty, "tar archive with no entries")
+    out.toArray
+  }
+
+  /** Closed-form ustar archive: 3+d%5 members, every 4th a directory
+    * (trailing-slash name, size 0), file sizes and mtimes doc-derived,
+    * payload bytes mod 251, correct space-substituted checksums, two
+    * zero end blocks. */
+  def synthTar(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = (3 + d % 5).toInt
+    (0 until n).foreach { j =>
+      val isDir = j % 4 == 3
+      val name = s"doc_${d}_$j" + (if (isDir) "/" else ".txt")
+      val size = if (isDir) 0L else 10 + (d * 7 + 13 * j) % 900
+      val mtime = 1700000000L + 100 * d + j
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def octal(off: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off, len - 1)
+        h(off + len - 1) = 0
+      }
+      octal(100, 8, 420) // mode 0644
+      octal(108, 8, 0); octal(116, 8, 0) // uid/gid
+      octal(124, 12, size)
+      octal(136, 12, mtime)
+      h(156) = if (isDir) '5' else '0'
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0' // POSIX version
+      java.util.Arrays.fill(h, 148, 156, 0x20.toByte)
+      var sum = 0L
+      (0 until 512).foreach(i => sum += h(i) & 0xff)
+      val cs = java.lang.Long.toOctalString(sum)
+      val csp = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csp.getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      if (!isDir) {
+        (0L until size).foreach(i =>
+          out.write(((d * 11 + 17 * j + i) % 251).toInt))
+        val pad = ((size + 511) / 512 * 512 - size).toInt
+        out.write(new Array[Byte](pad))
+      }
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  final case class ZipMember(idx: Int, name: String, method: String,
+      usize: Long)
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (u16le(b, o) & 0xffffL) | ((u16le(b, o + 2) & 0xffffL) << 16)
+
+  /** ZIP walk: find the EOCD by backward scan (its own comment makes
+    * the record variable-length), walk the central directory, and for
+    * EVERY member cross-validate the local header AND the payload
+    * integrity — stored members are CRC32-checked as-is, deflated
+    * members are raw-inflated and both the inflated length and CRC
+    * must match the directory's claims. A directory that lies about
+    * its members fails loudly. */
+  def zipEntries(bytes: Array[Byte]): Array[ZipMember] = {
+    require(bytes.length >= 22, "shorter than an empty ZIP")
+    var eocd = -1
+    var p = bytes.length - 22
+    val floor = math.max(0, bytes.length - 22 - 0xffff)
+    while (eocd < 0 && p >= floor) {
+      if (bytes(p) == 0x50 && bytes(p + 1) == 0x4b && bytes(p + 2) == 5 &&
+          bytes(p + 3) == 6 &&
+          p + 22 + u16le(bytes, p + 20) == bytes.length) eocd = p
+      else p -= 1
+    }
+    require(eocd >= 0, "no end-of-central-directory record")
+    val nEntries = u16le(bytes, eocd + 10)
+    require(nEntries == u16le(bytes, eocd + 8),
+      "multi-disk ZIP unsupported in the walk")
+    val cdSize = u32le(bytes, eocd + 12)
+    val cdOff = u32le(bytes, eocd + 16)
+    require(cdOff + cdSize == eocd,
+      s"central directory [$cdOff, ${cdOff + cdSize}) does not abut EOCD")
+    val out = collection.mutable.ArrayBuffer.empty[ZipMember]
+    var pos = cdOff.toInt
+    (0 until nEntries).foreach { _ =>
+      require(pos + 46 <= eocd, s"truncated central-dir entry at $pos")
+      require(u32le(bytes, pos) == 0x02014b50L,
+        s"bad central-dir signature at $pos")
+      val method = u16le(bytes, pos + 10) match {
+        case 0 => "stored"
+        case 8 => "deflated"
+        case m => sys.error(s"ZIP compression method $m unsupported")
+      }
+      val crc = u32le(bytes, pos + 16)
+      val csize = u32le(bytes, pos + 20)
+      val usize = u32le(bytes, pos + 24)
+      val nameLen = u16le(bytes, pos + 28)
+      val extraLen = u16le(bytes, pos + 30)
+      val cmtLen = u16le(bytes, pos + 32)
+      val localOff = u32le(bytes, pos + 42)
+      require(pos + 46 + nameLen <= eocd, s"central-dir name overruns at $pos")
+      val name = new String(bytes, pos + 46, nameLen, "US-ASCII")
+      // local header cross-validation — bound the u32 offset BEFORE
+      // narrowing so a corrupted 3 GiB offset cannot index negative
+      require(localOff + 30 <= bytes.length,
+        s"local header offset $localOff for $name overruns the archive")
+      val lo = localOff.toInt
+      require(u32le(bytes, lo) == 0x04034b50L,
+        s"bad local header for $name at $lo")
+      require(lo + 30 + nameLen <= bytes.length,
+        s"local header name for $name overruns the archive")
+      require(u16le(bytes, lo + 26) == nameLen &&
+        new String(bytes, lo + 30, nameLen, "US-ASCII") == name,
+        s"local header name disagrees with central dir for $name")
+      val lExtra = u16le(bytes, lo + 28)
+      val dataOff = lo + 30 + nameLen + lExtra
+      require(dataOff + csize <= bytes.length,
+        s"member $name payload overruns the archive")
+      val payload = java.util.Arrays.copyOfRange(
+        bytes, dataOff, dataOff + csize.toInt)
+      val plain =
+        if (method == "stored") {
+          require(csize == usize,
+            s"stored member $name csize $csize != usize $usize")
+          payload
+        } else {
+          // deflate expands at most ~1032:1 — a directory claiming more
+          // is lying, and an unbounded u32 usize must not size a buffer
+          require(usize <= 1032L * csize + 64,
+            s"member $name usize $usize implausible for $csize deflated bytes")
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(payload)
+            val buf = new Array[Byte](usize.toInt + 1)
+            val got = try inf.inflate(buf) catch {
+              case e: java.util.zip.DataFormatException =>
+                sys.error(s"member $name deflate stream corrupt: " +
+                  e.getMessage)
+            }
+            require(got == usize && inf.finished(),
+              s"member $name inflates to $got bytes, directory says $usize")
+            java.util.Arrays.copyOf(buf, got)
+          } finally inf.end() // zlib native resource — leak-safe at scale
+        }
+      val c = new java.util.zip.CRC32()
+      c.update(plain)
+      require(c.getValue == crc,
+        s"member $name CRC ${c.getValue} != directory ${crc}")
+      out += ZipMember(out.length, name, method, usize)
+      pos += 46 + nameLen + extraLen + cmtLen
+    }
+    require(pos == eocd, "central directory does not end at EOCD")
+    require(out.nonEmpty, "ZIP archive with no members")
+    out.toArray
+  }
+
+  /** Closed-form ZIP: 2+d%4 members, every (d+j)%3==0 member deflated
+    * (raw Deflater, JDK) and the rest stored, content bytes mod 251 of
+    * doc-derived length — local headers, central directory, EOCD with
+    * a doc-varying comment so the backward scan is exercised. */
+  def synthZip(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = (2 + d % 4).toInt
+    val central = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { j =>
+      val name = s"f${d}_$j.bin"
+      val usize = (20 + (d * 5 + 11 * j) % 200).toInt
+      val plain = Array.tabulate[Byte](usize)(i =>
+        ((d * 11 + 17 * j + i) % 251).toByte)
+      val crcC = new java.util.zip.CRC32(); crcC.update(plain)
+      val crc = crcC.getValue
+      val deflate = (d + j) % 3 == 0
+      val payload = if (!deflate) plain else {
+        val df = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        try {
+          df.setInput(plain); df.finish()
+          val buf = new Array[Byte](usize + 64)
+          val m = df.deflate(buf)
+          require(df.finished(), "fixture deflate did not finish")
+          java.util.Arrays.copyOf(buf, m)
+        } finally df.end()
+      }
+      val method = if (deflate) 8 else 0
+      val nb = name.getBytes("US-ASCII")
+      val localOff = out.size()
+      val lh = new Array[Byte](30)
+      def p16(b: Array[Byte], o: Int, v: Int): Unit = {
+        b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def p32(b: Array[Byte], o: Int, v: Long): Unit = {
+        p16(b, o, (v & 0xffff).toInt); p16(b, o + 2, ((v >> 16) & 0xffff).toInt)
+      }
+      p32(lh, 0, 0x04034b50L); p16(lh, 4, 20); p16(lh, 8, method)
+      p32(lh, 14, crc); p32(lh, 18, payload.length); p32(lh, 22, usize)
+      p16(lh, 26, nb.length)
+      out.write(lh); out.write(nb); out.write(payload)
+      val ce = new Array[Byte](46)
+      p32(ce, 0, 0x02014b50L); p16(ce, 4, 20); p16(ce, 6, 20)
+      p16(ce, 10, method)
+      p32(ce, 16, crc); p32(ce, 20, payload.length); p32(ce, 24, usize)
+      p16(ce, 28, nb.length); p32(ce, 42, localOff)
+      central.write(ce); central.write(nb)
+    }
+    val cdOff = out.size()
+    val cd = central.toByteArray
+    out.write(cd)
+    val comment = s"graft-$d".getBytes("US-ASCII")
+    val eocd = new Array[Byte](22)
+    eocd(0) = 0x50; eocd(1) = 0x4b; eocd(2) = 5; eocd(3) = 6
+    eocd(8) = (n & 0xff).toByte; eocd(9) = ((n >> 8) & 0xff).toByte
+    eocd(10) = eocd(8); eocd(11) = eocd(9)
+    eocd(12) = (cd.length & 0xff).toByte
+    eocd(13) = ((cd.length >> 8) & 0xff).toByte
+    eocd(14) = ((cd.length >> 16) & 0xff).toByte
+    eocd(15) = ((cd.length >> 24) & 0xff).toByte
+    eocd(16) = (cdOff & 0xff).toByte
+    eocd(17) = ((cdOff >> 8) & 0xff).toByte
+    eocd(18) = ((cdOff >> 16) & 0xff).toByte
+    eocd(19) = ((cdOff >> 24) & 0xff).toByte
+    eocd(20) = (comment.length & 0xff).toByte
+    eocd(21) = ((comment.length >> 8) & 0xff).toByte
+    out.write(eocd); out.write(comment)
+    out.toByteArray
+  }
 }

@@ -955,6 +955,70 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, warcFeatureSchema)
   }
 
+  /** ids → media rows carrying a real ustar archive (3-7 members,
+    * every 4th a directory, verified checksums). */
+  def synthTarMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/x-tar", Map.empty)(Codecs.synthTar)
+
+  /** ustar header walk per partition (Codecs.tarEntries), one output
+    * row per member: checksum-verified headers, octal size/mtime, and
+    * a payload byte-sum proving the data offsets — the archive-listing
+    * pre-pass that decides what to extract at all. */
+  def tarEntryFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("entry_idx", IntegerType),
+      StructField("name", StringType),
+      StructField("kind", StringType),
+      StructField("size", LongType),
+      StructField("mtime", LongType),
+      StructField("payload_sum", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        Codecs.tarEntries(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")).iterator.map {
+          e => Row(d, e.idx, e.name, e.typeflag, e.size, e.mtime,
+            e.payloadSum)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** ids → media rows carrying a real ZIP (stored + deflated members,
+    * EOCD comment so the backward scan is exercised). */
+  def synthZipMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/zip", Map.empty)(Codecs.synthZip)
+
+  /** ZIP central-directory walk per partition (Codecs.zipEntries), one
+    * output row per member — every member's local header is
+    * cross-validated and its payload integrity-checked (stored: CRC32;
+    * deflated: raw-inflate + length + CRC), so a green hash here means
+    * every archive byte was actually verified. */
+  def zipEntryFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("entry_idx", IntegerType),
+      StructField("name", StringType),
+      StructField("method", StringType),
+      StructField("usize", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        Codecs.zipEntries(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")).iterator.map {
+          e => Row(d, e.idx, e.name, e.method, e.usize)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition batched decode: one "codec" per partition, rows
     * streamed through it. Output schema: id, mime, n_bytes, features. */
   def decode(df: DataFrame, idCol: String): DataFrame = {

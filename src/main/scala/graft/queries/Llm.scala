@@ -4127,6 +4127,71 @@ object Llm extends QueryModule {
           CAST(sum((13 * i + 3 * doc_id) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY doc_id, f ORDER BY id, frame_idx""")),
 
+    // TAR member listing (Codecs.tarEntries): training corpora arrive
+    // as archives, and listing members WITHOUT extraction is the
+    // ingest pre-pass that budgets the read. The walk verifies every
+    // ustar header's space-substituted checksum, parses the octal
+    // size/mtime fields, refuses non-file/dir typeflags loudly, and
+    // digests each payload (byte sum) so the oracle pins the DATA
+    // offsets, not just the header arithmetic — a one-block
+    // misalignment changes payload_sum. Pure map work; the exploded
+    // member table is the only thing that moves.
+    QueryDef(
+      "llm_tar_entries",
+      (s, dir) => Multimodal.tarEntryFeatures(
+        Multimodal.synthTarMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "entry_idx"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(unnest(range(0, 3 + doc_id % 5)) AS INT) AS j
+          FROM documents WHERE doc_id < 300),
+        e AS (SELECT doc_id, j, j % 4 = 3 AS is_dir,
+            CASE WHEN j % 4 = 3 THEN 0
+              ELSE 10 + (doc_id * 7 + 13 * j) % 900 END AS sz
+          FROM d),
+        ps AS (SELECT e.doc_id, e.j,
+            CAST(coalesce(sum((e.doc_id * 11 + 17 * e.j + i.i) % 251), 0)
+              AS BIGINT) AS psum
+          FROM e LEFT JOIN LATERAL
+            (SELECT unnest(range(0, e.sz)) AS i) i ON TRUE
+          GROUP BY e.doc_id, e.j)
+        SELECT e.doc_id AS id, e.j AS entry_idx,
+          'doc_' || e.doc_id || '_' || e.j ||
+            CASE WHEN e.is_dir THEN '/' ELSE '.txt' END AS name,
+          CASE WHEN e.is_dir THEN 'dir' ELSE 'file' END AS kind,
+          CAST(e.sz AS BIGINT) AS size,
+          CAST(1700000000 + 100 * e.doc_id + e.j AS BIGINT) AS mtime,
+          ps.psum AS payload_sum
+        FROM e JOIN ps ON e.doc_id = ps.doc_id AND e.j = ps.j
+        ORDER BY id, entry_idx""")),
+
+    // ZIP member listing (Codecs.zipEntries): EOCD found by backward
+    // scan (the fixture's doc-varying comment forces a real scan), the
+    // central directory walked, and EVERY member's local header
+    // cross-validated plus its payload integrity-checked — stored
+    // members CRC32'd as-is, deflated members raw-inflated with length
+    // AND CRC required to match the directory's claims. A green hash
+    // therefore means every archive byte was verified, not just
+    // listed. The fixture mixes stored and deflated members so both
+    // verification paths run on every doc id.
+    QueryDef(
+      "llm_zip_entries",
+      (s, dir) => Multimodal.zipEntryFeatures(
+        Multimodal.synthZipMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "entry_idx"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id AS id, j AS entry_idx,
+          'f' || doc_id || '_' || j || '.bin' AS name,
+          CASE WHEN (doc_id + j) % 3 = 0 THEN 'deflated'
+            ELSE 'stored' END AS method,
+          CAST(20 + (doc_id * 5 + 11 * j) % 200 AS BIGINT) AS usize
+        FROM d ORDER BY id, entry_idx""")),
+
     // JX FRONT DOOR → WEB — `"from": "web:archives"` exposes the
     // extracted crawl pages as a JX source, so the reference's JSON
     // query language reaches the web-ingest family: here a quality

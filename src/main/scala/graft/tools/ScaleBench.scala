@@ -283,6 +283,26 @@ object ScaleBench {
         force(Multimodal.avccFeatures(mp4, "id")))
       mp4.unpersist()
     }
+    // Archive walks (round 12): ustar header+payload-digest walk and
+    // the ZIP central-directory walk with per-member CRC/inflate
+    // verification — the corpus-listing pre-pass at scale. Members/s =
+    // rows / sec; media localCheckpoint'd so the timed pass is the
+    // walk, not fixture synthesis.
+    if (only.isEmpty || only.exists("archive_entries".contains)) {
+      import graft.operators.Multimodal
+      val tar = Multimodal.synthTarMedia(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val n = tar.count()
+      time(s"archive_entries_tar(n=$n)")(
+        force(Multimodal.tarEntryFeatures(tar, "id")))
+      tar.unpersist()
+      val z = Multimodal.synthZipMedia(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      z.count()
+      time(s"archive_entries_zip(n=$n)")(
+        force(Multimodal.zipEntryFeatures(z, "id")))
+      z.unpersist()
+    }
     // ANN index persistence (round 12): the trained IVF-PQ artifacts
     // written as parquet and SERVED FROM THE LOAD — build+write once,
     // then the serve pass alone, so the row separates index-build cost

@@ -929,7 +929,9 @@ class CodecsSpec extends AnyFunSuite {
       ("avcc-mp4", Codecs.synthAvcMp4(9L), b => Codecs.avccMeta(b)),
       ("mp3-id3v2", Codecs.synthMp3(6L), b => Codecs.mp3Meta(b)),
       ("mp3-id3v1", Codecs.synthMp3(5L), b => Codecs.mp3Meta(b)),
-      ("mp4a-esds", Codecs.synthMp4aMp4(7L), b => Codecs.mp4aMeta(b)))
+      ("mp4a-esds", Codecs.synthMp4aMp4(7L), b => Codecs.mp4aMeta(b)),
+      ("tar", Codecs.synthTar(6L), b => Codecs.tarEntries(b)),
+      ("zip", Codecs.synthZip(8L), b => Codecs.zipEntries(b)))
     fixtures.foreach { case (label, ok, dec) =>
       (0 until 120).foreach { trial =>
         val bad = ok.clone()
@@ -1472,5 +1474,123 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.mp3Meta(Array.emptyByteArray))
     intercept[RuntimeException](
       Codecs.mp3Meta(Array.fill[Byte](64)(0x2a)))
+  }
+
+  test("tar walk matches the closed form; checksum and structure checks fire") {
+    for (d <- 0L to 40L) {
+      val es = Codecs.tarEntries(Codecs.synthTar(d))
+      assert(es.length == (3 + d % 5).toInt, s"d=$d")
+      es.zipWithIndex.foreach { case (e, j) =>
+        val isDir = j % 4 == 3
+        assert(e.idx == j && e.typeflag == (if (isDir) "dir" else "file"))
+        assert(e.name ==
+          s"doc_${d}_$j" + (if (isDir) "/" else ".txt"), s"d=$d j=$j")
+        val size = if (isDir) 0L else 10 + (d * 7 + 13 * j) % 900
+        assert(e.size == size && e.mtime == 1700000000L + 100 * d + j)
+        val want = (0L until size).map(i => (d * 11 + 17 * j + i) % 251).sum
+        assert(e.payloadSum == want, s"d=$d j=$j payload sum")
+      }
+    }
+    val ok = Codecs.synthTar(9L)
+    // helper: corrupt a header byte, then re-stamp a VALID checksum so
+    // the corruption reaches the field parse, not the checksum require
+    def restamp(b: Array[Byte], hdr: Int): Unit = {
+      java.util.Arrays.fill(b, hdr + 148, hdr + 156, 0x20.toByte)
+      var sum = 0L
+      (0 until 512).foreach(i => sum += b(hdr + i) & 0xff)
+      val cs = java.lang.Long.toOctalString(sum)
+      val csp = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csp.getBytes("US-ASCII"), 0, b, hdr + 148, 6)
+      b(hdr + 154) = 0; b(hdr + 155) = ' '
+    }
+    // checksum mismatch is loud (flip a name byte: the computed sum
+    // moves, the declared checksum does not)
+    val badCs = ok.clone(); badCs(0) = (badCs(0) ^ 1).toByte
+    val e1 = intercept[IllegalArgumentException](Codecs.tarEntries(badCs))
+    assert(e1.getMessage.contains("checksum"), e1.getMessage)
+    // an unsupported typeflag (symlink) is refused, not skipped blind
+    val badTf = ok.clone(); badTf(156) = '2'; restamp(badTf, 0)
+    val e2 = intercept[RuntimeException](Codecs.tarEntries(badTf))
+    assert(e2.getMessage.contains("typeflag"), e2.getMessage)
+    // a size field overrunning the archive is refused BEFORE the walk
+    // advances (an 8 GiB octal size must not wrap the block arithmetic)
+    val badSz = ok.clone()
+    System.arraycopy("77777777777".getBytes("US-ASCII"), 0, badSz, 124, 11)
+    restamp(badSz, 0)
+    val e3 = intercept[IllegalArgumentException](Codecs.tarEntries(badSz))
+    assert(e3.getMessage.contains("overruns"), e3.getMessage)
+    // octal field with trailing junk after digits
+    val badOct = ok.clone(); badOct(126) = 'x'; restamp(badOct, 0)
+    intercept[IllegalArgumentException](Codecs.tarEntries(badOct))
+    // one zero block is not an end marker; truncation is loud
+    intercept[IllegalArgumentException](
+      Codecs.tarEntries(ok.take(ok.length - 512)))
+    intercept[IllegalArgumentException](Codecs.tarEntries(ok.take(700)))
+    // non-zero byte after the end marker
+    val trail = ok.clone(); trail(ok.length - 1) = 1
+    intercept[IllegalArgumentException](Codecs.tarEntries(trail))
+    // missing ustar magic
+    val badMagic = ok.clone(); badMagic(257) = 'X'
+    intercept[IllegalArgumentException](Codecs.tarEntries(badMagic))
+  }
+
+  test("zip walk matches the closed form and the JDK's independent reader") {
+    for (d <- 0L to 40L) {
+      val bytes = Codecs.synthZip(d)
+      val es = Codecs.zipEntries(bytes)
+      assert(es.length == (2 + d % 4).toInt, s"d=$d")
+      es.zipWithIndex.foreach { case (e, j) =>
+        assert(e.idx == j && e.name == s"f${d}_$j.bin")
+        assert(e.method ==
+          (if ((d + j) % 3 == 0) "deflated" else "stored"), s"d=$d j=$j")
+        assert(e.usize == 20 + (d * 5 + 11 * j) % 200)
+      }
+      // cross-check against java.util.zip — an independent reader of
+      // the same bytes (names, sizes, AND extracted payload bytes)
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        es.foreach { e =>
+          val ze = zin.getNextEntry
+          assert(ze != null && ze.getName == e.name, s"d=$d ${e.name}")
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var m = zin.read(tmp)
+          while (m >= 0) { buf.write(tmp, 0, m); m = zin.read(tmp) }
+          val plain = buf.toByteArray
+          assert(plain.length == e.usize, s"d=$d ${e.name} JDK size")
+          plain.zipWithIndex.foreach { case (b, i) =>
+            assert((b & 0xff) == ((d * 11 + 17 * e.idx + i) % 251).toInt,
+              s"d=$d ${e.name} byte $i")
+          }
+        }
+        assert(zin.getNextEntry == null, s"d=$d JDK sees extra members")
+      } finally zin.close()
+    }
+    val ok = Codecs.synthZip(7L)
+    // a flipped payload byte fails the CRC integrity check
+    val dataOff = ok.indexOfSlice("f7_0.bin".getBytes("US-ASCII")) + 8
+    val badPay = ok.clone(); badPay(dataOff + 3) = (badPay(dataOff + 3) ^ 1).toByte
+    val e1 = intercept[RuntimeException](Codecs.zipEntries(badPay))
+    assert(e1.getMessage.contains("CRC") || e1.getMessage.contains("corrupt"),
+      e1.getMessage)
+    // central dir claiming an unsupported compression method
+    val cd = ok.lastIndexOfSlice(Array[Byte](0x50, 0x4b, 1, 2))
+    val badM = ok.clone(); badM(cd + 10) = 12 // bzip2
+    val e2 = intercept[RuntimeException](Codecs.zipEntries(badM))
+    assert(e2.getMessage.contains("method"), e2.getMessage)
+    // EOCD comment length lying about the tail → no EOCD found
+    val e3 = intercept[IllegalArgumentException](
+      Codecs.zipEntries(ok.take(ok.length - 1)))
+    assert(e3.getMessage.contains("end-of-central-directory"), e3.getMessage)
+    // local header name disagreeing with the central directory
+    val lh = ok.indexOfSlice("f7_0.bin".getBytes("US-ASCII"))
+    val badN = ok.clone(); badN(lh) = 'g'
+    val e4 = intercept[IllegalArgumentException](Codecs.zipEntries(badN))
+    assert(e4.getMessage.contains("disagrees"), e4.getMessage)
+    // shorter than an empty archive / garbage
+    intercept[IllegalArgumentException](Codecs.zipEntries(Array.emptyByteArray))
+    intercept[IllegalArgumentException](
+      Codecs.zipEntries(Array.fill[Byte](64)(0x2a)))
   }
 }
