@@ -4139,6 +4139,11 @@ object Codecs {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def u32le(b: Array[Byte], o: Int): Long =
     (u16le(b, o) & 0xffffL) | ((u16le(b, o + 2) & 0xffffL) << 16)
+  private def u64le(b: Array[Byte], o: Int): Long = {
+    val v = u32le(b, o) | (u32le(b, o + 4) << 32)
+    require(v >= 0, s"zip64 u64 field at $o exceeds 2^63")
+    v
+  }
 
   /** ZIP walk: find the EOCD by backward scan (its own comment makes
     * the record variable-length), walk the central directory, and for
@@ -4146,7 +4151,11 @@ object Codecs {
     * integrity — stored members are CRC32-checked as-is, deflated
     * members are raw-inflated and both the inflated length and CRC
     * must match the directory's claims. A directory that lies about
-    * its members fails loudly. */
+    * its members fails loudly. ZIP64 handled in full: a classic field
+    * at its u16/u32 ceiling routes through the Zip64 EOCD locator +
+    * record, and per-member ceilings resolve through the 0x0001
+    * extended-information extra (usize, csize, localOff in APPNOTE
+    * order) — the format >4 GB corpus dumps actually arrive in. */
   def zipEntries(bytes: Array[Byte]): Array[ZipMember] = {
     require(bytes.length >= 22, "shorter than an empty ZIP")
     var eocd = -1
@@ -4159,17 +4168,45 @@ object Codecs {
       else p -= 1
     }
     require(eocd >= 0, "no end-of-central-directory record")
-    val nEntries = u16le(bytes, eocd + 10)
+    var nEntries: Long = u16le(bytes, eocd + 10)
     require(nEntries == u16le(bytes, eocd + 8),
       "multi-disk ZIP unsupported in the walk")
-    val cdSize = u32le(bytes, eocd + 12)
-    val cdOff = u32le(bytes, eocd + 16)
-    require(cdOff + cdSize == eocd,
-      s"central directory [$cdOff, ${cdOff + cdSize}) does not abut EOCD")
+    var cdSize = u32le(bytes, eocd + 12)
+    var cdOff = u32le(bytes, eocd + 16)
+    // ZIP64 (APPNOTE 4.4.1.4): any classic field at its ceiling means
+    // the true values live in the Zip64 EOCD record, located by the
+    // 20-byte locator that must sit immediately before the classic EOCD
+    var cdEnd = eocd
+    if (nEntries == 0xffff || cdSize == 0xffffffffL || cdOff == 0xffffffffL) {
+      val loc = eocd - 20
+      require(loc >= 0 && u32le(bytes, loc) == 0x07064b50L,
+        "classic EOCD at its ceiling but no zip64 locator before it")
+      require(u32le(bytes, loc + 4) == 0 && u32le(bytes, loc + 16) == 1,
+        "multi-disk zip64 unsupported in the walk")
+      val e64 = u64le(bytes, loc + 8)
+      require(e64 + 56 <= loc,
+        s"zip64 EOCD record at $e64 overruns its locator at $loc")
+      val e = e64.toInt
+      require(u32le(bytes, e) == 0x06064b50L,
+        s"bad zip64 EOCD signature at $e")
+      nEntries = u64le(bytes, e + 32)
+      require(nEntries == u64le(bytes, e + 24),
+        "multi-disk zip64 unsupported in the walk")
+      require(nEntries < Int.MaxValue, s"zip64 entry count $nEntries absurd")
+      cdSize = u64le(bytes, e + 40)
+      cdOff = u64le(bytes, e + 48)
+      cdEnd = e
+      require(cdOff + cdSize == e64,
+        s"central directory [$cdOff, ${cdOff + cdSize}) does not abut " +
+          "the zip64 EOCD record")
+    } else {
+      require(cdOff + cdSize == eocd,
+        s"central directory [$cdOff, ${cdOff + cdSize}) does not abut EOCD")
+    }
     val out = collection.mutable.ArrayBuffer.empty[ZipMember]
     var pos = cdOff.toInt
-    (0 until nEntries).foreach { _ =>
-      require(pos + 46 <= eocd, s"truncated central-dir entry at $pos")
+    (0L until nEntries).foreach { _ =>
+      require(pos + 46 <= cdEnd, s"truncated central-dir entry at $pos")
       require(u32le(bytes, pos) == 0x02014b50L,
         s"bad central-dir signature at $pos")
       val method = u16le(bytes, pos + 10) match {
@@ -4178,14 +4215,44 @@ object Codecs {
         case m => sys.error(s"ZIP compression method $m unsupported")
       }
       val crc = u32le(bytes, pos + 16)
-      val csize = u32le(bytes, pos + 20)
-      val usize = u32le(bytes, pos + 24)
+      var csize = u32le(bytes, pos + 20)
+      var usize = u32le(bytes, pos + 24)
       val nameLen = u16le(bytes, pos + 28)
       val extraLen = u16le(bytes, pos + 30)
       val cmtLen = u16le(bytes, pos + 32)
-      val localOff = u32le(bytes, pos + 42)
-      require(pos + 46 + nameLen <= eocd, s"central-dir name overruns at $pos")
+      var localOff = u32le(bytes, pos + 42)
+      require(pos + 46 + nameLen + extraLen <= cdEnd,
+        s"central-dir name/extra overruns at $pos")
       val name = new String(bytes, pos + 46, nameLen, "US-ASCII")
+      // ZIP64 extended-information extra (id 0x0001): 8-byte values for
+      // exactly the fields the fixed record left at their ceiling, in
+      // APPNOTE order usize, csize, localOff
+      if (usize == 0xffffffffL || csize == 0xffffffffL ||
+          localOff == 0xffffffffL) {
+        var off = pos + 46 + nameLen
+        val extraEnd = off + extraLen
+        var found = false
+        while (!found && off + 4 <= extraEnd) {
+          val id = u16le(bytes, off)
+          val sz = u16le(bytes, off + 2)
+          require(off + 4 + sz <= extraEnd,
+            s"extra field $id overruns its block for $name")
+          if (id == 1) {
+            found = true
+            var vo = off + 4
+            def take64(label: String): Long = {
+              require(vo + 8 <= off + 4 + sz,
+                s"zip64 extra too short for $label of $name")
+              val v = u64le(bytes, vo); vo += 8; v
+            }
+            if (usize == 0xffffffffL) usize = take64("usize")
+            if (csize == 0xffffffffL) csize = take64("csize")
+            if (localOff == 0xffffffffL) localOff = take64("localOff")
+          } else off += 4 + sz
+        }
+        require(found,
+          s"member $name at a u32 ceiling without a zip64 extra field")
+      }
       // local header cross-validation — bound the u32 offset BEFORE
       // narrowing so a corrupted 3 GiB offset cannot index negative
       require(localOff + 30 <= bytes.length,
@@ -4235,7 +4302,7 @@ object Codecs {
       out += ZipMember(out.length, name, method, usize)
       pos += 46 + nameLen + extraLen + cmtLen
     }
-    require(pos == eocd, "central directory does not end at EOCD")
+    require(pos == cdEnd, "central directory does not end at its EOCD")
     require(out.nonEmpty, "ZIP archive with no members")
     out.toArray
   }
@@ -4306,6 +4373,94 @@ object Codecs {
     eocd(19) = ((cdOff >> 24) & 0xff).toByte
     eocd(20) = (comment.length & 0xff).toByte
     eocd(21) = ((comment.length >> 8) & 0xff).toByte
+    out.write(eocd); out.write(comment)
+    out.toByteArray
+  }
+
+  /** Closed-form ZIP64: the "zip64-always" writer shape (every size,
+    * offset, and count at its u32/u16 ceiling with the true values in
+    * 0x0001 extra fields and the Zip64 EOCD record + locator) — legal
+    * per APPNOTE 4.4.1.4 and what >4 GB crawl dumps actually look
+    * like, exercisable at fixture scale because the MARKERS force the
+    * zip64 paths regardless of the actual sizes. 2+d%3 members, every
+    * (d+j)%3==0 deflated, content bytes (d*13+19j+i) mod 251. */
+  def synthZip64(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val central = new java.io.ByteArrayOutputStream()
+    def p16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(b: Array[Byte], o: Int, v: Long): Unit = {
+      p16(b, o, (v & 0xffff).toInt); p16(b, o + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    def p64(b: Array[Byte], o: Int, v: Long): Unit = {
+      p32(b, o, v & 0xffffffffL); p32(b, o + 4, (v >>> 32) & 0xffffffffL)
+    }
+    val n = (2 + d % 3).toInt
+    (0 until n).foreach { j =>
+      val name = s"big${d}_$j.dat"
+      val usize = (30 + (d * 7 + 13 * j) % 150).toInt
+      val plain = Array.tabulate[Byte](usize)(i =>
+        ((d * 13 + 19 * j + i) % 251).toByte)
+      val crcC = new java.util.zip.CRC32(); crcC.update(plain)
+      val crc = crcC.getValue
+      val deflate = (d + j) % 3 == 0
+      val payload = if (!deflate) plain else {
+        val df = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        try {
+          df.setInput(plain); df.finish()
+          val buf = new Array[Byte](usize + 64)
+          val m = df.deflate(buf)
+          require(df.finished(), "fixture deflate did not finish")
+          java.util.Arrays.copyOf(buf, m)
+        } finally df.end()
+      }
+      val method = if (deflate) 8 else 0
+      val nb = name.getBytes("US-ASCII")
+      val localOff = out.size()
+      val lh = new Array[Byte](30)
+      p32(lh, 0, 0x04034b50L); p16(lh, 4, 45); p16(lh, 8, method)
+      p32(lh, 14, crc)
+      p32(lh, 18, 0xffffffffL); p32(lh, 22, 0xffffffffL)
+      p16(lh, 26, nb.length); p16(lh, 28, 20)
+      val lx = new Array[Byte](20)
+      p16(lx, 0, 1); p16(lx, 2, 16)
+      p64(lx, 4, usize); p64(lx, 12, payload.length)
+      out.write(lh); out.write(nb); out.write(lx); out.write(payload)
+      val ce = new Array[Byte](46)
+      p32(ce, 0, 0x02014b50L); p16(ce, 4, 45); p16(ce, 6, 45)
+      p16(ce, 10, method)
+      p32(ce, 16, crc)
+      p32(ce, 20, 0xffffffffL); p32(ce, 24, 0xffffffffL)
+      p16(ce, 28, nb.length); p16(ce, 30, 28)
+      p32(ce, 42, 0xffffffffL)
+      val cx = new Array[Byte](28)
+      p16(cx, 0, 1); p16(cx, 2, 24)
+      p64(cx, 4, usize); p64(cx, 12, payload.length); p64(cx, 20, localOff)
+      central.write(ce); central.write(nb); central.write(cx)
+    }
+    val cdOff = out.size()
+    val cd = central.toByteArray
+    out.write(cd)
+    val e64Off = out.size()
+    val e64 = new Array[Byte](56)
+    p32(e64, 0, 0x06064b50L); p64(e64, 4, 44)
+    p16(e64, 12, 45); p16(e64, 14, 45)
+    p32(e64, 16, 0); p32(e64, 20, 0)
+    p64(e64, 24, n); p64(e64, 32, n)
+    p64(e64, 40, cd.length); p64(e64, 48, cdOff)
+    out.write(e64)
+    val loc = new Array[Byte](20)
+    p32(loc, 0, 0x07064b50L); p32(loc, 4, 0)
+    p64(loc, 8, e64Off); p32(loc, 16, 1)
+    out.write(loc)
+    val comment = s"graft64-$d".getBytes("US-ASCII")
+    val eocd = new Array[Byte](22)
+    p32(eocd, 0, 0x06054b50L)
+    p16(eocd, 8, 0xffff); p16(eocd, 10, 0xffff)
+    p32(eocd, 12, 0xffffffffL); p32(eocd, 16, 0xffffffffL)
+    p16(eocd, 20, comment.length)
     out.write(eocd); out.write(comment)
     out.toByteArray
   }

@@ -993,6 +993,12 @@ object Multimodal {
   def synthZipMedia(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "application/zip", Map.empty)(Codecs.synthZip)
 
+  /** ids → media rows carrying a "zip64-always" ZIP: every count,
+    * size, and offset at its marker ceiling with the true values in
+    * 0x0001 extras + the Zip64 EOCD record/locator chain. */
+  def synthZip64Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/zip", Map.empty)(Codecs.synthZip64)
+
   /** ZIP central-directory walk per partition (Codecs.zipEntries), one
     * output row per member — every member's local header is
     * cross-validated and its payload integrity-checked (stored: CRC32;

@@ -4192,6 +4192,31 @@ object Llm extends QueryModule {
           CAST(20 + (doc_id * 5 + 11 * j) % 200 AS BIGINT) AS usize
         FROM d ORDER BY id, entry_idx""")),
 
+    // ZIP64 member listing: the SAME walk over the "zip64-always"
+    // writer shape — every count/size/offset at its u16/u32 marker
+    // ceiling, true values carried in 0x0001 extras and the Zip64
+    // EOCD record + locator chain (APPNOTE 4.4.1.4). Real >4 GB crawl
+    // dumps arrive in exactly this layout; the markers force every
+    // zip64 branch at fixture scale, and the integrity checks (CRC /
+    // inflate) run against the EXTRA-resolved sizes, so a walk that
+    // trusted the u32 ceilings would fail the hash loudly.
+    QueryDef(
+      "llm_zip64_entries",
+      (s, dir) => Multimodal.zipEntryFeatures(
+        Multimodal.synthZip64Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "entry_idx"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 3)) AS INT) AS j
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id AS id, j AS entry_idx,
+          'big' || doc_id || '_' || j || '.dat' AS name,
+          CASE WHEN (doc_id + j) % 3 = 0 THEN 'deflated'
+            ELSE 'stored' END AS method,
+          CAST(30 + (doc_id * 7 + 13 * j) % 150 AS BIGINT) AS usize
+        FROM d ORDER BY id, entry_idx""")),
+
     // JX FRONT DOOR → WEB — `"from": "web:archives"` exposes the
     // extracted crawl pages as a JX source, so the reference's JSON
     // query language reaches the web-ingest family: here a quality

@@ -931,7 +931,8 @@ class CodecsSpec extends AnyFunSuite {
       ("mp3-id3v1", Codecs.synthMp3(5L), b => Codecs.mp3Meta(b)),
       ("mp4a-esds", Codecs.synthMp4aMp4(7L), b => Codecs.mp4aMeta(b)),
       ("tar", Codecs.synthTar(6L), b => Codecs.tarEntries(b)),
-      ("zip", Codecs.synthZip(8L), b => Codecs.zipEntries(b)))
+      ("zip", Codecs.synthZip(8L), b => Codecs.zipEntries(b)),
+      ("zip64", Codecs.synthZip64(4L), b => Codecs.zipEntries(b)))
     fixtures.foreach { case (label, ok, dec) =>
       (0 until 120).foreach { trial =>
         val bad = ok.clone()
@@ -1592,5 +1593,73 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.zipEntries(Array.emptyByteArray))
     intercept[IllegalArgumentException](
       Codecs.zipEntries(Array.fill[Byte](64)(0x2a)))
+  }
+
+  test("zip64 walk resolves markers via extras + EOCD chain; JDK ZipFile agrees") {
+    for (d <- 0L to 40L) {
+      val bytes = Codecs.synthZip64(d)
+      val es = Codecs.zipEntries(bytes)
+      assert(es.length == (2 + d % 3).toInt, s"d=$d")
+      es.zipWithIndex.foreach { case (e, j) =>
+        assert(e.idx == j && e.name == s"big${d}_$j.dat")
+        assert(e.method ==
+          (if ((d + j) % 3 == 0) "deflated" else "stored"), s"d=$d j=$j")
+        assert(e.usize == 30 + (d * 7 + 13 * j) % 150, s"d=$d j=$j")
+      }
+      // cross-check against java.util.zip.ZipFile — the JDK's
+      // central-directory reader with full zip64 support — on names,
+      // sizes, and every extracted payload byte
+      val tmp = java.io.File.createTempFile("graft-z64", ".zip")
+      try {
+        java.nio.file.Files.write(tmp.toPath, bytes)
+        val zf = new java.util.zip.ZipFile(tmp)
+        try {
+          val jes = zf.entries()
+          es.foreach { e =>
+            assert(jes.hasMoreElements, s"d=$d JDK sees fewer members")
+            val ze = jes.nextElement()
+            assert(ze.getName == e.name && ze.getSize == e.usize,
+              s"d=$d ${e.name} JDK name/size")
+            val in = zf.getInputStream(ze)
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp2 = new Array[Byte](256)
+            var m = in.read(tmp2)
+            while (m >= 0) { buf.write(tmp2, 0, m); m = in.read(tmp2) }
+            in.close()
+            buf.toByteArray.zipWithIndex.foreach { case (b, i) =>
+              assert((b & 0xff) == ((d * 13 + 19 * e.idx + i) % 251).toInt,
+                s"d=$d ${e.name} byte $i")
+            }
+          }
+          assert(!jes.hasMoreElements, s"d=$d JDK sees extra members")
+        } finally zf.close()
+      } finally tmp.delete()
+    }
+    val ok = Codecs.synthZip64(7L)
+    // classic EOCD at its ceiling with the locator signature broken
+    val locOff = ok.lastIndexOfSlice(Array[Byte](0x50, 0x4b, 6, 7))
+    assert(locOff > 0)
+    val badLoc = ok.clone(); badLoc(locOff + 3) = 9
+    val e1 = intercept[IllegalArgumentException](Codecs.zipEntries(badLoc))
+    assert(e1.getMessage.contains("locator"), e1.getMessage)
+    // zip64 EOCD record signature broken
+    val e64Off = ok.lastIndexOfSlice(Array[Byte](0x50, 0x4b, 6, 6))
+    assert(e64Off > 0 && e64Off < locOff)
+    val badE64 = ok.clone(); badE64(e64Off + 3) = 9
+    val e2 = intercept[IllegalArgumentException](Codecs.zipEntries(badE64))
+    assert(e2.getMessage.contains("zip64 EOCD"), e2.getMessage)
+    // a central entry at its ceiling whose 0x0001 extra id is wiped —
+    // markers without the extra must be loud, never trusted as sizes
+    val cd = ok.lastIndexOfSlice(Array[Byte](0x50, 0x4b, 1, 2))
+    val nameLen = s"big7_0.dat".length
+    val badX = ok.clone(); badX(cd + 46 + nameLen) = 0x42
+    val e3 = intercept[IllegalArgumentException](Codecs.zipEntries(badX))
+    assert(e3.getMessage.contains("zip64 extra"), e3.getMessage)
+    // payload integrity still enforced through the extra-resolved size
+    val dataOff = ok.indexOfSlice("big7_0.dat".getBytes("US-ASCII")) +
+      nameLen + 20
+    val badPay = ok.clone()
+    badPay(dataOff + 5) = (badPay(dataOff + 5) ^ 1).toByte
+    intercept[RuntimeException](Codecs.zipEntries(badPay))
   }
 }
