@@ -4026,8 +4026,19 @@ object Codecs {
     * end-of-archive marked by two zero blocks (anything after must be
     * zero padding). Regular files and directories only — other
     * typeflags are loud, not skipped blind. */
-  def tarEntries(bytes: Array[Byte]): Array[TarEntry] = {
-    val out = collection.mutable.ArrayBuffer.empty[TarEntry]
+  def tarEntries(bytes: Array[Byte]): Array[TarEntry] =
+    tarWalk(bytes).map(_._1)
+
+  /** tarEntries plus the extracted payload of every regular file —
+    * the listing walk and the extraction share one header parse, so
+    * everything the listing verifies (checksums, bounds, typeflags)
+    * guards the extraction too. */
+  def tarExtract(bytes: Array[Byte]): Array[(TarEntry, Array[Byte])] =
+    tarWalk(bytes)
+
+  private def tarWalk(
+      bytes: Array[Byte]): Array[(TarEntry, Array[Byte])] = {
+    val out = collection.mutable.ArrayBuffer.empty[(TarEntry, Array[Byte])]
     var pos = 0
     var ended = false
     while (!ended) {
@@ -4076,7 +4087,8 @@ object Codecs {
         var i = pos + 512
         val dataEnd = pos + 512 + size.toInt
         while (i < dataEnd) { psum += bytes(i) & 0xff; i += 1 }
-        out += TarEntry(out.length, name, kind, size, mtime, psum)
+        out += ((TarEntry(out.length, name, kind, size, mtime, psum),
+          java.util.Arrays.copyOfRange(bytes, pos + 512, dataEnd)))
         val dataBlocks = ((size + 511) / 512) * 512
         pos += 512 + dataBlocks.toInt
       }
@@ -4127,6 +4139,53 @@ object Codecs {
         val pad = ((size + 511) / 512 * 512 - size).toInt
         out.write(new Array[Byte](pad))
       }
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Closed-form ustar TEXT corpus: 2+d%4 .txt members, member j
+    * holding 5+(d+j)%10 space-separated words from a 13-word
+    * vocabulary (word i = "w"+((d*3+5j+i²)%13) — the quadratic term
+    * makes repeats, so distinct-type counts are non-trivial) — the
+    * fixture for the archives-feed-the-text-pipeline composition. */
+  def synthTarDocs(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = (2 + d % 4).toInt
+    (0 until n).foreach { j =>
+      val nWords = (5 + (d + j) % 10).toInt
+      val text = (0 until nWords)
+        .map(i => "w" + ((d * 3 + 5 * j + i.toLong * i) % 13)).mkString(" ")
+      val body = text.getBytes("US-ASCII")
+      val name = s"doc_${d}_$j.txt"
+      val mtime = 1700000000L + 100 * d + j
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def octal(off: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off, len - 1)
+        h(off + len - 1) = 0
+      }
+      octal(100, 8, 420)
+      octal(108, 8, 0); octal(116, 8, 0)
+      octal(124, 12, body.length)
+      octal(136, 12, mtime)
+      h(156) = '0'
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0'
+      java.util.Arrays.fill(h, 148, 156, 0x20.toByte)
+      var sum = 0L
+      (0 until 512).foreach(i => sum += h(i) & 0xff)
+      val cs = java.lang.Long.toOctalString(sum)
+      val csp = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csp.getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(body)
+      out.write(new Array[Byte](
+        ((body.length + 511) / 512 * 512 - body.length)))
     }
     out.write(new Array[Byte](1024))
     out.toByteArray

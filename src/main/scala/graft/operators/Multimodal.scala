@@ -988,6 +988,38 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** ids → media rows carrying a real ustar whose members are ASCII
+    * text documents (the archives-as-corpus fixture). */
+  def synthTarDocsMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "application/x-tar", Map.empty)(
+      Codecs.synthTarDocs)
+
+  /** Extract every regular-file member's payload as text, one row per
+    * member: (id, entry_idx, name, text). Extraction is the ONLY work
+    * done here (partition-local, sharing the listing walk's checksum/
+    * bounds verification) — tokenization and any analysis compose on
+    * top as ordinary Column expressions, so the optimizer sees them. */
+  def tarTextMembers(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("entry_idx", IntegerType),
+      StructField("name", StringType),
+      StructField("text", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        Codecs.tarExtract(
+          r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")).iterator
+          .filter(_._1.typeflag == "file").map { case (e, body) =>
+            Row(d, e.idx, e.name, new String(body, "US-ASCII"))
+          }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** ids → media rows carrying a real ZIP (stored + deflated members,
     * EOCD comment so the backward scan is exercised). */
   def synthZipMedia(ids: DataFrame, idCol: String): DataFrame =

@@ -4192,6 +4192,39 @@ object Llm extends QueryModule {
           CAST(20 + (doc_id * 5 + 11 * j) % 200 AS BIGINT) AS usize
         FROM d ORDER BY id, entry_idx""")),
 
+    // ARCHIVES-FEED-THE-PIPELINE composition: extract .txt members
+    // from tar archives (partition-local, sharing the listing walk's
+    // checksum/bounds verification) and run per-member token analysis
+    // as ORDINARY Column expressions on top — the split between
+    // extraction (opaque map work) and analysis (declarative, visible
+    // to the optimizer) is the architectural point: a filter on
+    // n_tokens would fuse into this same stage, never a second pass.
+    QueryDef(
+      "llm_tar_extract_tokens",
+      (s, dir) => Multimodal.tarTextMembers(
+        Multimodal.synthTarDocsMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id")
+        .select(col("id"), col("entry_idx"), col("name"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("n_types"),
+          length(col("text")).as("text_len"))
+        .orderBy("id", "entry_idx"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents WHERE doc_id < 300),
+        w AS (SELECT d.doc_id, d.j,
+            'w' || ((d.doc_id * 3 + 5 * d.j + i.i * i.i) % 13) AS word
+          FROM d, LATERAL (SELECT
+            unnest(range(0, 5 + (d.doc_id + d.j) % 10)) AS i) i)
+        SELECT doc_id AS id, j AS entry_idx,
+          'doc_' || doc_id || '_' || j || '.txt' AS name,
+          CAST(count(*) AS INT) AS n_tokens,
+          CAST(count(DISTINCT word) AS INT) AS n_types,
+          CAST(sum(length(word)) + count(*) - 1 AS INT) AS text_len
+        FROM w GROUP BY doc_id, j ORDER BY id, entry_idx""")),
+
     // ZIP64 member listing: the SAME walk over the "zip64-always"
     // writer shape — every count/size/offset at its u16/u32 marker
     // ceiling, true values carried in 0x0001 extras and the Zip64

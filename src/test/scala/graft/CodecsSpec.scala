@@ -931,6 +931,7 @@ class CodecsSpec extends AnyFunSuite {
       ("mp3-id3v1", Codecs.synthMp3(5L), b => Codecs.mp3Meta(b)),
       ("mp4a-esds", Codecs.synthMp4aMp4(7L), b => Codecs.mp4aMeta(b)),
       ("tar", Codecs.synthTar(6L), b => Codecs.tarEntries(b)),
+      ("tar-docs", Codecs.synthTarDocs(9L), b => Codecs.tarExtract(b)),
       ("zip", Codecs.synthZip(8L), b => Codecs.zipEntries(b)),
       ("zip64", Codecs.synthZip64(4L), b => Codecs.zipEntries(b)))
     fixtures.foreach { case (label, ok, dec) =>
@@ -1533,6 +1534,20 @@ class CodecsSpec extends AnyFunSuite {
     // missing ustar magic
     val badMagic = ok.clone(); badMagic(257) = 'X'
     intercept[IllegalArgumentException](Codecs.tarEntries(badMagic))
+    // extraction shares the walk: payloads round-trip exactly, and the
+    // text fixture's members decode to the closed-form word sequences
+    for (d <- 0L to 20L) {
+      val ms = Codecs.tarExtract(Codecs.synthTarDocs(d))
+      assert(ms.length == (2 + d % 4).toInt, s"d=$d")
+      ms.zipWithIndex.foreach { case ((e, body), j) =>
+        assert(e.typeflag == "file" && e.name == s"doc_${d}_$j.txt")
+        val want = (0 until (5 + (d + j) % 10).toInt)
+          .map(i => "w" + ((d * 3 + 5 * j + i.toLong * i) % 13))
+          .mkString(" ")
+        assert(new String(body, "US-ASCII") == want, s"d=$d j=$j")
+        assert(e.size == want.length, s"d=$d j=$j size")
+      }
+    }
   }
 
   test("zip walk matches the closed form and the JDK's independent reader") {
