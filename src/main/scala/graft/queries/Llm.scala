@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
-import graft.operators.{Multimodal, Similarity, TextOps, Unigram}
+import graft.operators.{Markdown, Multimodal, Similarity, TextOps, Unigram}
 import graft.plans.VectorExprs
 import graft.sources.Catalog
 
@@ -4224,6 +4224,44 @@ object Llm extends QueryModule {
           CAST(count(DISTINCT word) AS INT) AS n_types,
           CAST(sum(length(word)) + count(*) - 1 AS INT) AS text_len
         FROM w GROUP BY doc_id, j ORDER BY id, entry_idx""")),
+
+    // MARKDOWN → text (operators/Markdown.scala): the sibling of
+    // llm_html_text for the other big documentation corpus shape
+    // (READMEs, wikis, docs sites). Fenced code EXCLUDED and counted,
+    // ATX headings / list markers / blockquotes stripped with text
+    // kept, [text](url) keeps text + collects url, * emphasis drops,
+    // `_` survives (snake_case). The oracle REBUILDS the exact
+    // extracted text closed-form (string_agg over ranges — the
+    // webOracleCte discipline), so the hash pins every character of
+    // the extraction, not just the feature counts.
+    QueryDef(
+      "llm_markdown_text",
+      (s, dir) => Markdown.features(
+        Markdown.synthDf(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", "md").orderBy("id"),
+      Some("""WITH ids AS (SELECT doc_id AS id
+          FROM documents WHERE doc_id < 300),
+        t AS (SELECT id,
+          'head w' || (id % 13) || ' ' ||
+          (SELECT string_agg('w' || ((id * 2 + i.i) % 13), ' '
+              ORDER BY i.i)
+            FROM (SELECT unnest(range(0, 5 + id % 7)) AS i) i) || ' ' ||
+          'see w' || (id % 13) || ' and w' || ((id + 3) % 13) ||
+          ' or c' || (id % 11) || ' ' ||
+          (SELECT string_agg('it' || k.k, ' ' ORDER BY k.k)
+            FROM (SELECT unnest(range(0, 2 + id % 3)) AS k) k) || ' ' ||
+          'ot' || (id % 4) || ' q w' || ((id + 5) % 13) AS text
+          FROM ids)
+        SELECT id, text,
+          CAST(1 AS INT) AS n_headings, CAST(1 AS INT) AS n_links,
+          CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+            AS n_code_blocks,
+          CAST(3 + id % 3 AS INT) AS n_list_items,
+          CAST(length(string_split(text, ' ')) AS INT) AS n_words,
+          'http://ex.com/p/' || id AS first_link
+        FROM t ORDER BY id""")),
 
     // ZIP64 member listing: the SAME walk over the "zip64-always"
     // writer shape — every count/size/offset at its u16/u32 marker

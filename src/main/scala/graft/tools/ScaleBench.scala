@@ -303,6 +303,17 @@ object ScaleBench {
         force(Multimodal.zipEntryFeatures(z, "id")))
       z.unpersist()
     }
+    // Markdown → text extraction (round 12): the README/wiki sibling
+    // of html_text — per-doc forward scan, embarrassingly parallel.
+    if (only.isEmpty || only.exists("markdown_text".contains)) {
+      import graft.operators.Markdown
+      val md = Markdown.synthDf(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val n = md.count()
+      time(s"markdown_text(n=$n)")(
+        force(Markdown.features(md, "id", "md")))
+      md.unpersist()
+    }
     // ANN index persistence (round 12): the trained IVF-PQ artifacts
     // written as parquet and SERVED FROM THE LOAD — build+write once,
     // then the serve pass alone, so the row separates index-build cost
