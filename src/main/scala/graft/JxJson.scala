@@ -177,6 +177,25 @@ object JxJson {
               .filter(org.apache.spark.sql.functions.col("doc_id") < archiveDocs)
               .select("doc_id"), "doc_id"),
           "id", gz = true)
+      // the MARKDOWN front door: `"from": "docs:markdown"` exposes the
+      // extracted README/wiki fixture corpus (operators/Markdown) the
+      // same way — extraction is partition-local map work ahead of
+      // whatever the query shuffles on; the same documented fixture
+      // bound and the same "archive_docs" override apply.
+      case JString("docs:markdown") =>
+        val mdDocs = (q \ "archive_docs") match {
+          case JInt(n) =>
+            require(n > 0, s"jx: archive_docs must be positive, got $n")
+            n.toInt
+          case JNothing | JNull => WebArchiveFixtureDocs
+          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
+        }
+        graft.operators.Markdown.features(
+          graft.operators.Markdown.synthDf(
+            Catalog.table(spark, sfDir, "documents")
+              .filter(org.apache.spark.sql.functions.col("doc_id") < mdDocs)
+              .select("doc_id"), "doc_id"),
+          "id", "md")
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)

@@ -4312,6 +4312,34 @@ object Llm extends QueryModule {
         FROM h WHERE (doc_id + i) % 7 != 0
         GROUP BY nl ORDER BY n_links""")),
 
+    // JX FRONT DOOR → MARKDOWN — `"from": "docs:markdown"` exposes
+    // the markdown-extracted corpus as a JX source: a quality gate on
+    // structure (docs carrying a code block) rolled up by list count,
+    // extraction fused with the aggregate in one plan. n_words has a
+    // closed form (18 + id%7 + id%3: heading 2 + paragraph 5+id%7 +
+    // link-line 6 + items 2+id%3 + ordered 1 + quote 2), which the
+    // oracle recomputes instead of re-parsing.
+    QueryDef(
+      "jx_json_markdown",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "docs:markdown",
+          "where": {"eq": ["n_code_blocks", {"literal": 1}]},
+          "groupby": ["n_list_items"],
+          "select": [
+            {"name": "n_docs", "aggregate": "count"},
+            {"name": "total_words", "aggregate": "sum", "value": "n_words"}
+          ],
+          "sort": "n_list_items"
+        }"""),
+      Some("""WITH f AS (SELECT doc_id,
+            CAST(3 + doc_id % 3 AS INT) AS n_list_items,
+            18 + doc_id % 7 + doc_id % 3 AS n_words
+          FROM documents WHERE doc_id < 300 AND doc_id % 2 = 0)
+        SELECT n_list_items, count(*) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM f GROUP BY n_list_items ORDER BY n_list_items""")),
+
     // GIF DECODE — the remaining common web-image format, and the one
     // whose compression (LZW, variable-width codes) is NOT in the
     // JDK: both directions implemented from the spec (encoder with
