@@ -4453,6 +4453,48 @@ object Llm extends QueryModule {
           ((doc_id + i) % 7 != 0 AND 2 + 5 * np + 2 * nl >= 18) AS kept
         FROM h ORDER BY id, rec_idx""")),
 
+    // STREAMING ARCHIVE INGEST — the tar walk applied as archives
+    // ARRIVE: header-verified member walk → .txt extraction → token
+    // gate, all STATELESS Append like stream_web_ingest (extraction
+    // reads one archive row; no state store, no watermark) — the
+    // shape for turning a day's archive drops into gated members
+    // before anything stateful sees them. Deterministic emission, so
+    // the batch closed-form oracle applies verbatim.
+    QueryDef(
+      "stream_archive_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Codecs
+        val extracted = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { d =>
+              Codecs.tarExtract(Codecs.synthTarDocs(d)).iterator
+                .filter(_._1.typeflag == "file").map { case (e, body) =>
+                  val text = new String(body, "US-ASCII")
+                  val n = if (text.isEmpty) 0 else text.split(" ").length
+                  (d, e.idx, e.name, n)
+                }
+            }
+          }
+          .toDF("id", "entry_idx", "name", "n_tokens")
+          .withColumn("kept", col("n_tokens") >= 8)
+        graft.streaming.Streams.runToMemory(extracted,
+          s"sarc_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id", "entry_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id AS id, j AS entry_idx,
+          'doc_' || doc_id || '_' || j || '.txt' AS name,
+          CAST(5 + (doc_id + j) % 10 AS INT) AS n_tokens,
+          (5 + (doc_id + j) % 10 >= 8) AS kept
+        FROM d ORDER BY id, entry_idx""")),
+
     // OUTLINK DOMAIN GRAPH — the composed curation DAG that feeds
     // crawl-frontier ranking (PageRank seeding): extract pages from
     // the gzipped archives, gate on quality (status 200 AND enough
