@@ -2462,6 +2462,122 @@ object Llm extends QueryModule {
               PARTITION BY doc_id % 8 ORDER BY doc_id) AS cum
           FROM documents) ORDER BY doc_id""")),
 
+    // Chat-template rendering with loss-mask accounting: turn
+    // multi-turn conversations into the single training string an SFT
+    // run consumes (control tokens around system/user/assistant
+    // spans) AND the prompt-vs-completion char split the loss mask
+    // needs. ENTIRELY Column expressions — sequence/transform build
+    // the turns, aggregate+filter sum the masked spans — so the whole
+    // render stays inside whole-stage codegen, a flat map at any
+    // scale. The synthetic conversation is closed-form from doc_id;
+    // the oracle re-renders every character via string_agg.
+    QueryDef(
+      "llm_chat_template",
+      (s, dir) => {
+        val d = col("doc_id")
+        val nTurns = (lit(2) * (lit(1) + pmod(d, lit(3)))).cast("int")
+        val turns = transform(sequence(lit(0), nTurns - 1), t =>
+          struct(pmod(t, lit(2)).as("r"),
+            when(pmod(t, lit(2)) === 0,
+              concat(lit("<|user|>u"), d.cast("string"), lit(" t"),
+                t.cast("string"), lit(" w"),
+                pmod(d + t, lit(13)).cast("string")))
+              .otherwise(concat(lit("<|asst|>a"), d.cast("string"),
+                lit(" t"), t.cast("string"), lit(" w"),
+                pmod(d + t * 2, lit(13)).cast("string"))).as("txt")))
+        // materialize the turns array ONCE per row (a separate Project
+        // level: CollapseProject will not inline an expensive
+        // expression referenced three times), then derive the render
+        // and both mask sums from the column
+        val tc = col("turns")
+        def charSum(role: Int) = aggregate(
+          filter(tc, x => x("r") === role), lit(0),
+          (acc, x) => acc + length(x("txt")))
+        Catalog.table(s, dir, "documents")
+          .select(d.as("id"), d.as("doc_id"), turns.as("turns"))
+          .select(col("id"),
+            concat(concat(lit("<|sys|>sys "),
+              pmod(col("doc_id"), lit(5)).cast("string")),
+              array_join(transform(tc, x => x("txt")), ""),
+              lit("<|end|>")).as("rendered"),
+            size(tc).as("n_turns"),
+            (length(concat(lit("<|sys|>sys "),
+              pmod(col("doc_id"), lit(5)).cast("string"))) + charSum(0))
+              .as("n_prompt_chars"),
+            charSum(1).as("n_completion_chars"))
+          .orderBy("id")
+      },
+      Some("""WITH t AS (SELECT d.doc_id AS id, i.t AS t,
+            CASE WHEN i.t % 2 = 0
+              THEN '<|user|>u' || d.doc_id || ' t' || i.t || ' w' ||
+                ((d.doc_id + i.t) % 13)
+              ELSE '<|asst|>a' || d.doc_id || ' t' || i.t || ' w' ||
+                ((d.doc_id + 2 * i.t) % 13) END AS txt
+          FROM documents d, LATERAL (SELECT
+            CAST(unnest(range(0, 2 * (1 + d.doc_id % 3))) AS INT) AS t) i),
+        a AS (SELECT id, string_agg(txt, '' ORDER BY t) AS body,
+            CAST(sum(CASE WHEN t % 2 = 0 THEN length(txt) END) AS INT)
+              AS uc,
+            CAST(sum(CASE WHEN t % 2 = 1 THEN length(txt) END) AS INT)
+              AS ac,
+            CAST(count(*) AS INT) AS n_turns
+          FROM t GROUP BY id)
+        SELECT id,
+          '<|sys|>sys ' || (id % 5) || body || '<|end|>' AS rendered,
+          n_turns,
+          CAST(length('<|sys|>sys ' || (id % 5)) + uc AS INT)
+            AS n_prompt_chars,
+          ac AS n_completion_chars
+        FROM a ORDER BY id""")),
+
+    // Preference-pair construction (DPO/RLHF data assembly): within
+    // each prompt group, pair the best-scored candidate against the
+    // worst, keep pairs whose margin clears the threshold. ONE hash
+    // aggregate on the group key — max/min over (score, id) structs
+    // gives deterministic argmax/argmin with partial aggregation on
+    // the map side (no window, no per-group sort), the right shape
+    // when the group count is millions and candidates per group vary.
+    QueryDef(
+      "llm_preference_pairs",
+      (s, dir) => {
+        val scored = Catalog.table(s, dir, "documents").select(
+          col("doc_id"),
+          pmod(col("doc_id") * 7, lit(100)).as("score"),
+          pmod(col("doc_id"), lit(50)).as("grp"))
+        scored.groupBy("grp").agg(
+          max(struct(col("score"), col("doc_id"))).as("ch"),
+          min(struct(col("score"), col("doc_id"))).as("rj"),
+          count(lit(1)).as("n_cands"))
+          .select(col("grp"),
+            col("ch.doc_id").as("chosen_id"),
+            col("ch.score").as("chosen_score"),
+            col("rj.doc_id").as("rejected_id"),
+            col("rj.score").as("rejected_score"),
+            (col("ch.score") - col("rj.score")).as("margin"),
+            col("n_cands"))
+          .filter(col("margin") >= 20)
+          .orderBy("grp")
+      },
+      Some("""WITH s AS (SELECT doc_id, (doc_id * 7) % 100 AS score,
+            doc_id % 50 AS grp FROM documents),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY grp
+              ORDER BY score DESC, doc_id DESC) AS hi,
+            row_number() OVER (PARTITION BY grp
+              ORDER BY score ASC, doc_id ASC) AS lo
+          FROM s),
+        a AS (SELECT grp,
+            max(CASE WHEN hi = 1 THEN doc_id END) AS chosen_id,
+            max(CASE WHEN hi = 1 THEN score END) AS chosen_score,
+            max(CASE WHEN lo = 1 THEN doc_id END) AS rejected_id,
+            max(CASE WHEN lo = 1 THEN score END) AS rejected_score,
+            CAST(count(*) AS BIGINT) AS n_cands
+          FROM r GROUP BY grp)
+        SELECT grp, chosen_id, chosen_score, rejected_id, rejected_score,
+          chosen_score - rejected_score AS margin, n_cands
+        FROM a WHERE chosen_score - rejected_score >= 20
+        ORDER BY grp""")),
+
     // Repetition quality filter: top single-token share per doc. The
     // distributed shape is explode → two hash aggregates on fine keys
     // ((doc_id, token), then doc_id) — no windows, no per-doc funnel,
