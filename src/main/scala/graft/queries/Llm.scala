@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
-import graft.operators.{Markdown, Multimodal, Similarity, TextOps, Unigram}
+import graft.operators.{Markdown, Multimodal, Pdf, Similarity, TextOps, Unigram}
 import graft.plans.VectorExprs
 import graft.sources.Catalog
 
@@ -4936,7 +4936,76 @@ object Llm extends QueryModule {
           FROM cand JOIN sig sa ON sa.doc_id = id_a
             JOIN sig sb ON sb.doc_id = id_b)
         WHERE greatest(c_ab, c_ba) >= 0.6
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b""")),
+
+    // PDF METADATA — the third big document corpus after HTML and
+    // markdown (papers, books, filings), walked in the two-phase shape
+    // every media family here uses: this pass reads ONLY the xref
+    // table, trailer, page tree and per-page dicts — content streams
+    // are never inflated ("filter before decode"), so a 100 TB corpus
+    // pays dictionary-scan cost to decide keep/drop. The fixture's
+    // xref offsets are real (computed while writing), so the walk's
+    // offset verification sits on the oracle path; operators/Pdf.scala
+    // implements the ISO 32000-1 subset from spec.
+    QueryDef(
+      "llm_pdf_meta",
+      (s, dir) => Pdf.metaFeatures(
+        Pdf.synthDf(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", "pdf").orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id AS id,
+            CAST(1 + doc_id % 3 AS INT) AS n_pages
+          FROM documents WHERE doc_id < 300),
+        fl AS (SELECT d.id, d.n_pages,
+            CAST(sum(CASE WHEN (d.id + p.p) % 2 = 0 THEN 1 ELSE 0 END)
+              AS INT) AS n_flate
+          FROM d, LATERAL (SELECT unnest(range(0, d.n_pages)) AS p) p
+          GROUP BY d.id, d.n_pages)
+        SELECT id, '1.' || (4 + id % 3) AS version,
+          CAST(2 + 2 * n_pages AS INT) AS n_objects, n_pages,
+          CAST(CASE WHEN id % 2 = 0 THEN 612 ELSE 595 END AS INT)
+            AS media_w,
+          CAST(CASE WHEN id % 2 = 0 THEN 792 ELSE 842 END AS INT)
+            AS media_h,
+          n_flate
+        FROM fl ORDER BY id""")),
+
+    // PDF TEXT EXTRACTION — the decode half: per-page content streams
+    // (alternating raw / FlateDecode by (id+page)%2, so both branches
+    // sit on every multi-page doc's oracle path) inflated and scanned
+    // for the two text-showing operators — `(s) Tj` and `[(s) n (s)]
+    // TJ` with the |kern|>=100 word-gap rule and literal-string
+    // escapes (the fixture's `x\(k\)` token pins the unescape). The
+    // oracle REBUILDS the extracted text character-for-character
+    // (string_agg over ranges — the webOracleCte discipline), so the
+    // hash pins every byte of inflate + scan + unescape + joining.
+    QueryDef(
+      "llm_pdf_text",
+      (s, dir) => Pdf.textFeatures(
+        Pdf.synthDf(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", "pdf").orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id AS id,
+            CAST(1 + doc_id % 3 AS INT) AS n_pages
+          FROM documents WHERE doc_id < 300),
+        pg AS (SELECT d.id, d.n_pages, p.p,
+            'p' || p.p || ' s' || ((d.id + p.p) % 5) || ' ' ||
+            (SELECT string_agg('w' || ((d.id * 3 + 7 * p.p + i.i) % 17),
+                ' ' ORDER BY i.i)
+              FROM (SELECT unnest(range(0, 4 + (d.id + p.p) % 5)) AS i) i)
+            || ' x(' || (d.id % 5) || ')' AS ptext,
+            CASE WHEN (d.id + p.p) % 2 = 0 THEN 1 ELSE 0 END AS fl
+          FROM d, LATERAL (SELECT unnest(range(0, d.n_pages)) AS p) p),
+        agg AS (SELECT id, any_value(n_pages) AS n_pages,
+            string_agg(ptext, ' ' ORDER BY p) AS text,
+            CAST(sum(fl) AS INT) AS n_flate
+          FROM pg GROUP BY id)
+        SELECT id, text, n_pages,
+          CAST(length(string_split(text, ' ')) AS INT) AS n_words,
+          CAST(length(text) AS INT) AS n_chars, n_flate
+        FROM agg ORDER BY id""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
