@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule}
-import graft.operators.{Markdown, Multimodal, Pdf, Similarity, TextOps, Unigram}
+import graft.operators.{CodeOps, Markdown, Multimodal, Pdf, Similarity, TextOps, Unigram}
 import graft.plans.VectorExprs
 import graft.sources.Catalog
 
@@ -5005,7 +5005,118 @@ object Llm extends QueryModule {
         SELECT id, text, n_pages,
           CAST(length(string_split(text, ' ')) AS INT) AS n_words,
           CAST(length(text) AS INT) AS n_chars, n_flate
-        FROM agg ORDER BY id""")))
+        FROM agg ORDER BY id""")),
+
+    // CODE COMMENT STRIP — the code-corpus leg of the pipeline
+    // (operators/CodeOps.scala): a per-row forward-scan state machine
+    // (strings protect comment markers — the fixture's "p// q.." pins
+    // it; block comments span lines; unterminated constructs are
+    // total, never errors). The oracle rebuilds the stripped text
+    // character-for-character, so the hash pins the scanner's full
+    // semantics, not just the counts.
+    QueryDef(
+      "llm_code_comment_strip",
+      (s, dir) => CodeOps.stripComments(
+        CodeOps.synthDf(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id", "src").orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          'int a' || (doc_id % 5) || ' = ' || (doc_id % 100) || ';'
+            || chr(10) || 's = "p// q' || (doc_id % 9) || '";'
+            || chr(10) || ' y = ' || (doc_id % 11) || ';'
+            || chr(10) || 'z' || (doc_id % 4) || '++;' AS text,
+          CAST(2 AS INT) AS n_line_comments,
+          CAST(1 AS INT) AS n_block_comments,
+          CAST(1 AS INT) AS n_strings,
+          CAST(4 AS INT) AS n_lines_kept
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
+    // LICENSE SCAN — license detection for a code corpus, ENTIRELY
+    // Column expressions (regexp_extract + CASE chain): an SPDX tag
+    // wins, else the canonical phrase of each major family, else
+    // 'unknown'. Stateless over the header prefix, so the verdict
+    // stays inside whole-stage codegen and a license-based drop
+    // filter fuses into the scan — the right 100 TB shape for a
+    // keep/drop gate that touches every file once.
+    QueryDef(
+      "llm_license_scan",
+      (s, dir) => {
+        val spdxId = element_at(
+          array(lit("MIT"), lit("Apache-2.0"), lit("GPL-3.0-only"),
+            lit("BSD-3-Clause")),
+          (col("doc_id") % 4).cast("int") + 1)
+        val header = when(col("doc_id") % 6 === 0,
+            concat(lit("// SPDX-License-Identifier: "), spdxId, lit("\n")))
+          .when(col("doc_id") % 6 === 1,
+            lit("/* Apache License, Version 2.0 */\n"))
+          .when(col("doc_id") % 6 === 2,
+            lit("/* Permission is hereby granted, free of charge */\n"))
+          .when(col("doc_id") % 6 === 3,
+            lit("/* GNU General Public License v3 */\n"))
+          .when(col("doc_id") % 6 === 4,
+            lit("/* Redistribution and use in source and binary forms */\n"))
+          .otherwise(lit(""))
+        val src = concat(header, lit("int main() { return "),
+          col("doc_id") % 7, lit("; }"))
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            CodeOps.licenseOf(src).as("license"),
+            CodeOps.hasSpdx(src).as("has_spdx"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+          CASE doc_id % 6
+            WHEN 0 THEN lower(CASE doc_id % 4 WHEN 0 THEN 'MIT'
+              WHEN 1 THEN 'Apache-2.0' WHEN 2 THEN 'GPL-3.0-only'
+              ELSE 'BSD-3-Clause' END)
+            WHEN 1 THEN 'apache-2.0' WHEN 2 THEN 'mit'
+            WHEN 3 THEN 'gpl' WHEN 4 THEN 'bsd-3-clause'
+            ELSE 'unknown' END AS license,
+          doc_id % 6 = 0 AS has_spdx
+        FROM documents ORDER BY id""")),
+
+    // FIM TRANSFORM — fill-in-the-middle reordering (PSM format) for
+    // code/infilling training: split each document at two
+    // id-derived points, emit prefix+suffix+middle with control
+    // markers. Pure substring arithmetic over the REAL documents
+    // table — no custom operator, nothing for the optimizer to lose:
+    // one projection over a two-column pruned scan.
+    QueryDef(
+      "llm_fim_transform",
+      (s, dir) => {
+        val L = length(col("text"))
+        val p1 = least(L, floor(L / lit(4)).cast("int") +
+          (col("doc_id") % 13).cast("int"))
+        val p2 = greatest(p1, least(L,
+          floor(L * lit(3) / lit(4)).cast("int") -
+            (col("doc_id") % 11).cast("int")))
+        Catalog.table(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            concat(lit("<fim_prefix>"), col("text").substr(lit(1), p1),
+              lit("<fim_suffix>"), col("text").substr(p2 + 1, L - p2),
+              lit("<fim_middle>"), col("text").substr(p1 + 1, p2 - p1))
+              .as("fim_text"),
+            p1.cast("int").as("n_prefix"),
+            (p2 - p1).cast("int").as("n_middle"),
+            (L - p2).cast("int").as("n_suffix"))
+          .orderBy("id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+            CAST(length(text) AS INT) AS L FROM documents),
+        p AS (SELECT doc_id, text, L,
+            LEAST(L, L // 4 + CAST(doc_id % 13 AS INT)) AS p1 FROM t),
+        q AS (SELECT doc_id, text, L, p1,
+            GREATEST(p1, LEAST(L,
+              (L * 3) // 4 - CAST(doc_id % 11 AS INT))) AS p2 FROM p)
+        SELECT doc_id AS id,
+          '<fim_prefix>' || substr(text, 1, p1) ||
+          '<fim_suffix>' || substr(text, p2 + 1, L - p2) ||
+          '<fim_middle>' || substr(text, p1 + 1, p2 - p1) AS fim_text,
+          CAST(p1 AS INT) AS n_prefix,
+          CAST(p2 - p1 AS INT) AS n_middle,
+          CAST(L - p2 AS INT) AS n_suffix
+        FROM q ORDER BY id""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the

@@ -314,6 +314,49 @@ object ScaleBench {
         force(Markdown.features(md, "id", "md")))
       md.unpersist()
     }
+    // PDF extraction (round 12): synthesize → full xref walk +
+    // per-page inflate + Tj/TJ scan; like markdown, per-doc map work
+    // with no shuffle — the scale row shows the per-core parse cost.
+    if (only.isEmpty || only.exists("pdf_text".contains)) {
+      import graft.operators.Pdf
+      val pdf = Pdf.synthDf(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val n = pdf.count()
+      time(s"pdf_meta(n=$n)")(
+        force(Pdf.metaFeatures(pdf, "id", "pdf")))
+      time(s"pdf_text(n=$n)")(
+        force(Pdf.textFeatures(pdf, "id", "pdf")))
+      pdf.unpersist()
+    }
+    // Code-corpus ops (round 12): comment strip is per-doc scan work
+    // like markdown/pdf; license scan + FIM are pure Column exprs
+    // fused into the corpus scan (whole-stage codegen — the aggregate
+    // over the verdict is the only shuffle, |licenses| rows).
+    if (only.isEmpty || only.exists("code_ops".contains)) {
+      import graft.operators.CodeOps
+      val src = CodeOps.synthDf(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val n = src.count()
+      time(s"code_ops_strip(n=$n)")(
+        force(CodeOps.stripComments(src, "id", "src")))
+      src.unpersist()
+      time("code_ops_license_scan")(force(
+        docs.select(CodeOps.licenseOf(col("text")).as("license"))
+          .groupBy("license").count()))
+      time("code_ops_fim_transform")(force {
+        val L = length(col("text"))
+        val p1 = least(L, floor(L / lit(4)).cast("int") +
+          (col("doc_id") % 13).cast("int"))
+        val p2 = greatest(p1, least(L,
+          floor(L * lit(3) / lit(4)).cast("int") -
+            (col("doc_id") % 11).cast("int")))
+        docs.select(col("doc_id"),
+          concat(lit("<fim_prefix>"), col("text").substr(lit(1), p1),
+            lit("<fim_suffix>"), col("text").substr(p2 + 1, L - p2),
+            lit("<fim_middle>"), col("text").substr(p1 + 1, p2 - p1))
+            .as("fim_text"))
+      })
+    }
     // ANN index persistence (round 12): the trained IVF-PQ artifacts
     // written as parquet and SERVED FROM THE LOAD — build+write once,
     // then the serve pass alone, so the row separates index-build cost
