@@ -182,6 +182,25 @@ object JxJson {
       // same way — extraction is partition-local map work ahead of
       // whatever the query shuffles on; the same documented fixture
       // bound and the same "archive_docs" override apply.
+      // the PDF front door: `"from": "docs:pdf"` exposes the extracted
+      // PDF fixture corpus (operators/Pdf) the same way — xref walk +
+      // content-stream text extraction as partition-local map work
+      // ahead of whatever the query shuffles on; same fixture bound
+      // and "archive_docs" override as the other doc sources.
+      case JString("docs:pdf") =>
+        val pdfDocs = (q \ "archive_docs") match {
+          case JInt(n) =>
+            require(n > 0, s"jx: archive_docs must be positive, got $n")
+            n.toInt
+          case JNothing | JNull => WebArchiveFixtureDocs
+          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
+        }
+        graft.operators.Pdf.textFeatures(
+          graft.operators.Pdf.synthDf(
+            Catalog.table(spark, sfDir, "documents")
+              .filter(org.apache.spark.sql.functions.col("doc_id") < pdfDocs)
+              .select("doc_id"), "doc_id"),
+          "id", "pdf")
       case JString("docs:markdown") =>
         val mdDocs = (q \ "archive_docs") match {
           case JInt(n) =>

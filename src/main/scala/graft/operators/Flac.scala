@@ -86,7 +86,9 @@ object Flac {
               s"vorbis field length $v overruns the block")
             v.toInt
           }
-          p += readLen() // vendor string skipped
+          // NB: not `p += readLen()` — that reads the old p before
+          // readLen() advances it past the length field.
+          val vendLen = readLen(); p += vendLen // vendor string skipped
           require(p + 4 <= body + len, "truncated vorbis comment count")
           val n = u32le(bytes, p).toInt; p += 4
           require(n >= 0 && n <= len, s"absurd vorbis comment count $n")

@@ -5116,7 +5116,71 @@ object Llm extends QueryModule {
           CAST(p1 AS INT) AS n_prefix,
           CAST(p2 - p1 AS INT) AS n_middle,
           CAST(L - p2 AS INT) AS n_suffix
-        FROM q ORDER BY id""")))
+        FROM q ORDER BY id""")),
+
+    // FLAC METADATA — the lossless member completing the audio family
+    // (WAV decode / MP3 / AAC-esds): magic + metadata-block walk
+    // (last-flag termination, 24-bit BE lengths, STREAMINFO required
+    // FIRST per spec — violation is loud), the 64-bit packed
+    // sr/channels/bps/total-samples field, and the VORBIS_COMMENT
+    // block whose LITTLE-endian lengths (Ogg heritage) are the one
+    // endianness trap in the format — both orders sit on the same
+    // oracle path. Audio frames are never touched (the documented
+    // audio stub boundary); an id-driven fixture generator like
+    // sitemapFeatures, operators/Flac.scala.
+    QueryDef(
+      "llm_audio_flac_meta",
+      (s, dir) => graft.operators.Flac.metaFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 96000 END AS INT) AS sample_rate,
+          CAST(1 + doc_id % 2 AS INT) AS channels,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INT)
+            AS bits_per_sample,
+          CAST(10000 + (37 * doc_id) % 50000 AS BIGINT) AS total_samples,
+          CAST((10000 + (37 * doc_id) % 50000) * 1000
+            // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 96000 END) AS BIGINT) AS duration_ms,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT)
+            AS n_blocks,
+          't' || (doc_id % 20) AS title
+        FROM documents ORDER BY id""")),
+
+    // JX FRONT DOOR → PDF — `"from": "docs:pdf"` exposes the
+    // PDF-extracted corpus beside docs:markdown / web:archives: a
+    // structural quality gate (docs carrying at least one compressed
+    // stream) rolled up by page count, extraction fused with the
+    // grouped aggregate in one plan. n_words has a closed form
+    // (Σ_pages 7 + (id+p)%5), which the oracle recomputes instead of
+    // re-parsing.
+    QueryDef(
+      "jx_json_pdf",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "docs:pdf",
+          "where": {"gte": ["n_flate", {"literal": 1}]},
+          "groupby": ["n_pages"],
+          "select": [
+            {"name": "n_docs", "aggregate": "count"},
+            {"name": "total_words", "aggregate": "sum", "value": "n_words"}
+          ],
+          "sort": "n_pages"
+        }"""),
+      Some("""WITH d AS (SELECT doc_id AS id,
+            CAST(1 + doc_id % 3 AS INT) AS n_pages
+          FROM documents WHERE doc_id < 300),
+        f AS (SELECT d.id, d.n_pages,
+            CAST(sum(7 + (d.id + p.p) % 5) AS BIGINT) AS n_words,
+            sum(CASE WHEN (d.id + p.p) % 2 = 0 THEN 1 ELSE 0 END)
+              AS n_flate
+          FROM d, LATERAL (SELECT unnest(range(0, d.n_pages)) AS p) p
+          GROUP BY d.id, d.n_pages)
+        SELECT n_pages, count(*) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM f WHERE n_flate >= 1
+        GROUP BY n_pages ORDER BY n_pages""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
