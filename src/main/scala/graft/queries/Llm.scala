@@ -221,6 +221,30 @@ object Llm extends QueryModule {
       FROM fin ORDER BY doc_id, word_ord, piece_ord"""
   }
 
+  /** Shared oracle for llm_subtitle_srt / llm_subtitle_vtt — both
+    * formats carry the same closed-form cue content (cue j: text
+    * `c{j} w{(id+j)%9}` plus ` x{(2id+j)%7}` when (id+j) is even;
+    * start j*3000 + id%1000, duration 1500 + (id+j)%800). */
+  private val subtitleOracle: String =
+    """WITH d AS (SELECT doc_id AS id, CAST(2 + doc_id % 4 AS INT) AS n
+        FROM documents),
+      c AS (SELECT d.id, d.n, j.j,
+          'c' || j.j || ' w' || ((d.id + j.j) % 9) ||
+            CASE WHEN (d.id + j.j) % 2 = 0
+              THEN ' x' || ((2 * d.id + j.j) % 7) ELSE '' END AS ctext,
+          CAST(1500 + (d.id + j.j) % 800 AS BIGINT) AS dur
+        FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS j) j),
+      agg AS (SELECT id, any_value(n) AS n_cues,
+          string_agg(ctext, ' ' ORDER BY j) AS text,
+          CAST(sum(dur) AS BIGINT) AS total_ms
+        FROM c GROUP BY id)
+      SELECT id, n_cues, text,
+        CAST(length(text) AS INT) AS n_chars, total_ms,
+        CAST(id % 1000 AS BIGINT) AS first_start_ms,
+        CAST((n_cues - 1) * 3000 + id % 1000
+          + 1500 + (id + n_cues - 1) % 800 AS BIGINT) AS last_end_ms
+      FROM agg ORDER BY id"""
+
   def defs: Seq[QueryDef] = Seq(
 
     // WORDPIECE TOKENIZE — BERT's deployment-side greedy
@@ -5180,7 +5204,35 @@ object Llm extends QueryModule {
         SELECT n_pages, count(*) AS n_docs,
           CAST(sum(n_words) AS BIGINT) AS total_words
         FROM f WHERE n_flate >= 1
-        GROUP BY n_pages ORDER BY n_pages""")))
+        GROUP BY n_pages ORDER BY n_pages""")),
+
+    // SUBTITLE PARSE (SRT) — captions are the text half of
+    // video+caption training pairs (the MP4 walks supply the sample
+    // timeline; cues supply time-aligned text), and caption curation
+    // gates on exactly these cue statistics. operators/Subtitles.scala
+    // parses the de-facto SRT shape from spec — sequential index
+    // lines enforced, comma-decimal timestamps, multi-line cue text
+    // joined — with the transcript rebuilt character-exact by the
+    // oracle. Both subtitle queries share ONE oracle: the two formats
+    // carry the same fixture content, so a parser divergence between
+    // them breaks exactly one hash.
+    QueryDef(
+      "llm_subtitle_srt",
+      (s, dir) => graft.operators.Subtitles.srtFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some(subtitleOracle)),
+
+    // SUBTITLE PARSE (WebVTT) — the W3C twin: WEBVTT header required,
+    // dot-decimal and OPTIONAL-hours timestamps (the fixture keeps
+    // the hour-less branch always on), optional cue-identifier lines,
+    // cue settings after the end time, NOTE comment blocks skipped.
+    QueryDef(
+      "llm_subtitle_vtt",
+      (s, dir) => graft.operators.Subtitles.vttFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some(subtitleOracle)))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
