@@ -209,6 +209,28 @@ object Subtitles {
   def srtFeatures(ids: DataFrame, idCol: String): DataFrame =
     features(ids, idCol, synthSrt, parseSrt)
 
+  private val cueSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cue_idx", IntegerType),
+    StructField("start_ms", LongType),
+    StructField("end_ms", LongType),
+    StructField("ctext", StringType)))
+
+  /** ids → ONE ROW PER CUE over the SRT fixtures — the join input for
+    * time-alignment against a sample/frame timeline. */
+  def srtCues(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        parseSrt(synthSrt(d)).cues.zipWithIndex.map { case (c, j) =>
+          Row(d, j, c.startMs, c.endMs, c.text)
+        }
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, cueSchema)
+  }
+
   /** ids → parsed WebVTT features over closed-form fixtures. */
   def vttFeatures(ids: DataFrame, idCol: String): DataFrame =
     features(ids, idCol, synthVtt, parseVtt)

@@ -5232,7 +5232,50 @@ object Llm extends QueryModule {
       (s, dir) => graft.operators.Subtitles.vttFeatures(
         Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("id"),
-      Some(subtitleOracle)))
+      Some(subtitleOracle)),
+
+    // CAPTION ↔ FRAME-TIMELINE ALIGNMENT — the composition the two
+    // halves exist for: per-cue intervals joined to a per-doc frame
+    // timeline (frame k at k·1700 ms, 8 + id%9 frames). The join is
+    // an EQUI-join on the document id with the interval predicate as
+    // a post-join filter — the distributed-correct shape: co-locate
+    // by doc, never a cross-doc interval product; a LEFT join keeps
+    // frameless cues (short cues between frame ticks) visible at
+    // n_frames = 0 rather than silently dropped.
+    QueryDef(
+      "llm_caption_align",
+      (s, dir) => {
+        val ids = Catalog.table(s, dir, "documents").select("doc_id")
+        val cues = graft.operators.Subtitles.srtCues(ids, "doc_id")
+        val frames = ids.select(col("doc_id").as("fid"),
+            explode(sequence(lit(0),
+              (lit(7) + col("doc_id") % 9).cast("int"))).as("k"))
+          .select(col("fid"), (col("k") * 1700L).as("ts"))
+        cues.join(frames,
+            col("fid") === col("id") && col("ts") >= col("start_ms") &&
+              col("ts") < col("end_ms"), "left")
+          .groupBy(col("id"), col("cue_idx"), col("start_ms"),
+            col("end_ms"))
+          .agg(count(col("ts")).as("n_frames"))
+          .orderBy("id", "cue_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id AS id,
+            CAST(2 + doc_id % 4 AS INT) AS n,
+            CAST(8 + doc_id % 9 AS INT) AS kk
+          FROM documents),
+        cu AS (SELECT id, kk, CAST(j.j AS INT) AS cue_idx,
+            CAST(j.j * 3000 + id % 1000 AS BIGINT) AS start_ms,
+            CAST(j.j * 3000 + id % 1000 + 1500 + (id + j.j) % 800
+              AS BIGINT) AS end_ms
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS j) j),
+        fr AS (SELECT d.id, k.k * 1700 AS ts
+          FROM d, LATERAL (SELECT unnest(range(0, d.kk)) AS k) k)
+        SELECT cu.id, cu.cue_idx, cu.start_ms, cu.end_ms,
+          CAST(count(fr.ts) AS BIGINT) AS n_frames
+        FROM cu LEFT JOIN fr ON fr.id = cu.id
+          AND fr.ts >= cu.start_ms AND fr.ts < cu.end_ms
+        GROUP BY cu.id, cu.cue_idx, cu.start_ms, cu.end_ms
+        ORDER BY cu.id, cu.cue_idx""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the

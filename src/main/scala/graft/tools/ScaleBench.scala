@@ -357,6 +357,28 @@ object ScaleBench {
             .as("fim_text"))
       })
     }
+    // Caption ops (round 12): SRT parse is per-doc map work; the
+    // alignment is an equi-join on doc id (co-located, AQE-friendly)
+    // with the interval predicate as a post-join filter — the shape
+    // that scales because no cross-doc interval product ever forms.
+    if (only.isEmpty || only.exists("caption".contains)) {
+      import graft.operators.Subtitles
+      val ids = docs.select("doc_id")
+      time("caption_srt_parse")(
+        force(Subtitles.srtFeatures(ids, "doc_id")))
+      time("caption_align") {
+        val cues = Subtitles.srtCues(ids, "doc_id")
+        val frames = ids.select(col("doc_id").as("fid"),
+            explode(sequence(lit(0),
+              (lit(7) + col("doc_id") % 9).cast("int"))).as("k"))
+          .select(col("fid"), (col("k") * 1700L).as("ts"))
+        force(cues.join(frames,
+            col("fid") === col("id") && col("ts") >= col("start_ms") &&
+              col("ts") < col("end_ms"), "left")
+          .groupBy(col("id"), col("cue_idx"))
+          .agg(count(col("ts")).as("n_frames")))
+      }
+    }
     // ANN index persistence (round 12): the trained IVF-PQ artifacts
     // written as parquet and SERVED FROM THE LOAD — build+write once,
     // then the serve pass alone, so the row separates index-build cost
