@@ -125,6 +125,44 @@ object TextOps {
       .filter(col("j") >= threshold)
   }
 
+  /** The md5-family dedup index as PERSISTABLE artifacts: the banded
+    * (doc_id, band, bucket) probe table and the (doc_id, sh) shingle
+    * store the verify stage needs. What a 100 TB deployment writes
+    * once per corpus snapshot so daily arrivals dedup against it
+    * without re-shingling the corpus. */
+  def minhashIndexMd5(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val sig = sigMd5Of(corpus)
+    (bandsMd5Of(sig), sig.select(col("doc_id"), col("sh")))
+  }
+
+  /** Probe a LOADED index with new arrivals: arrivals are signed and
+    * banded on the fly, joined to the index band table on
+    * (band, bucket) — the arrival side broadcast (the daily batch is
+    * the small side by construction; callers bound it) — and verified
+    * by exact Jaccard against the index shingle store. Arrival ids
+    * must be disjoint from index ids; output (id_a ∈ arrivals,
+    * id_b ∈ index, j ≥ threshold) — exactly the symmetric family's
+    * pairs restricted to arrivals×index, which is what makes the
+    * persisted path oracle-provable against the from-scratch CTEs. */
+  def minhashProbeIndexMd5(ixBands: DataFrame, ixShingles: DataFrame,
+      arrivals: DataFrame, threshold: Double): DataFrame = {
+    val sigA = sigMd5Of(arrivals)
+    val cand = broadcast(bandsMd5Of(sigA)
+        .select(col("band"), col("bucket"), col("doc_id").as("id_a")))
+      .join(ixBands.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b")), Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(broadcast(
+        sigA.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))),
+        Seq("id_a"))
+      .join(ixShingles.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   /** Asymmetric CONTAINMENT pairs from the same banded md5 candidate
     * generation: c(A in B) = |A∩B| / |A|. Catches the subset/quote
     * duplication Jaccard under-scores — a long doc embedding a short

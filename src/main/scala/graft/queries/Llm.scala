@@ -5275,7 +5275,44 @@ object Llm extends QueryModule {
         FROM cu LEFT JOIN fr ON fr.id = cu.id
           AND fr.ts >= cu.start_ms AND fr.ts < cu.end_ms
         GROUP BY cu.id, cu.cue_idx, cu.start_ms, cu.end_ms
-        ORDER BY cu.id, cu.cue_idx""")))
+        ORDER BY cu.id, cu.cue_idx""")),
+
+    // DEDUP INDEX PERSISTENCE — the MinHash sibling of
+    // llm_knn_index_persist, and the shape a 100 TB deployment
+    // actually runs: the corpus's band table + shingle store written
+    // ONCE as parquet, then daily arrivals signed/banded on the fly
+    // and probed against the LOADED index — the corpus is never
+    // re-shingled. The arrival side is broadcast (bounded by the
+    // no-op limit the audit can prove); the oracle is the symmetric
+    // from-scratch md5 pair CTEs restricted to arrivals×corpus, so a
+    // persisted path that drifts from the in-memory family by one
+    // byte breaks the hash.
+    QueryDef(
+      "llm_dedup_index_persist",
+      (s, dir) => {
+        val all = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
+        val ix = graft.Scratch.dir("dedup-index")
+        val (bands, shingles) =
+          TextOps.minhashIndexMd5(all.filter(col("doc_id") >= 60))
+        bands.write.mode("overwrite").parquet(s"$ix/bands.parquet")
+        shingles.write.mode("overwrite").parquet(s"$ix/shingles.parquet")
+        TextOps.minhashProbeIndexMd5(
+          s.read.parquet(s"$ix/bands.parquet"),
+          s.read.parquet(s"$ix/shingles.parquet"),
+          all.filter(col("doc_id") < 60).limit(60), 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 300)),
+        $oracleMd5PairsCte
+        SELECT id_a, id_b, j FROM pairs
+        WHERE id_a < 60 AND id_b >= 60
+        ORDER BY id_a, id_b""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the

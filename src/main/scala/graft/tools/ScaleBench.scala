@@ -357,6 +357,53 @@ object ScaleBench {
             .as("fim_text"))
       })
     }
+    // Dedup index persistence (round 12): the MinHash sibling of
+    // index_persist — corpus band table + signature store written as
+    // parquet ONCE, then the daily-arrival batch (10×mult docs)
+    // banded on the fly and probed against the LOAD. The xxhash64
+    // kernel is the scale path (the md5 family is the oracle twin in
+    // llm_dedup_index_persist).
+    if (only.isEmpty || only.exists("dedup_index".contains)) {
+      import graft.plans.MinHashLsh
+      // arrivals = re-labeled COPIES of a corpus slice (negative ids
+      // keep the two sides disjoint), so every probe row has a
+      // guaranteed jaccard-1.0 corpus twin and the verify stage
+      // processes real positives, not just candidates.
+      val arrivals = docs.filter(col("doc_id") % (50L * mult) === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+      val corpus = docs
+      val ix = graft.Scratch.dir(s"dedup-index-x$mult")
+      time("dedup_index_build_write") {
+        val sigC = corpus.select(col("doc_id"),
+          MinHashLsh.shingleHashes(col("text")).as("hs"))
+        sigC.select(col("doc_id"),
+            posexplode(MinHashLsh.lshBuckets(col("hs"), 16, 4))
+              .as(Seq("band", "bucket")))
+          .write.mode("overwrite").parquet(s"$ix/bands.parquet")
+        sigC.write.mode("overwrite").parquet(s"$ix/sigs.parquet")
+        spark.read.parquet(s"$ix/bands.parquet").count()
+      }
+      time("dedup_index_probe") {
+        val ixBands = spark.read.parquet(s"$ix/bands.parquet")
+        val ixSigs = spark.read.parquet(s"$ix/sigs.parquet")
+        val sigA = arrivals.select(col("doc_id"),
+          MinHashLsh.shingleHashes(col("text")).as("hs"))
+        val cand = broadcast(sigA.select(col("doc_id").as("id_a"),
+            posexplode(MinHashLsh.lshBuckets(col("hs"), 16, 4))
+              .as(Seq("band", "bucket"))))
+          .join(ixBands.select(col("band"), col("bucket"),
+            col("doc_id").as("id_b")), Seq("band", "bucket"))
+          .select("id_a", "id_b").distinct()
+        force(cand
+          .join(broadcast(sigA.select(col("doc_id").as("id_a"),
+            col("hs").as("hs_a"))), Seq("id_a"))
+          .join(ixSigs.select(col("doc_id").as("id_b"),
+            col("hs").as("hs_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            TextOps.jaccard(col("hs_a"), col("hs_b")).as("j"))
+          .filter(col("j") >= 0.5))
+      }
+    }
     // Caption ops (round 12): SRT parse is per-doc map work; the
     // alignment is an equi-join on doc id (co-located, AQE-friendly)
     // with the interval predicate as a post-join filter — the shape
