@@ -471,6 +471,81 @@ object Pdf {
   }
 
   // ---------------------------------------------------------------- //
+  // Generic encoder — the round-trip half
+  // ---------------------------------------------------------------- //
+
+  /** PDF literal-string escape: backslash/parens escaped, control
+    * characters as their shorthands — so ANY ASCII content survives
+    * extract(encode(x)) == x (PdfSpec's round-trip property). */
+  private def escapeStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Build a syntactically complete PDF carrying arbitrary per-page
+    * text runs (each run becomes a `(s) Tj`), with real xref offsets;
+    * `flatePage(p)` selects per-page FlateDecode. The encoder the
+    * round-trip property drives — NOT the declared fixture (synthPdf
+    * keeps its own byte-stable layout for the oracle hashes). */
+  def encode(pages: Seq[Seq[String]],
+      flatePage: Int => Boolean = _ % 2 == 0): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val out = new java.io.ByteArrayOutputStream(2048)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val nPages = pages.length
+    val offsets = new Array[Int](3 + 2 * nPages)
+    w("%PDF-1.4\n")
+    offsets(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until nPages).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (runs, p) =>
+      val pageNum = 3 + 2 * p
+      val contNum = 4 + 2 * p
+      offsets(pageNum) = out.size()
+      w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents $contNum 0 R >>\nendobj\n")
+      offsets(contNum) = out.size()
+      val content = "BT /F1 12 Tf " +
+        runs.map(r => s"(${escapeStr(r)}) Tj").mkString(" ") + " ET"
+      val raw = content.getBytes("US-ASCII")
+      val (body, filter) =
+        if (flatePage(p)) {
+          val df = new java.util.zip.Deflater()
+          df.setInput(raw); df.finish()
+          val zb = new java.io.ByteArrayOutputStream(raw.length + 64)
+          val buf = new Array[Byte](1024)
+          while (!df.finished()) {
+            val n = df.deflate(buf); zb.write(buf, 0, n)
+          }
+          df.end()
+          (zb.toByteArray, " /Filter /FlateDecode")
+        } else (raw, "")
+      w(s"$contNum 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body, 0, body.length)
+      w("\nendstream\nendobj\n")
+    }
+    val xrefOff = out.size()
+    val size = 3 + 2 * nPages
+    w(s"xref\n0 $size\n")
+    w("0000000000 65535 f \n")
+    (1 until size).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $size /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- //
   // Closed-form fixture
   // ---------------------------------------------------------------- //
 

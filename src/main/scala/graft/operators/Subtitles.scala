@@ -139,6 +139,19 @@ object Subtitles {
     (start, start + 1500 + (d + j) % 800)
   }
 
+  /** Generic SRT encoder for arbitrary cues — the round-trip half
+    * (SubtitlesSpec: parseSrt(encodeSrt(cues)) reproduces every cue).
+    * Text lines must be newline-free and non-blank after trimming —
+    * the format cannot carry either (a newline splits the cue, a
+    * blank line ends it). */
+  def encodeSrt(cues: Seq[(Long, Long, Seq[String])]): String =
+    cues.zipWithIndex.map { case ((a, b, lines), j) =>
+      require(lines.nonEmpty && lines.forall(l =>
+        !l.contains('\n') && l.trim.nonEmpty),
+        "SRT cue text lines must be newline-free and non-blank")
+      s"${j + 1}\n${fmtSrt(a)} --> ${fmtSrt(b)}\n${lines.mkString("\n")}"
+    }.mkString("\n\n") + "\n"
+
   /** SRT document for id d: 2 + d%4 cues; the second text line exists
     * for even (d+j), exercising multi-line joining. */
   def synthSrt(d: Long): String = {

@@ -100,6 +100,32 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip property: extract(encode(runs)) == runs, any ASCII") {
+    // Arbitrary content through the escape/unescape pair — parens,
+    // backslashes, control shorthands, nested-paren shapes — across
+    // raw and FlateDecode pages. Runs joining with single spaces is
+    // the extractor's declared semantics, so compare run-joined text.
+    val rng = new scala.util.Random(77)
+    val alphabet = "ab z09()\\\n\t\r()(())\\\\/<>[]%#.-"
+    for (trial <- 0 until 200) {
+      val nPages = 1 + rng.nextInt(3)
+      val pages = (0 until nPages).map { _ =>
+        (0 until 1 + rng.nextInt(3)).map { _ =>
+          val len = 1 + rng.nextInt(12)
+          var s = new String(
+            Array.fill(len)(alphabet(rng.nextInt(alphabet.length))))
+          // the extractor drops empty runs and joins with spaces, so
+          // normalize runs the way the semantics declare
+          s
+        }
+      }
+      val doc = Pdf.extract(Pdf.encode(pages, p => (trial + p) % 2 == 0))
+      val want = pages.flatten.filter(_.nonEmpty).mkString(" ")
+      assert(doc.text == want, s"trial=$trial pages=$pages")
+      assert(doc.meta.nPages == nPages)
+    }
+  }
+
   test("parser terminates loudly under random corruption — never hangs") {
     val rng = new scala.util.Random(1234)
     def mustTerminateLoudly(label: String)(t: => Any): Unit =

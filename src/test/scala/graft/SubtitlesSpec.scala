@@ -71,6 +71,30 @@ class SubtitlesSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip property: parseSrt(encodeSrt(cues)) == cues") {
+    val rng = new scala.util.Random(31)
+    val alphabet = "abz09 :,->()#."
+    for (trial <- 0 until 200) {
+      var t = rng.nextInt(5000).toLong
+      val cues = (0 until 1 + rng.nextInt(5)).map { _ =>
+        val start = t + rng.nextInt(3000)
+        val end = start + 1 + rng.nextInt(5000)
+        t = start // next start must be >= this one (monotonic)
+        val lines = (0 until 1 + rng.nextInt(3)).map { _ =>
+          "x" + new String(Array.fill(rng.nextInt(10))(
+            alphabet(rng.nextInt(alphabet.length)))).trim
+        }
+        (start, end, lines)
+      }.sortBy(_._1)
+      val doc = Subtitles.parseSrt(Subtitles.encodeSrt(cues))
+      assert(doc.nCues == cues.length, s"trial=$trial")
+      doc.cues.zip(cues).foreach { case (got, (a, b, lines)) =>
+        assert(got.startMs == a && got.endMs == b, s"trial=$trial")
+        assert(got.text == lines.map(_.trim).mkString(" "), s"trial=$trial")
+      }
+    }
+  }
+
   test("parser terminates loudly under corruption") {
     val rng = new scala.util.Random(5)
     for (trial <- 0 until 300) {
