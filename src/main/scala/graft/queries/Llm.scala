@@ -5312,7 +5312,54 @@ object Llm extends QueryModule {
         $oracleMd5PairsCte
         SELECT id_a, id_b, j FROM pairs
         WHERE id_a < 60 AND id_b >= 60
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b""")),
+
+    // STREAMING CAPTION INGEST — the SRT walk applied as caption
+    // files ARRIVE: per-row parse → one row per cue → a
+    // chars-per-second reading-speed gate (the standard caption
+    // quality filter; integer form n_chars·1000 ≤ maxCps·dur so the
+    // verdict is arithmetic, never float), all STATELESS Append like
+    // stream_archive_ingest (one caption blob in, its cues out; no
+    // state store, no watermark). Deterministic emission — the batch
+    // closed-form oracle applies verbatim.
+    QueryDef(
+      "stream_caption_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val maxCps = 4L
+        val cues = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { d =>
+              graft.operators.Subtitles.parseSrt(
+                graft.operators.Subtitles.synthSrt(d))
+                .cues.zipWithIndex.iterator.map { case (c, j) =>
+                  (d, j, c.startMs, c.endMs - c.startMs, c.text.length)
+                }
+            }
+          }
+          .toDF("id", "cue_idx", "start_ms", "dur_ms", "n_chars")
+          .withColumn("kept",
+            col("n_chars") * 1000L <= lit(maxCps) * col("dur_ms"))
+        graft.streaming.Streams.runToMemory(cues,
+          s"scap_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id", "cue_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id AS id,
+            CAST(2 + doc_id % 4 AS INT) AS n FROM documents),
+        c AS (SELECT id, CAST(j.j AS INT) AS cue_idx,
+            CAST(j.j * 3000 + id % 1000 AS BIGINT) AS start_ms,
+            CAST(1500 + (id + j.j) % 800 AS BIGINT) AS dur_ms,
+            CAST(length('c' || j.j || ' w' || ((id + j.j) % 9) ||
+              CASE WHEN (id + j.j) % 2 = 0
+                THEN ' x' || ((2 * id + j.j) % 7) ELSE '' END)
+              AS INT) AS n_chars
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS j) j)
+        SELECT id, cue_idx, start_ms, dur_ms, n_chars,
+          n_chars * 1000 <= 4 * dur_ms AS kept
+        FROM c ORDER BY id, cue_idx""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
