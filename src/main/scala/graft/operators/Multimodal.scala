@@ -1081,4 +1081,68 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  // ------------------------------------------------------------------
+  // Mixed-format document dispatch — the production first-mile shape:
+  // a crawl yields MIXED content types, and the extraction pass
+  // dispatches each payload to its format's extractor in ONE
+  // partition-local pass, emitting a uniform (text, n_words) row that
+  // everything downstream (dedup, quality, tokenize) consumes without
+  // caring where the text came from.
+  // ------------------------------------------------------------------
+
+  /** ids → media rows whose payload/mime CYCLE by id%3: a real HTML
+    * page (text/html), a markdown document (text/markdown), or a PDF
+    * (application/pdf) — each the same closed-form fixture its
+    * dedicated query family uses, so the dispatch oracle reuses those
+    * closed forms verbatim. */
+  def synthMixedDocsMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", mediaType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val (bytes, mime) = (d % 3) match {
+          case 0 => (Codecs.synthHtml(d, 1).getBytes("UTF-8"), "text/html")
+          case 1 => (Markdown.synthMd(d).getBytes("UTF-8"), "text/markdown")
+          case _ => (Pdf.synthPdf(d), "application/pdf")
+        }
+        Row(d, Row(bytes, mime, Map.empty[String, String]))
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Dispatch each media row on its DECLARED mime to the matching
+    * extractor (Html / Markdown / Pdf) — genuinely reading bytes+mime
+    * from the row, so it runs on any media frame carrying these three
+    * types; an undeclared mime fails loudly rather than guessing. */
+  def docDispatchFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("format", StringType),
+      StructField("text", StringType),
+      StructField("n_words", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val media = r.getStruct(mediaIdx)
+        val bytes = media.getAs[Array[Byte]]("bytes")
+        val (fmt, text) = media.getAs[String]("mime") match {
+          case "text/html" =>
+            ("html", Html.extract(new String(bytes, "UTF-8")).text)
+          case "text/markdown" =>
+            ("markdown", Markdown.extract(new String(bytes, "UTF-8")).text)
+          case "application/pdf" =>
+            ("pdf", Pdf.extract(bytes).text)
+          case other => sys.error(s"no extractor for mime '$other'")
+        }
+        val nWords = if (text.isEmpty) 0 else text.split(" ").length
+        Row(r.getLong(idIdx), fmt, text, nWords)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
 }

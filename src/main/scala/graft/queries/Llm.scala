@@ -5359,7 +5359,55 @@ object Llm extends QueryModule {
           FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS j) j)
         SELECT id, cue_idx, start_ms, dur_ms, n_chars,
           n_chars * 1000 <= 4 * dur_ms AS kept
-        FROM c ORDER BY id, cue_idx""")))
+        FROM c ORDER BY id, cue_idx""")),
+
+    // MIXED-FORMAT DISPATCH — the production first mile: a crawl
+    // yields MIXED content types (here html / markdown / pdf cycling
+    // by id%3), and one partition-local pass dispatches each payload
+    // on its DECLARED mime to the matching extractor, emitting the
+    // uniform (text, n_words) row everything downstream consumes. An
+    // undeclared mime fails loudly. The oracle is the three families'
+    // closed-form texts UNION'd — character-exact per branch, so the
+    // dispatcher cannot silently route a payload to the wrong
+    // extractor.
+    QueryDef(
+      "llm_doc_dispatch",
+      (s, dir) => Multimodal.docDispatchFeatures(
+        Multimodal.synthMixedDocsMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some(s"""$webOracleCte,
+        md AS (SELECT doc_id AS id,
+          'head w' || (doc_id % 13) || ' ' ||
+          (SELECT string_agg('w' || ((doc_id * 2 + i.i) % 13), ' '
+              ORDER BY i.i)
+            FROM (SELECT unnest(range(0, 5 + doc_id % 7)) AS i) i) || ' ' ||
+          'see w' || (doc_id % 13) || ' and w' || ((doc_id + 3) % 13) ||
+          ' or c' || (doc_id % 11) || ' ' ||
+          (SELECT string_agg('it' || k.k, ' ' ORDER BY k.k)
+            FROM (SELECT unnest(range(0, 2 + doc_id % 3)) AS k) k) || ' ' ||
+          'ot' || (doc_id % 4) || ' q w' || ((doc_id + 5) % 13) AS text
+          FROM documents WHERE doc_id < 300 AND doc_id % 3 = 1),
+        pdfpg AS (SELECT doc_id AS id, p.p,
+            'p' || p.p || ' s' || ((doc_id + p.p) % 5) || ' ' ||
+            (SELECT string_agg('w' || ((doc_id * 3 + 7 * p.p + i.i) % 17),
+                ' ' ORDER BY i.i)
+              FROM (SELECT unnest(range(0, 4 + (doc_id + p.p) % 5)) AS i) i)
+            || ' x(' || (doc_id % 5) || ')' AS ptext
+          FROM documents,
+            LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS p) p
+          WHERE doc_id < 300 AND doc_id % 3 = 2),
+        pdf AS (SELECT id, string_agg(ptext, ' ' ORDER BY p) AS text
+          FROM pdfpg GROUP BY id),
+        uni AS (
+          SELECT doc_id AS id, 'html' AS format, text
+          FROM h WHERE i = 1 AND doc_id % 3 = 0
+          UNION ALL SELECT id, 'markdown', text FROM md
+          UNION ALL SELECT id, 'pdf', text FROM pdf)
+        SELECT id, format, text,
+          CAST(length(string_split(text, ' ')) AS INT) AS n_words
+        FROM uni ORDER BY id""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the

@@ -17,6 +17,30 @@ class MultimodalSpec extends SparkSpec {
       Catalog.table(spark, sf0001, "documents").limit(20),
       "doc_id", "text", Seq("lang"))
 
+  test("doc dispatch routes by declared mime and is loud on unknown") {
+    val mixed = Multimodal.synthMixedDocsMedia(
+      Catalog.table(spark, sf0001, "documents").limit(30)
+        .select("doc_id"), "doc_id")
+    val out = Multimodal.docDispatchFeatures(mixed, "id")
+      .select("id", "format").as[(Long, String)].collect().toMap
+    assert(out.size == 30)
+    out.foreach { case (id, fmt) =>
+      val want = (id % 3) match {
+        case 0 => "html"; case 1 => "markdown"; case _ => "pdf"
+      }
+      assert(fmt == want, s"id=$id")
+    }
+    // an undeclared mime must fail the job loudly, not guess
+    val bogus = mixed.withColumn("media",
+      struct(col("media.bytes").as("bytes"),
+        lit("application/octet-stream").as("mime"),
+        col("media.meta").as("meta")))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.docDispatchFeatures(bogus, "id").count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("resize emits exactly targetBytes per payload and keeps meta") {
     val out = Multimodal.resize(media(), "doc_id", 64)
     val rows = out.select(col("id"),
