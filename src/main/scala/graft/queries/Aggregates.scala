@@ -835,5 +835,40 @@ object Aggregates extends QueryModule {
             (2, 'click', (SELECT count(*) FROM s2)),
             (3, 'purchase', (SELECT count(*) FROM s3)))
           AS t(step, step_name, n_users)
-        ORDER BY step""")))
+        ORDER BY step""")),
+
+    // RETENTION COHORT MATRIX — the classic product-analytics rollup
+    // (users grouped by first-activity week × activity-week offset):
+    // one aggregate keyed on user_id finds each user's cohort week,
+    // an equi-join on user_id tags every event, and the final
+    // aggregate shuffles only (cohort, offset) pairs. At 100 TB the
+    // first shuffle is the unavoidable per-user reduction; everything
+    // after it carries |users| rows, not |events| — the matrix itself
+    // is |weeks|² tiny. Monday-truncated weeks on BOTH engines, so
+    // day-diffs between week starts are exact multiples of 7.
+    QueryDef(
+      "agg_retention_cohort",
+      (s, dir) => {
+        val ev = Catalog.table(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+        val cohort = ev.groupBy("user_id")
+          .agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+              .as("offset_wk"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+          c AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+            GROUP BY user_id)
+        SELECT c.cohort_wk,
+          CAST(date_diff('day', c.cohort_wk, e.wk) // 7 AS INT)
+            AS offset_wk,
+          count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")))
 }
