@@ -5407,7 +5407,35 @@ object Llm extends QueryModule {
           UNION ALL SELECT id, 'pdf', text FROM pdf)
         SELECT id, format, text,
           CAST(length(string_split(text, ' ')) AS INT) AS n_words
-        FROM uni ORDER BY id""")))
+        FROM uni ORDER BY id""")),
+
+    // ID3v2.3 TAG WALK — the MP3 tag sibling of FLAC's VORBIS_COMMENT:
+    // provenance/dedup keys (title/artist/album/year) read from the
+    // tag block alone, no audio frame touched. The 28-bit SYNCSAFE tag
+    // size (7 bits/byte — the format's signature quirk) bounds the
+    // walk; plain big-endian v2.3 frame sizes inside; padding stops
+    // the frame loop; trailing 0xFF "audio" filler in the fixture
+    // proves the walk never reads past the syncsafe bound. Out-of-
+    // subset encodings (UTF-16) are loud, never mis-decoded.
+    QueryDef(
+      "llm_audio_id3_tags",
+      (s, dir) => graft.operators.Id3.tagFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH t AS (SELECT doc_id AS id,
+            't' || (doc_id % 20) AS title,
+            'a' || (doc_id % 13) AS artist,
+            CASE WHEN doc_id % 2 = 0 THEN 'b' || (doc_id % 7) END AS album,
+            CAST(1990 + doc_id % 30 AS INT) AS year
+          FROM documents)
+        SELECT id,
+          CAST(11 + length(title) + 11 + length(artist)
+            + CASE WHEN album IS NULL THEN 0
+                ELSE 11 + length(album) END
+            + 11 + 4 + 3 + id % 6 AS INT) AS tag_size,
+          CAST(CASE WHEN id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_frames,
+          title, artist, album, year
+        FROM t ORDER BY id""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
