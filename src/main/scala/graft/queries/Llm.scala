@@ -5435,7 +5435,30 @@ object Llm extends QueryModule {
             + 11 + 4 + 3 + id % 6 AS INT) AS tag_size,
           CAST(CASE WHEN id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_frames,
           title, artist, album, year
-        FROM t ORDER BY id""")))
+        FROM t ORDER BY id""")),
+
+    // EXIF WALK — image provenance before any pixel decode: JPEG
+    // marker walk to APP1/Exif (a COM segment sits in front so the
+    // skip path is always exercised), then the TIFF IFD with BOTH
+    // byte orders first-class (II for even ids, MM for odd — the
+    // fixture alternates, so an endianness bug breaks half the hash),
+    // inline SHORT values and offset-stored ASCII values both on
+    // every row. Orientation / capture time / camera make are what an
+    // image curation pass dedups and groups on (operators/Exif.scala).
+    QueryDef(
+      "llm_image_exif",
+      (s, dir) => graft.operators.Exif.metaFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+          CAST(4 AS INT) AS n_entries,
+          CAST(1 + doc_id % 8 AS INT) AS orientation,
+          CAST(100 + doc_id % 50 AS INT) AS width,
+          'cam' || (doc_id % 5) AS make,
+          '2024:01:0' || (1 + doc_id % 9) || ' 12:00:0' || (doc_id % 10)
+            AS datetime
+        FROM documents ORDER BY id""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
