@@ -637,7 +637,65 @@ object Relational extends QueryModule {
             + (((l_partkey % 256) // 128) % 2) * 32768
             + (((l_suppkey % 256) // 128) % 2) * 16384 AS zkey
         FROM lineitem WHERE l_orderkey < 2000
-        ORDER BY zkey, l_orderkey, l_linenumber""")))
+        ORDER BY zkey, l_orderkey, l_linenumber""")),
+
+    // DATA EXPECTATION SUITE — the ingest-gate contract check (the
+    // great-expectations shape): N declared rules evaluated in ONE
+    // scan as conditional aggregates (never a scan per rule — at
+    // 100 TB the rule count must not multiply the I/O), then the
+    // 1-row aggregate exploded into a per-rule verdict table with a
+    // violation-rate threshold. NULL in a value rule is NOT a
+    // violation (the dedicated not-null rule owns nulls) — both
+    // engines get that via identical CASE/when null semantics.
+    QueryDef(
+      "etl_expectations",
+      (s, dir) => {
+        val li = Catalog.table(s, dir, "lineitem")
+        val agg = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(!(col("l_quantity") >= 1 && col("l_quantity") <= 50),
+            1L).otherwise(0L)).as("v_qty"),
+          sum(when(!(col("l_extendedprice") > 0), 1L).otherwise(0L))
+            .as("v_price"),
+          sum(when(!(col("l_discount") <= 0.08), 1L).otherwise(0L))
+            .as("v_disc"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+            .as("v_ship"))
+        agg.select(explode(array(
+            struct(lit("discount_le_008").as("rule"), col("n"),
+              col("v_disc").as("v")),
+            struct(lit("price_positive").as("rule"), col("n"),
+              col("v_price").as("v")),
+            struct(lit("quantity_in_1_50").as("rule"), col("n"),
+              col("v_qty").as("v")),
+            struct(lit("shipdate_not_null").as("rule"), col("n"),
+              col("v_ship").as("v")))).as("r"))
+          .select(col("r.rule").as("rule"), col("r.n").as("n_rows"),
+            col("r.v").as("n_violations"),
+            round(col("r.v").cast("double") / col("r.n"), 6)
+              .as("viol_rate"),
+            (col("r.v").cast("double") <= col("r.n") * 0.05).as("pass"))
+          .orderBy("rule")
+      },
+      Some("""WITH a AS (SELECT count(*) AS n,
+            CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+            CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+            CAST(sum(CASE WHEN NOT (l_discount <= 0.08)
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+            CAST(sum(CASE WHEN l_shipdate IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+          FROM lineitem),
+        r AS (
+          SELECT 'discount_le_008' AS rule, n, v_disc AS v FROM a
+          UNION ALL SELECT 'price_positive', n, v_price FROM a
+          UNION ALL SELECT 'quantity_in_1_50', n, v_qty FROM a
+          UNION ALL SELECT 'shipdate_not_null', n, v_ship FROM a)
+        SELECT rule, n AS n_rows, v AS n_violations,
+          round(v::DOUBLE / n, 6) AS viol_rate,
+          v::DOUBLE <= n * 0.05 AS pass
+        FROM r ORDER BY rule""")))
 
   /** Hourly resample + linear interpolation over (user_id, ts, value)
     * rows: dense per-key hour axis from each key's own [min,max] span,
