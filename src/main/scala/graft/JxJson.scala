@@ -201,6 +201,24 @@ object JxJson {
               .filter(org.apache.spark.sql.functions.col("doc_id") < pdfDocs)
               .select("doc_id"), "doc_id"),
           "id", "pdf")
+      // the MIXED front door: `"from": "docs:any"` exposes the
+      // mime-dispatched mixed-format corpus (html/markdown/pdf via
+      // operators/Multimodal.docDispatchFeatures) — extraction
+      // dispatch fused ahead of whatever the query shuffles on.
+      case JString("docs:any") =>
+        val anyDocs = (q \ "archive_docs") match {
+          case JInt(n) =>
+            require(n > 0, s"jx: archive_docs must be positive, got $n")
+            n.toInt
+          case JNothing | JNull => WebArchiveFixtureDocs
+          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
+        }
+        graft.operators.Multimodal.docDispatchFeatures(
+          graft.operators.Multimodal.synthMixedDocsMedia(
+            Catalog.table(spark, sfDir, "documents")
+              .filter(org.apache.spark.sql.functions.col("doc_id") < anyDocs)
+              .select("doc_id"), "doc_id"),
+          "id")
       case JString("docs:markdown") =>
         val mdDocs = (q \ "archive_docs") match {
           case JInt(n) =>

@@ -185,6 +185,28 @@ object Similarity {
     cents.limit(nlist)
   }
 
+  /** Final cluster assignment against kmeans-trained centroids —
+    * (id, cluster). The corpus-organization primitive topic
+    * attribution builds on: same slim map-side-combinable argmax
+    * aggregate as every Lloyd round (never a window over wide rows),
+    * one broadcast of the ≤ nlist centroid table. */
+  def kmeansAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, rounds: Int): DataFrame = {
+    val v = corpus.select(
+      col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cn = kmeansCentroids(corpus, idCol, vecCol, nlist, rounds)
+      .limit(nlist).withColumn("cnorm", norm(col("cvec")))
+    v.crossJoin(broadcast(cn))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("cvec"), col("nrm"), col("cnorm")), 6)
+          .as("cs"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("vec_id").as("id"), (-col("b.ncid")).as("cluster"))
+  }
+
   /** IVF search over kmeans-trained centroids — same probe/re-rank
     * plan as ivfTopK, with the learned centroid table in place of the
     * sampled anchors. */

@@ -5458,7 +5458,120 @@ object Llm extends QueryModule {
           'cam' || (doc_id % 5) AS make,
           '2024:01:0' || (1 + doc_id % 9) || ' 12:00:0' || (doc_id % 10)
             AS datetime
-        FROM documents ORDER BY id""")))
+        FROM documents ORDER BY id""")),
+
+    // CLUSTER TOPICS — the corpus-organization composition: kmeans
+    // cluster assignments over the embedding space (the SAME
+    // Lloyd-rounds machinery llm_knn_ivf_kmeans oracle-pins) joined
+    // to the documents' tokens, per-cluster top-3 terms by count.
+    // The topic window sees only the (cluster, word) count table —
+    // orders of magnitude smaller than the corpus — and the rank
+    // filter compiles to WindowGroupLimit. The oracle re-runs all
+    // three Lloyd rounds plus the final assignment closed-form in
+    // DuckDB (rounded-mean/rounded-cosine bit-pinning, the proven
+    // cross-engine kmeans discipline).
+    QueryDef(
+      "llm_cluster_topics",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 400)
+        val asg = Similarity.kmeansAssignments(
+          emb, "vec_id", "embedding", nlist = 8, rounds = 3)
+        val words = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 400)
+          .select(col("doc_id").as("id"),
+            explode(split(col("text"), " ")).as("word"))
+        words.join(asg, Seq("id"))
+          .groupBy(col("cluster"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("cluster")
+              .orderBy(col("cnt").desc, col("word"))))
+          .filter(col("rk") <= 3)
+          .select("cluster", "rk", "word", "cnt")
+          .orderBy("cluster", "rk")
+      },
+      Some {
+        def round_(prev: String, n: Int): String =
+          s"""a$n AS (SELECT vec_id, cid FROM (
+              SELECT v.vec_id, c.cid,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  round(list_cosine_similarity(v.e, c.cv), 6) DESC,
+                  c.cid) AS crk
+              FROM v, $prev c) WHERE crk = 1),
+          m$n AS (SELECT cid, list(cx ORDER BY i) AS cnew FROM (
+              SELECT cid, i, round(avg(x), 6) AS cx FROM (
+                SELECT a$n.cid, unnest(v.e) AS x,
+                  generate_subscripts(v.e, 1) AS i
+                FROM v JOIN a$n USING (vec_id))
+              GROUP BY cid, i) GROUP BY cid),
+          c$n AS (SELECT $prev.cid, coalesce(m$n.cnew, $prev.cv) AS cv
+              FROM $prev LEFT JOIN m$n USING (cid))"""
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 400),
+          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                AS BIGINT) AS cid, e AS cv
+              FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+          ${round_("c0", 1)},
+          ${round_("c1", 2)},
+          ${round_("c2", 3)},
+          afin AS (SELECT vec_id, cid FROM (
+              SELECT v.vec_id, c.cid,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  round(list_cosine_similarity(v.e, c.cv), 6) DESC,
+                  c.cid) AS crk
+              FROM v, c3 c) WHERE crk = 1),
+          w AS (SELECT afin.cid AS cluster,
+              unnest(string_split(d.text, ' ')) AS word
+            FROM afin JOIN documents d ON d.doc_id = afin.vec_id
+            WHERE d.doc_id < 400),
+          cnt AS (SELECT cluster, word, count(*) AS cnt
+            FROM w GROUP BY cluster, word),
+          rkd AS (SELECT cluster, word, cnt,
+              row_number() OVER (PARTITION BY cluster
+                ORDER BY cnt DESC, word) AS rk
+            FROM cnt)
+        SELECT cluster, CAST(rk AS INT) AS rk, word, cnt
+        FROM rkd WHERE rk <= 3 ORDER BY cluster, rk"""
+      }),
+
+    // JX FRONT DOOR → MIXED DISPATCH — `"from": "docs:any"` exposes
+    // the mime-dispatched corpus: per-format document counts and word
+    // totals in one fused plan (dispatch+extraction are map work; the
+    // only shuffle carries per-format feature rows). The oracle
+    // recomputes each branch's closed-form word count — html
+    // 2+5np+2nl at record i=1, markdown 18+id%7+id%3, pdf
+    // Σ_p 7+(id+p)%5 — never re-parsing anything.
+    QueryDef(
+      "jx_json_any",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "docs:any",
+          "groupby": ["format"],
+          "select": [
+            {"name": "n_docs", "aggregate": "count"},
+            {"name": "total_words", "aggregate": "sum", "value": "n_words"}
+          ],
+          "sort": "format"
+        }"""),
+      Some("""WITH ids AS (SELECT doc_id AS id
+            FROM documents WHERE doc_id < 300),
+        hb AS (SELECT id, 'html' AS format,
+            2 + 5 * (2 + (id + 1) % 3) + 2 * ((3 * id + 1) % 4) AS n_words
+          FROM ids WHERE id % 3 = 0),
+        mb AS (SELECT id, 'markdown' AS format,
+            18 + id % 7 + id % 3 AS n_words
+          FROM ids WHERE id % 3 = 1),
+        pb AS (SELECT i.id, 'pdf' AS format,
+            (SELECT sum(7 + (i.id + pp.p) % 5)
+              FROM (SELECT unnest(range(0, 1 + i.id % 3)) AS p) pp)
+              AS n_words
+          FROM ids i WHERE i.id % 3 = 2),
+        u AS (SELECT * FROM hb UNION ALL SELECT * FROM mb
+          UNION ALL SELECT * FROM pb)
+        SELECT format, count(*) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM u GROUP BY format ORDER BY format""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
