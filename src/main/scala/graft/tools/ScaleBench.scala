@@ -357,6 +357,27 @@ object ScaleBench {
             .as("fim_text"))
       })
     }
+    // Cluster topics (round 12): kmeans assignment of the full
+    // embedding corpus (the slim argmax aggregate — the 292s-vs-8s
+    // lesson baked into kmeansAssignments) + token join + per-cluster
+    // top-k. The window sees only the (cluster, word) counts.
+    if (only.isEmpty || only.exists("cluster_topics".contains)) {
+      import graft.operators.Similarity
+      import org.apache.spark.sql.expressions.Window
+      time("cluster_topics") {
+        val asg = Similarity.kmeansAssignments(
+          emb, "vec_id", "embedding", nlist = 64, rounds = 2)
+        val words = docs.select(col("doc_id").as("id"),
+          explode(split(col("text"), " ")).as("word"))
+        force(words.join(asg, Seq("id"))
+          .groupBy(col("cluster"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("cluster")
+              .orderBy(col("cnt").desc, col("word"))))
+          .filter(col("rk") <= 10))
+      }
+    }
     // Dedup index persistence (round 12): the MinHash sibling of
     // index_persist — corpus band table + signature store written as
     // parquet ONCE, then the daily-arrival batch (10×mult docs)
