@@ -5571,7 +5571,42 @@ object Llm extends QueryModule {
           UNION ALL SELECT * FROM pb)
         SELECT format, count(*) AS n_docs,
           CAST(sum(n_words) AS BIGINT) AS total_words
-        FROM u GROUP BY format ORDER BY format""")))
+        FROM u GROUP BY format ORDER BY format""")),
+
+    // DATASET CARD — the one-pass corpus summary a dataset release
+    // ships with: volume, token totals, language/source breadth,
+    // length distribution (exact median via the sorted-aggregate
+    // form), and a long-doc share. ONE conditional-aggregate scan
+    // (the etl_expectations discipline) — a corpus card at 100 TB
+    // costs exactly one pass, not one pass per statistic.
+    QueryDef(
+      "llm_dataset_card",
+      (s, dir) => {
+        val toks = size(split(col("text"), " "))
+        Catalog.table(s, dir, "documents")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(toks.cast("long")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            round(avg(length(col("text"))), 2).as("avg_chars"),
+            percentile_approx(toks, lit(0.5), lit(100000))
+              .cast("long").as("median_tokens"),
+            round(sum(when(toks >= 60, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("long_doc_share"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+          CAST(sum(length(string_split(text, ' '))) AS BIGINT)
+            AS n_tokens,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          round(avg(length(text)), 2) AS avg_chars,
+          CAST(quantile_disc(length(string_split(text, ' ')), 0.5)
+            AS BIGINT) AS median_tokens,
+          round(CAST(sum(CASE WHEN length(string_split(text, ' ')) >= 60
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+            AS long_doc_share
+        FROM documents""")))
 
   /** DuckDB oracle for llm_bpe_train, machine-generated per merge step.
     * Each step: count adjacent pairs weighted by word freq, take the
