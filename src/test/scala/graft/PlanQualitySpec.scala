@@ -504,4 +504,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("llm_caption_align: EQUI-join on the doc id, never a nested loop") {
+    // The interval predicate must ride a hash/sort-merge join keyed on
+    // the doc id — a nested-loop over cue×frame would be the cross-doc
+    // interval product the operator exists to avoid.
+    val p = plan("llm_caption_align")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("llm_license_scan: pure scan-side projection, no UDF, no extra shuffle") {
+    val p = plan("llm_license_scan")
+    // verdict must stay inside codegen over the scan: the only exchange
+    // allowed is the final orderBy's range partitioning
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("llm_fim_transform: one projection over a pruned two-column scan") {
+    val p = plan("llm_fim_transform")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p) // orderBy only
+  }
+
+  test("llm_cluster_topics: topic rank prunes map-side via WindowGroupLimit") {
+    val p = plan("llm_cluster_topics")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("etl_expectations: every rule folds into ONE aggregate over one scan") {
+    val p = plan("etl_expectations")
+    // one scan of lineitem (N rules must not multiply I/O)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("agg_retention_cohort: post-reduction stages never reshuffle events") {
+    val p = plan("agg_retention_cohort")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
