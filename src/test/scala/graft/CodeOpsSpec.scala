@@ -43,6 +43,21 @@ class CodeOpsSpec extends AnyFunSuite {
     assert(CodeOps.strip("").text == "")
   }
 
+  test("stripping is idempotent: strip(strip(s).text).text == strip(s).text") {
+    // Comment markers can only survive a strip INSIDE string literals,
+    // and a second pass protects those identically — so stripped text
+    // is a fixed point. Catches asymmetries between what the scanner
+    // removes and what it preserves.
+    val rng = new scala.util.Random(13)
+    val chars = "/*\"\\\n aZ9;()"
+    for (_ <- 0 until 300) {
+      val s = new String(
+        Array.fill(300)(chars(rng.nextInt(chars.length))))
+      val once = CodeOps.strip(s).text
+      assert(CodeOps.strip(once).text == once, s"input=$s")
+    }
+  }
+
   test("scanner is linear and terminates on adversarial input") {
     val rng = new scala.util.Random(7)
     for (_ <- 0 until 200) {
