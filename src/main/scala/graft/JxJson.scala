@@ -31,15 +31,16 @@ object JxJson {
     */
   val MaxCubeCells: Int = 1000000
 
-  /** Front-door contract for `"from": "web:archives"`: the source is
-    * the SYNTHESIZED crawl-archive fixture (gunzip → WARC → HTTP →
-    * HTML over the documents table), and by default it materializes
-    * archives for the first `WebArchiveFixtureDocs` doc_ids — the same
-    * slice every llm_web_* fixture query uses, so the front door and
-    * the hand-written queries agree byte-for-byte. A query that wants
-    * a different slice says so explicitly with a top-level
-    * `"archive_docs": n` (n ≤ total documents); the bound is never
-    * silent — it is THIS documented constant or the caller's number.
+  /** Front-door contract shared by every fixture-backed document
+    * source — `"from": "web:archives"` (gunzip → WARC → HTTP → HTML),
+    * `"docs:markdown"`, `"docs:pdf"`, and `"docs:any"` (the mime
+    * dispatcher): each synthesizes payloads for the first
+    * `WebArchiveFixtureDocs` doc_ids — the same slice every llm_*
+    * fixture query uses, so the front door and the hand-written
+    * queries agree byte-for-byte. A query that wants a different
+    * slice says so explicitly with a top-level `"archive_docs": n`
+    * (n ≤ total documents); the bound is never silent — it is THIS
+    * documented constant or the caller's number.
     */
   val WebArchiveFixtureDocs: Int = 300
 
