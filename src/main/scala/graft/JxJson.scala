@@ -143,6 +143,34 @@ object JxJson {
   def run(spark: SparkSession, sfDir: String, queryJson: String): DataFrame =
     runParsed(spark, sfDir, JsonMethods.parse(queryJson))
 
+  /** Shared parse/validate/bound step for every fixture-backed doc
+    * source (was copy-pasted per source — ADVICE r12). Returns the
+    * bounded doc_id slice the source synthesizes payloads for. An
+    * EXPLICIT "archive_docs" is validated against the documents
+    * table's actual row count, so a typo like 3000000 fails loudly
+    * instead of silently meaning "all docs"; the default-constant
+    * path stays job-free (the fixture contract pins it ≤ total).
+    */
+  private def archiveDocIds(spark: SparkSession, sfDir: String,
+      q: JValue): DataFrame = {
+    val docs = (q \ "archive_docs") match {
+      case JInt(n) =>
+        require(n > 0, s"jx: archive_docs must be positive, got $n")
+        val total = Catalog.table(spark, sfDir, "documents").count()
+        require(n <= total,
+          s"jx: archive_docs = $n exceeds the documents table " +
+            s"($total rows); over-asking would silently mean 'all " +
+            "docs' — ask for a real slice")
+        n.toInt
+      case JNothing | JNull => WebArchiveFixtureDocs
+      case other =>
+        sys.error(s"jx: archive_docs must be an integer, got $other")
+    }
+    Catalog.table(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < docs)
+      .select("doc_id")
+  }
+
   private def runParsed(spark: SparkSession, sfDir: String, q: JValue): DataFrame = {
     // `from` forms: a table name; a dotted path ("orders_nested.lines")
     // descending into nested child tables — jx_sqlite's snowflake
@@ -165,18 +193,9 @@ object JxJson {
       case JString("web:archives") =>
         // Bound is the documented front-door constant, overridable per
         // query with "archive_docs" — never a silent truncation.
-        val archiveDocs = (q \ "archive_docs") match {
-          case JInt(n) =>
-            require(n > 0, s"jx: archive_docs must be positive, got $n")
-            n.toInt
-          case JNothing | JNull => WebArchiveFixtureDocs
-          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
-        }
         graft.operators.Multimodal.webTextFeatures(
           graft.operators.Multimodal.synthWarcWebGzMedia(
-            Catalog.table(spark, sfDir, "documents")
-              .filter(org.apache.spark.sql.functions.col("doc_id") < archiveDocs)
-              .select("doc_id"), "doc_id"),
+            archiveDocIds(spark, sfDir, q), "doc_id"),
           "id", gz = true)
       // the MARKDOWN front door: `"from": "docs:markdown"` exposes the
       // extracted README/wiki fixture corpus (operators/Markdown) the
@@ -189,56 +208,81 @@ object JxJson {
       // ahead of whatever the query shuffles on; same fixture bound
       // and "archive_docs" override as the other doc sources.
       case JString("docs:pdf") =>
-        val pdfDocs = (q \ "archive_docs") match {
-          case JInt(n) =>
-            require(n > 0, s"jx: archive_docs must be positive, got $n")
-            n.toInt
-          case JNothing | JNull => WebArchiveFixtureDocs
-          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
-        }
         graft.operators.Pdf.textFeatures(
           graft.operators.Pdf.synthDf(
-            Catalog.table(spark, sfDir, "documents")
-              .filter(org.apache.spark.sql.functions.col("doc_id") < pdfDocs)
-              .select("doc_id"), "doc_id"),
+            archiveDocIds(spark, sfDir, q), "doc_id"),
           "id", "pdf")
       // the MIXED front door: `"from": "docs:any"` exposes the
       // mime-dispatched mixed-format corpus (html/markdown/pdf via
       // operators/Multimodal.docDispatchFeatures) — extraction
       // dispatch fused ahead of whatever the query shuffles on.
       case JString("docs:any") =>
-        val anyDocs = (q \ "archive_docs") match {
-          case JInt(n) =>
-            require(n > 0, s"jx: archive_docs must be positive, got $n")
-            n.toInt
-          case JNothing | JNull => WebArchiveFixtureDocs
-          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
-        }
         graft.operators.Multimodal.docDispatchFeatures(
           graft.operators.Multimodal.synthMixedDocsMedia(
-            Catalog.table(spark, sfDir, "documents")
-              .filter(org.apache.spark.sql.functions.col("doc_id") < anyDocs)
-              .select("doc_id"), "doc_id"),
+            archiveDocIds(spark, sfDir, q), "doc_id"),
           "id")
       case JString("docs:markdown") =>
-        val mdDocs = (q \ "archive_docs") match {
-          case JInt(n) =>
-            require(n > 0, s"jx: archive_docs must be positive, got $n")
-            n.toInt
-          case JNothing | JNull => WebArchiveFixtureDocs
-          case other => sys.error(s"jx: archive_docs must be an integer, got $other")
-        }
         graft.operators.Markdown.features(
           graft.operators.Markdown.synthDf(
-            Catalog.table(spark, sfDir, "documents")
-              .filter(org.apache.spark.sql.functions.col("doc_id") < mdDocs)
-              .select("doc_id"), "doc_id"),
+            archiveDocIds(spark, sfDir, q), "doc_id"),
           "id", "md")
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)
       case o: JObject => runParsed(spark, sfDir, o)
       case other => sys.error(s"jx: 'from' must be a table or query, got $other")
+    }
+
+    // join: the BATCH equi-join clause (VERDICT r12 #6) — the jx twin
+    // of the DSL door's join family. `"join": {"with": <table|query>,
+    // "on": {"left": c, "right": c}, "type": inner|left|semi|anti}`.
+    // The right side is a table name (with the same dotted nested
+    // descent as `from`) or a whole nested query compiled recursively
+    // into the SAME Catalyst tree — one fused plan, so the parent
+    // `where` below filters the JOINED row set and Catalyst pushes
+    // each side's conjuncts down to its own scan (plan-asserted in
+    // PlanQualitySpec). Cross-side name collisions are refused at
+    // compile time like the stream-stream form: the two sides meet in
+    // one row, so their columns must be explicitly disjoint (rename
+    // inside a nested-query `with`).
+    (q \ "join") match {
+      case JNothing | JNull => ()
+      case j =>
+        val right = (j \ "with") match {
+          case JString(t) =>
+            val segs = t.split('.')
+            segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)
+          case o: JObject => runParsed(spark, sfDir, o)
+          case other =>
+            sys.error(s"jx: join.with must be a table or query, got $other")
+        }
+        val lk = (j \ "on" \ "left") match {
+          case JString(c) => c
+          case other => sys.error(s"jx: join.on.left $other")
+        }
+        val rk = (j \ "on" \ "right") match {
+          case JString(c) => c
+          case other => sys.error(s"jx: join.on.right $other")
+        }
+        val jt = (j \ "type") match {
+          case JNothing | JNull | JString("inner") => "inner"
+          case JString("left") => "left_outer"
+          case JString("semi") => "left_semi"
+          case JString("anti") => "left_anti"
+          case other => sys.error(
+            s"jx: join.type $other — one of inner|left|semi|anti")
+        }
+        // semi/anti keep only left columns, so only the row-merging
+        // forms can collide
+        if (jt == "inner" || jt == "left_outer") {
+          val collide = df.columns.toSet intersect right.columns.toSet
+          require(collide.isEmpty,
+            s"jx: join sides share column name(s) ${collide.mkString(", ")}" +
+              " — rename via a nested query's select; the two sides " +
+              "meet in one row, so their columns must be explicitly " +
+              "disjoint")
+        }
+        df = df.join(right, df.col(lk) === right.col(rk), jt)
     }
 
     (q \ "where") match {
@@ -391,6 +435,20 @@ object JxJson {
             "the join's output in a downstream batch query instead")
         return finishSortLimit(streamStreamJoin(spark, sfDir, j, q), q)
     }
+    val agg = compileStreaming(spark, sfDir, q)
+    val out = graft.streaming.Streams.runToMemory(
+      agg, s"jx_stream_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    finishSortLimit(out, q)
+  }
+
+  /** Build (but do not start) the windowed streaming aggregate for an
+    * `events:stream` query — factored out of runStreaming so tests can
+    * assert plan properties (the dedup keys must carry event-time
+    * watermark metadata, or dedup state is never watermark-evicted)
+    * without running the stream. */
+  private[graft] def compileStreaming(spark: SparkSession, sfDir: String,
+      q: JValue): DataFrame = {
     val wm = (q \ "watermark")
     val wmOn = (wm \ "on") match {
       case JString(c) => c
@@ -411,7 +469,7 @@ object JxJson {
     // dedup over the stream: watermark-scoped dropDuplicates ahead of
     // the windowed aggregate (two chained stateful operators). Plain
     // entries are key columns; a {"name","value","window"} entry keys
-    // on the row's time-window START — the streaming
+    // on the row's time window — the streaming
     // count-DISTINCT-per-window shape (dedup on (key, window), then
     // count), which stays hard-oracle-able because the surviving row's
     // window is fixed by the dedup key even though WHICH row survives
@@ -447,7 +505,24 @@ object JxJson {
           case other => sys.error(s"jx: dedup entry $other — a column " +
             """name or {"name", "value", "window"}""")
         }
-        df = df.dropDuplicates(keys).drop(
+        // dropDuplicatesWITHINWATERMARK, not dropDuplicates (ADVICE
+        // r12): the window-start key is an alias of a struct field,
+        // which strips Spark's event-time metadata, and a metadata-
+        // free dropDuplicates key set is never watermark-evicted —
+        // unbounded state on a long-running stream. (Keying on the
+        // window struct itself doesn't work either: window() mints a
+        // SECOND event-time column beside ts and the downstream
+        // windowed aggregate refuses multi-event-time plans.) The
+        // within-watermark form evicts each key when the watermark
+        // passes its first-seen event time + delay, by construction —
+        // and its collapse guarantee (duplicates whose event times
+        // lie within the delay) is TOTAL here because a window entry
+        // groups rows at most one window-width apart and the
+        // watermark delay is ≥ the window in every declared query;
+        // rows later than the watermark are dropped by both forms
+        // alike, so the emit-horizon oracle is unchanged. JxJsonSpec
+        // asserts the DeduplicateWithinWatermark node is planned.
+        df = df.dropDuplicatesWithinWatermark(keys).drop(
           entries.collect { case o: JObject =>
             (o \ "name").asInstanceOf[JString].s }: _*)
     }
@@ -506,15 +581,11 @@ object JxJson {
     val gbCols = winCol +: plain.map(col)
     val aggs = selectsOf(q).map(aggColumn)
     require(aggs.nonEmpty, "jx: streaming groupby needs aggregate selects")
-    val agg = (if (watermarked) df else df.withWatermark(wmOn, wmDelay))
+    (if (watermarked) df else df.withWatermark(wmOn, wmDelay))
       .groupBy(gbCols: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn(winName, col(s"$structName.start"))
       .drop(structName)
-    val out = graft.streaming.Streams.runToMemory(
-      agg, s"jx_stream_${System.nanoTime()}",
-      org.apache.spark.sql.streaming.OutputMode.Append())
-    finishSortLimit(out, q)
   }
 
   /** Stream-stream interval join through the front door (r11 verdict

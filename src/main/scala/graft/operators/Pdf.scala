@@ -358,6 +358,12 @@ object Pdf {
   private def inflate(b: Array[Byte], from: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(b, from, len)
+    // Bomb guard (ADVICE r12): DEFLATE tops out near 1032:1, so any
+    // stream expanding past that ratio is hostile, not a PDF — fail
+    // loudly like every other malformed-input path instead of letting
+    // a few crafted MB inflate to executor-OOM GBs. Same constant the
+    // ZIP walk enforces (Codecs.zipEntries).
+    val maxOut = len.toLong * 1032 + 64
     val out = new java.io.ByteArrayOutputStream(len * 4 + 64)
     val buf = new Array[Byte](4096)
     try {
@@ -365,6 +371,9 @@ object Pdf {
         val n = inf.inflate(buf)
         require(n > 0 || inf.finished(),
           "truncated or unsupported FlateDecode stream")
+        require(out.size().toLong + n <= maxOut,
+          s"FlateDecode stream expands past ${maxOut} bytes " +
+            s"(>1032x its $len-byte input) — decompression bomb")
         out.write(buf, 0, n)
       }
     } catch {

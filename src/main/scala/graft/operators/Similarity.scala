@@ -540,9 +540,15 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(" +
         "named_struct('i', i, 'x', cx))), s2 -> s2.x)").as("av"))
       .localCheckpoint()
-    // encode: argmin codeword per (vector, subspace), then one code
-    // ARRAY per vector ordered by subspace
-    val codes = vm.join(broadcast(cb), vm("m") === cb("am"))
+    (cb, pqEncode(vm, cb, sd))
+  }
+
+  /** Encode: argmin codeword per (vector, subspace) under a FIXED
+    * codebook, then one code ARRAY per vector ordered by subspace —
+    * shared by training's final encode and the frozen-artifact
+    * arrival encode (ivfPqEncodeWith). */
+  private def pqEncode(vm: DataFrame, cb: DataFrame, sd: Int): DataFrame =
+    vm.join(broadcast(cb), vm("m") === cb("am"))
       .select(col("vec_id"), col("m"), col("cw"),
         pqSubDist(sd).as("d"))
       .groupBy("vec_id", "m")
@@ -551,8 +557,6 @@ object Similarity {
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(" +
         "named_struct('m', m, 'c', code))), s2 -> s2.c)").as("codes"))
-    (cb, codes)
-  }
 
   /** Squared distance between subspace `m` of `v` and the 4-dim
     * codeword `av`, as a flat codegen'd sum rounded to 6 decimals. */
@@ -685,7 +689,18 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     val cents = centroidCap.fold(cents0)(cents0.limit)
-    val asg = en.crossJoin(broadcast(cents))
+    val asg = ivfAssign(en, cents)
+    // PQ side: shared train + encode; codes pick up their list id
+    val (cb, codes) = pqTrainEncode(emb, numSub, sd, codebookSize)
+    (cents, cb, codes.join(asg, Seq("vec_id")))
+  }
+
+  /** Rounded-cosine argmax list assignment of (vec_id, v, nrm) rows
+    * against the given centroid table — shared by the index build and
+    * the frozen-artifact arrival encode, so the two paths cannot
+    * drift. */
+  private def ivfAssign(en: DataFrame, cents: DataFrame): DataFrame =
+    en.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6)
           .as("cs"),
@@ -693,9 +708,30 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
       .select(col("vec_id"), (-col("b.ncid")).as("cid"))
-    // PQ side: shared train + encode; codes pick up their list id
-    val (cb, codes) = pqTrainEncode(emb, numSub, sd, codebookSize)
-    (cents, cb, codes.join(asg, Seq("vec_id")))
+
+  /** Encode NEW vectors with FROZEN index artifacts (the incremental
+    * half of index maintenance, VERDICT r12 #4): rounded-cosine argmax
+    * list assignment against the LOADED centroids + argmin-codeword PQ
+    * encode against the LOADED codebook — NO retraining. Because the
+    * artifacts are immutable and the encode is row-local given them,
+    * appending these rows to the persisted coded lists is provably
+    * identical to re-encoding the unioned corpus from scratch under
+    * the same artifacts (SimilaritySpec pins both equalities). At
+    * 100 TB this is the daily-arrivals job: cost scales with
+    * |arrivals|, not |corpus| — the dedup index's probe-the-load
+    * shape, applied to the ANN store. */
+  def ivfPqEncodeWith(
+      cents: DataFrame, cb: DataFrame, arrivals: DataFrame,
+      idCol: String, vecCol: String, dim: Int, numSub: Int): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val sd = dim / numSub
+    val emb = arrivals.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val en = emb.withColumn("nrm", norm(col("v")))
+    val asg = ivfAssign(en, cents)
+    val vm = emb.select(col("vec_id"), col("v"),
+      explode(sequence(lit(0), lit(numSub - 1))).as("m"))
+    pqEncode(vm, cb, sd).join(asg, Seq("vec_id"))
   }
 
   /** Serve queries from (possibly loaded) index artifacts: probe the

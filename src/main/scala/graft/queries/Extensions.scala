@@ -438,6 +438,42 @@ object Extensions extends QueryModule {
         FROM flat WHERE o_totalprice >= 50000
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // JX BATCH JOIN clause (VERDICT r12 #6): orders ⋈ customer through
+    // the JSON front door, one fused plan — the parent `where` carries
+    // a conjunct for EACH side, and Catalyst pushes both down to their
+    // scans (PlanQualitySpec asserts PushedFilters on both). The jx
+    // language itself has no join [P]; this is the front-door nicety
+    // over the DSL door's join family.
+    QueryDef(
+      "jx_json_join",
+      (s, dir) => JxJson.run(s, dir,
+        """{
+          "from": "orders",
+          "join": {"with": "customer",
+                   "on": {"left": "o_custkey", "right": "c_custkey"}},
+          "where": {"and": [
+            {"gte": ["o_totalprice", {"literal": 50000}]},
+            {"eq": ["c_mktsegment", {"literal": "BUILDING"}]}]},
+          "groupby": ["o_orderpriority"],
+          "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "max_price", "value": "o_totalprice", "aggregate": "max"},
+            {"name": "sum_nation", "value": "c_nationkey", "aggregate": "sum"},
+            {"name": "max_bal", "value": "c_acctbal", "aggregate": "max"}
+          ],
+          "sort": "o_orderpriority"
+        }"""),
+      // max/count/integer-sum only: all order-independent, so the hash
+      // oracle is exact (a double-money sum through the front door
+      // would be partition-order FP noise — the determinism contract).
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          max(o_totalprice) AS max_price,
+          CAST(sum(c_nationkey) AS BIGINT) AS sum_nation,
+          max(c_acctbal) AS max_bal
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice >= 50000 AND c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // JX query COMPOSITION: `from` is itself a query object — the
     // inner per-customer aggregate feeds the outer filter+aggregate as
     // one fused Catalyst plan (a SQL derived table, not a

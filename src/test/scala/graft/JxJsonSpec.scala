@@ -403,6 +403,87 @@ class JxJsonSpec extends SparkSpec {
     assert(jx.nonEmpty)
   }
 
+  test("batch join clause: semi/anti forms, nested right side, collision refusal") {
+    import org.apache.spark.sql.functions.col
+    // anti: customers with no orders == DSL-door anti join
+    val anti = JxJson.run(spark, sf0001,
+      """{
+        "from": "customer",
+        "join": {"with": "orders",
+                 "on": {"left": "c_custkey", "right": "o_custkey"},
+                 "type": "anti"},
+        "select": ["c_custkey"],
+        "sort": "c_custkey"
+      }""")
+    val cust = Catalog.table(spark, sf0001, "customer")
+    val ords = Catalog.table(spark, sf0001, "orders")
+    val expected = cust.join(ords, col("c_custkey") === col("o_custkey"),
+      "left_anti").select("c_custkey").orderBy("c_custkey")
+    assert(anti.collect().toSeq == expected.collect().toSeq)
+    // semi keeps only left columns even though orders shares no names
+    val semi = JxJson.run(spark, sf0001,
+      """{
+        "from": "customer",
+        "join": {"with": "orders",
+                 "on": {"left": "c_custkey", "right": "o_custkey"},
+                 "type": "semi"},
+        "select": ["c_custkey"], "sort": "c_custkey"}""")
+    assert(semi.columns.toSeq == Seq("c_custkey"))
+    // a nested query as the right side composes in the same plan
+    val nested = JxJson.run(spark, sf0001,
+      """{
+        "from": "orders",
+        "join": {"with": {"from": "customer",
+                          "groupby": ["c_custkey"],
+                          "select": [{"name": "n_c", "aggregate": "count"}]},
+                 "on": {"left": "o_custkey", "right": "c_custkey"}},
+        "select": [{"name": "n", "aggregate": "count"}]
+      }""")
+    assert(nested.head.getLong(0) == ords.join(cust,
+      col("o_custkey") === col("c_custkey")).count())
+    // cross-side name collision is refused at compile time
+    val e = intercept[IllegalArgumentException](JxJson.run(spark, sf0001,
+      """{
+        "from": "customer",
+        "join": {"with": "customer",
+                 "on": {"left": "c_custkey", "right": "c_custkey"}},
+        "select": ["c_custkey"]}"""))
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
+  test("streaming dedup plans the watermark-evicted dedup node") {
+    // ADVICE r12: keying a plain dropDuplicates on window(ts)('start')
+    // via an alias strips Spark's event-time metadata, so its state is
+    // NEVER evicted — results stay correct but state grows without
+    // bound on a long-running stream. The front door must compile the
+    // dedup clause onto DeduplicateWithinWatermark, whose state is
+    // evicted when the watermark passes first-seen event time + delay
+    // BY CONSTRUCTION (no metadata-carrying key needed), and must NOT
+    // leave a metadata-free plain Deduplicate in the plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Deduplicate, DeduplicateWithinWatermark}
+    val agg = JxJson.compileStreaming(spark, sf0001,
+      org.json4s.jackson.JsonMethods.parse(
+        """{
+          "from": "events:stream",
+          "watermark": {"on": "ts", "delay": "2 hours"},
+          "dedup": ["user_id", {"name": "wb", "value": "ts",
+                                "window": "1 hour"}],
+          "groupby": [{"name": "ws", "value": "ts", "window": "1 hour"}],
+          "select": [{"name": "n_users", "aggregate": "count"}]
+        }"""))
+    val analyzed = agg.queryExecution.analyzed
+    val within = analyzed.collect { case d: DeduplicateWithinWatermark => d }
+    assert(within.size == 1,
+      s"expected one DeduplicateWithinWatermark node:\n$analyzed")
+    val unbounded = analyzed.collect {
+      case d: Deduplicate
+          if !d.keys.exists(_.metadata.contains("spark.watermarkDelayMs")) => d
+    }
+    assert(unbounded.isEmpty,
+      s"metadata-free plain Deduplicate would never evict state:\n$analyzed")
+  }
+
   test("streaming dedup rejects malformed entries loudly") {
     // a window entry missing its duration must error at compile, not
     // silently key on nothing

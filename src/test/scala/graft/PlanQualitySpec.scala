@@ -168,6 +168,17 @@ class PlanQualitySpec extends SparkSpec {
       s"chunking must be a flat map, not a shuffle:\n$p")
   }
 
+  test("jx_json_join fuses to one plan with filters pushed to BOTH scans") {
+    val p = plan("jx_json_join")
+    // the parent `where` carries one conjunct per side; Catalyst must
+    // split it through the join and push each to its own parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_totalprice,50000"),
+      s"orders-side predicate not pushed to its scan:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"customer-side predicate not pushed to its scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scan_partitioned prunes to the matching partition directory") {
     val p = plan("scan_partitioned")
     assert(p.contains("PartitionFilters"), p)

@@ -285,4 +285,32 @@ class SimilaritySpec extends SparkSpec {
       spark.read.parquet(s"$ix/codes.parquet")) ==
       serve(cents, cb, coded))
   }
+
+  test("incremental index update equals from-scratch encode under frozen artifacts") {
+    // llm_knn_index_update's provable-equality contract: with the
+    // centroids/codebook immutable, (1) re-encoding the training
+    // corpus reproduces the built lists byte-for-byte, and
+    // (2) built(corpus) ∪ encodeWith(arrivals) == encodeWith(union) —
+    // so appending the arrival codes IS the from-scratch index of the
+    // union, at |arrivals| cost.
+    val emb = Catalog.table(spark, sf0001, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 17 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 17 === 0)
+    val (cents, cb, coded) = Similarity.ivfPqBuildIndex(
+      corpus, "vec_id", "embedding", dim = 64, numSub = 16,
+      codebookSize = 16, centroidEvery = 32, centroidCap = Some(64))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("vec_id", "codes", "cid").collect().map(_.toSeq).toSet
+    val reenc = Similarity.ivfPqEncodeWith(cents, cb, corpus,
+      "vec_id", "embedding", dim = 64, numSub = 16)
+    assert(rows(reenc) == rows(coded),
+      "re-encoding the corpus under its own artifacts must reproduce the lists")
+    val newCodes = Similarity.ivfPqEncodeWith(cents, cb, arrivals,
+      "vec_id", "embedding", dim = 64, numSub = 16)
+    val unionEnc = Similarity.ivfPqEncodeWith(cents, cb, emb,
+      "vec_id", "embedding", dim = 64, numSub = 16)
+    assert(rows(coded) ++ rows(newCodes) == rows(unionEnc),
+      "append(encode(arrivals)) must equal the from-scratch union encode")
+    assert(rows(newCodes).nonEmpty && rows(coded).nonEmpty)
+  }
 }
