@@ -170,6 +170,368 @@ object Flac {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------
+  // FRAME DECODE (VERDICT r12 #2) — the audio stub boundary shrunk
+  // the same way PNG/JPEG/GIF were: the decode subset is bounded
+  // integer arithmetic straight from the public spec (RFC 9639), no
+  // libm. Supported: mono, 16-bit, fixed 256-sample blocks, CONSTANT /
+  // VERBATIM / FIXED(order 0-2) subframes, 4-bit Rice residuals with
+  // general partition orders. Everything else — LPC subframes, stereo
+  // decorrelation, Rice escapes, variable blocking — is rejected with
+  // a loud require naming the construct, never silently skipped. Both
+  // CRCs (CRC-8 header, CRC-16 frame) are verified on every frame, so
+  // a desynced walk cannot limp along.
+  // ---------------------------------------------------------------
+
+  /** CRC-8, poly 0x07, init 0 (the FLAC frame-header CRC). */
+  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) {
+      c ^= (b(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** CRC-16, poly 0x8005, init 0, unreflected (the FLAC frame CRC). */
+  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) {
+      c ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff
+            else (c << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** MSB-first bit reader over a byte array. */
+  private final class BitReader(val b: Array[Byte], var bit: Long) {
+    def byteAt: Int = (bit / 8).toInt
+    def readBits(n: Int): Int = {
+      require(bit + n <= b.length * 8L, "FLAC frame overruns the file")
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val by = (bit / 8).toInt
+        val sh = 7 - (bit % 8).toInt
+        v = (v << 1) | ((b(by) >> sh) & 1)
+        bit += 1
+        k += 1
+      }
+      v
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while ({ require(bit < b.length * 8L, "unary run overruns the file")
+               ((b((bit / 8).toInt) >> (7 - (bit % 8).toInt)) & 1) == 0 }) {
+        q += 1; bit += 1
+        require(q <= (1 << 20), "absurd unary quotient — desynced stream")
+      }
+      bit += 1
+      q
+    }
+    def alignByte(): Unit = {
+      while (bit % 8 != 0) {
+        require(readBits(1) == 0, "nonzero frame padding bits")
+      }
+    }
+    def signed(v: Int, n: Int): Int = (v << (32 - n)) >> (32 - n)
+  }
+
+  /** MSB-first bit writer. */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream(1024)
+    private var cur = 0
+    private var nCur = 0
+    def writeBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nCur += 1
+        if (nCur == 8) { out.write(cur); cur = 0; nCur = 0 }
+        k -= 1
+      }
+    }
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBits(0, 1); i += 1 }
+      writeBits(1, 1)
+    }
+    def alignByte(): Unit = while (nCur != 0) writeBits(0, 1)
+    def toBytes: Array[Byte] = { require(nCur == 0); out.toByteArray }
+  }
+
+  private val AudioBlock = 256
+
+  /** Closed-form decoded samples for doc d, frame f, sample j — the
+    * contract shared by synthAudio (which ENCODES them), decodeAudio
+    * (which must get them back bit-exactly), and the DuckDB oracle
+    * (which recomputes them in SQL). Frame f%3 cycles the subframe
+    * type: 0 CONSTANT, 1 VERBATIM, 2 FIXED(order 1 + d%2). */
+  private def sampleAt(d: Long, f: Int, j: Int): Int = ((f % 3) match {
+    case 0 => ((d * 31 + f * 7) % 2001) - 1000
+    case 1 => ((j * (37 + d % 13) + d + f) % 2001) - 1000
+    case _ => ((d % 200) - 100) + ((j * (1 + d % 5)) % 40) - 20
+  }).toInt
+
+  def audioFrames(d: Long): Int = (2 + d % 3).toInt
+
+  /** Real FLAC with audio frames for id d: mono, 16-bit, sr by d%3,
+    * audioFrames(d) fixed-256 blocks cycling CONSTANT / VERBATIM /
+    * FIXED(order 1+d%2, partition order 0, one 4-bit Rice parameter
+    * derived from the residual range). Both CRCs are computed for
+    * real — decodeAudio verifies them. */
+  def synthAudio(d: Long): Array[Byte] = {
+    val sr = (d % 3) match {
+      case 0 => 44100; case 1 => 48000; case _ => 96000
+    }
+    val n = audioFrames(d)
+    val total = n.toLong * AudioBlock
+    val out = new java.io.ByteArrayOutputStream(4096)
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO, the LAST metadata block here (no tags on the audio
+    // fixture — llm_audio_flac_meta owns the tag walk)
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(0) = (AudioBlock >> 8).toByte; si(1) = AudioBlock.toByte
+    si(2) = (AudioBlock >> 8).toByte; si(3) = AudioBlock.toByte
+    si(10) = (sr >> 12).toByte
+    si(11) = ((sr >> 4) & 0xff).toByte
+    si(12) = (((sr & 0xf) << 4) | (0 << 1) | ((16 - 1) >> 4)).toByte
+    si(13) = ((((16 - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
+    si(14) = ((total >> 24) & 0xff).toByte
+    si(15) = ((total >> 16) & 0xff).toByte
+    si(16) = ((total >> 8) & 0xff).toByte
+    si(17) = (total & 0xff).toByte
+    out.write(si, 0, 34)
+    var f = 0
+    while (f < n) {
+      val w = new BitWriter
+      // header: sync(14) 11111111111110, reserved 0, fixed-size
+      // strategy 0, blocksize code 1000 (=256), sr code 0000 (from
+      // STREAMINFO), channel 0000 (mono), sample size 100 (16), rsv 0
+      w.writeBits(0x3ffe, 14); w.writeBits(0, 1); w.writeBits(0, 1)
+      w.writeBits(0x8, 4); w.writeBits(0x0, 4)
+      w.writeBits(0x0, 4); w.writeBits(0x4, 3); w.writeBits(0, 1)
+      require(f < 0x80, "frame number would need multibyte UTF-8")
+      w.writeBits(f, 8) // UTF-8 coded frame number, 1 byte for < 0x80
+      w.alignByte()
+      val hdr = w.toBytes
+      val body = new BitWriter
+      val samples = Array.tabulate(AudioBlock)(j => sampleAt(d, f, j))
+      (f % 3) match {
+        case 0 =>
+          body.writeBits(0, 1); body.writeBits(0, 6); body.writeBits(0, 1)
+          body.writeBits(samples(0) & 0xffff, 16)
+        case 1 =>
+          body.writeBits(0, 1); body.writeBits(1, 6); body.writeBits(0, 1)
+          samples.foreach(s2 => body.writeBits(s2 & 0xffff, 16))
+        case _ =>
+          val order = (1 + d % 2).toInt
+          body.writeBits(0, 1); body.writeBits(8 + order, 6)
+          body.writeBits(0, 1)
+          (0 until order).foreach(j => body.writeBits(samples(j) & 0xffff, 16))
+          val resid = (order until AudioBlock).map { j =>
+            if (order == 1) samples(j) - samples(j - 1)
+            else samples(j) - 2 * samples(j - 1) + samples(j - 2)
+          }
+          val zz = resid.map(r => (r << 1) ^ (r >> 31))
+          // smallest 4-bit Rice parameter keeping every quotient < 64
+          var p = 0
+          while (p < 14 && zz.exists(z => (z >>> p) >= 64)) p += 1
+          body.writeBits(0, 2) // residual method 0: 4-bit Rice
+          body.writeBits(0, 4) // partition order 0
+          body.writeBits(p, 4)
+          zz.foreach { z =>
+            body.writeUnary(z >>> p)
+            if (p > 0) body.writeBits(z & ((1 << p) - 1), p)
+          }
+      }
+      body.alignByte()
+      val frame = new java.io.ByteArrayOutputStream(hdr.length + 512)
+      frame.write(hdr, 0, hdr.length)
+      frame.write(crc8(hdr, 0, hdr.length))
+      val bb = body.toBytes
+      frame.write(bb, 0, bb.length)
+      val fb = frame.toByteArray
+      val c16 = crc16(fb, 0, fb.length)
+      out.write(fb, 0, fb.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  final case class FlacAudio(sampleRate: Int, samples: Array[Int])
+
+  /** Decode the supported FLAC subset for real: metadata walk to the
+    * first frame, then per frame — header field checks, CRC-8, the
+    * subframe (CONSTANT / VERBATIM / FIXED 0-2 with Rice residuals +
+    * fixed-predictor reconstruction), padding, CRC-16. Unsupported
+    * constructs fail loudly by name. */
+  def decodeAudio(bytes: Array[Byte]): FlacAudio = {
+    val m = meta(bytes)
+    require(m.channels == 1,
+      s"unsupported FLAC channel count ${m.channels} (decode subset is mono)")
+    require(m.bitsPerSample == 16,
+      s"unsupported FLAC bit depth ${m.bitsPerSample} (decode subset is 16)")
+    // re-walk the metadata blocks to find the first frame
+    var off = 4
+    var last = false
+    while (!last) {
+      last = (bytes(off) & 0x80) != 0
+      off += 4 + u24be(bytes, off + 1)
+    }
+    // allocation guard: even an all-CONSTANT stream yields < 32
+    // samples per file byte, so a STREAMINFO claiming more is corrupt
+    // — fail loudly instead of OOMing on a hostile header (the same
+    // bomb posture as Pdf.inflate / Codecs.zipEntries)
+    require(m.totalSamples >= 0 &&
+      m.totalSamples <= bytes.length.toLong * 32,
+      s"STREAMINFO claims ${m.totalSamples} samples from a " +
+        s"${bytes.length}-byte file — corrupt or hostile header")
+    val outSamples = new Array[Int](m.totalSamples.toInt)
+    var got = 0
+    while (off < bytes.length) {
+      val r = new BitReader(bytes, off * 8L)
+      require(r.readBits(14) == 0x3ffe, "lost FLAC frame sync")
+      require(r.readBits(1) == 0, "reserved frame-header bit set")
+      require(r.readBits(1) == 0,
+        "variable-blocksize strategy unsupported in the decode subset")
+      val bsCode = r.readBits(4)
+      require(bsCode == 0x8,
+        s"unsupported blocksize code $bsCode (decode subset is 256)")
+      val srCode = r.readBits(4)
+      require(srCode == 0,
+        s"unsupported sample-rate code $srCode (STREAMINFO rate only)")
+      val chan = r.readBits(4)
+      require(chan == 0,
+        s"unsupported channel assignment $chan (mono only; stereo " +
+          "decorrelation is outside the decode subset)")
+      val ssz = r.readBits(3)
+      require(ssz == 4, s"unsupported sample-size code $ssz (16-bit only)")
+      require(r.readBits(1) == 0, "reserved frame-header bit set")
+      val fno = r.readBits(8)
+      require(fno < 0x80,
+        "multibyte UTF-8 frame numbers unsupported in the decode subset")
+      val hdrEnd = r.byteAt
+      require(crc8(bytes, off, hdrEnd) == r.readBits(8),
+        s"FLAC frame $fno header CRC-8 mismatch")
+      // subframe
+      require(r.readBits(1) == 0, "subframe padding bit set")
+      val typ = r.readBits(6)
+      require(r.readBits(1) == 0,
+        "wasted-bits subframes unsupported in the decode subset")
+      val block = new Array[Int](AudioBlock)
+      typ match {
+        case 0 =>
+          val c = r.signed(r.readBits(16), 16)
+          java.util.Arrays.fill(block, c)
+        case 1 =>
+          var j = 0
+          while (j < AudioBlock) {
+            block(j) = r.signed(r.readBits(16), 16); j += 1
+          }
+        case t if t >= 8 && t <= 10 =>
+          val order = t - 8
+          var j = 0
+          while (j < order) {
+            block(j) = r.signed(r.readBits(16), 16); j += 1
+          }
+          val method = r.readBits(2)
+          require(method == 0,
+            s"residual method $method unsupported (4-bit Rice only)")
+          val po = r.readBits(4)
+          require((AudioBlock >> po) << po == AudioBlock &&
+            (AudioBlock >> po) > order,
+            s"invalid partition order $po for blocksize $AudioBlock")
+          var part = 0
+          var idx = order
+          while (part < (1 << po)) {
+            val cnt = (AudioBlock >> po) - (if (part == 0) order else 0)
+            val p = r.readBits(4)
+            require(p != 15,
+              "Rice escape partitions unsupported in the decode subset")
+            var s2 = 0
+            while (s2 < cnt) {
+              val zz = (r.readUnary() << p) | (if (p > 0) r.readBits(p) else 0)
+              val res = (zz >>> 1) ^ -(zz & 1)
+              block(idx) = order match {
+                case 0 => res
+                case 1 => res + block(idx - 1)
+                case 2 => res + 2 * block(idx - 1) - block(idx - 2)
+              }
+              idx += 1; s2 += 1
+            }
+            part += 1
+          }
+        case t if t >= 11 && t <= 12 =>
+          sys.error(s"FIXED order ${t - 8} unsupported (decode subset is 0-2)")
+        case t if t >= 32 =>
+          sys.error(s"LPC subframes (order ${(t & 31) + 1}) are outside " +
+            "the decode subset")
+        case t => sys.error(s"reserved subframe type $t")
+      }
+      r.alignByte()
+      val frameEnd = r.byteAt
+      require(crc16(bytes, off, frameEnd) ==
+        ((bytes(frameEnd) & 0xff) << 8 | (bytes(frameEnd + 1) & 0xff)),
+        s"FLAC frame $fno CRC-16 mismatch")
+      require(got + AudioBlock <= outSamples.length,
+        "more frames than STREAMINFO total samples")
+      System.arraycopy(block, 0, outSamples, got, AudioBlock)
+      got += AudioBlock
+      off = frameEnd + 2
+    }
+    require(got == outSamples.length,
+      s"decoded $got samples, STREAMINFO declared ${outSamples.length}")
+    FlacAudio(m.sampleRate, outSamples)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("peak", IntegerType),
+    StructField("zero_cross", LongType),
+    StructField("sum_sq", LongType)))
+
+  /** ids → synth real FLAC → decode for real → exact-integer audio
+    * features (the llm_audio_decode WAV shape, through the FLAC frame
+    * path: Rice + fixed predictors + both CRCs on the oracle path). */
+  def audioFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val a = decodeAudio(synthAudio(d))
+        var peak = 0; var zc = 0L; var sq = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val v = a.samples(i)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && a.samples(i - 1) < 0 && v >= 0) zc += 1
+          sq += v.toLong * v
+          i += 1
+        }
+        Row(d, a.samples.length, a.sampleRate, peak, zc, sq)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, audioSchema)
+  }
+
   private val metaSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("sample_rate", IntegerType),

@@ -471,6 +471,60 @@ object ScaleBench {
         k = 3, dim = 64, numSub = 16, codebookSize = 16,
         shortlist = 20, nprobe = 4)))
     }
+    // Incremental ANN index update (round 13): the base index is
+    // built/persisted on the %17 corpus, then the arrival slice
+    // (1/17th) is encoded under the LOADED frozen artifacts and
+    // written beside the lists — update cost must track |arrivals|,
+    // an order of magnitude under the rebuild row above.
+    if (only.isEmpty || only.exists("index_update".contains)) {
+      import graft.operators.Similarity
+      val corpus17 = emb.filter(col("vec_id") % 17 =!= 0)
+      val arrivals = emb.filter(col("vec_id") % 17 === 0)
+      val ix = graft.Scratch.dir(s"ivfpq-upd-x$mult")
+      time("index_update_base_rebuild") {
+        val (cents, cb, coded) = Similarity.ivfPqBuildIndex(
+          corpus17, "vec_id", "embedding", dim = 64, numSub = 16,
+          codebookSize = 16, centroidEvery = 32, centroidCap = None)
+        cents.write.mode("overwrite").parquet(s"$ix/centroids.parquet")
+        cb.write.mode("overwrite").parquet(s"$ix/codebook.parquet")
+        coded.write.mode("overwrite").parquet(s"$ix/codes.parquet")
+        spark.read.parquet(s"$ix/codes.parquet").count()
+      }
+      time("index_update_encode_append") {
+        // arrivals land in their own file set (idempotent re-runs);
+        // the count forces the unioned lists a serve would scan
+        Similarity.ivfPqEncodeWith(
+          spark.read.parquet(s"$ix/centroids.parquet"),
+          spark.read.parquet(s"$ix/codebook.parquet"),
+          arrivals, "vec_id", "embedding", dim = 64, numSub = 16)
+          .write.mode("overwrite").parquet(s"$ix/codes-arrivals.parquet")
+        spark.read.parquet(s"$ix/codes.parquet")
+          .union(spark.read.parquet(s"$ix/codes-arrivals.parquet")).count()
+      }
+    }
+    // FLAC frame decode (round 13): Rice residuals + fixed predictors
+    // + both CRCs verified per frame — per-doc map work like the
+    // image-codec rows.
+    if (only.isEmpty || only.exists("flac_decode".contains)) {
+      time("flac_decode")(force(
+        graft.operators.Flac.audioFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    // Small-file compaction (round 13): a 256-writer × |langs|
+    // fragmented layout staged once, then the one-shuffle size-salted
+    // rewrite — the lake-hygiene op at corpus scale.
+    if (only.isEmpty || only.exists("compact_files".contains)) {
+      val frag = s"$out/frag-docs.parquet"
+      if (!new java.io.File(s"$frag/_SUCCESS").exists())
+        docs.repartition(256)
+          .write.mode("overwrite").partitionBy("lang").parquet(frag)
+      time("compact_files") {
+        val cdir = graft.Scratch.dir(s"compact-x$mult")
+        graft.queries.Sources.compactFiles(spark, frag, cdir,
+          "lang", "doc_id", targetBytes = 128L * 1024 * 1024)
+        spark.read.parquet(cdir).count()
+      }
+    }
     // Heaps-law vocabulary-growth curve (round 12): two fine-key
     // aggregates + a buckets-sized running sum — corpus touched once.
     time("vocab_growth")(force {

@@ -93,4 +93,112 @@ class FlacSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("frame decode reproduces the closed-form PCM bit-exactly") {
+    // every subframe type and both fixed-predictor orders across ids
+    for (d <- 0L to 40L) {
+      val a = Flac.decodeAudio(Flac.synthAudio(d))
+      val n = Flac.audioFrames(d)
+      assert(a.samples.length == n * 256, s"d=$d")
+      val sr = (d % 3) match {
+        case 0 => 44100; case 1 => 48000; case _ => 96000
+      }
+      assert(a.sampleRate == sr, s"d=$d")
+      var i = 0
+      while (i < a.samples.length) {
+        val f = i / 256; val j = i % 256
+        val want: Int = ((f % 3) match {
+          case 0 => ((d * 31 + f * 7) % 2001) - 1000
+          case 1 => ((j * (37 + d % 13) + d + f) % 2001) - 1000
+          case _ => ((d % 200) - 100) + ((j * (1 + d % 5)) % 40) - 20
+        }).toInt
+        assert(a.samples(i) == want, s"d=$d i=$i f=$f j=$j")
+        i += 1
+      }
+    }
+  }
+
+  test("frame CRCs are verified: one flipped payload bit fails loudly") {
+    val good = Flac.synthAudio(5L)
+    // find the first frame: after the last metadata block
+    var off = 4
+    var last = false
+    while (!last) {
+      last = (good(off) & 0x80) != 0
+      val len = ((good(off + 1) & 0xff) << 16) |
+        ((good(off + 2) & 0xff) << 8) | (good(off + 3) & 0xff)
+      off += 4 + len
+    }
+    // flip one bit deep in the first frame's subframe payload
+    val b = good.clone()
+    b(off + 10) = (b(off + 10) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException] { Flac.decodeAudio(b) }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
+  test("unsupported constructs are rejected by name, never skipped") {
+    val good = Flac.synthAudio(3L)
+    var off = 4
+    var last = false
+    while (!last) {
+      last = (good(off) & 0x80) != 0
+      val len = ((good(off + 1) & 0xff) << 16) |
+        ((good(off + 2) & 0xff) << 8) | (good(off + 3) & 0xff)
+      off += 4 + len
+    }
+    // frame layout: 2 bytes sync/flags, byte2 = bs|sr codes,
+    // byte3 = chan|ssz, byte4 = frame number, byte5 = crc8
+    def tamper(byteOff: Int, v: Int): Array[Byte] = {
+      val b = good.clone()
+      b(byteOff) = v.toByte
+      // recompute the header CRC so the NAMED rejection fires, not
+      // the CRC one (header = 5 bytes up to the crc byte here)
+      val hdr = java.util.Arrays.copyOfRange(b, off, off + 5)
+      var c = 0
+      hdr.foreach { x =>
+        c ^= (x & 0xff)
+        (0 until 8).foreach { _ =>
+          c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff
+              else (c << 1) & 0xff
+        }
+      }
+      b(off + 5) = c.toByte
+      b
+    }
+    // stereo channel assignment (byte3: chan=0001, ssz=100)
+    val e1 = intercept[IllegalArgumentException] {
+      Flac.decodeAudio(tamper(off + 3, 0x18)) }
+    assert(e1.getMessage.contains("channel"), e1.getMessage)
+    // variable blocksize strategy (byte1 bit0)
+    val e2 = intercept[IllegalArgumentException] {
+      Flac.decodeAudio(tamper(off + 1, 0xf9)) }
+    assert(e2.getMessage.contains("blocksize") ||
+      e2.getMessage.contains("variable"), e2.getMessage)
+    // LPC subframe type: constant-frame subframe header is the byte
+    // after the crc8; set type bits to 100000 (LPC order 1)
+    val b3 = good.clone()
+    b3(off + 6) = 0x40.toByte // 0 pad, 100000 type, 0 wasted
+    val e3 = intercept[RuntimeException] { Flac.decodeAudio(b3) }
+    assert(e3.getMessage.contains("LPC") || e3.getMessage.contains("CRC"),
+      e3.getMessage)
+  }
+
+  test("frame decoder terminates loudly under random corruption") {
+    val rng = new scala.util.Random(1234)
+    for (trial <- 0 until 300) {
+      val b = Flac.synthAudio((trial % 9).toLong).clone()
+      (0 to rng.nextInt(6)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Flac.decodeAudio(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
 }
