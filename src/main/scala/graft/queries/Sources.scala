@@ -25,7 +25,7 @@ object Sources extends QueryModule {
     * the source table's (size, mtime) so a regenerated fixture can
     * never be served stale staging; Spark's _SUCCESS marker gates an
     * interrupted write from being reused. */
-  private def fingerprint(dir: String, table: String): String = {
+  private[queries] def fingerprint(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     val tag =
       try s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
@@ -289,6 +289,72 @@ object Sources extends QueryModule {
           round(sum(o_totalprice), 2) AS total
         FROM orders WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // SCHEMA-EVOLUTION READ (VERDICT r13 #5) — a long-lived 100 TB
+    // lake reads parquet written under several schema versions. Two
+    // distinct evolution mechanics in one op, each on the path Spark
+    // actually uses for it: (a) an ADDED column (batch 2 gains
+    // o_orderstatus) is resolved by parquet mergeSchema over the
+    // multi-batch layout — older rows null-fill, and the batch=N
+    // directory names surface as a partition column; (b) a WIDENED
+    // type (batch 3 promotes o_totalprice float → double) CANNOT be
+    // mergeSchema'd (parquet schema merge refuses conflicting
+    // primitive types by design — SchemaEvolutionSpec pins the
+    // refusal) — the deployment shape is an explicit per-version read
+    // + cast normalization + unionByName. min/max over the price are
+    // order-independent, so the float → double widening stays
+    // bit-exact against the oracle's REAL cast.
+    QueryDef(
+      "scan_evolved",
+      (s, dir) => {
+        val out = staged("evolved", dir, "orders") { o =>
+          val orders = Catalog.table(s, dir, "orders")
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("float").as("o_totalprice"))
+            .write.parquet(s"$o/batch=1")
+          orders.filter(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("float").as("o_totalprice"),
+              col("o_orderstatus"))
+            .write.parquet(s"$o/batch=2")
+          orders.filter(col("o_orderkey") % 3 === 2)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double").as("o_totalprice"),
+              col("o_orderstatus"))
+            .write.parquet(s"$o/batch=3")
+          // root marker for staged()'s completed-write gate (the three
+          // per-batch writes each mark only their own subdir)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$o/_SUCCESS"))
+        }
+        val v12 = s.read.option("mergeSchema", "true")
+          .option("basePath", out)
+          .parquet(s"$out/batch=1", s"$out/batch=2")
+          .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+        val v3 = s.read.option("basePath", out).parquet(s"$out/batch=3")
+        v12.unionByName(v3)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("o_custkey").as("sum_cust"),
+            sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+              .as("n_status_null"),
+            min("o_totalprice").as("min_price"),
+            max("o_totalprice").as("max_price"))
+          .orderBy("batch")
+      },
+      Some("""SELECT CAST(o_orderkey % 3 + 1 AS INT) AS batch,
+          count(*) AS n_rows,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+          CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_status_null,
+          min(CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice
+            ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END)
+            AS min_price,
+          max(CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice
+            ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END)
+            AS max_price
+        FROM orders GROUP BY 1 ORDER BY 1""")),
 
     // Bucketed tables joining WITHOUT a shuffle: both sides are written
     // bucketed+sorted by the join key with the same bucket count, so

@@ -510,6 +510,14 @@ object ScaleBench {
         graft.operators.Flac.audioFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // H.264 I-frame decode (round 14): full CAVLC + intra-DC + dequant
+    // + inverse-transform pixel reconstruction — per-doc map work like
+    // flac_decode; frames/s = rows / sec.
+    if (only.isEmpty || only.exists("iframe_decode".contains)) {
+      time("iframe_decode")(force(
+        graft.operators.Avc.iframeFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // Small-file compaction (round 13): a 256-writer × |langs|
     // fragmented layout staged once, then the one-shuffle size-salted
     // rewrite — the lake-hygiene op at corpus scale.
