@@ -773,4 +773,95 @@ object Avc {
     }
     ids.sparkSession.createDataFrame(rdd, frameSchema)
   }
+
+  // ------------------------------------------- AVC-in-MP4 keyframes
+
+  /** MP4 whose stsd/avc1/avcC carries the fixture SPS/PPS and whose
+    * mdat samples are 4-byte-length-prefixed IDR slice NALs — the
+    * container shape a real H.264 keyframe/thumbnail pass reads.
+    * 1 + d%3 keyframes; keyframe k decodes to the closed forms of
+    * seed d + 1000·k. Two chunks whenever there is more than one
+    * sample, so the stsc walk is load-bearing here too. */
+  def synthIdrMp4(d: Long): Array[Byte] = {
+    val (_, paramNals) = Codecs.nalUnits(synthIFrame(d))
+    val spsNal = paramNals.find(n => (n(0) & 0x1f) == 7).get
+    val ppsNal = paramNals.find(n => (n(0) & 0x1f) == 8).get
+    val n = (1 + d % 3).toInt
+    val samples = (0 until n).map { k =>
+      val (_, nals) = Codecs.nalUnits(synthIFrame(d + 1000L * k))
+      val idr = nals.find(nl => (nl(0) & 0x1f) == 5).get
+      val out = new java.io.ByteArrayOutputStream(idr.length + 4)
+      out.write(idr.length >>> 24); out.write((idr.length >> 16) & 0xff)
+      out.write((idr.length >> 8) & 0xff); out.write(idr.length & 0xff)
+      out.write(idr, 0, idr.length)
+      out.toByteArray
+    }
+    Codecs.encodeMp4DataShell((600 + 100 * (d % 9)).toInt,
+      Seq((n, 512)), samples,
+      if (n > 1) Seq(1, n - 1) else Seq(n),
+      stsd = Codecs.avcStsdBox(spsNal, ppsNal))
+  }
+
+  /** Convert one AVCC-framed sample (length-prefixed NALs) plus the
+    * avcC parameter sets into the Annex-B stream decodeIFrame takes —
+    * exactly the demuxer step a player performs per keyframe. */
+  def avccSampleToAnnexB(spsNal: Array[Byte], ppsNal: Array[Byte],
+      lenSize: Int, sample: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      sample.length + spsNal.length + ppsNal.length + 16)
+    def nal(n: Array[Byte]): Unit = {
+      out.write(0); out.write(0); out.write(0); out.write(1)
+      out.write(n, 0, n.length)
+    }
+    nal(spsNal); nal(ppsNal)
+    var pos = 0
+    while (pos < sample.length) {
+      require(pos + lenSize <= sample.length,
+        s"truncated NAL length prefix at $pos")
+      var len = 0
+      var k = 0
+      while (k < lenSize) {
+        len = (len << 8) | (sample(pos + k) & 0xff); k += 1
+      }
+      pos += lenSize
+      require(len > 0 && pos + len <= sample.length,
+        s"NAL length $len overruns the sample at $pos")
+      nal(java.util.Arrays.copyOfRange(sample, pos, pos + len))
+      pos += len
+    }
+    out.toByteArray
+  }
+
+  private val keyframeSchema = StructType(
+    StructField("id", LongType) +:
+      StructField("frame_idx", IntegerType) +:
+      frameSchema.fields.toSeq.drop(1))
+
+  /** REAL keyframe decode per partition: the avcC parameter-set read
+    * + the stsc/stco/stsz sample walk + mdat slice + AVCC→Annex-B
+    * reframe COMPOSED with the I-frame decoder — the H.264 analog of
+    * videoFrameFeatures' MJPEG composition, one row per keyframe.
+    * Per-doc map work, no shuffle. */
+  def keyframeFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val (spsNal, ppsNal, lenSize) = Codecs.avccParameterSets(bytes)
+        Codecs.mp4SampleSlices(bytes).iterator.map { case (idx, slice) =>
+          val f = decodeIFrame(
+            avccSampleToAnnexB(spsNal, ppsNal, lenSize, slice))
+          var sy = 0L; var scb = 0L; var scr = 0L
+          f.y.foreach(sy += _)
+          f.cb.foreach(scb += _)
+          f.cr.foreach(scr += _)
+          Row(d, idx, f.width, f.height, sy, scb, scr,
+            f.y(5 * f.width + 20), f.y(9 * f.width + 44))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, keyframeSchema)
+  }
 }

@@ -1955,7 +1955,8 @@ object Codecs {
   def encodeMp4SampleShell(timescale: Int, sttsRuns: Seq[(Int, Int)],
       sampleSizes: Seq[Int], chunkOffsets: Seq[Int],
       forceUniform: Boolean = false,
-      samplesPerChunk: Seq[Int] = Nil): Array[Byte] = {
+      samplesPerChunk: Seq[Int] = Nil,
+      stsd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(sttsRuns.map(_._1.toLong).sum == sampleSizes.length,
       "stts sample count must equal stsz entry count")
     if (samplesPerChunk.nonEmpty) {
@@ -2044,7 +2045,7 @@ object Codecs {
         }
         p
       })
-    val stbl = mp4Box("stbl", stts ++ stsc ++ stsz ++ stco)
+    val stbl = mp4Box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val minf = mp4Box("minf", stbl)
     val mdia = mp4Box("mdia", mdhd ++ minf)
     val trak = mp4Box("trak", tkhd ++ mdia)
@@ -2129,7 +2130,8 @@ object Codecs {
     * with identical entry counts (its size is layout-independent), so
     * the second pass records the true mdat-relative offsets. */
   def encodeMp4DataShell(timescale: Int, sttsRuns: Seq[(Int, Int)],
-      sampleBytes: Seq[Array[Byte]], samplesPerChunk: Seq[Int]): Array[Byte] = {
+      sampleBytes: Seq[Array[Byte]], samplesPerChunk: Seq[Int],
+      stsd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val sizes = sampleBytes.map(_.length)
     // chunk-contiguous layout: chunk c starts at the cumulative byte
     // offset of its first sample
@@ -2138,10 +2140,10 @@ object Codecs {
       firstSample.map(fs => dataStart + sizes.take(fs).sum)
     }
     val probe = encodeMp4SampleShell(timescale, sttsRuns, sizes,
-      offsetsFrom(0), forceUniform = false, samplesPerChunk)
+      offsetsFrom(0), forceUniform = false, samplesPerChunk, stsd)
     val dataStart = probe.length + 8 // moov shell + mdat header
     val shell = encodeMp4SampleShell(timescale, sttsRuns, sizes,
-      offsetsFrom(dataStart), forceUniform = false, samplesPerChunk)
+      offsetsFrom(dataStart), forceUniform = false, samplesPerChunk, stsd)
     require(shell.length == probe.length, "moov size must be layout-free")
     val mdat = mp4Box("mdat", sampleBytes.toArray.flatten)
     shell ++ mdat
@@ -3661,14 +3663,12 @@ object Codecs {
     AvccMeta(nSps, nPps, nalLenSize, p, l, w, h)
   }
 
-  /** Closed-form MP4 shell whose trak carries a REAL stsd/avc1/avcC
-    * configuration (the synthSpsNal/synthPpsNal fixture sets) — same
-    * oracle columns as the raw-stream walk minus framing/slices. The
-    * avc1 entry's declared width/height are the SPS-derived cropped
-    * dims, as a correct muxer writes them. */
-  def synthAvcMp4(d: Long): Array[Byte] = {
-    val spsNal = synthSpsNal(d)
-    val ppsNal = synthPpsNal(d)
+  /** stsd box carrying a real avc1/avcC sample entry for the given
+    * SPS/PPS NALs (nalLenSize 4) — shared by synthAvcMp4 (the metadata
+    * walk fixture) and Avc.synthIdrMp4 (the keyframe decode fixture).
+    * The avc1 entry's declared width/height are the SPS-derived
+    * cropped dims, as a correct muxer writes them. */
+  def avcStsdBox(spsNal: Array[Byte], ppsNal: Array[Byte]): Array[Byte] = {
     val (profile, level, w, h) = parseSps(rbspUnescape(spsNal.drop(1)))
     val rec = new java.io.ByteArrayOutputStream()
     rec.write(1); rec.write(profile); rec.write(0); rec.write(level)
@@ -3689,7 +3689,54 @@ object Codecs {
     entry(74) = 0x18 // depth 24
     entry(76) = 0xff.toByte; entry(77) = 0xff.toByte // pre_defined -1
     val avc1 = mp4Box("avc1", entry ++ avcc)
-    val stsd = mp4Box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ avc1)
+    mp4Box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ avc1)
+  }
+
+  /** The raw SPS/PPS NALs and NAL length-field size from the avcC
+    * record — exactly what a demuxer hands an H.264 decoder before the
+    * first sample. Loud on every malformation, like avccMeta. */
+  def avccParameterSets(bytes: Array[Byte]): (Array[Byte], Array[Byte], Int) = {
+    val kids = stblKids(bytes)
+    val stsd = oneBox(kids, "stsd")
+    require(stsd.end - stsd.start >= 8, "truncated stsd header")
+    val avc1 = oneBox(mp4Walk(bytes, stsd.start + 8, stsd.end), "avc1")
+    require(avc1.end - avc1.start >= 78, "truncated avc1 sample entry")
+    val avcc = oneBox(mp4Walk(bytes, avc1.start + 78, avc1.end), "avcC")
+    val a = java.util.Arrays.copyOfRange(bytes, avcc.start, avcc.end)
+    require(a.length >= 7 && (a(0) & 0xff) == 1,
+      "bad AVCDecoderConfigurationRecord")
+    val nalLenSize = (a(4) & 0x3) + 1
+    val nSps = a(5) & 0x1f
+    require(nSps >= 1, "avcC carries no SPS")
+    var pos = 6
+    var sps: Array[Byte] = null
+    (0 until nSps).foreach { i =>
+      require(pos + 2 <= a.length, "truncated SPS length")
+      val len = u16be(a, pos); pos += 2
+      require(len >= 1 && pos + len <= a.length,
+        s"SPS length $len out of bounds")
+      if (i == 0) {
+        require((a(pos) & 0x1f) == 7, "first parameter set is not an SPS")
+        sps = java.util.Arrays.copyOfRange(a, pos, pos + len)
+      }
+      pos += len
+    }
+    require(pos < a.length, "truncated PPS count")
+    val nPps = a(pos) & 0xff; pos += 1
+    require(nPps >= 1, "avcC carries no PPS")
+    require(pos + 2 <= a.length, "truncated PPS length")
+    val ppsLen = u16be(a, pos); pos += 2
+    require(ppsLen >= 1 && pos + ppsLen <= a.length,
+      s"PPS length $ppsLen out of bounds")
+    require((a(pos) & 0x1f) == 8, "parameter set is not a PPS")
+    (sps, java.util.Arrays.copyOfRange(a, pos, pos + ppsLen), nalLenSize)
+  }
+
+  /** Closed-form MP4 shell whose trak carries a REAL stsd/avc1/avcC
+    * configuration (the synthSpsNal/synthPpsNal fixture sets) — same
+    * oracle columns as the raw-stream walk minus framing/slices. */
+  def synthAvcMp4(d: Long): Array[Byte] = {
+    val stsd = avcStsdBox(synthSpsNal(d), synthPpsNal(d))
     val stbl = mp4Box("stbl", stsd)
     val minf = mp4Box("minf", stbl)
     val mdia = mp4Box("mdia", minf)

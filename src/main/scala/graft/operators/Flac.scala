@@ -171,16 +171,20 @@ object Flac {
   }
 
   // ---------------------------------------------------------------
-  // FRAME DECODE (VERDICT r12 #2) — the audio stub boundary shrunk
-  // the same way PNG/JPEG/GIF were: the decode subset is bounded
-  // integer arithmetic straight from the public spec (RFC 9639), no
-  // libm. Supported: mono, 16-bit, fixed 256-sample blocks, CONSTANT /
-  // VERBATIM / FIXED(order 0-2) subframes, 4-bit Rice residuals with
-  // general partition orders. Everything else — LPC subframes, stereo
-  // decorrelation, Rice escapes, variable blocking — is rejected with
-  // a loud require naming the construct, never silently skipped. Both
-  // CRCs (CRC-8 header, CRC-16 frame) are verified on every frame, so
-  // a desynced walk cannot limp along.
+  // FRAME DECODE (VERDICT r12 #2, extended r14 per VERDICT r13 #3) —
+  // the audio stub boundary shrunk the same way PNG/JPEG/GIF were:
+  // the decode subset is bounded integer arithmetic straight from the
+  // public spec (RFC 9639), no libm. Supported: mono AND stereo with
+  // all three decorrelation modes (left/side, right/side, mid/side —
+  // the +1-bit side channel included), 16-bit, fixed 256-sample
+  // blocks, CONSTANT / VERBATIM / FIXED(order 0-2) / LPC(quantized
+  // integer coefficients + shift) subframes, 4-bit Rice residuals
+  // with general partition orders. What remains — independent
+  // multichannel (codes 1-7), Rice escape partitions, wasted bits,
+  // variable blocking, and lossy payloads — is rejected with a loud
+  // require naming the construct, never silently skipped. Both CRCs
+  // (CRC-8 header, CRC-16 frame) are verified on every frame, so a
+  // desynced walk cannot limp along.
   // ---------------------------------------------------------------
 
   /** CRC-8, poly 0x07, init 0 (the FLAC frame-header CRC). */
@@ -275,29 +279,127 @@ object Flac {
 
   private val AudioBlock = 256
 
-  /** Closed-form decoded samples for doc d, frame f, sample j — the
-    * contract shared by synthAudio (which ENCODES them), decodeAudio
-    * (which must get them back bit-exactly), and the DuckDB oracle
-    * (which recomputes them in SQL). Frame f%3 cycles the subframe
-    * type: 0 CONSTANT, 1 VERBATIM, 2 FIXED(order 1 + d%2). */
-  private def sampleAt(d: Long, f: Int, j: Int): Int = ((f % 3) match {
+  /** Closed-form PRIMARY-channel signal for doc d, frame f, sample j —
+    * the contract shared by synthAudio (which ENCODES it), decodeAudio
+    * (which must get it back bit-exactly), and the DuckDB oracle
+    * (which recomputes it in SQL). Frame f%4 cycles the subframe
+    * type: 0 CONSTANT, 1 VERBATIM, 2 FIXED(order 1 + d%2),
+    * 3 LPC(order 2, coefficients lpcCoefs(d), shift 5). The LPC case
+    * still has a CLOSED FORM because the coefficients only shape the
+    * RESIDUALS the encoder writes — the reconstructed signal is this
+    * function either way. For stereo ids (d odd) the primary channel
+    * is left / right / mid by the frame's decorrelation mode f%3. */
+  def sampleAt(d: Long, f: Int, j: Int): Int = ((f % 4) match {
     case 0 => ((d * 31 + f * 7) % 2001) - 1000
     case 1 => ((j * (37 + d % 13) + d + f) % 2001) - 1000
-    case _ => ((d % 200) - 100) + ((j * (1 + d % 5)) % 40) - 20
+    case 2 => ((d % 200) - 100) + ((j * (1 + d % 5)) % 40) - 20
+    case _ => ((j * (3 + d % 7) + 5 * f) % 200) - 100
   }).toInt
+
+  /** Closed-form SIDE-channel signal (stereo ids only): |side| ≤ 128,
+    * well inside the 17-bit side-channel width. */
+  def sideAt(d: Long, f: Int, j: Int): Int =
+    ((j * (2 + d % 3) + d + 2 * f) % 257).toInt - 128
+
+  /** Quantized LPC predictor for the f%4==3 subframes: order 2,
+    * precision 5 (coefficients in [-16, 15]), shift 5 —
+    * pred(j) = (c1·s(j-1) + c2·s(j-2)) >> 5 (arithmetic shift, per
+    * RFC 9639 §9.2.5 with coefficient 0 applying to the most recent
+    * sample). */
+  def lpcCoefs(d: Long): (Int, Int) =
+    ((3 + d % 4).toInt, -(1 + d % 3).toInt)
+  private val LpcShift = 5
+  private val LpcPrecision = 5
 
   def audioFrames(d: Long): Int = (2 + d % 3).toInt
 
-  /** Real FLAC with audio frames for id d: mono, 16-bit, sr by d%3,
-    * audioFrames(d) fixed-256 blocks cycling CONSTANT / VERBATIM /
-    * FIXED(order 1+d%2, partition order 0, one 4-bit Rice parameter
-    * derived from the residual range). Both CRCs are computed for
-    * real — decodeAudio verifies them. */
+  def audioChannels(d: Long): Int = (1 + d % 2).toInt
+
+  /** Closed-form decoded (left, right) pair — right is meaningless for
+    * mono ids. Derives L/R from (primary, side) exactly as the three
+    * decorrelation modes do, including mid/side's carried LSB. */
+  def lrAt(d: Long, f: Int, j: Int): (Int, Int) = {
+    val p = sampleAt(d, f, j)
+    if (d % 2 == 0) (p, 0)
+    else {
+      val s = sideAt(d, f, j)
+      (f % 3) match {
+        case 0 => (p, p - s) // left/side
+        case 1 => (p + s, p) // right/side
+        case _ => // mid/side: mid2 = 2·mid + (side & 1)
+          val mid2 = 2 * p + (s & 1)
+          ((mid2 + s) >> 1, (mid2 - s) >> 1)
+      }
+    }
+  }
+
+  /** Rice-code `resid` with partition order 0 and the smallest 4-bit
+    * parameter keeping every quotient under 64. */
+  private def writeRice(body: BitWriter, resid: Seq[Int]): Unit = {
+    val zz = resid.map(r => (r << 1) ^ (r >> 31))
+    var p = 0
+    while (p < 14 && zz.exists(z => (z >>> p) >= 64)) p += 1
+    body.writeBits(0, 2) // residual method 0: 4-bit Rice
+    body.writeBits(0, 4) // partition order 0
+    body.writeBits(p, 4)
+    zz.foreach { z =>
+      body.writeUnary(z >>> p)
+      if (p > 0) body.writeBits(z & ((1 << p) - 1), p)
+    }
+  }
+
+  /** One subframe at sample width `bits`. kind: 0 CONSTANT,
+    * 1 VERBATIM, 2 FIXED(order), 3 LPC(order 2). */
+  private def writeSubframe(body: BitWriter, samples: Array[Int],
+      bits: Int, kind: Int, fixedOrder: Int, d: Long): Unit = kind match {
+    case 0 =>
+      body.writeBits(0, 1); body.writeBits(0, 6); body.writeBits(0, 1)
+      body.writeBits(samples(0) & ((1 << bits) - 1), bits)
+    case 1 =>
+      body.writeBits(0, 1); body.writeBits(1, 6); body.writeBits(0, 1)
+      samples.foreach(s2 => body.writeBits(s2 & ((1 << bits) - 1), bits))
+    case 2 =>
+      val order = fixedOrder
+      body.writeBits(0, 1); body.writeBits(8 + order, 6)
+      body.writeBits(0, 1)
+      (0 until order).foreach(j =>
+        body.writeBits(samples(j) & ((1 << bits) - 1), bits))
+      writeRice(body, (order until AudioBlock).map { j =>
+        if (order == 1) samples(j) - samples(j - 1)
+        else samples(j) - 2 * samples(j - 1) + samples(j - 2)
+      })
+    case _ =>
+      val order = 2
+      val (c1, c2) = lpcCoefs(d)
+      body.writeBits(0, 1); body.writeBits(32 + (order - 1), 6)
+      body.writeBits(0, 1)
+      (0 until order).foreach(j =>
+        body.writeBits(samples(j) & ((1 << bits) - 1), bits))
+      body.writeBits(LpcPrecision - 1, 4)
+      body.writeBits(LpcShift, 5)
+      body.writeBits(c1 & ((1 << LpcPrecision) - 1), LpcPrecision)
+      body.writeBits(c2 & ((1 << LpcPrecision) - 1), LpcPrecision)
+      writeRice(body, (order until AudioBlock).map { j =>
+        val pred = (c1.toLong * samples(j - 1) +
+          c2.toLong * samples(j - 2)) >> LpcShift
+        samples(j) - pred.toInt
+      })
+  }
+
+  /** Real FLAC with audio frames for id d: 16-bit, sr by d%3, channels
+    * 1 + d%2, audioFrames(d) fixed-256 blocks. The PRIMARY channel's
+    * subframe cycles CONSTANT / VERBATIM / FIXED(order 1+d%2) /
+    * LPC(order 2) by f%4; stereo ids cycle the decorrelation mode
+    * left/side / right/side / mid/side by f%3 (the side subframe is
+    * FIXED(1) at the 17-bit side width, so Rice + warmups run on the
+    * widened channel too). Both CRCs are computed for real —
+    * decodeAudio verifies them. */
   def synthAudio(d: Long): Array[Byte] = {
     val sr = (d % 3) match {
       case 0 => 44100; case 1 => 48000; case _ => 96000
     }
     val n = audioFrames(d)
+    val ch = audioChannels(d)
     val total = n.toLong * AudioBlock
     val out = new java.io.ByteArrayOutputStream(4096)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
@@ -309,7 +411,7 @@ object Flac {
     si(2) = (AudioBlock >> 8).toByte; si(3) = AudioBlock.toByte
     si(10) = (sr >> 12).toByte
     si(11) = ((sr >> 4) & 0xff).toByte
-    si(12) = (((sr & 0xf) << 4) | (0 << 1) | ((16 - 1) >> 4)).toByte
+    si(12) = (((sr & 0xf) << 4) | ((ch - 1) << 1) | ((16 - 1) >> 4)).toByte
     si(13) = ((((16 - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
     si(14) = ((total >> 24) & 0xff).toByte
     si(15) = ((total >> 16) & 0xff).toByte
@@ -318,49 +420,42 @@ object Flac {
     out.write(si, 0, 34)
     var f = 0
     while (f < n) {
+      // channel code: 0000 mono; 1000/1001/1010 = left/side,
+      // right/side, mid/side
+      val chanCode = if (ch == 1) 0 else 8 + (f % 3)
       val w = new BitWriter
       // header: sync(14) 11111111111110, reserved 0, fixed-size
       // strategy 0, blocksize code 1000 (=256), sr code 0000 (from
-      // STREAMINFO), channel 0000 (mono), sample size 100 (16), rsv 0
+      // STREAMINFO), channel code, sample size 100 (16), reserved 0
       w.writeBits(0x3ffe, 14); w.writeBits(0, 1); w.writeBits(0, 1)
       w.writeBits(0x8, 4); w.writeBits(0x0, 4)
-      w.writeBits(0x0, 4); w.writeBits(0x4, 3); w.writeBits(0, 1)
+      w.writeBits(chanCode, 4); w.writeBits(0x4, 3); w.writeBits(0, 1)
       require(f < 0x80, "frame number would need multibyte UTF-8")
       w.writeBits(f, 8) // UTF-8 coded frame number, 1 byte for < 0x80
       w.alignByte()
       val hdr = w.toBytes
       val body = new BitWriter
-      val samples = Array.tabulate(AudioBlock)(j => sampleAt(d, f, j))
-      (f % 3) match {
-        case 0 =>
-          body.writeBits(0, 1); body.writeBits(0, 6); body.writeBits(0, 1)
-          body.writeBits(samples(0) & 0xffff, 16)
-        case 1 =>
-          body.writeBits(0, 1); body.writeBits(1, 6); body.writeBits(0, 1)
-          samples.foreach(s2 => body.writeBits(s2 & 0xffff, 16))
-        case _ =>
-          val order = (1 + d % 2).toInt
-          body.writeBits(0, 1); body.writeBits(8 + order, 6)
-          body.writeBits(0, 1)
-          (0 until order).foreach(j => body.writeBits(samples(j) & 0xffff, 16))
-          val resid = (order until AudioBlock).map { j =>
-            if (order == 1) samples(j) - samples(j - 1)
-            else samples(j) - 2 * samples(j - 1) + samples(j - 2)
-          }
-          val zz = resid.map(r => (r << 1) ^ (r >> 31))
-          // smallest 4-bit Rice parameter keeping every quotient < 64
-          var p = 0
-          while (p < 14 && zz.exists(z => (z >>> p) >= 64)) p += 1
-          body.writeBits(0, 2) // residual method 0: 4-bit Rice
-          body.writeBits(0, 4) // partition order 0
-          body.writeBits(p, 4)
-          zz.foreach { z =>
-            body.writeUnary(z >>> p)
-            if (p > 0) body.writeBits(z & ((1 << p) - 1), p)
-          }
+      val kind = f % 4
+      val fixedOrder = (1 + d % 2).toInt
+      val primary = Array.tabulate(AudioBlock)(j => sampleAt(d, f, j))
+      if (ch == 1)
+        writeSubframe(body, primary, 16, kind, fixedOrder, d)
+      else {
+        val side = Array.tabulate(AudioBlock)(j => sideAt(d, f, j))
+        (f % 3) match {
+          case 0 => // left/side: primary first, side carries bps+1
+            writeSubframe(body, primary, 16, kind, fixedOrder, d)
+            writeSubframe(body, side, 17, 2, 1, d)
+          case 1 => // right/side: SIDE subframe first (it is channel 0)
+            writeSubframe(body, side, 17, 2, 1, d)
+            writeSubframe(body, primary, 16, kind, fixedOrder, d)
+          case _ => // mid/side
+            writeSubframe(body, primary, 16, kind, fixedOrder, d)
+            writeSubframe(body, side, 17, 2, 1, d)
+        }
       }
       body.alignByte()
-      val frame = new java.io.ByteArrayOutputStream(hdr.length + 512)
+      val frame = new java.io.ByteArrayOutputStream(hdr.length + 1024)
       frame.write(hdr, 0, hdr.length)
       frame.write(crc8(hdr, 0, hdr.length))
       val bb = body.toBytes
@@ -374,17 +469,118 @@ object Flac {
     out.toByteArray
   }
 
-  final case class FlacAudio(sampleRate: Int, samples: Array[Int])
+  final case class FlacAudio(sampleRate: Int, channels: Int,
+      samples: Array[Int])
+
+  /** Rice-residual decode into a fresh array of AudioBlock − order
+    * values (general partition orders, escapes rejected loudly). */
+  private def readResiduals(r: BitReader, order: Int): Array[Int] = {
+    val res = new Array[Int](AudioBlock - order)
+    val method = r.readBits(2)
+    require(method == 0,
+      s"residual method $method unsupported (4-bit Rice only)")
+    val po = r.readBits(4)
+    require((AudioBlock >> po) << po == AudioBlock &&
+      (AudioBlock >> po) > order,
+      s"invalid partition order $po for blocksize $AudioBlock")
+    var part = 0
+    var idx = 0
+    while (part < (1 << po)) {
+      val cnt = (AudioBlock >> po) - (if (part == 0) order else 0)
+      val p = r.readBits(4)
+      require(p != 15,
+        "Rice escape partitions unsupported in the decode subset")
+      var s2 = 0
+      while (s2 < cnt) {
+        val zz = (r.readUnary() << p) | (if (p > 0) r.readBits(p) else 0)
+        res(idx) = (zz >>> 1) ^ -(zz & 1)
+        idx += 1; s2 += 1
+      }
+      part += 1
+    }
+    res
+  }
+
+  /** One subframe at sample width `bits`: CONSTANT / VERBATIM /
+    * FIXED(0-2) / LPC with quantized integer coefficients + shift.
+    * Unsupported constructs fail loudly by name. */
+  private def decodeSubframe(r: BitReader, bits: Int): Array[Int] = {
+    require(r.readBits(1) == 0, "subframe padding bit set")
+    val typ = r.readBits(6)
+    require(r.readBits(1) == 0,
+      "wasted-bits subframes unsupported in the decode subset")
+    val block = new Array[Int](AudioBlock)
+    typ match {
+      case 0 =>
+        java.util.Arrays.fill(block, r.signed(r.readBits(bits), bits))
+      case 1 =>
+        var j = 0
+        while (j < AudioBlock) {
+          block(j) = r.signed(r.readBits(bits), bits); j += 1
+        }
+      case t if t >= 8 && t <= 10 =>
+        val order = t - 8
+        var j = 0
+        while (j < order) {
+          block(j) = r.signed(r.readBits(bits), bits); j += 1
+        }
+        val res = readResiduals(r, order)
+        var i = order
+        while (i < AudioBlock) {
+          val rr = res(i - order)
+          block(i) = order match {
+            case 0 => rr
+            case 1 => rr + block(i - 1)
+            case 2 => rr + 2 * block(i - 1) - block(i - 2)
+          }
+          i += 1
+        }
+      case t if t >= 11 && t <= 12 =>
+        sys.error(s"FIXED order ${t - 8} unsupported (decode subset is 0-2)")
+      case t if t >= 32 =>
+        // LPC (RFC 9639 §9.2.5): warmups, precision-1 (4), shift
+        // (5, signed — negatives invalid), order quantized
+        // coefficients, Rice residuals; pred = (Σ cₖ·s(j-1-k)) >> shift
+        val order = (t & 31) + 1
+        var j = 0
+        while (j < order) {
+          block(j) = r.signed(r.readBits(bits), bits); j += 1
+        }
+        val precM1 = r.readBits(4)
+        require(precM1 != 15, "invalid LPC coefficient precision 15")
+        val prec = precM1 + 1
+        val shiftRaw = r.readBits(5)
+        require(shiftRaw < 16,
+          s"negative LPC shift ${shiftRaw - 32} is invalid per spec")
+        val coefs = Array.fill(order)(r.signed(r.readBits(prec), prec))
+        val res = readResiduals(r, order)
+        var i = order
+        while (i < AudioBlock) {
+          var acc = 0L
+          var k = 0
+          while (k < order) {
+            acc += coefs(k).toLong * block(i - 1 - k); k += 1
+          }
+          block(i) = res(i - order) + (acc >> shiftRaw).toInt
+          i += 1
+        }
+      case t => sys.error(s"reserved subframe type $t")
+    }
+    block
+  }
 
   /** Decode the supported FLAC subset for real: metadata walk to the
     * first frame, then per frame — header field checks, CRC-8, the
-    * subframe (CONSTANT / VERBATIM / FIXED 0-2 with Rice residuals +
-    * fixed-predictor reconstruction), padding, CRC-16. Unsupported
-    * constructs fail loudly by name. */
+    * subframes (CONSTANT / VERBATIM / FIXED 0-2 / LPC with Rice
+    * residuals; mono or one of the three stereo decorrelation modes
+    * with the +1-bit side channel), padding, CRC-16. Stereo output is
+    * interleaved [L0, R0, L1, R1, …]. Unsupported constructs fail
+    * loudly by name. */
   def decodeAudio(bytes: Array[Byte]): FlacAudio = {
     val m = meta(bytes)
-    require(m.channels == 1,
-      s"unsupported FLAC channel count ${m.channels} (decode subset is mono)")
+    require(m.channels == 1 || m.channels == 2,
+      s"unsupported FLAC channel count ${m.channels} " +
+        "(decode subset is mono/stereo)")
     require(m.bitsPerSample == 16,
       s"unsupported FLAC bit depth ${m.bitsPerSample} (decode subset is 16)")
     // re-walk the metadata blocks to find the first frame
@@ -402,7 +598,7 @@ object Flac {
       m.totalSamples <= bytes.length.toLong * 32,
       s"STREAMINFO claims ${m.totalSamples} samples from a " +
         s"${bytes.length}-byte file — corrupt or hostile header")
-    val outSamples = new Array[Int](m.totalSamples.toInt)
+    val outSamples = new Array[Int](m.totalSamples.toInt * m.channels)
     var got = 0
     while (off < bytes.length) {
       val r = new BitReader(bytes, off * 8L)
@@ -417,9 +613,13 @@ object Flac {
       require(srCode == 0,
         s"unsupported sample-rate code $srCode (STREAMINFO rate only)")
       val chan = r.readBits(4)
-      require(chan == 0,
-        s"unsupported channel assignment $chan (mono only; stereo " +
-          "decorrelation is outside the decode subset)")
+      require(chan == 0 || (chan >= 8 && chan <= 10),
+        s"unsupported channel assignment $chan (independent " +
+          "multichannel is outside the decode subset; mono and the " +
+          "three decorrelated stereo modes are in)")
+      require((chan == 0) == (m.channels == 1),
+        s"frame channel assignment $chan contradicts STREAMINFO " +
+          s"channels ${m.channels}")
       val ssz = r.readBits(3)
       require(ssz == 4, s"unsupported sample-size code $ssz (16-bit only)")
       require(r.readBits(1) == 0, "reserved frame-header bit set")
@@ -429,80 +629,52 @@ object Flac {
       val hdrEnd = r.byteAt
       require(crc8(bytes, off, hdrEnd) == r.readBits(8),
         s"FLAC frame $fno header CRC-8 mismatch")
-      // subframe
-      require(r.readBits(1) == 0, "subframe padding bit set")
-      val typ = r.readBits(6)
-      require(r.readBits(1) == 0,
-        "wasted-bits subframes unsupported in the decode subset")
-      val block = new Array[Int](AudioBlock)
-      typ match {
-        case 0 =>
-          val c = r.signed(r.readBits(16), 16)
-          java.util.Arrays.fill(block, c)
-        case 1 =>
-          var j = 0
-          while (j < AudioBlock) {
-            block(j) = r.signed(r.readBits(16), 16); j += 1
+      if (chan == 0) {
+        val block = decodeSubframe(r, 16)
+        require(got + AudioBlock <= outSamples.length,
+          "more frames than STREAMINFO total samples")
+        System.arraycopy(block, 0, outSamples, got, AudioBlock)
+        got += AudioBlock
+      } else {
+        // the side channel carries bps+1 bits: channel 1 in
+        // left/side (8) and mid/side (10), channel 0 in right/side (9)
+        val bits0 = if (chan == 9) 17 else 16
+        val bits1 = if (chan == 9) 16 else 17
+        val c0 = decodeSubframe(r, bits0)
+        val c1 = decodeSubframe(r, bits1)
+        require(got + 2 * AudioBlock <= outSamples.length,
+          "more frames than STREAMINFO total samples")
+        var j = 0
+        while (j < AudioBlock) {
+          val (lv, rv) = chan match {
+            case 8 => (c0(j), c0(j) - c1(j)) // left/side
+            case 9 => (c1(j) + c0(j), c1(j)) // right/side
+            case _ => // mid/side: the side's LSB rides with the mid
+              val mid2 = (c0(j) << 1) | (c1(j) & 1)
+              ((mid2 + c1(j)) >> 1, (mid2 - c1(j)) >> 1)
           }
-        case t if t >= 8 && t <= 10 =>
-          val order = t - 8
-          var j = 0
-          while (j < order) {
-            block(j) = r.signed(r.readBits(16), 16); j += 1
-          }
-          val method = r.readBits(2)
-          require(method == 0,
-            s"residual method $method unsupported (4-bit Rice only)")
-          val po = r.readBits(4)
-          require((AudioBlock >> po) << po == AudioBlock &&
-            (AudioBlock >> po) > order,
-            s"invalid partition order $po for blocksize $AudioBlock")
-          var part = 0
-          var idx = order
-          while (part < (1 << po)) {
-            val cnt = (AudioBlock >> po) - (if (part == 0) order else 0)
-            val p = r.readBits(4)
-            require(p != 15,
-              "Rice escape partitions unsupported in the decode subset")
-            var s2 = 0
-            while (s2 < cnt) {
-              val zz = (r.readUnary() << p) | (if (p > 0) r.readBits(p) else 0)
-              val res = (zz >>> 1) ^ -(zz & 1)
-              block(idx) = order match {
-                case 0 => res
-                case 1 => res + block(idx - 1)
-                case 2 => res + 2 * block(idx - 1) - block(idx - 2)
-              }
-              idx += 1; s2 += 1
-            }
-            part += 1
-          }
-        case t if t >= 11 && t <= 12 =>
-          sys.error(s"FIXED order ${t - 8} unsupported (decode subset is 0-2)")
-        case t if t >= 32 =>
-          sys.error(s"LPC subframes (order ${(t & 31) + 1}) are outside " +
-            "the decode subset")
-        case t => sys.error(s"reserved subframe type $t")
+          outSamples(got + 2 * j) = lv
+          outSamples(got + 2 * j + 1) = rv
+          j += 1
+        }
+        got += 2 * AudioBlock
       }
       r.alignByte()
       val frameEnd = r.byteAt
       require(crc16(bytes, off, frameEnd) ==
         ((bytes(frameEnd) & 0xff) << 8 | (bytes(frameEnd + 1) & 0xff)),
         s"FLAC frame $fno CRC-16 mismatch")
-      require(got + AudioBlock <= outSamples.length,
-        "more frames than STREAMINFO total samples")
-      System.arraycopy(block, 0, outSamples, got, AudioBlock)
-      got += AudioBlock
       off = frameEnd + 2
     }
     require(got == outSamples.length,
-      s"decoded $got samples, STREAMINFO declared ${outSamples.length}")
-    FlacAudio(m.sampleRate, outSamples)
+      s"decoded $got values, STREAMINFO declared ${outSamples.length}")
+    FlacAudio(m.sampleRate, m.channels, outSamples)
   }
 
   private val audioSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("n_samples", IntegerType),
+    StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("peak", IntegerType),
     StructField("zero_cross", LongType),
@@ -510,7 +682,9 @@ object Flac {
 
   /** ids → synth real FLAC → decode for real → exact-integer audio
     * features (the llm_audio_decode WAV shape, through the FLAC frame
-    * path: Rice + fixed predictors + both CRCs on the oracle path). */
+    * path: Rice + fixed/LPC predictors + stereo decorrelation + both
+    * CRCs on the oracle path). Zero crossings are counted PER CHANNEL
+    * over the interleaved output and summed. */
   def audioFeatures(ids: DataFrame, idCol: String): DataFrame = {
     val idIdx = ids.schema.fieldIndex(idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
@@ -522,11 +696,12 @@ object Flac {
         while (i < a.samples.length) {
           val v = a.samples(i)
           if (math.abs(v) > peak) peak = math.abs(v)
-          if (i > 0 && a.samples(i - 1) < 0 && v >= 0) zc += 1
+          if (i >= a.channels && a.samples(i - a.channels) < 0 && v >= 0)
+            zc += 1
           sq += v.toLong * v
           i += 1
         }
-        Row(d, a.samples.length, a.sampleRate, peak, zc, sq)
+        Row(d, a.samples.length, a.channels, a.sampleRate, peak, zc, sq)
       }
     }
     ids.sparkSession.createDataFrame(rdd, audioSchema)

@@ -528,6 +528,12 @@ object Multimodal {
     synthMedia(ids, idCol, "video/mp4", Map.empty)(d =>
       Codecs.synthAvcMp4(d))
 
+  /** ids → media rows carrying an AVC-in-MP4 whose samples are REAL
+    * length-prefixed IDR keyframes decodable under the avcC parameter
+    * sets (Avc.synthIdrMp4). */
+  def synthIdrMp4Media(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "video/mp4", Map.empty)(d => Avc.synthIdrMp4(d))
+
   /** stsd/avc1/avcC walk per partition: the
     * AVCDecoderConfigurationRecord + SPS parse with record-vs-SPS and
     * avc1-vs-SPS cross-checks (Codecs.avccMeta). */

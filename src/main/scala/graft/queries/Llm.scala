@@ -5024,6 +5024,40 @@ object Llm extends QueryModule {
           CAST(v0 + r1 + 10 AS INT) AS px_y_44_9
         FROM d ORDER BY id""")),
 
+    // AVC-IN-MP4 KEYFRAME EXTRACTION (VERDICT r13 #7) — the H.264
+    // analog of llm_video_decode_frames' MJPEG composition, i.e. the
+    // actual thumbnail pass a 100 TB video corpus runs: the avcC
+    // parameter-set read (llm_video_avcc_meta's walk) + the
+    // stsc/stco/stsz sample walk and mdat slice (llm_video_sample_
+    // bytes' machinery) + the AVCC length-prefix → Annex-B reframe,
+    // COMPOSED with Avc.decodeIFrame. 1 + d%3 keyframes per doc,
+    // keyframe k seeded d + 1000·k, so the oracle recomputes every
+    // decoded plane from (doc_id, frame) alone. Per-doc map work, no
+    // shuffle before the final sort.
+    QueryDef(
+      "llm_video_keyframes",
+      (s, dir) => graft.operators.Avc.keyframeFeatures(
+        Multimodal.synthIdrMp4Media(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "frame_idx"),
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+            FROM documents WHERE doc_id < 300),
+        c AS (SELECT doc_id, k, doc_id + 1000 * k AS s FROM f),
+        d AS (SELECT doc_id, k, s, 60 + s % 40 AS v0,
+            (152 + 40 * (s % 6)) // 64 AS r1,
+            70 + (3 * s) % 60 AS m3 FROM c)
+        SELECT doc_id AS id, CAST(k AS INT) AS frame_idx,
+          CAST(64 AS INT) AS width, CAST(16 AS INT) AS height,
+          CAST(256 * (3 * v0 + 2 * r1 + 10 + m3) AS BIGINT) AS sum_y,
+          CAST(64 * (3 * (100 + s % 30) + (90 + s % 20))
+            AS BIGINT) AS sum_cb,
+          CAST(64 * (3 * (140 + s % 25) + (150 + s % 15))
+            AS BIGINT) AS sum_cr,
+          CAST(v0 + r1 AS INT) AS px_y_20_5,
+          CAST(v0 + r1 + 10 AS INT) AS px_y_44_9
+        FROM d ORDER BY id, frame_idx""")),
+
     // SAMPLE BYTE EXTRACTION from a REAL mdat
     // (Codecs.mp4ExtractSamples): the step past llm_video_chunks —
     // the located byte ranges are actually SLICED out of the media
@@ -5349,19 +5383,23 @@ object Llm extends QueryModule {
           't' || (doc_id % 20) AS title
         FROM documents ORDER BY id""")),
 
-    // FLAC FRAME DECODE (VERDICT r12 #2) — the audio stub boundary
-    // shrunk the way PNG/JPEG/GIF were: real Rice-coded residuals and
-    // fixed predictors, bounded integer arithmetic straight from the
-    // public spec (RFC 9639), both frame CRCs verified per frame. The
-    // fixture cycles a CONSTANT, a VERBATIM, and a FIXED(order 1|2)
-    // subframe per 256-sample block from one closed-form sample
-    // contract, so the oracle recomputes the decoded PCM directly —
-    // a wrong zigzag, predictor, Rice split, or warmup count cannot
-    // hash-match. LPC subframes, stereo decorrelation, Rice escapes
-    // and variable blocking are rejected loudly by name (the
-    // remaining audio boundary is LPC + lossy payloads). Per-doc map
-    // work, no shuffle before the final sort — the decode costs the
-    // scan stage only at 100 TB.
+    // FLAC FRAME DECODE (VERDICT r12 #2, extended r14 per r13 #3) —
+    // the audio stub boundary shrunk the way PNG/JPEG/GIF were: real
+    // Rice-coded residuals, fixed AND quantized-LPC predictors, and
+    // all three stereo decorrelation modes (left/side, right/side,
+    // mid/side with the +1-bit side channel), bounded integer
+    // arithmetic straight from the public spec (RFC 9639), both frame
+    // CRCs verified per frame. The fixture cycles CONSTANT / VERBATIM
+    // / FIXED(order 1|2) / LPC(order 2) subframes by f%4 on the
+    // primary channel and the decorrelation mode by f%3 on stereo ids
+    // (1 + d%2 channels), all from closed-form sample contracts, so
+    // the oracle recomputes the decoded PCM directly — a wrong
+    // predictor, Rice split, warmup width, coefficient order, or
+    // mid/side LSB carry cannot hash-match. Rice escapes, wasted
+    // bits, independent multichannel and variable blocking are
+    // rejected loudly by name (the remaining audio boundary is lossy
+    // payloads). Per-doc map work, no shuffle before the final sort —
+    // the decode costs the scan stage only at 100 TB.
     QueryDef(
       "llm_audio_flac_decode",
       (s, dir) => graft.operators.Flac.audioFeatures(
@@ -5369,24 +5407,41 @@ object Llm extends QueryModule {
           .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
         .orderBy("id"),
       Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
+            CAST(1 + doc_id % 2 AS INT) AS ch,
             CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
               ELSE 96000 END AS INT) AS sr
           FROM documents WHERE doc_id < 300),
-        s AS (SELECT d.doc_id, d.sr, d.n, i.i,
+        s AS (SELECT d.doc_id, d.sr, d.n, d.ch, i.i,
             i.i // 256 AS f, i.i % 256 AS j
           FROM d, LATERAL (SELECT unnest(range(0, d.n * 256)) AS i) i),
-        v AS (SELECT doc_id, sr, n, i,
-            CASE f % 3
+        p AS (SELECT doc_id, sr, n, ch, i, f,
+            CASE f % 4
               WHEN 0 THEN ((doc_id * 31 + f * 7) % 2001) - 1000
               WHEN 1 THEN ((j * (37 + doc_id % 13) + doc_id + f) % 2001)
                 - 1000
-              ELSE ((doc_id % 200) - 100)
+              WHEN 2 THEN ((doc_id % 200) - 100)
                 + ((j * (1 + doc_id % 5)) % 40) - 20
-            END AS v FROM s),
-        w AS (SELECT doc_id, sr, n, i, v,
-            lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM v)
-        SELECT doc_id AS id, CAST(max(n) * 256 AS INT) AS n_samples,
-          max(sr) AS sample_rate,
+              ELSE ((j * (3 + doc_id % 7) + 5 * f) % 200) - 100
+            END AS prim,
+            ((j * (2 + doc_id % 3) + doc_id + 2 * f) % 257) - 128 AS sd
+          FROM s),
+        lr AS (SELECT doc_id, sr, n, ch, i,
+            CASE WHEN ch = 1 OR f % 3 = 0 THEN prim
+              WHEN f % 3 = 1 THEN prim + sd
+              ELSE (2 * prim + abs(sd) % 2 + sd) // 2 END AS l,
+            CASE WHEN f % 3 = 0 THEN prim - sd
+              WHEN f % 3 = 1 THEN prim
+              ELSE (2 * prim + abs(sd) % 2 - sd) // 2 END AS r
+          FROM p),
+        u AS (SELECT doc_id, sr, n, ch, i, 0 AS c, l AS v FROM lr
+          UNION ALL
+          SELECT doc_id, sr, n, ch, i, 1 AS c, r AS v FROM lr
+          WHERE ch = 2),
+        w AS (SELECT doc_id, sr, n, ch, v,
+            lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv FROM u)
+        SELECT doc_id AS id,
+          CAST(max(n) * 256 * max(ch) AS INT) AS n_samples,
+          max(ch) AS channels, max(sr) AS sample_rate,
           CAST(max(abs(v)) AS INT) AS peak,
           CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS zero_cross,

@@ -518,6 +518,18 @@ object ScaleBench {
         graft.operators.Avc.iframeFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // AVC-in-MP4 keyframe extraction (round 14): avcC read + sample
+    // walk + mdat slice + AVCC→Annex-B reframe + I-frame decode — the
+    // composed thumbnail pass; keyframes/s = rows / sec.
+    if (only.isEmpty || only.exists("keyframes".contains)) {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthIdrMp4Media(
+        docs.select("doc_id"), "doc_id").localCheckpoint()
+      val n = media.count()
+      time(s"keyframes(n=$n)")(
+        force(graft.operators.Avc.keyframeFeatures(media, "id")))
+      media.unpersist()
+    }
     // Small-file compaction (round 13): a 256-writer × |langs|
     // fragmented layout staged once, then the one-shuffle size-salted
     // rewrite — the lake-hygiene op at corpus scale.

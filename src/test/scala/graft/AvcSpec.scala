@@ -84,6 +84,46 @@ class AvcSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("baseline"), e3.getMessage)
   }
 
+  test("AVC-in-MP4 keyframes decode through the avcC + sample walk") {
+    for (d <- 0L to 30L) {
+      val mp4 = Avc.synthIdrMp4(d)
+      val (sps, pps, lenSize) = graft.operators.Codecs.avccParameterSets(mp4)
+      assert(lenSize == 4, s"d=$d")
+      val slices = graft.operators.Codecs.mp4SampleSlices(mp4)
+      assert(slices.length == (1 + d % 3).toInt, s"d=$d")
+      slices.foreach { case (k, slice) =>
+        val f = Avc.decodeIFrame(
+          Avc.avccSampleToAnnexB(sps, pps, lenSize, slice))
+        val s = d + 1000L * k
+        var i = 0
+        while (i < f.y.length) {
+          val mb = (i % 64) / 16
+          assert(f.y(i) == Avc.lumaOfMb(s, mb), s"d=$d k=$k i=$i")
+          i += 1
+        }
+      }
+    }
+  }
+
+  test("AVCC reframe rejects truncated and overrunning NAL lengths") {
+    val mp4 = Avc.synthIdrMp4(2L)
+    val (sps, pps, lenSize) = graft.operators.Codecs.avccParameterSets(mp4)
+    val (_, slice) = graft.operators.Codecs.mp4SampleSlices(mp4).head
+    // overrunning declared length
+    val b1 = slice.clone(); b1(0) = 0x7f.toByte
+    val e1 = intercept[IllegalArgumentException] {
+      Avc.avccSampleToAnnexB(sps, pps, lenSize, b1) }
+    assert(e1.getMessage.contains("overruns"), e1.getMessage)
+    // truncated length prefix: chop mid-prefix
+    val b2 = java.util.Arrays.copyOfRange(slice, 0, slice.length + 2)
+    val len = ((slice(0) & 0xff) << 24) | ((slice(1) & 0xff) << 16) |
+      ((slice(2) & 0xff) << 8) | (slice(3) & 0xff)
+    assert(4 + len == slice.length) // single-NAL sample; +2 junk bytes
+    val e2 = intercept[IllegalArgumentException] {
+      Avc.avccSampleToAnnexB(sps, pps, lenSize, b2) }
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+  }
+
   test("decoder terminates loudly under random corruption") {
     val rng = new scala.util.Random(4242)
     for (trial <- 0 until 300) {

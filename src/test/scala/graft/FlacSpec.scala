@@ -95,24 +95,44 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("frame decode reproduces the closed-form PCM bit-exactly") {
-    // every subframe type and both fixed-predictor orders across ids
-    for (d <- 0L to 40L) {
+    // every subframe type (CONSTANT / VERBATIM / FIXED 1|2 / LPC 2),
+    // mono and stereo, and all three decorrelation modes across ids —
+    // compared against the lrAt closed form the oracle recomputes
+    for (d <- 0L to 60L) {
       val a = Flac.decodeAudio(Flac.synthAudio(d))
       val n = Flac.audioFrames(d)
-      assert(a.samples.length == n * 256, s"d=$d")
+      val ch = Flac.audioChannels(d)
+      assert(a.channels == ch, s"d=$d")
+      assert(a.samples.length == n * 256 * ch, s"d=$d")
       val sr = (d % 3) match {
         case 0 => 44100; case 1 => 48000; case _ => 96000
       }
       assert(a.sampleRate == sr, s"d=$d")
       var i = 0
-      while (i < a.samples.length) {
+      while (i < n * 256) {
         val f = i / 256; val j = i % 256
-        val want: Int = ((f % 3) match {
-          case 0 => ((d * 31 + f * 7) % 2001) - 1000
-          case 1 => ((j * (37 + d % 13) + d + f) % 2001) - 1000
-          case _ => ((d % 200) - 100) + ((j * (1 + d % 5)) % 40) - 20
-        }).toInt
-        assert(a.samples(i) == want, s"d=$d i=$i f=$f j=$j")
+        val (l, r) = Flac.lrAt(d, f, j)
+        if (ch == 1)
+          assert(a.samples(i) == l, s"d=$d f=$f j=$j")
+        else {
+          assert(a.samples(2 * i) == l, s"d=$d f=$f j=$j left")
+          assert(a.samples(2 * i + 1) == r, s"d=$d f=$f j=$j right")
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("stereo modes round-trip the side relation: left - right == side") {
+    // pins the decorrelation algebra itself, independent of lrAt
+    for (d <- Seq(1L, 3L, 5L, 7L, 11L, 23L)) {
+      val a = Flac.decodeAudio(Flac.synthAudio(d))
+      assert(a.channels == 2, s"d=$d")
+      var i = 0
+      while (i < a.samples.length / 2) {
+        val f = i / 256; val j = i % 256
+        assert(a.samples(2 * i) - a.samples(2 * i + 1) ==
+          Flac.sideAt(d, f, j), s"d=$d f=$f j=$j")
         i += 1
       }
     }
@@ -137,7 +157,7 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("unsupported constructs are rejected by name, never skipped") {
-    val good = Flac.synthAudio(3L)
+    val good = Flac.synthAudio(0L) // mono, frames CONSTANT + VERBATIM
     var off = 4
     var last = false
     while (!last) {
@@ -165,22 +185,26 @@ class FlacSpec extends AnyFunSuite {
       b(off + 5) = c.toByte
       b
     }
-    // stereo channel assignment (byte3: chan=0001, ssz=100)
+    // independent-stereo channel assignment (byte3: chan=0001, ssz=100)
     val e1 = intercept[IllegalArgumentException] {
       Flac.decodeAudio(tamper(off + 3, 0x18)) }
     assert(e1.getMessage.contains("channel"), e1.getMessage)
+    // a decorrelated-stereo frame under a mono STREAMINFO must be the
+    // named contradiction, not a silent mono decode (chan=1000)
+    val e1b = intercept[IllegalArgumentException] {
+      Flac.decodeAudio(tamper(off + 3, 0x88)) }
+    assert(e1b.getMessage.contains("contradicts"), e1b.getMessage)
     // variable blocksize strategy (byte1 bit0)
     val e2 = intercept[IllegalArgumentException] {
       Flac.decodeAudio(tamper(off + 1, 0xf9)) }
     assert(e2.getMessage.contains("blocksize") ||
       e2.getMessage.contains("variable"), e2.getMessage)
-    // LPC subframe type: constant-frame subframe header is the byte
-    // after the crc8; set type bits to 100000 (LPC order 1)
+    // FIXED order 3 subframe type (001011): outside the 0-2 subset —
+    // the subframe header byte sits right after the crc8 byte
     val b3 = good.clone()
-    b3(off + 6) = 0x40.toByte // 0 pad, 100000 type, 0 wasted
+    b3(off + 6) = 0x16.toByte // 0 pad, 001011 type, 0 wasted
     val e3 = intercept[RuntimeException] { Flac.decodeAudio(b3) }
-    assert(e3.getMessage.contains("LPC") || e3.getMessage.contains("CRC"),
-      e3.getMessage)
+    assert(e3.getMessage.contains("FIXED order 3"), e3.getMessage)
   }
 
   test("frame decoder terminates loudly under random corruption") {
