@@ -177,7 +177,7 @@ object Flac {
   // public spec (RFC 9639), no libm. Supported: mono AND stereo with
   // all three decorrelation modes (left/side, right/side, mid/side —
   // the +1-bit side channel included), 16-bit, fixed 256-sample
-  // blocks, CONSTANT / VERBATIM / FIXED(order 0-2) / LPC(quantized
+  // blocks, CONSTANT / VERBATIM / FIXED(orders 0-4) / LPC(quantized
   // integer coefficients + shift) subframes, 4-bit Rice residuals
   // with general partition orders. What remains — independent
   // multichannel (codes 1-7), Rice escape partitions, wasted bits,
@@ -283,7 +283,7 @@ object Flac {
     * the contract shared by synthAudio (which ENCODES it), decodeAudio
     * (which must get it back bit-exactly), and the DuckDB oracle
     * (which recomputes it in SQL). Frame f%4 cycles the subframe
-    * type: 0 CONSTANT, 1 VERBATIM, 2 FIXED(order 1 + d%2),
+    * type: 0 CONSTANT, 1 VERBATIM, 2 FIXED(order 1 + d%4),
     * 3 LPC(order 2, coefficients lpcCoefs(d), shift 5). The LPC case
     * still has a CLOSED FORM because the coefficients only shape the
     * RESIDUALS the encoder writes — the reconstructed signal is this
@@ -333,6 +333,18 @@ object Flac {
     }
   }
 
+  /** Fixed-predictor value for sample j (RFC 9639 §9.2.4 polynomial
+    * predictors, orders 0-4) — shared by the encoder's residual
+    * computation and the decoder's reconstruction. */
+  private def fixedPredict(s: Array[Int], j: Int, order: Int): Int =
+    order match {
+      case 0 => 0
+      case 1 => s(j - 1)
+      case 2 => 2 * s(j - 1) - s(j - 2)
+      case 3 => 3 * s(j - 1) - 3 * s(j - 2) + s(j - 3)
+      case _ => 4 * s(j - 1) - 6 * s(j - 2) + 4 * s(j - 3) - s(j - 4)
+    }
+
   /** Rice-code `resid` with partition order 0 and the smallest 4-bit
     * parameter keeping every quotient under 64. */
   private def writeRice(body: BitWriter, resid: Seq[Int]): Unit = {
@@ -364,10 +376,8 @@ object Flac {
       body.writeBits(0, 1)
       (0 until order).foreach(j =>
         body.writeBits(samples(j) & ((1 << bits) - 1), bits))
-      writeRice(body, (order until AudioBlock).map { j =>
-        if (order == 1) samples(j) - samples(j - 1)
-        else samples(j) - 2 * samples(j - 1) + samples(j - 2)
-      })
+      writeRice(body, (order until AudioBlock).map(j =>
+        samples(j) - fixedPredict(samples, j, order)))
     case _ =>
       val order = 2
       val (c1, c2) = lpcCoefs(d)
@@ -388,7 +398,7 @@ object Flac {
 
   /** Real FLAC with audio frames for id d: 16-bit, sr by d%3, channels
     * 1 + d%2, audioFrames(d) fixed-256 blocks. The PRIMARY channel's
-    * subframe cycles CONSTANT / VERBATIM / FIXED(order 1+d%2) /
+    * subframe cycles CONSTANT / VERBATIM / FIXED(order 1+d%4) /
     * LPC(order 2) by f%4; stereo ids cycle the decorrelation mode
     * left/side / right/side / mid/side by f%3 (the side subframe is
     * FIXED(1) at the 17-bit side width, so Rice + warmups run on the
@@ -436,7 +446,7 @@ object Flac {
       val hdr = w.toBytes
       val body = new BitWriter
       val kind = f % 4
-      val fixedOrder = (1 + d % 2).toInt
+      val fixedOrder = (1 + d % 4).toInt
       val primary = Array.tabulate(AudioBlock)(j => sampleAt(d, f, j))
       if (ch == 1)
         writeSubframe(body, primary, 16, kind, fixedOrder, d)
@@ -502,7 +512,7 @@ object Flac {
   }
 
   /** One subframe at sample width `bits`: CONSTANT / VERBATIM /
-    * FIXED(0-2) / LPC with quantized integer coefficients + shift.
+    * FIXED(0-4) / LPC with quantized integer coefficients + shift.
     * Unsupported constructs fail loudly by name. */
   private def decodeSubframe(r: BitReader, bits: Int): Array[Int] = {
     require(r.readBits(1) == 0, "subframe padding bit set")
@@ -518,7 +528,7 @@ object Flac {
         while (j < AudioBlock) {
           block(j) = r.signed(r.readBits(bits), bits); j += 1
         }
-      case t if t >= 8 && t <= 10 =>
+      case t if t >= 8 && t <= 12 =>
         val order = t - 8
         var j = 0
         while (j < order) {
@@ -527,16 +537,9 @@ object Flac {
         val res = readResiduals(r, order)
         var i = order
         while (i < AudioBlock) {
-          val rr = res(i - order)
-          block(i) = order match {
-            case 0 => rr
-            case 1 => rr + block(i - 1)
-            case 2 => rr + 2 * block(i - 1) - block(i - 2)
-          }
+          block(i) = res(i - order) + fixedPredict(block, i, order)
           i += 1
         }
-      case t if t >= 11 && t <= 12 =>
-        sys.error(s"FIXED order ${t - 8} unsupported (decode subset is 0-2)")
       case t if t >= 32 =>
         // LPC (RFC 9639 §9.2.5): warmups, precision-1 (4), shift
         // (5, signed — negatives invalid), order quantized

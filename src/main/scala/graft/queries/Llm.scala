@@ -3346,6 +3346,99 @@ object Llm extends QueryModule {
           CAST(len(regexp_extract_all(t, '[0-9]+')) AS BIGINT) AS n_id
         FROM s3 ORDER BY c_custkey""")),
 
+    // REDACT-BEFORE-DEDUP PIPELINE (VERDICT r13 #8) — PII v2 exercised
+    // INSIDE a pipeline, where the ordering interaction is the real
+    // risk: the fixture texts are all DISTINCT (each carries its
+    // customer's own email/phone/IP/order-id) but share one of 10
+    // case templates, so exact dedup collapses them ONLY because
+    // redaction ran first — swap the stages and every group has
+    // n_docs = 1, which the oracle's group counts would catch. The
+    // per-category redaction counts survive the collapse as group
+    // sums (the curation-report shape). One zero-shuffle projection
+    // feeding one hash aggregate — redaction stays scan-stage at
+    // 100 TB; only the 10-template aggregate shuffles.
+    QueryDef(
+      "llm_pipeline_redaction",
+      (s, dir) => {
+        val reEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+        val rePhone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val reIp = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+        val reId = "[0-9]+"
+        Catalog.table(s, dir, "customer")
+          .withColumn("t0", concat(
+            lit("Case "),
+            expr("substr('abcdefghij', CAST(c_custkey % 10 + 1 AS INT), 1)"),
+            lit(": contact user"), col("c_custkey").cast("string"),
+            lit("@example.com or "),
+            (col("c_custkey") % 90 + 10).cast("string"), lit("-"),
+            (col("c_custkey") % 900 + 100).cast("string"), lit("-"),
+            (col("c_custkey") * 7 % 900 + 100).cast("string"), lit("-"),
+            (col("c_custkey") * 31 % 9000 + 1000).cast("string"),
+            lit(" from 10."), (col("c_custkey") % 250).cast("string"),
+            lit("."), (col("c_custkey") % 100).cast("string"),
+            lit(".7 ref "), (col("c_custkey") * 13).cast("string"),
+            lit(".")))
+          .withColumn("n_email",
+            regexp_count(col("t0"), lit(reEmail)).cast("long"))
+          .withColumn("t1", regexp_replace(col("t0"), reEmail, "[EMAIL]"))
+          .withColumn("n_phone",
+            regexp_count(col("t1"), lit(rePhone)).cast("long"))
+          .withColumn("t2", regexp_replace(col("t1"), rePhone, "[PHONE]"))
+          .withColumn("n_ip",
+            regexp_count(col("t2"), lit(reIp)).cast("long"))
+          .withColumn("t3", regexp_replace(col("t2"), reIp, "[IP]"))
+          .withColumn("n_id",
+            regexp_count(col("t3"), lit(reId)).cast("long"))
+          .withColumn("redacted", regexp_replace(col("t3"), reId, "[ID]"))
+          .groupBy("redacted")
+          .agg(count(lit(1)).as("n_docs"),
+            min("c_custkey").as("keep_id"),
+            sum("n_email").as("n_email"),
+            sum("n_phone").as("n_phone"),
+            sum("n_ip").as("n_ip"),
+            sum("n_id").as("n_id"))
+          .orderBy("redacted")
+      },
+      Some("""WITH t0 AS (SELECT c_custkey,
+          concat('Case ',
+            substr('abcdefghij', CAST(c_custkey % 10 + 1 AS INT), 1),
+            ': contact user', CAST(c_custkey AS VARCHAR),
+            '@example.com or ',
+            CAST(c_custkey % 90 + 10 AS VARCHAR), '-',
+            CAST(c_custkey % 900 + 100 AS VARCHAR), '-',
+            CAST(c_custkey * 7 % 900 + 100 AS VARCHAR), '-',
+            CAST(c_custkey * 31 % 9000 + 1000 AS VARCHAR),
+            ' from 10.', CAST(c_custkey % 250 AS VARCHAR),
+            '.', CAST(c_custkey % 100 AS VARCHAR),
+            '.7 ref ', CAST(c_custkey * 13 AS VARCHAR), '.') AS t
+          FROM customer),
+        s1 AS (SELECT c_custkey,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+            '[EMAIL]', 'g') AS t FROM t0),
+        s2 AS (SELECT c_custkey, n_email,
+          CAST(len(regexp_extract_all(t,
+            '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+          regexp_replace(t, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+            '[PHONE]', 'g') AS t FROM s1),
+        s3 AS (SELECT c_custkey, n_email, n_phone,
+          CAST(len(regexp_extract_all(t,
+            '[0-9]{1,3}([.][0-9]{1,3}){3}')) AS BIGINT) AS n_ip,
+          regexp_replace(t, '[0-9]{1,3}([.][0-9]{1,3}){3}',
+            '[IP]', 'g') AS t FROM s2),
+        r AS (SELECT c_custkey, n_email, n_phone, n_ip,
+          CAST(len(regexp_extract_all(t, '[0-9]+')) AS BIGINT) AS n_id,
+          regexp_replace(t, '[0-9]+', '[ID]', 'g') AS redacted FROM s3)
+        SELECT redacted, count(*) AS n_docs, min(c_custkey) AS keep_id,
+          CAST(sum(n_email) AS BIGINT) AS n_email,
+          CAST(sum(n_phone) AS BIGINT) AS n_phone,
+          CAST(sum(n_ip) AS BIGINT) AS n_ip,
+          CAST(sum(n_id) AS BIGINT) AS n_id
+        FROM r GROUP BY redacted ORDER BY redacted""")),
+
     // Frame sampling over the media column: 1 doc → 4 frame rows. The
     // codec is the documented stub, but the slice arithmetic is
     // SQL-replicable, so the generator PLUMBING (fan-out, schema,

@@ -199,12 +199,12 @@ class FlacSpec extends AnyFunSuite {
       Flac.decodeAudio(tamper(off + 1, 0xf9)) }
     assert(e2.getMessage.contains("blocksize") ||
       e2.getMessage.contains("variable"), e2.getMessage)
-    // FIXED order 3 subframe type (001011): outside the 0-2 subset —
-    // the subframe header byte sits right after the crc8 byte
+    // reserved subframe type 13 (001101) — FIXED stops at order 4; the
+    // subframe header byte sits right after the crc8 byte
     val b3 = good.clone()
-    b3(off + 6) = 0x16.toByte // 0 pad, 001011 type, 0 wasted
+    b3(off + 6) = 0x1a.toByte // 0 pad, 001101 type, 0 wasted
     val e3 = intercept[RuntimeException] { Flac.decodeAudio(b3) }
-    assert(e3.getMessage.contains("FIXED order 3"), e3.getMessage)
+    assert(e3.getMessage.contains("reserved subframe type"), e3.getMessage)
   }
 
   test("frame decoder terminates loudly under random corruption") {

@@ -559,4 +559,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("llm_pipeline_redaction: redaction is scan-stage, one aggregate") {
+    // all four regexp categories must fold into the scan-side
+    // projection; the only exchanges are the 10-template aggregate and
+    // the output sort — at 100 TB the redaction costs zero shuffle
+    val p = plan("llm_pipeline_redaction")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("scan_evolved: two-version union aggregates without a join") {
+    // the evolved read is scans + union + one aggregate: a join-based
+    // reconciliation (or a per-version re-shuffle) would be the wrong
+    // shape for a multi-schema lake read
+    val p = plan("scan_evolved")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Union"), p)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2, p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
