@@ -4869,6 +4869,56 @@ object Llm extends QueryModule {
           (5 + (doc_id + j) % 10 >= 8) AS kept
         FROM d ORDER BY id, entry_idx""")),
 
+    // STREAMING KEYFRAME INGEST — the AVC-in-MP4 thumbnail pass
+    // applied as videos ARRIVE: avcC parameter-set read + sample walk
+    // + mdat slice + AVCC→Annex-B reframe + I-frame decode + a
+    // brightness gate, all STATELESS Append like stream_web_ingest /
+    // stream_archive_ingest (decode reads one video row; no state
+    // store, no watermark) — the shape for turning a day's video
+    // drops into gated keyframes before anything stateful sees them.
+    // Deterministic emission, so llm_video_keyframes' closed-form
+    // oracle applies verbatim.
+    QueryDef(
+      "stream_keyframe_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Avc, Codecs}
+        val extracted = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { d =>
+              val mp4 = Avc.synthIdrMp4(d)
+              val (sps, pps, lenSize) = Codecs.avccParameterSets(mp4)
+              Codecs.mp4SampleSlices(mp4).iterator.map { case (k, slice) =>
+                val f = Avc.decodeIFrame(
+                  Avc.avccSampleToAnnexB(sps, pps, lenSize, slice))
+                var sy = 0L
+                f.y.foreach(sy += _)
+                (d, k, f.width, f.height, sy)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "sum_y")
+          .withColumn("kept", col("sum_y") >= 90000L) // too-dark gate
+        graft.streaming.Streams.runToMemory(extracted,
+          s"skey_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id", "frame_idx")
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+            FROM documents WHERE doc_id < 300),
+        c AS (SELECT doc_id, k, doc_id + 1000 * k AS s FROM f),
+        d AS (SELECT doc_id, k, 60 + s % 40 AS v0,
+            (152 + 40 * (s % 6)) // 64 AS r1,
+            70 + (3 * s) % 60 AS m3 FROM c)
+        SELECT doc_id AS id, CAST(k AS INT) AS frame_idx,
+          CAST(64 AS INT) AS width, CAST(16 AS INT) AS height,
+          CAST(256 * (3 * v0 + 2 * r1 + 10 + m3) AS BIGINT) AS sum_y,
+          (256 * (3 * v0 + 2 * r1 + 10 + m3) >= 90000) AS kept
+        FROM d ORDER BY id, frame_idx""")),
+
     // OUTLINK DOMAIN GRAPH — the composed curation DAG that feeds
     // crawl-frontier ranking (PageRank seeding): extract pages from
     // the gzipped archives, gate on quality (status 200 AND enough
