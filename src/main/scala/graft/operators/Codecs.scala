@@ -170,9 +170,11 @@ object Codecs {
   // rest is chunk framing (length/type/data/CRC32), big-endian header
   // arithmetic, and the five per-row byte filters
   // (None/Sub/Up/Average/Paeth). Scope: 8-bit truecolor (color type 2),
-  // non-interlaced — the layout real RGB corpora use. Baseline AND
-  // progressive JPEG are also real (see the JPEG section below); MP4
-  // sample decode remains behind the documented stub boundary.
+  // sequential AND Adam7-interlaced (r14 — 7 passes with per-pass
+  // filter restart, the progressive-render layout real web PNGs use).
+  // Baseline AND progressive JPEG are also real (see the JPEG section
+  // below); MP4 sample decode remains behind the documented stub
+  // boundary.
 
   private def u32be(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
@@ -205,46 +207,65 @@ object Codecs {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode as 8-bit truecolor non-interlaced PNG. `filterOf(y)` picks
-    * the per-row filter type (0-4); the default cycles through all five
-    * so every synthesized payload exercises every unfilter path. */
-  def encodePng(img: Bmp, filterOf: Int => Int = _ % 5): Array[Byte] = {
+  /** Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+    * A pass with no in-bounds pixels contributes NO scanlines (not
+    * even filter bytes); filtering restarts at each pass boundary. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def pngPasses(interlaced: Boolean): Seq[(Int, Int, Int, Int)] =
+    if (interlaced) Adam7.toSeq else Seq((0, 0, 1, 1))
+
+  /** Encode as 8-bit truecolor PNG, sequential or Adam7 interlaced.
+    * `filterOf(y)` picks the per-row filter type (0-4); the default
+    * cycles through all five so every synthesized payload exercises
+    * every unfilter path (per PASS when interlaced — filtering
+    * restarts at each pass, per spec). */
+  def encodePng(img: Bmp, filterOf: Int => Int = _ % 5,
+      interlaced: Boolean = false): Array[Byte] = {
     val w = img.width; val h = img.height; val bpp = 3
-    val rowLen = w * bpp
-    val raw = new Array[Byte](h * (1 + rowLen))
-    var prior: Array[Byte] = null
-    val cur = new Array[Byte](rowLen)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val (r, g, b) = img.pixels(y)(x)
-        cur(x * 3) = r.toByte; cur(x * 3 + 1) = g.toByte; cur(x * 3 + 2) = b.toByte
-        x += 1
-      }
-      val f = filterOf(y)
-      require(f >= 0 && f <= 4, s"bad PNG filter type $f")
-      val base = y * (1 + rowLen)
-      raw(base) = f.toByte
-      var i = 0
-      while (i < rowLen) {
-        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
-        val up = if (prior != null) prior(i) & 0xff else 0
-        val ul = if (prior != null && i >= bpp) prior(i - bpp) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    val rawOut = new java.io.ByteArrayOutputStream(h * (1 + w * bpp))
+    pngPasses(interlaced).foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowLen = pw * bpp
+        var prior: Array[Byte] = null
+        var r = 0
+        while (r < ph) {
+          val cur = new Array[Byte](rowLen)
+          var c = 0
+          while (c < pw) {
+            val (rr, gg, bb) = img.pixels(y0 + r * dy)(x0 + c * dx)
+            cur(c * 3) = rr.toByte; cur(c * 3 + 1) = gg.toByte
+            cur(c * 3 + 2) = bb.toByte
+            c += 1
+          }
+          val f = filterOf(r)
+          require(f >= 0 && f <= 4, s"bad PNG filter type $f")
+          rawOut.write(f)
+          var i = 0
+          while (i < rowLen) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val up = if (prior != null) prior(i) & 0xff else 0
+            val ul = if (prior != null && i >= bpp) prior(i - bpp) & 0xff else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => paeth(left, up, ul)
+            }
+            rawOut.write(((cur(i) & 0xff) - pred) & 0xff)
+            i += 1
+          }
+          prior = cur
+          r += 1
         }
-        raw(base + 1 + i) = (((cur(i) & 0xff) - pred) & 0xff).toByte
-        i += 1
       }
-      prior = if (prior == null) new Array[Byte](rowLen) else prior
-      System.arraycopy(cur, 0, prior, 0, rowLen)
-      y += 1
     }
+    val raw = rawOut.toByteArray
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](math.max(1024, raw.length + 64))
@@ -258,20 +279,24 @@ object Codecs {
     val ihdr = new Array[Byte](13)
     put32be(ihdr, 0, w); put32be(ihdr, 4, h)
     ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    ihdr(12) = if (interlaced) 1 else 0
     pngChunk(out, "IHDR", ihdr)
     pngChunk(out, "IDAT", zOut.toByteArray)
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
-  /** Parse the chunk stream, inflate IDAT, undo per-row filters.
+  /** Parse the chunk stream, inflate IDAT, undo per-row filters —
+    * sequential AND Adam7-interlaced layouts (7 passes, per-pass
+    * filter restart, empty passes contributing zero scanlines).
     * Validates signature, per-chunk CRC32, and the IHDR layout fields,
-    * failing loudly on anything outside 8-bit RGB non-interlaced. */
+    * failing loudly on anything outside 8-bit RGB. */
   def decodePng(bytes: Array[Byte]): Bmp = {
     require(bytes.length >= 8 + 25 && pngSig.indices.forall(i => bytes(i) == pngSig(i)),
       "not a PNG payload")
     var off = 8
     var w = -1; var h = -1
+    var interlace = 0
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -290,9 +315,11 @@ object Codecs {
           require(w > 0 && h > 0, "bad PNG dimensions")
           require(bytes(off + 16) == 8 && bytes(off + 17) == 2,
             "only 8-bit truecolor (RGB) PNG supported")
-          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
-            bytes(off + 20) == 0,
-            "only deflate/adaptive-filter/non-interlaced PNG supported")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
+            "only deflate/adaptive-filter PNG supported")
+          interlace = bytes(off + 20) & 0xff
+          require(interlace == 0 || interlace == 1,
+            s"bad PNG interlace method $interlace")
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => done = true
         case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
@@ -300,13 +327,21 @@ object Codecs {
       off += 12 + len
     }
     require(w > 0, "PNG missing IHDR")
+    val passes = pngPasses(interlace == 1)
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
     // Bound the decoded size BEFORE allocating: hostile dimensions would
     // otherwise overflow the Int row math (NegativeArraySize) or OOM —
     // the same class decodeBmp guards against. 1 GiB of raw scanlines
     // is far beyond any payload this codec's scope handles.
-    val rawLenL = h.toLong * (1L + w.toLong * 3)
+    val rawLenL = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) ph.toLong * (1L + pw.toLong * 3) else 0L
+    }.sum
     require(rawLenL <= (1L << 30), s"PNG dimensions ${w}x$h too large")
-    val rowLen = w * 3
     val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
@@ -325,35 +360,43 @@ object Codecs {
     inflater.end()
     require(got == rawLen, s"PNG IDAT inflated to $got of $rawLen bytes")
     val px = Array.ofDim[(Int, Int, Int)](h, w)
-    var prior: Array[Byte] = null
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + rowLen)
-      val f = raw(base) & 0xff
-      require(f <= 4, s"bad PNG filter type $f in row $y")
-      val cur = new Array[Byte](rowLen)
-      var i = 0
-      while (i < rowLen) {
-        val left = if (i >= 3) cur(i - 3) & 0xff else 0
-        val up = if (prior != null) prior(i) & 0xff else 0
-        val ul = if (prior != null && i >= 3) prior(i - 3) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    var base = 0
+    passes.foreach { case p @ (x0, y0, dx, dy) =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val rowLen = pw * 3
+        var prior: Array[Byte] = null
+        var r = 0
+        while (r < ph) {
+          val f = raw(base) & 0xff
+          require(f <= 4, s"bad PNG filter type $f in pass row $r")
+          val cur = new Array[Byte](rowLen)
+          var i = 0
+          while (i < rowLen) {
+            val left = if (i >= 3) cur(i - 3) & 0xff else 0
+            val up = if (prior != null) prior(i) & 0xff else 0
+            val ul = if (prior != null && i >= 3) prior(i - 3) & 0xff else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => paeth(left, up, ul)
+            }
+            cur(i) = (((raw(base + 1 + i) & 0xff) + pred) & 0xff).toByte
+            i += 1
+          }
+          var c = 0
+          while (c < pw) {
+            px(y0 + r * dy)(x0 + c * dx) =
+              (cur(c * 3) & 0xff, cur(c * 3 + 1) & 0xff, cur(c * 3 + 2) & 0xff)
+            c += 1
+          }
+          prior = cur
+          base += 1 + rowLen
+          r += 1
         }
-        cur(i) = (((raw(base + 1 + i) & 0xff) + pred) & 0xff).toByte
-        i += 1
       }
-      var x = 0
-      while (x < w) {
-        px(y)(x) = (cur(x * 3) & 0xff, cur(x * 3 + 1) & 0xff, cur(x * 3 + 2) & 0xff)
-        x += 1
-      }
-      prior = cur
-      y += 1
     }
     Bmp(w, h, px)
   }

@@ -165,10 +165,12 @@ object Multimodal {
   /** ids → media rows carrying an actual 8-bit RGB PNG payload — same
     * closed-form pixels as the BMP twin, so the same oracle formulas
     * apply; the per-row filter cycles 0-4, so every payload exercises
-    * all five PNG unfilter paths (Sub/Up/Average/Paeth included). */
+    * all five PNG unfilter paths (Sub/Up/Average/Paeth included), and
+    * odd ids are Adam7-INTERLACED (like the GIF fixture) so both scan
+    * layouts sit on the oracle path. */
   def synthPngMedia(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "image/png", Map("w" -> "16", "h" -> "12"))(
-      d => Codecs.encodePng(Codecs.synthBmp(d)))
+      d => Codecs.encodePng(Codecs.synthBmp(d), interlaced = d % 2 == 1))
 
   /** REAL PNG decode per partition: chunk/CRC parse, zlib inflate,
     * per-row unfilter. Same feature row as the BMP decode, so the

@@ -169,6 +169,55 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlaced PNG round-trips arbitrary pixels and sizes") {
+    // property sweep like the sequential test, PLUS the geometry edge
+    // cases where whole passes are empty (any dim < 5 skips passes)
+    val imgGen = for {
+      w <- Gen.choose(1, 19)
+      h <- Gen.choose(1, 13)
+      px <- Gen.listOfN(h, Gen.listOfN(w, pixelGen))
+    } yield Bmp(w, h, px.map(_.toArray).toArray)
+    val imgs = samples(imgGen, 60)
+    assert(imgs.size >= 50)
+    (imgs ++ Seq(Codecs.synthBmp(7L, 1, 1), Codecs.synthBmp(8L, 2, 2),
+      Codecs.synthBmp(9L, 5, 3), Codecs.synthBmp(10L, 3, 5),
+      Codecs.synthBmp(11L, 8, 8))).foreach { img =>
+      val enc = Codecs.encodePng(img, interlaced = true)
+      // IHDR interlace byte must actually say Adam7
+      assert(enc(8 + 8 + 12) == 1, "interlace flag not set")
+      val back = Codecs.decodePng(enc)
+      assert(back.width == img.width && back.height == img.height)
+      assert(back.pixels.flatten.toSeq == img.pixels.flatten.toSeq,
+        s"Adam7 pixel mismatch at ${img.width}x${img.height}")
+    }
+  }
+
+  test("Adam7 round-trips under each single filter type 0-4") {
+    val img = Codecs.synthBmp(43L, 16, 12)
+    (0 to 4).foreach { f =>
+      val back = Codecs.decodePng(
+        Codecs.encodePng(img, _ => f, interlaced = true))
+      assert(back.pixels.flatten.toSeq == img.pixels.flatten.toSeq,
+        s"Adam7 filter type $f does not round-trip")
+    }
+  }
+
+  test("Adam7 decode matches the JDK's ImageIO on our own stream") {
+    // independent-decoder cross-check, like the JPEG rows
+    val img = Codecs.synthBmp(44L, 17, 11)
+    val enc = Codecs.encodePng(img, interlaced = true)
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(jdk != null, "ImageIO could not read the interlaced PNG")
+    assert(jdk.getWidth == 17 && jdk.getHeight == 11)
+    for (y <- 0 until 11; x <- 0 until 17) {
+      val rgb = jdk.getRGB(x, y)
+      val want = img.pixels(y)(x)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) == want,
+        s"ImageIO disagrees at ($x,$y)")
+    }
+  }
+
   test("PNG decode validates chunk CRC") {
     val png = Codecs.encodePng(Codecs.synthBmp(3L, 8, 8))
     val corrupt = png.clone()
