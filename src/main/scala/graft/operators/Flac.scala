@@ -178,9 +178,10 @@ object Flac {
   // all three decorrelation modes (left/side, right/side, mid/side —
   // the +1-bit side channel included), 16-bit, fixed 256-sample
   // blocks, CONSTANT / VERBATIM / FIXED(orders 0-4) / LPC(quantized
-  // integer coefficients + shift) subframes, 4-bit Rice residuals
-  // with general partition orders. What remains — independent
-  // multichannel (codes 1-7), Rice escape partitions, wasted bits,
+  // integer coefficients + shift) subframes, wasted-bits headers
+  // (detected from common trailing zeros, like real encoders), 4-bit
+  // Rice residuals with general partition orders. What remains —
+  // independent multichannel (codes 1-7), Rice escape partitions,
   // variable blocking, and lossy payloads — is rejected with a loud
   // require naming the construct, never silently skipped. Both CRCs
   // (CRC-8 header, CRC-16 frame) are verified on every frame, so a
@@ -360,40 +361,73 @@ object Flac {
     }
   }
 
+  /** Common trailing-zero count across a block's samples — the wasted
+    * bits a real encoder detects and strips (RFC 9639 §9.2.2; e.g.
+    * 12-bit audio shipped in a 16-bit container). 0 when any sample
+    * has an odd value or every sample is zero; capped below the
+    * sample width. Public so FlacSpec can prove the fixture genuinely
+    * exercises the path. */
+  def wastedBitsOf(samples: Array[Int], bits: Int): Int = {
+    var k = bits - 1
+    var any = false
+    var i = 0
+    while (i < samples.length && k > 0) {
+      val v = samples(i)
+      if (v != 0) {
+        any = true
+        val tz = Integer.numberOfTrailingZeros(v)
+        if (tz < k) k = tz
+      }
+      i += 1
+    }
+    if (any) k else 0
+  }
+
   /** One subframe at sample width `bits`. kind: 0 CONSTANT,
-    * 1 VERBATIM, 2 FIXED(order), 3 LPC(order 2). */
+    * 1 VERBATIM, 2 FIXED(order), 3 LPC(order 2). When the block's
+    * samples share k > 0 trailing zero bits, the subframe is coded
+    * with the wasted-bits header (flag 1 + unary k−1) at width
+    * bits−k over the shifted-down values — the decoder shifts back. */
   private def writeSubframe(body: BitWriter, samples: Array[Int],
-      bits: Int, kind: Int, fixedOrder: Int, d: Long): Unit = kind match {
-    case 0 =>
-      body.writeBits(0, 1); body.writeBits(0, 6); body.writeBits(0, 1)
-      body.writeBits(samples(0) & ((1 << bits) - 1), bits)
-    case 1 =>
-      body.writeBits(0, 1); body.writeBits(1, 6); body.writeBits(0, 1)
-      samples.foreach(s2 => body.writeBits(s2 & ((1 << bits) - 1), bits))
-    case 2 =>
-      val order = fixedOrder
-      body.writeBits(0, 1); body.writeBits(8 + order, 6)
-      body.writeBits(0, 1)
-      (0 until order).foreach(j =>
-        body.writeBits(samples(j) & ((1 << bits) - 1), bits))
-      writeRice(body, (order until AudioBlock).map(j =>
-        samples(j) - fixedPredict(samples, j, order)))
-    case _ =>
-      val order = 2
-      val (c1, c2) = lpcCoefs(d)
-      body.writeBits(0, 1); body.writeBits(32 + (order - 1), 6)
-      body.writeBits(0, 1)
-      (0 until order).foreach(j =>
-        body.writeBits(samples(j) & ((1 << bits) - 1), bits))
-      body.writeBits(LpcPrecision - 1, 4)
-      body.writeBits(LpcShift, 5)
-      body.writeBits(c1 & ((1 << LpcPrecision) - 1), LpcPrecision)
-      body.writeBits(c2 & ((1 << LpcPrecision) - 1), LpcPrecision)
-      writeRice(body, (order until AudioBlock).map { j =>
-        val pred = (c1.toLong * samples(j - 1) +
-          c2.toLong * samples(j - 2)) >> LpcShift
-        samples(j) - pred.toInt
-      })
+      bits: Int, kind: Int, fixedOrder: Int, d: Long): Unit = {
+    val k = wastedBitsOf(samples, bits)
+    val eb = bits - k
+    val s = if (k == 0) samples else samples.map(_ >> k)
+    def header(typ: Int): Unit = {
+      body.writeBits(0, 1); body.writeBits(typ, 6)
+      if (k == 0) body.writeBits(0, 1)
+      else { body.writeBits(1, 1); body.writeUnary(k - 1) }
+    }
+    kind match {
+      case 0 =>
+        header(0)
+        body.writeBits(s(0) & ((1 << eb) - 1), eb)
+      case 1 =>
+        header(1)
+        s.foreach(v => body.writeBits(v & ((1 << eb) - 1), eb))
+      case 2 =>
+        val order = fixedOrder
+        header(8 + order)
+        (0 until order).foreach(j =>
+          body.writeBits(s(j) & ((1 << eb) - 1), eb))
+        writeRice(body, (order until AudioBlock).map(j =>
+          s(j) - fixedPredict(s, j, order)))
+      case _ =>
+        val order = 2
+        val (c1, c2) = lpcCoefs(d)
+        header(32 + (order - 1))
+        (0 until order).foreach(j =>
+          body.writeBits(s(j) & ((1 << eb) - 1), eb))
+        body.writeBits(LpcPrecision - 1, 4)
+        body.writeBits(LpcShift, 5)
+        body.writeBits(c1 & ((1 << LpcPrecision) - 1), LpcPrecision)
+        body.writeBits(c2 & ((1 << LpcPrecision) - 1), LpcPrecision)
+        writeRice(body, (order until AudioBlock).map { j =>
+          val pred = (c1.toLong * s(j - 1) +
+            c2.toLong * s(j - 2)) >> LpcShift
+          s(j) - pred.toInt
+        })
+    }
   }
 
   /** Real FLAC with audio frames for id d: 16-bit, sr by d%3, channels
@@ -517,22 +551,25 @@ object Flac {
   private def decodeSubframe(r: BitReader, bits: Int): Array[Int] = {
     require(r.readBits(1) == 0, "subframe padding bit set")
     val typ = r.readBits(6)
-    require(r.readBits(1) == 0,
-      "wasted-bits subframes unsupported in the decode subset")
+    // wasted bits (RFC 9639 §9.2.2): flag 1 + unary k−1; the subframe
+    // decodes at width bits−k and every sample shifts left k at output
+    val k = if (r.readBits(1) == 1) r.readUnary() + 1 else 0
+    require(k < bits, s"wasted bits $k exceed the $bits-bit sample width")
+    val eb = bits - k
     val block = new Array[Int](AudioBlock)
     typ match {
       case 0 =>
-        java.util.Arrays.fill(block, r.signed(r.readBits(bits), bits))
+        java.util.Arrays.fill(block, r.signed(r.readBits(eb), eb))
       case 1 =>
         var j = 0
         while (j < AudioBlock) {
-          block(j) = r.signed(r.readBits(bits), bits); j += 1
+          block(j) = r.signed(r.readBits(eb), eb); j += 1
         }
       case t if t >= 8 && t <= 12 =>
         val order = t - 8
         var j = 0
         while (j < order) {
-          block(j) = r.signed(r.readBits(bits), bits); j += 1
+          block(j) = r.signed(r.readBits(eb), eb); j += 1
         }
         val res = readResiduals(r, order)
         var i = order
@@ -547,7 +584,7 @@ object Flac {
         val order = (t & 31) + 1
         var j = 0
         while (j < order) {
-          block(j) = r.signed(r.readBits(bits), bits); j += 1
+          block(j) = r.signed(r.readBits(eb), eb); j += 1
         }
         val precM1 = r.readBits(4)
         require(precM1 != 15, "invalid LPC coefficient precision 15")
@@ -568,6 +605,10 @@ object Flac {
           i += 1
         }
       case t => sys.error(s"reserved subframe type $t")
+    }
+    if (k > 0) {
+      var i = 0
+      while (i < AudioBlock) { block(i) = block(i) << k; i += 1 }
     }
     block
   }
