@@ -174,18 +174,22 @@ object Flac {
   // FRAME DECODE (VERDICT r12 #2, extended r14 per VERDICT r13 #3) —
   // the audio stub boundary shrunk the same way PNG/JPEG/GIF were:
   // the decode subset is bounded integer arithmetic straight from the
-  // public spec (RFC 9639), no libm. Supported: mono AND stereo with
-  // all three decorrelation modes (left/side, right/side, mid/side —
-  // the +1-bit side channel included), 16-bit, fixed 256-sample
-  // blocks, CONSTANT / VERBATIM / FIXED(orders 0-4) / LPC(quantized
-  // integer coefficients + shift) subframes, wasted-bits headers
-  // (detected from common trailing zeros, like real encoders), 4-bit
-  // Rice residuals with general partition orders. What remains —
-  // independent multichannel (codes 1-7), Rice escape partitions,
-  // variable blocking, and lossy payloads — is rejected with a loud
-  // require naming the construct, never silently skipped. Both CRCs
-  // (CRC-8 header, CRC-16 frame) are verified on every frame, so a
-  // desynced walk cannot limp along.
+  // public spec (RFC 9639), no libm. Supported: independent channels
+  // AND decorrelated stereo in all three modes (left/side, right/side,
+  // mid/side — the +1-bit side channel included), per-frame channel-
+  // assignment switching, 16-bit, 256-sample blocks under BOTH
+  // blocksize strategies (fixed = frame numbers, variable = sample
+  // numbers; UTF-8-coded numbers validated against the running
+  // position either way), CONSTANT / VERBATIM / FIXED(orders 0-4) /
+  // LPC(quantized integer coefficients + shift) subframes, wasted-bits
+  // headers (detected from common trailing zeros, like real encoders),
+  // 4-bit Rice residuals with general partition orders AND escape
+  // partitions (verbatim w-bit two's complement). What remains —
+  // more than 2 channels, blocksizes other than 256, and lossy
+  // payloads — is rejected with a loud require naming the construct,
+  // never silently skipped. Both
+  // CRCs (CRC-8 header, CRC-16 frame) are verified on every frame, so
+  // a desynced walk cannot limp along.
   // ---------------------------------------------------------------
 
   /** CRC-8, poly 0x07, init 0 (the FLAC frame-header CRC). */
@@ -247,6 +251,27 @@ object Flac {
       bit += 1
       q
     }
+    /** FLAC's UTF-8-style coded number (RFC 9639 §9.1.5): the frame /
+      * sample number, 1-7 bytes, extended past Unicode's 4-byte cap to
+      * 36 bits. Continuation bytes must carry the 0b10 prefix. */
+    def readUtf8Coded(): Long = {
+      val b0 = readBits(8)
+      var n = 0
+      while (n < 8 && ((b0 << n) & 0x80) != 0) n += 1
+      if (n == 0) return b0.toLong
+      require(n >= 2 && n <= 7,
+        s"invalid UTF-8-coded number lead byte 0x${b0.toHexString}")
+      var v = (b0 & (0x7f >> n)).toLong
+      var k = 1
+      while (k < n) {
+        val c = readBits(8)
+        require((c & 0xc0) == 0x80,
+          s"invalid UTF-8-coded number continuation 0x${c.toHexString}")
+        v = (v << 6) | (c & 0x3f)
+        k += 1
+      }
+      v
+    }
     def alignByte(): Unit = {
       while (bit % 8 != 0) {
         require(readBits(1) == 0, "nonzero frame padding bits")
@@ -275,6 +300,22 @@ object Flac {
       writeBits(1, 1)
     }
     def alignByte(): Unit = while (nCur != 0) writeBits(0, 1)
+    /** The write side of readUtf8Coded — minimal-length encoding. */
+    def writeUtf8Coded(v: Long): Unit = {
+      require(v >= 0 && v < (1L << 36), s"coded number $v out of 36-bit range")
+      if (v < 0x80) writeBits(v.toInt, 8)
+      else {
+        // payload capacity of the n-byte form: (7-n) + 6(n-1) = 5n+1 bits
+        var n = 2
+        while (n < 7 && v >= (1L << (5 * n + 1))) n += 1
+        writeBits((0xff << (8 - n)) & 0xff | (v >> (6 * (n - 1))).toInt, 8)
+        var k = n - 2
+        while (k >= 0) {
+          writeBits(0x80 | ((v >> (6 * k)) & 0x3f).toInt, 8)
+          k -= 1
+        }
+      }
+    }
     def toBytes: Array[Byte] = { require(nCur == 0); out.toByteArray }
   }
 
@@ -316,6 +357,33 @@ object Flac {
 
   def audioChannels(d: Long): Int = (1 + d % 2).toInt
 
+  // -- bitstream-layout choices (PCM-invariant, so the DuckDB oracle
+  //    never changes when these rules do). Public so FlacSpec can
+  //    prove each path genuinely fires inside the fixture id range. --
+
+  /** Rice partition order for (d, f): cycles 0/1/2, so multi-partition
+    * residual decode runs on two thirds of residual-bearing subframes.
+    * Callers clamp so partition 0 keeps at least one sample. */
+  def partitionOrderOf(d: Long, f: Int): Int = ((d + f) % 3).toInt
+
+  /** Escape-coded partitions (RFC 9639 §9.2.7.1: parameter 0b1111 +
+    * 5-bit width + verbatim two's-complement residuals) — d%7==3 docs
+    * escape alternating partitions, so escaped and Rice-coded
+    * partitions coexist inside one subframe. */
+  def escapePartition(d: Long, f: Int, pi: Int): Boolean =
+    d % 7 == 3 && (pi + f) % 2 == 0
+
+  /** Stereo frames coded as two INDEPENDENT subframes (channel
+    * assignment 1) instead of a decorrelated pair — real encoders
+    * switch per frame when decorrelation doesn't pay. */
+  def independentStereoFrame(d: Long, f: Int): Boolean =
+    d % 5 == 2 && f == 1
+
+  /** Docs using the variable-blocksize STRATEGY bit: the frame header
+    * carries the first SAMPLE number (f·256 here — multibyte UTF-8
+    * from frame 1 on) instead of the frame number. */
+  def variableStrategy(d: Long): Boolean = d % 5 == 4
+
   /** Closed-form decoded (left, right) pair — right is meaningless for
     * mono ids. Derives L/R from (primary, side) exactly as the three
     * decorrelation modes do, including mid/side's carried LSB. */
@@ -346,18 +414,45 @@ object Flac {
       case _ => 4 * s(j - 1) - 6 * s(j - 2) + 4 * s(j - 3) - s(j - 4)
     }
 
-  /** Rice-code `resid` with partition order 0 and the smallest 4-bit
-    * parameter keeping every quotient under 64. */
-  private def writeRice(body: BitWriter, resid: Seq[Int]): Unit = {
-    val zz = resid.map(r => (r << 1) ^ (r >> 31))
-    var p = 0
-    while (p < 14 && zz.exists(z => (z >>> p) >= 64)) p += 1
+  /** Rice-code `resid` (the subframe's AudioBlock − order residuals)
+    * under the (d, f) layout rules: partition order from
+    * partitionOrderOf (clamped so partition 0 is non-empty), each
+    * partition either escape-coded verbatim (escapePartition) or Rice
+    * with the smallest per-partition 4-bit parameter keeping every
+    * quotient under 64. */
+  private def writeRice(body: BitWriter, resid: Seq[Int], order: Int,
+      d: Long, f: Int): Unit = {
+    var po = partitionOrderOf(d, f)
+    while ((AudioBlock >> po) <= order) po -= 1
     body.writeBits(0, 2) // residual method 0: 4-bit Rice
-    body.writeBits(0, 4) // partition order 0
-    body.writeBits(p, 4)
-    zz.foreach { z =>
-      body.writeUnary(z >>> p)
-      if (p > 0) body.writeBits(z & ((1 << p) - 1), p)
+    body.writeBits(po, 4)
+    val all = resid.toArray
+    var pi = 0
+    var idx = 0
+    while (pi < (1 << po)) {
+      val cnt = (AudioBlock >> po) - (if (pi == 0) order else 0)
+      val part = java.util.Arrays.copyOfRange(all, idx, idx + cnt)
+      if (escapePartition(d, f, pi)) {
+        var w = 1
+        part.foreach { r =>
+          val bits = 33 - Integer.numberOfLeadingZeros(if (r < 0) ~r else r)
+          if (bits > w) w = bits
+        }
+        body.writeBits(15, 4)
+        body.writeBits(w, 5)
+        part.foreach(r => body.writeBits(r & ((1 << w) - 1), w))
+      } else {
+        val zz = part.map(r => (r << 1) ^ (r >> 31))
+        var p = 0
+        while (p < 14 && zz.exists(z => (z >>> p) >= 64)) p += 1
+        body.writeBits(p, 4)
+        zz.foreach { z =>
+          body.writeUnary(z >>> p)
+          if (p > 0) body.writeBits(z & ((1 << p) - 1), p)
+        }
+      }
+      idx += cnt
+      pi += 1
     }
   }
 
@@ -389,7 +484,7 @@ object Flac {
     * with the wasted-bits header (flag 1 + unary k−1) at width
     * bits−k over the shifted-down values — the decoder shifts back. */
   private def writeSubframe(body: BitWriter, samples: Array[Int],
-      bits: Int, kind: Int, fixedOrder: Int, d: Long): Unit = {
+      bits: Int, kind: Int, fixedOrder: Int, d: Long, f: Int): Unit = {
     val k = wastedBitsOf(samples, bits)
     val eb = bits - k
     val s = if (k == 0) samples else samples.map(_ >> k)
@@ -411,7 +506,7 @@ object Flac {
         (0 until order).foreach(j =>
           body.writeBits(s(j) & ((1 << eb) - 1), eb))
         writeRice(body, (order until AudioBlock).map(j =>
-          s(j) - fixedPredict(s, j, order)))
+          s(j) - fixedPredict(s, j, order)), order, d, f)
       case _ =>
         val order = 2
         val (c1, c2) = lpcCoefs(d)
@@ -426,7 +521,7 @@ object Flac {
           val pred = (c1.toLong * s(j - 1) +
             c2.toLong * s(j - 2)) >> LpcShift
           s(j) - pred.toInt
-        })
+        }, order, d, f)
     }
   }
 
@@ -464,18 +559,24 @@ object Flac {
     out.write(si, 0, 34)
     var f = 0
     while (f < n) {
-      // channel code: 0000 mono; 1000/1001/1010 = left/side,
-      // right/side, mid/side
-      val chanCode = if (ch == 1) 0 else 8 + (f % 3)
+      // channel code: 0000 mono; 0001 independent stereo;
+      // 1000/1001/1010 = left/side, right/side, mid/side
+      val indep = ch == 2 && independentStereoFrame(d, f)
+      val chanCode =
+        if (ch == 1) 0 else if (indep) 1 else 8 + (f % 3)
+      val variable = variableStrategy(d)
       val w = new BitWriter
-      // header: sync(14) 11111111111110, reserved 0, fixed-size
-      // strategy 0, blocksize code 1000 (=256), sr code 0000 (from
+      // header: sync(14) 11111111111110, reserved 0, blocksize
+      // strategy bit, blocksize code 1000 (=256), sr code 0000 (from
       // STREAMINFO), channel code, sample size 100 (16), reserved 0
-      w.writeBits(0x3ffe, 14); w.writeBits(0, 1); w.writeBits(0, 1)
+      w.writeBits(0x3ffe, 14); w.writeBits(0, 1)
+      w.writeBits(if (variable) 1 else 0, 1)
       w.writeBits(0x8, 4); w.writeBits(0x0, 4)
       w.writeBits(chanCode, 4); w.writeBits(0x4, 3); w.writeBits(0, 1)
-      require(f < 0x80, "frame number would need multibyte UTF-8")
-      w.writeBits(f, 8) // UTF-8 coded frame number, 1 byte for < 0x80
+      // UTF-8-coded number: frame index under the fixed strategy, the
+      // first SAMPLE number under the variable strategy (multibyte
+      // from frame 1 on — 256 needs the 2-byte form)
+      w.writeUtf8Coded(if (variable) f.toLong * AudioBlock else f.toLong)
       w.alignByte()
       val hdr = w.toBytes
       val body = new BitWriter
@@ -483,19 +584,27 @@ object Flac {
       val fixedOrder = (1 + d % 4).toInt
       val primary = Array.tabulate(AudioBlock)(j => sampleAt(d, f, j))
       if (ch == 1)
-        writeSubframe(body, primary, 16, kind, fixedOrder, d)
-      else {
+        writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
+      else if (indep) {
+        // two independent 16-bit subframes carrying L and R directly;
+        // VERBATIM left + FIXED right keeps Rice/escape layouts live
+        // on independently-coded frames too
+        val l = Array.tabulate(AudioBlock)(j => lrAt(d, f, j)._1)
+        val r = Array.tabulate(AudioBlock)(j => lrAt(d, f, j)._2)
+        writeSubframe(body, l, 16, 1, fixedOrder, d, f)
+        writeSubframe(body, r, 16, 2, fixedOrder, d, f)
+      } else {
         val side = Array.tabulate(AudioBlock)(j => sideAt(d, f, j))
         (f % 3) match {
           case 0 => // left/side: primary first, side carries bps+1
-            writeSubframe(body, primary, 16, kind, fixedOrder, d)
-            writeSubframe(body, side, 17, 2, 1, d)
+            writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
+            writeSubframe(body, side, 17, 2, 1, d, f)
           case 1 => // right/side: SIDE subframe first (it is channel 0)
-            writeSubframe(body, side, 17, 2, 1, d)
-            writeSubframe(body, primary, 16, kind, fixedOrder, d)
+            writeSubframe(body, side, 17, 2, 1, d, f)
+            writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
           case _ => // mid/side
-            writeSubframe(body, primary, 16, kind, fixedOrder, d)
-            writeSubframe(body, side, 17, 2, 1, d)
+            writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
+            writeSubframe(body, side, 17, 2, 1, d, f)
         }
       }
       body.alignByte()
@@ -517,7 +626,9 @@ object Flac {
       samples: Array[Int])
 
   /** Rice-residual decode into a fresh array of AudioBlock − order
-    * values (general partition orders, escapes rejected loudly). */
+    * values: general partition orders, and escape partitions
+    * (parameter 0b1111 → 5-bit width w, then verbatim w-bit
+    * two's-complement residuals; w == 0 means all-zero). */
   private def readResiduals(r: BitReader, order: Int): Array[Int] = {
     val res = new Array[Int](AudioBlock - order)
     val method = r.readBits(2)
@@ -532,13 +643,20 @@ object Flac {
     while (part < (1 << po)) {
       val cnt = (AudioBlock >> po) - (if (part == 0) order else 0)
       val p = r.readBits(4)
-      require(p != 15,
-        "Rice escape partitions unsupported in the decode subset")
-      var s2 = 0
-      while (s2 < cnt) {
-        val zz = (r.readUnary() << p) | (if (p > 0) r.readBits(p) else 0)
-        res(idx) = (zz >>> 1) ^ -(zz & 1)
-        idx += 1; s2 += 1
+      if (p == 15) { // escape: unencoded two's complement at w bits
+        val w = r.readBits(5)
+        var s2 = 0
+        while (s2 < cnt) {
+          res(idx) = if (w == 0) 0 else r.signed(r.readBits(w), w)
+          idx += 1; s2 += 1
+        }
+      } else {
+        var s2 = 0
+        while (s2 < cnt) {
+          val zz = (r.readUnary() << p) | (if (p > 0) r.readBits(p) else 0)
+          res(idx) = (zz >>> 1) ^ -(zz & 1)
+          idx += 1; s2 += 1
+        }
       }
       part += 1
     }
@@ -614,12 +732,15 @@ object Flac {
   }
 
   /** Decode the supported FLAC subset for real: metadata walk to the
-    * first frame, then per frame — header field checks, CRC-8, the
-    * subframes (CONSTANT / VERBATIM / FIXED 0-2 / LPC with Rice
-    * residuals; mono or one of the three stereo decorrelation modes
-    * with the +1-bit side channel), padding, CRC-16. Stereo output is
-    * interleaved [L0, R0, L1, R1, …]. Unsupported constructs fail
-    * loudly by name. */
+    * first frame, then per frame — header field checks (both blocksize
+    * strategies, with the UTF-8-coded frame/sample number validated
+    * against the running position), CRC-8, the subframes (CONSTANT /
+    * VERBATIM / FIXED 0-4 / LPC with Rice residuals under general
+    * partition orders incl. escape partitions; independent channels or
+    * one of the three stereo decorrelation modes with the +1-bit side
+    * channel), padding, CRC-16. Stereo output is interleaved
+    * [L0, R0, L1, R1, …]. Unsupported constructs fail loudly by
+    * name. */
   def decodeAudio(bytes: Array[Byte]): FlacAudio = {
     val m = meta(bytes)
     require(m.channels == 1 || m.channels == 2,
@@ -644,12 +765,14 @@ object Flac {
         s"${bytes.length}-byte file — corrupt or hostile header")
     val outSamples = new Array[Int](m.totalSamples.toInt * m.channels)
     var got = 0
+    var frameIdx = 0L
     while (off < bytes.length) {
       val r = new BitReader(bytes, off * 8L)
       require(r.readBits(14) == 0x3ffe, "lost FLAC frame sync")
       require(r.readBits(1) == 0, "reserved frame-header bit set")
-      require(r.readBits(1) == 0,
-        "variable-blocksize strategy unsupported in the decode subset")
+      // blocksize strategy: 0 = fixed (header carries the frame
+      // number), 1 = variable (header carries the first SAMPLE number)
+      val variable = r.readBits(1) == 1
       val bsCode = r.readBits(4)
       require(bsCode == 0x8,
         s"unsupported blocksize code $bsCode (decode subset is 256)")
@@ -657,28 +780,41 @@ object Flac {
       require(srCode == 0,
         s"unsupported sample-rate code $srCode (STREAMINFO rate only)")
       val chan = r.readBits(4)
-      require(chan == 0 || (chan >= 8 && chan <= 10),
-        s"unsupported channel assignment $chan (independent " +
-          "multichannel is outside the decode subset; mono and the " +
-          "three decorrelated stereo modes are in)")
-      require((chan == 0) == (m.channels == 1),
+      require(chan <= 10,
+        s"reserved channel assignment $chan")
+      // 0-7 = chan+1 independent channels; 8-10 = decorrelated stereo
+      val nch = if (chan <= 7) chan + 1 else 2
+      require(nch == m.channels,
         s"frame channel assignment $chan contradicts STREAMINFO " +
           s"channels ${m.channels}")
       val ssz = r.readBits(3)
       require(ssz == 4, s"unsupported sample-size code $ssz (16-bit only)")
       require(r.readBits(1) == 0, "reserved frame-header bit set")
-      val fno = r.readBits(8)
-      require(fno < 0x80,
-        "multibyte UTF-8 frame numbers unsupported in the decode subset")
+      val fno = r.readUtf8Coded()
+      if (variable)
+        require(fno == got / m.channels,
+          s"frame sample number $fno != expected ${got / m.channels}")
+      else
+        require(fno == frameIdx,
+          s"frame number $fno != expected $frameIdx")
       val hdrEnd = r.byteAt
       require(crc8(bytes, off, hdrEnd) == r.readBits(8),
         s"FLAC frame $fno header CRC-8 mismatch")
-      if (chan == 0) {
-        val block = decodeSubframe(r, 16)
-        require(got + AudioBlock <= outSamples.length,
+      if (chan <= 7) {
+        // nch independent subframes at the stream bit depth,
+        // interleaved on output (mono is the nch == 1 case)
+        val chans = Array.fill(nch)(decodeSubframe(r, 16))
+        require(got + nch * AudioBlock <= outSamples.length,
           "more frames than STREAMINFO total samples")
-        System.arraycopy(block, 0, outSamples, got, AudioBlock)
-        got += AudioBlock
+        var j = 0
+        while (j < AudioBlock) {
+          var c = 0
+          while (c < nch) {
+            outSamples(got + nch * j + c) = chans(c)(j); c += 1
+          }
+          j += 1
+        }
+        got += nch * AudioBlock
       } else {
         // the side channel carries bps+1 bits: channel 1 in
         // left/side (8) and mid/side (10), channel 0 in right/side (9)
@@ -709,6 +845,7 @@ object Flac {
         ((bytes(frameEnd) & 0xff) << 8 | (bytes(frameEnd + 1) & 0xff)),
         s"FLAC frame $fno CRC-16 mismatch")
       off = frameEnd + 2
+      frameIdx += 1
     }
     require(got == outSamples.length,
       s"decoded $got values, STREAMINFO declared ${outSamples.length}")

@@ -5620,11 +5620,18 @@ object Llm extends QueryModule {
     // (1 + d%2 channels), all from closed-form sample contracts, so
     // the oracle recomputes the decoded PCM directly — a wrong
     // predictor, Rice split, warmup width, coefficient order, or
-    // mid/side LSB carry cannot hash-match. Rice escapes, wasted
-    // bits, independent multichannel and variable blocking are
-    // rejected loudly by name (the remaining audio boundary is lossy
-    // payloads). Per-doc map work, no shuffle before the final sort —
-    // the decode costs the scan stage only at 100 TB.
+    // mid/side LSB carry cannot hash-match. The bitstream LAYOUT
+    // choices cycle independently of the PCM (which is why the oracle
+    // never changes as the subset grows): Rice partition orders 0-2,
+    // escape partitions (verbatim w-bit two's complement), wasted-bits
+    // headers, per-frame independent-vs-decorrelated stereo switching,
+    // and both blocksize strategies (fixed frame numbers / variable
+    // sample numbers, multibyte UTF-8-coded either way) — FlacSpec
+    // proves each layout fires inside this query's id range. >2
+    // channels and non-256 blocksizes are rejected loudly by name
+    // (the remaining audio boundary is lossy payloads). Per-doc map
+    // work, no shuffle before the final sort — the decode costs the
+    // scan stage only at 100 TB.
     QueryDef(
       "llm_audio_flac_decode",
       (s, dir) => graft.operators.Flac.audioFeatures(

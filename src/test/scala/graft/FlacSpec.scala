@@ -203,26 +203,95 @@ class FlacSpec extends AnyFunSuite {
       b(off + 5) = c.toByte
       b
     }
-    // independent-stereo channel assignment (byte3: chan=0001, ssz=100)
+    // an independent-STEREO frame under a mono STREAMINFO must be the
+    // named contradiction, not a silent decode (chan=0001 → 2 channels)
     val e1 = intercept[IllegalArgumentException] {
       Flac.decodeAudio(tamper(off + 3, 0x18)) }
-    assert(e1.getMessage.contains("channel"), e1.getMessage)
-    // a decorrelated-stereo frame under a mono STREAMINFO must be the
-    // named contradiction, not a silent mono decode (chan=1000)
+    assert(e1.getMessage.contains("contradicts"), e1.getMessage)
+    // a decorrelated-stereo frame under a mono STREAMINFO likewise
+    // (chan=1000)
     val e1b = intercept[IllegalArgumentException] {
       Flac.decodeAudio(tamper(off + 3, 0x88)) }
     assert(e1b.getMessage.contains("contradicts"), e1b.getMessage)
-    // variable blocksize strategy (byte1 bit0)
+    // reserved channel assignment 1011
+    val e1c = intercept[IllegalArgumentException] {
+      Flac.decodeAudio(tamper(off + 3, 0xb8)) }
+    assert(e1c.getMessage.contains("reserved channel assignment"),
+      e1c.getMessage)
+    // a wrong frame number (this mono fixture's frame 0 claims to be
+    // frame 3) must fail the running-position validation by name
     val e2 = intercept[IllegalArgumentException] {
-      Flac.decodeAudio(tamper(off + 1, 0xf9)) }
-    assert(e2.getMessage.contains("blocksize") ||
-      e2.getMessage.contains("variable"), e2.getMessage)
+      Flac.decodeAudio(tamper(off + 4, 0x03)) }
+    assert(e2.getMessage.contains("frame number"), e2.getMessage)
+    // a lone UTF-8 continuation byte as the coded number
+    val e2b = intercept[IllegalArgumentException] {
+      Flac.decodeAudio(tamper(off + 4, 0x80)) }
+    assert(e2b.getMessage.contains("UTF-8-coded"), e2b.getMessage)
     // reserved subframe type 13 (001101) — FIXED stops at order 4; the
     // subframe header byte sits right after the crc8 byte
     val b3 = good.clone()
     b3(off + 6) = 0x1a.toByte // 0 pad, 001101 type, 0 wasted
     val e3 = intercept[RuntimeException] { Flac.decodeAudio(b3) }
     assert(e3.getMessage.contains("reserved subframe type"), e3.getMessage)
+  }
+
+  test("partition orders, escapes, independent stereo, and variable " +
+      "numbering all fire inside the query's id range") {
+    // every new bitstream-layout path must be live in [0, 300) — the
+    // llm_audio_flac_decode filter — or its decode branch is dead code
+    // behind an oracle that can't see it (the PCM is layout-invariant)
+    var multiPart = 0; var escaped = 0; var indep = 0; var variable = 0
+    var multibyte = 0
+    for (d <- 0L until 300L) {
+      val n = Flac.audioFrames(d)
+      val ch = Flac.audioChannels(d)
+      for (f <- 0 until n) {
+        val kind = f % 4
+        // residual-bearing subframes: FIXED/LPC primaries, and the
+        // FIXED(1) side/right subframes on non-independent stereo
+        val hasResiduals = kind >= 2 ||
+          (ch == 2 && !Flac.independentStereoFrame(d, f))
+        val po = Flac.partitionOrderOf(d, f)
+        if (hasResiduals && po > 0) multiPart += 1
+        if (hasResiduals && (0 until (1 << po)).exists(pi =>
+          Flac.escapePartition(d, f, pi))) escaped += 1
+        if (ch == 2 && Flac.independentStereoFrame(d, f)) indep += 1
+      }
+      if (Flac.variableStrategy(d)) {
+        variable += 1
+        if (n > 1) multibyte += 1 // frame 1's sample number 256 ≥ 0x80
+      }
+    }
+    assert(multiPart > 0, "no multi-partition residual block fires")
+    assert(escaped > 0, "no escape partition fires")
+    assert(indep > 0, "no independent-stereo frame fires")
+    assert(variable > 0, "no variable-strategy doc fires")
+    assert(multibyte > 0, "no multibyte UTF-8 coded number fires")
+    // and the closed-form bit-exactness test above covers d ≤ 60,
+    // which includes members of every class — prove that here so the
+    // decode coverage isn't an accident of the 0-60 window
+    assert((0L to 60L).exists(d => Flac.variableStrategy(d) &&
+      Flac.audioFrames(d) > 1))
+    assert((0L to 60L).exists(d => d % 7 == 3))
+    assert((0L to 60L).exists(d => Flac.audioChannels(d) == 2 &&
+      Flac.audioFrames(d) > 1 && Flac.independentStereoFrame(d, 1)))
+  }
+
+  test("escape partitions round-trip on the 17-bit side channel") {
+    // pin the w-bit two's-complement escape read on the widened
+    // channel specifically: d%7==3 stereo docs escape partitions of
+    // the FIXED(1) side subframe, whose warmup width is 17
+    val wide = (0L until 300L).find(d => d % 7 == 3 &&
+      Flac.audioChannels(d) == 2).get
+    val a = Flac.decodeAudio(Flac.synthAudio(wide))
+    var i = 0
+    while (i < a.samples.length / 2) {
+      val f = i / 256; val j = i % 256
+      val (l, r) = Flac.lrAt(wide, f, j)
+      assert(a.samples(2 * i) == l && a.samples(2 * i + 1) == r,
+        s"d=$wide f=$f j=$j")
+      i += 1
+    }
   }
 
   test("frame decoder terminates loudly under random corruption") {
