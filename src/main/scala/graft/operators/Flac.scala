@@ -174,10 +174,13 @@ object Flac {
   // FRAME DECODE (VERDICT r12 #2, extended r14 per VERDICT r13 #3) —
   // the audio stub boundary shrunk the same way PNG/JPEG/GIF were:
   // the decode subset is bounded integer arithmetic straight from the
-  // public spec (RFC 9639), no libm. Supported: independent channels
-  // AND decorrelated stereo in all three modes (left/side, right/side,
-  // mid/side — the +1-bit side channel included), per-frame channel-
-  // assignment switching, 16-bit, 256-sample blocks under BOTH
+  // public spec (RFC 9639), no libm. Supported: independent
+  // multichannel (1-8 channels, assignment codes 0-7) AND decorrelated
+  // stereo in all three modes (left/side, right/side, mid/side — the
+  // +1-bit side channel included) with per-frame channel-assignment
+  // switching, 16-bit, 256-sample blocks plus a SHORT LAST block
+  // declared inline (codes 0110/0111, 8/16-bit size−1 after the coded
+  // number — validated as exactly the remaining sample count), BOTH
   // blocksize strategies (fixed = frame numbers, variable = sample
   // numbers; UTF-8-coded numbers validated against the running
   // position either way), CONSTANT / VERBATIM / FIXED(orders 0-4) /
@@ -185,11 +188,11 @@ object Flac {
   // headers (detected from common trailing zeros, like real encoders),
   // 4-bit Rice residuals with general partition orders AND escape
   // partitions (verbatim w-bit two's complement). What remains —
-  // more than 2 channels, blocksizes other than 256, and lossy
-  // payloads — is rejected with a loud require naming the construct,
-  // never silently skipped. Both
-  // CRCs (CRC-8 header, CRC-16 frame) are verified on every frame, so
-  // a desynced walk cannot limp along.
+  // non-16-bit sample sizes, non-256 full blocksizes, inline sample
+  // rates, and lossy payloads — is rejected with a loud require naming
+  // the construct, never silently skipped. Both CRCs (CRC-8 header,
+  // CRC-16 frame) are verified on every frame, so a desynced walk
+  // cannot limp along.
   // ---------------------------------------------------------------
 
   /** CRC-8, poly 0x07, init 0 (the FLAC frame-header CRC). */
@@ -355,7 +358,25 @@ object Flac {
 
   def audioFrames(d: Long): Int = (2 + d % 3).toInt
 
-  def audioChannels(d: Long): Int = (1 + d % 2).toInt
+  /** 1-4 channels: 1 mono, 2 stereo (decorrelated, with per-frame
+    * independent switching), 3-4 independent multichannel (channel
+    * assignment code = channels − 1, each coded on its own). */
+  def audioChannels(d: Long): Int = (1 + d % 4).toInt
+
+  /** Closed-form signal for channel c of a ≥3-channel doc — frame
+    * (f+c)%4 == 0 channels are j-constant so CONSTANT subframes stay
+    * live on the multichannel path. */
+  def chanAt(d: Long, c: Int, f: Int, j: Int): Int =
+    (if ((f + c) % 4 == 0) ((d * 13 + f * 7 + c * 29) % 1601) - 800
+     else ((j * (2 + (c + d) % 5) + d + f * (c + 1) + 7 * c) % 1601)
+       - 800).toInt
+
+  /** Short LAST block (RFC 9639 §8.2 allows the final block below the
+    * stream blocksize without the variable strategy): d%6==5 docs
+    * append a 64-142-sample tail frame, declared via blocksize code 6
+    * (8-bit size−1) or 7 (16-bit) by d%4. 0 = no tail. */
+  def tailLen(d: Long): Int =
+    if (d % 6 == 5) (64 + (d % 7) * 13).toInt else 0
 
   // -- bitstream-layout choices (PCM-invariant, so the DuckDB oracle
   //    never changes when these rules do). Public so FlacSpec can
@@ -421,16 +442,18 @@ object Flac {
     * with the smallest per-partition 4-bit parameter keeping every
     * quotient under 64. */
   private def writeRice(body: BitWriter, resid: Seq[Int], order: Int,
-      d: Long, f: Int): Unit = {
+      d: Long, f: Int, bs: Int): Unit = {
     var po = partitionOrderOf(d, f)
-    while ((AudioBlock >> po) <= order) po -= 1
+    while (po > 0 && ((bs >> po) << po != bs || (bs >> po) <= order))
+      po -= 1
+    require((bs >> po) > order, s"blocksize $bs too small for order $order")
     body.writeBits(0, 2) // residual method 0: 4-bit Rice
     body.writeBits(po, 4)
     val all = resid.toArray
     var pi = 0
     var idx = 0
     while (pi < (1 << po)) {
-      val cnt = (AudioBlock >> po) - (if (pi == 0) order else 0)
+      val cnt = (bs >> po) - (if (pi == 0) order else 0)
       val part = java.util.Arrays.copyOfRange(all, idx, idx + cnt)
       if (escapePartition(d, f, pi)) {
         var w = 1
@@ -485,6 +508,7 @@ object Flac {
     * bits−k over the shifted-down values — the decoder shifts back. */
   private def writeSubframe(body: BitWriter, samples: Array[Int],
       bits: Int, kind: Int, fixedOrder: Int, d: Long, f: Int): Unit = {
+    val bs = samples.length
     val k = wastedBitsOf(samples, bits)
     val eb = bits - k
     val s = if (k == 0) samples else samples.map(_ >> k)
@@ -505,8 +529,8 @@ object Flac {
         header(8 + order)
         (0 until order).foreach(j =>
           body.writeBits(s(j) & ((1 << eb) - 1), eb))
-        writeRice(body, (order until AudioBlock).map(j =>
-          s(j) - fixedPredict(s, j, order)), order, d, f)
+        writeRice(body, (order until bs).map(j =>
+          s(j) - fixedPredict(s, j, order)), order, d, f, bs)
       case _ =>
         val order = 2
         val (c1, c2) = lpcCoefs(d)
@@ -517,11 +541,11 @@ object Flac {
         body.writeBits(LpcShift, 5)
         body.writeBits(c1 & ((1 << LpcPrecision) - 1), LpcPrecision)
         body.writeBits(c2 & ((1 << LpcPrecision) - 1), LpcPrecision)
-        writeRice(body, (order until AudioBlock).map { j =>
+        writeRice(body, (order until bs).map { j =>
           val pred = (c1.toLong * s(j - 1) +
             c2.toLong * s(j - 2)) >> LpcShift
           s(j) - pred.toInt
-        }, order, d, f)
+        }, order, d, f, bs)
     }
   }
 
@@ -539,7 +563,8 @@ object Flac {
     }
     val n = audioFrames(d)
     val ch = audioChannels(d)
-    val total = n.toLong * AudioBlock
+    val tail = tailLen(d)
+    val total = n.toLong * AudioBlock + tail
     val out = new java.io.ByteArrayOutputStream(4096)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO, the LAST metadata block here (no tags on the audio
@@ -557,44 +582,69 @@ object Flac {
     si(16) = ((total >> 8) & 0xff).toByte
     si(17) = (total & 0xff).toByte
     out.write(si, 0, 34)
+    val nFrames = n + (if (tail > 0) 1 else 0)
     var f = 0
-    while (f < n) {
-      // channel code: 0000 mono; 0001 independent stereo;
-      // 1000/1001/1010 = left/side, right/side, mid/side
+    while (f < nFrames) {
+      val bs = if (f < n) AudioBlock else tail
+      // channel code: 0000 mono; 0001-0011 = 2-4 independent
+      // channels; 1000/1001/1010 = left/side, right/side, mid/side
       val indep = ch == 2 && independentStereoFrame(d, f)
       val chanCode =
-        if (ch == 1) 0 else if (indep) 1 else 8 + (f % 3)
+        if (ch == 1) 0
+        else if (ch >= 3) ch - 1
+        else if (indep) 1
+        else 8 + (f % 3)
       val variable = variableStrategy(d)
+      // blocksize code: 1000 (=256) for full blocks; the short tail
+      // block is declared inline — 0110 (8-bit size−1) or 0111
+      // (16-bit size−1) so both end-of-header field widths are live
+      val bsCode =
+        if (bs == AudioBlock) 0x8 else if (d % 4 == 1) 0x6 else 0x7
       val w = new BitWriter
       // header: sync(14) 11111111111110, reserved 0, blocksize
-      // strategy bit, blocksize code 1000 (=256), sr code 0000 (from
-      // STREAMINFO), channel code, sample size 100 (16), reserved 0
+      // strategy bit, blocksize code, sr code 0000 (from STREAMINFO),
+      // channel code, sample size 100 (16), reserved 0
       w.writeBits(0x3ffe, 14); w.writeBits(0, 1)
       w.writeBits(if (variable) 1 else 0, 1)
-      w.writeBits(0x8, 4); w.writeBits(0x0, 4)
+      w.writeBits(bsCode, 4); w.writeBits(0x0, 4)
       w.writeBits(chanCode, 4); w.writeBits(0x4, 3); w.writeBits(0, 1)
       // UTF-8-coded number: frame index under the fixed strategy, the
       // first SAMPLE number under the variable strategy (multibyte
       // from frame 1 on — 256 needs the 2-byte form)
       w.writeUtf8Coded(if (variable) f.toLong * AudioBlock else f.toLong)
+      // inline blocksize field follows the coded number (RFC 9639
+      // §9.1.1: "get from end of header")
+      if (bsCode == 0x6) w.writeBits(bs - 1, 8)
+      else if (bsCode == 0x7) w.writeBits(bs - 1, 16)
       w.alignByte()
       val hdr = w.toBytes
       val body = new BitWriter
       val kind = f % 4
       val fixedOrder = (1 + d % 4).toInt
-      val primary = Array.tabulate(AudioBlock)(j => sampleAt(d, f, j))
-      if (ch == 1)
+      if (ch == 1) {
+        val primary = Array.tabulate(bs)(j => sampleAt(d, f, j))
         writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
-      else if (indep) {
+      } else if (ch >= 3) {
+        // independent multichannel: each channel its own subframe,
+        // kind cycling (f+c)%4 — chanAt keeps (f+c)%4==0 j-constant
+        // so CONSTANT subframes stay live here too
+        var c = 0
+        while (c < ch) {
+          val v = Array.tabulate(bs)(j => chanAt(d, c, f, j))
+          writeSubframe(body, v, 16, (f + c) % 4, fixedOrder, d, f)
+          c += 1
+        }
+      } else if (indep) {
         // two independent 16-bit subframes carrying L and R directly;
         // VERBATIM left + FIXED right keeps Rice/escape layouts live
         // on independently-coded frames too
-        val l = Array.tabulate(AudioBlock)(j => lrAt(d, f, j)._1)
-        val r = Array.tabulate(AudioBlock)(j => lrAt(d, f, j)._2)
+        val l = Array.tabulate(bs)(j => lrAt(d, f, j)._1)
+        val r = Array.tabulate(bs)(j => lrAt(d, f, j)._2)
         writeSubframe(body, l, 16, 1, fixedOrder, d, f)
         writeSubframe(body, r, 16, 2, fixedOrder, d, f)
       } else {
-        val side = Array.tabulate(AudioBlock)(j => sideAt(d, f, j))
+        val primary = Array.tabulate(bs)(j => sampleAt(d, f, j))
+        val side = Array.tabulate(bs)(j => sideAt(d, f, j))
         (f % 3) match {
           case 0 => // left/side: primary first, side carries bps+1
             writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
@@ -629,19 +679,19 @@ object Flac {
     * values: general partition orders, and escape partitions
     * (parameter 0b1111 → 5-bit width w, then verbatim w-bit
     * two's-complement residuals; w == 0 means all-zero). */
-  private def readResiduals(r: BitReader, order: Int): Array[Int] = {
-    val res = new Array[Int](AudioBlock - order)
+  private def readResiduals(r: BitReader, order: Int,
+      bs: Int): Array[Int] = {
+    val res = new Array[Int](bs - order)
     val method = r.readBits(2)
     require(method == 0,
       s"residual method $method unsupported (4-bit Rice only)")
     val po = r.readBits(4)
-    require((AudioBlock >> po) << po == AudioBlock &&
-      (AudioBlock >> po) > order,
-      s"invalid partition order $po for blocksize $AudioBlock")
+    require((bs >> po) << po == bs && (bs >> po) > order,
+      s"invalid partition order $po for blocksize $bs")
     var part = 0
     var idx = 0
     while (part < (1 << po)) {
-      val cnt = (AudioBlock >> po) - (if (part == 0) order else 0)
+      val cnt = (bs >> po) - (if (part == 0) order else 0)
       val p = r.readBits(4)
       if (p == 15) { // escape: unencoded two's complement at w bits
         val w = r.readBits(5)
@@ -666,7 +716,8 @@ object Flac {
   /** One subframe at sample width `bits`: CONSTANT / VERBATIM /
     * FIXED(0-4) / LPC with quantized integer coefficients + shift.
     * Unsupported constructs fail loudly by name. */
-  private def decodeSubframe(r: BitReader, bits: Int): Array[Int] = {
+  private def decodeSubframe(r: BitReader, bits: Int,
+      bs: Int): Array[Int] = {
     require(r.readBits(1) == 0, "subframe padding bit set")
     val typ = r.readBits(6)
     // wasted bits (RFC 9639 §9.2.2): flag 1 + unary k−1; the subframe
@@ -674,13 +725,13 @@ object Flac {
     val k = if (r.readBits(1) == 1) r.readUnary() + 1 else 0
     require(k < bits, s"wasted bits $k exceed the $bits-bit sample width")
     val eb = bits - k
-    val block = new Array[Int](AudioBlock)
+    val block = new Array[Int](bs)
     typ match {
       case 0 =>
         java.util.Arrays.fill(block, r.signed(r.readBits(eb), eb))
       case 1 =>
         var j = 0
-        while (j < AudioBlock) {
+        while (j < bs) {
           block(j) = r.signed(r.readBits(eb), eb); j += 1
         }
       case t if t >= 8 && t <= 12 =>
@@ -689,9 +740,9 @@ object Flac {
         while (j < order) {
           block(j) = r.signed(r.readBits(eb), eb); j += 1
         }
-        val res = readResiduals(r, order)
+        val res = readResiduals(r, order, bs)
         var i = order
-        while (i < AudioBlock) {
+        while (i < bs) {
           block(i) = res(i - order) + fixedPredict(block, i, order)
           i += 1
         }
@@ -711,9 +762,9 @@ object Flac {
         require(shiftRaw < 16,
           s"negative LPC shift ${shiftRaw - 32} is invalid per spec")
         val coefs = Array.fill(order)(r.signed(r.readBits(prec), prec))
-        val res = readResiduals(r, order)
+        val res = readResiduals(r, order, bs)
         var i = order
-        while (i < AudioBlock) {
+        while (i < bs) {
           var acc = 0L
           var k = 0
           while (k < order) {
@@ -726,7 +777,7 @@ object Flac {
     }
     if (k > 0) {
       var i = 0
-      while (i < AudioBlock) { block(i) = block(i) << k; i += 1 }
+      while (i < bs) { block(i) = block(i) << k; i += 1 }
     }
     block
   }
@@ -743,9 +794,8 @@ object Flac {
     * name. */
   def decodeAudio(bytes: Array[Byte]): FlacAudio = {
     val m = meta(bytes)
-    require(m.channels == 1 || m.channels == 2,
-      s"unsupported FLAC channel count ${m.channels} " +
-        "(decode subset is mono/stereo)")
+    require(m.channels >= 1 && m.channels <= 8,
+      s"invalid FLAC channel count ${m.channels}")
     require(m.bitsPerSample == 16,
       s"unsupported FLAC bit depth ${m.bitsPerSample} (decode subset is 16)")
     // re-walk the metadata blocks to find the first frame
@@ -774,8 +824,9 @@ object Flac {
       // number), 1 = variable (header carries the first SAMPLE number)
       val variable = r.readBits(1) == 1
       val bsCode = r.readBits(4)
-      require(bsCode == 0x8,
-        s"unsupported blocksize code $bsCode (decode subset is 256)")
+      require(bsCode == 0x8 || bsCode == 0x6 || bsCode == 0x7,
+        s"unsupported blocksize code $bsCode (decode subset is 256 " +
+          "plus inline-declared short last blocks)")
       val srCode = r.readBits(4)
       require(srCode == 0,
         s"unsupported sample-rate code $srCode (STREAMINFO rate only)")
@@ -797,35 +848,48 @@ object Flac {
       else
         require(fno == frameIdx,
           s"frame number $fno != expected $frameIdx")
+      // inline blocksize field (codes 6/7) follows the coded number
+      val bs = bsCode match {
+        case 0x8 => AudioBlock
+        case 0x6 => r.readBits(8) + 1
+        case _   => r.readBits(16) + 1
+      }
+      // only the LAST block may be short (RFC 9639 §8.2) — and it
+      // must then be exactly the remaining sample count
+      val remaining = m.totalSamples - got / m.channels
+      require(bs == math.min(AudioBlock.toLong, remaining),
+        s"frame declares blocksize $bs, expected " +
+          s"${math.min(AudioBlock.toLong, remaining)} " +
+          s"($remaining samples remaining)")
       val hdrEnd = r.byteAt
       require(crc8(bytes, off, hdrEnd) == r.readBits(8),
         s"FLAC frame $fno header CRC-8 mismatch")
       if (chan <= 7) {
         // nch independent subframes at the stream bit depth,
         // interleaved on output (mono is the nch == 1 case)
-        val chans = Array.fill(nch)(decodeSubframe(r, 16))
-        require(got + nch * AudioBlock <= outSamples.length,
+        val chans = Array.fill(nch)(decodeSubframe(r, 16, bs))
+        require(got + nch * bs <= outSamples.length,
           "more frames than STREAMINFO total samples")
         var j = 0
-        while (j < AudioBlock) {
+        while (j < bs) {
           var c = 0
           while (c < nch) {
             outSamples(got + nch * j + c) = chans(c)(j); c += 1
           }
           j += 1
         }
-        got += nch * AudioBlock
+        got += nch * bs
       } else {
         // the side channel carries bps+1 bits: channel 1 in
         // left/side (8) and mid/side (10), channel 0 in right/side (9)
         val bits0 = if (chan == 9) 17 else 16
         val bits1 = if (chan == 9) 16 else 17
-        val c0 = decodeSubframe(r, bits0)
-        val c1 = decodeSubframe(r, bits1)
-        require(got + 2 * AudioBlock <= outSamples.length,
+        val c0 = decodeSubframe(r, bits0, bs)
+        val c1 = decodeSubframe(r, bits1, bs)
+        require(got + 2 * bs <= outSamples.length,
           "more frames than STREAMINFO total samples")
         var j = 0
-        while (j < AudioBlock) {
+        while (j < bs) {
           val (lv, rv) = chan match {
             case 8 => (c0(j), c0(j) - c1(j)) // left/side
             case 9 => (c1(j) + c0(j), c1(j)) // right/side
@@ -837,7 +901,7 @@ object Flac {
           outSamples(got + 2 * j + 1) = rv
           j += 1
         }
-        got += 2 * AudioBlock
+        got += 2 * bs
       }
       r.alignByte()
       val frameEnd = r.byteAt

@@ -5612,12 +5612,15 @@ object Llm extends QueryModule {
     // the audio stub boundary shrunk the way PNG/JPEG/GIF were: real
     // Rice-coded residuals, fixed AND quantized-LPC predictors, and
     // all three stereo decorrelation modes (left/side, right/side,
-    // mid/side with the +1-bit side channel), bounded integer
-    // arithmetic straight from the public spec (RFC 9639), both frame
-    // CRCs verified per frame. The fixture cycles CONSTANT / VERBATIM
-    // / FIXED(order 1|2) / LPC(order 2) subframes by f%4 on the
-    // primary channel and the decorrelation mode by f%3 on stereo ids
-    // (1 + d%2 channels), all from closed-form sample contracts, so
+    // mid/side with the +1-bit side channel) PLUS independent
+    // multichannel (3-4 channel docs, each channel its own subframe)
+    // and short LAST blocks (inline 8/16-bit blocksize declarations),
+    // bounded integer arithmetic straight from the public spec
+    // (RFC 9639), both frame CRCs verified per frame. The fixture
+    // cycles CONSTANT / VERBATIM / FIXED(order 1-4) / LPC(order 2)
+    // subframes by f%4 on the primary channel, the decorrelation mode
+    // by f%3 on stereo ids (1 + d%4 channels), and (f+c)%4 kinds per
+    // independent channel, all from closed-form sample contracts, so
     // the oracle recomputes the decoded PCM directly — a wrong
     // predictor, Rice split, warmup width, coefficient order, or
     // mid/side LSB carry cannot hash-match. The bitstream LAYOUT
@@ -5639,14 +5642,17 @@ object Llm extends QueryModule {
           .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
         .orderBy("id"),
       Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
-            CAST(1 + doc_id % 2 AS INT) AS ch,
+            CAST(1 + doc_id % 4 AS INT) AS ch,
+            CAST(CASE WHEN doc_id % 6 = 5 THEN 64 + (doc_id % 7) * 13
+              ELSE 0 END AS INT) AS tail,
             CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
               ELSE 96000 END AS INT) AS sr
           FROM documents WHERE doc_id < 300),
-        s AS (SELECT d.doc_id, d.sr, d.n, d.ch, i.i,
+        s AS (SELECT d.doc_id, d.sr, d.n, d.ch, d.tail, i.i,
             i.i // 256 AS f, i.i % 256 AS j
-          FROM d, LATERAL (SELECT unnest(range(0, d.n * 256)) AS i) i),
-        p AS (SELECT doc_id, sr, n, ch, i, f,
+          FROM d, LATERAL
+            (SELECT unnest(range(0, d.n * 256 + d.tail)) AS i) i),
+        p AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
             CASE f % 4
               WHEN 0 THEN ((doc_id * 31 + f * 7) % 2001) - 1000
               WHEN 1 THEN ((j * (37 + doc_id % 13) + doc_id + f) % 2001)
@@ -5657,7 +5663,7 @@ object Llm extends QueryModule {
             END AS prim,
             ((j * (2 + doc_id % 3) + doc_id + 2 * f) % 257) - 128 AS sd
           FROM s),
-        lr AS (SELECT doc_id, sr, n, ch, i,
+        lr AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
             CASE WHEN ch = 1 OR f % 3 = 0 THEN prim
               WHEN f % 3 = 1 THEN prim + sd
               ELSE (2 * prim + abs(sd) % 2 + sd) // 2 END AS l,
@@ -5665,14 +5671,40 @@ object Llm extends QueryModule {
               WHEN f % 3 = 1 THEN prim
               ELSE (2 * prim + abs(sd) % 2 - sd) // 2 END AS r
           FROM p),
-        u AS (SELECT doc_id, sr, n, ch, i, 0 AS c, l AS v FROM lr
+        mc AS (SELECT doc_id, sr, n, ch, tail, i, l, r,
+            CASE WHEN f % 4 = 0
+              THEN ((doc_id * 13 + f * 7) % 1601) - 800
+              ELSE ((j * (2 + doc_id % 5) + doc_id + f) % 1601) - 800
+            END AS v0,
+            CASE WHEN (f + 1) % 4 = 0
+              THEN ((doc_id * 13 + f * 7 + 29) % 1601) - 800
+              ELSE ((j * (2 + (1 + doc_id) % 5) + doc_id + f * 2 + 7)
+                % 1601) - 800 END AS v1,
+            CASE WHEN (f + 2) % 4 = 0
+              THEN ((doc_id * 13 + f * 7 + 58) % 1601) - 800
+              ELSE ((j * (2 + (2 + doc_id) % 5) + doc_id + f * 3 + 14)
+                % 1601) - 800 END AS v2,
+            CASE WHEN (f + 3) % 4 = 0
+              THEN ((doc_id * 13 + f * 7 + 87) % 1601) - 800
+              ELSE ((j * (2 + (3 + doc_id) % 5) + doc_id + f * 4 + 21)
+                % 1601) - 800 END AS v3
+          FROM lr),
+        u AS (SELECT doc_id, sr, n, ch, tail, i, 0 AS c,
+            CASE WHEN ch <= 2 THEN l ELSE v0 END AS v FROM mc
           UNION ALL
-          SELECT doc_id, sr, n, ch, i, 1 AS c, r AS v FROM lr
-          WHERE ch = 2),
-        w AS (SELECT doc_id, sr, n, ch, v,
+          SELECT doc_id, sr, n, ch, tail, i, 1 AS c,
+            CASE WHEN ch = 2 THEN r ELSE v1 END AS v FROM mc
+          WHERE ch >= 2
+          UNION ALL
+          SELECT doc_id, sr, n, ch, tail, i, 2 AS c, v2 AS v FROM mc
+          WHERE ch >= 3
+          UNION ALL
+          SELECT doc_id, sr, n, ch, tail, i, 3 AS c, v3 AS v FROM mc
+          WHERE ch >= 4),
+        w AS (SELECT doc_id, sr, n, ch, tail, v,
             lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv FROM u)
         SELECT doc_id AS id,
-          CAST(max(n) * 256 * max(ch) AS INT) AS n_samples,
+          CAST((max(n) * 256 + max(tail)) * max(ch) AS INT) AS n_samples,
           max(ch) AS channels, max(sr) AS sample_rate,
           CAST(max(abs(v)) AS INT) AS peak,
           CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END)

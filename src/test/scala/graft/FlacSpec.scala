@@ -95,32 +95,55 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("frame decode reproduces the closed-form PCM bit-exactly") {
-    // every subframe type (CONSTANT / VERBATIM / FIXED 1|2 / LPC 2),
-    // mono and stereo, and all three decorrelation modes across ids —
-    // compared against the lrAt closed form the oracle recomputes
+    // every subframe type (CONSTANT / VERBATIM / FIXED 1-4 / LPC 2),
+    // 1-4 channels (decorrelated stereo in all three modes,
+    // independent multichannel), short tail blocks — compared against
+    // the lrAt / chanAt closed forms the oracle recomputes
     for (d <- 0L to 60L) {
       val a = Flac.decodeAudio(Flac.synthAudio(d))
       val n = Flac.audioFrames(d)
       val ch = Flac.audioChannels(d)
+      val perCh = n * 256 + Flac.tailLen(d)
       assert(a.channels == ch, s"d=$d")
-      assert(a.samples.length == n * 256 * ch, s"d=$d")
+      assert(a.samples.length == perCh * ch, s"d=$d")
       val sr = (d % 3) match {
         case 0 => 44100; case 1 => 48000; case _ => 96000
       }
       assert(a.sampleRate == sr, s"d=$d")
       var i = 0
-      while (i < n * 256) {
+      while (i < perCh) {
         val f = i / 256; val j = i % 256
-        val (l, r) = Flac.lrAt(d, f, j)
-        if (ch == 1)
-          assert(a.samples(i) == l, s"d=$d f=$f j=$j")
-        else {
-          assert(a.samples(2 * i) == l, s"d=$d f=$f j=$j left")
-          assert(a.samples(2 * i + 1) == r, s"d=$d f=$f j=$j right")
+        if (ch <= 2) {
+          val (l, r) = Flac.lrAt(d, f, j)
+          if (ch == 1)
+            assert(a.samples(i) == l, s"d=$d f=$f j=$j")
+          else {
+            assert(a.samples(2 * i) == l, s"d=$d f=$f j=$j left")
+            assert(a.samples(2 * i + 1) == r, s"d=$d f=$f j=$j right")
+          }
+        } else {
+          var c = 0
+          while (c < ch) {
+            assert(a.samples(ch * i + c) == Flac.chanAt(d, c, f, j),
+              s"d=$d f=$f j=$j c=$c")
+            c += 1
+          }
         }
         i += 1
       }
     }
+  }
+
+  test("short last blocks fire in range and decode exactly to the tail") {
+    // at least one fixture doc in [0, 300) must carry each inline
+    // blocksize code (0110 = 8-bit, 0111 = 16-bit size fields)
+    val tails = (0L until 300L).filter(d => Flac.tailLen(d) > 0)
+    assert(tails.exists(_ % 4 == 1), "no 8-bit blocksize field fires")
+    assert(tails.exists(_ % 4 != 1), "no 16-bit blocksize field fires")
+    // and tails compose with every channel layout in range
+    assert(tails.exists(d => Flac.audioChannels(d) >= 3))
+    assert(tails.exists(d => Flac.audioChannels(d) == 2))
+    assert(tails.exists(d => Flac.variableStrategy(d)))
   }
 
   test("wasted-bits subframes genuinely fire in the fixture and round-trip") {
@@ -143,7 +166,9 @@ class FlacSpec extends AnyFunSuite {
 
   test("stereo modes round-trip the side relation: left - right == side") {
     // pins the decorrelation algebra itself, independent of lrAt
-    for (d <- Seq(1L, 3L, 5L, 7L, 11L, 23L)) {
+    // (stereo ids are now d%4==1; 17 includes an independent frame,
+    // 5 a short tail — the relation holds through both)
+    for (d <- Seq(1L, 5L, 13L, 17L, 29L, 33L)) {
       val a = Flac.decodeAudio(Flac.synthAudio(d))
       assert(a.channels == 2, s"d=$d")
       var i = 0
