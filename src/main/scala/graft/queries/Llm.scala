@@ -245,6 +245,84 @@ object Llm extends QueryModule {
           + 1500 + (id + n_cues - 1) % 800 AS BIGINT) AS last_end_ms
       FROM agg ORDER BY id"""
 
+  /** Shared FLAC PCM oracle: recomputes the decoded per-channel
+    * closed forms (primary/side decorrelation for 1-2 channels,
+    * chanAt for 3-4, the short-tail axis) down to an `agg` CTE of
+    * per-doc audio features — llm_audio_flac_decode and
+    * stream_audio_ingest SELECT different columns from it, so a
+    * decode divergence breaks both hashes at once. */
+  private val flacAggCte: String =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
+            CAST(1 + doc_id % 4 AS INT) AS ch,
+            CAST(CASE WHEN doc_id % 6 = 5 THEN 64 + (doc_id % 7) * 13
+              ELSE 0 END AS INT) AS tail,
+            CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 96000 END AS INT) AS sr
+          FROM documents WHERE doc_id < 300),
+        s AS (SELECT d.doc_id, d.sr, d.n, d.ch, d.tail, i.i,
+            i.i // 256 AS f, i.i % 256 AS j
+          FROM d, LATERAL
+            (SELECT unnest(range(0, d.n * 256 + d.tail)) AS i) i),
+        p AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
+            CASE f % 4
+              WHEN 0 THEN ((doc_id * 31 + f * 7) % 2001) - 1000
+              WHEN 1 THEN ((j * (37 + doc_id % 13) + doc_id + f) % 2001)
+                - 1000
+              WHEN 2 THEN ((doc_id % 200) - 100)
+                + ((j * (1 + doc_id % 5)) % 40) - 20
+              ELSE ((j * (3 + doc_id % 7) + 5 * f) % 200) - 100
+            END AS prim,
+            ((j * (2 + doc_id % 3) + doc_id + 2 * f) % 257) - 128 AS sd
+          FROM s),
+        lr AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
+            CASE WHEN ch = 1 OR f % 3 = 0 THEN prim
+              WHEN f % 3 = 1 THEN prim + sd
+              ELSE (2 * prim + abs(sd) % 2 + sd) // 2 END AS l,
+            CASE WHEN f % 3 = 0 THEN prim - sd
+              WHEN f % 3 = 1 THEN prim
+              ELSE (2 * prim + abs(sd) % 2 - sd) // 2 END AS r
+          FROM p),
+        mc AS (SELECT doc_id, sr, n, ch, tail, i, l, r,
+            CASE WHEN f % 4 = 0
+              THEN ((doc_id * 13 + f * 7) % 1601) - 800
+              ELSE ((j * (2 + doc_id % 5) + doc_id + f) % 1601) - 800
+            END AS v0,
+            CASE WHEN (f + 1) % 4 = 0
+              THEN ((doc_id * 13 + f * 7 + 29) % 1601) - 800
+              ELSE ((j * (2 + (1 + doc_id) % 5) + doc_id + f * 2 + 7)
+                % 1601) - 800 END AS v1,
+            CASE WHEN (f + 2) % 4 = 0
+              THEN ((doc_id * 13 + f * 7 + 58) % 1601) - 800
+              ELSE ((j * (2 + (2 + doc_id) % 5) + doc_id + f * 3 + 14)
+                % 1601) - 800 END AS v2,
+            CASE WHEN (f + 3) % 4 = 0
+              THEN ((doc_id * 13 + f * 7 + 87) % 1601) - 800
+              ELSE ((j * (2 + (3 + doc_id) % 5) + doc_id + f * 4 + 21)
+                % 1601) - 800 END AS v3
+          FROM lr),
+        u AS (SELECT doc_id, sr, n, ch, tail, i, 0 AS c,
+            CASE WHEN ch <= 2 THEN l ELSE v0 END AS v FROM mc
+          UNION ALL
+          SELECT doc_id, sr, n, ch, tail, i, 1 AS c,
+            CASE WHEN ch = 2 THEN r ELSE v1 END AS v FROM mc
+          WHERE ch >= 2
+          UNION ALL
+          SELECT doc_id, sr, n, ch, tail, i, 2 AS c, v2 AS v FROM mc
+          WHERE ch >= 3
+          UNION ALL
+          SELECT doc_id, sr, n, ch, tail, i, 3 AS c, v3 AS v FROM mc
+          WHERE ch >= 4),
+        w AS (SELECT doc_id, sr, n, ch, tail, v,
+            lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv FROM u),
+        agg AS (SELECT doc_id AS id,
+            CAST((max(n) * 256 + max(tail)) * max(ch) AS INT) AS n_samples,
+            max(ch) AS channels, max(sr) AS sample_rate,
+            CAST(max(abs(v)) AS INT) AS peak,
+            CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS zero_cross,
+            CAST(sum(v * v) AS BIGINT) AS sum_sq
+          FROM w GROUP BY doc_id)"""
+
   def defs: Seq[QueryDef] = Seq(
 
     // WORDPIECE TOKENIZE — BERT's deployment-side greedy
@@ -512,6 +590,59 @@ object Llm extends QueryModule {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             / sum(tokens) OVER (), 6) AS cum_share
         FROM per_src ORDER BY tokens DESC, source""")),
+
+    // Temperature-scaled source mixing APPLIED (the row-level twin of
+    // llm_mix_temperature's weights table): per-source retention
+    // rates ∝ sqrt(tokens) (α = 1/2 flattening), capped at 1 for the
+    // largest source, so head sources are downsampled toward the
+    // tail and the kept corpus is flatter. Every arithmetic step is
+    // ONE correctly-rounded IEEE op (sqrt, a division, a power-of-two
+    // scale) — no sums of floats — so the per-row keep decision
+    // (16-bit content hash < floor(rate·65536), the
+    // llm_importance_sample cut) is bit-identical across engines: no
+    // RNG, no stored sample table, reproducible at any cluster size.
+    // The rate table is |sources|-bounded and broadcast; the keep
+    // test is scan-stage; the only shuffles are the two
+    // map-side-combinable per-source aggregates.
+    QueryDef(
+      "llm_mix_temperature_apply",
+      (s, dir) => {
+        val d = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val perSrc = d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        val mx = perSrc
+          .agg(max(sqrt(col("tokens").cast("double"))).as("mx"))
+        val rates = perSrc.crossJoin(broadcast(mx))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            (sqrt(col("tokens").cast("double")) / col("mx")).as("rate"))
+        val cut = lower(lpad(hex(
+          least(floor(col("rate") * 65536), lit(65535L))), 4, "0"))
+        d.join(broadcast(rates), "source")
+          .withColumn("kept",
+            (substring(md5(col("doc_id").cast("string")), 1, 4) < cut)
+              .cast("int"))
+          .groupBy("source")
+          .agg(max("n_docs").as("n_docs"), max("tokens").as("tokens"),
+            round(max("rate"), 6).as("rate"), sum("kept").as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            len(string_split(text, ' '))::BIGINT AS n_tok
+          FROM documents),
+        t AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS tokens FROM d GROUP BY source),
+        m AS (SELECT max(sqrt(tokens::DOUBLE)) AS mx FROM t),
+        r AS (SELECT source, n_docs, tokens,
+            sqrt(tokens::DOUBLE) / mx AS rate FROM t, m)
+        SELECT source, n_docs, tokens, round(rate, 6) AS rate,
+          CAST(sum(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', least(CAST(floor(rate * 65536) AS BIGINT),
+                65535)) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM d JOIN r USING (source)
+        GROUP BY source, n_docs, tokens, rate
+        ORDER BY source""")),
 
     // The UNBOUNDED scale path: xxhash64 hash family via the native
     // single-pass expressions (graft.plans.MinHashLsh), capped hot
@@ -5641,76 +5772,54 @@ object Llm extends QueryModule {
         Catalog.table(s, dir, "documents")
           .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
         .orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
-            CAST(1 + doc_id % 4 AS INT) AS ch,
-            CAST(CASE WHEN doc_id % 6 = 5 THEN 64 + (doc_id % 7) * 13
-              ELSE 0 END AS INT) AS tail,
-            CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-              ELSE 96000 END AS INT) AS sr
-          FROM documents WHERE doc_id < 300),
-        s AS (SELECT d.doc_id, d.sr, d.n, d.ch, d.tail, i.i,
-            i.i // 256 AS f, i.i % 256 AS j
-          FROM d, LATERAL
-            (SELECT unnest(range(0, d.n * 256 + d.tail)) AS i) i),
-        p AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
-            CASE f % 4
-              WHEN 0 THEN ((doc_id * 31 + f * 7) % 2001) - 1000
-              WHEN 1 THEN ((j * (37 + doc_id % 13) + doc_id + f) % 2001)
-                - 1000
-              WHEN 2 THEN ((doc_id % 200) - 100)
-                + ((j * (1 + doc_id % 5)) % 40) - 20
-              ELSE ((j * (3 + doc_id % 7) + 5 * f) % 200) - 100
-            END AS prim,
-            ((j * (2 + doc_id % 3) + doc_id + 2 * f) % 257) - 128 AS sd
-          FROM s),
-        lr AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
-            CASE WHEN ch = 1 OR f % 3 = 0 THEN prim
-              WHEN f % 3 = 1 THEN prim + sd
-              ELSE (2 * prim + abs(sd) % 2 + sd) // 2 END AS l,
-            CASE WHEN f % 3 = 0 THEN prim - sd
-              WHEN f % 3 = 1 THEN prim
-              ELSE (2 * prim + abs(sd) % 2 - sd) // 2 END AS r
-          FROM p),
-        mc AS (SELECT doc_id, sr, n, ch, tail, i, l, r,
-            CASE WHEN f % 4 = 0
-              THEN ((doc_id * 13 + f * 7) % 1601) - 800
-              ELSE ((j * (2 + doc_id % 5) + doc_id + f) % 1601) - 800
-            END AS v0,
-            CASE WHEN (f + 1) % 4 = 0
-              THEN ((doc_id * 13 + f * 7 + 29) % 1601) - 800
-              ELSE ((j * (2 + (1 + doc_id) % 5) + doc_id + f * 2 + 7)
-                % 1601) - 800 END AS v1,
-            CASE WHEN (f + 2) % 4 = 0
-              THEN ((doc_id * 13 + f * 7 + 58) % 1601) - 800
-              ELSE ((j * (2 + (2 + doc_id) % 5) + doc_id + f * 3 + 14)
-                % 1601) - 800 END AS v2,
-            CASE WHEN (f + 3) % 4 = 0
-              THEN ((doc_id * 13 + f * 7 + 87) % 1601) - 800
-              ELSE ((j * (2 + (3 + doc_id) % 5) + doc_id + f * 4 + 21)
-                % 1601) - 800 END AS v3
-          FROM lr),
-        u AS (SELECT doc_id, sr, n, ch, tail, i, 0 AS c,
-            CASE WHEN ch <= 2 THEN l ELSE v0 END AS v FROM mc
-          UNION ALL
-          SELECT doc_id, sr, n, ch, tail, i, 1 AS c,
-            CASE WHEN ch = 2 THEN r ELSE v1 END AS v FROM mc
-          WHERE ch >= 2
-          UNION ALL
-          SELECT doc_id, sr, n, ch, tail, i, 2 AS c, v2 AS v FROM mc
-          WHERE ch >= 3
-          UNION ALL
-          SELECT doc_id, sr, n, ch, tail, i, 3 AS c, v3 AS v FROM mc
-          WHERE ch >= 4),
-        w AS (SELECT doc_id, sr, n, ch, tail, v,
-            lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv FROM u)
-        SELECT doc_id AS id,
-          CAST((max(n) * 256 + max(tail)) * max(ch) AS INT) AS n_samples,
-          max(ch) AS channels, max(sr) AS sample_rate,
-          CAST(max(abs(v)) AS INT) AS peak,
-          CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END)
-            AS BIGINT) AS zero_cross,
-          CAST(sum(v * v) AS BIGINT) AS sum_sq
-        FROM w GROUP BY doc_id ORDER BY id""")),
+      Some(s"""$flacAggCte
+        SELECT id, n_samples, channels, sample_rate, peak, zero_cross,
+          sum_sq
+        FROM agg ORDER BY id""")),
+
+    // STREAMING AUDIO INGEST — the FLAC decode applied as audio files
+    // ARRIVE: full frame decode (Rice/escape residuals, fixed + LPC
+    // predictors, decorrelated or independent channels, short tails,
+    // both CRCs) + a too-quiet loudness gate, all STATELESS Append
+    // like stream_web/archive/keyframe_ingest (decode reads one audio
+    // row; no state store, no watermark) — the shape for turning a
+    // day's audio drops into gated clips before anything stateful
+    // sees them. The gate compares integer energies (sum_sq ≥
+    // 250000·n_samples — mean square, division-free) so the verdict
+    // is exact on both engines. Deterministic emission, so the
+    // closed-form PCM oracle applies verbatim.
+    QueryDef(
+      "stream_audio_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Flac
+        val extracted = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.map { d =>
+              val a = Flac.decodeAudio(Flac.synthAudio(d))
+              var peak = 0; var sq = 0L
+              a.samples.foreach { v =>
+                if (math.abs(v) > peak) peak = math.abs(v)
+                sq += v.toLong * v
+              }
+              (d, a.samples.length, a.channels, peak, sq)
+            }
+          }
+          .toDF("id", "n_samples", "channels", "peak", "sum_sq")
+          .withColumn("kept",
+            col("sum_sq") >= lit(250000L) * col("n_samples"))
+        graft.streaming.Streams.runToMemory(extracted,
+          s"saud_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id")
+      },
+      Some(s"""$flacAggCte
+        SELECT id, n_samples, channels, peak, sum_sq,
+          (sum_sq >= 250000 * n_samples) AS kept
+        FROM agg ORDER BY id""")),
 
     // JX FRONT DOOR → PDF — `"from": "docs:pdf"` exposes the
     // PDF-extracted corpus beside docs:markdown / web:archives: a
