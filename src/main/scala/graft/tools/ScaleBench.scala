@@ -545,6 +545,33 @@ object ScaleBench {
         spark.read.parquet(cdir).count()
       }
     }
+    // Temperature-mix APPLY (round 14): two map-side-combinable
+    // per-source aggregates + a broadcast rate table + a scan-stage
+    // hash-cut keep test — the whole corpus is touched once, nothing
+    // else scales with it. (stream_audio_ingest's per-row decode cost
+    // is the flac_decode row; the stateless-Append machinery is the
+    // StreamScaleProbe evidence.)
+    if (only.isEmpty || only.exists("mix_temperature".contains)) {
+      time("mix_temperature_apply")(force {
+        val d = docs.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val perSrc = d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        val mx = perSrc
+          .agg(max(sqrt(col("tokens").cast("double"))).as("mx"))
+        val rates = perSrc.crossJoin(broadcast(mx))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            (sqrt(col("tokens").cast("double")) / col("mx")).as("rate"))
+        val cut = lower(lpad(hex(
+          least(floor(col("rate") * 65536), lit(65535L))), 4, "0"))
+        d.join(broadcast(rates), "source")
+          .withColumn("kept",
+            (substring(md5(col("doc_id").cast("string")), 1, 4) < cut)
+              .cast("int"))
+          .groupBy("source")
+          .agg(max("tokens").as("tokens"), sum("kept").as("n_kept"))
+      })
+    }
     // Heaps-law vocabulary-growth curve (round 12): two fine-key
     // aggregates + a buckets-sized running sum — corpus touched once.
     time("vocab_growth")(force {
