@@ -169,9 +169,12 @@ object Codecs {
   // nontrivial piece (zlib, via java.util.zip.Deflater/Inflater); the
   // rest is chunk framing (length/type/data/CRC32), big-endian header
   // arithmetic, and the five per-row byte filters
-  // (None/Sub/Up/Average/Paeth). Scope: 8-bit truecolor (color type 2),
-  // sequential AND Adam7-interlaced (r14 — 7 passes with per-pass
-  // filter restart, the progressive-render layout real web PNGs use).
+  // (None/Sub/Up/Average/Paeth). Scope: 8-bit truecolor (color type
+  // 2), GRAYSCALE (0), and PALETTE (3, PLTE-indexed — r14; palette
+  // and gray rows filter at bpp=1, a genuinely different Sub/Paeth
+  // offset), sequential AND Adam7-interlaced (r14 — 7 passes with
+  // per-pass filter restart, the progressive-render layout real web
+  // PNGs use).
   // Baseline AND progressive JPEG are also real (see the JPEG section
   // below); MP4 sample decode remains behind the documented stub
   // boundary.
@@ -217,14 +220,35 @@ object Codecs {
   private def pngPasses(interlaced: Boolean): Seq[(Int, Int, Int, Int)] =
     if (interlaced) Adam7.toSeq else Seq((0, 0, 1, 1))
 
-  /** Encode as 8-bit truecolor PNG, sequential or Adam7 interlaced.
-    * `filterOf(y)` picks the per-row filter type (0-4); the default
-    * cycles through all five so every synthesized payload exercises
-    * every unfilter path (per PASS when interlaced — filtering
-    * restarts at each pass, per spec). */
+  /** Encode as 8-bit PNG — truecolor (colorType 2, the default),
+    * GRAYSCALE (0: every pixel must already satisfy r==g==b; one byte
+    * per pixel), or PALETTE (3: distinct colors indexed through a
+    * PLTE chunk in first-occurrence row-major order; requires ≤256
+    * distinct colors) — sequential or Adam7 interlaced. `filterOf(y)`
+    * picks the per-row filter type (0-4); the default cycles through
+    * all five so every synthesized payload exercises every unfilter
+    * path (per PASS when interlaced — filtering restarts at each
+    * pass, per spec). Palette and grayscale rows filter at bpp = 1,
+    * so the Sub/Paeth left-pixel offset differs from truecolor — a
+    * real decoder divergence the round-trip specs pin. */
   def encodePng(img: Bmp, filterOf: Int => Int = _ % 5,
-      interlaced: Boolean = false): Array[Byte] = {
-    val w = img.width; val h = img.height; val bpp = 3
+      interlaced: Boolean = false, colorType: Int = 2): Array[Byte] = {
+    require(colorType == 0 || colorType == 2 || colorType == 3,
+      s"unsupported PNG color type $colorType")
+    val w = img.width; val h = img.height
+    val bpp = if (colorType == 2) 3 else 1
+    // palette in first-occurrence row-major order (decode maps back,
+    // so pixel values are palette-order-invariant)
+    val palette: IndexedSeq[(Int, Int, Int)] =
+      if (colorType != 3) IndexedSeq.empty
+      else {
+        val seen = scala.collection.mutable.LinkedHashSet[(Int, Int, Int)]()
+        img.pixels.foreach(row => row.foreach(seen += _))
+        require(seen.size <= 256,
+          s"palette PNG needs ≤256 distinct colors, image has ${seen.size}")
+        seen.toIndexedSeq
+      }
+    val palIdx: Map[(Int, Int, Int), Int] = palette.zipWithIndex.toMap
     val rawOut = new java.io.ByteArrayOutputStream(h * (1 + w * bpp))
     pngPasses(interlaced).foreach { case (x0, y0, dx, dy) =>
       val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
@@ -237,9 +261,18 @@ object Codecs {
           val cur = new Array[Byte](rowLen)
           var c = 0
           while (c < pw) {
-            val (rr, gg, bb) = img.pixels(y0 + r * dy)(x0 + c * dx)
-            cur(c * 3) = rr.toByte; cur(c * 3 + 1) = gg.toByte
-            cur(c * 3 + 2) = bb.toByte
+            val px @ (rr, gg, bb) = img.pixels(y0 + r * dy)(x0 + c * dx)
+            colorType match {
+              case 2 =>
+                cur(c * 3) = rr.toByte; cur(c * 3 + 1) = gg.toByte
+                cur(c * 3 + 2) = bb.toByte
+              case 0 =>
+                require(rr == gg && gg == bb,
+                  s"grayscale PNG needs r==g==b, got ($rr,$gg,$bb)")
+                cur(c) = rr.toByte
+              case _ =>
+                cur(c) = palIdx(px).toByte
+            }
             c += 1
           }
           val f = filterOf(r)
@@ -278,9 +311,17 @@ object Codecs {
     out.write(pngSig)
     val ihdr = new Array[Byte](13)
     put32be(ihdr, 0, w); put32be(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0
     ihdr(12) = if (interlaced) 1 else 0
     pngChunk(out, "IHDR", ihdr)
+    if (colorType == 3) {
+      val plte = new Array[Byte](palette.size * 3)
+      palette.zipWithIndex.foreach { case ((rr, gg, bb), i) =>
+        plte(i * 3) = rr.toByte; plte(i * 3 + 1) = gg.toByte
+        plte(i * 3 + 2) = bb.toByte
+      }
+      pngChunk(out, "PLTE", plte)
+    }
     pngChunk(out, "IDAT", zOut.toByteArray)
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -296,7 +337,9 @@ object Codecs {
       "not a PNG payload")
     var off = 8
     var w = -1; var h = -1
+    var colorType = -1
     var interlace = 0
+    var palette: Array[(Int, Int, Int)] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -313,13 +356,28 @@ object Codecs {
           require(len == 13, "bad IHDR length")
           w = u32be(bytes, off + 8); h = u32be(bytes, off + 12)
           require(w > 0 && h > 0, "bad PNG dimensions")
-          require(bytes(off + 16) == 8 && bytes(off + 17) == 2,
-            "only 8-bit truecolor (RGB) PNG supported")
+          colorType = bytes(off + 17) & 0xff
+          require(bytes(off + 16) == 8 &&
+            (colorType == 0 || colorType == 2 || colorType == 3),
+            "only 8-bit grayscale (0) / truecolor (2) / palette (3) " +
+              "PNG supported")
           require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
             "only deflate/adaptive-filter PNG supported")
           interlace = bytes(off + 20) & 0xff
           require(interlace == 0 || interlace == 1,
             s"bad PNG interlace method $interlace")
+        case "PLTE" =>
+          // forbidden for grayscale (spec §11.2.3); a legal-but-unused
+          // quantization hint for truecolor; REQUIRED for palette
+          require(colorType != 0, "PLTE chunk in a grayscale PNG")
+          require(len > 0 && len % 3 == 0 && len <= 256 * 3,
+            s"bad PLTE length $len")
+          require(idat.size() == 0, "PLTE after IDAT")
+          if (colorType == 3)
+            palette = Array.tabulate(len / 3)(i =>
+              (bytes(off + 8 + i * 3) & 0xff,
+                bytes(off + 8 + i * 3 + 1) & 0xff,
+                bytes(off + 8 + i * 3 + 2) & 0xff))
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => done = true
         case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
@@ -327,6 +385,9 @@ object Codecs {
       off += 12 + len
     }
     require(w > 0, "PNG missing IHDR")
+    require(colorType != 3 || palette != null,
+      "palette PNG missing its PLTE chunk")
+    val bpp = if (colorType == 2) 3 else 1
     val passes = pngPasses(interlace == 1)
     def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
       val (x0, y0, dx, dy) = p
@@ -339,7 +400,7 @@ object Codecs {
     // is far beyond any payload this codec's scope handles.
     val rawLenL = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw > 0 && ph > 0) ph.toLong * (1L + pw.toLong * 3) else 0L
+      if (pw > 0 && ph > 0) ph.toLong * (1L + pw.toLong * bpp) else 0L
     }.sum
     require(rawLenL <= (1L << 30), s"PNG dimensions ${w}x$h too large")
     val rawLen = rawLenL.toInt
@@ -364,7 +425,7 @@ object Codecs {
     passes.foreach { case p @ (x0, y0, dx, dy) =>
       val (pw, ph) = passDims(p)
       if (pw > 0 && ph > 0) {
-        val rowLen = pw * 3
+        val rowLen = pw * bpp
         var prior: Array[Byte] = null
         var r = 0
         while (r < ph) {
@@ -373,9 +434,10 @@ object Codecs {
           val cur = new Array[Byte](rowLen)
           var i = 0
           while (i < rowLen) {
-            val left = if (i >= 3) cur(i - 3) & 0xff else 0
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
             val up = if (prior != null) prior(i) & 0xff else 0
-            val ul = if (prior != null && i >= 3) prior(i - 3) & 0xff else 0
+            val ul = if (prior != null && i >= bpp) prior(i - bpp) & 0xff
+              else 0
             val pred = f match {
               case 0 => 0
               case 1 => left
@@ -388,8 +450,19 @@ object Codecs {
           }
           var c = 0
           while (c < pw) {
-            px(y0 + r * dy)(x0 + c * dx) =
-              (cur(c * 3) & 0xff, cur(c * 3 + 1) & 0xff, cur(c * 3 + 2) & 0xff)
+            px(y0 + r * dy)(x0 + c * dx) = colorType match {
+              case 2 =>
+                (cur(c * 3) & 0xff, cur(c * 3 + 1) & 0xff,
+                  cur(c * 3 + 2) & 0xff)
+              case 0 =>
+                val v = cur(c) & 0xff
+                (v, v, v)
+              case _ =>
+                val idx = cur(c) & 0xff
+                require(idx < palette.length,
+                  s"palette index $idx outside the ${palette.length}-entry PLTE")
+                palette(idx)
+            }
             c += 1
           }
           prior = cur

@@ -162,15 +162,33 @@ object Multimodal {
     synthMedia(ids, idCol, "image/bmp", Map("w" -> "16", "h" -> "12"))(
       d => Codecs.encodeBmp(Codecs.synthBmp(d)))
 
-  /** ids → media rows carrying an actual 8-bit RGB PNG payload — same
+  /** ids → media rows carrying an actual 8-bit PNG payload — same
     * closed-form pixels as the BMP twin, so the same oracle formulas
     * apply; the per-row filter cycles 0-4, so every payload exercises
-    * all five PNG unfilter paths (Sub/Up/Average/Paeth included), and
+    * all five PNG unfilter paths (Sub/Up/Average/Paeth included);
     * odd ids are Adam7-INTERLACED (like the GIF fixture) so both scan
-    * layouts sit on the oracle path. */
+    * layouts sit on the oracle path; and d%3==2 ids are PALETTE-coded
+    * (color type 3 — pixel-value-invariant, so the oracle again never
+    * moves while the PLTE build/lookup and the bpp=1 filter offsets
+    * ride the oracle path, crossed with both scan layouts). */
   def synthPngMedia(ids: DataFrame, idCol: String): DataFrame =
     synthMedia(ids, idCol, "image/png", Map("w" -> "16", "h" -> "12"))(
-      d => Codecs.encodePng(Codecs.synthBmp(d), interlaced = d % 2 == 1))
+      d => Codecs.encodePng(Codecs.synthBmp(d), interlaced = d % 2 == 1,
+        colorType = if (d % 3 == 2) 3 else 2))
+
+  /** ids → media rows carrying a GRAYSCALE (color type 0) PNG: one
+    * byte per pixel, v = (d + x + 11y) % 256 replicated to (v,v,v) on
+    * decode — its own closed form since the RGB fixture isn't gray.
+    * Interlace cycles like the color twin. */
+  def synthPngGrayMedia(ids: DataFrame, idCol: String): DataFrame =
+    synthMedia(ids, idCol, "image/png", Map("w" -> "16", "h" -> "12")) { d =>
+      val px = Array.tabulate(12, 16) { (y, x) =>
+        val v = ((d + x + 11 * y) % 256).toInt
+        (v, v, v)
+      }
+      Codecs.encodePng(Codecs.Bmp(16, 12, px), interlaced = d % 2 == 1,
+        colorType = 0)
+    }
 
   /** REAL PNG decode per partition: chunk/CRC parse, zlib inflate,
     * per-row unfilter. Same feature row as the BMP decode, so the

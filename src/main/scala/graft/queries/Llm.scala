@@ -3734,13 +3734,17 @@ object Llm extends QueryModule {
         GROUP BY d.doc_id ORDER BY id""")),
 
     // REAL PNG decode (graft.operators.Codecs.decodePng): the payload
-    // is a genuine 8-bit-RGB non-interlaced PNG — chunk framing with
-    // CRC32, zlib-deflated scanlines (java.util.zip, no external
-    // library), and a per-row filter that cycles through all five
-    // types, so decode must run Sub/Up/Average/Paeth unfiltering on
-    // every image. Pixels are the SAME closed form as the BMP twin, so
-    // the oracle is shared: any drift in chunk parse, inflate, or
-    // unfilter breaks the driver hash.
+    // is a genuine 8-bit PNG — chunk framing with CRC32,
+    // zlib-deflated scanlines (java.util.zip, no external library),
+    // and a per-row filter that cycles through all five types, so
+    // decode must run Sub/Up/Average/Paeth unfiltering on every
+    // image. Odd ids are Adam7-interlaced; d%3==2 ids are
+    // PALETTE-coded (color type 3 — same pixel values through a PLTE
+    // indirection, so the shared oracle never moves while the palette
+    // build/lookup and bpp=1 filter offsets sit on the oracle path).
+    // Pixels are the SAME closed form as the BMP twin, so the oracle
+    // is shared: any drift in chunk parse, inflate, or unfilter
+    // breaks the driver hash.
     QueryDef(
       "llm_image_decode_png",
       (s, dir) => Multimodal.decodePngFeatures(
@@ -3755,6 +3759,34 @@ object Llm extends QueryModule {
           CAST((d.doc_id + 3 + 22) % 256 AS INT) AS px32_r,
           CAST((3 * d.doc_id + 21 + 2) % 256 AS INT) AS px32_g,
           CAST((5 * d.doc_id + 6 + 6) % 256 AS INT) AS px32_b
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+          (SELECT unnest(range(0, 16)) AS x) x,
+          (SELECT unnest(range(0, 12)) AS y) y
+        GROUP BY d.doc_id ORDER BY id""")),
+
+    // GRAYSCALE PNG decode (color type 0): one byte per pixel, so the
+    // per-row filters run at bpp=1 — Sub/Paeth reference the previous
+    // PIXEL, not the previous channel triple, a genuinely different
+    // unfilter geometry the truecolor query cannot exercise. Its own
+    // closed form, v = (d + x + 11y) % 256 replicated across channels
+    // (the truecolor fixture's red-channel formula), interlace
+    // cycling like the color twin. The PALETTE color type rides the
+    // main llm_image_decode_png query (d%3==2 ids — pixel-invariant,
+    // so that oracle never moved).
+    QueryDef(
+      "llm_image_decode_png_gray",
+      (s, dir) => Multimodal.decodePngFeatures(
+        Multimodal.synthPngGrayMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id"),
+      Some("""SELECT d.doc_id AS id, 16 AS width, 12 AS height,
+          CAST(sum((d.doc_id + x.x + 11 * y.y) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((d.doc_id + x.x + 11 * y.y) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((d.doc_id + x.x + 11 * y.y) % 256) AS BIGINT) AS sum_b,
+          CAST((d.doc_id + 3 + 22) % 256 AS INT) AS px32_r,
+          CAST((d.doc_id + 3 + 22) % 256 AS INT) AS px32_g,
+          CAST((d.doc_id + 3 + 22) % 256 AS INT) AS px32_b
         FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
           (SELECT unnest(range(0, 16)) AS x) x,
           (SELECT unnest(range(0, 12)) AS y) y

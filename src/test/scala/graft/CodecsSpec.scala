@@ -218,6 +218,112 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("PALETTE PNG round-trips arbitrary pixels, both scan layouts") {
+    // ≤256 distinct colors always holds at these sizes; bpp=1 filters
+    // mean Sub/Paeth offsets differ from truecolor — a broken palette
+    // path cannot hide behind the RGB tests
+    val imgGen = for {
+      w <- Gen.choose(1, 19)
+      h <- Gen.choose(1, 13)
+      px <- Gen.listOfN(h, Gen.listOfN(w, pixelGen))
+    } yield Bmp(w, h, px.map(_.toArray).toArray)
+    samples(imgGen, 40).foreach { img =>
+      Seq(false, true).foreach { il =>
+        val enc = Codecs.encodePng(img, interlaced = il, colorType = 3)
+        assert(enc(8 + 8 + 9) == 3, "IHDR color type not palette")
+        val back = Codecs.decodePng(enc)
+        assert(back.pixels.flatten.toSeq == img.pixels.flatten.toSeq,
+          s"palette mismatch at ${img.width}x${img.height} interlaced=$il")
+      }
+    }
+    // and the JDK's independent decoder agrees on our palette stream
+    val img = Codecs.synthBmp(45L, 16, 12)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Codecs.encodePng(img, colorType = 3)))
+    assert(jdk != null, "ImageIO could not read the palette PNG")
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val rgb = jdk.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+        img.pixels(y)(x), s"ImageIO disagrees at ($x,$y)")
+    }
+  }
+
+  test("GRAYSCALE PNG round-trips; non-gray pixels are rejected at encode") {
+    val gray = Bmp(9, 7, Array.tabulate(7, 9) { (y, x) =>
+      val v = (13 * x + 31 * y) % 256; (v, v, v)
+    })
+    Seq(false, true).foreach { il =>
+      val back = Codecs.decodePng(
+        Codecs.encodePng(gray, interlaced = il, colorType = 0))
+      assert(back.pixels.flatten.toSeq == gray.pixels.flatten.toSeq,
+        s"gray mismatch interlaced=$il")
+    }
+    val e = intercept[IllegalArgumentException](
+      Codecs.encodePng(Codecs.synthBmp(1L, 8, 8), colorType = 0))
+    assert(e.getMessage.contains("r==g==b"), e.getMessage)
+  }
+
+  test("palette PNG edge cases fail loudly: >256 colors, missing PLTE, " +
+      "out-of-range index, PLTE in grayscale") {
+    // >256 distinct colors cannot be palette-encoded
+    val big = Bmp(32, 32, Array.tabulate(32, 32)((y, x) =>
+      (x * 8 % 256, y * 8 % 256, (x + y) % 256)))
+    assert(big.pixels.flatten.distinct.length > 256)
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.encodePng(big, colorType = 3))
+    assert(e1.getMessage.contains("256"), e1.getMessage)
+    // splice the PLTE chunk OUT: decode must name the missing palette
+    val pal = Codecs.encodePng(Codecs.synthBmp(6L, 6, 4), colorType = 3)
+    val plteOff = 8 + 25 // sig + IHDR chunk
+    assert(new String(pal, plteOff + 4, 4, "US-ASCII") == "PLTE")
+    val plteLen = ((pal(plteOff) & 0xff) << 24) |
+      ((pal(plteOff + 1) & 0xff) << 16) |
+      ((pal(plteOff + 2) & 0xff) << 8) | (pal(plteOff + 3) & 0xff)
+    val cut = pal.take(plteOff) ++ pal.drop(plteOff + 12 + plteLen)
+    val e2 = intercept[IllegalArgumentException](Codecs.decodePng(cut))
+    assert(e2.getMessage.contains("PLTE"), e2.getMessage)
+    // shrink the PLTE to one entry (fresh CRC): indices ≥ 1 must be
+    // rejected by name, not silently wrapped
+    val one = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(pal, 0, plteOff)
+      out.write(Array[Byte](0, 0, 0, 3))
+      val tb = "PLTE".getBytes("US-ASCII")
+      val body = Array[Byte](9, 9, 9)
+      out.write(tb); out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+      val cv = crc.getValue.toInt
+      out.write(Array[Byte](((cv >> 24) & 0xff).toByte,
+        ((cv >> 16) & 0xff).toByte, ((cv >> 8) & 0xff).toByte,
+        (cv & 0xff).toByte))
+      out.write(pal, plteOff + 12 + plteLen,
+        pal.length - plteOff - 12 - plteLen)
+      out.toByteArray
+    }
+    val e3 = intercept[IllegalArgumentException](Codecs.decodePng(one))
+    assert(e3.getMessage.contains("palette index"), e3.getMessage)
+    // PLTE inside a grayscale stream is a spec violation — reject
+    val g = Codecs.encodePng(Bmp(4, 3, Array.tabulate(3, 4) { (_, _) =>
+      (7, 7, 7)
+    }), colorType = 0)
+    val plte = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0, 0, 0, 3))
+      val tb = "PLTE".getBytes("US-ASCII")
+      val body = Array[Byte](1, 2, 3)
+      out.write(tb); out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+      val cv = crc.getValue.toInt
+      out.write(Array[Byte](((cv >> 24) & 0xff).toByte,
+        ((cv >> 16) & 0xff).toByte, ((cv >> 8) & 0xff).toByte,
+        (cv & 0xff).toByte))
+      out.toByteArray
+    }
+    val spliced = g.take(8 + 25) ++ plte ++ g.drop(8 + 25)
+    val e4 = intercept[IllegalArgumentException](Codecs.decodePng(spliced))
+    assert(e4.getMessage.contains("grayscale"), e4.getMessage)
+  }
+
   test("PNG decode validates chunk CRC") {
     val png = Codecs.encodePng(Codecs.synthBmp(3L, 8, 8))
     val corrupt = png.clone()
