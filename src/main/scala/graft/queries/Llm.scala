@@ -5771,6 +5771,47 @@ object Llm extends QueryModule {
           't' || (doc_id % 20) AS title
         FROM documents ORDER BY id""")),
 
+    // OGG/OPUS CONTAINER WALK (operators/Ogg.scala) — the page-level
+    // provenance pass for .ogg/.opus beside FLAC's metadata walk and
+    // the ID3 tag walk: capture-pattern sync, the NON-reflected
+    // poly-0x04C11DB7 page CRC verified per page (zeroed-field
+    // convention — not java.util.zip's reflected CRC32), lacing-value
+    // packet assembly (255 continues / <255 ends, incl. the exact
+    // multiple-of-255 zero-lacing edge), cross-page CONTINUED packets
+    // with the flag checked in both directions (d%5==1 docs span one
+    // packet over every interior boundary), BOS/EOS placement,
+    // constant serials, consecutive sequence numbers, monotone
+    // granule positions, and the OpusHead identification header
+    // (version/channels/pre-skip/input-rate) off the first packet.
+    // Duration converts the last granule at the Opus-mandated 48 kHz.
+    // Per-doc map work — scan-stage at 100 TB; codec payloads beyond
+    // the id header stay behind the documented lossy-audio boundary.
+    QueryDef(
+      "llm_audio_ogg_meta",
+      (s, dir) => graft.operators.Ogg.oggFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n
+          FROM documents WHERE doc_id < 300),
+        pk AS (SELECT d.doc_id, d.n,
+            CAST(sum(1 + (d.doc_id + p.p) % 3)
+              + CASE WHEN d.doc_id % 5 = 1 THEN d.n - 1 ELSE 0 END
+              AS INT) AS n_packets
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS p) p
+          GROUP BY d.doc_id, d.n)
+        SELECT doc_id AS id,
+          CAST((1000 + 7 * doc_id) % 100000 AS INT) AS serial,
+          CAST(1 + n AS INT) AS n_pages,
+          n_packets,
+          CAST(960 * n_packets AS BIGINT) AS last_granule,
+          CAST(1 + doc_id % 2 AS INT) AS channels,
+          CAST(312 + doc_id % 100 AS INT) AS pre_skip,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+            ELSE 16000 END AS INT) AS input_rate,
+          CAST(960 * n_packets * 1000 // 48000 AS BIGINT) AS duration_ms
+        FROM pk ORDER BY id""")),
+
     // FLAC FRAME DECODE (VERDICT r12 #2, extended r14 per r13 #3) —
     // the audio stub boundary shrunk the way PNG/JPEG/GIF were: real
     // Rice-coded residuals, fixed AND quantized-LPC predictors, and

@@ -510,6 +510,13 @@ object ScaleBench {
         graft.operators.Flac.audioFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // Ogg/Opus container walk (round 14): page CRCs + lacing packet
+    // assembly + OpusHead — per-doc map work like the codec rows.
+    if (only.isEmpty || only.exists("ogg_meta".contains)) {
+      time("ogg_meta")(force(
+        graft.operators.Ogg.oggFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // H.264 I-frame decode (round 14): full CAVLC + intra-DC + dequant
     // + inverse-transform pixel reconstruction — per-doc map work like
     // flac_decode; frames/s = rows / sec.

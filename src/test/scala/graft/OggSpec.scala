@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ogg
+
+class OggSpec extends AnyFunSuite {
+
+  test("closed-form fixture parses to the oracle's exact fields") {
+    for (d <- 0L to 60L) {
+      val m = Ogg.parse(Ogg.synth(d))
+      val n = Ogg.dataPages(d)
+      val packets = Ogg.totalPackets(d) +
+        (if (Ogg.spanning(d)) n - 1 else 0)
+      assert(m.serial == ((1000 + 7 * d) % 100000).toInt, s"d=$d")
+      assert(m.nPages == 1 + n, s"d=$d")
+      assert(m.nPackets == packets, s"d=$d")
+      assert(m.lastGranule == 960L * packets, s"d=$d")
+      assert(m.channels == (1 + d % 2).toInt, s"d=$d")
+      assert(m.preSkip == (312 + d % 100).toInt, s"d=$d")
+      val rate = (d % 3) match {
+        case 0 => 48000; case 1 => 44100; case _ => 16000
+      }
+      assert(m.inputRate == rate, s"d=$d")
+      assert(m.durationMs == 960L * packets * 1000L / 48000L, s"d=$d")
+    }
+  }
+
+  test("spanning docs genuinely exercise cross-page packets and the " +
+      "zero-lacing edge fires in range") {
+    assert((0L until 300L).exists(d => Ogg.spanning(d) &&
+      Ogg.dataPages(d) > 1))
+    // a packet of size exactly k·255 emits a terminating 0 lacing —
+    // sizes are 20 + (d + 31p + 17k) % 500, so 255 and 510 both occur
+    val zeroLace = (0L until 300L).exists { d =>
+      (0 until Ogg.dataPages(d)).exists { p =>
+        (0 until Ogg.packetsOnPage(d, p)).exists { k =>
+          val sz = 20 + ((d + 31 * p + 17 * k) % 500).toInt
+          sz % 255 == 0
+        }
+      }
+    }
+    assert(zeroLace, "no exact-multiple-of-255 packet in range")
+  }
+
+  test("structural violations are rejected by name, never skipped") {
+    val good = Ogg.synth(6L) // spanning doc (6%5==1): continued flags live
+    def tamperPage1(mod: Array[Byte] => Unit): Array[Byte] = {
+      // page 1 starts after the header page (27 + 1 lacing + 19 body)
+      val b = good.clone()
+      mod(b)
+      b
+    }
+    val p1 = 27 + 1 + 19
+    // flipped payload byte → CRC catches it
+    val e1 = intercept[IllegalArgumentException] {
+      Ogg.parse(tamperPage1(b => b(p1 + 40) = (b(p1 + 40) ^ 0x11).toByte))
+    }
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    // truncation inside a page
+    val e2 = intercept[IllegalArgumentException] {
+      Ogg.parse(java.util.Arrays.copyOfRange(good, 0, good.length - 5))
+    }
+    assert(e2.getMessage.contains("EOS") ||
+      e2.getMessage.contains("overruns") ||
+      e2.getMessage.contains("truncated"), e2.getMessage)
+    // wrong capture pattern on page 1
+    val e3 = intercept[IllegalArgumentException] {
+      Ogg.parse(tamperPage1(b => b(p1) = 'X'))
+    }
+    assert(e3.getMessage.contains("capture"), e3.getMessage)
+    // a non-first page claiming BOS: flip flags AND fix the CRC so the
+    // NAMED rejection fires, not the checksum
+    def reflag(flags: Int): Array[Byte] = {
+      val b = good.clone()
+      b(p1 + 5) = flags.toByte
+      // recompute this page's CRC (segments at p1+26)
+      val nSegs = b(p1 + 26) & 0xff
+      var payload = 0
+      (0 until nSegs).foreach(s => payload += b(p1 + 27 + s) & 0xff)
+      val end = p1 + 27 + nSegs + payload
+      java.util.Arrays.fill(b, p1 + 22, p1 + 26, 0.toByte)
+      var c = 0
+      var i = p1
+      while (i < end) {
+        c ^= (b(i) & 0xff) << 24
+        (0 until 8).foreach(_ =>
+          c = if (c < 0) (c << 1) ^ 0x04c11db7 else c << 1)
+        i += 1
+      }
+      (0 until 4).foreach(i => b(p1 + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      b
+    }
+    val e4 = intercept[IllegalArgumentException] { Ogg.parse(reflag(0x2)) }
+    assert(e4.getMessage.contains("BOS"), e4.getMessage)
+    // a continued flag with no packet open (the header page completed
+    // OpusHead, so data page 0 must not be continued)
+    val e5 = intercept[IllegalArgumentException] { Ogg.parse(reflag(0x1)) }
+    assert(e5.getMessage.contains("continued"), e5.getMessage)
+  }
+
+  test("parser terminates loudly under random corruption") {
+    val rng = new scala.util.Random(4242)
+    for (trial <- 0 until 300) {
+      val b = Ogg.synth((trial % 11).toLong).clone()
+      (0 to rng.nextInt(6)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Ogg.parse(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
+}
