@@ -5021,6 +5021,36 @@ object Llm extends QueryModule {
           (5 + (doc_id + j) % 5) / 10.0 AS priority
         FROM e ORDER BY id, entry_idx""")),
 
+    // FEED PARSE (RSS 2.0 + Atom 1.0, operators/Feed.scala) — the
+    // third crawl-policy companion beside robots.txt and sitemap.xml:
+    // the per-site CHANGE feed a planner polls for new URLs. Even ids
+    // are RSS (text <link> elements, RFC-822 pubDates whose WEEKDAY
+    // is validated against the calendar), odd ids Atom (self-closing
+    // <link href="..."/> with the URL entity-escaped in an ATTRIBUTE,
+    // ISO-8601 updated) — same entry content, child order rotating
+    // per entry, so ONE oracle differentially checks both dialect
+    // parsers and either diverging breaks the hash. Pure map work.
+    QueryDef(
+      "llm_web_feed",
+      (s, dir) => graft.operators.Feed.feedFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id", "entry_idx"),
+      Some("""WITH e AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents)
+        SELECT doc_id AS id, j AS entry_idx,
+          'Item ' || doc_id || '-' || j || ' w' || ((doc_id + j) % 9)
+            AS title,
+          'http://feed' || doc_id || '.example/a' || j ||
+            '?s=' || doc_id || '&t=' || j AS link,
+          CAST(DATE '2024-01-01'
+            + CAST((5 * doc_id + 3 * j) % 365 AS INT) AS DATE)
+            AS published,
+          CAST((doc_id + j) % 24 AS INT) AS pub_hour,
+          CAST(4 + (doc_id + j) % 7 AS INT) AS n_words,
+          CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect
+        FROM e ORDER BY id, entry_idx""")),
+
     // STREAMING WEB INGEST — the archive-extraction chain applied as
     // archives ARRIVE: per-record gunzip → WARC walk → HTTP frame →
     // HTML extract → quality verdict, all STATELESS Append (no state

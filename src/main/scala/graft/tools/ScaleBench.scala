@@ -517,6 +517,13 @@ object ScaleBench {
         graft.operators.Ogg.oggFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // RSS/Atom feed walk (round 14): dialect dispatch + date
+    // validation per entry — per-doc map work like the codec rows.
+    if (only.isEmpty || only.exists("feed_parse".contains)) {
+      time("feed_parse")(force(
+        graft.operators.Feed.feedFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // H.264 I-frame decode (round 14): full CAVLC + intra-DC + dequant
     // + inverse-transform pixel reconstruction — per-doc map work like
     // flac_decode; frames/s = rows / sec.
