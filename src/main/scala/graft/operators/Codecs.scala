@@ -3280,13 +3280,75 @@ object Codecs {
     (sb.toString, repl)
   }
 
+  /** Strict UTF-16 decode (LE or BE): 16-bit code units walked
+    * pairwise, surrogates must pair correctly — a lone high or low
+    * surrogate becomes U+FFFD (counted, single unit consumed), and an
+    * odd trailing byte is one more replacement. */
+  def decodeUtf16(bytes: Array[Byte], littleEndian: Boolean): (String, Int) = {
+    val sb = new StringBuilder(bytes.length / 2)
+    var repl = 0
+    var i = 0
+    val n = bytes.length
+    def unit(o: Int): Int =
+      if (littleEndian) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    while (i + 1 < n) {
+      val u = unit(i)
+      if (u >= 0xd800 && u <= 0xdbff) { // high surrogate: needs a low
+        if (i + 3 < n && { val lo = unit(i + 2); lo >= 0xdc00 && lo <= 0xdfff }) {
+          val lo = unit(i + 2)
+          sb.appendAll(Character.toChars(
+            0x10000 + ((u - 0xd800) << 10) + (lo - 0xdc00)))
+          i += 4
+        } else { sb.append('�'); repl += 1; i += 2 }
+      } else if (u >= 0xdc00 && u <= 0xdfff) { // lone low surrogate
+        sb.append('�'); repl += 1; i += 2
+      } else { sb.append(u.toChar); i += 2 }
+    }
+    if (i < n) { sb.append('�'); repl += 1 } // odd trailing byte
+    (sb.toString, repl)
+  }
+
+  /** BOM sniff: Some((charset, bomLength)) for the three BOMs the web
+    * ships (UTF-8 EF BB BF, UTF-16LE FF FE, UTF-16BE FE FF), None for
+    * BOM-less bytes. */
+  def sniffBom(bytes: Array[Byte]): Option[(String, Int)] =
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      Some(("UTF-8", 3))
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xfe) Some(("UTF-16LE", 2))
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
+      (bytes(1) & 0xff) == 0xff) Some(("UTF-16BE", 2))
+    else None
+
+  /** BOM-first dispatch (the WHATWG encoding-sniffing rule): a BOM
+    * OVERRIDES the transport-declared charset; BOM-less bytes decode
+    * under the declaration. Returns (charset actually used, text,
+    * replacement count). */
+  def decodeWithBom(bytes: Array[Byte],
+      declared: String): (String, String, Int) =
+    sniffBom(bytes) match {
+      case Some((cs, skip)) =>
+        val body = java.util.Arrays.copyOfRange(bytes, skip, bytes.length)
+        val (t, r) = decodeCharset(body, cs)
+        (cs, t, r)
+      case None =>
+        val (t, r) = decodeCharset(bytes, declared)
+        (declared, t, r)
+    }
+
   /** Decode by declared charset: ISO-8859-1 maps bytes to codepoints
-    * 1:1 (never invalid); UTF-8 goes through the strict validator. */
+    * 1:1 (never invalid); UTF-8 goes through the strict validator;
+    * UTF-16 needs an explicit endianness (BOM-less "UTF-16" is the
+    * transport's ambiguity to resolve, not this decoder's). */
   def decodeCharset(bytes: Array[Byte], charset: String): (String, Int) =
     charset.toUpperCase(java.util.Locale.ROOT) match {
       case "ISO-8859-1" | "LATIN1" | "LATIN-1" =>
         (new String(bytes, "ISO-8859-1"), 0)
       case "UTF-8" | "UTF8" => decodeUtf8Strict(bytes)
+      case "UTF-16LE" => decodeUtf16(bytes, littleEndian = true)
+      case "UTF-16BE" => decodeUtf16(bytes, littleEndian = false)
       case other =>
         throw new IllegalArgumentException(s"unsupported charset '$other'")
     }
@@ -3313,6 +3375,40 @@ object Codecs {
       if (d % 5 == 0 && d % 10 != 0) out.write(0xc3) // truncated lead
       ("UTF-8", out.toByteArray)
     }
+  }
+
+  /** Closed-form BOM fixture: d%4 picks UTF-8+BOM / UTF-16LE+BOM /
+    * UTF-16BE+BOM / BOM-less UTF-8; text = "w{d} " + k 2-byte chars +
+    * a non-BMP emoji on d%7==1 (surrogate pairs / 4-byte UTF-8 both
+    * sit on the oracle path) + one corruption on d%5==0 (a lone high
+    * surrogate unit for UTF-16, a truncated lead byte for UTF-8) —
+    * exactly one U+FFFD either way. The transport always DECLARES
+    * UTF-8, so the UTF-16 modes prove the BOM override is live. */
+  def synthBomText(d: Long): Array[Byte] = {
+    val k = (1 + d % 3).toInt
+    val text = s"w$d " +
+      (new String(Character.toChars((0x100 + d % 64).toInt)) * k) +
+      (if (d % 7 == 1)
+        new String(Character.toChars((0x1f600 + d % 16).toInt)) else "")
+    val mode = (d % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    mode match {
+      case 0 | 3 =>
+        if (mode == 0) { out.write(0xef); out.write(0xbb); out.write(0xbf) }
+        out.write(text.getBytes("UTF-8"))
+        if (d % 5 == 0) out.write(0xc3) // truncated lead → one U+FFFD
+      case m =>
+        val le = m == 1
+        if (le) { out.write(0xff); out.write(0xfe) }
+        else { out.write(0xfe); out.write(0xff) }
+        def unit(u: Int): Unit =
+          if (le) { out.write(u & 0xff); out.write((u >> 8) & 0xff) }
+          else { out.write((u >> 8) & 0xff); out.write(u & 0xff) }
+        // a JVM string IS UTF-16 code units — surrogate pairs included
+        text.toCharArray.foreach(c => unit(c))
+        if (d % 5 == 0) unit(0xd800 + (d % 0x400).toInt) // lone high
+    }
+    out.toByteArray
   }
 
   /** Closed-form page with the block anatomy boilerplate removal

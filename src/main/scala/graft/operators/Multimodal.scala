@@ -918,6 +918,22 @@ object Multimodal {
     ids.sparkSession.createDataFrame(rdd, charsetSchema)
   }
 
+  /** BOM-dispatch decode over the synthBomText fixture: the transport
+    * always declares UTF-8; the decoder must let a UTF-16 BOM win
+    * (the WHATWG sniffing rule). Emits the charset ACTUALLY used. */
+  def bomDecodeFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val (cs, text, repl) =
+          Codecs.decodeWithBom(Codecs.synthBomText(d), "UTF-8")
+        Row(d, cs, text.codePointCount(0, text.length), repl, text)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, charsetSchema)
+  }
+
   private val mainContentSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("n_blocks", IntegerType),

@@ -5261,6 +5261,40 @@ object Llm extends QueryModule {
           CAST(length(text) AS INT) AS n_chars, n_repl, text
         FROM t ORDER BY id""")),
 
+    // BOM-DISPATCH CHARSET DECODE — the WHATWG sniffing rule applied:
+    // a byte-order mark OVERRIDES the transport-declared charset, so
+    // UTF-16LE/BE documents shipped under a Content-Type claiming
+    // UTF-8 (the classic Windows-export mojibake source) decode
+    // correctly. The fixture cycles UTF-8+BOM / UTF-16LE+BOM /
+    // UTF-16BE+BOM / BOM-less UTF-8 with the transport ALWAYS
+    // declaring UTF-8 — the emitted charset column proves the
+    // override fired. Non-BMP emoji on d%7==1 put surrogate-pair
+    // decode (UTF-16) and 4-byte sequences (UTF-8) on the oracle
+    // path; d%5==0 docs carry exactly one corruption (lone high
+    // surrogate / truncated lead) → one counted U+FFFD. Row-local
+    // codegen-free map work — scan-stage at 100 TB.
+    QueryDef(
+      "llm_charset_bom",
+      (s, dir) => Multimodal.bomDecodeFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH c AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS k
+            FROM documents),
+          t AS (SELECT doc_id,
+            CASE doc_id % 4 WHEN 1 THEN 'UTF-16LE' WHEN 2 THEN 'UTF-16BE'
+              ELSE 'UTF-8' END AS charset,
+            'w' || doc_id || ' ' ||
+              repeat(chr(CAST(256 + doc_id % 64 AS INT)), k) ||
+              CASE WHEN doc_id % 7 = 1
+                THEN chr(CAST(128512 + doc_id % 16 AS INT)) ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0 THEN chr(65533) ELSE '' END AS text,
+            CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+              AS n_repl
+          FROM c)
+        SELECT doc_id AS id, charset,
+          CAST(length(text) AS INT) AS n_chars, n_repl, text
+        FROM t ORDER BY id""")),
+
     // MAIN-CONTENT EXTRACTION (boilerplate removal, jusText family) —
     // after llm_html_text strips tags, THIS is what separates body
     // prose from navigation/footer/"read more" chrome: block

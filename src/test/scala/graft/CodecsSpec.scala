@@ -352,6 +352,61 @@ class CodecsSpec extends AnyFunSuite {
       Codecs.synthBmp(5L, 6, 4).pixels.flatten.toSeq)
   }
 
+  test("UTF-16 decode round-trips both endiannesses incl. surrogate pairs") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(0x20, 0x7e), Gen.choose(0x100, 0xd7ff),
+      Gen.choose(0x10000, 0x10ffff))).map(cps =>
+      cps.map(cp => new String(Character.toChars(cp))).mkString)
+    samples(strGen, 60).foreach { s =>
+      Seq(true, false).foreach { le =>
+        val out = new java.io.ByteArrayOutputStream()
+        s.toCharArray.foreach { c =>
+          if (le) { out.write(c & 0xff); out.write((c >> 8) & 0xff) }
+          else { out.write((c >> 8) & 0xff); out.write(c & 0xff) }
+        }
+        val (t, r) = Codecs.decodeUtf16(out.toByteArray, le)
+        assert(t == s && r == 0, s"le=$le len=${s.length}")
+      }
+    }
+  }
+
+  test("UTF-16 lone surrogates and odd tails are counted replacements") {
+    // lone high surrogate followed by a normal char: FFFD + the char
+    val b1 = Array[Byte](0xd8.toByte, 0x00, 0x00, 0x41) // BE: D800, 0041
+    val (t1, r1) = Codecs.decodeUtf16(b1, littleEndian = false)
+    assert(t1 == "�A" && r1 == 1)
+    // lone low surrogate
+    val b2 = Array[Byte](0xdc.toByte, 0x00) // BE: DC00
+    val (t2, r2) = Codecs.decodeUtf16(b2, littleEndian = false)
+    assert(t2 == "�" && r2 == 1)
+    // odd trailing byte
+    val (t3, r3) = Codecs.decodeUtf16(Array[Byte](0x41, 0x00, 0x42),
+      littleEndian = true)
+    assert(t3 == "A�" && r3 == 1)
+  }
+
+  test("a BOM overrides the declared charset; BOM-less bytes do not") {
+    // UTF-16LE bytes under a UTF-8 declaration: without the BOM rule
+    // this is mojibake; with it, the text survives
+    val payload = "café 😀"
+    val le = new java.io.ByteArrayOutputStream()
+    le.write(0xff); le.write(0xfe)
+    payload.toCharArray.foreach { c =>
+      le.write(c & 0xff); le.write((c >> 8) & 0xff)
+    }
+    val (cs, text, repl) = Codecs.decodeWithBom(le.toByteArray, "UTF-8")
+    assert(cs == "UTF-16LE" && text == payload && repl == 0)
+    // BOM-less: the declaration is used verbatim
+    val (cs2, text2, _) =
+      Codecs.decodeWithBom("plain".getBytes("UTF-8"), "UTF-8")
+    assert(cs2 == "UTF-8" && text2 == "plain")
+    // a UTF-8 BOM is consumed, not leaked into the text
+    val withBom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "x".getBytes("UTF-8")
+    val (cs3, text3, _) = Codecs.decodeWithBom(withBom, "ISO-8859-1")
+    assert(cs3 == "UTF-8" && text3 == "x")
+  }
+
   test("JPEG shell round-trips metadata over the synth parameter space") {
     (0L until 400L).foreach { d =>
       val m = Codecs.jpegMeta(Codecs.synthJpeg(d))
