@@ -4474,7 +4474,14 @@ object Codecs {
     * record, and per-member ceilings resolve through the 0x0001
     * extended-information extra (usize, csize, localOff in APPNOTE
     * order) — the format >4 GB corpus dumps actually arrive in. */
-  def zipEntries(bytes: Array[Byte]): Array[ZipMember] = {
+  def zipEntries(bytes: Array[Byte]): Array[ZipMember] =
+    zipExtract(bytes).map(_._1)
+
+  /** The zipEntries walk, returning each member's DECODED payload
+    * beside its metadata — the extraction form composed formats
+    * (EPUB) build on. Same validation: every payload is inflated (or
+    * taken stored) and CRC-checked against the central directory. */
+  def zipExtract(bytes: Array[Byte]): Array[(ZipMember, Array[Byte])] = {
     require(bytes.length >= 22, "shorter than an empty ZIP")
     var eocd = -1
     var p = bytes.length - 22
@@ -4521,7 +4528,8 @@ object Codecs {
       require(cdOff + cdSize == eocd,
         s"central directory [$cdOff, ${cdOff + cdSize}) does not abut EOCD")
     }
-    val out = collection.mutable.ArrayBuffer.empty[ZipMember]
+    val out =
+      collection.mutable.ArrayBuffer.empty[(ZipMember, Array[Byte])]
     var pos = cdOff.toInt
     (0L until nEntries).foreach { _ =>
       require(pos + 46 <= cdEnd, s"truncated central-dir entry at $pos")
@@ -4617,7 +4625,7 @@ object Codecs {
       c.update(plain)
       require(c.getValue == crc,
         s"member $name CRC ${c.getValue} != directory ${crc}")
-      out += ZipMember(out.length, name, method, usize)
+      out += ((ZipMember(out.length, name, method, usize), plain))
       pos += 46 + nameLen + extraLen + cmtLen
     }
     require(pos == cdEnd, "central directory does not end at its EOCD")
@@ -4629,24 +4637,23 @@ object Codecs {
     * (raw Deflater, JDK) and the rest stored, content bytes mod 251 of
     * doc-derived length — local headers, central directory, EOCD with
     * a doc-varying comment so the backward scan is exercised. */
-  def synthZip(d: Long): Array[Byte] = {
+  /** General classic-ZIP writer (local headers, central directory,
+    * EOCD with a comment so the backward scan is exercised): members
+    * are (name, plain bytes, deflate?). The reusable write side of
+    * zipExtract — synthZip and the EPUB fixture both build on it. */
+  def zipBuild(members: Seq[(String, Array[Byte], Boolean)],
+      comment: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val n = (2 + d % 4).toInt
     val central = new java.io.ByteArrayOutputStream()
-    (0 until n).foreach { j =>
-      val name = s"f${d}_$j.bin"
-      val usize = (20 + (d * 5 + 11 * j) % 200).toInt
-      val plain = Array.tabulate[Byte](usize)(i =>
-        ((d * 11 + 17 * j + i) % 251).toByte)
+    members.foreach { case (name, plain, deflate) =>
       val crcC = new java.util.zip.CRC32(); crcC.update(plain)
       val crc = crcC.getValue
-      val deflate = (d + j) % 3 == 0
       val payload = if (!deflate) plain else {
         val df = new java.util.zip.Deflater(
           java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
         try {
           df.setInput(plain); df.finish()
-          val buf = new Array[Byte](usize + 64)
+          val buf = new Array[Byte](plain.length + 64)
           val m = df.deflate(buf)
           require(df.finished(), "fixture deflate did not finish")
           java.util.Arrays.copyOf(buf, m)
@@ -4663,20 +4670,21 @@ object Codecs {
         p16(b, o, (v & 0xffff).toInt); p16(b, o + 2, ((v >> 16) & 0xffff).toInt)
       }
       p32(lh, 0, 0x04034b50L); p16(lh, 4, 20); p16(lh, 8, method)
-      p32(lh, 14, crc); p32(lh, 18, payload.length); p32(lh, 22, usize)
+      p32(lh, 14, crc); p32(lh, 18, payload.length); p32(lh, 22, plain.length)
       p16(lh, 26, nb.length)
       out.write(lh); out.write(nb); out.write(payload)
       val ce = new Array[Byte](46)
       p32(ce, 0, 0x02014b50L); p16(ce, 4, 20); p16(ce, 6, 20)
       p16(ce, 10, method)
-      p32(ce, 16, crc); p32(ce, 20, payload.length); p32(ce, 24, usize)
+      p32(ce, 16, crc); p32(ce, 20, payload.length); p32(ce, 24, plain.length)
       p16(ce, 28, nb.length); p32(ce, 42, localOff)
       central.write(ce); central.write(nb)
     }
     val cdOff = out.size()
     val cd = central.toByteArray
     out.write(cd)
-    val comment = s"graft-$d".getBytes("US-ASCII")
+    val cb = comment.getBytes("US-ASCII")
+    val n = members.size
     val eocd = new Array[Byte](22)
     eocd(0) = 0x50; eocd(1) = 0x4b; eocd(2) = 5; eocd(3) = 6
     eocd(8) = (n & 0xff).toByte; eocd(9) = ((n >> 8) & 0xff).toByte
@@ -4689,11 +4697,19 @@ object Codecs {
     eocd(17) = ((cdOff >> 8) & 0xff).toByte
     eocd(18) = ((cdOff >> 16) & 0xff).toByte
     eocd(19) = ((cdOff >> 24) & 0xff).toByte
-    eocd(20) = (comment.length & 0xff).toByte
-    eocd(21) = ((comment.length >> 8) & 0xff).toByte
-    out.write(eocd); out.write(comment)
+    eocd(20) = (cb.length & 0xff).toByte
+    eocd(21) = ((cb.length >> 8) & 0xff).toByte
+    out.write(eocd); out.write(cb)
     out.toByteArray
   }
+
+  def synthZip(d: Long): Array[Byte] =
+    zipBuild((0 until (2 + d % 4).toInt).map { j =>
+      val usize = (20 + (d * 5 + 11 * j) % 200).toInt
+      (s"f${d}_$j.bin",
+        Array.tabulate[Byte](usize)(i => ((d * 11 + 17 * j + i) % 251).toByte),
+        (d + j) % 3 == 0)
+    }, s"graft-$d")
 
   /** Closed-form ZIP64: the "zip64-always" writer shape (every size,
     * offset, and count at its u32/u16 ceiling with the true values in

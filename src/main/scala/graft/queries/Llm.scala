@@ -5992,6 +5992,36 @@ object Llm extends QueryModule {
         FROM f WHERE n_flate >= 1
         GROUP BY n_pages ORDER BY n_pages""")),
 
+    // EPUB WALK (operators/Epub.scala) — the composed document format
+    // beside PDF/markdown/mixed-dispatch: an OCF ZIP container
+    // (mimetype FIRST and STORED, validated by name) → container.xml
+    // rootfile → OPF package (dc:title, manifest id→href, SPINE) →
+    // XHTML chapters through the same Html.extract the web pipeline
+    // uses. The fixture ROTATES the spine against the manifest (spine
+    // position s reads chapter (s + d%n) % n), so a walk that reads
+    // manifest order cannot hash-match — reading ORDER is the thing
+    // an ebook corpus pass must get right. Composes three verified
+    // layers: zipExtract's CRC-checked members, the scoped XML walk,
+    // Html extraction. Per-doc map work.
+    QueryDef(
+      "llm_doc_epub",
+      (s, dir) => graft.operators.Epub.epubFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "spine_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n
+            FROM documents WHERE doc_id < 300),
+        s AS (SELECT doc_id, n, CAST(unnest(range(0, n)) AS INT) AS sidx
+            FROM d),
+        c AS (SELECT doc_id, n, sidx,
+            CAST((sidx + doc_id % n) % n AS INT) AS j FROM s)
+        SELECT doc_id AS id, sidx AS spine_idx,
+          'OEBPS/chap' || j || '.xhtml' AS href,
+          'Chapter ' || j || ' of ' || doc_id AS chapter_title,
+          CAST(6 + (doc_id + j) % 9 AS INT) AS n_words,
+          'Book ' || doc_id AS book_title
+        FROM c ORDER BY id, spine_idx""")),
+
     // SUBTITLE PARSE (SRT) — captions are the text half of
     // video+caption training pairs (the MP4 walks supply the sample
     // timeline; cues supply time-aligned text), and caption curation
