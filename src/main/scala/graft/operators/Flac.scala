@@ -405,6 +405,27 @@ object Flac {
     * from frame 1 on) instead of the frame number. */
   def variableStrategy(d: Long): Boolean = d % 5 == 4
 
+  /** Frame sample-rate coding choice (RFC 9639 §9.1.2) — another
+    * PCM-invariant layout axis. (code, inline field width, inline
+    * value): 0 = from STREAMINFO; the fixed-table code for the doc's
+    * rate; or one of the three end-of-header forms (1100 kHz / 1101
+    * Hz / 1110 daHz) where the rate fits the field. */
+  def srCodeOf(d: Long, f: Int, rate: Int): (Int, Int, Int) =
+    ((d + f) % 4) match {
+      case 0 => (0, 0, 0)
+      case 1 => rate match { // fixed table entries for fixture rates
+        case 44100 => (9, 0, 0)
+        case 48000 => (10, 0, 0)
+        case _     => (11, 0, 0)
+      }
+      case 2 =>
+        if (rate <= 0xffff) (13, 16, rate) // 16-bit Hz
+        else (14, 16, rate / 10) // 16-bit tens of Hz
+      case _ =>
+        if (rate % 1000 == 0 && rate / 1000 <= 0xff) (12, 8, rate / 1000)
+        else (14, 16, rate / 10)
+    }
+
   /** Closed-form decoded (left, right) pair — right is meaningless for
     * mono ids. Derives L/R from (primary, side) exactly as the three
     * decorrelation modes do, including mid/side's carried LSB. */
@@ -570,7 +591,36 @@ object Flac {
     // STREAMINFO, the LAST metadata block here (no tags on the audio
     // fixture — llm_audio_flac_meta owns the tag walk)
     out.write(0x80); out.write(0); out.write(0); out.write(34)
+    // MD5 of the unencoded PCM (RFC 9639 §8.2: interleaved,
+    // little-endian, whole-byte samples) — computed in a pre-pass
+    // over the same closed forms the frames encode, so decodeAudio's
+    // end-of-stream MD5 verification is a real integrity check
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    locally {
+      val nF = n + (if (tail > 0) 1 else 0)
+      var f = 0
+      while (f < nF) {
+        val bs = if (f < n) AudioBlock else tail
+        var j = 0
+        while (j < bs) {
+          var c = 0
+          while (c < ch) {
+            val v =
+              if (ch == 1) sampleAt(d, f, j)
+              else if (ch == 2) {
+                val (l, r) = lrAt(d, f, j); if (c == 0) l else r
+              } else chanAt(d, c, f, j)
+            md5.update((v & 0xff).toByte)
+            md5.update(((v >> 8) & 0xff).toByte)
+            c += 1
+          }
+          j += 1
+        }
+        f += 1
+      }
+    }
     val si = new Array[Byte](34)
+    System.arraycopy(md5.digest(), 0, si, 18, 16)
     si(0) = (AudioBlock >> 8).toByte; si(1) = AudioBlock.toByte
     si(2) = (AudioBlock >> 8).toByte; si(3) = AudioBlock.toByte
     si(10) = (sr >> 12).toByte
@@ -600,22 +650,26 @@ object Flac {
       // (16-bit size−1) so both end-of-header field widths are live
       val bsCode =
         if (bs == AudioBlock) 0x8 else if (d % 4 == 1) 0x6 else 0x7
+      val (srCode, srBits, srVal) = srCodeOf(d, f, sr)
       val w = new BitWriter
       // header: sync(14) 11111111111110, reserved 0, blocksize
-      // strategy bit, blocksize code, sr code 0000 (from STREAMINFO),
-      // channel code, sample size 100 (16), reserved 0
+      // strategy bit, blocksize code, sr code (cycling STREAMINFO /
+      // fixed-table / end-of-header forms per srCodeOf), channel
+      // code, sample size 100 (16), reserved 0
       w.writeBits(0x3ffe, 14); w.writeBits(0, 1)
       w.writeBits(if (variable) 1 else 0, 1)
-      w.writeBits(bsCode, 4); w.writeBits(0x0, 4)
+      w.writeBits(bsCode, 4); w.writeBits(srCode, 4)
       w.writeBits(chanCode, 4); w.writeBits(0x4, 3); w.writeBits(0, 1)
       // UTF-8-coded number: frame index under the fixed strategy, the
       // first SAMPLE number under the variable strategy (multibyte
       // from frame 1 on — 256 needs the 2-byte form)
       w.writeUtf8Coded(if (variable) f.toLong * AudioBlock else f.toLong)
-      // inline blocksize field follows the coded number (RFC 9639
-      // §9.1.1: "get from end of header")
+      // inline blocksize then sample-rate fields follow the coded
+      // number, in that order (RFC 9639 §9.1.1: "get from end of
+      // header")
       if (bsCode == 0x6) w.writeBits(bs - 1, 8)
       else if (bsCode == 0x7) w.writeBits(bs - 1, 16)
+      if (srBits > 0) w.writeBits(srVal, srBits)
       w.alignByte()
       val hdr = w.toBytes
       val body = new BitWriter
@@ -828,8 +882,7 @@ object Flac {
         s"unsupported blocksize code $bsCode (decode subset is 256 " +
           "plus inline-declared short last blocks)")
       val srCode = r.readBits(4)
-      require(srCode == 0,
-        s"unsupported sample-rate code $srCode (STREAMINFO rate only)")
+      require(srCode != 15, "invalid sample-rate code 1111")
       val chan = r.readBits(4)
       require(chan <= 10,
         s"reserved channel assignment $chan")
@@ -854,6 +907,21 @@ object Flac {
         case 0x6 => r.readBits(8) + 1
         case _   => r.readBits(16) + 1
       }
+      // inline sample-rate field follows the blocksize field; every
+      // form must agree with STREAMINFO (RFC 9639: the frame header
+      // repeats the rate for framing resilience, it cannot change it)
+      val frameRate = srCode match {
+        case 0  => m.sampleRate
+        case 12 => r.readBits(8) * 1000
+        case 13 => r.readBits(16)
+        case 14 => r.readBits(16) * 10
+        case c => // fixed table (RFC 9639 §9.1.2)
+          Array(0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+            32000, 44100, 48000, 96000)(c)
+      }
+      require(frameRate == m.sampleRate,
+        s"frame sample rate $frameRate (code $srCode) contradicts " +
+          s"STREAMINFO rate ${m.sampleRate}")
       // only the LAST block may be short (RFC 9639 §8.2) — and it
       // must then be exactly the remaining sample count
       val remaining = m.totalSamples - got / m.channels
@@ -913,6 +981,25 @@ object Flac {
     }
     require(got == outSamples.length,
       s"decoded $got values, STREAMINFO declared ${outSamples.length}")
+    // STREAMINFO MD5 (RFC 9639 §8.2): the END-TO-END integrity check —
+    // hash the decoded PCM (interleaved, little-endian, whole-byte
+    // samples) and compare against the writer's digest. All-zero =
+    // unset (legal); the fixture always sets it, so ANY decode bug
+    // that survives both frame CRCs still fails here. STREAMINFO is
+    // the first block, so its md5 field sits at bytes 26-41.
+    val storedMd5 = java.util.Arrays.copyOfRange(bytes, 26, 42)
+    if (storedMd5.exists(_ != 0)) {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < outSamples.length) {
+        md5.update((outSamples(i) & 0xff).toByte)
+        md5.update(((outSamples(i) >> 8) & 0xff).toByte)
+        i += 1
+      }
+      require(java.util.Arrays.equals(md5.digest(), storedMd5),
+        "decoded PCM fails the STREAMINFO MD5 — corrupt stream or " +
+          "decoder drift")
+    }
     FlacAudio(m.sampleRate, m.channels, outSamples)
   }
 

@@ -319,6 +319,33 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("sample-rate codes cycle all four forms and the STREAMINFO MD5 " +
+      "is a live end-to-end check") {
+    // every sr coding form fires in the query range
+    val codes = (0L until 300L).flatMap(d => (0 until
+      (Flac.audioFrames(d) + (if (Flac.tailLen(d) > 0) 1 else 0))).map {
+      f =>
+        val sr = (d % 3) match {
+          case 0 => 44100; case 1 => 48000; case _ => 96000
+        }
+        Flac.srCodeOf(d, f, sr)._1
+    }).toSet
+    assert(Set(0, 9, 10, 11, 12, 13, 14).subsetOf(codes),
+      s"sr code forms missing from the fixture: got $codes")
+    // tamper ONE stored MD5 byte: both frame CRCs still pass, so only
+    // the end-to-end check can catch it — and it must, by name
+    val good = Flac.synthAudio(9L)
+    val b = good.clone()
+    b(30) = (b(30) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] { Flac.decodeAudio(b) }
+    assert(e.getMessage.contains("MD5"), e.getMessage)
+    // all-zero md5 = unset, decode proceeds (third-party writers)
+    val z = good.clone()
+    java.util.Arrays.fill(z, 26, 42, 0.toByte)
+    assert(Flac.decodeAudio(z).samples.length ==
+      Flac.decodeAudio(good).samples.length)
+  }
+
   test("frame decoder terminates loudly under random corruption") {
     val rng = new scala.util.Random(1234)
     for (trial <- 0 until 300) {
