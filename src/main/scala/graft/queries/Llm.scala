@@ -5051,6 +5051,49 @@ object Llm extends QueryModule {
           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect
         FROM e ORDER BY id, entry_idx""")),
 
+    // STREAMING FEED INGEST — the feed walk applied as feeds ARRIVE
+    // (the poll loop a crawl planner actually runs): RSS/Atom parse +
+    // a freshness gate (entries published in Q4 feed the frontier;
+    // the gate is pure integer day arithmetic), all STATELESS Append
+    // like the other ingest twins — no state store, no watermark.
+    // Deterministic emission, so llm_web_feed's closed-form oracle
+    // applies with the gate column added.
+    QueryDef(
+      "stream_feed_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val extracted = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { d =>
+              graft.operators.Feed.parse(graft.operators.Feed.synth(d))
+                .zipWithIndex.iterator.map { case (e, j) =>
+                  (d, j, e.link, java.sql.Date.valueOf(e.published))
+                }
+            }
+          }
+          .toDF("id", "entry_idx", "link", "published")
+          .withColumn("kept", col("published") >= lit("2024-10-01"))
+        graft.streaming.Streams.runToMemory(extracted,
+          s"sfeed_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id", "entry_idx")
+      },
+      Some("""WITH e AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id AS id, j AS entry_idx,
+          'http://feed' || doc_id || '.example/a' || j ||
+            '?s=' || doc_id || '&t=' || j AS link,
+          CAST(DATE '2024-01-01'
+            + CAST((5 * doc_id + 3 * j) % 365 AS INT) AS DATE)
+            AS published,
+          (DATE '2024-01-01' + CAST((5 * doc_id + 3 * j) % 365 AS INT)
+            >= DATE '2024-10-01') AS kept
+        FROM e ORDER BY id, entry_idx""")),
+
     // STREAMING WEB INGEST — the archive-extraction chain applied as
     // archives ARRIVE: per-record gunzip → WARC walk → HTTP frame →
     // HTML extract → quality verdict, all STATELESS Append (no state

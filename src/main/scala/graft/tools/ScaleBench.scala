@@ -524,6 +524,20 @@ object ScaleBench {
         graft.operators.Feed.feedFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // EPUB walk (round 14): CRC-checked ZIP extraction + OPF spine +
+    // per-chapter Html extraction — per-doc map work.
+    if (only.isEmpty || only.exists("epub_walk".contains)) {
+      time("epub_walk")(force(
+        graft.operators.Epub.epubFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    // BOM-dispatch charset decode (round 14): strict UTF-8/UTF-16
+    // validation per doc — per-doc map work.
+    if (only.isEmpty || only.exists("charset_bom".contains)) {
+      time("charset_bom")(force(
+        graft.operators.Multimodal.bomDecodeFeatures(
+          docs.select("doc_id"), "doc_id")))
+    }
     // H.264 I-frame decode (round 14): full CAVLC + intra-DC + dequant
     // + inverse-transform pixel reconstruction — per-doc map work like
     // flac_decode; frames/s = rows / sec.
