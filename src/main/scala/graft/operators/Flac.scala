@@ -363,6 +363,13 @@ object Flac {
     * assignment code = channels − 1, each coded on its own). */
   def audioChannels(d: Long): Int = (1 + d % 4).toInt
 
+  /** Container bit depth: d%9==8 docs are 24-BIT (the studio/lossless
+    * standard; ssz code 110, 3-byte MD5 samples, bps+1=25-bit side
+    * channels). The sample VALUES are the same closed forms — depth
+    * bounds the range, it does not scale the integers — so this is
+    * one more PCM-invariant layout axis the oracle never sees. */
+  def audioBits(d: Long): Int = if (d % 9 == 8) 24 else 16
+
   /** Closed-form signal for channel c of a ≥3-channel doc — frame
     * (f+c)%4 == 0 channels are j-constant so CONSTANT subframes stay
     * live on the multichannel path. */
@@ -584,6 +591,7 @@ object Flac {
     }
     val n = audioFrames(d)
     val ch = audioChannels(d)
+    val bits = audioBits(d)
     val tail = tailLen(d)
     val total = n.toLong * AudioBlock + tail
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -612,6 +620,7 @@ object Flac {
               } else chanAt(d, c, f, j)
             md5.update((v & 0xff).toByte)
             md5.update(((v >> 8) & 0xff).toByte)
+            if (bits == 24) md5.update(((v >> 16) & 0xff).toByte)
             c += 1
           }
           j += 1
@@ -625,8 +634,9 @@ object Flac {
     si(2) = (AudioBlock >> 8).toByte; si(3) = AudioBlock.toByte
     si(10) = (sr >> 12).toByte
     si(11) = ((sr >> 4) & 0xff).toByte
-    si(12) = (((sr & 0xf) << 4) | ((ch - 1) << 1) | ((16 - 1) >> 4)).toByte
-    si(13) = ((((16 - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
+    si(12) = (((sr & 0xf) << 4) | ((ch - 1) << 1) |
+      ((bits - 1) >> 4)).toByte
+    si(13) = ((((bits - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
     si(14) = ((total >> 24) & 0xff).toByte
     si(15) = ((total >> 16) & 0xff).toByte
     si(16) = ((total >> 8) & 0xff).toByte
@@ -659,7 +669,8 @@ object Flac {
       w.writeBits(0x3ffe, 14); w.writeBits(0, 1)
       w.writeBits(if (variable) 1 else 0, 1)
       w.writeBits(bsCode, 4); w.writeBits(srCode, 4)
-      w.writeBits(chanCode, 4); w.writeBits(0x4, 3); w.writeBits(0, 1)
+      w.writeBits(chanCode, 4)
+      w.writeBits(if (bits == 24) 0x6 else 0x4, 3); w.writeBits(0, 1)
       // UTF-8-coded number: frame index under the fixed strategy, the
       // first SAMPLE number under the variable strategy (multibyte
       // from frame 1 on — 256 needs the 2-byte form)
@@ -677,7 +688,7 @@ object Flac {
       val fixedOrder = (1 + d % 4).toInt
       if (ch == 1) {
         val primary = Array.tabulate(bs)(j => sampleAt(d, f, j))
-        writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
+        writeSubframe(body, primary, bits, kind, fixedOrder, d, f)
       } else if (ch >= 3) {
         // independent multichannel: each channel its own subframe,
         // kind cycling (f+c)%4 — chanAt keeps (f+c)%4==0 j-constant
@@ -685,7 +696,7 @@ object Flac {
         var c = 0
         while (c < ch) {
           val v = Array.tabulate(bs)(j => chanAt(d, c, f, j))
-          writeSubframe(body, v, 16, (f + c) % 4, fixedOrder, d, f)
+          writeSubframe(body, v, bits, (f + c) % 4, fixedOrder, d, f)
           c += 1
         }
       } else if (indep) {
@@ -694,21 +705,21 @@ object Flac {
         // on independently-coded frames too
         val l = Array.tabulate(bs)(j => lrAt(d, f, j)._1)
         val r = Array.tabulate(bs)(j => lrAt(d, f, j)._2)
-        writeSubframe(body, l, 16, 1, fixedOrder, d, f)
-        writeSubframe(body, r, 16, 2, fixedOrder, d, f)
+        writeSubframe(body, l, bits, 1, fixedOrder, d, f)
+        writeSubframe(body, r, bits, 2, fixedOrder, d, f)
       } else {
         val primary = Array.tabulate(bs)(j => sampleAt(d, f, j))
         val side = Array.tabulate(bs)(j => sideAt(d, f, j))
         (f % 3) match {
           case 0 => // left/side: primary first, side carries bps+1
-            writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
-            writeSubframe(body, side, 17, 2, 1, d, f)
+            writeSubframe(body, primary, bits, kind, fixedOrder, d, f)
+            writeSubframe(body, side, bits + 1, 2, 1, d, f)
           case 1 => // right/side: SIDE subframe first (it is channel 0)
-            writeSubframe(body, side, 17, 2, 1, d, f)
-            writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
+            writeSubframe(body, side, bits + 1, 2, 1, d, f)
+            writeSubframe(body, primary, bits, kind, fixedOrder, d, f)
           case _ => // mid/side
-            writeSubframe(body, primary, 16, kind, fixedOrder, d, f)
-            writeSubframe(body, side, 17, 2, 1, d, f)
+            writeSubframe(body, primary, bits, kind, fixedOrder, d, f)
+            writeSubframe(body, side, bits + 1, 2, 1, d, f)
         }
       }
       body.alignByte()
@@ -850,8 +861,9 @@ object Flac {
     val m = meta(bytes)
     require(m.channels >= 1 && m.channels <= 8,
       s"invalid FLAC channel count ${m.channels}")
-    require(m.bitsPerSample == 16,
-      s"unsupported FLAC bit depth ${m.bitsPerSample} (decode subset is 16)")
+    require(m.bitsPerSample == 16 || m.bitsPerSample == 24,
+      s"unsupported FLAC bit depth ${m.bitsPerSample} " +
+        "(decode subset is 16/24)")
     // re-walk the metadata blocks to find the first frame
     var off = 4
     var last = false
@@ -892,7 +904,15 @@ object Flac {
         s"frame channel assignment $chan contradicts STREAMINFO " +
           s"channels ${m.channels}")
       val ssz = r.readBits(3)
-      require(ssz == 4, s"unsupported sample-size code $ssz (16-bit only)")
+      val frameBits = ssz match {
+        case 4 => 16
+        case 6 => 24
+        case c => sys.error(s"unsupported sample-size code $c " +
+          "(decode subset is 16/24)")
+      }
+      require(frameBits == m.bitsPerSample,
+        s"frame sample size $frameBits contradicts STREAMINFO " +
+          s"${m.bitsPerSample}")
       require(r.readBits(1) == 0, "reserved frame-header bit set")
       val fno = r.readUtf8Coded()
       if (variable)
@@ -935,7 +955,7 @@ object Flac {
       if (chan <= 7) {
         // nch independent subframes at the stream bit depth,
         // interleaved on output (mono is the nch == 1 case)
-        val chans = Array.fill(nch)(decodeSubframe(r, 16, bs))
+        val chans = Array.fill(nch)(decodeSubframe(r, frameBits, bs))
         require(got + nch * bs <= outSamples.length,
           "more frames than STREAMINFO total samples")
         var j = 0
@@ -950,8 +970,8 @@ object Flac {
       } else {
         // the side channel carries bps+1 bits: channel 1 in
         // left/side (8) and mid/side (10), channel 0 in right/side (9)
-        val bits0 = if (chan == 9) 17 else 16
-        val bits1 = if (chan == 9) 16 else 17
+        val bits0 = if (chan == 9) frameBits + 1 else frameBits
+        val bits1 = if (chan == 9) frameBits else frameBits + 1
         val c0 = decodeSubframe(r, bits0, bs)
         val c1 = decodeSubframe(r, bits1, bs)
         require(got + 2 * bs <= outSamples.length,
@@ -994,6 +1014,8 @@ object Flac {
       while (i < outSamples.length) {
         md5.update((outSamples(i) & 0xff).toByte)
         md5.update(((outSamples(i) >> 8) & 0xff).toByte)
+        if (m.bitsPerSample == 24)
+          md5.update(((outSamples(i) >> 16) & 0xff).toByte)
         i += 1
       }
       require(java.util.Arrays.equals(md5.digest(), storedMd5),

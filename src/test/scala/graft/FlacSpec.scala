@@ -300,6 +300,11 @@ class FlacSpec extends AnyFunSuite {
     assert((0L to 60L).exists(d => d % 7 == 3))
     assert((0L to 60L).exists(d => Flac.audioChannels(d) == 2 &&
       Flac.audioFrames(d) > 1 && Flac.independentStereoFrame(d, 1)))
+    // 24-bit docs (ssz 110, 25-bit side channels, 3-byte MD5 samples)
+    // fire inside the closed-form window too, crossed with stereo
+    assert((0L to 60L).exists(d => Flac.audioBits(d) == 24))
+    assert((0L to 60L).exists(d => Flac.audioBits(d) == 24 &&
+      Flac.audioChannels(d) == 2))
   }
 
   test("escape partitions round-trip on the 17-bit side channel") {
