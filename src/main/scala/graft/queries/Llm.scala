@@ -4579,6 +4579,80 @@ object Llm extends QueryModule {
             (doc_id % 5) AS url_norm
         FROM documents ORDER BY id""")),
 
+    // URL CANONICALIZATION DEDUP — the crawl-frontier dedup that runs
+    // BEFORE any content fetch: the same target URL arrives decorated
+    // with tracking params (utm_*/fbclid), reordered queries,
+    // uppercase hosts, explicit default ports, fragments, and
+    // trailing slashes — five decoration classes cycled by
+    // floor(doc_id/100)%5 over shared targets doc_id%100. The Spark
+    // side does the REAL normalization work (parse_url + lambda
+    // filter dropping tracking params + array_sort of the rest +
+    // default-port strip keeping NON-default ports + trailing-slash
+    // strip), all codegen'd builtins, one groupBy on the canonical
+    // string; the oracle recomputes the canonical TARGET closed-form,
+    // so any normalization bug splits a group and breaks the hash.
+    QueryDef(
+      "llm_url_dedup",
+      (s, dir) => {
+        val urls = Catalog.table(s, dir, "documents").selectExpr(
+          "doc_id",
+          """concat('https://',
+             CASE WHEN floor(doc_id/100) % 5 = 3
+               THEN concat('SITE', doc_id % 100, '.EXAMPLE')
+               ELSE concat('site', doc_id % 100, '.example') END,
+             CASE WHEN doc_id % 100 % 7 = 3 THEN ':8443'
+               WHEN floor(doc_id/100) % 5 = 3 THEN ':443'
+               ELSE '' END,
+             '/p/', doc_id % 100,
+             CASE WHEN floor(doc_id/100) % 5 = 2 THEN '/' ELSE '' END,
+             '?',
+             CASE WHEN floor(doc_id/100) % 5 = 1
+               THEN concat('a=', doc_id % 100 % 9,
+                 '&utm_source=x', doc_id, '&fbclid=f', doc_id,
+                 '&b=', doc_id % 100 % 4)
+               WHEN floor(doc_id/100) % 5 = 2
+               THEN concat('b=', doc_id % 100 % 4,
+                 '&a=', doc_id % 100 % 9)
+               ELSE concat('a=', doc_id % 100 % 9,
+                 '&b=', doc_id % 100 % 4) END,
+             CASE WHEN floor(doc_id/100) % 5 = 4
+               THEN concat('#frag', doc_id) ELSE '' END) AS url""")
+        urls.selectExpr("doc_id",
+            "lower(parse_url(url, 'HOST')) AS host",
+            """regexp_extract(parse_url(url, 'AUTHORITY'),
+               ':(\\d+)$', 1) AS port""",
+            "parse_url(url, 'PATH') AS path0",
+            "coalesce(parse_url(url, 'QUERY'), '') AS query")
+          .selectExpr("doc_id", "host",
+            // keep NON-default ports only
+            """CASE WHEN port != '' AND port != '443'
+               THEN concat(':', port) ELSE '' END AS portpart""",
+            """CASE WHEN length(path0) > 1 AND endswith(path0, '/')
+               THEN substring(path0, 1, length(path0) - 1)
+               ELSE path0 END AS path""",
+            """filter(split(query, '&'), p -> p != '' AND
+               NOT (p RLIKE '^(utm_[^=]*|fbclid|gclid)=')) AS params""")
+          .selectExpr("doc_id",
+            """concat('https://', host, portpart, path,
+               CASE WHEN size(params) > 0
+                 THEN concat('?', array_join(array_sort(params), '&'))
+                 ELSE '' END) AS canon_url""")
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_urls"),
+            min("doc_id").as("survivor_id"))
+          .orderBy("canon_url")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS t FROM documents),
+        g AS (SELECT t, count(*) AS n_urls,
+            CAST(min(doc_id) AS BIGINT) AS survivor_id
+          FROM d GROUP BY t)
+        SELECT 'https://site' || t || '.example' ||
+            CASE WHEN t % 7 = 3 THEN ':8443' ELSE '' END ||
+            '/p/' || t || '?a=' || (t % 9) || '&b=' || (t % 4)
+            AS canon_url,
+          n_urls, survivor_id
+        FROM g ORDER BY canon_url""")),
+
     // ANCHOR TEXT — the link-graph's relevance signal (what the web
     // says a target is about): per-link (href, anchor text) pairs in
     // document order, anchor text captured under the same separator/
