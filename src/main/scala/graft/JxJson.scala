@@ -226,6 +226,15 @@ object JxJson {
           graft.operators.Markdown.synthDf(
             archiveDocIds(spark, sfDir, q), "doc_id"),
           "id", "md")
+      // the EPUB front door: `"from": "docs:epub"` exposes the
+      // chapter-level ebook corpus (operators/Epub — OCF walk + OPF
+      // spine + Html extraction) the same way: one row per chapter in
+      // SPINE order, extraction as partition-local map work; same
+      // fixture bound and "archive_docs" override as the other doc
+      // sources.
+      case JString("docs:epub") =>
+        graft.operators.Epub.epubFeatures(
+          archiveDocIds(spark, sfDir, q), "doc_id")
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)

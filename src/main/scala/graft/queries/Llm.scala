@@ -6139,6 +6139,36 @@ object Llm extends QueryModule {
           'Book ' || doc_id AS book_title
         FROM c ORDER BY id, spine_idx""")),
 
+    // JX FRONT DOOR → EPUB — `"from": "docs:epub"` exposes the
+    // chapter-level ebook corpus beside docs:pdf / docs:markdown /
+    // docs:any: a per-spine-position word rollup over a chapter-length
+    // gate, extraction fused with the grouped aggregate in one plan.
+    // n_words has a closed form (6 + (d+j)%9 with j the spine-rotated
+    // chapter), which the oracle recomputes instead of re-parsing.
+    QueryDef(
+      "jx_json_epub",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "docs:epub",
+          "where": {"gte": ["n_words", {"literal": 8}]},
+          "groupby": ["spine_idx"],
+          "select": [
+            {"name": "n_chapters", "aggregate": "count"},
+            {"name": "total_words", "aggregate": "sum", "value": "n_words"}
+          ],
+          "sort": "spine_idx"
+        }"""),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n
+            FROM documents WHERE doc_id < 300),
+        s AS (SELECT doc_id, n, CAST(unnest(range(0, n)) AS INT) AS sidx
+            FROM d),
+        c AS (SELECT doc_id, sidx,
+            CAST((sidx + doc_id % n) % n AS INT) AS j FROM s),
+        w AS (SELECT doc_id, sidx, 6 + (doc_id + j) % 9 AS nw FROM c)
+        SELECT sidx AS spine_idx, count(*) AS n_chapters,
+          CAST(sum(nw) AS BIGINT) AS total_words
+        FROM w WHERE nw >= 8 GROUP BY sidx ORDER BY sidx""")),
+
     // SUBTITLE PARSE (SRT) — captions are the text half of
     // video+caption training pairs (the MP4 walks supply the sample
     // timeline; cues supply time-aligned text), and caption curation
