@@ -324,6 +324,11 @@ object Flac {
 
   private val AudioBlock = 256
 
+  /** Per-doc stream blocksize: d%11==10 docs use 4096 — the default
+    * blocksize real encoders write (blocksize code 1100) — in ONE
+    * frame; everyone else keeps 256-sample blocks. */
+  def audioBlockOf(d: Long): Int = if (d % 11 == 10) 4096 else 256
+
   /** Closed-form PRIMARY-channel signal for doc d, frame f, sample j —
     * the contract shared by synthAudio (which ENCODES it), decodeAudio
     * (which must get it back bit-exactly), and the DuckDB oracle
@@ -356,7 +361,8 @@ object Flac {
   private val LpcShift = 5
   private val LpcPrecision = 5
 
-  def audioFrames(d: Long): Int = (2 + d % 3).toInt
+  def audioFrames(d: Long): Int =
+    if (d % 11 == 10) 1 else (2 + d % 3).toInt
 
   /** 1-4 channels: 1 mono, 2 stereo (decorrelated, with per-frame
     * independent switching), 3-4 independent multichannel (channel
@@ -383,7 +389,7 @@ object Flac {
     * append a 64-142-sample tail frame, declared via blocksize code 6
     * (8-bit size−1) or 7 (16-bit) by d%4. 0 = no tail. */
   def tailLen(d: Long): Int =
-    if (d % 6 == 5) (64 + (d % 7) * 13).toInt else 0
+    if (d % 6 == 5 && d % 11 != 10) (64 + (d % 7) * 13).toInt else 0
 
   // -- bitstream-layout choices (PCM-invariant, so the DuckDB oracle
   //    never changes when these rules do). Public so FlacSpec can
@@ -593,7 +599,8 @@ object Flac {
     val ch = audioChannels(d)
     val bits = audioBits(d)
     val tail = tailLen(d)
-    val total = n.toLong * AudioBlock + tail
+    val blockLen = audioBlockOf(d)
+    val total = n.toLong * blockLen + tail
     val out = new java.io.ByteArrayOutputStream(4096)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO, the LAST metadata block here (no tags on the audio
@@ -608,7 +615,7 @@ object Flac {
       val nF = n + (if (tail > 0) 1 else 0)
       var f = 0
       while (f < nF) {
-        val bs = if (f < n) AudioBlock else tail
+        val bs = if (f < n) blockLen else tail
         var j = 0
         while (j < bs) {
           var c = 0
@@ -630,8 +637,8 @@ object Flac {
     }
     val si = new Array[Byte](34)
     System.arraycopy(md5.digest(), 0, si, 18, 16)
-    si(0) = (AudioBlock >> 8).toByte; si(1) = AudioBlock.toByte
-    si(2) = (AudioBlock >> 8).toByte; si(3) = AudioBlock.toByte
+    si(0) = (blockLen >> 8).toByte; si(1) = blockLen.toByte
+    si(2) = (blockLen >> 8).toByte; si(3) = blockLen.toByte
     si(10) = (sr >> 12).toByte
     si(11) = ((sr >> 4) & 0xff).toByte
     si(12) = (((sr & 0xf) << 4) | ((ch - 1) << 1) |
@@ -645,7 +652,7 @@ object Flac {
     val nFrames = n + (if (tail > 0) 1 else 0)
     var f = 0
     while (f < nFrames) {
-      val bs = if (f < n) AudioBlock else tail
+      val bs = if (f < n) blockLen else tail
       // channel code: 0000 mono; 0001-0011 = 2-4 independent
       // channels; 1000/1001/1010 = left/side, right/side, mid/side
       val indep = ch == 2 && independentStereoFrame(d, f)
@@ -659,7 +666,9 @@ object Flac {
       // block is declared inline — 0110 (8-bit size−1) or 0111
       // (16-bit size−1) so both end-of-header field widths are live
       val bsCode =
-        if (bs == AudioBlock) 0x8 else if (d % 4 == 1) 0x6 else 0x7
+        if (bs == 256) 0x8
+        else if (bs == 4096) 0xc
+        else if (d % 4 == 1) 0x6 else 0x7
       val (srCode, srBits, srVal) = srCodeOf(d, f, sr)
       val w = new BitWriter
       // header: sync(14) 11111111111110, reserved 0, blocksize
@@ -674,7 +683,7 @@ object Flac {
       // UTF-8-coded number: frame index under the fixed strategy, the
       // first SAMPLE number under the variable strategy (multibyte
       // from frame 1 on — 256 needs the 2-byte form)
-      w.writeUtf8Coded(if (variable) f.toLong * AudioBlock else f.toLong)
+      w.writeUtf8Coded(if (variable) f.toLong * blockLen else f.toLong)
       // inline blocksize then sample-rate fields follow the coded
       // number, in that order (RFC 9639 §9.1.1: "get from end of
       // header")
@@ -871,15 +880,23 @@ object Flac {
       last = (bytes(off) & 0x80) != 0
       off += 4 + u24be(bytes, off + 1)
     }
-    // allocation guard: even an all-CONSTANT stream yields < 32
-    // samples per file byte, so a STREAMINFO claiming more is corrupt
-    // — fail loudly instead of OOMing on a hostile header (the same
-    // bomb posture as Pdf.inflate / Codecs.zipEntries)
+    // allocation guard: an all-CONSTANT 4096-sample frame is ~20
+    // bytes, so ~512 samples per file byte bounds every legal stream
+    // in the subset; the absolute cap keeps a large hostile file from
+    // claiming a multi-GB buffer either way — fail loudly instead of
+    // OOMing (the same bomb posture as Pdf.inflate / Codecs.zipEntries)
     require(m.totalSamples >= 0 &&
-      m.totalSamples <= bytes.length.toLong * 32,
+      m.totalSamples <= bytes.length.toLong * 512 &&
+      m.totalSamples.toLong * m.channels <= (1L << 28),
       s"STREAMINFO claims ${m.totalSamples} samples from a " +
         s"${bytes.length}-byte file — corrupt or hostile header")
     val outSamples = new Array[Int](m.totalSamples.toInt * m.channels)
+    // the stream blocksize governs every frame but a short last one;
+    // STREAMINFO is the first block, so min blocksize sits at byte 8
+    val streamBs = u16be(bytes, 8)
+    require(streamBs == 256 || streamBs == 4096,
+      s"unsupported stream blocksize $streamBs (decode subset is " +
+        "256/4096)")
     var got = 0
     var frameIdx = 0L
     while (off < bytes.length) {
@@ -890,9 +907,10 @@ object Flac {
       // number), 1 = variable (header carries the first SAMPLE number)
       val variable = r.readBits(1) == 1
       val bsCode = r.readBits(4)
-      require(bsCode == 0x8 || bsCode == 0x6 || bsCode == 0x7,
-        s"unsupported blocksize code $bsCode (decode subset is 256 " +
-          "plus inline-declared short last blocks)")
+      require(bsCode == 0x8 || bsCode == 0xc || bsCode == 0x6 ||
+        bsCode == 0x7,
+        s"unsupported blocksize code $bsCode (decode subset is 256, " +
+          "4096, and inline-declared short last blocks)")
       val srCode = r.readBits(4)
       require(srCode != 15, "invalid sample-rate code 1111")
       val chan = r.readBits(4)
@@ -923,7 +941,8 @@ object Flac {
           s"frame number $fno != expected $frameIdx")
       // inline blocksize field (codes 6/7) follows the coded number
       val bs = bsCode match {
-        case 0x8 => AudioBlock
+        case 0x8 => 256
+        case 0xc => 4096
         case 0x6 => r.readBits(8) + 1
         case _   => r.readBits(16) + 1
       }
@@ -945,9 +964,9 @@ object Flac {
       // only the LAST block may be short (RFC 9639 §8.2) — and it
       // must then be exactly the remaining sample count
       val remaining = m.totalSamples - got / m.channels
-      require(bs == math.min(AudioBlock.toLong, remaining),
+      require(bs == math.min(streamBs.toLong, remaining),
         s"frame declares blocksize $bs, expected " +
-          s"${math.min(AudioBlock.toLong, remaining)} " +
+          s"${math.min(streamBs.toLong, remaining)} " +
           s"($remaining samples remaining)")
       val hdrEnd = r.byteAt
       require(crc8(bytes, off, hdrEnd) == r.readBits(8),

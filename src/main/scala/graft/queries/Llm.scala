@@ -252,18 +252,22 @@ object Llm extends QueryModule {
     * stream_audio_ingest SELECT different columns from it, so a
     * decode divergence breaks both hashes at once. */
   private val flacAggCte: String =
-    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
+    """WITH d AS (SELECT doc_id,
+            CAST(CASE WHEN doc_id % 11 = 10 THEN 1
+              ELSE 2 + doc_id % 3 END AS INT) AS n,
+            CAST(CASE WHEN doc_id % 11 = 10 THEN 4096
+              ELSE 256 END AS INT) AS bs,
             CAST(1 + doc_id % 4 AS INT) AS ch,
-            CAST(CASE WHEN doc_id % 6 = 5 THEN 64 + (doc_id % 7) * 13
-              ELSE 0 END AS INT) AS tail,
+            CAST(CASE WHEN doc_id % 6 = 5 AND doc_id % 11 != 10
+              THEN 64 + (doc_id % 7) * 13 ELSE 0 END AS INT) AS tail,
             CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
               ELSE 96000 END AS INT) AS sr
           FROM documents WHERE doc_id < 300),
-        s AS (SELECT d.doc_id, d.sr, d.n, d.ch, d.tail, i.i,
-            i.i // 256 AS f, i.i % 256 AS j
+        s AS (SELECT d.doc_id, d.sr, d.n, d.bs, d.ch, d.tail, i.i,
+            i.i // d.bs AS f, i.i % d.bs AS j
           FROM d, LATERAL
-            (SELECT unnest(range(0, d.n * 256 + d.tail)) AS i) i),
-        p AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
+            (SELECT unnest(range(0, d.n * d.bs + d.tail)) AS i) i),
+        p AS (SELECT doc_id, sr, n, bs, ch, tail, i, f, j,
             CASE f % 4
               WHEN 0 THEN ((doc_id * 31 + f * 7) % 2001) - 1000
               WHEN 1 THEN ((j * (37 + doc_id % 13) + doc_id + f) % 2001)
@@ -274,7 +278,7 @@ object Llm extends QueryModule {
             END AS prim,
             ((j * (2 + doc_id % 3) + doc_id + 2 * f) % 257) - 128 AS sd
           FROM s),
-        lr AS (SELECT doc_id, sr, n, ch, tail, i, f, j,
+        lr AS (SELECT doc_id, sr, n, bs, ch, tail, i, f, j,
             CASE WHEN ch = 1 OR f % 3 = 0 THEN prim
               WHEN f % 3 = 1 THEN prim + sd
               ELSE (2 * prim + abs(sd) % 2 + sd) // 2 END AS l,
@@ -282,7 +286,7 @@ object Llm extends QueryModule {
               WHEN f % 3 = 1 THEN prim
               ELSE (2 * prim + abs(sd) % 2 - sd) // 2 END AS r
           FROM p),
-        mc AS (SELECT doc_id, sr, n, ch, tail, i, l, r,
+        mc AS (SELECT doc_id, sr, n, bs, ch, tail, i, l, r,
             CASE WHEN f % 4 = 0
               THEN ((doc_id * 13 + f * 7) % 1601) - 800
               ELSE ((j * (2 + doc_id % 5) + doc_id + f) % 1601) - 800
@@ -300,22 +304,23 @@ object Llm extends QueryModule {
               ELSE ((j * (2 + (3 + doc_id) % 5) + doc_id + f * 4 + 21)
                 % 1601) - 800 END AS v3
           FROM lr),
-        u AS (SELECT doc_id, sr, n, ch, tail, i, 0 AS c,
+        u AS (SELECT doc_id, sr, n, bs, ch, tail, i, 0 AS c,
             CASE WHEN ch <= 2 THEN l ELSE v0 END AS v FROM mc
           UNION ALL
-          SELECT doc_id, sr, n, ch, tail, i, 1 AS c,
+          SELECT doc_id, sr, n, bs, ch, tail, i, 1 AS c,
             CASE WHEN ch = 2 THEN r ELSE v1 END AS v FROM mc
           WHERE ch >= 2
           UNION ALL
-          SELECT doc_id, sr, n, ch, tail, i, 2 AS c, v2 AS v FROM mc
+          SELECT doc_id, sr, n, bs, ch, tail, i, 2 AS c, v2 AS v FROM mc
           WHERE ch >= 3
           UNION ALL
-          SELECT doc_id, sr, n, ch, tail, i, 3 AS c, v3 AS v FROM mc
+          SELECT doc_id, sr, n, bs, ch, tail, i, 3 AS c, v3 AS v FROM mc
           WHERE ch >= 4),
-        w AS (SELECT doc_id, sr, n, ch, tail, v,
+        w AS (SELECT doc_id, sr, n, bs, ch, tail, v,
             lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv FROM u),
         agg AS (SELECT doc_id AS id,
-            CAST((max(n) * 256 + max(tail)) * max(ch) AS INT) AS n_samples,
+            CAST((max(n) * max(bs) + max(tail)) * max(ch) AS INT)
+              AS n_samples,
             max(ch) AS channels, max(sr) AS sample_rate,
             CAST(max(abs(v)) AS INT) AS peak,
             CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END)
@@ -6072,7 +6077,7 @@ object Llm extends QueryModule {
       },
       Some(s"""$flacAggCte
         SELECT id, n_samples, channels, peak, sum_sq,
-          (sum_sq >= 250000 * n_samples) AS kept
+          (sum_sq >= 250000::BIGINT * n_samples) AS kept
         FROM agg ORDER BY id""")),
 
     // JX FRONT DOOR → PDF — `"from": "docs:pdf"` exposes the

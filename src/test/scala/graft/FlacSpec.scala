@@ -103,7 +103,8 @@ class FlacSpec extends AnyFunSuite {
       val a = Flac.decodeAudio(Flac.synthAudio(d))
       val n = Flac.audioFrames(d)
       val ch = Flac.audioChannels(d)
-      val perCh = n * 256 + Flac.tailLen(d)
+      val bs = Flac.audioBlockOf(d)
+      val perCh = n * bs + Flac.tailLen(d)
       assert(a.channels == ch, s"d=$d")
       assert(a.samples.length == perCh * ch, s"d=$d")
       val sr = (d % 3) match {
@@ -112,7 +113,7 @@ class FlacSpec extends AnyFunSuite {
       assert(a.sampleRate == sr, s"d=$d")
       var i = 0
       while (i < perCh) {
-        val f = i / 256; val j = i % 256
+        val f = i / bs; val j = i % bs
         if (ch <= 2) {
           val (l, r) = Flac.lrAt(d, f, j)
           if (ch == 1)
