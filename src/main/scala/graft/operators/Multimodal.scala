@@ -892,6 +892,37 @@ object Multimodal {
     ids.sparkSession.createDataFrame(rdd, sitemapSchema)
   }
 
+  private val sitemapIndexSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sitemap_idx", IntegerType),
+    StructField("entry_idx", IntegerType),
+    StructField("loc", StringType),
+    StructField("priority", DoubleType)))
+
+  /** TWO-LEVEL sitemap walk (Sitemap.parseIndex → per-child
+    * Sitemap.parse): the full URL inventory behind a site's
+    * sitemapindex. In a deployment each ref's loc is fetched; the
+    * fixture derives child k's urlset id (1000·d + k) from the index
+    * position, which the walk validates against the ref's loc. */
+  def sitemapIndexFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        Sitemap.parseIndex(Sitemap.synthIndex(d)).zipWithIndex.iterator
+          .flatMap { case (ref, k) =>
+            require(ref.loc == s"http://site$d.example/sm$k.xml",
+              s"index ref $k points at unexpected child ${ref.loc}")
+            val cid = 1000 * d + k
+            Sitemap.parse(Sitemap.synth(cid)).zipWithIndex.iterator.map {
+              case (e, j) => Row(d, k, j, e.loc, e.priority)
+            }
+          }
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, sitemapIndexSchema)
+  }
+
   private val charsetSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("charset", StringType),

@@ -111,4 +111,84 @@ object Sitemap {
     }
     sb.append("</urlset>\n").toString
   }
+
+  final case class SitemapRef(loc: String, lastmod: String)
+
+  /** The TWO-LEVEL form real sites serve: a `<sitemapindex>` whose
+    * `<sitemap>` children each point at a child urlset (sites cap
+    * urlsets at 50k URLs, so the index IS the common case). Same
+    * schema-scoped walk discipline as parse: mandatory `<loc>`,
+    * optional `<lastmod>`, loud on unknown elements or bad nesting. */
+  def parseIndex(xml: String): Array[SitemapRef] = {
+    var pos = 0
+    def skipWs(): Unit =
+      while (pos < xml.length && Character.isWhitespace(xml.charAt(pos)))
+        pos += 1
+    def expect(tok: String): Unit = {
+      require(xml.startsWith(tok, pos),
+        s"sitemapindex: expected '$tok' at $pos, found " +
+          s"'${xml.slice(pos, pos + 20)}'")
+      pos += tok.length
+    }
+    skipWs()
+    if (xml.startsWith("<?xml", pos)) {
+      val end = xml.indexOf("?>", pos)
+      require(end > 0, "sitemapindex: unterminated XML prolog")
+      pos = end + 2
+    }
+    skipWs()
+    expect("<sitemapindex")
+    val gt = xml.indexOf('>', pos)
+    require(gt > 0, "sitemapindex: unterminated open tag")
+    pos = gt + 1
+    val out = collection.mutable.ArrayBuffer.empty[SitemapRef]
+    skipWs()
+    while (!xml.startsWith("</sitemapindex>", pos)) {
+      require(pos < xml.length, "sitemapindex: unterminated document")
+      expect("<sitemap>")
+      var loc: String = null
+      var lastmod = ""
+      skipWs()
+      while (!xml.startsWith("</sitemap>", pos)) {
+        require(pos < xml.length && xml.charAt(pos) == '<',
+          s"sitemapindex: expected child element at $pos")
+        val nameEnd = xml.indexOf('>', pos)
+        require(nameEnd > 0, "sitemapindex: unterminated child tag")
+        val name = xml.substring(pos + 1, nameEnd)
+        require(Set("loc", "lastmod")(name),
+          s"sitemapindex: unknown element <$name>")
+        val close = s"</$name>"
+        val end = xml.indexOf(close, nameEnd + 1)
+        require(end > 0, s"sitemapindex: missing $close")
+        val text = decodeEntities(xml.substring(nameEnd + 1, end).trim)
+        if (name == "loc") loc = text else lastmod = text
+        pos = end + close.length
+        skipWs()
+      }
+      pos += "</sitemap>".length
+      require(loc != null, "sitemapindex: <sitemap> entry missing <loc>")
+      out += SitemapRef(loc, lastmod)
+      skipWs()
+    }
+    out.toArray
+  }
+
+  def indexChildren(d: Long): Int = (2 + d % 3).toInt
+
+  /** Closed-form index fixture: 2 + d%3 child refs; child k's urlset
+    * is synth(1000·d + k), its loc naming sm{k}.xml on the site host. */
+  def synthIndex(d: Long): String = {
+    val sb = new StringBuilder(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      .append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+    (0 until indexChildren(d)).foreach { k =>
+      sb.append("  <sitemap><loc>")
+        .append(s"http://site$d.example/sm$k.xml")
+        .append("</loc><lastmod>")
+        .append(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays((11 * d + k) % 365).toString)
+        .append("</lastmod></sitemap>\n")
+    }
+    sb.append("</sitemapindex>\n").toString
+  }
 }

@@ -5130,6 +5130,32 @@ object Llm extends QueryModule {
           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect
         FROM e ORDER BY id, entry_idx""")),
 
+    // TWO-LEVEL SITEMAP WALK — real sites serve a <sitemapindex>
+    // (urlsets cap at 50k URLs, so the index IS the common case):
+    // parse the index, then each child urlset, emitting the site's
+    // FULL URL inventory. The walk validates every index ref against
+    // the child it resolves to, so a ref/child mismatch is loud. Per
+    // child the entry closed form is the single-level fixture's at id
+    // 1000·d + k — the oracle recomputes both levels. Map work.
+    QueryDef(
+      "llm_sitemap_index",
+      (s, dir) => Multimodal.sitemapIndexFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "sitemap_idx", "entry_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS ns
+            FROM documents WHERE doc_id < 300),
+        k AS (SELECT doc_id, CAST(unnest(range(0, ns)) AS INT) AS k
+            FROM d),
+        c AS (SELECT doc_id, k, 1000 * doc_id + k AS cid FROM k),
+        e AS (SELECT doc_id, k, cid,
+            CAST(unnest(range(0, 2 + cid % 4)) AS INT) AS j FROM c)
+        SELECT doc_id AS id, k AS sitemap_idx, j AS entry_idx,
+          'http://site' || cid || '.example/p' || j ||
+            '?x=' || cid || '&y=' || j AS loc,
+          (5 + (cid + j) % 5) / 10.0 AS priority
+        FROM e ORDER BY id, sitemap_idx, entry_idx""")),
+
     // STREAMING FEED INGEST — the feed walk applied as feeds ARRIVE
     // (the poll loop a crawl planner actually runs): RSS/Atom parse +
     // a freshness gate (entries published in Q4 feed the frontier;

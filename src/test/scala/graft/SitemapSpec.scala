@@ -72,4 +72,30 @@ class SitemapSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sitemap.parse(
       "<urlset><url><loc>u</loc><priority>hi</priority></url></urlset>"))
   }
+
+  test("sitemapindex parses refs in order and rejects violations by name") {
+    for (d <- 0L to 40L) {
+      val refs = Sitemap.parseIndex(Sitemap.synthIndex(d))
+      assert(refs.length == Sitemap.indexChildren(d), s"d=$d")
+      refs.zipWithIndex.foreach { case (r, k) =>
+        assert(r.loc == s"http://site$d.example/sm$k.xml", s"d=$d k=$k")
+        assert(r.lastmod == java.time.LocalDate.of(2024, 1, 1)
+          .plusDays((11 * d + k) % 365).toString, s"d=$d k=$k")
+      }
+    }
+    // a urlset is NOT an index — the walk must not silently accept it
+    val e1 = intercept[IllegalArgumentException](
+      Sitemap.parseIndex(Sitemap.synth(3L)))
+    assert(e1.getMessage.contains("sitemapindex"), e1.getMessage)
+    // unknown child element
+    val e2 = intercept[IllegalArgumentException](Sitemap.parseIndex(
+      "<sitemapindex><sitemap><priority>1</priority></sitemap>" +
+        "</sitemapindex>"))
+    assert(e2.getMessage.contains("unknown element"), e2.getMessage)
+    // missing mandatory loc
+    val e3 = intercept[IllegalArgumentException](Sitemap.parseIndex(
+      "<sitemapindex><sitemap><lastmod>2024-01-01</lastmod></sitemap>" +
+        "</sitemapindex>"))
+    assert(e3.getMessage.contains("missing <loc>"), e3.getMessage)
+  }
 }
