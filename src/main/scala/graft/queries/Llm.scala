@@ -5130,6 +5130,37 @@ object Llm extends QueryModule {
           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect
         FROM e ORDER BY id, entry_idx""")),
 
+    // AVRO OBJECT-CONTAINER WALK (operators/AvroWalk.scala) — the
+    // row-lake format data engineering ships beside parquet/orc; no
+    // connector jar exists on this classpath, so the walk is
+    // from-spec hand parsing like every container operator: metadata
+    // map (zigzag varints), schema validated against the declared
+    // subset by name, per-block sync markers REQUIRED to match, null
+    // AND raw-deflate codecs, records decoded as zigzag-varint longs
+    // + length-prefixed UTF-8 + little-endian doubles. Scores are
+    // quarter-steps (exact binary fractions), so the double column is
+    // hash-stable cross-engine. AvroWalkSpec cross-checks against the
+    // BUNDLED org.apache.avro reader/writer both directions — the
+    // ImageIO pattern. Per-doc map work.
+    QueryDef(
+      "llm_avro_records",
+      (s, dir) => graft.operators.AvroWalk.avroFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "block_idx", "rec_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nb
+            FROM documents WHERE doc_id < 300),
+        b AS (SELECT doc_id, CAST(unnest(range(0, nb)) AS INT) AS bk
+            FROM d),
+        r AS (SELECT doc_id, bk,
+            CAST(unnest(range(0, 2 + (doc_id + bk) % 4)) AS INT) AS rk
+          FROM b)
+        SELECT doc_id AS id, bk AS block_idx, rk AS rec_idx,
+          CAST(100 * doc_id + 10 * bk + rk AS BIGINT) AS rec_id,
+          'n' || ((doc_id + bk + rk) % 13) AS name,
+          (doc_id % 7) + rk * 0.25 AS score
+        FROM r ORDER BY id, block_idx, rec_idx""")),
+
     // TWO-LEVEL SITEMAP WALK — real sites serve a <sitemapindex>
     // (urlsets cap at 50k URLs, so the index IS the common case):
     // parse the index, then each child urlset, emitting the site's
