@@ -5130,6 +5130,40 @@ object Llm extends QueryModule {
           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect
         FROM e ORDER BY id, entry_idx""")),
 
+    // PROTOBUF WIRE-FORMAT WALK (operators/Proto.scala) — the RPC/log
+    // serialization the telemetry side of a platform ships, parsed
+    // from the public encoding spec (no runtime on this classpath):
+    // tag varints, ZigZag sint64 (negative deltas on odd ids — the
+    // encoding zigzag exists for), LE fixed64 doubles, PACKED
+    // repeated int32s, and — the protobuf-defining behavior —
+    // UNKNOWN fields of all four wire types injected BETWEEN known
+    // ones on d%3==1 docs, which the walk must skip by wire type
+    // (forward compatibility). Groups and reserved wire types are
+    // refused by name. Quarter-step scores keep the double column
+    // hash-stable. Per-doc map work.
+    QueryDef(
+      "llm_proto_records",
+      (s, dir) => graft.operators.Proto.protoFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(1 + doc_id % 4 AS INT) AS nt FROM documents
+          WHERE doc_id < 300),
+        g AS (SELECT doc_id, nt,
+            CAST((SELECT sum((7 * doc_id + 3 * k.k) % 100)
+              FROM (SELECT unnest(range(0, nt)) AS k) k) AS BIGINT)
+              AS tag_sum
+          FROM t)
+        SELECT doc_id AS id,
+          CAST(1000 + doc_id AS BIGINT) AS rec_id,
+          'n' || (doc_id % 13) AS name,
+          (doc_id % 5) + (doc_id % 4) / 4.0 AS score,
+          nt AS n_tags, tag_sum,
+          CAST(CASE WHEN doc_id % 2 = 1 THEN -(doc_id % 50)
+            ELSE doc_id % 50 END AS BIGINT) AS delta
+        FROM g ORDER BY id""")),
+
     // AVRO OBJECT-CONTAINER WALK (operators/AvroWalk.scala) — the
     // row-lake format data engineering ships beside parquet/orc; no
     // connector jar exists on this classpath, so the walk is
