@@ -538,6 +538,65 @@ object ScaleBench {
         graft.operators.Multimodal.bomDecodeFeatures(
           docs.select("doc_id"), "doc_id")))
     }
+    // Avro container + protobuf wire walks (round 14): per-doc map
+    // work like the other container rows.
+    if (only.isEmpty || only.exists("avro_records".contains)) {
+      time("avro_records")(force(
+        graft.operators.AvroWalk.avroFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    if (only.isEmpty || only.exists("proto_records".contains)) {
+      time("proto_records")(force(
+        graft.operators.Proto.protoFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    // Two-level sitemap walk (round 14).
+    if (only.isEmpty || only.exists("sitemap_index".contains)) {
+      time("sitemap_index")(force(
+        graft.operators.Multimodal.sitemapIndexFeatures(
+          docs.select("doc_id"), "doc_id")))
+    }
+    // URL canonicalization dedup (round 14): scan-stage normalization
+    // + ONE groupBy on the canonical string — the only shuffle. Same
+    // decoration classes as the declared query, over the scaled docs.
+    if (only.isEmpty || only.exists("url_dedup".contains)) {
+      time("url_dedup")(force {
+        docs.selectExpr("doc_id",
+            """concat('https://',
+               CASE WHEN floor(doc_id/100) % 5 = 3
+                 THEN concat('SITE', doc_id % 100000, '.EXAMPLE')
+                 ELSE concat('site', doc_id % 100000, '.example') END,
+               CASE WHEN doc_id % 7 = 3 THEN ':8443'
+                 WHEN floor(doc_id/100) % 5 = 3 THEN ':443'
+                 ELSE '' END,
+               '/p/', doc_id % 100000,
+               '?',
+               CASE WHEN floor(doc_id/100) % 5 = 1
+                 THEN concat('a=', doc_id % 9, '&utm_source=x', doc_id,
+                   '&b=', doc_id % 4)
+                 WHEN floor(doc_id/100) % 5 = 2
+                 THEN concat('b=', doc_id % 4, '&a=', doc_id % 9)
+                 ELSE concat('a=', doc_id % 9, '&b=', doc_id % 4) END,
+               CASE WHEN floor(doc_id/100) % 5 = 4
+                 THEN concat('#frag', doc_id) ELSE '' END) AS url""")
+          .selectExpr("doc_id",
+            "lower(parse_url(url, 'HOST')) AS host",
+            """regexp_extract(parse_url(url, 'AUTHORITY'),
+               ':(\\d+)$', 1) AS port""",
+            "parse_url(url, 'PATH') AS path",
+            "coalesce(parse_url(url, 'QUERY'), '') AS query")
+          .selectExpr("doc_id",
+            """concat('https://', host,
+               CASE WHEN port != '' AND port != '443'
+                 THEN concat(':', port) ELSE '' END, path,
+               concat('?', array_join(array_sort(
+                 filter(split(query, '&'), p -> p != '' AND
+                   NOT (p RLIKE '^(utm_[^=]*|fbclid|gclid)='))), '&')))
+               AS canon_url""")
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_urls"), min("doc_id").as("survivor"))
+      })
+    }
     // H.264 I-frame decode (round 14): full CAVLC + intra-DC + dequant
     // + inverse-transform pixel reconstruction — per-doc map work like
     // flac_decode; frames/s = rows / sec.
