@@ -22,14 +22,21 @@ import time
 
 CATEGORIES = {
     # import of anything not spark/scala/java/scalatest/graft-local
-    # (org.json4s / com.fasterxml ship inside /opt/spark/jars — public;
-    # `<session>.implicits._` is a local value import, not a package)
+    # (org.json4s / com.fasterxml / org.apache.avro ship inside
+    # /opt/spark/jars — public Apache; avro is used ONLY in the spec
+    # as an independent cross-check decoder; `<session>.implicits._` /
+    # `<df>.sparkSession` are local value imports, not packages)
     "internal-import": re.compile(
-        r"^\s*import\s+(?!org\.apache\.spark|org\.apache\.parquet|scala\.|java\.|javax\.|org\.scalatest|org\.scalacheck|graft\.|org\.apache\.datasketches|org\.json4s|com\.fasterxml|[A-Za-z0-9_]+\.implicits\._)[a-z]+\.[a-z0-9_.]+",
+        r"^\s*import\s+(?!org\.apache\.spark|org\.apache\.parquet|scala\.|java\.|javax\.|org\.scalatest|org\.scalacheck|graft\.|org\.apache\.datasketches|org\.apache\.avro|org\.json4s|com\.fasterxml|[A-Za-z0-9_]+\.implicits\._|[A-Za-z0-9_]+\.sparkSession)[a-z]+\.[a-z0-9_.]+",
         re.M),
-    # URLs that are not apache/github/spec-reference material
+    # URLs that are not apache/github/spec-reference material or
+    # synthetic fixture hosts: anything under the RFC 2606-reserved
+    # `.example` TLD or `exampleN.org/.net` second-levels, the
+    # sitemaps.org schema namespace (the public spec's xmlns), and the
+    # `ex.com` shorthand the markdown fixture strings use (pure
+    # closed-form content recomputed by the oracle, not an endpoint)
     "internal-url": re.compile(
-        r"https?://(?!www\.w3\.org|github\.com|issues\.apache\.org|spark\.apache\.org|datasketches\.apache\.org|arxiv\.org|doi\.org|en\.wikipedia\.org)[a-z0-9.-]+\.[a-z]{2,}"),
+        r"https?://(?!www\.w3\.org|github\.com|issues\.apache\.org|spark\.apache\.org|datasketches\.apache\.org|arxiv\.org|doi\.org|en\.wikipedia\.org|www\.sitemaps\.org|ex\.com|[a-z0-9.-]*\.example[0-9]*(?=[./\s\x22\x27)\]]|$))[a-z0-9.-]+\.[a-z]{2,}"),
     "cloud-bucket": re.compile(r"\b(?:s3|gs|abfss?|wasbs?)://[a-z0-9._/-]+"),
     # left boundary on go/: 'cargo/registry', 'django/...' must not match
     "slack-link": re.compile(
