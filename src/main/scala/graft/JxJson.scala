@@ -235,6 +235,13 @@ object JxJson {
       case JString("docs:epub") =>
         graft.operators.Epub.epubFeatures(
           archiveDocIds(spark, sfDir, q), "doc_id")
+      // the FEED front door: `"from": "web:feeds"` exposes the
+      // RSS/Atom change-feed corpus (operators/Feed) beside the
+      // archive source — one row per entry, dialect column included,
+      // parse as partition-local map work; same bound and override.
+      case JString("web:feeds") =>
+        graft.operators.Feed.feedFeatures(
+          archiveDocIds(spark, sfDir, q), "doc_id")
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)

@@ -5221,6 +5221,39 @@ object Llm extends QueryModule {
           (5 + (cid + j) % 5) / 10.0 AS priority
         FROM e ORDER BY id, sitemap_idx, entry_idx""")),
 
+    // JX FRONT DOOR → FEEDS — `"from": "web:feeds"` exposes the
+    // RSS/Atom corpus to JSON queries beside docs:epub / web:archives:
+    // a per-dialect monthly publishing profile (groupby on dialect +
+    // published month), parse fused with the aggregate in one plan.
+    // The oracle recomputes entries closed-form, so a dialect parser
+    // diverging inside the front door breaks this hash too.
+    QueryDef(
+      "jx_json_feed",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "web:feeds",
+          "where": {"gte": ["n_words", {"literal": 6}]},
+          "groupby": ["dialect", "pub_hour"],
+          "select": [
+            {"name": "n_entries", "aggregate": "count"},
+            {"name": "total_words", "aggregate": "sum", "value": "n_words"}
+          ],
+          "sort": ["dialect", "pub_hour"]
+        }"""),
+      Some("""WITH e AS (SELECT doc_id,
+            CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS j
+          FROM documents WHERE doc_id < 300),
+        f AS (SELECT doc_id, j,
+            CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+              AS dialect,
+            CAST((doc_id + j) % 24 AS INT) AS pub_hour,
+            CAST(4 + (doc_id + j) % 7 AS INT) AS n_words
+          FROM e)
+        SELECT dialect, pub_hour, count(*) AS n_entries,
+          CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM f WHERE n_words >= 6
+        GROUP BY dialect, pub_hour ORDER BY dialect, pub_hour""")),
+
     // STREAMING FEED INGEST — the feed walk applied as feeds ARRIVE
     // (the poll loop a crawl planner actually runs): RSS/Atom parse +
     // a freshness gate (entries published in Q4 feed the frontier;
