@@ -5221,6 +5221,52 @@ object Llm extends QueryModule {
           (5 + (cid + j) % 5) / 10.0 AS priority
         FROM e ORDER BY id, sitemap_idx, entry_idx""")),
 
+    // CRAWL DISCOVERY — the composed pass a planner runs over EVERY
+    // URL source it has: the two-level sitemap inventory UNION the
+    // change-feed deltas, hosts parsed off each URL, rolled up per
+    // source (urls / distinct urls / distinct hosts). One DAG fusing
+    // two r14 walks and the URL machinery — both extractions are
+    // partition-local map work ahead of one aggregate; the oracle
+    // recomputes both sources' closed forms end-to-end.
+    QueryDef(
+      "llm_crawl_discovery",
+      (s, dir) => {
+        val ids = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id")
+        val sm = Multimodal.sitemapIndexFeatures(ids, "doc_id")
+          .select(lit("sitemap").as("src"), col("loc").as("url"))
+        val fd = graft.operators.Feed.feedFeatures(ids, "doc_id")
+          .select(lit("feed").as("src"), col("link").as("url"))
+        sm.union(fd)
+          .withColumn("host", expr("parse_url(url, 'HOST')"))
+          .groupBy("src")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_unique"),
+            countDistinct(col("host")).as("n_hosts"))
+          .orderBy("src")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        smc AS (SELECT d.doc_id, 1000 * d.doc_id + k.k AS cid
+          FROM d, LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 3))
+            AS k) k),
+        sm AS (SELECT 'sitemap' AS src,
+            'http://site' || cid || '.example/p' || j.j ||
+              '?x=' || cid || '&y=' || j.j AS url,
+            'site' || cid || '.example' AS host
+          FROM smc, LATERAL (SELECT unnest(range(0, 2 + cid % 4))
+            AS j) j),
+        fd AS (SELECT 'feed' AS src,
+            'http://feed' || d.doc_id || '.example/a' || j.j ||
+              '?s=' || d.doc_id || '&t=' || j.j AS url,
+            'feed' || d.doc_id || '.example' AS host
+          FROM d, LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 4))
+            AS j) j),
+        u AS (SELECT * FROM sm UNION ALL SELECT * FROM fd)
+        SELECT src, count(*) AS n_urls,
+          CAST(count(DISTINCT url) AS BIGINT) AS n_unique,
+          CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM u GROUP BY src ORDER BY src""")),
+
     // JX FRONT DOOR → FEEDS — `"from": "web:feeds"` exposes the
     // RSS/Atom corpus to JSON queries beside docs:epub / web:archives:
     // a per-dialect monthly publishing profile (groupby on dialect +
