@@ -368,7 +368,10 @@ object Codecs {
             s"bad PNG interlace method $interlace")
         case "PLTE" =>
           // forbidden for grayscale (spec §11.2.3); a legal-but-unused
-          // quantization hint for truecolor; REQUIRED for palette
+          // quantization hint for truecolor; REQUIRED for palette.
+          // Spec §5.6 also pins chunk order: IHDR first, one PLTE max.
+          require(colorType >= 0, "PLTE chunk before IHDR")
+          require(palette == null, "duplicate PLTE chunk")
           require(colorType != 0, "PLTE chunk in a grayscale PNG")
           require(len > 0 && len % 3 == 0 && len <= 256 * 3,
             s"bad PLTE length $len")

@@ -188,9 +188,11 @@ object Flac {
   // headers (detected from common trailing zeros, like real encoders),
   // 4-bit Rice residuals with general partition orders AND escape
   // partitions (verbatim w-bit two's complement). What remains —
-  // non-16-bit sample sizes, non-256 full blocksizes, inline sample
-  // rates, and lossy payloads — is rejected with a loud require naming
-  // the construct, never silently skipped. Both CRCs (CRC-8 header,
+  // sample depths other than 16/24-bit, full blocksizes other than
+  // 256/4096, and lossy payloads — is rejected with a loud require
+  // naming the construct, never silently skipped (24-bit depths,
+  // 4096-sample blocks, inline rate codes, short tail blocks, and
+  // 1-4 channels are all DECODED). Both CRCs (CRC-8 header,
   // CRC-16 frame) are verified on every frame, so a desynced walk
   // cannot limp along.
   // ---------------------------------------------------------------
@@ -887,7 +889,7 @@ object Flac {
     // OOMing (the same bomb posture as Pdf.inflate / Codecs.zipEntries)
     require(m.totalSamples >= 0 &&
       m.totalSamples <= bytes.length.toLong * 512 &&
-      m.totalSamples.toLong * m.channels <= (1L << 28),
+      m.totalSamples.toLong * m.channels <= (1L << 26),
       s"STREAMINFO claims ${m.totalSamples} samples from a " +
         s"${bytes.length}-byte file — corrupt or hostile header")
     val outSamples = new Array[Int](m.totalSamples.toInt * m.channels)

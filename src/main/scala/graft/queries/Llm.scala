@@ -6190,9 +6190,11 @@ object Llm extends QueryModule {
     // headers, per-frame independent-vs-decorrelated stereo switching,
     // and both blocksize strategies (fixed frame numbers / variable
     // sample numbers, multibyte UTF-8-coded either way) — FlacSpec
-    // proves each layout fires inside this query's id range. >2
-    // channels and non-256 blocksizes are rejected loudly by name
-    // (the remaining audio boundary is lossy payloads). Per-doc map
+    // proves each layout fires inside this query's id range. The
+    // decoder now covers 1-4 independent channels, 24-bit depths,
+    // 4096-sample full blocks, inline rate codes, and short tail
+    // blocks; what remains — other depths, other full blocksizes,
+    // lossy payloads — is rejected loudly by name. Per-doc map
     // work, no shuffle before the final sort — the decode costs the
     // scan stage only at 100 TB.
     QueryDef(

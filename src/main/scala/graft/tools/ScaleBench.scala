@@ -566,7 +566,7 @@ object ScaleBench {
                CASE WHEN floor(doc_id/100) % 5 = 3
                  THEN concat('SITE', doc_id % 100000, '.EXAMPLE')
                  ELSE concat('site', doc_id % 100000, '.example') END,
-               CASE WHEN doc_id % 7 = 3 THEN ':8443'
+               CASE WHEN doc_id % 100000 % 7 = 3 THEN ':8443'
                  WHEN floor(doc_id/100) % 5 = 3 THEN ':443'
                  ELSE '' END,
                '/p/', doc_id % 100000,

@@ -36,7 +36,7 @@ CATEGORIES = {
     # `ex.com` shorthand the markdown fixture strings use (pure
     # closed-form content recomputed by the oracle, not an endpoint)
     "internal-url": re.compile(
-        r"https?://(?!www\.w3\.org|github\.com|issues\.apache\.org|spark\.apache\.org|datasketches\.apache\.org|arxiv\.org|doi\.org|en\.wikipedia\.org|www\.sitemaps\.org|ex\.com|[a-z0-9.-]*\.example[0-9]*(?=[./\s\x22\x27)\]]|$))[a-z0-9.-]+\.[a-z]{2,}"),
+        r"https?://(?!www\.w3\.org|github\.com|issues\.apache\.org|spark\.apache\.org|datasketches\.apache\.org|arxiv\.org|doi\.org|en\.wikipedia\.org|www\.sitemaps\.org|ex\.com(?=[./\s\x22\x27)\]]|$)|[a-z0-9.-]*\.example[0-9]*(?=[./\s\x22\x27)\]]|$))[a-z0-9.-]+\.[a-z]{2,}"),
     "cloud-bucket": re.compile(r"\b(?:s3|gs|abfss?|wasbs?)://[a-z0-9._/-]+"),
     # left boundary on go/: 'cargo/registry', 'django/...' must not match
     "slack-link": re.compile(
