@@ -5075,6 +5075,97 @@ object Llm extends QueryModule {
             THEN (13 * i + 3 * doc_id) % 256 END) AS INT) AS px32_b
         FROM px GROUP BY doc_id ORDER BY id""")),
 
+    // WEBP CONTAINER WALK (operators/Webp.scala) — the most common
+    // web image format the multimodal family could not previously
+    // touch. The fixture rotates plain-lossless / VP8X-extended /
+    // lossy-VP8 shells by doc id; the walk reads the RIFF chunk
+    // inventory (pad bytes load-bearing: the odd-length ICCP payload
+    // sits BEFORE later chunks), the VP8X feature flags + 24-bit LE
+    // canvas, the VP8L 14-bit dims + alpha hint, and the RFC 6386
+    // keyframe header fields (version, partition size, dims) of the
+    // lossy shell — filter-before-decode for an image crawl corpus.
+    // Pure per-doc map work; at 100 TB this costs the scan stage only.
+    QueryDef(
+      "llm_image_webp_meta",
+      (s, dir) => graft.operators.Webp.metaFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 9 AS INT) AS h
+          FROM documents)
+        SELECT doc_id AS id,
+          CASE doc_id % 3 WHEN 0 THEN 'vp8l' WHEN 1 THEN 'vp8x'
+            ELSE 'vp8' END AS kind,
+          CASE doc_id % 3 WHEN 2 THEN CAST(320 + doc_id % 33 AS INT)
+            ELSE w END AS canvas_w,
+          CASE doc_id % 3 WHEN 2 THEN CAST(240 + doc_id % 25 AS INT)
+            ELSE h END AS canvas_h,
+          CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 2 = 0
+            THEN 1 ELSE 0 END AS INT) AS has_icc,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN
+              CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+            ELSE 0 END AS INT) AS has_alpha,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
+            AS has_exif,
+          CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 4 < 2
+            THEN 1 ELSE 0 END AS INT) AS has_xmp,
+          CAST(0 AS INT) AS has_anim,
+          CAST(CASE doc_id % 3 WHEN 1 THEN 3
+              + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END
+            ELSE 1 END AS INT) AS n_chunks,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 5 + doc_id % 7
+            ELSE NULL END AS INT) AS exif_len,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 4
+            ELSE NULL END AS INT) AS vp8_version,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN 100 + doc_id % 50
+            ELSE NULL END AS INT) AS vp8_part0_len
+        FROM d ORDER BY id""")),
+
+    // WEBP LOSSLESS DECODE — a REAL VP8L decoder (simple + normal
+    // Huffman codes, LZ77 with the 120-entry distance-plane mapping,
+    // color cache, meta-Huffman groups, subtract-green / predictor /
+    // color-indexing transforms incl. sub-byte bundling). The
+    // bitstream LAYOUT rotates by doc id (plain literals; SG+LZ77+
+    // cache; palette; predictor+SG; two-group meta) while the PIXELS
+    // stay one closed form — the FLAC discipline: the oracle below
+    // recomputes every decoded ARGB and never changes as the subset
+    // grows. The cross-channel color transform and lossy VP8 are the
+    // documented boundary, rejected loudly by name. WebpSpec pins a
+    // hand-derived byte-literal stream, the plane-table structure,
+    // and 300-trial corruption fuzz. Per-doc map work, no shuffle
+    // before the final sort.
+    QueryDef(
+      "llm_image_decode_webp_lossless",
+      (s, dir) => graft.operators.Webp.decodeFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 9 AS INT) AS h,
+            CAST(1 << CAST(2 + doc_id % 4 AS INT) AS INT) AS nc
+          FROM documents WHERE doc_id < 300),
+        px AS (SELECT d.doc_id, d.w, d.h, x.x AS x, y.y AS y,
+            (d.doc_id + 3 * x.x + 5 * y.y) % d.nc AS i
+          FROM d, (SELECT unnest(range(0, 28)) AS x) x,
+            (SELECT unnest(range(0, 20)) AS y) y
+          WHERE x.x < d.w AND y.y < d.h)
+        SELECT doc_id AS id, max(w) AS width, max(h) AS height,
+          CAST(sum((7 * i + doc_id) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((11 * i + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((13 * i + 3 * doc_id) % 256) AS BIGINT) AS sum_b,
+          CAST(sum(255 - ((i + doc_id) % 4) * 3) AS BIGINT) AS sum_a,
+          CAST(max(CASE WHEN x = 3 AND y = 2
+            THEN (7 * i + doc_id) % 256 END) AS INT) AS px32_r,
+          CAST(max(CASE WHEN x = 3 AND y = 2
+            THEN (11 * i + 2 * doc_id) % 256 END) AS INT) AS px32_g,
+          CAST(max(CASE WHEN x = 3 AND y = 2
+            THEN (13 * i + 3 * doc_id) % 256 END) AS INT) AS px32_b,
+          CAST(max(CASE WHEN x = 3 AND y = 2
+            THEN 255 - ((i + doc_id) % 4) * 3 END) AS INT) AS px32_a
+        FROM px GROUP BY doc_id ORDER BY id""")),
+
     // SITEMAP PARSE — robots.txt's companion crawl-policy file: the
     // per-site URL inventory (sitemaps.org urlset) a crawl planner
     // diffs against its frontier. A real schema-scoped XML walk —

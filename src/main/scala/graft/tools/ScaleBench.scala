@@ -510,6 +510,19 @@ object ScaleBench {
         graft.operators.Flac.audioFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // WebP rows (round 15): container walk (RIFF/VP8X/lossy-header)
+    // and the real VP8L decode (encode layout rotating per doc) —
+    // per-doc map work like the other image-codec rows.
+    if (only.isEmpty || only.exists("webp_meta".contains)) {
+      time("webp_meta")(force(
+        graft.operators.Webp.metaFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    if (only.isEmpty || only.exists("webp_decode".contains)) {
+      time("webp_decode")(force(
+        graft.operators.Webp.decodeFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // Ogg/Opus container walk (round 14): page CRCs + lacing packet
     // assembly + OpusHead — per-doc map work like the codec rows.
     if (only.isEmpty || only.exists("ogg_meta".contains)) {

@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Webp
+
+/** WebP operator tests. There is no WebP codec in the JDK, so
+  * conformance is pinned by (a) a HAND-derived byte-literal VP8L
+  * stream (every bit written out by hand from the public spec in the
+  * comment below), (b) bit-exact round-trips through our from-spec
+  * encoder across all five bitstream layouts, (c) structural
+  * invariants on the generated 120-entry distance-plane table
+  * including its first twelve bytes cross-checked against the
+  * published constants, and (d) corruption fuzz under the same loud
+  * failure contract as the AVC and FLAC decoders. */
+class WebpSpec extends AnyFunSuite {
+
+  test("hand-derived 1x1 white VP8L stream decodes exactly") {
+    // Derivation (LSB-first bits after the 0x2f signature byte):
+    //   bits 0-27   w-1 = 0 (14), h-1 = 0 (14)
+    //   bit  28     alpha hint 0;  bits 29-31 version 0
+    //   bit  32     transform-present 0
+    //   bit  33     color-cache 0;  bit 34 meta-Huffman 0
+    //   green: simple(1) nsym-1(0) is8(1) symbol 255 (8)
+    //   red/blue/alpha: same 11-bit simple single-symbol 255
+    //   dist:  simple(1) nsym-1(0) is8(0) symbol 0 (1)
+    //   data: zero bits (all five codes are single-symbol)
+    // Packing those 83 bits LSB-first yields the byte literals below.
+    val bytes = Array(0x2f, 0x00, 0x00, 0x00, 0x00, 0xe8, 0x7f, 0xff,
+      0xfb, 0xdf, 0xff, 0x00).map(_.toByte)
+    val img = Webp.decodeVp8l(bytes)
+    assert(img.width == 1 && img.height == 1)
+    assert(img.px.toSeq == Seq(0xffffffff))
+  }
+
+  test("hand-derived stream with the color transform is rejected by name") {
+    // Same header, then transform-present 1 + type bits (1,0) = COLOR.
+    val bytes = Array(0x2f, 0x00, 0x00, 0x00, 0x00, 0x03).map(_.toByte)
+    val e = intercept[IllegalArgumentException](Webp.decodeVp8l(bytes))
+    assert(e.getMessage.contains("color transform"), e.getMessage)
+  }
+
+  test("all five bitstream layouts round-trip bit-exactly") {
+    for (layout <- 0 until 5; d <- 0L until 40L) {
+      val img = Webp.synthImage(d)
+      val dec = Webp.decodeVp8l(Webp.encodeVp8l(img, layout, d))
+      assert(dec.width == img.width && dec.height == img.height,
+        s"layout $layout doc $d dims")
+      assert(dec.px.sameElements(img.px), s"layout $layout doc $d pixels")
+    }
+  }
+
+  test("fixture rotation round-trips across the doc-id range") {
+    for (d <- 0L until 150L) {
+      val img = Webp.synthImage(d)
+      val dec = Webp.decodeVp8l(Webp.encodeVp8l(img, (d % 5).toInt, d))
+      assert(dec.px.sameElements(img.px), s"doc $d")
+    }
+  }
+
+  test("distance-plane table matches the published structure") {
+    val t = Webp.codeToPlane
+    assert(t.length == 120)
+    // the first twelve constants of libwebp's kCodeToPlane
+    assert(t.take(12).toSeq == Seq(0x18, 0x07, 0x17, 0x19, 0x28, 0x06,
+      0x27, 0x29, 0x16, 0x1a, 0x26, 0x2a))
+    assert(t.distinct.length == 120)
+    val pairs = t.map(b => (8 - (b & 0xf), b >> 4)) // (x, y)
+    pairs.foreach { case (x, y) =>
+      assert(y >= 0 && y <= 7 && x >= -7 && x <= 8)
+      assert(y > 0 || x >= 1)
+    }
+    // Euclidean distance is non-decreasing along the table
+    val d2 = pairs.map { case (x, y) => x * x + y * y }
+    assert(d2.zip(d2.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("plane-code mapping is a verified inverse at several widths") {
+    for (w <- Seq(1, 3, 16, 28, 640); dist <- 1 to 300) {
+      val code = Webp.tryPlaneCode(w, dist)
+      assert(Webp.planeToDistance(w, code) == dist, s"w=$w dist=$dist")
+    }
+  }
+
+  test("container walk: plain lossless kind") {
+    val d = 0L // d%3==0 -> plain VP8L
+    val m = Webp.meta(Webp.synthWebp(d))
+    val img = Webp.synthImage(d)
+    assert(m.kind == "vp8l")
+    assert(m.canvasW == img.width && m.canvasH == img.height)
+    assert(m.nChunks == 1 && m.exifLen == -1 && !m.hasIcc && !m.hasAnim)
+    assert(m.hasAlpha) // every fixture image carries sub-255 alphas
+  }
+
+  test("container walk: extended kind with pad-byte traversal") {
+    val d = 4L // d%3==1, d%2==0 -> ICCP present (7 bytes, odd => pad)
+    val m = Webp.meta(Webp.synthWebp(d))
+    val img = Webp.synthImage(d)
+    assert(m.kind == "vp8x")
+    assert(m.canvasW == img.width && m.canvasH == img.height)
+    assert(m.hasIcc && m.hasExif && m.hasXmp) // d%4 = 0 < 2
+    assert(!m.hasAnim && !m.hasAlpha)         // d%5 != 0
+    assert(m.nChunks == 5)                    // VP8X ICCP VP8L EXIF XMP
+    assert(m.exifLen == (5 + d % 7).toInt)
+  }
+
+  test("container walk: lossy VP8 keyframe header fields") {
+    val d = 5L // d%3==2
+    val m = Webp.meta(Webp.synthWebp(d))
+    assert(m.kind == "vp8")
+    assert(m.canvasW == (320 + d % 33).toInt)
+    assert(m.canvasH == (240 + d % 25).toInt)
+    assert(m.vp8Version == (d % 4).toInt)
+    assert(m.vp8Part0Len == (100 + d % 50).toInt)
+  }
+
+  test("container walk fails loudly on malformed input") {
+    val good = Webp.synthWebp(0L)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](Webp.meta(badMagic))
+      .getMessage.contains("RIFF"))
+    val truncated = good.take(good.length - 3)
+    intercept[IllegalArgumentException](Webp.meta(truncated))
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
+    assert(intercept[IllegalArgumentException](Webp.meta(badSize))
+      .getMessage.contains("size"))
+    // first chunk must be an image header
+    val junk = Webp.riff(Seq("JUNK" -> Array[Byte](1, 2)))
+    assert(intercept[IllegalArgumentException](Webp.meta(junk))
+      .getMessage.contains("image header"))
+    // lossy shell with a broken start code
+    val lossy = Webp.synthWebp(2L).clone()
+    lossy(12 + 8 + 3) = 0x00 // the 0x9d of the start code
+    assert(intercept[IllegalArgumentException](Webp.meta(lossy))
+      .getMessage.contains("start code"))
+  }
+
+  test("VP8L decoder terminates loudly under random corruption") {
+    val rng = new scala.util.Random(2026)
+    for (trial <- 0 until 300) {
+      val d = (trial % 17).toLong
+      val b = Webp.encodeVp8l(Webp.synthImage(d), (d % 5).toInt, d).clone()
+      (0 to rng.nextInt(6)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Webp.decodeVp8l(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
+
+  test("container walk terminates loudly under random corruption") {
+    val rng = new scala.util.Random(777)
+    for (trial <- 0 until 150) {
+      val b = Webp.synthWebp((trial % 9).toLong).clone()
+      (0 to rng.nextInt(4)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Webp.meta(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
+}
