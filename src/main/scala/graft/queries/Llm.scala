@@ -5166,6 +5166,92 @@ object Llm extends QueryModule {
             THEN 255 - ((i + doc_id) % 4) * 3 END) AS INT) AS px32_a
         FROM px GROUP BY doc_id ORDER BY id""")),
 
+    // PARQUET FOOTER WALK (operators/ParquetFooter.scala) — the lake
+    // analog of the tar/zip/MP4 listing pre-passes: row-group and
+    // column-chunk stats as a queryable surface with ZERO data pages
+    // read (only the trailing 8 bytes + footer region per file). A
+    // from-scratch Thrift compact-protocol parse (varints, zigzag,
+    // delta field ids, skip-by-type for unknown fields — the protobuf
+    // row's discipline), cross-checked in ParquetFooterSpec against
+    // the bundled org.apache.parquet reader on BOTH writer lineages
+    // (parquet-cpp-arrow fixtures + a Spark-written parquet-mr file).
+    // The oracle is maximally independent: DuckDB recomputes every
+    // count/null-count/min/max FROM THE DATA, so the walk's decoded
+    // footer statistics must equal what a full scan would find —
+    // timestamps compared via epoch_us, float/double min/max withheld
+    // by design (cross-engine decimal rendering is not canonical).
+    // The file list distributes over executors: at 100 TB this is one
+    // map stage over the file listing, the scan-budgeting pre-pass.
+    QueryDef(
+      "llm_parquet_meta",
+      (s, dir) => graft.operators.ParquetFooter.footerFeatures(
+        s, dir, Seq("nation", "events", "documents", "embeddings"))
+        .orderBy("tbl", "col_path"),
+      Some("""SELECT * FROM (
+          SELECT 'nation' AS tbl, 0 AS row_group, 'n_nationkey' AS col_path,
+            'INT32' AS ptype, 0 AS is_ts, count(*) AS num_values,
+            count(*) - count(n_nationkey) AS null_count,
+            CAST(min(n_nationkey) AS VARCHAR) AS min_v,
+            CAST(max(n_nationkey) AS VARCHAR) AS max_v FROM nation
+          UNION ALL SELECT 'nation', 0, 'n_name', 'BYTE_ARRAY', 0,
+            count(*), count(*) - count(n_name),
+            min(n_name), max(n_name) FROM nation
+          UNION ALL SELECT 'nation', 0, 'n_regionkey', 'INT32', 0,
+            count(*), count(*) - count(n_regionkey),
+            CAST(min(n_regionkey) AS VARCHAR),
+            CAST(max(n_regionkey) AS VARCHAR) FROM nation
+          UNION ALL SELECT 'events', 0, 'event_id', 'INT64', 0,
+            count(*), count(*) - count(event_id),
+            CAST(min(event_id) AS VARCHAR),
+            CAST(max(event_id) AS VARCHAR) FROM events
+          UNION ALL SELECT 'events', 0, 'ts', 'INT64', 1,
+            count(*), count(*) - count(ts),
+            CAST(epoch_us(min(ts)) AS VARCHAR),
+            CAST(epoch_us(max(ts)) AS VARCHAR) FROM events
+          UNION ALL SELECT 'events', 0, 'user_id', 'INT64', 0,
+            count(*), count(*) - count(user_id),
+            CAST(min(user_id) AS VARCHAR),
+            CAST(max(user_id) AS VARCHAR) FROM events
+          UNION ALL SELECT 'events', 0, 'event_type', 'BYTE_ARRAY', 0,
+            count(*), count(*) - count(event_type),
+            min(event_type), max(event_type) FROM events
+          UNION ALL SELECT 'events', 0, 'value', 'DOUBLE', 0,
+            count(*), count(*) - count(value),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events
+          UNION ALL SELECT 'events', 0, 'props', 'BYTE_ARRAY', 0,
+            count(*), count(*) - count(props),
+            min(props), max(props) FROM events
+          UNION ALL SELECT 'documents', 0, 'doc_id', 'INT64', 0,
+            count(*), count(*) - count(doc_id),
+            CAST(min(doc_id) AS VARCHAR),
+            CAST(max(doc_id) AS VARCHAR) FROM documents
+          UNION ALL SELECT 'documents', 0, 'text', 'BYTE_ARRAY', 0,
+            count(*), count(*) - count(text),
+            min(text), max(text) FROM documents
+          UNION ALL SELECT 'documents', 0, 'lang', 'BYTE_ARRAY', 0,
+            count(*), count(*) - count(lang),
+            min(lang), max(lang) FROM documents
+          UNION ALL SELECT 'documents', 0, 'source', 'BYTE_ARRAY', 0,
+            count(*), count(*) - count(source),
+            min(source), max(source) FROM documents
+          UNION ALL SELECT 'documents', 0, 'n_chars', 'INT64', 0,
+            count(*), count(*) - count(n_chars),
+            CAST(min(n_chars) AS VARCHAR),
+            CAST(max(n_chars) AS VARCHAR) FROM documents
+          UNION ALL SELECT 'embeddings', 0, 'vec_id', 'INT64', 0,
+            count(*), count(*) - count(vec_id),
+            CAST(min(vec_id) AS VARCHAR),
+            CAST(max(vec_id) AS VARCHAR) FROM embeddings
+          UNION ALL SELECT 'embeddings', 0, 'embedding.list.element',
+            'FLOAT', 0, count(*), count(*) - count(e),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM (SELECT unnest(embedding) AS e FROM embeddings)
+          UNION ALL SELECT 'embeddings', 0, 'label', 'INT32', 0,
+            count(*), count(*) - count(label),
+            CAST(min(label) AS VARCHAR),
+            CAST(max(label) AS VARCHAR) FROM embeddings
+        ) ORDER BY tbl, col_path""")),
+
     // SITEMAP PARSE — robots.txt's companion crawl-policy file: the
     // per-site URL inventory (sitemaps.org urlset) a crawl planner
     // diffs against its frontier. A real schema-scoped XML walk —
