@@ -1926,7 +1926,7 @@ object Codecs {
     put32be(b, o, (v >>> 32).toInt); put32be(b, o + 4, (v & 0xffffffffL).toInt)
   }
 
-  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+  private[operators] def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](8 + payload.length)
     put32be(out, 0, out.length)
     val t = typ.getBytes("US-ASCII"); System.arraycopy(t, 0, out, 4, 4)
@@ -1994,11 +1994,11 @@ object Codecs {
     ftyp ++ free ++ moov
   }
 
-  private final case class Mp4Box(typ: String, start: Int, end: Int)
+  private[operators] final case class Mp4Box(typ: String, start: Int, end: Int)
 
   /** Walk the sibling boxes of [from, to); supports 64-bit `size==1`
     * largesize headers; fails loudly on truncation / size overrun. */
-  private def mp4Walk(bytes: Array[Byte], from: Int, to: Int): List[Mp4Box] = {
+  private[operators] def mp4Walk(bytes: Array[Byte], from: Int, to: Int): List[Mp4Box] = {
     var pos = from
     val out = List.newBuilder[Mp4Box]
     while (pos < to) {
@@ -2176,7 +2176,7 @@ object Codecs {
     * {stts, stsz, stco}. Handles uniform AND per-sample stsz, multiple
     * stts runs; cross-checks the stts total against the stsz count
     * (a malformed pairing fails loudly, as a frame sampler must). */
-  private def oneBox(boxes: List[Mp4Box], typ: String): Mp4Box =
+  private[operators] def oneBox(boxes: List[Mp4Box], typ: String): Mp4Box =
     boxes.find(_.typ == typ).getOrElse(sys.error(s"MP4 missing $typ box"))
 
   /** moov → trak → mdia → minf → stbl descent, returning the sample

@@ -5979,6 +5979,91 @@ object Llm extends QueryModule {
           CAST(v0 + r1 + 10 AS INT) AS px_y_44_9
         FROM d ORDER BY id, frame_idx""")),
 
+    // FRAGMENTED MP4 SAMPLE WALK (operators/Fmp4.scala) — the
+    // streaming-era layout (CMAF/DASH segments) the classic stbl walk
+    // cannot read: per-fragment moof/traf/trun tables with sizes and
+    // durations OPTIONAL at three levels (trun -> tfhd -> trex). The
+    // fixture alternates two-sample fragments carrying explicit trun
+    // sizes with one-sample fragments whose size comes from the tfhd
+    // DEFAULT (from_default=1 in the output, so the defaults path is
+    // hash-visible), rotates tfdt v0/v1 and moof-relative vs explicit
+    // 64-bit base offsets, and the walk VALIDATES the decode-time
+    // ledger (tfdt must equal summed prior durations — drift is loud).
+    // Byte content varies per (doc, sample, position): one wrong
+    // offset breaks the checksum. Per-doc map work.
+    QueryDef(
+      "llm_video_fmp4_samples",
+      (s, dir) => graft.operators.Fmp4.dataSampleFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "sample_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nf,
+            512 + doc_id % 100 AS base
+          FROM documents WHERE doc_id < 300),
+        f AS (SELECT d.doc_id, d.base, j.j AS j,
+            CASE WHEN j.j % 2 = 1 THEN 1 ELSE 2 END AS ns,
+            d.base + CASE WHEN j.j % 2 = 0 THEN j.j + 1 ELSE 0 END AS dur
+          FROM d, LATERAL (SELECT unnest(range(0, d.nf)) AS j) j),
+        g AS (SELECT *, coalesce(sum(ns * dur) OVER (PARTITION BY doc_id
+              ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS tfdt,
+            coalesce(sum(ns) OVER (PARTITION BY doc_id ORDER BY j
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k0
+          FROM f),
+        s AS (SELECT doc_id, j, tfdt, CAST(k0 + t.t AS BIGINT) AS k
+          FROM g, LATERAL (SELECT unnest(range(0, g.ns)) AS t) t),
+        z AS (SELECT doc_id, j, tfdt, k,
+            100 + (7 * doc_id + 13 * k) % 900 AS sz FROM s),
+        b AS (SELECT doc_id, j, tfdt, k, sz,
+            sum((7 * doc_id + 13 * k + p.p) % 251) AS bsum
+          FROM z, LATERAL (SELECT unnest(range(0, z.sz)) AS p) p
+          GROUP BY doc_id, j, tfdt, k, sz)
+        SELECT doc_id AS id, CAST(j AS INT) AS frag_idx,
+          CAST(j + 1 AS INT) AS seq, CAST(tfdt AS BIGINT) AS tfdt,
+          CAST(k AS INT) AS sample_idx, CAST(sz AS INT) AS size,
+          CAST(bsum AS BIGINT) AS byte_sum,
+          CAST(CASE WHEN j % 2 = 1 THEN 1 ELSE 0 END AS INT) AS from_default
+        FROM b ORDER BY id, sample_idx""")),
+
+    // FRAGMENTED MP4 KEYFRAME DECODE — llm_video_keyframes'
+    // composition (avcC read + AVCC->Annex-B reframe + REAL H.264
+    // I-frame decode) over the FRAGMENTED layout: samples come out of
+    // the moof/trun walk above instead of stsc/stco/stsz, including
+    // the tfhd-default-sized fragments. Keyframe k is seed
+    // d + 1000k, so the oracle recomputes every decoded plane from
+    // (doc_id, fragment expansion) alone. Per-doc map work.
+    QueryDef(
+      "llm_video_fmp4_keyframes",
+      (s, dir) => graft.operators.Fmp4.keyframeFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "sample_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nf
+            FROM documents WHERE doc_id < 300),
+        f AS (SELECT d.doc_id, j.j AS j,
+            CASE WHEN j.j % 2 = 1 THEN 1 ELSE 2 END AS ns
+          FROM d, LATERAL (SELECT unnest(range(0, d.nf)) AS j) j),
+        g AS (SELECT *, coalesce(sum(ns) OVER (PARTITION BY doc_id
+              ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS k0 FROM f),
+        s AS (SELECT doc_id, j, CAST(k0 + t.t AS BIGINT) AS k
+          FROM g, LATERAL (SELECT unnest(range(0, g.ns)) AS t) t),
+        c AS (SELECT doc_id, j, k, doc_id + 1000 * k AS sd FROM s),
+        e AS (SELECT doc_id, j, k, sd, 60 + sd % 40 AS v0,
+            (152 + 40 * (sd % 6)) // 64 AS r1,
+            70 + (3 * sd) % 60 AS m3 FROM c)
+        SELECT doc_id AS id, CAST(j AS INT) AS frag_idx,
+          CAST(k AS INT) AS sample_idx,
+          CAST(64 AS INT) AS width, CAST(16 AS INT) AS height,
+          CAST(256 * (3 * v0 + 2 * r1 + 10 + m3) AS BIGINT) AS sum_y,
+          CAST(64 * (3 * (100 + sd % 30) + (90 + sd % 20))
+            AS BIGINT) AS sum_cb,
+          CAST(64 * (3 * (140 + sd % 25) + (150 + sd % 15))
+            AS BIGINT) AS sum_cr,
+          CAST(v0 + r1 AS INT) AS px_y_20_5,
+          CAST(v0 + r1 + 10 AS INT) AS px_y_44_9
+        FROM e ORDER BY id, sample_idx""")),
+
     // SAMPLE BYTE EXTRACTION from a REAL mdat
     // (Codecs.mp4ExtractSamples): the step past llm_video_chunks —
     // the located byte ranges are actually SLICED out of the media

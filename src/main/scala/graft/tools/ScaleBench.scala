@@ -510,6 +510,19 @@ object ScaleBench {
         graft.operators.Flac.audioFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // Fragmented-MP4 rows (round 15): the moof/traf/trun walk over
+    // the closed-form byte fixture, and the composed AVCC keyframe
+    // decode over the fragmented layout — per-doc map work.
+    if (only.isEmpty || only.exists("fmp4_samples".contains)) {
+      time("fmp4_samples")(force(
+        graft.operators.Fmp4.dataSampleFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    if (only.isEmpty || only.exists("fmp4_keyframes".contains)) {
+      time("fmp4_keyframes")(force(
+        graft.operators.Fmp4.keyframeFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // WebP rows (round 15): container walk (RIFF/VP8X/lossy-header)
     // and the real VP8L decode (encode layout rotating per doc) —
     // per-doc map work like the other image-codec rows.
