@@ -2879,10 +2879,23 @@ object Codecs {
   def synthHtml(d: Long, i: Int): String = {
     val np = (2 + (d + i) % 3).toInt
     val nl = ((3 * d + i) % 4).toInt
+    val card = if ((d + i) % 2 == 0) "summary" else "summary_large_image"
+    val ldType = Seq("Article", "NewsArticle", "BlogPosting")(
+      ((d + i) % 3).toInt)
+    val ldPos = (3 * d + i) % 7
     val sb = new StringBuilder()
       .append(s"<html><head><title>Doc $d page $i</title>")
+      // structured data: og:/twitter: meta (entity ref in an
+      // ATTRIBUTE value) + an application/ld+json block — the
+      // crawl-curation metadata llm_html_metadata mines; invisible
+      // to the text extractor, so every text oracle is unchanged
+      .append(s"""<meta property="og:title" content="Doc $d &amp; page $i"/>""")
+      .append(s"""<meta property="og:image" content="http://img$d.example/p$i.webp"/>""")
+      .append(s"""<meta name="twitter:card" content="$card"/>""")
       .append(s"<script>var x = $d*$i;</script>")
-      .append("<style>p { color: #123; }</style></head>")
+      .append("<style>p { color: #123; }</style>")
+      .append(s"""<script type="application/ld+json">{"@type":"$ldType","name":"Doc $d page $i","position":$ldPos}</script>""")
+      .append("</head>")
       .append(s"<body><h1>Heading $d-$i</h1><!-- comment $d -->")
     (0 until np).foreach(p =>
       sb.append(s"<p>word${d}_${i}_$p text &amp; entity $p</p>"))

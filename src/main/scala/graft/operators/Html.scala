@@ -292,4 +292,100 @@ object Html {
       .split("\\s+").filter(_.nonEmpty).mkString(" ")
     HtmlDoc(t, norm, links.toArray, linkTexts.toArray)
   }
+
+  /** Structured page metadata: og:* / twitter:* meta tags and
+    * application/ld+json blocks. */
+  final case class PageMeta(og: Array[(String, String)],
+      twitter: Array[(String, String)], ldTypes: Array[String],
+      ldNames: Array[String], ldPositions: Array[Long], nLd: Int)
+
+  /** Mine the crawl-curation metadata a corpus builder gates on:
+    * OpenGraph (`<meta property="og:...">`) and Twitter-card
+    * (`<meta name="twitter:...">`) pairs under the SAME quoted-
+    * attribute + entity-decode rules as href extraction, plus every
+    * `<script type="application/ld+json">` block parsed as REAL JSON
+    * (json4s, the bundled parser the JX surface uses) for its @type /
+    * name / position. Tolerance contract matches extract(): hostile
+    * markup never throws; a malformed ld+json block is COUNTED (nLd)
+    * but contributes no fields — real crawl pages ship broken JSON-LD
+    * and a metadata miner must not die on them. */
+  def metadata(html: String): PageMeta = {
+    val og = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val tw = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val ldTypes = collection.mutable.ArrayBuffer.empty[String]
+    val ldNames = collection.mutable.ArrayBuffer.empty[String]
+    val ldPositions = collection.mutable.ArrayBuffer.empty[Long]
+    var nLd = 0
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val name = tagName(html, i)
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) i = n
+          else {
+            val isEnd = i + 1 < n && html.charAt(i + 1) == '/'
+            val tag = html.substring(i, close + 1)
+            name match {
+              case "meta" if !isEnd =>
+                val content = attrValue(tag, "content").getOrElse("")
+                attrValue(tag, "property").foreach { p =>
+                  if (p.startsWith("og:")) og += ((p.substring(3), content))
+                }
+                attrValue(tag, "name").foreach { p =>
+                  if (p.startsWith("twitter:"))
+                    tw += ((p.substring(8), content))
+                }
+                i = close + 1
+              case "script" | "style" if !isEnd =>
+                // find the matching close tag (extract()'s rule)
+                val closeTag = "</" + name
+                var j = close + 1
+                var found = -1
+                var bodyEnd = n
+                while (found < 0 && j >= 0 && j < n) {
+                  j = html.indexOf('<', j)
+                  if (j < 0) found = n
+                  else if (j + closeTag.length <= n &&
+                      html.regionMatches(true, j, closeTag, 0,
+                        closeTag.length)) {
+                    bodyEnd = j
+                    val e = html.indexOf('>', j)
+                    found = if (e < 0) n else e + 1
+                  } else j += 1
+                }
+                if (name == "script" && attrValue(tag, "type")
+                    .exists(_.equalsIgnoreCase("application/ld+json"))) {
+                  nLd += 1
+                  val raw = html.substring(
+                    math.min(close + 1, n), math.min(bodyEnd, n))
+                  try {
+                    import org.json4s._
+                    org.json4s.jackson.JsonMethods.parse(raw) match {
+                      case JObject(fields) =>
+                        fields.foreach {
+                          case ("@type", JString(v)) => ldTypes += v
+                          case ("name", JString(v))  => ldNames += v
+                          case ("position", JInt(v)) =>
+                            ldPositions += v.toLong
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  } catch { case _: Exception => () }
+                }
+                i = if (found < 0) n else found
+              case _ => i = close + 1
+            }
+          }
+        }
+      } else i += 1
+    }
+    PageMeta(og.toArray, tw.toArray, ldTypes.toArray, ldNames.toArray,
+      ldPositions.toArray, nLd)
+  }
 }

@@ -867,6 +867,50 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, webFeatureSchema)
   }
 
+  private val webMetaSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("rec_idx", IntegerType),
+    StructField("og_title", StringType),
+    StructField("og_image", StringType),
+    StructField("twitter_card", StringType),
+    StructField("n_og", IntegerType),
+    StructField("n_twitter", IntegerType),
+    StructField("n_ld", IntegerType),
+    StructField("ld_type", StringType),
+    StructField("ld_name", StringType),
+    StructField("ld_position", LongType)))
+
+  /** WARC walk + HTTP frame + Html.metadata per page — the
+    * structured-data twin of webTextFeatures: OpenGraph/Twitter meta
+    * (entity-decoded attribute values) and ld+json @type/name/position
+    * as a per-page metadata row. Same pipeline shape, pure map work. */
+  def webMetadataFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        val raw = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        val recs = Codecs.warcRecords(raw)
+        recs.iterator.filter(_.recType == "response").map { rec =>
+          val msg = java.util.Arrays.copyOfRange(
+            raw, rec.payloadStart, rec.payloadStart + rec.contentLength)
+          val http = Codecs.httpParse(msg)
+          val m = Html.metadata(new String(http.body, "UTF-8"))
+          def first(kv: Array[(String, String)], k: String): String =
+            kv.collectFirst { case (key, v) if key == k => v }.orNull
+          Row(d, rec.recIdx,
+            first(m.og, "title"), first(m.og, "image"),
+            first(m.twitter, "card"),
+            m.og.length, m.twitter.length, m.nLd,
+            m.ldTypes.headOption.orNull, m.ldNames.headOption.orNull,
+            m.ldPositions.headOption.map(Long.box).orNull)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, webMetaSchema)
+  }
+
   private val sitemapSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("entry_idx", IntegerType),

@@ -121,8 +121,21 @@ object Llm extends QueryModule {
         FROM r),
       h AS (SELECT r.doc_id, r.i, r.np, r.nl,
           '<html><head><title>Doc ' || r.doc_id || ' page ' || r.i ||
-          '</title><script>var x = ' || r.doc_id || '*' || r.i ||
-          ';</script><style>p { color: #123; }</style></head><body>' ||
+          '</title><meta property="og:title" content="Doc ' || r.doc_id ||
+          ' &amp; page ' || r.i ||
+          '"/><meta property="og:image" content="http://img' || r.doc_id ||
+          '.example/p' || r.i ||
+          '.webp"/><meta name="twitter:card" content="' ||
+          CASE WHEN (r.doc_id + r.i) % 2 = 0 THEN 'summary'
+            ELSE 'summary_large_image' END ||
+          '"/><script>var x = ' || r.doc_id || '*' || r.i ||
+          ';</script><style>p { color: #123; }</style>' ||
+          '<script type="application/ld+json">{"@type":"' ||
+          CASE (r.doc_id + r.i) % 3 WHEN 0 THEN 'Article'
+            WHEN 1 THEN 'NewsArticle' ELSE 'BlogPosting' END ||
+          '","name":"Doc ' || r.doc_id || ' page ' || r.i ||
+          '","position":' || (3 * r.doc_id + r.i) % 7 ||
+          '}</script></head><body>' ||
           '<h1>Heading ' || r.doc_id || '-' || r.i || '</h1><!-- comment '
           || r.doc_id || ' -->' || p.ptags || p.ltags ||
           '</body></html>' AS html,
@@ -4505,6 +4518,37 @@ object Llm extends QueryModule {
             ELSE '' END AS first_link,
           CAST(2 + 5 * np + 2 * nl AS INT) AS n_words,
           text
+        FROM h ORDER BY id, rec_idx""")),
+
+    // HTML STRUCTURED DATA (Html.metadata) — the crawl-curation
+    // metadata a corpus builder mines for titles, images, and
+    // licensing: og:/twitter: meta pairs read under the SAME quoted-
+    // attribute + entity-decode rules as href extraction (og:title
+    // carries &amp; in the ATTRIBUTE, so the decode is on the hash
+    // path), plus application/ld+json blocks parsed as REAL JSON for
+    // @type/name/position. Runs through the SAME WARC+HTTP pipeline
+    // as llm_html_text — the composition the web family shares — and
+    // the oracle recomputes every field from (doc_id, rec_idx)
+    // integer arithmetic. Pure map work before the final sort.
+    QueryDef(
+      "llm_html_metadata",
+      (s, dir) => Multimodal.webMetadataFeatures(
+        Multimodal.synthWarcWebMedia(
+          Catalog.table(s, dir, "documents")
+            .filter(col("doc_id") < 300).select("doc_id"), "doc_id"),
+        "id").orderBy("id", "rec_idx"),
+      Some(s"""$webOracleCte
+        SELECT doc_id AS id, i AS rec_idx,
+          'Doc ' || doc_id || ' & page ' || i AS og_title,
+          'http://img' || doc_id || '.example/p' || i || '.webp' AS og_image,
+          CASE WHEN (doc_id + i) % 2 = 0 THEN 'summary'
+            ELSE 'summary_large_image' END AS twitter_card,
+          CAST(2 AS INT) AS n_og, CAST(1 AS INT) AS n_twitter,
+          CAST(1 AS INT) AS n_ld,
+          CASE (doc_id + i) % 3 WHEN 0 THEN 'Article'
+            WHEN 1 THEN 'NewsArticle' ELSE 'BlogPosting' END AS ld_type,
+          'Doc ' || doc_id || ' page ' || i AS ld_name,
+          CAST((3 * doc_id + i) % 7 AS BIGINT) AS ld_position
         FROM h ORDER BY id, rec_idx""")),
 
     // WEB PIPELINE E2E — the whole crawl-to-corpus first mile in one

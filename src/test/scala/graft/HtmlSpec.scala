@@ -157,4 +157,46 @@ class HtmlSpec extends AnyFunSuite {
   test("whitespace collapses: newlines, tabs, runs") {
     assert(Html.extract("<p>a\n\n  b\t c </p>\n<p> d</p>").text == "a b c d")
   }
+
+  test("metadata: og/twitter pairs entity-decode, ld+json parses") {
+    val html = """<html><head><title>T</title>""" +
+      """<meta property="og:title" content="A &amp; B"/>""" +
+      """<meta property="og:image" content="http://x.example/i.webp"/>""" +
+      """<meta name="twitter:card" content="summary"/>""" +
+      """<meta name="viewport" content="width=device-width"/>""" +
+      """<script type="application/ld+json">""" +
+      """{"@type":"Article","name":"N","position":5}</script>""" +
+      """<script>var x = {"@type":"NotLd"};</script>""" +
+      """</head><body><p>hi</p></body></html>"""
+    val m = Html.metadata(html)
+    assert(m.og.toSeq == Seq("title" -> "A & B",
+      "image" -> "http://x.example/i.webp"))
+    assert(m.twitter.toSeq == Seq("card" -> "summary"))
+    assert(m.nLd == 1 && m.ldTypes.toSeq == Seq("Article"))
+    assert(m.ldNames.toSeq == Seq("N") && m.ldPositions.toSeq == Seq(5L))
+    // the untyped script is NOT counted and text extraction still
+    // skips both script bodies
+    assert(Html.extract(html).text == "hi")
+  }
+
+  test("metadata: malformed ld+json is counted but contributes nothing") {
+    val m = Html.metadata(
+      """<script type="application/ld+json">{"@type": oops</script>""" +
+        """<script type="application/LD+JSON">{"@type":"Recipe"}</script>""")
+    assert(m.nLd == 2) // case-insensitive type match, broken block counted
+    assert(m.ldTypes.toSeq == Seq("Recipe"))
+  }
+
+  test("metadata never throws on hostile markup") {
+    val rng = new scala.util.Random(9292)
+    val ok = graft.operators.Codecs.synthHtml(7L, 1)
+    (0 until 200).foreach { _ =>
+      val chars = ok.toCharArray
+      (0 until 1 + rng.nextInt(8)).foreach { _ =>
+        chars(rng.nextInt(chars.length)) =
+          "<>&;#/\"'= abz-!{}".charAt(rng.nextInt(17))
+      }
+      Html.metadata(new String(chars)) // must not throw
+    }
+  }
 }
