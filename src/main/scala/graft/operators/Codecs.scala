@@ -3558,7 +3558,7 @@ object Codecs {
     * reads: u(n) and ue(v) (Exp-Golomb). Every read is loud on
     * truncation; ue leading-zero runs are capped at 31 (the spec's
     * 32-bit codeNum bound) so a zero-filled buffer cannot spin. */
-  private final class ExpGolombReader(bytes: Array[Byte]) {
+  private[operators] final class ExpGolombReader(bytes: Array[Byte]) {
     private var pos = 0
     def u(n: Int): Int = {
       var v = 0
@@ -3722,7 +3722,7 @@ object Codecs {
   }
 
   /** MSB-first bit writer for the SPS synth. */
-  private final class ExpGolombWriter {
+  private[operators] final class ExpGolombWriter {
     private val buf = collection.mutable.ArrayBuffer.empty[Byte]
     private var cur = 0; private var nbits = 0
     def u(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { i =>

@@ -4265,6 +4265,48 @@ object Llm extends QueryModule {
           CAST(8 + doc_id % 4 AS INT) AS pps_rbsp_len
         FROM documents WHERE doc_id < 300 ORDER BY id""")),
 
+    // HEVC / H.265 NAL + SPS METADATA WALK (operators/Hevc.scala) —
+    // the filter-before-decode pass for the OTHER half of modern
+    // video, twin to llm_video_nal_meta: two-byte NAL headers
+    // (forbidden bit / 6-bit type / layer id / temporal id),
+    // profile_tier_level (space, tier, profile idc, level idc), and
+    // the SPS through the bit depths — chroma format, luma dims,
+    // conformance window (output size = luma minus SubWidthC/
+    // SubHeightC-scaled offsets), Main10's 10-bit depths coupled to
+    // its profile. Optional VPS, both framings (hvcc length prefixes
+    // on even ids, mixed 3/4-byte Annex-B start codes on odd), and
+    // the emulation-prevention proof carried over from the AVC row:
+    // the PPS RBSP embeds 00 00 01, so skipping unescape breaks
+    // pps_rbsp_len. Slice CABAC stays the documented codec boundary.
+    QueryDef(
+      "llm_video_hevc_meta",
+      (s, dir) => graft.operators.Hevc.metaFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 'hvcc' ELSE 'annexb' END AS framing,
+          CAST(CASE WHEN doc_id % 3 != 1 THEN 3 ELSE 2 END
+            + 1 + doc_id % 4 AS INT) AS n_nals,
+          CAST(1 + doc_id % 4 AS INT) AS n_slices,
+          CAST(CASE WHEN doc_id % 3 != 1 THEN 1 ELSE 0 END AS INT)
+            AS has_vps,
+          CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS tier,
+          CAST(1 + doc_id % 3 AS INT) AS profile,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 93 WHEN 1 THEN 120
+            WHEN 2 THEN 123 WHEN 3 THEN 150 ELSE 153 END AS INT) AS level,
+          CAST(8 * (8 + doc_id % 20) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * (1 + (doc_id // 4) % 2) ELSE 0 END AS INT) AS width,
+          CAST(8 * (6 + doc_id % 15) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * ((doc_id // 4) % 2) ELSE 0 END AS INT) AS height,
+          CAST(1 AS INT) AS chroma_fmt,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 10 ELSE 8 END AS INT)
+            AS bit_depth_luma,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 10 ELSE 8 END AS INT)
+            AS bit_depth_chroma,
+          CAST(9 + doc_id % 5 AS INT) AS pps_rbsp_len
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
     // avcC-IN-MP4 (the composition of the two walks): how real MP4s
     // carry H.264 configuration — stsd/avc1/avcC holding the
     // AVCDecoderConfigurationRecord with the SPS/PPS sets inline. The

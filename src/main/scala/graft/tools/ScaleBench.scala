@@ -510,6 +510,13 @@ object ScaleBench {
         graft.operators.Flac.audioFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // HEVC NAL/SPS metadata walk (round 15) — per-doc map work like
+    // the AVC meta row.
+    if (only.isEmpty || only.exists("hevc_meta".contains)) {
+      time("hevc_meta")(force(
+        graft.operators.Hevc.metaFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // Fragmented-MP4 rows (round 15): the moof/traf/trun walk over
     // the closed-form byte fixture, and the composed AVCC keyframe
     // decode over the fragmented layout — per-doc map work.
