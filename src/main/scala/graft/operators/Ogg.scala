@@ -14,8 +14,13 @@ import org.apache.spark.sql.types._
   * placement, constant serials, and consecutive page sequence
   * numbers. Granule positions are validated monotone and the last one
   * converts to a duration at the Opus-mandated 48 kHz granule rate.
-  * Codec payloads beyond the identification header stay behind the
-  * documented lossy-audio boundary. Malformed input fails loudly
+  * Every audio packet's TOC byte (RFC 6716 section 3.1) is parsed —
+  * config → mode (SILK/Hybrid/CELT) + frame duration, stereo flag,
+  * frame-count code incl. the code-3 count byte — and the summed
+  * per-packet durations are CROSS-CHECKED against the container's
+  * granule ledger, so a desynced TOC parse or a lying muxer fails
+  * loudly. SILK/CELT frame payload decode stays behind the documented
+  * lossy-audio boundary. Malformed input fails loudly
   * (require → IllegalArgumentException), never limps.
   */
 object Ogg {
@@ -48,7 +53,44 @@ object Ogg {
 
   final case class OggInfo(serial: Int, nPages: Int, nPackets: Int,
       lastGranule: Long, channels: Int, preSkip: Int, inputRate: Int,
-      durationMs: Long)
+      durationMs: Long, nSilk: Int, nHybrid: Int, nCelt: Int,
+      nStereo: Int, nFrames: Int)
+
+  /** Opus packet TOC parse (RFC 6716 section 3.1): config (mode +
+    * bandwidth + frame duration), stereo flag, frame-count code.
+    * Returns (mode 0=SILK 1=Hybrid 2=CELT, stereo, frames, granules).
+    * Code 3 packets read their count byte; VBR or padded code-3
+    * packets are outside the walk subset and rejected by name. The
+    * 120 ms packet ceiling is enforced. */
+  private def tocInfo(pkt: Array[Byte]): (Int, Boolean, Int, Long) = {
+    require(pkt.length >= 1, "empty Opus packet")
+    val toc = pkt(0) & 0xff
+    val config = toc >>> 3
+    val stereo = (toc & 4) != 0
+    val code = toc & 3
+    val (mode, frameGran) =
+      if (config <= 11) (0, Array(480L, 960L, 1920L, 2880L)(config % 4))
+      else if (config <= 15) (1, Array(480L, 960L)(config % 2))
+      else (2, Array(120L, 240L, 480L, 960L)(config % 4))
+    val frames = code match {
+      case 0 => 1
+      case 1 =>
+        require((pkt.length - 1) % 2 == 0,
+          "code-1 Opus packet with an odd payload cannot split evenly")
+        2
+      case 2 => 2
+      case _ =>
+        require(pkt.length >= 2, "code-3 Opus packet without a count byte")
+        require((pkt(1) & 0xc0) == 0,
+          "VBR/padded code-3 Opus packets are outside the walk subset")
+        val fc = pkt(1) & 0x3f
+        require(fc >= 1, "code-3 Opus packet with zero frames")
+        fc
+    }
+    val total = frames.toLong * frameGran
+    require(total <= 5760, s"Opus packet spans $total granules > 120 ms")
+    (mode, stereo, frames, total)
+  }
 
   /** Parse an Opus-in-Ogg stream: page walk with every structural
     * validation named, packet reassembly across lacing values and
@@ -62,7 +104,10 @@ object Ogg {
     var sawEos = false
     var midPacket = false // a packet is open across a page boundary
     var firstPacket: Array[Byte] = null
-    var firstPacketOpen = new java.io.ByteArrayOutputStream()
+    var open = new java.io.ByteArrayOutputStream()
+    var nSilk = 0; var nHybrid = 0; var nCelt = 0
+    var nStereo = 0; var nFrames = 0
+    var tocGranules = 0L
     while (off < bytes.length) {
       require(!sawEos, "page after the EOS page")
       require(off + 27 <= bytes.length, "truncated Ogg page header")
@@ -104,14 +149,24 @@ object Ogg {
       s = 0
       while (s < nSegs) {
         val lace = bytes(off + 27 + s) & 0xff
-        if (firstPacket == null)
-          firstPacketOpen.write(bytes, body, lace)
+        open.write(bytes, body, lace)
         if (lace < 255) {
           // a packet completes here
-          if (firstPacket == null) {
-            firstPacket = firstPacketOpen.toByteArray
-            firstPacketOpen = null
-          } else nPackets += 1 // audio packets (the header is packet 0)
+          val pkt = open.toByteArray
+          open = new java.io.ByteArrayOutputStream()
+          if (firstPacket == null) firstPacket = pkt
+          else {
+            nPackets += 1 // audio packets (the header is packet 0)
+            val (mode, st, frames, gran) = tocInfo(pkt)
+            mode match {
+              case 0 => nSilk += 1
+              case 1 => nHybrid += 1
+              case _ => nCelt += 1
+            }
+            if (st) nStereo += 1
+            nFrames += frames
+            tocGranules += gran
+          }
           completedOnPage += 1
           midPacket = false
         } else midPacket = true
@@ -147,9 +202,17 @@ object Ogg {
     require(oh(18) == 0,
       "channel mapping families beyond 0 are outside the walk's scope")
     require(lastGranule >= 0, "no granule position completed")
+    // the TOC cross-check: summed per-packet durations must equal the
+    // container's granule ledger — a desynced TOC parse (or a muxer
+    // lying about durations) fails loudly instead of shipping a wrong
+    // duration downstream
+    require(tocGranules == lastGranule,
+      s"TOC durations sum to $tocGranules granules but the last page " +
+        s"claims $lastGranule")
     // Opus granules tick at 48 kHz regardless of the input rate
     OggInfo(serial, pageIdx, nPackets, lastGranule, channels, preSkip,
-      inputRate, lastGranule * 1000L / 48000L)
+      inputRate, lastGranule * 1000L / 48000L, nSilk, nHybrid, nCelt,
+      nStereo, nFrames)
   }
 
   // ------------------------------------------------------------------
@@ -161,6 +224,11 @@ object Ogg {
   // carries only OpusHead (channels 1 + d%2, pre-skip 312 + d%100,
   // input rate by d%3) at granule 0.
   // ------------------------------------------------------------------
+
+  /** The 20 ms and 10 ms Opus config sets the fixture rotates
+    * through (indices 0-2 SILK, 3-4 Hybrid, 5-8 CELT in both). */
+  private val Cfg20 = Array(1, 5, 9, 13, 15, 19, 23, 27, 31)
+  private val Cfg10 = Array(0, 4, 8, 12, 14, 18, 22, 26, 30)
 
   def dataPages(d: Long): Int = (2 + d % 4).toInt
   def packetsOnPage(d: Long, p: Int): Int = (1 + (d + p) % 3).toInt
@@ -216,25 +284,39 @@ object Ogg {
     while (p < n) {
       val laces = Seq.newBuilder[Int]
       val body = new java.io.ByteArrayOutputStream(2048)
-      def emit(sz: Int, seed: Int): Unit = {
+      def emit(sz: Int, seed: Int, prefix: Seq[Int]): Unit = {
         var rem = sz
         while (rem >= 255) { laces += 255; rem -= 255 }
         laces += rem
-        var b = 0
+        prefix.foreach(body.write)
+        var b = prefix.length
         while (b < sz) {
           body.write((seed + 11 * b) % 251); b += 1
         }
       }
       if (carryBytes > 0) { // finish the packet spanning into this page
-        emit(carryBytes, (d + 97 * p).toInt % 251)
+        emit(carryBytes, (d + 97 * p).toInt % 251, Seq.empty)
         completed += 1
         carryBytes = 0
       }
       val np = packetsOnPage(d, p)
       var k = 0
       while (k < np) {
-        val sz = 20 + ((d + 31 * p + 17 * k) % 500).toInt
-        emit(sz, (d + 7 * p + k).toInt % 251)
+        // every audio packet leads with a REAL Opus TOC byte summing
+        // to exactly 960 granules (20 ms), three shapes: code 0 with
+        // a 20 ms config / code 1 (two equal 10 ms frames — payload
+        // parity enforced) / code 3 with an explicit count byte of 1
+        val shape = ((d + p + k) % 3).toInt
+        val idx = ((d + p + 3 * k) % 9).toInt
+        val st = ((d + p + k) % 2).toInt
+        val raw = 20 + ((d + 31 * p + 17 * k) % 500).toInt
+        val sz = if (shape == 1 && raw % 2 == 0) raw + 1 else raw
+        val prefix = shape match {
+          case 0 => Seq((Cfg20(idx) << 3) | (st << 2))
+          case 1 => Seq((Cfg10(idx) << 3) | (st << 2) | 1)
+          case _ => Seq((Cfg20(idx) << 3) | (st << 2) | 3, 1)
+        }
+        emit(sz, (d + 7 * p + k).toInt % 251, prefix)
         completed += 1
         k += 1
       }
@@ -247,7 +329,10 @@ object Ogg {
       if (span) {
         laces += 255
         val seed = (d + 97 * (p + 1)).toInt % 251
-        var b = 0
+        // the spanning packet's TOC: code 0, one 20 ms frame
+        body.write((Cfg20(((d + p) % 9).toInt) << 3) |
+          ((((d + p) % 2).toInt) << 2))
+        var b = 1
         while (b < 255) { body.write((seed + 11 * b) % 251); b += 1 }
         carryBytes = (45 + ((d + p) % 100).toInt)
       }
@@ -271,7 +356,12 @@ object Ogg {
     StructField("channels", IntegerType),
     StructField("pre_skip", IntegerType),
     StructField("input_rate", IntegerType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    StructField("n_silk", IntegerType),
+    StructField("n_hybrid", IntegerType),
+    StructField("n_celt", IntegerType),
+    StructField("n_stereo", IntegerType),
+    StructField("n_frames", IntegerType)))
 
   /** ids → parsed Ogg/Opus features over the closed-form fixture. */
   def oggFeatures(ids: DataFrame, idCol: String): DataFrame = {
@@ -281,7 +371,8 @@ object Ogg {
         val d = r.getLong(idIdx)
         val m = parse(synth(d))
         Row(d, m.serial, m.nPages, m.nPackets, m.lastGranule, m.channels,
-          m.preSkip, m.inputRate, m.durationMs)
+          m.preSkip, m.inputRate, m.durationMs, m.nSilk, m.nHybrid,
+          m.nCelt, m.nStereo, m.nFrames)
       }
     }
     ids.sparkSession.createDataFrame(rdd, schema)

@@ -6487,6 +6487,12 @@ object Llm extends QueryModule {
     // constant serials, consecutive sequence numbers, monotone
     // granule positions, and the OpusHead identification header
     // (version/channels/pre-skip/input-rate) off the first packet.
+    // Every audio packet's TOC byte is parsed (RFC 6716: config ->
+    // SILK/Hybrid/CELT mode + frame duration, stereo flag, frame
+    // count incl. code-3 count bytes) and the summed durations are
+    // CROSS-CHECKED against the granule ledger — mode/stereo/frame
+    // counts ride the oracle hash. Frame payload decode stays the
+    // lossy boundary.
     // Duration converts the last granule at the Opus-mandated 48 kHz.
     // Per-doc map work — scan-stage at 100 TB; codec payloads beyond
     // the id header stay behind the documented lossy-audio boundary.
@@ -6498,23 +6504,38 @@ object Llm extends QueryModule {
         .orderBy("id"),
       Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n
           FROM documents WHERE doc_id < 300),
-        pk AS (SELECT d.doc_id, d.n,
-            CAST(sum(1 + (d.doc_id + p.p) % 3)
-              + CASE WHEN d.doc_id % 5 = 1 THEN d.n - 1 ELSE 0 END
-              AS INT) AS n_packets
-          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS p) p
-          GROUP BY d.doc_id, d.n)
-        SELECT doc_id AS id,
-          CAST((1000 + 7 * doc_id) % 100000 AS INT) AS serial,
-          CAST(1 + n AS INT) AS n_pages,
-          n_packets,
-          CAST(960 * n_packets AS BIGINT) AS last_granule,
-          CAST(1 + doc_id % 2 AS INT) AS channels,
-          CAST(312 + doc_id % 100 AS INT) AS pre_skip,
-          CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        pg AS (SELECT d.doc_id, d.n, p.p AS p,
+            CAST(1 + (d.doc_id + p.p) % 3 AS INT) AS np
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS p) p),
+        reg AS (SELECT doc_id, (doc_id + p + k.k) % 3 AS shape,
+            (doc_id + p + 3 * k.k) % 9 AS ci, (doc_id + p + k.k) % 2 AS st
+          FROM pg, LATERAL (SELECT unnest(range(0, pg.np)) AS k) k),
+        sp AS (SELECT doc_id, 0 AS shape, (doc_id + p) % 9 AS ci,
+            (doc_id + p) % 2 AS st
+          FROM pg WHERE doc_id % 5 = 1 AND p < n - 1),
+        toc AS (SELECT doc_id,
+            CAST(count(*) AS INT) AS n_packets,
+            CAST(sum(CASE WHEN ci < 3 THEN 1 ELSE 0 END) AS INT) AS n_silk,
+            CAST(sum(CASE WHEN ci >= 3 AND ci < 5 THEN 1 ELSE 0 END)
+              AS INT) AS n_hybrid,
+            CAST(sum(CASE WHEN ci >= 5 THEN 1 ELSE 0 END) AS INT) AS n_celt,
+            CAST(sum(st) AS INT) AS n_stereo,
+            CAST(sum(CASE WHEN shape = 1 THEN 2 ELSE 1 END) AS INT)
+              AS n_frames
+          FROM (SELECT * FROM reg UNION ALL SELECT * FROM sp)
+          GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+          CAST((1000 + 7 * d.doc_id) % 100000 AS INT) AS serial,
+          CAST(1 + d.n AS INT) AS n_pages,
+          t.n_packets,
+          CAST(960 * t.n_packets AS BIGINT) AS last_granule,
+          CAST(1 + d.doc_id % 2 AS INT) AS channels,
+          CAST(312 + d.doc_id % 100 AS INT) AS pre_skip,
+          CAST(CASE d.doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
             ELSE 16000 END AS INT) AS input_rate,
-          CAST(960 * n_packets * 1000 // 48000 AS BIGINT) AS duration_ms
-        FROM pk ORDER BY id""")),
+          CAST(960 * t.n_packets * 1000 // 48000 AS BIGINT) AS duration_ms,
+          t.n_silk, t.n_hybrid, t.n_celt, t.n_stereo, t.n_frames
+        FROM d JOIN toc t ON t.doc_id = d.doc_id ORDER BY id""")),
 
     // FLAC FRAME DECODE (VERDICT r12 #2, extended r14 per r13 #3) —
     // the audio stub boundary shrunk the way PNG/JPEG/GIF were: real
