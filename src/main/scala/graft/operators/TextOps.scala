@@ -565,6 +565,33 @@ object TextOps {
     (bpeTrainShards(Seq(base), k)._2, n)
   }
 
+  /** BYTE-LEVEL base (the GPT-2-family variant): each word splits
+    * into its UTF-8 BYTES, one two-hex-digit symbol per byte, so the
+    * base alphabet is at most 256 and there is NO UNK by construction
+    * — any string, any script, any mojibake segments. Merged symbols
+    * are concatenated hex (codegen'd string ops end to end); the
+    * trainer itself is byte-vs-char agnostic, so the incremental
+    * delta machinery lifts unchanged. */
+  private def bpeByteBaseOf(wordFreq: DataFrame): DataFrame = wordFreq
+    .select(col("word"), col("freq"),
+      expr("transform(sequence(1, octet_length(encode(word, 'UTF-8'))), " +
+        "i -> substring(hex(encode(word, 'UTF-8')), 2*i-1, 2))").as("syms"))
+    .localCheckpoint()
+
+  /** Byte-level BPE merge training — bpeTrainMerges over the byte
+    * base; identical greedy left-to-right non-overlapping semantics. */
+  def bpeTrainMergesBytes(wordFreq: DataFrame, k: Int): DataFrame =
+    bpeTrainShards(Seq(bpeByteBaseOf(wordFreq)), k)._1
+
+  /** Byte-level trained segmentation table + row count (the
+    * bpeVocabSymsWithCount twin for the serve-time join). */
+  def bpeVocabSymsBytesWithCount(wordFreq: DataFrame,
+      k: Int): (DataFrame, Long) = {
+    val base = bpeByteBaseOf(wordFreq)
+    val n = base.count()
+    (bpeTrainShards(Seq(base), k)._2, n)
+  }
+
   /** EXACT shared-substring spans WITH LOCATION — the Lee et al.
     * suffix-array dedup capability, Spark-shaped. Emits every maximal
     * run of ≥ `minLen` tokens shared verbatim between two documents as

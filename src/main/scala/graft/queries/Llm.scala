@@ -3393,6 +3393,75 @@ object Llm extends QueryModule {
       },
       Some(bpeApplyOracle(6))),
 
+    // BYTE-LEVEL BPE TRAINING (the GPT-2-family tokenizer) — the
+    // fourth trainer beside word-level BPE / WordPiece / unigram:
+    // words split into UTF-8 BYTES (two-hex-digit symbols), so the
+    // base alphabet is <= 256 and there is NO UNK by construction.
+    // The fixture injects a two-byte character into every
+    // third-length word, so multi-byte sequences genuinely ride the
+    // oracle path: the C3/A9 bytes can merge into a learned symbol —
+    // something a char-level tokenizer cannot represent without UNK.
+    // The incremental delta trainer lifts UNCHANGED (it is symbol-
+    // agnostic); the DuckDB oracle replays the same greedy
+    // left-to-right non-overlapping merges over the byte base,
+    // machine-generated per step like llm_bpe_train's.
+    QueryDef(
+      "llm_bpe_byte_train",
+      (s, dir) => {
+        val wordFreq = Catalog.table(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .selectExpr("CASE WHEN length(w) % 3 = 0 " +
+            "THEN concat(w, 'é') ELSE w END AS word")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        TextOps.bpeTrainMergesBytes(wordFreq, 6)
+      },
+      Some(bpeByteOracle(6))),
+
+    // BYTE-LEVEL BPE APPLICATION — the serve half, staged exactly
+    // like llm_bpe_apply (trained byte segmentation table written
+    // once per (sf, session) behind the fingerprinted sidecar; the
+    // declared query times tokenization under a LOADED tokenizer):
+    // corpus words broadcast-join the vocab-sized (word -> byte
+    // pieces) table, one map-side join + one doc-keyed aggregate —
+    // tokenizing 100 TB never re-runs the merge fold per document.
+    QueryDef(
+      "llm_bpe_byte_apply",
+      (s, dir) => {
+        val docs = Catalog.table(s, dir, "documents")
+        val wordSql = "CASE WHEN length(w) % 3 = 0 " +
+          "THEN concat(w, 'é') ELSE w END"
+        val segPath = graft.Scratch.dir(
+          s"bpe-byte-seg-${Sources.fingerprint(dir, "documents")}")
+        val nRowsFile = java.nio.file.Paths.get(s"$segPath/_NROWS")
+        if (!java.nio.file.Files.exists(nRowsFile)) {
+          val wordFreq = docs
+            .select(explode(TextOps.tokens(col("text"))).as("w"))
+            .selectExpr(s"$wordSql AS word")
+            .groupBy("word").agg(count(lit(1)).as("freq"))
+          val (vocab, nVocab) =
+            TextOps.bpeVocabSymsBytesWithCount(wordFreq, 6)
+          vocab.select("word", "syms")
+            .write.mode("overwrite").parquet(segPath)
+          java.nio.file.Files.write(nRowsFile,
+            nVocab.toString.getBytes("US-ASCII"))
+        }
+        val nVocab = new String(
+          java.nio.file.Files.readAllBytes(nRowsFile), "US-ASCII").trim.toLong
+        TextOps.joinSegmentation(
+          docs.select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("ord", "w")))
+            .selectExpr("doc_id", "ord", s"$wordSql AS word"),
+          s.read.parquet(segPath), vocabRows = Some(nVocab))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("syms"))).as("n_pieces"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "named_struct('o', ord, 'p', array_join(syms, ' ')))), " +
+              "x -> x.p), ' ')").as("pieces"))
+          .orderBy("doc_id")
+      },
+      Some(bpeByteApplyOracle(6))),
+
     // UNIGRAM-LM TRAINING (Kudo 2018 — the SentencePiece trainer; r11
     // verdict #3): the third standard tokenizer beside BPE and
     // WordPiece. Seed substring counts → 3 Viterbi-EM rounds (segment
@@ -7777,4 +7846,52 @@ s$i AS (SELECT word, any_value(freq) AS freq,
 s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w0),
 $ctes"""
   }
+
+  /** The accent-injection rule shared by the byte-BPE train/apply
+    * pair: every third-length word gains a two-byte UTF-8 character,
+    * so multi-byte sequences genuinely ride the oracle path (byte
+    * symbols C3/A9 can merge — something a char-level tokenizer
+    * cannot even represent without UNK). */
+  private val bpeByteWordSql =
+    "CASE WHEN len(w) % 3 = 0 THEN w || 'é' ELSE w END"
+
+  /** Byte-level oracle CTEs: same machine-generated merge steps over
+    * a base whose symbols are the word's UTF-8 bytes as two-hex-digit
+    * strings (the whole-word hex sliced in 2-char chunks — DuckDB
+    * cannot slice BLOBs, both engines slice the hex string). */
+  private def bpeByteOracleCtes(k: Int): String = {
+    val wordCtes = bpeOracleCtes(k)
+    val byteBase = s"""WITH w0 AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT $bpeByteWordSql AS word
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+  GROUP BY word),
+s0 AS (SELECT word, freq,
+  list_transform(generate_series(1, octet_length(encode(word))),
+    i -> substring(hex(encode(word)), 2*i-1, 2)) AS syms FROM w0),"""
+    // swap the word-level base for the byte-level one; the generated
+    // merge steps are base-agnostic
+    val stepsStart = wordCtes.indexOf("p1 AS (")
+    byteBase + "\n" + wordCtes.substring(stepsStart)
+  }
+
+  private def bpeByteOracle(k: Int): String = {
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, cnt FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""${bpeByteOracleCtes(k)}
+SELECT * FROM ($out) ORDER BY step"""
+  }
+
+  private def bpeByteApplyOracle(k: Int): String =
+    s"""${bpeByteOracleCtes(k)},
+wdoc AS (SELECT doc_id, $bpeByteWordSql AS word, ord
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(syms)) AS BIGINT) AS n_pieces,
+  string_agg(array_to_string(syms, ' '), ' ' ORDER BY ord) AS pieces
+FROM wdoc JOIN s$k USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
 }
