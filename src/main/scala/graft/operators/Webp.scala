@@ -529,6 +529,37 @@ object Webp {
     (p & 0xff00ff00) | (r << 16) | b
   }
 
+  /** (t * c) >> 5 with BOTH operands as signed 8-bit values — the
+    * spec's ColorTransformDelta. */
+  private def ctDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  /** Inverse cross-channel color transform: the tile element packs
+    * green_to_red in the blue byte, green_to_blue in the green byte,
+    * red_to_blue in the red byte; red reconstructs first and the
+    * red_to_blue delta reads the RECONSTRUCTED red (spec order). */
+  private def inverseColorTransform(p: Int, cte: Int): Int = {
+    val g = (p >>> 8) & 0xff
+    var r = (p >>> 16) & 0xff
+    var b = p & 0xff
+    r = (r + ctDelta(cte & 0xff, g)) & 0xff
+    b = (b + ctDelta((cte >>> 8) & 0xff, g)) & 0xff
+    b = (b + ctDelta((cte >>> 16) & 0xff, r)) & 0xff
+    (p & 0xff00ff00) | (r << 16) | b
+  }
+
+  /** Forward twin (fixture encoder): subtract the same deltas; the
+    * red_to_blue delta reads the ORIGINAL red, which is what the
+    * inverse reconstructs before applying it. */
+  private def forwardColorTransform(p: Int, cte: Int): Int = {
+    val g = (p >>> 8) & 0xff
+    val r0 = (p >>> 16) & 0xff
+    val r = (r0 - ctDelta(cte & 0xff, g)) & 0xff
+    var b = p & 0xff
+    b = (b - ctDelta((cte >>> 8) & 0xff, g)) & 0xff
+    b = (b - ctDelta((cte >>> 16) & 0xff, r0)) & 0xff
+    (p & 0xff00ff00) | (r << 16) | b
+  }
+
   private def paletteWidthBits(n: Int): Int =
     if (n <= 2) 3 else if (n <= 4) 2 else if (n <= 16) 1 else 0
 
@@ -631,6 +662,8 @@ object Webp {
     var palBits = 0
     var predBits = 0
     var predTiles: Array[Int] = null
+    var ctBits = 0
+    var ctTiles: Array[Int] = null
     var order = List.empty[Int]
     val seen = collection.mutable.Set.empty[Int]
     while (br.readBits(1) == 1) {
@@ -644,8 +677,9 @@ object Webp {
           predTiles = decodeInner(br,
             ceilDiv(w, 1 << predBits), ceilDiv(h, 1 << predBits), top = false)
         case 1 =>
-          throw new IllegalArgumentException(
-            "cross-channel color transform is outside the decode subset")
+          ctBits = br.readBits(3) + 2
+          ctTiles = decodeInner(br,
+            ceilDiv(w, 1 << ctBits), ceilDiv(h, 1 << ctBits), top = false)
         case 2 => ()
         case 3 =>
           val nc = br.readBits(8) + 1
@@ -685,6 +719,16 @@ object Webp {
       case 2 =>
         var i = 0
         while (i < px.length) { px(i) = inverseSubtractGreen(px(i)); i += 1 }
+      case 1 =>
+        val tw = ceilDiv(w, 1 << ctBits)
+        var pos = 0
+        while (pos < px.length) {
+          val x = pos % w
+          val y = pos / w
+          val cte = ctTiles((y >> ctBits) * tw + (x >> ctBits))
+          px(pos) = inverseColorTransform(px(pos), cte)
+          pos += 1
+        }
       case 0 =>
         val tw = ceilDiv(w, 1 << predBits)
         var pos = 0
@@ -841,7 +885,8 @@ object Webp {
     *   2 = color-indexing palette (sub-byte bundling when <= 16);
     *   3 = predictor transform (rotating all 14 modes per tile) then
     *       subtract-green — exercises reverse-order inverses;
-    *   4 = meta-Huffman entropy image with two checkerboard groups.
+    *   4 = meta-Huffman entropy image with two checkerboard groups;
+    *   5 = cross-channel color transform (rotating tile elements).
     */
   def encodeVp8l(img: Argb, layout: Int, seed: Long): Array[Byte] = {
     val bw = new BitWriter
@@ -927,6 +972,27 @@ object Webp {
         val groupAt = (x: Int, y: Int) => ((x >> ebits) + (y >> ebits)) % 2
         encodeImageData(bw, w, h, img.px, 0, lz77 = false, top = true,
           groupAt, 2, ebits)
+      case 5 =>
+        val tb = 2 + (seed % 3).toInt
+        val tw = ceilDiv(w, 1 << tb)
+        val th = ceilDiv(h, 1 << tb)
+        val ctes = Array.tabulate(tw * th) { i =>
+          0xff000000 |
+            ((((5 * seed + 13 * i) % 256).toInt & 0xff) << 16) |
+            ((((3 * seed + 11 * i) % 256).toInt & 0xff) << 8) |
+            (((7 * seed + 5 * i) % 256).toInt & 0xff)
+        }
+        bw.writeBits(1, 1); bw.writeBits(1, 2) // COLOR transform
+        bw.writeBits(tb - 2, 3)
+        encodeImageData(bw, tw, th, ctes, 0, lz77 = false, top = false,
+          null, 1, 0)
+        bw.writeBits(0, 1)
+        val res = Array.tabulate(w * h) { pos =>
+          val cte = ctes(((pos / w) >> tb) * tw + ((pos % w) >> tb))
+          forwardColorTransform(img.px(pos), cte)
+        }
+        encodeImageData(bw, w, h, res, 0, lz77 = false, top = true,
+          null, 1, 0)
       case other =>
         throw new IllegalArgumentException(s"unknown encode layout $other")
     }
@@ -1058,7 +1124,7 @@ object Webp {
 
   /** Plain lossless file: a single VP8L chunk, layout d%5. */
   def synthLossless(d: Long): Array[Byte] =
-    riff(Seq("VP8L" -> encodeVp8l(synthImage(d), (d % 5).toInt, d)))
+    riff(Seq("VP8L" -> encodeVp8l(synthImage(d), (d % 6).toInt, d)))
 
   /** Extended file: VP8X + optional ICCP (7 odd bytes — the pad-byte
     * path is load-bearing) + VP8L + EXIF (5+d%7 bytes) + optional XMP. */
@@ -1079,7 +1145,7 @@ object Webp {
     chunks += ("VP8X" -> vp8x.toByteArray)
     if (icc) chunks += ("ICCP" ->
       Array.tabulate(7)(i => (((d + i) % 251) & 0xff).toByte))
-    chunks += ("VP8L" -> encodeVp8l(img, (d % 5).toInt, d))
+    chunks += ("VP8L" -> encodeVp8l(img, (d % 6).toInt, d))
     chunks += ("EXIF" ->
       Array.tabulate((5 + d % 7).toInt)(i => (((3 * d + i) % 256) & 0xff).toByte))
     if (xmp) chunks += ("XMP " ->
@@ -1167,7 +1233,7 @@ object Webp {
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val d = r.getLong(idIdx)
-        val img = decodeVp8l(encodeVp8l(synthImage(d), (d % 5).toInt, d))
+        val img = decodeVp8l(encodeVp8l(synthImage(d), (d % 6).toInt, d))
         var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
         img.px.foreach { p =>
           sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff

