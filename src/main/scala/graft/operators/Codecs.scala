@@ -2181,7 +2181,7 @@ object Codecs {
 
   /** moov → trak → mdia → minf → stbl descent, returning the sample
     * tables (shared by mp4Samples and mp4SampleLocations). */
-  private def stblKids(bytes: Array[Byte]): List[Mp4Box] = {
+  private[operators] def stblKids(bytes: Array[Byte]): List[Mp4Box] = {
     require(bytes.length >= 8 &&
       new String(bytes, 4, 4, "US-ASCII") == "ftyp", "not an MP4 payload")
     val moov = oneBox(mp4Walk(bytes, 0, bytes.length), "moov")

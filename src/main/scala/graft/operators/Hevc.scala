@@ -191,6 +191,177 @@ object Hevc {
     }
   }
 
+  // ------------------------------------------------ hvcC-in-MP4 walk
+
+  final case class HvccMeta(nVps: Int, nSps: Int, nPps: Int,
+      nalLenSize: Int, tier: Int, profile: Int, level: Int,
+      chromaFormat: Int, bitDepthLuma: Int, bitDepthChroma: Int,
+      width: Int, height: Int)
+
+  /** Parse the HEVCDecoderConfigurationRecord (ISO 14496-15) out of
+    * moov/trak/../stsd/hvc1/hvcC and CROSS-CHECK the record's mirror
+    * fields (profile space/tier/profile/level, chroma format, bit
+    * depths) against an SPS parse of the embedded SPS NAL, plus the
+    * hvc1 entry dims against the SPS conformance-window dims — a
+    * muxer disagreeing with its own bitstream fails loudly, exactly
+    * the avcC discipline. */
+  def hvccMeta(bytes: Array[Byte]): HvccMeta = {
+    val kids = Codecs.stblKids(bytes)
+    val stsd = Codecs.oneBox(kids, "stsd")
+    require(stsd.end - stsd.start >= 8, "truncated stsd header")
+    val hvc1 = Codecs.oneBox(
+      Codecs.mp4Walk(bytes, stsd.start + 8, stsd.end), "hvc1")
+    require(hvc1.end - hvc1.start >= 78, "truncated hvc1 sample entry")
+    val entryW = ((bytes(hvc1.start + 24) & 0xff) << 8) |
+      (bytes(hvc1.start + 25) & 0xff)
+    val entryH = ((bytes(hvc1.start + 26) & 0xff) << 8) |
+      (bytes(hvc1.start + 27) & 0xff)
+    val hvcc = Codecs.oneBox(
+      Codecs.mp4Walk(bytes, hvc1.start + 78, hvc1.end), "hvcC")
+    val a = java.util.Arrays.copyOfRange(bytes, hvcc.start, hvcc.end)
+    require(a.length >= 23, "truncated HEVCDecoderConfigurationRecord")
+    require((a(0) & 0xff) == 1, "bad hvcC configurationVersion")
+    require(((a(1) >> 6) & 0x3) == 0, "bad general_profile_space in hvcC")
+    val recTier = (a(1) >> 5) & 1
+    val recProfile = a(1) & 0x1f
+    val recLevel = a(12) & 0xff
+    val recChroma = a(16) & 0x3
+    val recBdLuma = (a(17) & 0x7) + 8
+    val recBdChroma = (a(18) & 0x7) + 8
+    val nalLenSize = (a(21) & 0x3) + 1
+    val nArrays = a(22) & 0xff
+    var pos = 23
+    var nVps = 0
+    var nSps = 0
+    var nPps = 0
+    var spsNal: Array[Byte] = null
+    (0 until nArrays).foreach { _ =>
+      require(pos + 3 <= a.length, "truncated hvcC NAL array header")
+      val nalType = a(pos) & 0x3f
+      val nNalus = ((a(pos + 1) & 0xff) << 8) | (a(pos + 2) & 0xff)
+      pos += 3
+      (0 until nNalus).foreach { _ =>
+        require(pos + 2 <= a.length, "truncated hvcC NAL length")
+        val len = ((a(pos) & 0xff) << 8) | (a(pos + 1) & 0xff)
+        pos += 2
+        require(len >= 2 && pos + len <= a.length,
+          s"hvcC NAL length $len out of bounds")
+        nalType match {
+          case 32 => nVps += 1
+          case 33 =>
+            nSps += 1
+            if (spsNal == null)
+              spsNal = java.util.Arrays.copyOfRange(a, pos, pos + len)
+          case 34 => nPps += 1
+          case t => sys.error(s"unexpected hvcC array NAL type $t")
+        }
+        pos += len
+      }
+    }
+    require(spsNal != null, "hvcC carries no SPS")
+    require(nVps >= 1 && nPps >= 1, "hvcC lacks a VPS or PPS array")
+    val (tier, p, l, w, h, cf, bdl, bdc) =
+      parseSps(Codecs.rbspUnescape(spsNal.drop(2)))
+    require(tier == recTier && p == recProfile,
+      s"hvcC profile/tier $recProfile/$recTier disagree with SPS $p/$tier")
+    require(l == recLevel, s"hvcC level $recLevel disagrees with SPS $l")
+    require(cf == recChroma,
+      s"hvcC chroma $recChroma disagrees with SPS $cf")
+    require(bdl == recBdLuma && bdc == recBdChroma,
+      s"hvcC depths $recBdLuma/$recBdChroma disagree with SPS $bdl/$bdc")
+    require(w == entryW && h == entryH,
+      s"hvc1 dims ${entryW}x$entryH disagree with SPS ${w}x$h")
+    HvccMeta(nVps, nSps, nPps, nalLenSize, tier, p, l, cf, bdl, bdc, w, h)
+  }
+
+  /** stsd carrying a real hvc1/hvcC entry for the fixture VPS/SPS/PPS
+    * (three NAL arrays, lengthSizeMinusOne = 3); mirror fields are
+    * derived FROM the SPS so the cross-checks hold by construction. */
+  def hvcStsdBox(d: Long): Array[Byte] = {
+    val sps = synthSpsNal(d)
+    val pps = synthPpsNal(d)
+    val vps = nalHeader(32) ++ Array.tabulate(4)(i =>
+      ((d + 17 * i) % 250 + 1).toByte)
+    val (tier, profile, level, w, h, cf, bdl, bdc) =
+      parseSps(Codecs.rbspUnescape(sps.drop(2)))
+    val rec = new java.io.ByteArrayOutputStream()
+    rec.write(1) // configurationVersion
+    rec.write((tier << 5) | profile) // space 0 | tier | profile_idc
+    rec.write(0); rec.write(0); rec.write(0); rec.write(0) // compat flags
+    (0 until 6).foreach(_ => rec.write(0)) // constraint flags
+    rec.write(level)
+    rec.write(0xf0); rec.write(0) // min_spatial_segmentation_idc
+    rec.write(0xfc) // parallelismType 0
+    rec.write(0xfc | cf)
+    rec.write(0xf8 | (bdl - 8))
+    rec.write(0xf8 | (bdc - 8))
+    rec.write(0); rec.write(0) // avgFrameRate
+    rec.write(0x03 | (1 << 3) | (1 << 2)) // 1 layer, nested, lenSize-1=3
+    rec.write(3) // numOfArrays: VPS, SPS, PPS
+    def array(t: Int, nal: Array[Byte]): Unit = {
+      rec.write(0x80 | t) // array_completeness
+      rec.write(0); rec.write(1)
+      rec.write(nal.length >> 8); rec.write(nal.length & 0xff)
+      rec.write(nal, 0, nal.length)
+    }
+    array(32, vps); array(33, sps); array(34, pps)
+    val hvcc = Codecs.mp4Box("hvcC", rec.toByteArray)
+    val entry = new Array[Byte](78)
+    entry(7) = 1 // data_reference_index
+    entry(24) = (w >> 8).toByte; entry(25) = (w & 0xff).toByte
+    entry(26) = (h >> 8).toByte; entry(27) = (h & 0xff).toByte
+    entry(28) = 0; entry(29) = 0x48; entry(32) = 0; entry(33) = 0x48
+    entry(40) = 1 // frame_count
+    entry(74) = 0x18 // depth 24
+    entry(76) = 0xff.toByte; entry(77) = 0xff.toByte
+    val hvc1 = Codecs.mp4Box("hvc1", entry ++ hvcc)
+    Codecs.mp4Box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ hvc1)
+  }
+
+  /** Minimal MP4 metadata shell around the hvc1/hvcC entry (the
+    * synthAvcMp4 shape with the HEVC brand). */
+  def synthHevcMp4(d: Long): Array[Byte] = {
+    val stbl = Codecs.mp4Box("stbl", hvcStsdBox(d))
+    val minf = Codecs.mp4Box("minf", stbl)
+    val mdia = Codecs.mp4Box("mdia", minf)
+    val trak = Codecs.mp4Box("trak", mdia)
+    val moov = Codecs.mp4Box("moov", trak)
+    val ftyp = Codecs.mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomhvc1".getBytes("US-ASCII"))
+    ftyp ++ moov
+  }
+
+  private val hvccSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_vps", IntegerType),
+    StructField("n_sps", IntegerType),
+    StructField("n_pps", IntegerType),
+    StructField("nal_len_size", IntegerType),
+    StructField("tier", IntegerType),
+    StructField("profile", IntegerType),
+    StructField("level", IntegerType),
+    StructField("chroma_fmt", IntegerType),
+    StructField("bit_depth_luma", IntegerType),
+    StructField("bit_depth_chroma", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** ids -> hvcC-in-MP4 shell -> record walk + SPS cross-check. */
+  def hvccFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = hvccMeta(synthHevcMp4(d))
+        Row(d, m.nVps, m.nSps, m.nPps, m.nalLenSize, m.tier, m.profile,
+          m.level, m.chromaFormat, m.bitDepthLuma, m.bitDepthChroma,
+          m.width, m.height)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, hvccSchema)
+  }
+
   // ---------------------------------------------------- Spark features
 
   private val metaSchema = StructType(Seq(

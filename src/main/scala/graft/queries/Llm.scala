@@ -4376,6 +4376,39 @@ object Llm extends QueryModule {
           CAST(9 + doc_id % 5 AS INT) AS pps_rbsp_len
         FROM documents WHERE doc_id < 300 ORDER BY id""")),
 
+    // hvcC-IN-MP4 — the HEVC twin of llm_video_avcc_meta: how real
+    // MP4s carry H.265 configuration (stsd/hvc1/hvcC holding the
+    // HEVCDecoderConfigurationRecord with VPS/SPS/PPS NAL arrays).
+    // The walk parses the record, runs the SAME profile_tier_level +
+    // SPS parse as llm_video_hevc_meta on the embedded SPS, and
+    // CROSS-CHECKS record-vs-SPS tier/profile/level/chroma/bit-depths
+    // and hvc1-vs-SPS dims — a muxer disagreeing with its own
+    // bitstream fails loudly (HevcSpec pins both disagreement
+    // directions + fuzz). Pure per-doc map work.
+    QueryDef(
+      "llm_video_hvcc_meta",
+      (s, dir) => graft.operators.Hevc.hvccFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(1 AS INT) AS n_vps, CAST(1 AS INT) AS n_sps,
+          CAST(1 AS INT) AS n_pps, CAST(4 AS INT) AS nal_len_size,
+          CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS tier,
+          CAST(1 + doc_id % 3 AS INT) AS profile,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 93 WHEN 1 THEN 120
+            WHEN 2 THEN 123 WHEN 3 THEN 150 ELSE 153 END AS INT) AS level,
+          CAST(1 AS INT) AS chroma_fmt,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 10 ELSE 8 END AS INT)
+            AS bit_depth_luma,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 10 ELSE 8 END AS INT)
+            AS bit_depth_chroma,
+          CAST(8 * (8 + doc_id % 20) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * (1 + (doc_id // 4) % 2) ELSE 0 END AS INT) AS width,
+          CAST(8 * (6 + doc_id % 15) - CASE WHEN doc_id % 4 = 0
+            THEN 2 * ((doc_id // 4) % 2) ELSE 0 END AS INT) AS height
+        FROM documents WHERE doc_id < 300 ORDER BY id""")),
+
     // avcC-IN-MP4 (the composition of the two walks): how real MP4s
     // carry H.264 configuration — stsd/avc1/avcC holding the
     // AVCDecoderConfigurationRecord with the SPS/PPS sets inline. The

@@ -53,6 +53,55 @@ class HevcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("39"), e.getMessage)
   }
 
+  test("hvcC record walk cross-checks both disagreement directions") {
+    for (d <- 0L until 60L) {
+      val m = Hevc.hvccMeta(Hevc.synthHevcMp4(d))
+      assert(m.nVps == 1 && m.nSps == 1 && m.nPps == 1 && m.nalLenSize == 4)
+      assert(m.profile == Array(1, 2, 3)((d % 3).toInt), s"d=$d")
+      assert(m.level == Array(93, 120, 123, 150, 153)((d % 5).toInt))
+      val bd = if (m.profile == 2) 10 else 8
+      assert(m.bitDepthLuma == bd && m.bitDepthChroma == bd)
+    }
+    val good = Hevc.synthHevcMp4(3L)
+    def patched(find: Array[Byte], delta: Int, at: Int): Array[Byte] = {
+      // lastIndexOfSlice: 'hvc1' also appears in the ftyp brand list
+      val i = good.lastIndexOfSlice(find)
+      assert(i > 0, "anchor not found")
+      val b = good.clone()
+      b(i + at) = (b(i + at) + delta).toByte
+      b
+    }
+    // record profile byte (right after configurationVersion=1, which
+    // follows the 'hvcC' fourcc)
+    val e1 = intercept[IllegalArgumentException](Hevc.hvccMeta(
+      patched("hvcC".getBytes("US-ASCII"), 1, 5)))
+    assert(e1.getMessage.contains("disagree"), e1.getMessage)
+    // hvc1 entry width (offset 24 into the 78-byte entry, +8 fourcc..
+    // actually +4 fourcc; entry starts right after 'hvc1')
+    val e2 = intercept[IllegalArgumentException](Hevc.hvccMeta(
+      patched("hvc1".getBytes("US-ASCII"), 1, 4 + 25)))
+    assert(e2.getMessage.contains("dims"), e2.getMessage)
+  }
+
+  test("hvcC walk terminates loudly under random corruption") {
+    val rng = new scala.util.Random(8181)
+    for (trial <- 0 until 200) {
+      val b = Hevc.synthHevcMp4((trial % 15).toLong).clone()
+      (0 to rng.nextInt(5)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Hevc.hvccMeta(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
+
   test("walk terminates loudly under random corruption") {
     val rng = new scala.util.Random(6565)
     for (trial <- 0 until 300) {
