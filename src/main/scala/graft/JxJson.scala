@@ -242,6 +242,15 @@ object JxJson {
       case JString("web:feeds") =>
         graft.operators.Feed.feedFeatures(
           archiveDocIds(spark, sfDir, q), "doc_id")
+      // the IMAGE front door: `"from": "media:images"` exposes the
+      // WebP container-walk features (operators/Webp.metaFeatures —
+      // kind, canvas, feature flags, lossy header fields) so image-
+      // corpus curation gates compile through the JSON front door
+      // like every other media family; walk as partition-local map
+      // work, same fixture bound and "archive_docs" override.
+      case JString("media:images") =>
+        graft.operators.Webp.metaFeatures(
+          archiveDocIds(spark, sfDir, q), "doc_id")
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)

@@ -1044,7 +1044,7 @@ object Webp {
 
   /** Walk the RIFF container; loud on bad magic, truncated chunks, a
     * wrong declared size, or a malformed image header. */
-  def meta(bytes: Array[Byte]): WebpMeta = {
+  private def riffChunks(bytes: Array[Byte]): Seq[(String, Int, Int)] = {
     require(bytes.length >= 20, "WebP file too short")
     require(new String(bytes, 0, 4, "US-ASCII") == "RIFF", "missing RIFF magic")
     require(rdU32le(bytes, 4) == bytes.length - 8L,
@@ -1062,6 +1062,19 @@ object Webp {
       off += 8 + size.toInt + (size.toInt & 1)
     }
     require(chunks.nonEmpty, "empty WebP container")
+    chunks.toSeq
+  }
+
+  /** The VP8L chunk payload (plain-lossless or VP8X-wrapped files),
+    * None for lossy files — the decode gate a streaming image ingest
+    * applies after the container walk. */
+  def vp8lPayload(bytes: Array[Byte]): Option[Array[Byte]] =
+    riffChunks(bytes).find(_._1 == "VP8L").map { case (_, o, sz) =>
+      java.util.Arrays.copyOfRange(bytes, o, o + sz)
+    }
+
+  def meta(bytes: Array[Byte]): WebpMeta = {
+    val chunks = riffChunks(bytes)
     val exifLen = chunks.find(_._1 == "EXIF").map(_._3).getOrElse(-1)
     chunks.head match {
       case ("VP8L", o, sz) =>

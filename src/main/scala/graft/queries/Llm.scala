@@ -5441,6 +5441,111 @@ object Llm extends QueryModule {
             CAST(max(label) AS VARCHAR) FROM embeddings
         ) ORDER BY tbl, col_path""")),
 
+    // STREAMING IMAGE INGEST — the WebP walk applied as image files
+    // ARRIVE: container walk per row, then the filter-before-decode
+    // gate IN STREAMING FORM — lossless payloads (plain or
+    // VP8X-wrapped) are extracted from the RIFF chunks and fully
+    // VP8L-decoded to channel sums; lossy files pass through
+    // undecoded (decoded=0, null sums — the documented boundary as a
+    // data-visible gate, not an error). STATELESS Append like the
+    // other six ingest twins (no state store, no watermark);
+    // deterministic emission so the closed-form oracle applies
+    // verbatim.
+    QueryDef(
+      "stream_image_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Webp
+        val extracted = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.map { d =>
+              val bytes = Webp.synthWebp(d)
+              val m = Webp.meta(bytes)
+              Webp.vp8lPayload(bytes) match {
+                case Some(payload) =>
+                  val img = Webp.decodeVp8l(payload)
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  img.px.foreach { p =>
+                    sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff
+                    sb += p & 0xff
+                  }
+                  (d, m.kind, m.canvasW, m.canvasH, 1,
+                    Some(sr), Some(sg), Some(sb))
+                case None =>
+                  (d, m.kind, m.canvasW, m.canvasH, 0, None, None, None)
+              }
+            }
+          }
+          .toDF("id", "kind", "canvas_w", "canvas_h", "decoded",
+            "sum_r", "sum_g", "sum_b")
+        graft.streaming.Streams.runToMemory(extracted,
+          s"simg_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 9 AS INT) AS h,
+            CAST(1 << CAST(2 + doc_id % 4 AS INT) AS INT) AS nc
+          FROM documents WHERE doc_id < 300),
+        px AS (SELECT d.doc_id, d.w, d.h,
+            (d.doc_id + 3 * x.x + 5 * y.y) % d.nc AS i
+          FROM d, (SELECT unnest(range(0, 28)) AS x) x,
+            (SELECT unnest(range(0, 20)) AS y) y
+          WHERE x.x < d.w AND y.y < d.h),
+        sums AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+            CAST(sum((7 * i + doc_id) % 256) AS BIGINT) AS sr,
+            CAST(sum((11 * i + 2 * doc_id) % 256) AS BIGINT) AS sg,
+            CAST(sum((13 * i + 3 * doc_id) % 256) AS BIGINT) AS sb
+          FROM px GROUP BY doc_id)
+        SELECT doc_id AS id,
+          CASE doc_id % 3 WHEN 0 THEN 'vp8l' WHEN 1 THEN 'vp8x'
+            ELSE 'vp8' END AS kind,
+          CASE doc_id % 3 WHEN 2 THEN CAST(320 + doc_id % 33 AS INT)
+            ELSE w END AS canvas_w,
+          CASE doc_id % 3 WHEN 2 THEN CAST(240 + doc_id % 25 AS INT)
+            ELSE h END AS canvas_h,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS INT)
+            AS decoded,
+          CASE WHEN doc_id % 3 = 2 THEN NULL ELSE sr END AS sum_r,
+          CASE WHEN doc_id % 3 = 2 THEN NULL ELSE sg END AS sum_g,
+          CASE WHEN doc_id % 3 = 2 THEN NULL ELSE sb END AS sum_b
+        FROM sums ORDER BY id""")),
+
+    // JX FRONT DOOR → IMAGES — `"from": "media:images"` exposes the
+    // WebP container walk as a JX source: the image-corpus curation
+    // gate (per-format inventory with canvas and alpha rollups)
+    // compiles through the JSON front door, the walk fused as map
+    // work ahead of the one grouped aggregate.
+    QueryDef(
+      "jx_json_images",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "media:images",
+          "groupby": ["kind"],
+          "select": [
+            {"name": "n_files", "aggregate": "count"},
+            {"name": "total_w", "aggregate": "sum", "value": "canvas_w"},
+            {"name": "n_alpha", "aggregate": "sum", "value": "has_alpha"}
+          ],
+          "sort": "kind"
+        }"""),
+      Some("""WITH d AS (SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'vp8l' WHEN 1 THEN 'vp8x'
+              ELSE 'vp8' END AS kind,
+            CASE doc_id % 3 WHEN 2 THEN 320 + doc_id % 33
+              ELSE 16 + doc_id % 13 END AS w,
+            CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN
+              CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+            ELSE 0 END AS alpha
+          FROM documents WHERE doc_id < 300)
+        SELECT kind, count(*) AS n_files,
+          CAST(sum(w) AS BIGINT) AS total_w,
+          CAST(sum(alpha) AS BIGINT) AS n_alpha
+        FROM d GROUP BY kind ORDER BY kind""")),
+
     // SITEMAP PARSE — robots.txt's companion crawl-policy file: the
     // per-site URL inventory (sitemaps.org urlset) a crawl planner
     // diffs against its frontier. A real schema-scoped XML walk —
