@@ -1183,6 +1183,145 @@ object Webp {
     riff(Seq("VP8 " -> out.toByteArray))
   }
 
+  // ------------------------------------------------- animated WebP
+
+  final case class AnimFrame(x: Int, y: Int, durMs: Int,
+      blend: Boolean, dispose: Boolean, img: Argb)
+
+  final case class WebpAnim(canvasW: Int, canvasH: Int, loopCount: Int,
+      frames: Seq[AnimFrame])
+
+  private def wr24(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
+  }
+
+  /** Animated fixture: VP8X (anim flag) + ANIM (loop count d%4) +
+    * 2 + d%3 ANMF frames, frame f a full VP8L image seeded d + 31f
+    * at a closed-form 2-px-unit offset with a closed-form duration.
+    * Frame 0 never blends (spec rule); later frames alternate. */
+  def synthAnim(d: Long): Array[Byte] = {
+    val nf = (2 + d % 3).toInt
+    val frames = (0 until nf).map { f =>
+      val s = d + 31L * f
+      val img = synthImage(s)
+      val fx = ((d + f) % 5).toInt      // stored value; pixels = 2x
+      val fy = ((d + 2 * f) % 4).toInt
+      (fx, fy, (40 + (d + f) % 60).toInt, img,
+        encodeVp8l(img, ((s % 6)).toInt, s))
+    }
+    val canvasW = frames.map(fr => 2 * fr._1 + fr._4.width).max
+    val canvasH = frames.map(fr => 2 * fr._2 + fr._4.height).max
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write(0x02); vp8x.write(0); vp8x.write(0); vp8x.write(0) // ANIM
+    wr24(vp8x, canvasW - 1); wr24(vp8x, canvasH - 1)
+    val anim = new java.io.ByteArrayOutputStream()
+    anim.write(0); anim.write(0); anim.write(0); anim.write(0xff) // bg BGRA
+    anim.write((d % 4).toInt); anim.write(0) // loop count LE16
+    val chunks = collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    chunks += ("VP8X" -> vp8x.toByteArray)
+    chunks += ("ANIM" -> anim.toByteArray)
+    frames.zipWithIndex.foreach { case ((fx, fy, dur, img, payload), f) =>
+      val anmf = new java.io.ByteArrayOutputStream()
+      wr24(anmf, fx); wr24(anmf, fy)
+      wr24(anmf, img.width - 1); wr24(anmf, img.height - 1)
+      wr24(anmf, dur)
+      anmf.write(if (f > 0 && f % 2 == 1) 0x2 else 0x0) // blend | dispose
+      // the frame's own chunk, nested INSIDE the ANMF payload
+      anmf.write("VP8L".getBytes("US-ASCII"))
+      val pl = payload.length
+      anmf.write(pl & 0xff); anmf.write((pl >> 8) & 0xff)
+      anmf.write((pl >> 16) & 0xff); anmf.write((pl >> 24) & 0xff)
+      anmf.write(payload, 0, pl)
+      if ((pl & 1) == 1) anmf.write(0)
+      chunks += ("ANMF" -> anmf.toByteArray)
+    }
+    riff(chunks.toSeq)
+  }
+
+  /** Walk an animated file: VP8X anim flag required, ANIM loop count,
+    * then each ANMF's placement/duration/flags header and its nested
+    * VP8L frame FULLY DECODED. Frames are validated inside the canvas
+    * and frame 0 must not blend (spec). Loud on a lossy (VP8) frame. */
+  def animFrames(bytes: Array[Byte]): WebpAnim = {
+    val chunks = riffChunks(bytes)
+    require(chunks.head._1 == "VP8X", "animated WebP must lead with VP8X")
+    val (_, xo, xsz) = chunks.head
+    require(xsz == 10, "bad VP8X payload")
+    require((bytes(xo) & 0x02) != 0, "VP8X lacks the animation flag")
+    val canvasW = rdU24le(bytes, xo + 4) + 1
+    val canvasH = rdU24le(bytes, xo + 7) + 1
+    val anim = chunks.find(_._1 == "ANIM")
+      .getOrElse(throw new IllegalArgumentException(
+        "animated WebP without an ANIM chunk"))
+    require(anim._3 == 6, "bad ANIM payload size")
+    val loopCount = rdU16le(bytes, anim._2 + 4)
+    val frames = chunks.filter(_._1 == "ANMF").zipWithIndex.map {
+      case ((_, o, sz), f) =>
+        require(sz >= 16, "truncated ANMF header")
+        val fx = 2 * rdU24le(bytes, o)
+        val fy = 2 * rdU24le(bytes, o + 3)
+        val fw = rdU24le(bytes, o + 6) + 1
+        val fh = rdU24le(bytes, o + 9) + 1
+        val dur = rdU24le(bytes, o + 12)
+        val flags = bytes(o + 15) & 0xff
+        val blend = (flags & 0x2) != 0
+        require(f > 0 || !blend, "frame 0 must not blend")
+        require(fx + fw <= canvasW && fy + fh <= canvasH,
+          s"frame $f [$fx,$fy ${fw}x$fh] escapes the " +
+            s"${canvasW}x$canvasH canvas")
+        // the nested frame-data chunk
+        require(sz >= 16 + 8, "ANMF without frame data")
+        val fourcc = new String(bytes, o + 16, 4, "US-ASCII")
+        require(fourcc == "VP8L",
+          s"lossy animated frame ($fourcc) is outside the decode subset")
+        val plen = rdU32le(bytes, o + 20)
+        require(plen <= sz - 24, "ANMF frame payload overruns the chunk")
+        val img = decodeVp8l(java.util.Arrays.copyOfRange(
+          bytes, o + 24, o + 24 + plen.toInt))
+        require(img.width == fw && img.height == fh,
+          s"ANMF declares ${fw}x$fh but the frame decodes to " +
+            s"${img.width}x${img.height}")
+        AnimFrame(fx, fy, dur, blend, (flags & 0x1) != 0, img)
+    }
+    require(frames.nonEmpty, "animated WebP without frames")
+    WebpAnim(canvasW, canvasH, loopCount, frames)
+  }
+
+  private val animSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("fx", IntegerType),
+    StructField("fy", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dur_ms", IntegerType),
+    StructField("loop_count", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** ids -> animated fixture -> frame walk + full per-frame VP8L
+    * decode — the frame-sampling primitive for animated WebP, the
+    * gifFrameFeatures twin. Per-doc map work. */
+  def animFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(idIdx)
+        val a = animFrames(synthAnim(d))
+        a.frames.zipWithIndex.iterator.map { case (fr, f) =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          fr.img.px.foreach { p =>
+            sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+          }
+          Row(d, f, fr.x, fr.y, fr.img.width, fr.img.height, fr.durMs,
+            a.loopCount, sr, sg, sb)
+        }
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, animSchema)
+  }
+
   /** Per-doc fixture rotation: plain lossless / extended / lossy. */
   def synthWebp(d: Long): Array[Byte] = (d % 3) match {
     case 0 => synthLossless(d)

@@ -5514,6 +5514,44 @@ object Llm extends QueryModule {
           CASE WHEN doc_id % 3 = 2 THEN NULL ELSE sb END AS sum_b
         FROM sums ORDER BY id""")),
 
+    // ANIMATED WEBP FRAME WALK — the gifFrameFeatures twin for the
+    // format the modern web actually animates with: VP8X anim flag +
+    // ANIM loop count + per-ANMF placement (2-px-unit offsets,
+    // minus-one dims), duration, blend/dispose flags, each frame's
+    // NESTED VP8L chunk fully decoded (layout rotating per frame
+    // seed). The walk validates frames inside the canvas, frame 0's
+    // no-blend rule, and declared-vs-decoded dims; a lossy (VP8)
+    // frame is the loud boundary. Oracle recomputes every frame's
+    // placement, duration, and channel sums from (doc_id, frame).
+    QueryDef(
+      "llm_image_webp_anim",
+      (s, dir) => graft.operators.Webp.animFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "frame_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nf
+          FROM documents WHERE doc_id < 300),
+        fr AS (SELECT d.doc_id, f.f AS f, d.doc_id + 31 * f.f AS s
+          FROM d, LATERAL (SELECT unnest(range(0, d.nf)) AS f) f),
+        g AS (SELECT doc_id, f, s, CAST(16 + s % 13 AS INT) AS w,
+            CAST(12 + s % 9 AS INT) AS h,
+            CAST(1 << CAST(2 + s % 4 AS INT) AS INT) AS nc FROM fr),
+        px AS (SELECT g.doc_id, g.f, g.s, g.w, g.h,
+            (g.s + 3 * x.x + 5 * y.y) % g.nc AS i
+          FROM g, (SELECT unnest(range(0, 28)) AS x) x,
+            (SELECT unnest(range(0, 20)) AS y) y
+          WHERE x.x < g.w AND y.y < g.h)
+        SELECT doc_id AS id, CAST(f AS INT) AS frame_idx,
+          CAST(2 * ((doc_id + f) % 5) AS INT) AS fx,
+          CAST(2 * ((doc_id + 2 * f) % 4) AS INT) AS fy,
+          max(w) AS width, max(h) AS height,
+          CAST(40 + (doc_id + f) % 60 AS INT) AS dur_ms,
+          CAST(doc_id % 4 AS INT) AS loop_count,
+          CAST(sum((7 * i + s) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((11 * i + 2 * s) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((13 * i + 3 * s) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id, f, s ORDER BY id, frame_idx""")),
+
     // JX FRONT DOOR → IMAGES — `"from": "media:images"` exposes the
     // WebP container walk as a JX source: the image-corpus curation
     // gate (per-format inventory with canvas and alpha rollups)

@@ -164,6 +164,47 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("animated walk decodes frames and enforces the spec rules") {
+    for (d <- 0L until 40L) {
+      val a = Webp.animFrames(Webp.synthAnim(d))
+      assert(a.frames.size == (2 + d % 3).toInt, s"d=$d frames")
+      assert(a.loopCount == (d % 4).toInt)
+      a.frames.zipWithIndex.foreach { case (fr, f) =>
+        val img = Webp.synthImage(d + 31L * f)
+        assert(fr.img.px.sameElements(img.px), s"d=$d f=$f pixels")
+        assert(fr.x == 2 * ((d + f) % 5).toInt)
+        assert(fr.durMs == (40 + (d + f) % 60).toInt)
+        assert(f > 0 || !fr.blend)
+      }
+    }
+    // frame-0 blend flag set -> loud
+    val good = Webp.synthAnim(1L)
+    val i = good.indexOfSlice("ANMF".getBytes("US-ASCII"))
+    val bad = good.clone()
+    bad(i + 8 + 15) = 0x2 // flags byte of frame 0
+    val e = intercept[IllegalArgumentException](Webp.animFrames(bad))
+    assert(e.getMessage.contains("blend"), e.getMessage)
+  }
+
+  test("animated walk terminates loudly under random corruption") {
+    val rng = new scala.util.Random(3434)
+    for (trial <- 0 until 150) {
+      val b = Webp.synthAnim((trial % 11).toLong).clone()
+      (0 to rng.nextInt(5)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Webp.animFrames(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
+
   test("container walk terminates loudly under random corruption") {
     val rng = new scala.util.Random(777)
     for (trial <- 0 until 150) {
