@@ -1179,8 +1179,223 @@ object Webp {
     out.write(0x9d); out.write(0x01); out.write(0x2a)
     out.write(w & 0xff); out.write((w >> 8) & 0x3f)
     out.write(h & 0xff); out.write((h >> 8) & 0x3f)
-    (0 until 20).foreach(i => out.write(((7 * d + i) % 256).toInt))
+    // the first partition: a REAL bool-coded key-frame header, padded
+    // to the declared partition length (legal — the decoder reads
+    // only as far as the fields it wants; pads model macroblock data)
+    val hdr = encodeVp8Header(synthVp8Header(d))
+    require(hdr.length <= part0,
+      s"encoded VP8 header ${hdr.length} exceeds the declared $part0")
+    out.write(hdr, 0, hdr.length)
+    (hdr.length until part0).foreach(i => out.write(((7 * d + i) % 256).toInt))
     riff(Seq("VP8 " -> out.toByteArray))
+  }
+
+  private val vp8HeaderSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("color_space", IntegerType),
+    StructField("clamping", IntegerType),
+    StructField("filter_type", IntegerType),
+    StructField("filter_level", IntegerType),
+    StructField("sharpness", IntegerType),
+    StructField("n_dct_parts", IntegerType),
+    StructField("y_ac_qi", IntegerType),
+    StructField("y_dc_delta", IntegerType),
+    StructField("y2_dc_delta", IntegerType),
+    StructField("y2_ac_delta", IntegerType),
+    StructField("uv_dc_delta", IntegerType),
+    StructField("uv_ac_delta", IntegerType)))
+
+  /** ids -> lossy shell -> RIFF walk -> bool-decoded key-frame header
+    * (the quality-gate fields). Per-doc map work. */
+  def vp8HeaderFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = synthLossy(d)
+        val chunk = riffChunks(bytes).find(_._1 == "VP8 ")
+          .getOrElse(throw new IllegalArgumentException("no VP8 chunk"))
+        val h = parseVp8Header(bytes, chunk._2 + 10)
+        Row(d, h.colorSpace, h.clampingType, h.filterType, h.filterLevel,
+          h.sharpness, h.nDctPartitions, h.yAcQi, h.yDcDelta,
+          h.y2DcDelta, h.y2AcDelta, h.uvDcDelta, h.uvAcDelta)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, vp8HeaderSchema)
+  }
+
+  // --------------------------------------- VP8 (lossy) frame header
+  // The RFC 6386 BOOLEAN entropy coder (section 7) and the key-frame
+  // header fields it codes (section 9.2-9.6) — the honest shrink of
+  // the lossy boundary: everything an image-quality curation gate
+  // reads (loop-filter level/sharpness, DCT partition count, the
+  // quantizer indices — base y_ac_qi IS the quality dial) sits in the
+  // first partition BEFORE any macroblock data, coded as prob-128
+  // literals. Residual/macroblock decode stays the boundary.
+
+  private[graft] final class BoolDecoder(buf: Array[Byte], start: Int) {
+    require(buf.length - start >= 2, "VP8 partition shorter than 2 bytes")
+    private var range = 255
+    private var value = ((buf(start) & 0xff) << 8) | (buf(start + 1) & 0xff)
+    private var pos = start + 2
+    private var bitCount = 0
+    def bool(prob: Int): Int = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      val big = split << 8
+      val ret =
+        if (value >= big) { range -= split; value -= big; 1 }
+        else { range = split; 0 }
+      while (range < 128) {
+        value <<= 1; range <<= 1
+        bitCount += 1
+        if (bitCount == 8) {
+          bitCount = 0
+          // past-the-end reads are zero bits (the spec's convention);
+          // the header fits well inside the declared partition
+          require(pos <= buf.length, "VP8 bool decoder ran off the data")
+          if (pos < buf.length) value |= buf(pos) & 0xff
+          pos += 1
+        }
+      }
+      ret
+    }
+    /** n-bit literal, MSB first, each bit at probability 128. */
+    def literal(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bool(128); i += 1 }
+      v
+    }
+    /** Sign-magnitude delta: flag, then 4-bit magnitude + sign. */
+    def delta(): Int =
+      if (bool(128) == 0) 0
+      else {
+        val mag = literal(4)
+        if (bool(128) == 1) -mag else mag
+      }
+  }
+
+  private[graft] final class BoolEncoder {
+    private var range = 255
+    private var bottom = 0L
+    private var bitCount = 24
+    private val out = new java.io.ByteArrayOutputStream()
+    private def addOne(): Unit = {
+      // carry propagation into already-emitted bytes
+      val bytes = out.toByteArray
+      var i = bytes.length - 1
+      var carry = true
+      while (carry && i >= 0) {
+        if ((bytes(i) & 0xff) == 0xff) { bytes(i) = 0; i -= 1 }
+        else { bytes(i) = (bytes(i) + 1).toByte; carry = false }
+      }
+      require(!carry, "VP8 bool encoder carry out of stream")
+      out.reset(); out.write(bytes, 0, bytes.length)
+    }
+    def bool(prob: Int, v: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (v != 0) { bottom += split; range -= split } else range = split
+      while (range < 128) {
+        if ((bottom & (1L << 31)) != 0) addOne()
+        range <<= 1
+        bottom = (bottom << 1) & 0xffffffffL
+        bitCount -= 1
+        if (bitCount == 0) {
+          out.write(((bottom >> 24) & 0xff).toInt)
+          bottom &= 0xffffff
+          bitCount = 8
+        }
+      }
+    }
+    def literal(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
+    }
+    def delta(v: Int): Unit =
+      if (v == 0) bool(128, 0)
+      else {
+        bool(128, 1)
+        literal(math.abs(v), 4)
+        bool(128, if (v < 0) 1 else 0)
+      }
+    def finish(): Array[Byte] = {
+      (0 until 32).foreach { _ =>
+        if ((bottom & (1L << 31)) != 0) addOne()
+        bottom = (bottom << 1) & 0xffffffffL
+        bitCount -= 1
+        if (bitCount == 0) {
+          out.write(((bottom >> 24) & 0xff).toInt)
+          bottom &= 0xffffff
+          bitCount = 8
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Spec-visible aliases for the coder property tests. */
+  private[graft] type BoolEncoderForSpec = BoolEncoder
+  private[graft] type BoolDecoderForSpec = BoolDecoder
+
+  /** The key-frame header fields through the quantizer indices. */
+  final case class Vp8Header(colorSpace: Int, clampingType: Int,
+      filterType: Int, filterLevel: Int, sharpness: Int,
+      nDctPartitions: Int, yAcQi: Int, yDcDelta: Int, y2DcDelta: Int,
+      y2AcDelta: Int, uvDcDelta: Int, uvAcDelta: Int)
+
+  /** Parse the bool-coded first partition of a VP8 KEY frame through
+    * the quantizer indices (RFC 6386 section 9.2-9.6). Segmentation
+    * and loop-filter-adjustment updates are outside the header subset
+    * and rejected by name — they carry per-segment tables, not
+    * curation signals. `buf` starts AT the first partition (after the
+    * 10-byte uncompressed header). */
+  def parseVp8Header(buf: Array[Byte], start: Int): Vp8Header = {
+    val d = new BoolDecoder(buf, start)
+    val colorSpace = d.bool(128)
+    val clamping = d.bool(128)
+    require(d.bool(128) == 0,
+      "segmentation updates are outside the VP8 header subset")
+    val filterType = d.bool(128)
+    val filterLevel = d.literal(6)
+    val sharpness = d.literal(3)
+    require(d.bool(128) == 0,
+      "loop-filter adjustments are outside the VP8 header subset")
+    val log2Parts = d.literal(2)
+    val yAcQi = d.literal(7)
+    Vp8Header(colorSpace, clamping, filterType, filterLevel, sharpness,
+      1 << log2Parts, yAcQi, d.delta(), d.delta(), d.delta(),
+      d.delta(), d.delta())
+  }
+
+  /** Encode the same header fields (fixture side). */
+  def encodeVp8Header(h: Vp8Header): Array[Byte] = {
+    val e = new BoolEncoder
+    e.bool(128, h.colorSpace)
+    e.bool(128, h.clampingType)
+    e.bool(128, 0) // segmentation_enabled
+    e.bool(128, h.filterType)
+    e.literal(h.filterLevel, 6)
+    e.literal(h.sharpness, 3)
+    e.bool(128, 0) // loop_filter_adj_enable
+    e.literal(Integer.numberOfTrailingZeros(h.nDctPartitions), 2)
+    e.literal(h.yAcQi, 7)
+    e.delta(h.yDcDelta); e.delta(h.y2DcDelta); e.delta(h.y2AcDelta)
+    e.delta(h.uvDcDelta); e.delta(h.uvAcDelta)
+    e.finish()
+  }
+
+  /** Closed-form header for doc d (every field the oracle recomputes;
+    * delta presence rotates over coprime moduli so every combination
+    * of present/absent deltas appears in range). */
+  def synthVp8Header(d: Long): Vp8Header = {
+    def dl(mod: Int, scale: Int): Int =
+      if (d % mod == 0) {
+        val m = (d / mod % 16).toInt
+        if ((d / (mod * 16)) % 2 == 0) m else -m
+      } else 0
+    Vp8Header((d % 2).toInt, ((d / 2) % 2).toInt, ((d / 3) % 2).toInt,
+      (d % 64).toInt, (d % 8).toInt, 1 << (d % 4).toInt,
+      (d % 128).toInt, dl(2, 1), dl(3, 1), dl(5, 1), dl(7, 1), dl(11, 1))
   }
 
   // ------------------------------------------------- animated WebP

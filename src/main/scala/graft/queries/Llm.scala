@@ -5514,6 +5514,52 @@ object Llm extends QueryModule {
           CASE WHEN doc_id % 3 = 2 THEN NULL ELSE sb END AS sum_b
         FROM sums ORDER BY id""")),
 
+    // VP8 KEY-FRAME HEADER (RFC 6386 boolean entropy coder) — the
+    // honest shrink of the lossy boundary: the first partition's
+    // bool-coded header is decoded FOR REAL (the section-7 arithmetic
+    // decoder, implemented both directions and round-trip-pinned in
+    // WebpSpec) through the fields an image-quality curation gate
+    // reads — loop-filter level/sharpness, DCT partition count, and
+    // the quantizer indices (y_ac_qi IS the quality dial; five
+    // sign-magnitude deltas rotate presence over coprime moduli).
+    // Segmentation/filter-adjustment UPDATES and macroblock decode
+    // stay the boundary, rejected by name. Per-doc map work.
+    QueryDef(
+      "llm_image_vp8_header",
+      (s, dir) => graft.operators.Webp.vp8HeaderFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(doc_id % 2 AS INT) AS color_space,
+          CAST((doc_id // 2) % 2 AS INT) AS clamping,
+          CAST((doc_id // 3) % 2 AS INT) AS filter_type,
+          CAST(doc_id % 64 AS INT) AS filter_level,
+          CAST(doc_id % 8 AS INT) AS sharpness,
+          CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+            WHEN 2 THEN 4 ELSE 8 END AS INT) AS n_dct_parts,
+          CAST(doc_id % 128 AS INT) AS y_ac_qi,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN
+            CASE WHEN (doc_id // 32) % 2 = 0 THEN (doc_id // 2) % 16
+              ELSE -((doc_id // 2) % 16) END ELSE 0 END AS INT)
+            AS y_dc_delta,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN
+            CASE WHEN (doc_id // 48) % 2 = 0 THEN (doc_id // 3) % 16
+              ELSE -((doc_id // 3) % 16) END ELSE 0 END AS INT)
+            AS y2_dc_delta,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN
+            CASE WHEN (doc_id // 80) % 2 = 0 THEN (doc_id // 5) % 16
+              ELSE -((doc_id // 5) % 16) END ELSE 0 END AS INT)
+            AS y2_ac_delta,
+          CAST(CASE WHEN doc_id % 7 = 0 THEN
+            CASE WHEN (doc_id // 112) % 2 = 0 THEN (doc_id // 7) % 16
+              ELSE -((doc_id // 7) % 16) END ELSE 0 END AS INT)
+            AS uv_dc_delta,
+          CAST(CASE WHEN doc_id % 11 = 0 THEN
+            CASE WHEN (doc_id // 176) % 2 = 0 THEN (doc_id // 11) % 16
+              ELSE -((doc_id // 11) % 16) END ELSE 0 END AS INT)
+            AS uv_ac_delta
+        FROM documents ORDER BY id""")),
+
     // ANIMATED WEBP FRAME WALK — the gifFrameFeatures twin for the
     // format the modern web actually animates with: VP8X anim flag +
     // ANIM loop count + per-ANMF placement (2-px-unit offsets,

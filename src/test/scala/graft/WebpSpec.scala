@@ -164,6 +164,40 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("RFC 6386 boolean coder round-trips random sequences") {
+    // property test across probabilities: the encoder/decoder pair
+    // must agree for ANY prob sequence, not just the prob-128
+    // literals the header uses
+    val rng = new scala.util.Random(6386)
+    for (trial <- 0 until 50) {
+      val n = 1 + rng.nextInt(300)
+      val bits = Array.fill(n)(rng.nextInt(2))
+      val probs = Array.fill(n)(1 + rng.nextInt(254))
+      val enc = new Webp.BoolEncoderForSpec
+      bits.indices.foreach(i => enc.bool(probs(i), bits(i)))
+      val bytes = enc.finish()
+      val dec = new Webp.BoolDecoderForSpec(bytes, 0)
+      bits.indices.foreach { i =>
+        assert(dec.bool(probs(i)) == bits(i), s"trial $trial bit $i")
+      }
+    }
+  }
+
+  test("VP8 key-frame header fields round-trip through the bool coder") {
+    for (d <- 0L until 400L) {
+      val h = Webp.synthVp8Header(d)
+      val bytes = Webp.encodeVp8Header(h)
+      assert(Webp.parseVp8Header(bytes, 0) == h, s"d=$d")
+    }
+    // segmentation flag set -> loud by name
+    val e = new Webp.BoolEncoderForSpec
+    e.bool(128, 0); e.bool(128, 0); e.bool(128, 1) // segmentation on
+    (0 until 20).foreach(_ => e.bool(128, 0))
+    val err = intercept[IllegalArgumentException](
+      Webp.parseVp8Header(e.finish(), 0))
+    assert(err.getMessage.contains("segmentation"), err.getMessage)
+  }
+
   test("animated walk decodes frames and enforces the spec rules") {
     for (d <- 0L until 40L) {
       val a = Webp.animFrames(Webp.synthAnim(d))
