@@ -517,6 +517,25 @@ object ScaleBench {
         graft.operators.Hevc.metaFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // hvcC-in-MP4 record walk + SPS cross-check (round 15).
+    if (only.isEmpty || only.exists("hvcc_meta".contains)) {
+      time("hvcc_meta")(force(
+        graft.operators.Hevc.hvccFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    // Animated WebP: per-frame placement walk + full VP8L decode of
+    // every frame (round 15) — the gifFrameFeatures twin.
+    if (only.isEmpty || only.exists("webp_anim".contains)) {
+      time("webp_anim")(force(
+        graft.operators.Webp.animFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    // VP8 key-frame header via the RFC 6386 bool coder (round 15).
+    if (only.isEmpty || only.exists("vp8_header".contains)) {
+      time("vp8_header")(force(
+        graft.operators.Webp.vp8HeaderFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // Fragmented-MP4 rows (round 15): the moof/traf/trun walk over
     // the closed-form byte fixture, and the composed AVCC keyframe
     // decode over the fragmented layout — per-doc map work.
