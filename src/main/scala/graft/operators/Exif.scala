@@ -54,6 +54,13 @@ object Exif {
         tiffEnd = off + 2 + len
       } else off += 2 + len
     }
+    parseTiff(bytes, tiff, tiffEnd)
+  }
+
+  /** Parse a raw TIFF-structured EXIF block `[tiff, tiffEnd)` — the
+    * form the WebP EXIF chunk carries directly (no JPEG APP1
+    * wrapper), factored out so both containers share one walk. */
+  def parseTiff(bytes: Array[Byte], tiff: Int, tiffEnd: Int): ExifMeta = {
     val le = (bytes(tiff), bytes(tiff + 1)) match {
       case ('I', 'I') => true
       case ('M', 'M') => false
@@ -118,7 +125,10 @@ object Exif {
     * for even ids and BIG-endian for odd — ImageWidth (SHORT, inline),
     * Orientation (SHORT, inline), Make and DateTime (ASCII, offset
     * storage), then EOI. */
-  def synth(d: Long): Array[Byte] = {
+  /** The raw closed-form TIFF block for doc d (87 bytes: 4 entries,
+    * both ASCII values offset-addressed) — the WebP EXIF chunk
+    * payload; synth() wraps it in the JPEG APP1 form. */
+  def synthTiff(d: Long): Array[Byte] = {
     val le = d % 2 == 0
     val make = s"cam${d % 5}"
     val dt = f"2024:01:${1 + d % 9}%02d 12:00:${d % 10}%02d"
@@ -158,7 +168,12 @@ object Exif {
     p32(10 + 12 * nE, 0) // no next IFD
     System.arraycopy(makeB, 0, t, valBase, makeB.length)
     System.arraycopy(dtB, 0, t, valBase + makeB.length, dtB.length)
+    t
+  }
 
+  def synth(d: Long): Array[Byte] = {
+    val t = synthTiff(d)
+    val tiffLen = t.length
     val out = new java.io.ByteArrayOutputStream(tiffLen + 64)
     out.write(0xff); out.write(0xd8) // SOI
     val com = s"note${d % 3}".getBytes("US-ASCII")

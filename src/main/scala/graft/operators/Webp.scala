@@ -1159,8 +1159,9 @@ object Webp {
     if (icc) chunks += ("ICCP" ->
       Array.tabulate(7)(i => (((d + i) % 251) & 0xff).toByte))
     chunks += ("VP8L" -> encodeVp8l(img, (d % 6).toInt, d))
-    chunks += ("EXIF" ->
-      Array.tabulate((5 + d % 7).toInt)(i => (((3 * d + i) % 256) & 0xff).toByte))
+    // a REAL TIFF-structured EXIF payload (Exif.synthTiff), so the
+    // provenance walk composes through this container too
+    chunks += ("EXIF" -> Exif.synthTiff(d))
     if (xmp) chunks += ("XMP " ->
       Array.tabulate(6)(i => (((5 * d + i) % 256) & 0xff).toByte))
     riff(chunks.toSeq)
@@ -1535,6 +1536,36 @@ object Webp {
       }
     }
     ids.sparkSession.createDataFrame(rdd, animSchema)
+  }
+
+  private val webpExifSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("endian", StringType),
+    StructField("n_entries", IntegerType),
+    StructField("orientation", IntegerType),
+    StructField("exif_width", IntegerType),
+    StructField("make", StringType),
+    StructField("datetime", StringType)))
+
+  /** ids -> extended WebP -> EXIF chunk -> the shared TIFF walk
+    * (Exif.parseTiff): orientation / capture time / camera make read
+    * THROUGH the RIFF container, the image-provenance gate before any
+    * pixel decode. Per-doc map work. */
+  def exifFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = synthExtended(d)
+        val exif = riffChunks(bytes).find(_._1 == "EXIF")
+          .getOrElse(throw new IllegalArgumentException(
+            "extended WebP without an EXIF chunk"))
+        val m = Exif.parseTiff(bytes, exif._2, exif._2 + exif._3)
+        Row(d, m.endian, m.nEntries, m.orientation, m.width, m.make,
+          m.dateTime)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, webpExifSchema)
   }
 
   /** Per-doc fixture rotation: plain lossless / extended / lossy. */

@@ -5303,7 +5303,7 @@ object Llm extends QueryModule {
               + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
               + CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END
             ELSE 1 END AS INT) AS n_chunks,
-          CAST(CASE WHEN doc_id % 3 = 1 THEN 5 + doc_id % 7
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 87
             ELSE NULL END AS INT) AS exif_len,
           CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 4
             ELSE NULL END AS INT) AS vp8_version,
@@ -5558,6 +5558,27 @@ object Llm extends QueryModule {
             CASE WHEN (doc_id // 176) % 2 = 0 THEN (doc_id // 11) % 16
               ELSE -((doc_id // 11) % 16) END ELSE 0 END AS INT)
             AS uv_ac_delta
+        FROM documents ORDER BY id""")),
+
+    // EXIF-IN-WEBP — the image-provenance walk composed through the
+    // RIFF container: the extended fixture's EXIF chunk now carries a
+    // REAL TIFF block (Exif.synthTiff) and the query reads it with
+    // the SAME IFD walk as llm_image_exif (both byte orders, inline
+    // and offset-addressed values) — orientation / capture time /
+    // camera make before any pixel decode. Per-doc map work.
+    QueryDef(
+      "llm_image_webp_exif",
+      (s, dir) => graft.operators.Webp.exifFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+          CAST(4 AS INT) AS n_entries,
+          CAST(1 + doc_id % 8 AS INT) AS orientation,
+          CAST(100 + doc_id % 50 AS INT) AS exif_width,
+          'cam' || (doc_id % 5) AS make,
+          '2024:01:0' || (1 + doc_id % 9) || ' 12:00:0' || (doc_id % 10)
+            AS datetime
         FROM documents ORDER BY id""")),
 
     // ANIMATED WEBP FRAME WALK — the gifFrameFeatures twin for the

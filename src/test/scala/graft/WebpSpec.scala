@@ -110,7 +110,7 @@ class WebpSpec extends AnyFunSuite {
     assert(m.hasIcc && m.hasExif && m.hasXmp) // d%4 = 0 < 2
     assert(!m.hasAnim && !m.hasAlpha)         // d%5 != 0
     assert(m.nChunks == 5)                    // VP8X ICCP VP8L EXIF XMP
-    assert(m.exifLen == (5 + d % 7).toInt)
+    assert(m.exifLen == 87) // the real TIFF block's size
   }
 
   test("container walk: lossy VP8 keyframe header fields") {
