@@ -1568,6 +1568,43 @@ object Webp {
     ids.sparkSession.createDataFrame(rdd, webpExifSchema)
   }
 
+  private val pipelineSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("kind", StringType),
+    StructField("kept", IntegerType),
+    StructField("dedup_key", StringType)))
+
+  /** The per-doc half of the image-curation pipeline: container walk
+    * dispatches on kind — lossless files always pass; lossy files
+    * pass only if the REAL bool-decoded quantizer says the quality is
+    * acceptable (y_ac_qi < 96); extended files contribute an EXIF
+    * (make, capture-time) dedup key, the burst/re-upload collapse an
+    * image corpus runs before any pixel work. Everything here is one
+    * map pass; the declared query adds the single rollup shuffle. */
+  def pipelineFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = synthWebp(d)
+        val m = meta(bytes)
+        val (kept, key) = m.kind match {
+          case "vp8" =>
+            val chunk = riffChunks(bytes).find(_._1 == "VP8 ").get
+            val h = parseVp8Header(bytes, chunk._2 + 10)
+            (h.yAcQi < 96, null: String)
+          case "vp8x" =>
+            val exif = riffChunks(bytes).find(_._1 == "EXIF").get
+            val e = Exif.parseTiff(bytes, exif._2, exif._2 + exif._3)
+            (true, s"${e.make}|${e.dateTime}")
+          case _ => (true, null: String)
+        }
+        Row(d, m.kind, if (kept) 1 else 0, key)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, pipelineSchema)
+  }
+
   /** Per-doc fixture rotation: plain lossless / extended / lossy. */
   def synthWebp(d: Long): Array[Byte] = (d % 3) match {
     case 0 => synthLossless(d)

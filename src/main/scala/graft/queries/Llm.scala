@@ -5581,6 +5581,44 @@ object Llm extends QueryModule {
             AS datetime
         FROM documents ORDER BY id""")),
 
+    // IMAGE-CORPUS PIPELINE (the round's capstone composition, the
+    // llm_crawl_discovery discipline): container-kind dispatch →
+    // quality gate on the REAL bool-decoded VP8 quantizer (lossy
+    // files pass only at y_ac_qi < 96 — the dial an image curation
+    // pass actually turns) → EXIF (make, capture-time) dedup of the
+    // extended files (the burst/re-upload collapse) → one per-kind
+    // rollup. Everything before the groupBy is one map pass over the
+    // bytes; at 100 TB only the per-kind counts shuffle. The oracle
+    // replays gate + dedup closed-form: distinct surviving EXIF keys
+    // plus the keyless keeps.
+    QueryDef(
+      "llm_image_pipeline",
+      (s, dir) => graft.operators.Webp.pipelineFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_in"),
+          sum("kept").as("n_kept"),
+          (countDistinct(when(col("kept") === 1, col("dedup_key"))) +
+            sum(when(col("kept") === 1 && col("dedup_key").isNull, 1L)
+              .otherwise(0L))).as("n_unique"))
+        .orderBy("kind"),
+      Some("""WITH d AS (SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'vp8l' WHEN 1 THEN 'vp8x'
+              ELSE 'vp8' END AS kind,
+            CASE WHEN doc_id % 3 = 2 AND doc_id % 128 >= 96
+              THEN 0 ELSE 1 END AS kept,
+            CASE WHEN doc_id % 3 = 1 THEN
+              'cam' || (doc_id % 5) || '|2024:01:0' || (1 + doc_id % 9)
+                || ' 12:00:0' || (doc_id % 10)
+            ELSE NULL END AS dedup_key
+          FROM documents)
+        SELECT kind, count(*) AS n_in,
+          CAST(sum(kept) AS BIGINT) AS n_kept,
+          CAST(count(DISTINCT CASE WHEN kept = 1 THEN dedup_key END)
+            + sum(CASE WHEN kept = 1 AND dedup_key IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        FROM d GROUP BY kind ORDER BY kind""")),
+
     // ANIMATED WEBP FRAME WALK — the gifFrameFeatures twin for the
     // format the modern web actually animates with: VP8X anim flag +
     // ANIM loop count + per-ANMF placement (2-px-unit offsets,
