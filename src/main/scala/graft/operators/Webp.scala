@@ -1139,8 +1139,9 @@ object Webp {
   def synthLossless(d: Long): Array[Byte] =
     riff(Seq("VP8L" -> encodeVp8l(synthImage(d), (d % 6).toInt, d)))
 
-  /** Extended file: VP8X + optional ICCP (7 odd bytes — the pad-byte
-    * path is load-bearing) + VP8L + EXIF (5+d%7 bytes) + optional XMP. */
+  /** Extended file: VP8X + optional ICCP (a real ICC profile) +
+    * VP8L + EXIF (a real 87-byte TIFF block — odd, so the RIFF
+    * pad-byte path is load-bearing) + optional XMP. */
   def synthExtended(d: Long): Array[Byte] = {
     val img = synthImage(d)
     val icc = d % 2 == 0
@@ -1156,8 +1157,7 @@ object Webp {
     u24(img.width - 1); u24(img.height - 1)
     val chunks = collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     chunks += ("VP8X" -> vp8x.toByteArray)
-    if (icc) chunks += ("ICCP" ->
-      Array.tabulate(7)(i => (((d + i) % 251) & 0xff).toByte))
+    if (icc) chunks += ("ICCP" -> Icc.synth(d)) // a REAL profile
     chunks += ("VP8L" -> encodeVp8l(img, (d % 6).toInt, d))
     // a REAL TIFF-structured EXIF payload (Exif.synthTiff), so the
     // provenance walk composes through this container too

@@ -5581,6 +5581,42 @@ object Llm extends QueryModule {
             AS datetime
         FROM documents ORDER BY id""")),
 
+    // ICC PROFILE HEADER WALK (operators/Icc.scala) — the
+    // color-management gate beside the EXIF provenance walk: device
+    // class / color space / PCS / rendering intent / version decide
+    // whether color conversion is needed before any pixel work. The
+    // 128-byte big-endian header is validated ('acsp' signature,
+    // sane class/space/PCS/intent/month) and every tag-table entry is
+    // containment-checked inside the declared profile size. The same
+    // real profile rides the WebP extended fixture's ICCP chunk.
+    QueryDef(
+      "llm_image_icc_meta",
+      (s, dir) => graft.operators.Icc.metaFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nt
+            FROM documents),
+        pay AS (SELECT d.doc_id, d.nt,
+            sum(12 + 4 * ((d.doc_id + i.i) % 4)) AS paysum
+          FROM d, LATERAL (SELECT unnest(range(0, d.nt)) AS i) i
+          GROUP BY d.doc_id, d.nt)
+        SELECT doc_id AS id,
+          CAST(128 + 4 + 12 * nt + paysum AS INT) AS size,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 2 END AS INT)
+            AS ver_major,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT)
+            AS ver_minor,
+          CASE doc_id % 3 WHEN 0 THEN 'mntr' WHEN 1 THEN 'scnr'
+            ELSE 'prtr' END AS device_class,
+          CASE WHEN (doc_id // 3) % 2 = 0 THEN 'RGB ' ELSE 'GRAY' END
+            AS color_space,
+          CASE WHEN doc_id % 5 = 0 THEN 'Lab' ELSE 'XYZ' END AS pcs,
+          CAST(doc_id % 4 AS INT) AS intent,
+          CAST(2020 + doc_id % 6 AS INT) AS year,
+          CAST(1 + doc_id % 12 AS INT) AS month,
+          nt AS n_tags
+        FROM pay ORDER BY id""")),
+
     // IMAGE-CORPUS PIPELINE (the round's capstone composition, the
     // llm_crawl_discovery discipline): container-kind dispatch →
     // quality gate on the REAL bool-decoded VP8 quantizer (lossy

@@ -102,7 +102,7 @@ class WebpSpec extends AnyFunSuite {
   }
 
   test("container walk: extended kind with pad-byte traversal") {
-    val d = 4L // d%3==1, d%2==0 -> ICCP present (7 bytes, odd => pad)
+    val d = 4L // d%3==1, d%2==0 -> ICCP present; EXIF (87 odd) pads
     val m = Webp.meta(Webp.synthWebp(d))
     val img = Webp.synthImage(d)
     assert(m.kind == "vp8x")
