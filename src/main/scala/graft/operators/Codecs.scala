@@ -4073,6 +4073,42 @@ object Codecs {
       nFrames.toLong * 1152L * 1000L / sampleRate, hasId3v1)
   }
 
+  /** Declared ID3v2 prefix length (0 when absent) — the shared skip
+    * both MP3 walks apply before the first frame. */
+  private[operators] def mp3Id3v2Len(bytes: Array[Byte]): Int =
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      var size = 0
+      (6 until 10).foreach { i =>
+        require((bytes(i) & 0x80) == 0, "ID3v2 size byte not syncsafe")
+        size = (size << 7) | (bytes(i) & 0x7f)
+      }
+      10 + size
+    } else 0
+
+  /** One frame header at `pos` -> (frameLength, channelCount); the
+    * same decode mp3Meta runs, exposed for second-pass walks that
+    * read INSIDE located frames (side info). */
+  private[operators] def mp3FrameHeader(bytes: Array[Byte],
+      pos: Int): (Int, Int) = {
+    require(pos + 4 <= bytes.length, s"truncated MP3 header at $pos")
+    val b2 = bytes(pos + 1) & 0xff
+    val b3 = bytes(pos + 2) & 0xff
+    val b4 = bytes(pos + 3) & 0xff
+    require((bytes(pos) & 0xff) == 0xff && (b2 & 0xe0) == 0xe0,
+      s"lost MP3 frame sync at $pos")
+    require(((b2 >> 3) & 3) == 3 && ((b2 >> 1) & 3) == 1,
+      s"not an MPEG-1 Layer III frame at $pos")
+    val bitIdx = (b3 >> 4) & 0xf
+    require(bitIdx >= 1 && bitIdx <= 14, s"bad bitrate index at $pos")
+    val srIdx = (b3 >> 2) & 3
+    require(srIdx != 3, s"reserved sample-rate index at $pos")
+    val frameLen = 144000 * mp3BitrateKbps(bitIdx) /
+      mp3SampleRates(srIdx) + ((b3 >> 1) & 1)
+    require(pos + frameLen <= bytes.length, s"frame overruns at $pos")
+    (frameLen, if (((b4 >> 6) & 3) == 3) 1 else 2)
+  }
+
   /** Closed-form structurally real MP3: even ids carry an ID3v2 tag of
     * 10+(d%50) payload bytes; frame f's bitrate index is
     * 1+((d+3f)%14) (a VBR stream — every table row exercised), padding
@@ -4100,7 +4136,12 @@ object Codecs {
       out.write(0xff); out.write(0xfb) // sync, MPEG-1, Layer III, no CRC
       out.write((bitIdx << 4) | (srIdx << 2) | (pad << 1))
       out.write(modeBits << 6)
-      (4 until frameLen).foreach(i =>
+      // REAL Layer III side information right after the header (17 B
+      // mono / 32 B two-channel) — the Mp3Side walk's oracle path;
+      // main-data filler follows
+      val side = Mp3Side.encode(d, f, if (modeBits == 3) 1 else 2)
+      out.write(side, 0, side.length)
+      (4 + side.length until frameLen).foreach(i =>
         out.write(((d * 7 + f * 13 + i) % 251).toInt))
     }
     if (d % 4 == 1) {

@@ -4198,13 +4198,54 @@ object Llm extends QueryModule {
           CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM w GROUP BY doc_id ORDER BY id""")),
 
+    // MP3 SIDE INFORMATION (ISO 11172-3 s2.4.1.7, operators/
+    // Mp3Side.scala) — the audio twin of llm_image_vp8_header: the
+    // fixed bit-field block after every frame header, parsed FOR REAL
+    // in both directions (the fixture embeds genuine side info in
+    // every synthMp3 frame): main_data_begin (bit-reservoir
+    // pressure), per-granule/channel global_gain (loudness), window
+    // switching and short-block counts (transient density — the
+    // speech/music discriminator). The byte-width invariant (17 mono
+    // / 32 stereo, enforced after every parse) pins the whole bit
+    // layout. Huffman spectrum decode stays the lossy boundary.
+    QueryDef(
+      "llm_audio_mp3_side",
+      (s, dir) => graft.operators.Mp3Side.features(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(5 + doc_id % 7 AS INT) AS n,
+            CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT) AS nch
+          FROM documents WHERE doc_id < 300),
+        gc AS (SELECT d.doc_id, d.n, d.nch, f.f AS f, g.g AS g, c.c AS c
+          FROM d,
+            LATERAL (SELECT unnest(range(0, d.n)) AS f) f,
+            (SELECT unnest(range(0, 2)) AS g) g,
+            LATERAL (SELECT unnest(range(0, d.nch)) AS c) c)
+        SELECT doc_id AS id, max(n) AS n_frames, max(nch) AS n_channels,
+          CAST(max(n) * 2 * max(nch) AS INT) AS n_gran_chans,
+          CAST(sum(CASE WHEN (doc_id + f + g + c) % 3 = 0
+            THEN 1 ELSE 0 END) AS INT) AS n_switching,
+          CAST(sum(CASE WHEN (doc_id + f + g + c) % 3 = 0
+              AND (doc_id + g + c) % 3 = 1
+            THEN 1 ELSE 0 END) AS INT) AS n_short_blocks,
+          CAST(sum((doc_id + 2 * f + 3 * g + 5 * c) % 256) AS BIGINT)
+            AS sum_global_gain,
+          CAST(max((doc_id + 7 * f) % 512) AS INT) AS max_main_data_begin,
+          CAST(max(CASE WHEN f = 0 AND g = 0 AND c = 0
+            THEN (3 * doc_id) % 4096 END) AS INT) AS f0_part23_len,
+          CAST(max(CASE WHEN f = 0 AND g = 0 AND c = 0
+            THEN doc_id % 289 END) AS INT) AS f0_big_values
+        FROM gc GROUP BY doc_id ORDER BY id""")),
+
     // MP3 FRAME-HEADER WALK (Codecs.mp3Meta) — the audio twin of
     // llm_video_nal_meta: duration / average bitrate / channel layout
     // from the 4-byte MPEG-1 Layer III frame headers alone (ISO/IEC
     // 11172-3 §2.4.1.3), advancing by the computed frame length
-    // 144·bitrate/sr + padding — no subband/huffman decode (the
-    // granule payload is the documented audio stub boundary, as H.26x
-    // slice data is for video). The fixture is a VBR stream (frame f's
+    // 144·bitrate/sr + padding — no subband/huffman decode beyond
+    // the side-info block llm_audio_mp3_side reads (the granule
+    // PAYLOAD is the documented audio stub boundary, as H.26x slice
+    // data is for video). The fixture is a VBR stream (frame f's
     // bitrate index cycles all 14 table rows), even ids carry an ID3v2
     // prefix skipped via its syncsafe 28-bit size, ids ≡1 (mod 4) an
     // ID3v1 "TAG" trailer. A walk that drops the padding bit or
