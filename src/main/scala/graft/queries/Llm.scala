@@ -4198,6 +4198,43 @@ object Llm extends QueryModule {
           CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM w GROUP BY doc_id ORDER BY id""")),
 
+    // ADTS FRAME WALK (operators/Adts.scala) — the RAW wire form of
+    // AAC (.aac files, HLS segments) beside the mp4a/esds container
+    // form: 0xFFF syncwords, the 56-bit header per frame (profile,
+    // sampling-frequency index, channel config, 13-bit frame length
+    // INCLUDING the header, 11-bit buffer fullness, raw-data-block
+    // count), frames advanced by declared lengths with constant-
+    // parameter drift checks (the mp3Meta discipline). Duration
+    // derives from 1024 samples per raw block. CRC-protected headers
+    // are the loud subset boundary; spectrum decode stays the lossy
+    // boundary. Per-doc map work.
+    QueryDef(
+      "llm_audio_adts_meta",
+      (s, dir) => graft.operators.Adts.metaFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(4 + doc_id % 6 AS INT) AS n
+          FROM documents WHERE doc_id < 300),
+        f AS (SELECT d.doc_id, d.n, i.i AS i
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i),
+        agg AS (SELECT doc_id, max(n) AS n,
+            CAST(sum(1 + (doc_id + i) % 2) AS INT) AS blocks,
+            CAST(sum(7 + 50 + (3 * doc_id + 17 * i) % 400) AS BIGINT)
+              AS total_bytes,
+            CAST(max((doc_id + 13 * i) % 2048) AS INT) AS max_fullness
+          FROM f GROUP BY doc_id)
+        SELECT doc_id AS id,
+          CAST(doc_id % 3 AS INT) AS profile,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+            ELSE 16000 END AS INT) AS sample_rate,
+          CAST(1 + doc_id % 2 AS INT) AS channels,
+          n AS n_frames, blocks AS n_raw_blocks, total_bytes,
+          max_fullness,
+          CAST(blocks * 1024 * 1000 // CASE doc_id % 3 WHEN 0 THEN 48000
+            WHEN 1 THEN 44100 ELSE 16000 END AS BIGINT) AS duration_ms
+        FROM agg ORDER BY id""")),
+
     // MP3 SIDE INFORMATION (ISO 11172-3 s2.4.1.7, operators/
     // Mp3Side.scala) — the audio twin of llm_image_vp8_header: the
     // fixed bit-field block after every frame header, parsed FOR REAL
