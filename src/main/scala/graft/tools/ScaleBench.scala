@@ -517,6 +517,32 @@ object ScaleBench {
         graft.operators.Hevc.metaFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // Round-15 walk batch: MP3 side info, ADTS, ICC, EXIF-in-WebP,
+    // the image-curation pipeline — all per-doc map work (the
+    // pipeline adds one 3-group rollup).
+    if (only.isEmpty || only.exists("mp3_side".contains)) {
+      time("mp3_side")(force(
+        graft.operators.Mp3Side.features(docs.select("doc_id"), "doc_id")))
+    }
+    if (only.isEmpty || only.exists("adts_meta".contains)) {
+      time("adts_meta")(force(
+        graft.operators.Adts.metaFeatures(docs.select("doc_id"), "doc_id")))
+    }
+    if (only.isEmpty || only.exists("icc_meta".contains)) {
+      time("icc_meta")(force(
+        graft.operators.Icc.metaFeatures(docs.select("doc_id"), "doc_id")))
+    }
+    if (only.isEmpty || only.exists("webp_exif".contains)) {
+      time("webp_exif")(force(
+        graft.operators.Webp.exifFeatures(docs.select("doc_id"), "doc_id")))
+    }
+    if (only.isEmpty || only.exists("image_pipeline".contains)) {
+      time("image_pipeline")(force(
+        graft.operators.Webp.pipelineFeatures(docs.select("doc_id"),
+          "doc_id")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_in"), sum("kept").as("n_kept"))))
+    }
     // hvcC-in-MP4 record walk + SPS cross-check (round 15).
     if (only.isEmpty || only.exists("hvcc_meta".contains)) {
       time("hvcc_meta")(force(
