@@ -911,6 +911,41 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, webMetaSchema)
   }
 
+  private val audioPipelineSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("kind", StringType),
+    StructField("kept", IntegerType),
+    StructField("dedup_key", StringType)))
+
+  /** The audio twin of the image-curation pipeline: format dispatch
+    * (mp3/flac/ogg by id), a per-format quality gate read from the
+    * REAL walks — mp3 passes at mean bitrate >= 96 kbps (the lossy
+    * quality dial), lossless FLAC always passes, Opus-in-Ogg passes
+    * at >= 120 ms of audio — and a VORBIS_COMMENT title dedup key for
+    * the FLAC files (the re-encode collapse). One map pass; the
+    * declared query adds the single rollup shuffle. */
+  def audioPipelineFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val (kind, kept, key) = (d % 3) match {
+          case 0 =>
+            val m = Codecs.mp3Meta(Codecs.synthMp3(d))
+            ("mp3", m.avgKbps >= 96, null: String)
+          case 1 =>
+            val m = graft.operators.Flac.meta(graft.operators.Flac.synth(d))
+            ("flac", true, m.title)
+          case _ =>
+            val m = Ogg.parse(Ogg.synth(d))
+            ("ogg", m.durationMs >= 120, null: String)
+        }
+        Row(d, kind, if (kept) 1 else 0, key)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, audioPipelineSchema)
+  }
+
   private val sitemapSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("entry_idx", IntegerType),

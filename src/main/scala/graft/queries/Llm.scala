@@ -4198,6 +4198,59 @@ object Llm extends QueryModule {
           CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM w GROUP BY doc_id ORDER BY id""")),
 
+    // AUDIO-CORPUS PIPELINE — the audio twin of llm_image_pipeline:
+    // format dispatch (mp3/flac/ogg), per-format quality gates read
+    // from the REAL walks (mp3 passes at mean VBR bitrate >= 96 kbps
+    // — the oracle replays the whole 14-row bitrate table per frame;
+    // lossless FLAC always passes; Opus-in-Ogg passes at >= 120 ms),
+    // VORBIS_COMMENT title dedup for the FLAC files (the re-encode
+    // collapse), one per-kind rollup. One map pass + one shuffle.
+    QueryDef(
+      "llm_audio_pipeline",
+      (s, dir) => Multimodal.audioPipelineFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_in"),
+          sum("kept").as("n_kept"),
+          (countDistinct(when(col("kept") === 1, col("dedup_key"))) +
+            sum(when(col("kept") === 1 && col("dedup_key").isNull, 1L)
+              .otherwise(0L))).as("n_unique"))
+        .orderBy("kind"),
+      Some("""WITH mp3 AS (SELECT d.doc_id,
+            CASE WHEN (sum(CASE (d.doc_id + 3 * f.f) % 14
+                WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48
+                WHEN 3 THEN 56 WHEN 4 THEN 64 WHEN 5 THEN 80
+                WHEN 6 THEN 96 WHEN 7 THEN 112 WHEN 8 THEN 128
+                WHEN 9 THEN 160 WHEN 10 THEN 192 WHEN 11 THEN 224
+                WHEN 12 THEN 256 ELSE 320 END) // max(d.n)) >= 96
+              THEN 1 ELSE 0 END AS kept
+          FROM (SELECT doc_id, CAST(5 + doc_id % 7 AS INT) AS n
+              FROM documents WHERE doc_id % 3 = 0) d,
+            LATERAL (SELECT unnest(range(0, d.n)) AS f) f
+          GROUP BY d.doc_id),
+        ogg AS (SELECT d.doc_id,
+            CASE WHEN sum(1 + (d.doc_id + p.p) % 3)
+                + CASE WHEN d.doc_id % 5 = 1 THEN d.n - 1 ELSE 0 END >= 6
+              THEN 1 ELSE 0 END AS kept
+          FROM (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n
+              FROM documents WHERE doc_id % 3 = 2) d,
+            LATERAL (SELECT unnest(range(0, d.n)) AS p) p
+          GROUP BY d.doc_id, d.n),
+        rows3 AS (
+          SELECT doc_id, 'mp3' AS kind, kept,
+            CAST(NULL AS VARCHAR) AS dedup_key FROM mp3
+          UNION ALL
+          SELECT doc_id, 'flac', 1, 't' || (doc_id % 20)
+          FROM documents WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id, 'ogg', kept, CAST(NULL AS VARCHAR) FROM ogg)
+        SELECT kind, count(*) AS n_in,
+          CAST(sum(kept) AS BIGINT) AS n_kept,
+          CAST(count(DISTINCT CASE WHEN kept = 1 THEN dedup_key END)
+            + sum(CASE WHEN kept = 1 AND dedup_key IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        FROM rows3 GROUP BY kind ORDER BY kind""")),
+
     // ADTS FRAME WALK (operators/Adts.scala) — the RAW wire form of
     // AAC (.aac files, HLS segments) beside the mp4a/esds container
     // form: 0xFFF syncwords, the 56-bit header per frame (profile,
