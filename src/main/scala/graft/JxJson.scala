@@ -242,6 +242,13 @@ object JxJson {
       case JString("web:feeds") =>
         graft.operators.Feed.feedFeatures(
           archiveDocIds(spark, sfDir, q), "doc_id")
+      // the AUDIO front door: `"from": "media:audio"` exposes the
+      // Opus-in-Ogg walk (operators/Ogg.oggFeatures — pages, packets,
+      // TOC mode counts, duration) the same way; walk as
+      // partition-local map work, same bound and override.
+      case JString("media:audio") =>
+        graft.operators.Ogg.oggFeatures(
+          archiveDocIds(spark, sfDir, q), "doc_id")
       // the IMAGE front door: `"from": "media:images"` exposes the
       // WebP container-walk features (operators/Webp.metaFeatures —
       // kind, canvas, feature flags, lossy header fields) so image-

@@ -4198,6 +4198,43 @@ object Llm extends QueryModule {
           CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM w GROUP BY doc_id ORDER BY id""")),
 
+    // JX FRONT DOOR → AUDIO — `"from": "media:audio"` exposes the
+    // Opus-in-Ogg walk (pages, packets, TOC mode counts, duration) as
+    // a JX source: the audio-corpus inventory rollup compiles through
+    // the JSON front door like the image/web/doc families.
+    QueryDef(
+      "jx_json_audio",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "media:audio",
+          "groupby": ["channels"],
+          "select": [
+            {"name": "n_files", "aggregate": "count"},
+            {"name": "total_ms", "aggregate": "sum", "value": "duration_ms"},
+            {"name": "total_silk", "aggregate": "sum", "value": "n_silk"}
+          ],
+          "sort": "channels"
+        }"""),
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n
+          FROM documents WHERE doc_id < 300),
+        pg AS (SELECT d.doc_id, d.n, p.p AS p,
+            CAST(1 + (d.doc_id + p.p) % 3 AS INT) AS np
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS p) p),
+        reg AS (SELECT doc_id, (doc_id + p + 3 * k.k) % 9 AS ci
+          FROM pg, LATERAL (SELECT unnest(range(0, pg.np)) AS k) k),
+        sp AS (SELECT doc_id, (doc_id + p) % 9 AS ci
+          FROM pg WHERE doc_id % 5 = 1 AND p < n - 1),
+        toc AS (SELECT doc_id, count(*) AS n_packets,
+            sum(CASE WHEN ci < 3 THEN 1 ELSE 0 END) AS n_silk
+          FROM (SELECT * FROM reg UNION ALL SELECT * FROM sp)
+          GROUP BY doc_id)
+        SELECT CAST(1 + t.doc_id % 2 AS INT) AS channels,
+          count(*) AS n_files,
+          CAST(sum(960 * t.n_packets * 1000 // 48000) AS BIGINT)
+            AS total_ms,
+          CAST(sum(t.n_silk) AS BIGINT) AS total_silk
+        FROM toc t GROUP BY 1 ORDER BY channels""")),
+
     // AUDIO-CORPUS PIPELINE — the audio twin of llm_image_pipeline:
     // format dispatch (mp3/flac/ogg), per-format quality gates read
     // from the REAL walks (mp3 passes at mean VBR bitrate >= 96 kbps
