@@ -497,6 +497,56 @@ object Sources extends QueryModule {
           max(o_orderkey) AS max_key
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Zstd frame walk (operators/Zstd.scala) — the lake-compression
+    // triage beside the footer audit: magic numbers, frame-header
+    // descriptors (all four content-size field widths incl. the
+    // 2-byte +256 bias), dictionary ids, skippable frames, and REAL
+    // RAW/RLE block decode with both integrity ladders verified —
+    // declared content size vs decoded length, and the 4-byte content
+    // checksum vs our from-spec XXH64 (cross-checked against Spark's
+    // catalyst XXH64 in ZstdSpec). Compressed blocks are the loud
+    // subset boundary (bulk decompression is the bundled codec's
+    // job — triage reads structure). Per-doc map work.
+    QueryDef(
+      "etl_zstd_frames",
+      (s, dir) => graft.operators.Zstd.features(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nf
+          FROM documents WHERE doc_id < 300),
+        fr AS (SELECT d.doc_id, d.nf, j.j AS j,
+            CAST(2 + (d.doc_id + j.j) % 3 AS INT) AS nb
+          FROM d, LATERAL (SELECT unnest(range(0, d.nf)) AS j) j),
+        bl AS (SELECT doc_id, nf, j, k.k AS k,
+            CASE WHEN (doc_id + j + k.k) % 2 = 0 THEN 'raw' ELSE 'rle' END
+              AS kind,
+            CASE WHEN (doc_id + j + k.k) % 2 = 0
+              THEN 20 + (7 * doc_id + 13 * k.k) % 100
+              ELSE 10 + (doc_id + k.k) % 50 END AS len
+          FROM fr, LATERAL (SELECT unnest(range(0, fr.nb)) AS k) k),
+        sums AS (SELECT doc_id, j, k, kind, len,
+            CASE WHEN kind = 'rle' THEN len * ((doc_id + j + k) % 251)
+              ELSE (SELECT sum((doc_id + 31 * j + 17 * k + p.p) % 251)
+                FROM (SELECT unnest(range(0, len)) AS p) p) END AS bsum
+          FROM bl)
+        SELECT doc_id AS id,
+          CAST(max(nf) AS INT) AS n_frames,
+          CAST(CASE WHEN doc_id % 4 = 0 AND doc_id % 3 >= 1
+            THEN 1 ELSE 0 END AS INT) AS n_skippable,
+          CAST(count(*) AS INT) AS n_blocks,
+          CAST(sum(CASE WHEN kind = 'rle' THEN 1 ELSE 0 END) AS INT)
+            AS n_rle_blocks,
+          CAST(sum(len) AS BIGINT) AS content_bytes,
+          CAST(sum(bsum) AS BIGINT) AS content_sum,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN max(nf) ELSE 0 END AS INT)
+            AS n_checksummed,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN (doc_id % 100000) + 1
+            ELSE NULL END AS BIGINT) AS dict_id
+        FROM (SELECT s2.*, fr2.nf FROM sums s2
+          JOIN (SELECT DISTINCT doc_id, nf FROM fr) fr2 USING (doc_id))
+        GROUP BY doc_id ORDER BY id""")),
+
     // Generator source: rows synthesized from a range, no file scan at
     // all (spark.range → DuckDB range()). The fixture-free source every
     // engine needs for calendars, domain tables, and test scaffolding;
