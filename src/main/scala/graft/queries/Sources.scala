@@ -547,6 +547,43 @@ object Sources extends QueryModule {
           JOIN (SELECT DISTINCT doc_id, nf FROM fr) fr2 USING (doc_id))
         GROUP BY doc_id ORDER BY id""")),
 
+    // Multi-member gzip walk (operators/Gzip.scala) — the .gz triage
+    // pass: log shippers and WARC writers CONCATENATE members, and a
+    // reader that stops at the first trailer silently drops the rest.
+    // Per member: the full RFC 1952 header surface (FEXTRA, FNAME,
+    // FCOMMENT, FHCRC — the header CRC16 VERIFIED), the deflate
+    // payload genuinely inflated (JDK raw Inflater), and both trailer
+    // ladders checked against the inflated bytes (CRC32 + ISIZE).
+    // Per-doc map work.
+    QueryDef(
+      "etl_gzip_members",
+      (s, dir) => graft.operators.Gzip.memberFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "member_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS nm
+          FROM documents WHERE doc_id < 300),
+        mem AS (SELECT d.doc_id, m.m AS m,
+            CAST(30 + (11 * d.doc_id + 7 * m.m) % 200 AS INT) AS len
+          FROM d, LATERAL (SELECT unnest(range(0, d.nm)) AS m) m),
+        sums AS (SELECT doc_id, m, len,
+            (SELECT sum((doc_id + 13 * m + p.p) % 251)
+             FROM (SELECT unnest(range(0, len)) AS p) p) AS csum
+          FROM mem)
+        SELECT doc_id AS id, CAST(m AS INT) AS member_idx,
+          'm' || doc_id || '_' || m AS name,
+          CAST(1700000000 + 60 * doc_id + m AS BIGINT) AS mtime,
+          CAST(3 + doc_id % 4 AS INT) AS os,
+          CAST(CASE WHEN (doc_id + m) % 3 = 0 THEN 1 ELSE 0 END AS INT)
+            AS has_extra,
+          CAST(CASE WHEN (doc_id + m) % 4 = 0 THEN 1 ELSE 0 END AS INT)
+            AS has_comment,
+          CAST(CASE WHEN (doc_id + m) % 2 = 0 THEN 1 ELSE 0 END AS INT)
+            AS has_hcrc,
+          CAST(len AS BIGINT) AS content_len,
+          CAST(csum AS BIGINT) AS content_sum
+        FROM sums ORDER BY id, member_idx""")),
+
     // Generator source: rows synthesized from a range, no file scan at
     // all (spark.range → DuckDB range()). The fixture-free source every
     // engine needs for calendars, domain tables, and test scaffolding;
