@@ -517,6 +517,24 @@ object ScaleBench {
         graft.operators.Hevc.metaFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // Round-15 lake/audio batch: zstd frames, gzip members, the
+    // audio-curation pipeline — map work (+1 rollup for the pipeline).
+    if (only.isEmpty || only.exists("zstd_frames".contains)) {
+      time("zstd_frames")(force(
+        graft.operators.Zstd.features(docs.select("doc_id"), "doc_id")))
+    }
+    if (only.isEmpty || only.exists("gzip_members".contains)) {
+      time("gzip_members")(force(
+        graft.operators.Gzip.memberFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
+    if (only.isEmpty || only.exists("audio_pipeline".contains)) {
+      time("audio_pipeline")(force(
+        graft.operators.Multimodal.audioPipelineFeatures(
+          docs.select("doc_id"), "doc_id")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_in"), sum("kept").as("n_kept"))))
+    }
     // Round-15 walk batch: MP3 side info, ADTS, ICC, EXIF-in-WebP,
     // the image-curation pipeline — all per-doc map work (the
     // pipeline adds one 3-group rollup).
