@@ -5749,6 +5749,36 @@ object Llm extends QueryModule {
             AS datetime
         FROM documents ORDER BY id""")),
 
+    // ICO / FAVICON WALK (operators/Ico.scala) — the multi-resolution
+    // icon directory every crawled site ships: ICONDIR entries
+    // containment-checked against the file AND each other (overlapping
+    // payloads are the hostile-icon smuggling shape), each PNG payload
+    // FULLY decoded with the shared decoder and its declared dims
+    // cross-checked against the decode. BMP-DIB payloads are the loud
+    // subset boundary (modern favicons ship PNG). Per-doc map work.
+    QueryDef(
+      "llm_image_ico",
+      (s, dir) => graft.operators.Ico.features(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "entry_idx"),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n
+          FROM documents WHERE doc_id < 300),
+        e AS (SELECT d.doc_id, i.i AS i, CAST(8 + 4 * i.i AS INT) AS dim,
+            doc_id + 100 * i.i AS s
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i),
+        px AS (SELECT e.doc_id, e.i, e.dim, e.s, x.x AS x, y.y AS y
+          FROM e, (SELECT unnest(range(0, 16)) AS x) x,
+            (SELECT unnest(range(0, 16)) AS y) y
+          WHERE x.x < e.dim AND y.y < e.dim)
+        SELECT doc_id AS id, CAST(i AS INT) AS entry_idx,
+          max(dim) AS width, max(dim) AS height,
+          CAST(32 AS INT) AS bpp,
+          CAST(sum((s + x + 11 * y) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((3 * s + 7 * x + y) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((5 * s + 2 * x + 3 * y) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id, i ORDER BY id, entry_idx""")),
+
     // ICC PROFILE HEADER WALK (operators/Icc.scala) — the
     // color-management gate beside the EXIF provenance walk: device
     // class / color space / PCS / rendering intent / version decide
