@@ -30,7 +30,7 @@ object Html {
     def anchors: Array[(String, String)] = links.zip(linkTexts)
   }
 
-  private def decodeEntities(s: String): String = {
+  private[operators] def decodeEntities(s: String): String = {
     val amp = s.indexOf('&')
     if (amp < 0) return s
     val sb = new StringBuilder(s.length)
@@ -72,7 +72,7 @@ object Html {
 
   /** Lowercased element name at `html(start)` == '<' (skipping '/'),
     * or "" for non-name constructs. */
-  private def tagName(html: String, start: Int): String = {
+  private[operators] def tagName(html: String, start: Int): String = {
     var i = start + 1
     if (i < html.length && html.charAt(i) == '/') i += 1
     val b = new StringBuilder(8)
@@ -86,7 +86,7 @@ object Html {
 
   /** Extract an attribute value from the tag source `[tagStart, tagEnd)`
     * (quoted forms only — the forms this extractor declares). */
-  private def attrValue(tag: String, attr: String): Option[String] = {
+  private[operators] def attrValue(tag: String, attr: String): Option[String] = {
     val lower = tag.toLowerCase(java.util.Locale.ROOT)
     var from = 0
     while (from >= 0 && from < lower.length) {

@@ -5749,6 +5749,38 @@ object Llm extends QueryModule {
             AS datetime
         FROM documents ORDER BY id""")),
 
+    // SVG STRUCTURE WALK (operators/Svg.scala) — vector-image triage
+    // beside the raster walks: root dims + viewBox, element inventory
+    // (paths/shapes/groups/text), path COMPLEXITY as the path-data
+    // command-letter count (icon vs traced-bitmap discriminator),
+    // embedded <script> counted as the XSS gate signal, and the
+    // entity-decoded title. Reuses the Html scanner's attribute and
+    // entity rules; rendering is out of scope. Per-doc map work.
+    QueryDef(
+      "llm_image_svg_meta",
+      (s, dir) => graft.operators.Svg.features(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS np,
+            100 + doc_id % 50 AS w, 80 + doc_id % 40 AS h
+          FROM documents),
+        cm AS (SELECT d.doc_id, sum(2 + (d.doc_id + i.i) % 5) AS ncmd
+          FROM d, LATERAL (SELECT unnest(range(0, d.np)) AS i) i
+          GROUP BY d.doc_id)
+        SELECT d.doc_id AS id,
+          CAST(d.w AS VARCHAR) AS width,
+          CAST(d.h AS VARCHAR) AS height,
+          '0 0 ' || d.w || ' ' || d.h AS view_box,
+          d.np AS n_paths,
+          CAST(doc_id % 3 + doc_id % 2 AS INT) AS n_shapes,
+          CAST(1 AS INT) AS n_groups,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_text,
+          CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+            AS n_scripts,
+          CAST(cm.ncmd AS INT) AS n_commands,
+          'icon & ' || d.doc_id AS title
+        FROM d JOIN cm USING (doc_id) ORDER BY id""")),
+
     // ICO / FAVICON WALK (operators/Ico.scala) — the multi-resolution
     // icon directory every crawled site ships: ICONDIR entries
     // containment-checked against the file AND each other (overlapping
