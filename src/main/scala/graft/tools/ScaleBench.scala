@@ -517,6 +517,16 @@ object ScaleBench {
         graft.operators.Hevc.metaFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // Round-15 small-asset walks: favicon (full PNG decode per entry)
+    // and SVG structure — per-doc map work.
+    if (only.isEmpty || only.exists("ico_walk".contains)) {
+      time("ico_walk")(force(
+        graft.operators.Ico.features(docs.select("doc_id"), "doc_id")))
+    }
+    if (only.isEmpty || only.exists("svg_meta".contains)) {
+      time("svg_meta")(force(
+        graft.operators.Svg.features(docs.select("doc_id"), "doc_id")))
+    }
     // Round-15 lake/audio batch: zstd frames, gzip members, the
     // audio-curation pipeline — map work (+1 rollup for the pipeline).
     if (only.isEmpty || only.exists("zstd_frames".contains)) {
