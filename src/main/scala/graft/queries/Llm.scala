@@ -5749,6 +5749,33 @@ object Llm extends QueryModule {
             AS datetime
         FROM documents ORDER BY id""")),
 
+    // SFNT / TRUETYPE FONT WALK (operators/Sfnt.scala) — fonts are a
+    // first-class web-corpus asset, and the sfnt directory is the
+    // container TTF/OTF/WOFF payloads share. EVERY table checksum is
+    // verified with the spec's u32-word sum (head's entry with its
+    // adjustment slot zeroed, the font-wide adjustment against
+    // 0xB1B0AFBA minus the whole-file sum — both ladders a font
+    // sanitizer runs before shaping touches the file); head/maxp/name
+    // parsed for unitsPerEm, bbox, glyph count, and the UTF-16BE
+    // family name. Glyph outlines stay out of scope. Per-doc map work.
+    QueryDef(
+      "llm_font_sfnt_meta",
+      (s, dir) => graft.operators.Sfnt.metaFeatures(
+        Catalog.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+          CAST(4 AS INT) AS n_tables,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 1024
+            ELSE 2048 END AS INT) AS units_per_em,
+          CAST(100 + doc_id % 900 AS INT) AS num_glyphs,
+          CAST(-(doc_id % 200) AS INT) AS x_min,
+          CAST(-(doc_id % 150) AS INT) AS y_min,
+          CAST(800 + doc_id % 400 AS INT) AS x_max,
+          CAST(900 + doc_id % 300 AS INT) AS y_max,
+          'Font' || (doc_id % 50) AS family,
+          CAST(doc_id % 2 AS INT) AS loc_format
+        FROM documents ORDER BY id""")),
+
     // SVG STRUCTURE WALK (operators/Svg.scala) — vector-image triage
     // beside the raster walks: root dims + viewBox, element inventory
     // (paths/shapes/groups/text), path COMPLEXITY as the path-data
