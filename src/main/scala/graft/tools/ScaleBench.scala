@@ -517,6 +517,12 @@ object ScaleBench {
         graft.operators.Hevc.metaFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // sfnt/TrueType walk with full checksum verification (round 15).
+    if (only.isEmpty || only.exists("sfnt_meta".contains)) {
+      time("sfnt_meta")(force(
+        graft.operators.Sfnt.metaFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // Round-15 small-asset walks: favicon (full PNG decode per entry)
     // and SVG structure — per-doc map work.
     if (only.isEmpty || only.exists("ico_walk".contains)) {
