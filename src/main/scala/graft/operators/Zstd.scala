@@ -133,7 +133,12 @@ object Zstd {
           fcs = v
           pos += fcsSize
         }
-        // blocks
+        // blocks. RLE amplification is the bomb vector here: a 4-byte
+        // block (header + one byte) legally expands to 2^21 bytes, so
+        // a small hostile stream could claim hundreds of GB — cap the
+        // decoded size at 4096x the input plus slack and fail loudly
+        // (the Flac/Pdf bomb posture)
+        val contentCap = bytes.length.toLong * 4096 + (1L << 20)
         val frameContent = new java.io.ByteArrayOutputStream()
         var last = false
         while (!last) {
@@ -144,6 +149,9 @@ object Zstd {
           last = (hdr & 1) == 1
           val btype = (hdr >> 1) & 0x3
           val bsize = hdr >>> 3
+          require(content + frameContent.size + bsize <= contentCap,
+            s"decoded content would exceed ${contentCap} bytes from a " +
+              s"${bytes.length}-byte stream — RLE bomb")
           nBlocks += 1
           btype match {
             case 0 =>
