@@ -73,6 +73,10 @@ object Gzip {
       val buf = new Array[Byte](8192)
       var contentLen = 0L
       var contentSum = 0L
+      // deflate bombs: nothing is retained, but CPU is — cap the
+      // inflated size at 4096x the input plus slack (the zstd/Flac
+      // bomb posture) and fail loudly instead of grinding
+      val contentCap = bytes.length.toLong * 4096 + (1L << 20)
       try {
         while (!inf.finished()) {
           val n =
@@ -89,6 +93,9 @@ object Gzip {
           var i = 0
           while (i < n) { contentSum += buf(i) & 0xff; i += 1 }
           contentLen += n
+          require(contentLen <= contentCap,
+            s"member ${out.size} inflates past $contentCap bytes from a " +
+              s"${bytes.length}-byte stream — deflate bomb")
         }
         val used = inf.getBytesRead.toInt
         val trailerAt = p + used

@@ -15,21 +15,27 @@ import org.apache.spark.sql.types._
   *   - VP8L: simple (1/2-symbol) AND normal (code-length-coded)
   *     Huffman codes, LZ77 backward references with the full 120-entry
   *     2D distance-plane mapping, color cache, meta-Huffman entropy
-  *     image (multiple code groups), and three of the four transforms:
-  *     subtract-green, predictor (all 14 modes), color-indexing
+  *     image (multiple code groups), and ALL FOUR transforms:
+  *     subtract-green, predictor (all 14 modes), the cross-channel
+  *     color transform (signed (t*c)>>5 deltas, red reconstructed
+  *     before the red_to_blue term reads it), and color-indexing
   *     (including sub-byte pixel bundling for palettes <= 16).
-  *     The cross-channel color transform is OUTSIDE the subset and is
-  *     rejected loudly; combining color-indexing with other transforms
-  *     is likewise rejected (never emitted by real encoders).
-  *   - VP8 (lossy): header fields only (keyframe flag, version,
-  *     show_frame, partition size, start code, dimensions) — lossy
-  *     arithmetic decode is the documented codec boundary.
+  *     Combining color-indexing with other transforms is rejected
+  *     loudly (never emitted by real encoders).
+  *   - VP8 (lossy): the uncompressed header (keyframe flag, version,
+  *     show_frame, partition size, start code, dimensions) PLUS the
+  *     bool-coded key-frame header through the quantizer indices (the
+  *     RFC 6386 section-7 arithmetic decoder below) — macroblock and
+  *     residual decode is the documented codec boundary.
+  *   - Animated files: the VP8X/ANIM/ANMF walk with every frame's
+  *     nested VP8L payload fully decoded.
   *
-  * There is no WebP codec in the JDK, so conformance is pinned the
-  * way the judge prescribed for this format: bit-exact round-trips
-  * through our own from-spec encoder across five rotating bitstream
-  * layouts, a HAND-derived byte-literal stream decoded in WebpSpec,
-  * structural invariants on the distance-plane table, and 300-trial
+  * There is no WebP codec in the JDK, so conformance is pinned
+  * without a bundled reference: bit-exact round-trips through our own
+  * from-spec encoder across six rotating bitstream layouts, a
+  * HAND-derived byte-literal stream decoded in WebpSpec, structural
+  * invariants on the distance-plane table, an any-probability
+  * round-trip property test on the boolean coder, and 300-trial
   * corruption fuzz (decode must fail loudly, never hang or escape the
   * IllegalArgument/RuntimeException contract).
   *
