@@ -128,7 +128,10 @@ object Hevc {
     w.u(0, 3) // max_sub_layers_minus1
     w.u(1, 1) // temporal_id_nesting
     w.u(0, 2); w.u(tier, 1); w.u(profile, 5)
-    w.u(1 << (16 - profile), 16); w.u(0, 16) // compat flag for `profile`
+    // compat flags are written MSB-first: flag[0] is the top bit, so
+    // setting flag[profile] means bit (15 - profile) of the first
+    // 16-bit word (ADVICE r15: 16 - profile set flag[profile-1])
+    w.u(1 << (15 - profile), 16); w.u(0, 16)
     w.u(0x9, 4) // progressive=1, interlaced=0, non_packed=0, frame_only=1
     w.u(0, 22); w.u(0, 22) // reserved/constraint bits
     w.u(level, 8)

@@ -104,6 +104,7 @@ object Ogg {
     var sawEos = false
     var midPacket = false // a packet is open across a page boundary
     var firstPacket: Array[Byte] = null
+    var completedPackets = 0 // stream-wide index: 0=OpusHead, 1=OpusTags
     var open = new java.io.ByteArrayOutputStream()
     var nSilk = 0; var nHybrid = 0; var nCelt = 0
     var nStereo = 0; var nFrames = 0
@@ -154,9 +155,17 @@ object Ogg {
           // a packet completes here
           val pkt = open.toByteArray
           open = new java.io.ByteArrayOutputStream()
-          if (firstPacket == null) firstPacket = pkt
-          else {
-            nPackets += 1 // audio packets (the header is packet 0)
+          if (completedPackets == 0) firstPacket = pkt
+          else if (completedPackets == 1) {
+            // RFC 7845 §5.2: packet 1 is the MANDATORY OpusTags comment
+            // header — metadata, not audio: never TOC-parsed, never
+            // counted. A stream whose second packet is not OpusTags is
+            // not a conformant Opus-in-Ogg stream.
+            require(pkt.length >= 8 &&
+              new String(pkt, 0, 8, "US-ASCII") == "OpusTags",
+              "packet 1 is not the mandatory OpusTags comment header")
+          } else {
+            nPackets += 1 // audio packets (packets 0/1 are headers)
             val (mode, st, frames, gran) = tocInfo(pkt)
             mode match {
               case 0 => nSilk += 1
@@ -167,6 +176,7 @@ object Ogg {
             nFrames += frames
             tocGranules += gran
           }
+          completedPackets += 1
           completedOnPage += 1
           midPacket = false
         } else midPacket = true
@@ -188,6 +198,8 @@ object Ogg {
     require(sawEos, "stream ends without an EOS page")
     require(!midPacket, "stream ends inside an open packet")
     require(firstPacket != null, "no completed packets")
+    require(completedPackets >= 2,
+      "stream lacks the mandatory OpusTags comment header")
     // OpusHead (RFC 7845 §5.1): magic, version 1, channels, pre-skip
     // (LE16), input sample rate (LE32), output gain, mapping family
     val oh = firstPacket
@@ -205,7 +217,11 @@ object Ogg {
     // the TOC cross-check: summed per-packet durations must equal the
     // container's granule ledger — a desynced TOC parse (or a muxer
     // lying about durations) fails loudly instead of shipping a wrong
-    // duration downstream
+    // duration downstream. SUBSET BOUNDARY: the check assumes the
+    // final page's granule covers every emitted sample — RFC 7845
+    // end-trimming (a final granule DELIBERATELY short of the packet
+    // sum, trimming trailing samples) is outside the walk subset and
+    // fails here by design; pre-skip is reported, not subtracted.
     require(tocGranules == lastGranule,
       s"TOC durations sum to $tocGranules granules but the last page " +
         s"claims $lastGranule")
@@ -276,6 +292,17 @@ object Ogg {
     oh(12) = (rate & 0xff).toByte; oh(13) = ((rate >> 8) & 0xff).toByte
     oh(14) = ((rate >> 16) & 0xff).toByte; oh(15) = ((rate >> 24) & 0xff).toByte
     writePage(out, 0x2, 0L, serial, 0, Seq(oh.length), oh)
+    // page 1: the MANDATORY OpusTags comment header (RFC 7845 §5.2) on
+    // its own page at granule 0 — a real Opus-in-Ogg stream always
+    // carries it, so the walk's packet-1 skip path rides the oracle
+    val vendor = "graft".getBytes("US-ASCII")
+    val ot = new java.io.ByteArrayOutputStream()
+    ot.write("OpusTags".getBytes("US-ASCII"))
+    ot.write(vendor.length); ot.write(0); ot.write(0); ot.write(0)
+    ot.write(vendor)
+    ot.write(0); ot.write(0); ot.write(0); ot.write(0) // 0 user comments
+    val otb = ot.toByteArray
+    writePage(out, 0x0, 0L, serial, 1, Seq(otb.length), otb)
     val n = dataPages(d)
     var completed = 0
     // carried tail of a spanning packet (bytes deferred to this page)
@@ -340,7 +367,7 @@ object Ogg {
       // granule = 960 · packets completed THROUGH this page
       val flags = (if (p == n - 1) 0x4 else 0) |
         (if (p > 0 && spanning(d)) 0x1 else 0)
-      writePage(out, flags, 960L * completed, serial, 1 + p,
+      writePage(out, flags, 960L * completed, serial, 2 + p,
         laces.result(), body.toByteArray)
       p += 1
     }

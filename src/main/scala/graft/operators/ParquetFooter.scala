@@ -117,11 +117,21 @@ object ParquetFooter {
         s"parquet footer: implausible list size $size")
       (size, tpe)
     }
-    /** Skip a value of the given compact type (unknown-field rule). */
-    def skip(tpe: Int, depth: Int = 0): Unit = {
+    /** Skip a value of the given compact type (unknown-field rule).
+      * Bools are positional: as a STRUCT FIELD the value lives in the
+      * type nibble (zero payload bytes), but as a list/set/map ELEMENT
+      * each bool occupies one byte (0x01 true / 0x02 false) — skipping
+      * an unknown list<bool> as zero-width would silently desync the
+      * parse (ADVICE r15). `elem` marks element context. */
+    def skip(tpe: Int, depth: Int = 0, elem: Boolean = false): Unit = {
       require(depth <= 32, "parquet footer: Thrift nesting too deep")
       tpe match {
-        case TBoolTrue | TBoolFalse => ()
+        case TBoolTrue | TBoolFalse =>
+          if (elem) {
+            val b = u8()
+            require(b == 1 || b == 2,
+              s"parquet footer: bool list element byte $b is not 1/2")
+          }
         case TByte                  => u8()
         case TI16 | TI32 | TI64     => zigzag()
         case TDouble                => pos += 8; require(pos <= bytes.length,
@@ -130,7 +140,7 @@ object ParquetFooter {
         case TList | TSet =>
           val (n, et) = listHeader()
           var i = 0
-          while (i < n) { skip(et, depth + 1); i += 1 }
+          while (i < n) { skip(et, depth + 1, elem = true); i += 1 }
         case TMap =>
           val b = u8()
           if (b != 0) {
@@ -143,7 +153,11 @@ object ParquetFooter {
             val kt = (kv >> 4) & 0x0f
             val vt = kv & 0x0f
             var i = 0
-            while (i < n) { skip(kt, depth + 1); skip(vt, depth + 1); i += 1 }
+            while (i < n) {
+              skip(kt, depth + 1, elem = true)
+              skip(vt, depth + 1, elem = true)
+              i += 1
+            }
           }
         case TStruct =>
           var last = 0
@@ -303,6 +317,16 @@ object ParquetFooter {
       case 6 => new String(v, "UTF-8")
       case _ => null
     }
+
+  /** Test hook: skip ONE value of `tpe` from offset 0 and return the
+    * number of bytes consumed — pins the skip-by-type walk (notably
+    * the one-byte-per-element bool rule inside lists, ADVICE r15)
+    * without crafting a whole footer around it. */
+  private[graft] def skipValueForTest(bytes: Array[Byte], tpe: Int): Int = {
+    val tc = new TCompact(bytes)
+    tc.skip(tpe)
+    tc.pos
+  }
 
   /** Parse a footer byte region (the Thrift FileMetaData struct). */
   def parseFooter(footer: Array[Byte]): FileMeta = {

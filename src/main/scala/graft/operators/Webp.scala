@@ -1420,7 +1420,8 @@ object Webp {
   /** Animated fixture: VP8X (anim flag) + ANIM (loop count d%4) +
     * 2 + d%3 ANMF frames, frame f a full VP8L image seeded d + 31f
     * at a closed-form 2-px-unit offset with a closed-form duration.
-    * Frame 0 never blends (spec rule); later frames alternate. */
+    * Frame 0 sets the do-not-blend bit (the common real-file layout);
+    * later frames alternate blend modes. */
   def synthAnim(d: Long): Array[Byte] = {
     val nf = (2 + d % 3).toInt
     val frames = (0 until nf).map { f =>
@@ -1447,7 +1448,8 @@ object Webp {
       wr24(anmf, fx); wr24(anmf, fy)
       wr24(anmf, img.width - 1); wr24(anmf, img.height - 1)
       wr24(anmf, dur)
-      anmf.write(if (f > 0 && f % 2 == 1) 0x2 else 0x0) // blend | dispose
+      // bit 1 = do-not-blend: set on frame 0 and every odd frame
+      anmf.write(if (f == 0 || f % 2 == 1) 0x2 else 0x0)
       // the frame's own chunk, nested INSIDE the ANMF payload
       anmf.write("VP8L".getBytes("US-ASCII"))
       val pl = payload.length
@@ -1462,8 +1464,9 @@ object Webp {
 
   /** Walk an animated file: VP8X anim flag required, ANIM loop count,
     * then each ANMF's placement/duration/flags header and its nested
-    * VP8L frame FULLY DECODED. Frames are validated inside the canvas
-    * and frame 0 must not blend (spec). Loud on a lossy (VP8) frame. */
+    * VP8L frame FULLY DECODED. Frames are validated inside the canvas;
+    * flag bit 1 is decoded per the container spec as do-NOT-blend
+    * (frame 0 commonly sets it). Loud on a lossy (VP8) frame. */
   def animFrames(bytes: Array[Byte]): WebpAnim = {
     val chunks = riffChunks(bytes)
     require(chunks.head._1 == "VP8X", "animated WebP must lead with VP8X")
@@ -1486,8 +1489,12 @@ object Webp {
         val fh = rdU24le(bytes, o + 9) + 1
         val dur = rdU24le(bytes, o + 12)
         val flags = bytes(o + 15) & 0xff
-        val blend = (flags & 0x2) != 0
-        require(f > 0 || !blend, "frame 0 must not blend")
+        // container spec: bit 1 SET means "do NOT blend" (the common
+        // real-file setting on frame 0); clear means alpha-blend onto
+        // the prior canvas. Frame 0 carries no prior canvas so its
+        // blending method is informational either way — no frame-0
+        // rule exists in the spec, and none is enforced here.
+        val blend = (flags & 0x2) == 0
         require(fx + fw <= canvasW && fy + fh <= canvasH,
           s"frame $f [$fx,$fy ${fw}x$fh] escapes the " +
             s"${canvasW}x$canvasH canvas")

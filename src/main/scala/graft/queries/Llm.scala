@@ -5917,8 +5917,9 @@ object Llm extends QueryModule {
     // ANIM loop count + per-ANMF placement (2-px-unit offsets,
     // minus-one dims), duration, blend/dispose flags, each frame's
     // NESTED VP8L chunk fully decoded (layout rotating per frame
-    // seed). The walk validates frames inside the canvas, frame 0's
-    // no-blend rule, and declared-vs-decoded dims; a lossy (VP8)
+    // seed). The walk validates frames inside the canvas (bit 1 of
+    // the flags = do-NOT-blend per the container spec — frame 0
+    // commonly sets it) and declared-vs-decoded dims; a lossy (VP8)
     // frame is the loud boundary. Oracle recomputes every frame's
     // placement, duration, and channel sums from (doc_id, frame).
     QueryDef(
@@ -7170,7 +7171,7 @@ object Llm extends QueryModule {
           GROUP BY doc_id)
         SELECT d.doc_id AS id,
           CAST((1000 + 7 * d.doc_id) % 100000 AS INT) AS serial,
-          CAST(1 + d.n AS INT) AS n_pages,
+          CAST(2 + d.n AS INT) AS n_pages,
           t.n_packets,
           CAST(960 * t.n_packets AS BIGINT) AS last_granule,
           CAST(1 + d.doc_id % 2 AS INT) AS channels,

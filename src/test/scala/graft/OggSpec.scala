@@ -12,7 +12,7 @@ class OggSpec extends AnyFunSuite {
       val packets = Ogg.totalPackets(d) +
         (if (Ogg.spanning(d)) n - 1 else 0)
       assert(m.serial == ((1000 + 7 * d) % 100000).toInt, s"d=$d")
-      assert(m.nPages == 1 + n, s"d=$d")
+      assert(m.nPages == 2 + n, s"d=$d") // OpusHead + OpusTags + data
       assert(m.nPackets == packets, s"d=$d")
       assert(m.lastGranule == 960L * packets, s"d=$d")
       assert(m.channels == (1 + d % 2).toInt, s"d=$d")
@@ -45,7 +45,7 @@ class OggSpec extends AnyFunSuite {
   test("structural violations are rejected by name, never skipped") {
     val good = Ogg.synth(6L) // spanning doc (6%5==1): continued flags live
     def tamperPage1(mod: Array[Byte] => Unit): Array[Byte] = {
-      // page 1 starts after the header page (27 + 1 lacing + 19 body)
+      // page 1 (OpusTags) starts after the header page (27 + 1 + 19)
       val b = good.clone()
       mod(b)
       b
@@ -93,9 +93,32 @@ class OggSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException] { Ogg.parse(reflag(0x2)) }
     assert(e4.getMessage.contains("BOS"), e4.getMessage)
     // a continued flag with no packet open (the header page completed
-    // OpusHead, so data page 0 must not be continued)
+    // OpusHead, so the OpusTags page must not be continued)
     val e5 = intercept[IllegalArgumentException] { Ogg.parse(reflag(0x1)) }
     assert(e5.getMessage.contains("continued"), e5.getMessage)
+    // packet 1 not OpusTags → rejected by name (mutate the magic and
+    // re-seal the page CRC so only the header check can fire)
+    def reseal(b: Array[Byte]): Array[Byte] = {
+      val nSegs = b(p1 + 26) & 0xff
+      var payload = 0
+      (0 until nSegs).foreach(s => payload += b(p1 + 27 + s) & 0xff)
+      val end = p1 + 27 + nSegs + payload
+      java.util.Arrays.fill(b, p1 + 22, p1 + 26, 0.toByte)
+      var c = 0
+      var i = p1
+      while (i < end) {
+        c ^= (b(i) & 0xff) << 24
+        (0 until 8).foreach(_ =>
+          c = if (c < 0) (c << 1) ^ 0x04c11db7 else c << 1)
+        i += 1
+      }
+      (0 until 4).foreach(i => b(p1 + 22 + i) = ((c >> (8 * i)) & 0xff).toByte)
+      b
+    }
+    val noTags = good.clone()
+    noTags(p1 + 28) = 'X' // first body byte: 'O' of "OpusTags"
+    val e6 = intercept[IllegalArgumentException] { Ogg.parse(reseal(noTags)) }
+    assert(e6.getMessage.contains("OpusTags"), e6.getMessage)
   }
 
   test("parser terminates loudly under random corruption") {
@@ -150,8 +173,9 @@ class OggSpec extends AnyFunSuite {
     // must say so (after re-sealing the page CRC so only the TOC
     // check can fire)
     val good = Ogg.synth(2L)
-    // locate page 1 (the first data page): header page is 28+19 bytes
-    val p1 = 47
+    // locate page 2 (the first data page): header page 47 bytes, then
+    // the OpusTags page 27 + 1 + 21 = 49 bytes
+    val p1 = 96
     assert(good(p1) == 'O' && good(p1 + 1) == 'g')
     val nSegs = good(p1 + 26) & 0xff
     val tocAt = p1 + 27 + nSegs

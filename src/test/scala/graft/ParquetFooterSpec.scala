@@ -95,6 +95,24 @@ class ParquetFooterSpec extends SparkSpec {
     }
   }
 
+  test("unknown-field skip consumes one byte per bool list element") {
+    // compact list header: size 3 in the high nibble, elem type BOOL
+    // TRUE (1) in the low — each element then occupies ONE byte
+    // (0x01/0x02); a zero-width bool skip would desync here (ADVICE
+    // r15). Trailing 0x7f is a sentinel that must NOT be consumed.
+    val listBool = Array[Byte](0x31, 1, 2, 1, 0x7f)
+    assert(ParquetFooter.skipValueForTest(listBool, 9) == 4) // TList
+    // struct-FIELD bools still carry zero payload bytes: a struct of
+    // one true field (header 0x11: delta 1, type bool-true) then stop
+    val structBool = Array[Byte](0x11, 0, 0x7f)
+    assert(ParquetFooter.skipValueForTest(structBool, 12) == 2) // TStruct
+    // a bool list element outside 1/2 is a named failure, not a skip
+    val bad = Array[Byte](0x31, 1, 5, 1)
+    val e = intercept[IllegalArgumentException](
+      ParquetFooter.skipValueForTest(bad, 9))
+    assert(e.getMessage.contains("bool list element"), e.getMessage)
+  }
+
   test("malformed files fail loudly") {
     val good = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$sf0001/nation.parquet"))

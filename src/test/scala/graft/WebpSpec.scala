@@ -208,16 +208,18 @@ class WebpSpec extends AnyFunSuite {
         assert(fr.img.px.sameElements(img.px), s"d=$d f=$f pixels")
         assert(fr.x == 2 * ((d + f) % 5).toInt)
         assert(fr.durMs == (40 + (d + f) % 60).toInt)
-        assert(f > 0 || !fr.blend)
+        // encoder sets bit 1 (do-NOT-blend) on frame 0 and odd frames
+        assert(fr.blend == !(f == 0 || f % 2 == 1), s"d=$d f=$f blend")
       }
     }
-    // frame-0 blend flag set -> loud
+    // a frame 0 with the do-not-blend bit CLEAR (blend requested) is
+    // still accepted — the container spec has no frame-0 rule, and a
+    // rejecting walk would refuse real animated WebPs (ADVICE r15)
     val good = Webp.synthAnim(1L)
     val i = good.indexOfSlice("ANMF".getBytes("US-ASCII"))
-    val bad = good.clone()
-    bad(i + 8 + 15) = 0x2 // flags byte of frame 0
-    val e = intercept[IllegalArgumentException](Webp.animFrames(bad))
-    assert(e.getMessage.contains("blend"), e.getMessage)
+    val alt = good.clone()
+    alt(i + 8 + 15) = 0x0 // flags byte of frame 0: blend requested
+    assert(Webp.animFrames(alt).frames.head.blend)
   }
 
   test("animated walk terminates loudly under random corruption") {
