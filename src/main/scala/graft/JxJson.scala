@@ -709,7 +709,11 @@ object JxJson {
     }
     graft.streaming.Streams.runToMemory(
       out, s"jx_sj_${System.nanoTime()}",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      // the front door compiles INNER interval joins only (enforced
+      // above): matches emit on the data batch, so the trailing
+      // watermark-only batch cannot add rows
+      noDataBatch = false)
   }
 
   /** One snowflake-descent step: `seg` must be an array<struct> (the

@@ -127,7 +127,10 @@ object StreamingBatch extends QueryModule {
             .join(broadcast(dim), "n_nationkey")
             .groupBy("n_name")
             .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total")),
-          s"enr_${System.nanoTime()}", OutputMode.Complete())
+          // Complete mode re-emits the whole result every batch — a
+          // trailing zero-row batch only rewrites identical rows
+          s"enr_${System.nanoTime()}", OutputMode.Complete(),
+          noDataBatch = false)
         out.orderBy("n_name")
       },
       Some("""SELECT n_name, count(*) AS n, round(sum(value), 4) AS total
@@ -355,9 +358,12 @@ object StreamingBatch extends QueryModule {
     QueryDef(
       "stream_join",
       (s, dir) => {
+        // inner interval join: every match emits on the data batch, so
+        // the trailing watermark-only batch cannot add rows — skip it
         val out = Streams.runToMemory(
           Streams.clickViewJoin(s, dir),
-          s"sj_${System.nanoTime()}", OutputMode.Append())
+          s"sj_${System.nanoTime()}", OutputMode.Append(),
+          noDataBatch = false)
         out.orderBy("user_id", "click_id", "view_id")
       },
       Some("""SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS view_id
@@ -474,9 +480,12 @@ object StreamingBatch extends QueryModule {
     QueryDef(
       "stream_stateful",
       (s, dir) => {
+        // NoTimeout state: the zero-row batch can fire no timeouts and
+        // therefore cannot emit — skip it
         val out = Streams.runToMemory(
           Streams.runningUserState(Streams.eventsStream(s, dir)),
-          s"st_${System.nanoTime()}", OutputMode.Update())
+          s"st_${System.nanoTime()}", OutputMode.Update(),
+          noDataBatch = false)
         // AvailableNow may emit one update per micro-batch; final state
         // per user is the max-count row.
         out.groupBy("user_id")

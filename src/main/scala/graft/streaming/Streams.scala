@@ -115,15 +115,20 @@ object Streams {
     * spark.sql.shuffle.partitions. At local[32] that means 32 state-store
     * instances (each with its own checkpoint delta files) per micro-batch
     * for a few thousand keys — pure overhead. Pin streams to a small
-    * constant; batch queries keep the session default.
+    * constant; batch queries keep the session default. 4 (was 8 through
+    * r15): the per-partition state-store load/commit cost dominates the
+    * fixture-scale joins, and the r16 knob matrix read 8→4 as ~1 s/query
+    * on the stream-join family with identical emitted sets — a real
+    * deployment sizes this to keys/executor, not to this harness.
     *
     * NOTE: the set/restore around each run mutates session-global conf,
     * which assumes the single-threaded harness (Verify/Bench run queries
-    * sequentially). A concurrent batch query would silently plan with 8
+    * sequentially). A concurrent batch query would silently plan with 4
     * shuffle partitions; if the harness ever parallelizes, scope this
     * with a dedicated SparkSession.newSession() per stream instead.
     */
-  private val StreamShufflePartitions = "8"
+  private def StreamShufflePartitions: String =
+    sys.props.getOrElse("graft.stream.shuffle", "4")
 
   /** Drain a stream into an in-memory table and return its rows as a
     * plain local DataFrame (test/driver harness helper — AvailableNow
@@ -135,11 +140,23 @@ object Streams {
     * temp view and delete the checkpoint immediately instead of leaking
     * one of each per query across a 116-query Bench/Verify run.
     */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  /** `noDataBatch = false` skips the trailing zero-row micro-batch an
+    * event-time watermark otherwise schedules after the last data batch
+    * (~0.6-0.9 s of state-store passes at fixture scale). ONLY legal
+    * when that batch cannot emit: stream-stream INNER joins (matches
+    * emit on the data batch), Complete mode (every batch re-emits the
+    * whole result), and Update-mode state without timeouts. Append-mode
+    * windowed aggregates and OUTER joins EMIT on that final batch —
+    * they must keep the default true. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
+      noDataBatch: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val ckpt = graft.Scratch.dir("ckpt", s"$name-${System.nanoTime()}")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    spark.conf.set(noDataKey, noDataBatch.toString)
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -152,6 +169,7 @@ object Streams {
       q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set(noDataKey, prevNoData)
       drainStreamingResidue(spark)
       deleteRecursively(ckpt)
     }

@@ -25,14 +25,44 @@ object StreamProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      val out = Streams.runToMemory(
-        Streams.clickViewJoin(spark, sfDir),
-        s"probe_sj_${System.nanoTime()}", OutputMode.Append())
-      val n = out.count()
-      println(f"stream_join run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    // knob matrix: streaming shuffle partitions x no-data micro-batches
+    for (parts <- Seq("8", "4", "2", "1");
+         noData <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData)
+      sys.props("graft.stream.shuffle") = parts
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val out = Streams.runToMemory(
+          Streams.clickViewJoin(spark, sfDir),
+          s"probe_sj_${System.nanoTime()}", OutputMode.Append())
+        val n = out.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"parts=$parts noData=$noData: " +
+        times.map(t => f"${t._1}%.2f").mkString(" ") +
+        s" rows=${times.map(_._2).distinct.mkString(",")}")
     }
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // batch-level decomposition: run once more with the progress
+    // listener on and dump each micro-batch's duration breakdown
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit =
+          seen.add(s"batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+            s"durations=${e.progress.durationMs}")
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    val t0 = System.nanoTime()
+    Streams.runToMemory(Streams.clickViewJoin(spark, sfDir),
+      s"probe_sj_${System.nanoTime()}", OutputMode.Append())
+    println(f"instrumented run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    Thread.sleep(500)
+    seen.forEach(s => println(s"  $s"))
     spark.stop()
   }
 }
