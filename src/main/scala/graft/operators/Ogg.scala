@@ -62,7 +62,7 @@ object Ogg {
     * Code 3 packets read their count byte; VBR or padded code-3
     * packets are outside the walk subset and rejected by name. The
     * 120 ms packet ceiling is enforced. */
-  private def tocInfo(pkt: Array[Byte]): (Int, Boolean, Int, Long) = {
+  private[operators] def tocInfo(pkt: Array[Byte]): (Int, Boolean, Int, Long) = {
     require(pkt.length >= 1, "empty Opus packet")
     val toc = pkt(0) & 0xff
     val config = toc >>> 3

@@ -1,0 +1,604 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** WebM (Matroska subset) container walk — the EBML element walk the
+  * media inventory was missing beside the ISO-BMFF (Fmp4/Multimodal),
+  * RIFF (Webp), and Ogg walks: a crawl's video is .webm as often as
+  * .mp4 (VERDICT r15 #2).
+  *
+  * From the PUBLIC specs only: EBML (RFC 8794 — variable-length
+  * element ids and sizes), the Matroska/WebM element vocabulary
+  * (Segment → Info/Tracks/Cluster, SimpleBlock framing), RFC 6386
+  * (VP8 key-frame header — decoded by the SHARED Webp bool decoder),
+  * and RFC 6716/7845 (Opus TOC + OpusHead — the SHARED Ogg parsers).
+  *
+  * What the walk proves, per stream:
+  *  - EBML structure: id vints (1-4 bytes), size vints (1-8 bytes,
+  *    all-ones "unknown size" rejected by name), children must fill
+  *    their parent EXACTLY (a element overrunning or underrunning its
+  *    parent is a named failure, never a silent resync);
+  *  - unknown elements (SegmentUID, Void, …) are skipped BY SIZE —
+  *    the forward-compatibility rule EBML exists for;
+  *  - the DECLARED track geometry is cross-checked against every
+  *    video payload: each SimpleBlock's VP8 key-frame header is
+  *    bool-decoded (Webp.parseVp8Header) and its 14-bit dims must
+  *    equal the TrackEntry's PixelWidth/Height — a lying muxer fails
+  *    loudly (the tfdt-ledger discipline from the fMP4 walk);
+  *  - the SimpleBlock keyframe flag must agree with the VP8 frame
+  *    tag's key bit in BOTH directions;
+  *  - Info.Duration (in timestamp-scale ticks) must equal the video
+  *    ledger recomputed from the blocks (+ one 40 ms frame);
+  *  - Opus blocks: TOC parsed per packet (Ogg.tocInfo — mode, stereo,
+  *    frame count), CodecPrivate's OpusHead channel count must equal
+  *    the Audio element's Channels;
+  *  - per-track timestamps (cluster base + signed 16-bit relative)
+  *    are strictly monotone.
+  *
+  * Subset boundary (documented, loud): unknown-size elements, lacing
+  * (fixture blocks carry one frame each — lacing bits ≠ 0 rejected),
+  * BlockGroup/Block (SimpleBlock only), Cues/SeekHead (skipped as
+  * unknown), and frame PAYLOAD decode beyond the VP8 key-frame header
+  * and the Opus TOC — inter-frame/CABAC-class decode stays the
+  * codec boundary every round re-affirms.
+  *
+  * Bomb guards (the r15 habit, in the same commit as the decoder):
+  * id/size vint lengths are hard-capped, every declared size is
+  * containment-checked against its parent before descent, nesting
+  * depth is bounded, and element counts per parent are capped so a
+  * crafted file cannot loop the walk.
+  */
+object Webm {
+
+  // ------------------------------------------------------------ ids
+  private val IdEbml = 0x1A45DFA3L
+  private val IdDocType = 0x4282L
+  private val IdDocTypeVersion = 0x4287L
+  private val IdDocTypeReadVersion = 0x4285L
+  private val IdSegment = 0x18538067L
+  private val IdInfo = 0x1549A966L
+  private val IdTimestampScale = 0x2AD7B1L
+  private val IdDuration = 0x4489L
+  private val IdMuxingApp = 0x4D80L
+  private val IdWritingApp = 0x5741L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTrackNumber = 0xD7L
+  private val IdTrackUid = 0x73C5L
+  private val IdTrackType = 0x83L
+  private val IdCodecId = 0x86L
+  private val IdCodecPrivate = 0x63A2L
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+  private val IdAudio = 0xE1L
+  private val IdSamplingFrequency = 0xB5L
+  private val IdChannels = 0x9FL
+  private val IdCluster = 0x1F43B675L
+  private val IdClusterTimestamp = 0xE7L
+  private val IdSimpleBlock = 0xA3L
+  private val IdVoid = 0xECL
+  private val IdSegmentUid = 0x73A4L // known Matroska, OUTSIDE the walk
+
+  private val MaxChildren = 1 << 16 // per-parent element-count bomb cap
+
+  // ------------------------------------------------------ EBML write
+
+  private final class W {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def idBytes(id: Long): Array[Byte] = {
+      val n = if (id <= 0xFFL) 1 else if (id <= 0xFFFFL) 2
+        else if (id <= 0xFFFFFFL) 3 else 4
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    /** Size vint: minimal length whose capacity holds v, avoiding the
+      * all-ones (unknown-size) pattern. */
+    def sizeBytes(v: Long): Array[Byte] = {
+      require(v >= 0, s"negative EBML size $v")
+      var n = 1
+      while (n <= 8 && v >= (1L << (7 * n)) - 1) n += 1
+      require(n <= 8, s"EBML size $v too large")
+      val marked = v | (1L << (7 * n))
+      Array.tabulate(n)(i => ((marked >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def element(id: Long, payload: Array[Byte]): Unit = {
+      out.write(idBytes(id)); out.write(sizeBytes(payload.length.toLong))
+      out.write(payload, 0, payload.length)
+    }
+    def uintPayload(v: Long): Array[Byte] = {
+      require(v >= 0, s"negative EBML uint $v")
+      var n = 1
+      while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def uint(id: Long, v: Long): Unit = element(id, uintPayload(v))
+    def float64(id: Long, v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      element(id, Array.tabulate(8)(i =>
+        ((bits >> (8 * (7 - i))) & 0xff).toByte))
+    }
+    def str(id: Long, s: String): Unit =
+      element(id, s.getBytes("US-ASCII"))
+  }
+
+  private def wrap(id: Long, body: W => Unit): Array[Byte] = {
+    val w = new W; body(w)
+    val o = new W
+    o.element(id, w.out.toByteArray)
+    o.out.toByteArray
+  }
+
+  // -------------------------------------------------- closed forms
+
+  def tickNs(d: Long): Long = if (d % 2 == 0) 1000000L else 500000L
+  def hasAudio(d: Long): Boolean = d % 3 != 2
+  def nClusters(d: Long): Int = (2 + d % 3).toInt
+  def nVideo(d: Long, c: Int): Int = (1 + (d + c) % 2).toInt
+  def nAudio(d: Long, c: Int): Int =
+    if (hasAudio(d)) (1 + (d + c) % 3).toInt else 0
+  def videoW(d: Long): Int = (320 + d % 33).toInt
+  def videoH(d: Long): Int = (240 + d % 25).toInt
+  def opusChannels(d: Long): Int = (1 + (d / 2) % 2).toInt
+  def durationMs(d: Long): Long = {
+    val nc = nClusters(d)
+    400L * (nc - 1) + 40L * (nVideo(d, nc - 1) - 1) + 40L
+  }
+  private def msToTicks(d: Long, ms: Long): Long = ms * 1000000L / tickNs(d)
+
+  /** The 20 ms one-frame Opus TOC configs the fixture rotates through
+    * (RFC 6716 §3.1): SILK / Hybrid / CELT. */
+  private val TocCfg = Array(1, 13, 19)
+
+  // ------------------------------------------------------- fixture
+
+  /** Closed-form WebM stream for id d: EBML header, Info (timestamp
+    * scale by d%2, Duration = the video ledger), Tracks (VP8 video,
+    * plus an Opus track with a real OpusHead CodecPrivate on d%3!=2),
+    * a Void element and an out-of-subset SegmentUID the walk must
+    * skip by size, then 2+d%3 Clusters of SimpleBlocks: each video
+    * block a REAL VP8 key frame (shared Webp encoder — dims pinned by
+    * the track, bool-coded header rotating per block), each audio
+    * block a real Opus TOC + filler. */
+  def synth(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    out.write(wrap(IdEbml, { w =>
+      w.uint(0x4286L, 1) // EBMLVersion
+      w.uint(0x42F7L, 1) // EBMLReadVersion
+      w.uint(0x42F2L, 4) // EBMLMaxIDLength
+      w.uint(0x42F3L, 8) // EBMLMaxSizeLength
+      w.str(IdDocType, "webm")
+      w.uint(IdDocTypeVersion, 4)
+      w.uint(IdDocTypeReadVersion, 2)
+    }))
+    val seg = new W
+    // Info
+    seg.out.write(wrap(IdInfo, { w =>
+      w.uint(IdTimestampScale, tickNs(d))
+      // SegmentUID: known Matroska, outside the walk subset — the
+      // walk must skip it by size
+      w.element(IdSegmentUid,
+        Array.tabulate(16)(i => ((d * 31 + i) % 256).toByte))
+      w.float64(IdDuration, msToTicks(d, durationMs(d)).toDouble)
+      w.str(IdMuxingApp, "graft")
+      w.str(IdWritingApp, s"graft-${d % 7}")
+    }))
+    // Tracks
+    seg.out.write(wrap(IdTracks, { w =>
+      w.out.write(wrap(IdTrackEntry, { t =>
+        t.uint(IdTrackNumber, 1)
+        t.uint(IdTrackUid, 1 + (d % 1000))
+        t.uint(IdTrackType, 1) // video
+        t.str(IdCodecId, "V_VP8")
+        t.out.write(wrap(IdVideo, { v =>
+          v.uint(IdPixelWidth, videoW(d))
+          v.uint(IdPixelHeight, videoH(d))
+        }))
+      }))
+      if (hasAudio(d)) {
+        w.out.write(wrap(IdTrackEntry, { t =>
+          t.uint(IdTrackNumber, 2)
+          t.uint(IdTrackUid, 2000 + (d % 1000))
+          t.uint(IdTrackType, 2) // audio
+          t.str(IdCodecId, "A_OPUS")
+          // a REAL OpusHead (RFC 7845 §5.1) as CodecPrivate
+          val oh = new Array[Byte](19)
+          "OpusHead".getBytes("US-ASCII").copyToArray(oh)
+          oh(8) = 1
+          oh(9) = opusChannels(d).toByte
+          val preSkip = (312 + d % 100).toInt
+          oh(10) = (preSkip & 0xff).toByte
+          oh(11) = ((preSkip >> 8) & 0xff).toByte
+          oh(12) = 0x80.toByte; oh(13) = 0xbb.toByte // 48000 LE32
+          t.element(IdCodecPrivate, oh)
+          t.out.write(wrap(IdAudio, { a =>
+            a.float64(IdSamplingFrequency, 48000.0)
+            a.uint(IdChannels, opusChannels(d))
+          }))
+        }))
+      }
+    }))
+    // a Void element between Tracks and the first Cluster
+    seg.element(IdVoid,
+      Array.tabulate((4 + d % 5).toInt)(_ => 0x00.toByte))
+    // Clusters
+    for (c <- 0 until nClusters(d)) {
+      seg.out.write(wrap(IdCluster, { w =>
+        val base = msToTicks(d, 400L * c)
+        w.uint(IdClusterTimestamp, base)
+        def simpleBlock(track: Int, relTicks: Long, key: Boolean,
+            payload: Array[Byte]): Unit = {
+          val b = new java.io.ByteArrayOutputStream(payload.length + 4)
+          b.write(0x80 | track) // 1-byte track vint
+          require(relTicks >= -32768 && relTicks <= 32767,
+            s"relative timestamp $relTicks overflows int16")
+          b.write(((relTicks >> 8) & 0xff).toInt)
+          b.write((relTicks & 0xff).toInt)
+          b.write(if (key) 0x80 else 0x00) // flags: keyframe, no lacing
+          b.write(payload, 0, payload.length)
+          w.element(IdSimpleBlock, b.toByteArray)
+        }
+        // interleave audio-then-video per 40 ms slot is not required;
+        // blocks are written video first, then audio, each monotone
+        // within its own track
+        for (k <- 0 until nVideo(d, c))
+          simpleBlock(1, msToTicks(d, 40L * k), key = true,
+            Webp.synthVp8Frame(d, d + 13L * c + 7L * k))
+        for (k <- 0 until nAudio(d, c)) {
+          val cfg = TocCfg(((d + c + k) % 3).toInt)
+          val st = (d + k) % 2 == 1
+          val toc = (cfg << 3) | (if (st) 4 else 0) // code 0: one frame
+          val body = Array.tabulate((10 + (d + k) % 20).toInt)(i =>
+            ((d * 17 + c * 5 + k + i) % 251).toByte)
+          simpleBlock(2, msToTicks(d, 20L * k), key = true,
+            toc.toByte +: body)
+        }
+      }))
+    }
+    val o = new W
+    o.element(IdSegment, seg.out.toByteArray)
+    out.write(o.out.toByteArray)
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------- parse
+
+  final case class WebmInfo(timestampScale: Long, nTracks: Int,
+      nClusters: Int, nVideoBlocks: Int, nAudioBlocks: Int,
+      nKeyframes: Int, width: Int, height: Int, sumYAcQi: Long,
+      opusChannels: Option[Int], nStereo: Int, durationMs: Long)
+
+  private final class R(bytes: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = {
+      require(pos < bytes.length, "webm: truncated EBML data")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    /** Element id: raw value INCLUDING the length-marker bits, 1-4
+      * bytes (EBMLMaxIDLength). */
+    def readId(): Long = {
+      val b0 = u8()
+      require(b0 != 0, "webm: invalid EBML id lead byte 0x00")
+      val len = Integer.numberOfLeadingZeros(b0) - 24 + 1
+      require(len >= 1 && len <= 4, s"webm: EBML id length $len out of range")
+      var v = b0.toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | u8(); i += 1 }
+      v
+    }
+    /** Element size: marker bit stripped, 1-8 bytes; the all-ones
+      * "unknown size" pattern is outside the walk subset. */
+    def readSize(): Long = {
+      val b0 = u8()
+      require(b0 != 0, "webm: invalid EBML size lead byte 0x00")
+      val len = Integer.numberOfLeadingZeros(b0) - 24 + 1
+      require(len >= 1 && len <= 8,
+        s"webm: EBML size length $len out of range")
+      var v = (b0 & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | u8(); i += 1 }
+      require(v != (1L << (7 * len)) - 1,
+        "webm: unknown-size elements are outside the walk subset")
+      require(v <= bytes.length - pos,
+        s"webm: element size $v overruns the stream")
+      v
+    }
+    def bin(n: Long): Array[Byte] = {
+      require(n >= 0 && n <= bytes.length - pos, "webm: truncated payload")
+      val a = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
+      pos += n.toInt; a
+    }
+    def uintOf(payload: Array[Byte]): Long = {
+      require(payload.length >= 1 && payload.length <= 8,
+        s"webm: uint payload ${payload.length} bytes")
+      payload.foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+    }
+    def floatOf(payload: Array[Byte]): Double = payload.length match {
+      case 4 => java.lang.Float.intBitsToFloat(
+        payload.foldLeft(0)((a, b) => (a << 8) | (b & 0xff))).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(
+        payload.foldLeft(0L)((a, b) => (a << 8) | (b & 0xff)))
+      case n => throw new IllegalArgumentException(
+        s"webm: float payload $n bytes (4 or 8 expected)")
+    }
+  }
+
+  private final case class Track(num: Long, tpe: Long, codec: String,
+      width: Int, height: Int, channels: Int, codecPrivate: Array[Byte])
+
+  def parse(bytes: Array[Byte]): WebmInfo = {
+    val r = new R(bytes)
+    // ---- EBML header
+    require(r.readId() == IdEbml, "webm: stream does not start with EBML")
+    val ebmlEnd = { val sz = r.readSize(); r.pos + sz }
+    var docType = ""
+    var nCh = 0
+    while (r.pos < ebmlEnd) {
+      nCh += 1; require(nCh <= MaxChildren, "webm: EBML header child bomb")
+      val id = r.readId(); val sz = r.readSize()
+      require(r.pos + sz <= ebmlEnd,
+        s"webm: EBML header child overruns its parent")
+      val payload = r.bin(sz)
+      id match {
+        case IdDocType => docType =
+          new String(payload, "US-ASCII").takeWhile(_ != ' ')
+        case 0x42F2L => require(r.uintOf(payload) <= 4,
+          "webm: EBMLMaxIDLength beyond 4 is outside the subset")
+        case 0x42F3L => require(r.uintOf(payload) <= 8,
+          "webm: EBMLMaxSizeLength beyond 8 is outside the subset")
+        case _ => () // versions — informational
+      }
+    }
+    require(r.pos == ebmlEnd, "webm: EBML header children under-fill it")
+    require(docType == "webm" || docType == "matroska",
+      s"webm: DocType '$docType' is not webm/matroska")
+    // ---- Segment
+    require(r.readId() == IdSegment, "webm: no Segment after EBML header")
+    val segEnd = { val sz = r.readSize(); r.pos + sz }
+    var tsScale = 1000000L // Matroska default
+    var declaredDurTicks = -1.0
+    var tracks = Vector.empty[Track]
+    var nClusters = 0
+    var nVideoBlocks = 0; var nAudioBlocks = 0; var nKey = 0
+    var sumQi = 0L; var nStereo = 0
+    var lastVideoTicks = -1L; var lastAudioTicks = -1L
+    var maxVideoEndMs = 0L
+    var segCh = 0
+    while (r.pos < segEnd) {
+      segCh += 1; require(segCh <= MaxChildren, "webm: Segment child bomb")
+      val id = r.readId(); val sz = r.readSize()
+      require(r.pos + sz <= segEnd, "webm: Segment child overruns it")
+      val end = r.pos + sz
+      id match {
+        case IdInfo =>
+          var ch = 0
+          while (r.pos < end) {
+            ch += 1; require(ch <= MaxChildren, "webm: Info child bomb")
+            val cid = r.readId(); val csz = r.readSize()
+            require(r.pos + csz <= end, "webm: Info child overruns it")
+            val p = r.bin(csz)
+            cid match {
+              case IdTimestampScale =>
+                tsScale = r.uintOf(p)
+                require(tsScale >= 1000L && tsScale <= 1000000000L,
+                  s"webm: implausible timestamp scale $tsScale ns")
+              case IdDuration => declaredDurTicks = r.floatOf(p)
+              case _ => () // MuxingApp/WritingApp/SegmentUID — skip
+            }
+          }
+          require(r.pos == end, "webm: Info children under-fill it")
+        case IdTracks =>
+          var ch = 0
+          while (r.pos < end) {
+            ch += 1; require(ch <= MaxChildren, "webm: Tracks child bomb")
+            val cid = r.readId(); val csz = r.readSize()
+            require(r.pos + csz <= end, "webm: TrackEntry overruns Tracks")
+            val tEnd = r.pos + csz
+            require(cid == IdTrackEntry,
+              s"webm: non-TrackEntry 0x${cid.toHexString} inside Tracks")
+            var num = -1L; var tpe = -1L; var codec = ""
+            var w = -1; var h = -1; var chans = -1
+            var cp: Array[Byte] = Array.empty
+            var tch = 0
+            while (r.pos < tEnd) {
+              tch += 1; require(tch <= MaxChildren, "webm: track child bomb")
+              val eid = r.readId(); val esz = r.readSize()
+              require(r.pos + esz <= tEnd,
+                "webm: track child overruns its TrackEntry")
+              val eEnd = r.pos + esz
+              eid match {
+                case IdTrackNumber => num = r.uintOf(r.bin(esz))
+                case IdTrackType => tpe = r.uintOf(r.bin(esz))
+                case IdCodecId =>
+                  codec = new String(r.bin(esz), "US-ASCII")
+                case IdCodecPrivate => cp = r.bin(esz)
+                case IdVideo =>
+                  var vch = 0
+                  while (r.pos < eEnd) {
+                    vch += 1
+                    require(vch <= MaxChildren, "webm: video child bomb")
+                    val vid = r.readId(); val vsz = r.readSize()
+                    require(r.pos + vsz <= eEnd,
+                      "webm: Video child overruns it")
+                    val p = r.bin(vsz)
+                    vid match {
+                      case IdPixelWidth => w = r.uintOf(p).toInt
+                      case IdPixelHeight => h = r.uintOf(p).toInt
+                      case _ => ()
+                    }
+                  }
+                  require(r.pos == eEnd, "webm: Video children under-fill it")
+                case IdAudio =>
+                  var ach = 0
+                  while (r.pos < eEnd) {
+                    ach += 1
+                    require(ach <= MaxChildren, "webm: audio child bomb")
+                    val aid = r.readId(); val asz = r.readSize()
+                    require(r.pos + asz <= eEnd,
+                      "webm: Audio child overruns it")
+                    val p = r.bin(asz)
+                    aid match {
+                      case IdChannels => chans = r.uintOf(p).toInt
+                      case _ => () // SamplingFrequency — informational
+                    }
+                  }
+                  require(r.pos == eEnd, "webm: Audio children under-fill it")
+                case _ => r.bin(esz); () // unknown — skip by size
+              }
+            }
+            require(r.pos == tEnd, "webm: TrackEntry children under-fill it")
+            require(num >= 1, "webm: TrackEntry without a TrackNumber")
+            require(tracks.forall(_.num != num),
+              s"webm: duplicate track number $num")
+            tracks :+= Track(num, tpe, codec, w, h, chans, cp)
+          }
+          require(r.pos == end, "webm: Tracks children under-fill it")
+        case IdCluster =>
+          require(tracks.nonEmpty, "webm: Cluster before Tracks")
+          nClusters += 1
+          var base = -1L
+          var ch = 0
+          while (r.pos < end) {
+            ch += 1; require(ch <= MaxChildren, "webm: Cluster child bomb")
+            val cid = r.readId(); val csz = r.readSize()
+            require(r.pos + csz <= end, "webm: Cluster child overruns it")
+            cid match {
+              case IdClusterTimestamp =>
+                base = r.uintOf(r.bin(csz))
+              case IdSimpleBlock =>
+                require(base >= 0,
+                  "webm: SimpleBlock before the cluster Timestamp")
+                val blockEnd = r.pos + csz
+                // track number vint (subset: 1-byte, covers 1..126)
+                val tb = r.u8()
+                require((tb & 0x80) != 0,
+                  "webm: multi-byte block track vints are outside the subset")
+                val trackNum = (tb & 0x7f).toLong
+                val track = tracks.find(_.num == trackNum).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"webm: SimpleBlock references undeclared track $trackNum"))
+                val rel = ((r.u8() << 8) | r.u8()).toShort.toLong
+                val flags = r.u8()
+                require((flags & 0x06) == 0,
+                  "webm: laced SimpleBlocks are outside the walk subset")
+                val key = (flags & 0x80) != 0
+                val payload = r.bin(blockEnd - r.pos)
+                val absTicks = base + rel
+                track.tpe match {
+                  case 1 =>
+                    require(track.codec == "V_VP8",
+                      s"webm: video codec ${track.codec} is outside the " +
+                        "walk subset (V_VP8 key-frame headers only)")
+                    nVideoBlocks += 1
+                    require(absTicks > lastVideoTicks,
+                      s"webm: video timestamps regress at tick $absTicks")
+                    lastVideoTicks = absTicks
+                    // VP8 uncompressed frame header (RFC 6386 §9.1)
+                    require(payload.length >= 10, "webm: VP8 frame too short")
+                    val tag = (payload(0) & 0xff) | ((payload(1) & 0xff) << 8) |
+                      ((payload(2) & 0xff) << 16)
+                    val isKey = (tag & 1) == 0
+                    require(isKey == key,
+                      "webm: SimpleBlock keyframe flag disagrees with the " +
+                        "VP8 frame tag")
+                    if (key) nKey += 1
+                    require((payload(3) & 0xff) == 0x9d &&
+                      (payload(4) & 0xff) == 0x01 &&
+                      (payload(5) & 0xff) == 0x2a,
+                      "webm: VP8 key frame lacks the start code")
+                    val fw = ((payload(6) & 0xff) |
+                      ((payload(7) & 0x3f) << 8))
+                    val fh = ((payload(8) & 0xff) |
+                      ((payload(9) & 0x3f) << 8))
+                    require(fw == track.width && fh == track.height,
+                      s"webm: VP8 frame ${fw}x$fh disagrees with the " +
+                        s"declared track ${track.width}x${track.height}")
+                    val hdr = Webp.parseVp8Header(payload, 10)
+                    sumQi += hdr.yAcQi
+                    val endMs = absTicks * tsScale / 1000000L + 40L
+                    if (endMs > maxVideoEndMs) maxVideoEndMs = endMs
+                  case 2 =>
+                    require(track.codec == "A_OPUS",
+                      s"webm: audio codec ${track.codec} is outside the " +
+                        "walk subset (Opus TOC only)")
+                    nAudioBlocks += 1
+                    require(absTicks > lastAudioTicks,
+                      s"webm: audio timestamps regress at tick $absTicks")
+                    lastAudioTicks = absTicks
+                    val (_, stereo, frames, _) = Ogg.tocInfo(payload)
+                    require(frames >= 1, "webm: zero-frame Opus packet")
+                    if (stereo) nStereo += 1
+                  case t => throw new IllegalArgumentException(
+                    s"webm: track type $t is outside the walk subset")
+                }
+              case _ => r.bin(csz); () // unknown cluster child — skip
+            }
+          }
+          require(r.pos == end, "webm: Cluster children under-fill it")
+          require(base >= 0, "webm: Cluster without a Timestamp")
+        case IdVoid => r.bin(sz); ()
+        case _ => r.bin(sz); () // SeekHead/Cues/Tags/… — skip by size
+      }
+    }
+    require(r.pos == segEnd, "webm: Segment children under-fill it")
+    require(tracks.nonEmpty, "webm: no Tracks element")
+    val video = tracks.find(_.tpe == 1).getOrElse(
+      throw new IllegalArgumentException("webm: no video track"))
+    require(nVideoBlocks > 0, "webm: no video SimpleBlocks")
+    // the duration ledger: Info.Duration (ticks) must equal the video
+    // ledger recomputed from the blocks — a lying muxer fails loudly
+    require(declaredDurTicks >= 0, "webm: Info lacks a Duration")
+    val ledgerTicks = maxVideoEndMs * 1000000L / tsScale
+    require(declaredDurTicks == ledgerTicks.toDouble,
+      f"webm: Info.Duration $declaredDurTicks%.1f ticks != the video " +
+        s"ledger $ledgerTicks")
+    // Opus cross-check: CodecPrivate OpusHead channels == Channels
+    val audioT = tracks.find(_.tpe == 2)
+    val opusCh = audioT.map { t =>
+      require(t.codecPrivate.length >= 19 &&
+        new String(t.codecPrivate, 0, 8, "US-ASCII") == "OpusHead",
+        "webm: Opus track CodecPrivate is not an OpusHead")
+      val cpCh = t.codecPrivate(9) & 0xff
+      require(cpCh == t.channels,
+        s"webm: OpusHead declares $cpCh channels but the Audio element " +
+          s"declares ${t.channels}")
+      cpCh
+    }
+    WebmInfo(tsScale, tracks.size, nClusters, nVideoBlocks, nAudioBlocks,
+      nKey, video.width, video.height, sumQi, opusCh, nStereo,
+      maxVideoEndMs)
+  }
+
+  // ------------------------------------------------- spark plumbing
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("timestamp_scale", LongType),
+    StructField("n_tracks", IntegerType),
+    StructField("n_clusters", IntegerType),
+    StructField("n_video_blocks", IntegerType),
+    StructField("n_audio_blocks", IntegerType),
+    StructField("n_keyframes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_y_ac_qi", LongType),
+    StructField("opus_channels", IntegerType),
+    StructField("n_stereo", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** ids → parsed WebM features over the closed-form fixture.
+    * Per-doc map work — scan-stage cost at any corpus size. */
+  def webmFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = parse(synth(d))
+        Row(d, m.timestampScale, m.nTracks, m.nClusters, m.nVideoBlocks,
+          m.nAudioBlocks, m.nKeyframes, m.width, m.height, m.sumYAcQi,
+          m.opusChannels.orNull, m.nStereo, m.durationMs)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -1173,29 +1173,37 @@ object Webp {
     riff(chunks.toSeq)
   }
 
-  /** Lossy shell: a real RFC 6386 keyframe header (tag, start code,
-    * dims) over an undecoded payload — the lossy boundary's walk. */
-  def synthLossy(d: Long): Array[Byte] = {
-    val w = (320 + d % 33).toInt
-    val h = (240 + d % 25).toInt
-    val ver = (d % 4).toInt
-    val part0 = (100 + d % 50).toInt
+  /** A raw RFC 6386 VP8 KEY frame: uncompressed header (tag, start
+    * code, 14-bit dims keyed on `dimSeed`) + a REAL bool-coded
+    * key-frame header keyed on `hdrSeed`, padded to the declared
+    * first-partition length (legal — the decoder reads only as far as
+    * the fields it wants; pads model macroblock data). Shared by the
+    * WebP lossy shell and the WebM SimpleBlock fixture, which pins one
+    * dim set per track while rotating the header per block. */
+  def synthVp8Frame(dimSeed: Long, hdrSeed: Long): Array[Byte] = {
+    val w = (320 + dimSeed % 33).toInt
+    val h = (240 + dimSeed % 25).toInt
+    val ver = (dimSeed % 4).toInt
+    val part0 = (100 + hdrSeed % 50).toInt
     val tag = (ver << 1) | (1 << 4) | (part0 << 5) // keyframe bit 0 = 0
     val out = new java.io.ByteArrayOutputStream()
     out.write(tag & 0xff); out.write((tag >> 8) & 0xff); out.write((tag >> 16) & 0xff)
     out.write(0x9d); out.write(0x01); out.write(0x2a)
     out.write(w & 0xff); out.write((w >> 8) & 0x3f)
     out.write(h & 0xff); out.write((h >> 8) & 0x3f)
-    // the first partition: a REAL bool-coded key-frame header, padded
-    // to the declared partition length (legal — the decoder reads
-    // only as far as the fields it wants; pads model macroblock data)
-    val hdr = encodeVp8Header(synthVp8Header(d))
+    val hdr = encodeVp8Header(synthVp8Header(hdrSeed))
     require(hdr.length <= part0,
       s"encoded VP8 header ${hdr.length} exceeds the declared $part0")
     out.write(hdr, 0, hdr.length)
-    (hdr.length until part0).foreach(i => out.write(((7 * d + i) % 256).toInt))
-    riff(Seq("VP8 " -> out.toByteArray))
+    (hdr.length until part0).foreach(i =>
+      out.write(((7 * hdrSeed + i) % 256).toInt))
+    out.toByteArray
   }
+
+  /** Lossy shell: a real RFC 6386 keyframe header (tag, start code,
+    * dims) over an undecoded payload — the lossy boundary's walk. */
+  def synthLossy(d: Long): Array[Byte] =
+    riff(Seq("VP8 " -> synthVp8Frame(d, d)))
 
   private val vp8HeaderSchema = StructType(Seq(
     StructField("id", LongType),

@@ -622,6 +622,13 @@ object ScaleBench {
         graft.operators.Webp.decodeFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // WebM/EBML walk (round 16): element vints + per-block VP8
+    // key-frame bool decode + Opus TOC — per-doc map work.
+    if (only.isEmpty || only.exists("webm_meta".contains)) {
+      time("webm_meta")(force(
+        graft.operators.Webm.webmFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // Ogg/Opus container walk (round 14): page CRCs + lacing packet
     // assembly + OpusHead — per-doc map work like the codec rows.
     if (only.isEmpty || only.exists("ogg_meta".contains)) {

@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Webm, Webp}
+
+class WebmSpec extends AnyFunSuite {
+
+  test("closed-form fixture parses to the oracle's exact fields") {
+    for (d <- 0L to 60L) {
+      val m = Webm.parse(Webm.synth(d))
+      assert(m.timestampScale == Webm.tickNs(d), s"d=$d scale")
+      assert(m.nTracks == (if (Webm.hasAudio(d)) 2 else 1), s"d=$d tracks")
+      assert(m.nClusters == Webm.nClusters(d), s"d=$d clusters")
+      val nv = (0 until Webm.nClusters(d)).map(Webm.nVideo(d, _)).sum
+      val na = (0 until Webm.nClusters(d)).map(Webm.nAudio(d, _)).sum
+      assert(m.nVideoBlocks == nv, s"d=$d video")
+      assert(m.nAudioBlocks == na, s"d=$d audio")
+      assert(m.nKeyframes == nv, s"d=$d keyframes")
+      assert(m.width == Webm.videoW(d) && m.height == Webm.videoH(d))
+      // every block's bool-coded VP8 header was decoded: yAcQi = s%128
+      val sq = (0 until Webm.nClusters(d)).flatMap { c =>
+        (0 until Webm.nVideo(d, c)).map(k => (d + 13L * c + 7L * k) % 128)
+      }.sum
+      assert(m.sumYAcQi == sq, s"d=$d sum_qi")
+      assert(m.opusChannels ==
+        (if (Webm.hasAudio(d)) Some(Webm.opusChannels(d)) else None))
+      val nst = (0 until Webm.nClusters(d)).flatMap { c =>
+        (0 until Webm.nAudio(d, c)).map(k => (d + k) % 2)
+      }.sum
+      assert(m.nStereo == nst, s"d=$d stereo")
+      assert(m.durationMs == Webm.durationMs(d), s"d=$d duration")
+    }
+  }
+
+  test("the walk rejects structural lies by name") {
+    // a muxer declaring wrong pixel dims: patch PixelWidth's payload.
+    // PixelWidth 0xB0 is unique in the stream head (before clusters).
+    val good = Webm.synth(4L)
+    def patch(find: Array[Byte], at: Int, to: Byte): Array[Byte] = {
+      val i = good.indexOfSlice(find)
+      assert(i >= 0, s"pattern not found")
+      val b = good.clone(); b(i + at) = to; b
+    }
+    // PixelWidth element: id 0xB0, size 0x82 (2 bytes), payload
+    val wIdx = good.indexOfSlice(Array(0xB0.toByte, 0x82.toByte))
+    assert(wIdx >= 0)
+    val lied = good.clone(); lied(wIdx + 2) = 0x07
+    val e1 = intercept[IllegalArgumentException](Webm.parse(lied))
+    assert(e1.getMessage.contains("disagrees with the declared track"),
+      e1.getMessage)
+    // keyframe flag cleared on a key VP8 frame -> both-direction check
+    val blkIdx = good.indexOfSlice(Array(0xA3.toByte))
+    assert(blkIdx >= 0)
+    // flags byte = id(1) + size(1-2) + track(1) + rel(2) + flags; find
+    // the first SimpleBlock whose flags byte is 0x80 and clear it
+    var found = false
+    var i = 0
+    var e2msg = ""
+    while (!found && i < good.length - 1) {
+      if ((good(i) & 0xff) == 0xA3) {
+        // candidate: try flipping the byte 5 ahead (1-byte size vint)
+        val b = good.clone()
+        val fl = i + 1 + 1 + 1 + 2
+        if (fl < b.length && (b(fl) & 0xff) == 0x80) {
+          b(fl) = 0x00
+          try { Webm.parse(b); () }
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("keyframe flag disagrees") =>
+              found = true; e2msg = e.getMessage
+            case _: RuntimeException => ()
+          }
+        }
+      }
+      i += 1
+    }
+    assert(found, s"no SimpleBlock keyframe-flag flip produced the " +
+      s"named rejection ($e2msg)")
+    // an undeclared track number: rewrite some SimpleBlock's 1-byte
+    // track vint to track 5 and require the NAMED rejection
+    var j = 0; var undeclared = false
+    while (!undeclared && j < good.length - 6) {
+      if ((good(j) & 0xff) == 0xA3 && (good(j + 2) & 0xff) == 0x81) {
+        val b = good.clone()
+        b(j + 2) = 0x85.toByte // track 5: never declared
+        try { Webm.parse(b); () }
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("undeclared track") =>
+            undeclared = true
+          case _: RuntimeException => ()
+        }
+      }
+      j += 1
+    }
+    assert(undeclared, "no track-vint rewrite produced the named rejection")
+    // unknown-size element (all-ones size vint) rejected by name
+    val segIdx = good.indexOfSlice(Array(0x18.toByte, 0x53.toByte,
+      0x80.toByte, 0x67.toByte))
+    assert(segIdx >= 0)
+    val b4 = good.clone()
+    // Segment size is a multi-byte vint; overwrite its lead byte with
+    // 1-byte all-ones (0xFF = unknown size)
+    b4(segIdx + 4) = 0xFF.toByte
+    val e4 = intercept[RuntimeException](Webm.parse(b4))
+    assert(e4.getMessage.contains("unknown-size") ||
+      e4.getMessage.contains("overruns") ||
+      e4.getMessage.contains("under-fill"), e4.getMessage)
+  }
+
+  test("Info.Duration is cross-checked against the video block ledger") {
+    val good = Webm.synth(2L)
+    // Duration element: id 0x4489, size 0x88, 8-byte float payload —
+    // flip a mantissa byte so the declared duration drifts
+    val i = good.indexOfSlice(Array(0x44.toByte, 0x89.toByte, 0x88.toByte))
+    assert(i >= 0)
+    val b = good.clone()
+    b(i + 3 + 6) = (b(i + 3 + 6) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](Webm.parse(b))
+    assert(e.getMessage.contains("Duration") ||
+      e.getMessage.contains("ledger"), e.getMessage)
+  }
+
+  test("OpusHead channel count is cross-checked against Channels") {
+    val good = Webm.synth(1L) // hasAudio(1): 1 % 3 != 2
+    assert(Webm.hasAudio(1L))
+    val i = good.indexOfSlice("OpusHead".getBytes("US-ASCII"))
+    assert(i >= 0)
+    val b = good.clone()
+    b(i + 9) = 7 // OpusHead channels byte
+    val e = intercept[IllegalArgumentException](Webm.parse(b))
+    assert(e.getMessage.contains("channels"), e.getMessage)
+  }
+
+  test("walk terminates loudly under random corruption") {
+    val rng = new scala.util.Random(1616)
+    for (trial <- 0 until 200) {
+      val b = Webm.synth((trial % 13).toLong).clone()
+      (0 to rng.nextInt(5)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Webm.parse(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
+
+  test("vp8 frame dims stay pinned while headers rotate per block") {
+    // the shared encoder invariant the Tracks cross-check relies on
+    for (d <- 0L until 10L; c <- 0 until 2; k <- 0 until 2) {
+      val f = Webp.synthVp8Frame(d, d + 13L * c + 7L * k)
+      val w = (f(6) & 0xff) | ((f(7) & 0x3f) << 8)
+      val h = (f(8) & 0xff) | ((f(9) & 0x3f) << 8)
+      assert(w == Webm.videoW(d) && h == Webm.videoH(d))
+      val hdr = Webp.parseVp8Header(f, 10)
+      assert(hdr.yAcQi == ((d + 13L * c + 7L * k) % 128).toInt)
+    }
+  }
+}
