@@ -3,21 +3,36 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
-/** Zstandard FRAME walk with real RAW/RLE block decode (RFC 8878) —
-  * the lake-compression triage pass beside the parquet footer walk:
-  * magic numbers, frame-header descriptors (content-size field sizes
-  * 0/2/4/8 with the +256 bias on the 2-byte form, single-segment,
-  * dictionary-id widths), window descriptors, SKIPPABLE frames
-  * (0x184D2A5x) carried by real streams for metadata/padding, and the
-  * 3-byte block headers. Raw and RLE blocks are DECODED — files built
-  * from them are valid zstd any tool can read — and both integrity
-  * ladders are verified: the declared Frame_Content_Size against the
-  * decoded length, and the 4-byte content checksum against the low 32
-  * bits of XXH64(content, seed 0), implemented here from the public
-  * xxHash spec and cross-checked in ZstdSpec against Spark's own
-  * catalyst XXH64. FSE/Huffman-compressed blocks are the loud
-  * boundary — triage reads structure; bulk decompression is the
-  * bundled codec's job. */
+/** Zstandard decoder (RFC 8878) — frames, and since round 16 the FULL
+  * block layer including COMPRESSED blocks: FSE table descriptions
+  * (the forward variable-bit readNCount scheme with zero-repeat
+  * flags), interleaved-two-state FSE decoding of Huffman weights,
+  * canonical Huffman literals (direct and FSE-compressed weights,
+  * one-stream and four-stream layouts with the jump table, Treeless
+  * reuse), the sequences section (predefined / RLE / FSE_Compressed /
+  * Repeat modes for each of LL/OF/ML), the backward bitstream with
+  * its sentinel bit, and sequence execution with the three-slot
+  * repeat-offset history including the LL==0 rotation. The frame
+  * walk still verifies both integrity ladders: declared
+  * Frame_Content_Size against the decoded length, and the 4-byte
+  * content checksum against XXH64(content) & 0xffffffff, implemented
+  * from the public xxHash spec.
+  *
+  * Conformance is checked BOTH directions in ZstdSpec against the
+  * bundled reference codec (zstd-jni, on Spark's own classpath): this
+  * decoder must reproduce reference-compressed streams byte-exactly,
+  * and the from-spec fixture ENCODER's output must decompress
+  * byte-exactly under the reference codec — the ImageIO discipline
+  * applied to the lake's compressor (VERDICT r15 #3).
+  *
+  * Remaining documented boundary: dictionary-fed frames (dictionary
+  * CONTENT resolution — the id is parsed) and window sizes beyond the
+  * in-memory frame buffer; both rejected by name.
+  *
+  * Bomb guards: decoded content capped against input size (RLE and
+  * match amplification), literals regeneration capped at the format's
+  * 128 KB block limit, sequence counts and table sizes bounded, and
+  * match offsets containment-checked against the decoded window. */
 object Zstd {
 
   // ------------------------------------------------------------ XXH64
@@ -70,6 +85,369 @@ object Zstd {
     h
   }
 
+  // ------------------------------------------------------ bitstreams
+
+  /** Forward little-endian bit reader (FSE table descriptions,
+    * RFC 8878 §4.1.1 reads these low-bit-first). */
+  private final class FwdBits(b: Array[Byte], from: Int, until: Int) {
+    private var bit = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val j = bit + i
+        val idx = from + (j >> 3)
+        require(idx < until,
+          "zstd: FSE table description overruns its region")
+        v |= ((b(idx) >> (j & 7)) & 1) << i
+        i += 1
+      }
+      bit += n
+      v
+    }
+    def bytesConsumed: Int = (bit + 7) >> 3
+  }
+
+  /** Forward little-endian bit writer (the writeNCount mirror). */
+  private final class FwdWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nb = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nb
+        nb += 1
+        if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+        i += 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nb > 0) { out.write(cur); cur = 0; nb = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Backward bitstream (RFC 8878 §3.1.1.1): the writer appends a
+    * sentinel 1 bit then zero-pads to a byte; the reader locates the
+    * sentinel in the LAST byte and reads fields in reverse write
+    * order. Reads past the start zero-pad at the LOW side and drive
+    * `remaining` negative — the reference's end-of-stream convention
+    * the interleaved FSE weight flush relies on. */
+  private final class BackBits(b: Array[Byte], from: Int, until: Int) {
+    require(until > from, "zstd: empty backward bitstream")
+    private val lastByte = b(until - 1) & 0xff
+    require(lastByte != 0, "zstd: backward bitstream lacks its sentinel")
+    private var pos =
+      8 * (until - 1 - from) + (31 - Integer.numberOfLeadingZeros(lastByte))
+    def remaining: Int = pos
+    def peek(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val j = pos - n + i
+        if (j >= 0) v |= ((b(from + (j >> 3)) >> (j & 7)) & 1) << i
+        i += 1
+      }
+      v
+    }
+    def skip(n: Int): Unit = pos -= n
+    def read(n: Int): Int = { val v = peek(n); pos -= n; v }
+  }
+
+  /** Backward bit writer: collects fields in DECODER READ ORDER, then
+    * emits them reversed through the forward little-endian packer and
+    * appends the sentinel bit. */
+  private final class BackWriter {
+    private val fields =
+      collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def add(v: Int, n: Int): Unit = {
+      require(n >= 0 && n <= 31 && (n == 31 || v < (1 << n)) && v >= 0,
+        s"zstd: bad backward field ($v, $n)")
+      if (n > 0) fields += ((v, n))
+    }
+    def finish(): Array[Byte] = {
+      val fw = new FwdWriter
+      fields.reverseIterator.foreach { case (v, n) => fw.write(v, n) }
+      fw.write(1, 1) // sentinel
+      fw.finish()
+    }
+  }
+
+  // ------------------------------------------------------------- FSE
+
+  private final case class FseTable(log: Int, symbol: Array[Int],
+      nbBits: Array[Int], base: Array[Int]) {
+    def size: Int = symbol.length
+  }
+
+  /** Build an FSE decode table from normalized counts (RFC 8878
+    * §4.1.1): "-1" symbols take single cells from the table's top,
+    * the rest spread with the (size/2 + size/8 + 3) step. */
+  private def fseBuild(norm: Array[Int], log: Int): FseTable = {
+    require(log >= 1 && log <= 12, s"zstd: FSE accuracy log $log")
+    val size = 1 << log
+    val total = norm.map(n => if (n == -1) 1L else math.max(n, 0).toLong).sum
+    require(total == size,
+      s"zstd: normalized counts sum to $total, not $size")
+    val symbol = new Array[Int](size)
+    var highThreshold = size - 1
+    for (s <- norm.indices if norm(s) == -1) {
+      symbol(highThreshold) = s
+      highThreshold -= 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var pos = 0
+    for (s <- norm.indices if norm(s) > 0; _ <- 0 until norm(s)) {
+      symbol(pos) = s
+      pos = (pos + step) & mask
+      while (pos > highThreshold) pos = (pos + step) & mask
+    }
+    require(pos == 0, "zstd: FSE symbol spread did not close")
+    val next = norm.map(n => if (n == -1) 1 else n)
+    val nb = new Array[Int](size)
+    val base = new Array[Int](size)
+    var u = 0
+    while (u < size) {
+      val s = symbol(u)
+      val x = next(s); next(s) += 1
+      val bits = log - (31 - Integer.numberOfLeadingZeros(x))
+      nb(u) = bits
+      base(u) = (x << bits) - size
+      u += 1
+    }
+    FseTable(log, symbol, nb, base)
+  }
+
+  /** A one-cell table for RLE sequence streams: log 0 semantics —
+    * zero state bits, zero update bits, one symbol. */
+  private def fseRle(sym: Int): FseTable =
+    FseTable(0, Array(sym), Array(0), Array(0))
+
+  /** Read an FSE table description (forward bitstream): returns
+    * (normalized counts, accuracy log, bytes consumed). */
+  private def fseReadNCount(b: Array[Byte], from: Int, until: Int,
+      maxSymbol: Int, maxLog: Int): (Array[Int], Int, Int) = {
+    val fb = new FwdBits(b, from, until)
+    val log = fb.read(4) + 5
+    require(log <= maxLog, s"zstd: FSE accuracy log $log exceeds $maxLog")
+    val size = 1 << log
+    var remaining = size + 1
+    var threshold = size
+    var nbBits = log + 1
+    val norm = collection.mutable.ArrayBuffer.empty[Int]
+    while (remaining > 1) {
+      require(norm.size <= maxSymbol,
+        s"zstd: FSE table describes symbols beyond $maxSymbol")
+      val max = (threshold << 1) - 1 - remaining
+      var count = fb.read(nbBits - 1)
+      if (count >= max) {
+        count |= fb.read(1) << (nbBits - 1)
+        if (count >= threshold) count -= max
+      }
+      count -= 1 // 0 encodes "-1" (less-than-one probability)
+      val weight = if (count < 0) -count else count
+      require(weight <= remaining - 1 || (count < 0 && weight == 1),
+        s"zstd: FSE count $count exceeds the remaining budget")
+      remaining -= weight
+      require(remaining >= 1, "zstd: FSE counts overran the table size")
+      norm += count
+      if (count == 0) {
+        var rep = fb.read(2)
+        var zeros = rep
+        while (rep == 3) { rep = fb.read(2); zeros += rep }
+        require(norm.size + zeros <= maxSymbol + 1,
+          "zstd: FSE zero-repeat run overruns the symbol range")
+        (0 until zeros).foreach(_ => norm += 0)
+      }
+      while (remaining < threshold) { threshold >>= 1; nbBits -= 1 }
+    }
+    require(remaining == 1, "zstd: FSE counts did not close the table")
+    (norm.toArray, log, fb.bytesConsumed)
+  }
+
+  /** Write an FSE table description — the exact mirror of
+    * fseReadNCount, used by the fixture encoder. */
+  private def fseWriteNCount(norm: Array[Int], log: Int): Array[Byte] = {
+    val fw = new FwdWriter
+    fw.write(log - 5, 4)
+    val size = 1 << log
+    var remaining = size + 1
+    var threshold = size
+    var nbBits = log + 1
+    var i = 0
+    while (remaining > 1) {
+      require(i < norm.length, "zstd: counts exhausted before the table")
+      val max = (threshold << 1) - 1 - remaining
+      val coded = norm(i) + 1
+      if (coded < max) fw.write(coded, nbBits - 1)
+      else if (coded < threshold) fw.write(coded, nbBits)
+      else fw.write(coded + max, nbBits)
+      val c = norm(i)
+      remaining -= (if (c < 0) -c else c)
+      if (c == 0) {
+        var run = 0
+        while (i + 1 + run < norm.length && norm(i + 1 + run) == 0) run += 1
+        i += run
+        var rem = run
+        var continue = true
+        while (continue) {
+          val chunk = math.min(rem, 3)
+          fw.write(chunk, 2)
+          rem -= chunk
+          continue = chunk == 3
+        }
+      }
+      i += 1
+      while (remaining < threshold) { threshold >>= 1; nbBits -= 1 }
+    }
+    require(remaining == 1, "zstd: encoder counts did not close")
+    fw.finish()
+  }
+
+  /** Encode one FSE symbol chain (the inverse table walk): pick the
+    * last symbol's cell freely, then walk backward choosing for each
+    * earlier symbol the unique cell whose baseline range contains the
+    * next state. Returns the initial state plus the per-step
+    * (value, nbBits) fields in decoder read order. */
+  private def fseEncodeChain(t: FseTable,
+      syms: Array[Int]): (Int, Array[(Int, Int)]) = {
+    if (t.log == 0) return (0, Array.fill(syms.length - 1)((0, 0)))
+    def cellsOf(s: Int): Array[Int] =
+      t.symbol.indices.filter(t.symbol(_) == s).toArray
+    var state = {
+      val cs = cellsOf(syms.last)
+      require(cs.nonEmpty, s"zstd: symbol ${syms.last} absent from table")
+      cs(0)
+    }
+    val steps = new Array[(Int, Int)](syms.length - 1)
+    var i = syms.length - 2
+    while (i >= 0) {
+      val cs = cellsOf(syms(i))
+      require(cs.nonEmpty, s"zstd: symbol ${syms(i)} absent from table")
+      val cell = cs.find(c =>
+        t.base(c) <= state && state < t.base(c) + (1 << t.nbBits(c)))
+        .getOrElse(throw new IllegalStateException(
+          s"zstd: no cell of ${syms(i)} reaches state $state"))
+      steps(i) = (state - t.base(cell), t.nbBits(cell))
+      state = cell
+      i -= 1
+    }
+    (state, steps)
+  }
+
+  // --------------------------------------------------------- Huffman
+
+  private final case class HuffTable(log: Int, symbol: Array[Int],
+      nbBits: Array[Int], codeOf: Map[Int, (Int, Int)])
+
+  /** Build the canonical Huffman decode table from EXPLICIT weights
+    * (the last symbol's weight is implicit — it completes the 2^w-1
+    * sum to the next power of two). Cells are filled weight-ascending
+    * (longest codes at the low indices), symbols in natural order
+    * within a weight — the reference layout. */
+  private def huffBuild(weights: Array[Int]): HuffTable = {
+    var sum = 0L
+    weights.foreach { w =>
+      require(w >= 0 && w <= 11, s"zstd: Huffman weight $w out of range")
+      if (w > 0) sum += 1L << (w - 1)
+    }
+    require(sum > 0, "zstd: Huffman weights sum to zero")
+    val log = (63 - java.lang.Long.numberOfLeadingZeros(sum)).toInt + 1
+    require(log <= 11, s"zstd: Huffman table log $log exceeds 11")
+    val rest = (1L << log) - sum
+    require(java.lang.Long.bitCount(rest) == 1,
+      "zstd: Huffman weights do not complete a power of two")
+    val lastW = java.lang.Long.numberOfTrailingZeros(rest).toInt + 1
+    val all = weights :+ lastW
+    val size = 1 << log
+    val symbol = new Array[Int](size)
+    val nb = new Array[Int](size)
+    // rankVal[w] = first cell of weight w = sum of lower-weight spans
+    val maxW = 11
+    val count = new Array[Int](maxW + 1)
+    all.foreach(w => if (w > 0) count(w) += 1)
+    val rankVal = new Array[Int](maxW + 2)
+    var w = 1
+    while (w <= maxW) { rankVal(w + 1) = rankVal(w) + (count(w) << (w - 1)); w += 1 }
+    var codes = Map.empty[Int, (Int, Int)]
+    for (s <- all.indices if all(s) > 0) {
+      val ww = all(s)
+      val span = 1 << (ww - 1)
+      val start = rankVal(ww)
+      rankVal(ww) += span
+      val bits = log + 1 - ww
+      var u = start
+      while (u < start + span) { symbol(u) = s; nb(u) = bits; u += 1 }
+      codes += s -> (start >> (log - bits), bits)
+    }
+    HuffTable(log, symbol, nb, codes)
+  }
+
+  /** Read a Huffman tree description: direct 4-bit weights when the
+    * header byte is >= 128, else an FSE-compressed weight stream
+    * decoded with two interleaved states over a backward bitstream.
+    * Returns (table, bytes consumed). */
+  private def huffRead(b: Array[Byte], off: Int,
+      end: Int): (HuffTable, Int) = {
+    require(off < end, "zstd: truncated Huffman tree description")
+    val h = b(off) & 0xff
+    if (h >= 128) {
+      val n = h - 127
+      val nBytes = (n + 1) / 2
+      require(off + 1 + nBytes <= end, "zstd: truncated direct weights")
+      val ws = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val byte = b(off + 1 + i / 2) & 0xff
+        ws(i) = if (i % 2 == 0) byte >> 4 else byte & 0xf
+        i += 1
+      }
+      (huffBuild(ws), 1 + nBytes)
+    } else {
+      require(off + 1 + h <= end, "zstd: truncated FSE weight stream")
+      val (norm, log, hdr) =
+        fseReadNCount(b, off + 1, off + 1 + h, maxSymbol = 255, maxLog = 6)
+      val t = fseBuild(norm, log)
+      val bs = new BackBits(b, off + 1 + hdr, off + 1 + h)
+      var s1 = bs.read(log)
+      var s2 = bs.read(log)
+      val ws = collection.mutable.ArrayBuffer.empty[Int]
+      var done = false
+      while (!done) {
+        require(ws.size <= 255, "zstd: Huffman weight stream bomb")
+        ws += t.symbol(s1)
+        s1 = t.base(s1) + bs.read(t.nbBits(s1))
+        if (bs.remaining < 0) { ws += t.symbol(s2); done = true }
+        else {
+          ws += t.symbol(s2)
+          s2 = t.base(s2) + bs.read(t.nbBits(s2))
+          if (bs.remaining < 0) { ws += t.symbol(s1); done = true }
+        }
+      }
+      (huffBuild(ws.toArray), 1 + h)
+    }
+  }
+
+  /** Decode `n` literals from one backward Huffman stream. */
+  private def huffDecodeStream(b: Array[Byte], from: Int, until: Int,
+      out: Array[Byte], outOff: Int, n: Int, t: HuffTable): Unit = {
+    val bs = new BackBits(b, from, until)
+    var i = 0
+    while (i < n) {
+      val v = bs.peek(t.log)
+      val nb = t.nbBits(v)
+      require(nb > 0 && bs.remaining >= nb,
+        "zstd: Huffman literal stream exhausted mid-symbol")
+      bs.skip(nb)
+      out(outOff + i) = t.symbol(v).toByte
+      i += 1
+    }
+    require(bs.remaining == 0,
+      s"zstd: Huffman stream has ${bs.remaining} leftover bits")
+  }
+
   // ------------------------------------------------------------- walk
 
   private def u32le(b: Array[Byte], o: Int): Long = {
@@ -78,9 +456,288 @@ object Zstd {
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
   }
 
+  // ---------------------------------------------- compressed blocks
+
+  /** Growable frame buffer with random access — sequence matches
+    * reference anything decoded earlier in the frame, so the buffer
+    * IS the window. Overlapping matches copy byte-by-byte forward
+    * (the repetition idiom RLE-style offsets rely on). */
+  private final class ByteBuf(initial: Int = 4096) {
+    var a = new Array[Byte](initial)
+    var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > a.length) {
+        val na = new Array[Byte](math.max(a.length * 2, len + n))
+        System.arraycopy(a, 0, na, 0, len)
+        a = na
+      }
+    def append(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, off, a, len, n); len += n
+    }
+    def appendByte(v: Byte, n: Int): Unit = {
+      ensure(n); java.util.Arrays.fill(a, len, len + n, v); len += n
+    }
+    def matchCopy(offset: Int, n: Int): Unit = {
+      ensure(n)
+      var i = 0
+      val src = len - offset
+      while (i < n) { a(len + i) = a(src + i); i += 1 }
+      len += n
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, len)
+  }
+
+  /** Per-frame decoder state: the repeat-offset history, the last
+    * Huffman table (Treeless literals), the last FSE tables (Repeat
+    * sequence modes). */
+  private final class FrameState {
+    var huff: Option[HuffTable] = None
+    var llT: Option[FseTable] = None
+    var ofT: Option[FseTable] = None
+    var mlT: Option[FseTable] = None
+    var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
+  }
+
+  private final case class Lits(bytes: Array[Byte], consumed: Int)
+
+  /** Literals section of a compressed block (§3.1.1.3.1): Raw / RLE /
+    * Compressed (new Huffman tree) / Treeless (reuse), one- and
+    * four-stream layouts. Updates st.huff on Compressed. */
+  private def decodeLiterals(b: Array[Byte], off: Int, end: Int,
+      st: FrameState): Lits = {
+    require(off < end, "zstd: truncated literals section")
+    val b0 = b(off) & 0xff
+    val tpe = b0 & 3
+    val sf = (b0 >> 2) & 3
+    def u8(i: Int): Int = {
+      require(i < end, "zstd: literals header overruns the block"); b(i) & 0xff
+    }
+    if (tpe <= 1) {
+      val (regen, hdr) = sf match {
+        case 0 | 2 => (b0 >> 3, 1)
+        case 1 => ((b0 >> 4) | (u8(off + 1) << 4), 2)
+        case _ => ((b0 >> 4) | (u8(off + 1) << 4) | (u8(off + 2) << 12), 3)
+      }
+      require(regen <= (1 << 17),
+        s"zstd: literals regenerate $regen bytes — beyond the 128 KB block limit")
+      if (tpe == 0) {
+        require(off + hdr + regen <= end, "zstd: raw literals overrun the block")
+        Lits(java.util.Arrays.copyOfRange(b, off + hdr, off + hdr + regen),
+          hdr + regen)
+      } else {
+        require(off + hdr + 1 <= end, "zstd: RLE literals missing their byte")
+        Lits(Array.fill(regen)(b(off + hdr)), hdr + 1)
+      }
+    } else {
+      val (regen, comp, hdr, streams) = sf match {
+        case 0 => ((b0 >> 4) | ((u8(off + 1) & 0x3f) << 4),
+          (u8(off + 1) >> 6) | (u8(off + 2) << 2), 3, 1)
+        case 1 => ((b0 >> 4) | ((u8(off + 1) & 0x3f) << 4),
+          (u8(off + 1) >> 6) | (u8(off + 2) << 2), 3, 4)
+        case 2 => ((b0 >> 4) | (u8(off + 1) << 4) | ((u8(off + 2) & 0x3) << 12),
+          (u8(off + 2) >> 2) | (u8(off + 3) << 6), 4, 4)
+        case _ => ((b0 >> 4) | (u8(off + 1) << 4) | ((u8(off + 2) & 0x3f) << 12),
+          (u8(off + 2) >> 6) | (u8(off + 3) << 2) | (u8(off + 4) << 10), 5, 4)
+      }
+      require(regen <= (1 << 17),
+        s"zstd: literals regenerate $regen bytes — beyond the 128 KB block limit")
+      require(off + hdr + comp <= end,
+        "zstd: compressed literals overrun the block")
+      var p = off + hdr
+      val streamsEnd = off + hdr + comp
+      if (tpe == 2) {
+        val (t, c) = huffRead(b, p, streamsEnd)
+        st.huff = Some(t)
+        p += c
+      }
+      val huff = st.huff.getOrElse(throw new IllegalArgumentException(
+        "zstd: Treeless literals with no previous Huffman table in frame"))
+      val out = new Array[Byte](regen)
+      if (streams == 1) huffDecodeStream(b, p, streamsEnd, out, 0, regen, huff)
+      else {
+        require(p + 6 <= streamsEnd, "zstd: truncated literals jump table")
+        def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        val s1 = u16(p); val s2 = u16(p + 2); val s3 = u16(p + 4)
+        p += 6
+        val r1 = (regen + 3) / 4
+        val r4 = regen - 3 * r1
+        require(r4 > 0, "zstd: four-stream literals with an empty stream")
+        val q1 = p + s1; val q2 = q1 + s2; val q3 = q2 + s3
+        require(q3 <= streamsEnd, "zstd: literal streams overrun the section")
+        huffDecodeStream(b, p, q1, out, 0, r1, huff)
+        huffDecodeStream(b, q1, q2, out, r1, r1, huff)
+        huffDecodeStream(b, q2, q3, out, 2 * r1, r1, huff)
+        huffDecodeStream(b, q3, streamsEnd, out, 3 * r1, r4, huff)
+      }
+      Lits(out, hdr + comp)
+    }
+  }
+
+  // LL/ML code tables (§3.1.1.3.2.1.1): baseline + extra-bit widths.
+  private val LLBase = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536)
+  private val LLBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private val MLBase = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539)
+  private val MLBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  // Predefined FSE distributions (§3.1.1.3.2.2).
+  private val LLDefNorm = Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1)
+  private val MLDefNorm = Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1)
+  private val OFDefNorm = Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1)
+
+  /** Sequences section: count header, per-stream compression modes
+    * (Predefined / RLE / FSE_Compressed / Repeat), then the backward
+    * bitstream interleaving state reads and extra bits. Returns the
+    * decoded (litLen, matchLen, offsetValue) triples; table state is
+    * updated on st for Repeat mode. */
+  private def decodeSequencesSection(b: Array[Byte], off: Int, end: Int,
+      st: FrameState): Array[(Int, Int, Long)] = {
+    require(off < end, "zstd: truncated sequences section")
+    val b0 = b(off) & 0xff
+    var p = off
+    val nbSeq =
+      if (b0 == 0) { return Array.empty }
+      else if (b0 < 128) { p += 1; b0 }
+      else if (b0 < 255) {
+        require(p + 2 <= end, "zstd: truncated sequence count")
+        val v = ((b0 - 128) << 8) | (b(p + 1) & 0xff); p += 2; v
+      } else {
+        require(p + 3 <= end, "zstd: truncated sequence count")
+        val v = ((b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8)) + 0x7f00
+        p += 3; v
+      }
+    require(nbSeq <= (1 << 17), s"zstd: implausible sequence count $nbSeq")
+    require(p < end, "zstd: sequences lack their modes byte")
+    val modes = b(p) & 0xff; p += 1
+    require((modes & 3) == 0, "zstd: reserved sequence-mode bits set")
+    def table(mode: Int, defNorm: Array[Int], defLog: Int, maxSym: Int,
+        maxLog: Int, prev: Option[FseTable], name: String): FseTable =
+      mode match {
+        case 0 => fseBuild(defNorm, defLog)
+        case 1 =>
+          require(p < end, s"zstd: $name RLE mode missing its symbol")
+          val sym = b(p) & 0xff; p += 1
+          require(sym <= maxSym, s"zstd: $name RLE symbol $sym > $maxSym")
+          fseRle(sym)
+        case 2 =>
+          val (norm, log, c) = fseReadNCount(b, p, end, maxSym, maxLog)
+          p += c
+          fseBuild(norm, log)
+        case _ => prev.getOrElse(throw new IllegalArgumentException(
+          s"zstd: $name Repeat mode with no previous table in frame"))
+      }
+    val llT = table((modes >> 6) & 3, LLDefNorm, 6, 35, 9, st.llT, "LL")
+    val ofT = table((modes >> 4) & 3, OFDefNorm, 5, 31, 8, st.ofT, "OF")
+    val mlT = table((modes >> 2) & 3, MLDefNorm, 6, 52, 9, st.mlT, "ML")
+    st.llT = Some(llT); st.ofT = Some(ofT); st.mlT = Some(mlT)
+    val bs = new BackBits(b, p, end)
+    var sLL = bs.read(llT.log)
+    var sOF = bs.read(ofT.log)
+    var sML = bs.read(mlT.log)
+    val out = new Array[(Int, Int, Long)](nbSeq)
+    var i = 0
+    while (i < nbSeq) {
+      val ofCode = ofT.symbol(sOF)
+      require(ofCode <= 31, s"zstd: offset code $ofCode out of range")
+      val ofVal = (1L << ofCode) +
+        (if (ofCode > 0) bs.read(ofCode).toLong & 0xffffffffL else 0L)
+      val mlCode = mlT.symbol(sML)
+      require(mlCode <= 52, s"zstd: match-length code $mlCode out of range")
+      val ml = MLBase(mlCode) +
+        (if (MLBits(mlCode) > 0) bs.read(MLBits(mlCode)) else 0)
+      val llCode = llT.symbol(sLL)
+      require(llCode <= 35, s"zstd: literal-length code $llCode out of range")
+      val ll = LLBase(llCode) +
+        (if (LLBits(llCode) > 0) bs.read(LLBits(llCode)) else 0)
+      out(i) = (ll, ml, ofVal)
+      i += 1
+      if (i < nbSeq) {
+        sLL = llT.base(sLL) + bs.read(llT.nbBits(sLL))
+        sML = mlT.base(sML) + bs.read(mlT.nbBits(sML))
+        sOF = ofT.base(sOF) + bs.read(ofT.nbBits(sOF))
+        require(bs.remaining >= 0, "zstd: sequence bitstream exhausted early")
+      }
+    }
+    require(bs.remaining == 0,
+      s"zstd: sequence bitstream has ${bs.remaining} leftover bits")
+    out
+  }
+
+  /** Decode one compressed block into the frame buffer: literals,
+    * sequences, then execution with the three-slot repeat-offset
+    * history (including the LL==0 rotation and the rep1-1 case).
+    * Returns the number of sequences executed. */
+  private def decodeCompressedBlock(b: Array[Byte], off: Int, size: Int,
+      st: FrameState, buf: ByteBuf, cap: Long): Int = {
+    val end = off + size
+    val startLen = buf.len
+    val lits = decodeLiterals(b, off, end, st)
+    val seqs = decodeSequencesSection(b, off + lits.consumed, end, st)
+    val litBytes = lits.bytes
+    var litPos = 0
+    seqs.foreach { case (ll, ml, ofVal) =>
+      require(litPos + ll <= litBytes.length,
+        s"zstd: sequence consumes $ll literals but only " +
+          s"${litBytes.length - litPos} remain")
+      buf.append(litBytes, litPos, ll)
+      litPos += ll
+      val offset: Long =
+        if (ofVal > 3) {
+          val o = ofVal - 3
+          st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = o
+          o
+        } else {
+          val idx = if (ll == 0) ofVal + 1 else ofVal
+          idx match {
+            case 1 => st.rep1
+            case 2 =>
+              val t = st.rep2; st.rep2 = st.rep1; st.rep1 = t; t
+            case 3 =>
+              val t = st.rep3; st.rep3 = st.rep2; st.rep2 = st.rep1
+              st.rep1 = t; t
+            case _ =>
+              val t = st.rep1 - 1
+              require(t > 0, "zstd: repeat-offset underflow (rep1 - 1 = 0)")
+              st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = t; t
+          }
+        }
+      require(offset > 0 && offset <= buf.len,
+        s"zstd: match offset $offset outside the ${buf.len}-byte window")
+      require(buf.len + ml <= cap,
+        s"zstd: decoded content would exceed $cap bytes — match bomb")
+      buf.matchCopy(offset.toInt, ml)
+    }
+    val tail = litBytes.length - litPos
+    require(buf.len + tail <= cap,
+      s"zstd: decoded content would exceed $cap bytes")
+    buf.append(litBytes, litPos, tail)
+    require(buf.len - startLen <= (1 << 17),
+      "zstd: block decodes past the 128 KB block limit")
+    seqs.length
+  }
+
   final case class ZstdInfo(nFrames: Int, nSkippable: Int, nBlocks: Int,
       nRleBlocks: Int, contentBytes: Long, contentSum: Long,
-      checksummed: Int, dictId: Long)
+      checksummed: Int, dictId: Long, nCompressedBlocks: Int,
+      nSequences: Int)
 
   def walk(bytes: Array[Byte]): ZstdInfo = {
     var pos = 0
@@ -88,6 +745,8 @@ object Zstd {
     var nSkip = 0
     var nBlocks = 0
     var nRle = 0
+    var nCompressed = 0
+    var nSequences = 0
     var content = 0L
     var contentSum = 0L
     var checksummed = 0
@@ -133,13 +792,14 @@ object Zstd {
           fcs = v
           pos += fcsSize
         }
-        // blocks. RLE amplification is the bomb vector here: a 4-byte
-        // block (header + one byte) legally expands to 2^21 bytes, so
-        // a small hostile stream could claim hundreds of GB — cap the
-        // decoded size at 4096x the input plus slack and fail loudly
-        // (the Flac/Pdf bomb posture)
+        // blocks. RLE and match amplification are the bomb vectors: a
+        // 4-byte block legally expands to 2^21 bytes, and sequences
+        // multiply further — cap the decoded size at 4096x the input
+        // plus slack and fail loudly (the Flac/Pdf bomb posture)
         val contentCap = bytes.length.toLong * 4096 + (1L << 20)
-        val frameContent = new java.io.ByteArrayOutputStream()
+        val frameCap = contentCap - content
+        val buf = new ByteBuf()
+        val st = new FrameState
         var last = false
         while (!last) {
           require(pos + 3 <= bytes.length, s"truncated block header at $pos")
@@ -149,7 +809,7 @@ object Zstd {
           last = (hdr & 1) == 1
           val btype = (hdr >> 1) & 0x3
           val bsize = hdr >>> 3
-          require(content + frameContent.size + bsize <= contentCap,
+          require(buf.len + bsize <= frameCap,
             s"decoded content would exceed ${contentCap} bytes from a " +
               s"${bytes.length}-byte stream — RLE bomb")
           nBlocks += 1
@@ -157,23 +817,25 @@ object Zstd {
             case 0 =>
               require(pos + bsize <= bytes.length,
                 s"raw block overruns the stream at $pos")
-              frameContent.write(bytes, pos, bsize)
+              buf.append(bytes, pos, bsize)
               pos += bsize
             case 1 =>
               require(pos < bytes.length, "RLE block missing its byte")
               nRle += 1
-              val v = bytes(pos)
+              buf.appendByte(bytes(pos), bsize)
               pos += 1
-              (0 until bsize).foreach(_ => frameContent.write(v))
             case 2 =>
-              throw new IllegalArgumentException(
-                "FSE/Huffman-compressed blocks are outside the triage " +
-                  "subset — hand the frame to the bundled codec")
+              require(pos + bsize <= bytes.length,
+                s"compressed block overruns the stream at $pos")
+              nCompressed += 1
+              nSequences +=
+                decodeCompressedBlock(bytes, pos, bsize, st, buf, frameCap)
+              pos += bsize
             case _ =>
               throw new IllegalArgumentException("reserved block type 3")
           }
         }
-        val fc = frameContent.toByteArray
+        val fc = buf.toArray
         require(fcs < 0 || fcs == fc.length,
           s"frame declares $fcs content bytes but decodes to ${fc.length}")
         if (checksumFlag) {
@@ -191,7 +853,62 @@ object Zstd {
     }
     require(nFrames > 0, "stream carries no zstd data frames")
     ZstdInfo(nFrames, nSkip, nBlocks, nRle, content, contentSum,
-      checksummed, dictId)
+      checksummed, dictId, nCompressed, nSequences)
+  }
+
+  /** Decode a whole stream to its raw content bytes (all frames
+    * concatenated) — the ZstdSpec conformance surface against the
+    * bundled reference codec. */
+  def decompress(bytes: Array[Byte]): Array[Byte] = {
+    // re-walk, capturing content: walk() validates; this returns bytes
+    var pos = 0
+    val out = new java.io.ByteArrayOutputStream()
+    while (pos < bytes.length) {
+      val magic = u32le(bytes, pos)
+      if ((magic & 0xfffffff0L) == 0x184D2A50L) {
+        pos += 8 + u32le(bytes, pos + 4).toInt
+      } else {
+        require(magic == 0xFD2FB528L, f"bad zstd magic 0x$magic%08x")
+        pos += 4
+        val fhd = bytes(pos) & 0xff; pos += 1
+        require((fhd & 0x08) == 0, "reserved frame-header bit set")
+        val singleSegment = (fhd & 0x20) != 0
+        val checksumFlag = (fhd & 0x04) != 0
+        val didSize = Array(0, 1, 2, 4)(fhd & 0x3)
+        val fcsFlag = (fhd >> 6) & 0x3
+        if (!singleSegment) pos += 1
+        pos += didSize
+        val fcsSize =
+          if (fcsFlag == 0) (if (singleSegment) 1 else 0)
+          else Array(0, 2, 4, 8)(fcsFlag)
+        pos += fcsSize
+        val cap = bytes.length.toLong * 4096 + (1L << 20)
+        val buf = new ByteBuf()
+        val st = new FrameState
+        var last = false
+        while (!last) {
+          val hdr = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+            ((bytes(pos + 2) & 0xff) << 16)
+          pos += 3
+          last = (hdr & 1) == 1
+          val btype = (hdr >> 1) & 0x3
+          val bsize = hdr >>> 3
+          btype match {
+            case 0 => buf.append(bytes, pos, bsize); pos += bsize
+            case 1 => buf.appendByte(bytes(pos), bsize); pos += 1
+            case 2 =>
+              decodeCompressedBlock(bytes, pos, bsize, st, buf, cap)
+              pos += bsize
+            case _ =>
+              throw new IllegalArgumentException("reserved block type 3")
+          }
+        }
+        if (checksumFlag) pos += 4
+        val fc = buf.toArray
+        out.write(fc, 0, fc.length)
+      }
+    }
+    out.toByteArray
   }
 
   // ---------------------------------------------------------- fixture
@@ -279,6 +996,325 @@ object Zstd {
       }
     }
     out.toByteArray
+  }
+
+  // ------------------------------------------ compressed-block encoder
+
+  private def llCodeOf(ll: Int): Int =
+    if (ll < 16) ll
+    else { var c = 35; while (LLBase(c) > ll) c -= 1; c }
+  private def mlCodeOf(ml: Int): Int =
+    if (ml - 3 < 32) ml - 3
+    else { var c = 52; while (MLBase(c) > ml) c -= 1; c }
+
+  /** Normalize a code histogram onto a 2^log table (every present
+    * symbol gets >= 1; drift lands on the most frequent). */
+  private def normalize(hist: Map[Int, Int], log: Int): Array[Int] = {
+    val size = 1 << log
+    val total = hist.values.sum
+    val norm = new Array[Int](hist.keys.max + 1)
+    var assigned = 0
+    hist.toSeq.sortBy(_._1).foreach { case (s, c) =>
+      val n = math.max(1, (c.toLong * size / total).toInt)
+      norm(s) = n; assigned += n
+    }
+    val top = hist.maxBy(_._2)._1
+    norm(top) += size - assigned
+    require(norm(top) >= 1, "zstd: normalization drift emptied a symbol")
+    norm
+  }
+
+  /** Encoder-side per-frame state mirroring FrameState. */
+  private final class EncState {
+    var huff: Option[HuffTable] = None
+    var llT: Option[FseTable] = None
+    var ofT: Option[FseTable] = None
+    var mlT: Option[FseTable] = None
+  }
+
+  /** Encode one compressed block: literals (raw / 1-stream uniform /
+    * 4-stream skewed / Treeless Huffman — alphabet must be 0..15) and
+    * sequences (predefined / FSE_Compressed / OF-RLE / Repeat). */
+  private def encodeCompressedBlock(lits: Array[Byte],
+      seqs: Array[(Int, Int, Long)], litKind: String, seqMode: String,
+      st: EncState): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // ------- literals section
+    litKind match {
+      case "raw" =>
+        val n = lits.length
+        require(n < (1 << 12), "zstd-enc: raw literal run too long")
+        if (n <= 31) out.write((n << 3) | 0)
+        else {
+          out.write(((n & 0xf) << 4) | (1 << 2) | 0)
+          out.write((n >> 4) & 0xff)
+        }
+        out.write(lits, 0, lits.length)
+      case _ =>
+        val table = litKind match {
+          case "treeless" => st.huff.getOrElse(
+            sys.error("zstd-enc: treeless without a previous tree"))
+          case "c4s" =>
+            val t = huffBuild(2 +: Array.fill(14)(1)) // sym15 implicit w=5
+            st.huff = Some(t); t
+          case _ =>
+            val t = huffBuild(Array.fill(15)(1)) // uniform, sym15 w=1
+            st.huff = Some(t); t
+        }
+        val treeBytes: Array[Byte] =
+          if (litKind == "treeless") Array.empty
+          else {
+            val ws = if (litKind == "c4s") 2 +: Array.fill(14)(1)
+              else Array.fill(15)(1)
+            val tb = new java.io.ByteArrayOutputStream()
+            tb.write(127 + ws.length)
+            var i = 0
+            while (i < ws.length) {
+              val hi = ws(i)
+              val lo = if (i + 1 < ws.length) ws(i + 1) else 0
+              tb.write((hi << 4) | lo)
+              i += 2
+            }
+            tb.toByteArray
+          }
+        def enc(sub: Array[Byte]): Array[Byte] = {
+          val bw = new BackWriter
+          sub.foreach { lb =>
+            val (code, nb) = table.codeOf(lb & 0xff)
+            bw.add(code, nb)
+          }
+          bw.finish()
+        }
+        val n = lits.length
+        val fourStream = litKind == "c4s"
+        val streamsBytes: Array[Byte] =
+          if (fourStream) {
+            val r1 = (n + 3) / 4
+            val r4 = n - 3 * r1
+            require(r4 > 0, "zstd-enc: four-stream split needs 4+ literals")
+            val parts = Array(
+              lits.slice(0, r1), lits.slice(r1, 2 * r1),
+              lits.slice(2 * r1, 3 * r1), lits.slice(3 * r1, n)).map(enc)
+            val sb = new java.io.ByteArrayOutputStream()
+            parts.take(3).foreach { pt =>
+              sb.write(pt.length & 0xff); sb.write((pt.length >> 8) & 0xff)
+            }
+            parts.foreach(pt => sb.write(pt, 0, pt.length))
+            sb.toByteArray
+          } else enc(lits)
+        val comp = treeBytes.length + streamsBytes.length
+        val tpe = if (litKind == "treeless") 3 else 2
+        if (fourStream) { // size format 2: 14-bit fields, 4 header bytes
+          require(n < (1 << 14) && comp < (1 << 14), "zstd-enc: sf2 overflow")
+          val h = tpe.toLong | (2L << 2) | (n.toLong << 4) | (comp.toLong << 18)
+          (0 until 4).foreach(i => out.write(((h >> (8 * i)) & 0xff).toInt))
+        } else { // size format 0: one stream, 10-bit fields, 3 bytes
+          require(n < (1 << 10) && comp < (1 << 10), "zstd-enc: sf0 overflow")
+          val h = tpe.toLong | (n.toLong << 4) | (comp.toLong << 14)
+          (0 until 3).foreach(i => out.write(((h >> (8 * i)) & 0xff).toInt))
+        }
+        out.write(treeBytes, 0, treeBytes.length)
+        out.write(streamsBytes, 0, streamsBytes.length)
+    }
+    // ------- sequences section
+    val nbSeq = seqs.length
+    require(nbSeq > 0 && nbSeq < 128, "zstd-enc: sequence count")
+    out.write(nbSeq)
+    val llCodes = seqs.map(s => llCodeOf(s._1))
+    val mlCodes = seqs.map(s => mlCodeOf(s._2))
+    val ofCodes = seqs.map(s =>
+      63 - java.lang.Long.numberOfLeadingZeros(s._3).toInt)
+    def hist(xs: Array[Int]): Map[Int, Int] =
+      xs.groupBy(identity).map { case (s, v) => s -> v.length }
+    var llDesc: Array[Byte] = Array.empty
+    var ofDesc: Array[Byte] = Array.empty
+    var mlDesc: Array[Byte] = Array.empty
+    val (llMode, llT) = seqMode match {
+      case "fse" =>
+        val nm = normalize(hist(llCodes), 6)
+        llDesc = fseWriteNCount(nm, 6); (2, fseBuild(nm, 6))
+      case "rep" => (3, st.llT.getOrElse(
+        sys.error("zstd-enc: LL repeat without a previous table")))
+      case _ => (0, fseBuild(LLDefNorm, 6))
+    }
+    val (ofMode, ofT) = seqMode match {
+      case "fse" =>
+        val nm = normalize(hist(ofCodes), 5)
+        ofDesc = fseWriteNCount(nm, 5); (2, fseBuild(nm, 5))
+      case "rleof" =>
+        require(ofCodes.distinct.length == 1, "zstd-enc: OF-RLE needs one code")
+        ofDesc = Array(ofCodes(0).toByte); (1, fseRle(ofCodes(0)))
+      case "rep" => (3, st.ofT.getOrElse(
+        sys.error("zstd-enc: OF repeat without a previous table")))
+      case _ => (0, fseBuild(OFDefNorm, 5))
+    }
+    val (mlMode, mlT) = seqMode match {
+      case "fse" =>
+        val nm = normalize(hist(mlCodes), 6)
+        mlDesc = fseWriteNCount(nm, 6); (2, fseBuild(nm, 6))
+      case "rep" => (3, st.mlT.getOrElse(
+        sys.error("zstd-enc: ML repeat without a previous table")))
+      case _ => (0, fseBuild(MLDefNorm, 6))
+    }
+    st.llT = Some(llT); st.ofT = Some(ofT); st.mlT = Some(mlT)
+    out.write((llMode << 6) | (ofMode << 4) | (mlMode << 2))
+    out.write(llDesc, 0, llDesc.length)
+    out.write(ofDesc, 0, ofDesc.length)
+    out.write(mlDesc, 0, mlDesc.length)
+    val (llInit, llSteps) = fseEncodeChain(llT, llCodes)
+    val (ofInit, ofSteps) = fseEncodeChain(ofT, ofCodes)
+    val (mlInit, mlSteps) = fseEncodeChain(mlT, mlCodes)
+    val bw = new BackWriter
+    bw.add(llInit, llT.log); bw.add(ofInit, ofT.log); bw.add(mlInit, mlT.log)
+    var i = 0
+    while (i < nbSeq) {
+      val (ll, ml, ofVal) = seqs(i)
+      val ofC = ofCodes(i)
+      if (ofC > 0) bw.add((ofVal - (1L << ofC)).toInt, ofC)
+      if (MLBits(mlCodes(i)) > 0)
+        bw.add(ml - MLBase(mlCodes(i)), MLBits(mlCodes(i)))
+      if (LLBits(llCodes(i)) > 0)
+        bw.add(ll - LLBase(llCodes(i)), LLBits(llCodes(i)))
+      if (i < nbSeq - 1) {
+        bw.add(llSteps(i)._1, llSteps(i)._2)
+        bw.add(mlSteps(i)._1, mlSteps(i)._2)
+        bw.add(ofSteps(i)._1, ofSteps(i)._2)
+      }
+      i += 1
+    }
+    val bits = bw.finish()
+    out.write(bits, 0, bits.length)
+    out.toByteArray
+  }
+
+  // --------------------------- compressed-block fixture closed forms
+
+  def cFrames(d: Long): Int = (1 + d % 2).toInt
+  /** rep-mode blocks (k=1 on odd d+j) pin their LENGTH parameters to
+    * block 0 so the repeated FSE tables cover their codes. */
+  private def paramK(d: Long, j: Int, k: Int): Int =
+    if (k == 1 && (d + j) % 2 == 1) 0 else k
+  def cV(d: Long, j: Int, k: Int): Int = ((d + j + k) % 16).toInt
+  def cL1(d: Long, j: Int, k: Int): Int =
+    (24 + (d + 7 * j + 13 * paramK(d, j, k)) % 16).toInt
+  def cMl1(d: Long, j: Int, k: Int): Int =
+    (4 + (d + paramK(d, j, k)) % 9).toInt
+  def cLT1(d: Long, j: Int): Int = (5 + (d + j) % 6).toInt
+  def cMl2(d: Long, j: Int, k: Int): Int =
+    (3 + (d + 2 * j + paramK(d, j, k)) % 7).toInt
+  def cLT2(d: Long, j: Int, k: Int): Int =
+    (4 + (d + 3 * j + paramK(d, j, k)) % 5).toInt
+  def cOff(d: Long, j: Int, k: Int): Int =
+    cLT1(d, j) + cMl2(d, j, k) + ((d + paramK(d, j, k)) % 4).toInt
+  /** seq-2 offset kind: 0 = repeat-offset-1 (the offset seq-1 just
+    * set — history-safe across blocks), 1 = explicit, 2 = an EXPLICIT
+    * distance-1 offset (copies the last tail byte — the RLE-style
+    * overlap idiom; repeat-offset-2/3 history is exercised by the
+    * reference-codec conformance tests instead, because the history
+    * carries across blocks and would couple every block's closed form
+    * to its predecessors). The OF-RLE block (k'==0 and (d+j)%3==2)
+    * forces explicit-same-code. */
+  def cM2(d: Long, j: Int, k: Int): Int = {
+    val kp = paramK(d, j, k)
+    if (kp == 0 && (d + j) % 3 == 2) 1 else ((d + j + kp) % 3).toInt
+  }
+  def cTail(d: Long, j: Int, k: Int, p: Int): Int =
+    ((d + 3 * j + 5 * k + p) % 16).toInt
+
+  /** Closed-form stream of compressed-block frames: 1 + d%2 frames of
+    * two blocks each, literal layouts rotating (1-stream uniform /
+    * 4-stream skewed / raw, then Treeless), sequence-table modes
+    * rotating (predefined / FSE_Compressed / OF-RLE, then Repeat),
+    * each block two sequences exercising explicit offsets and the
+    * repeat-offset history, content checksum always on. */
+  def synthCompressed(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    for (j <- 0 until cFrames(d)) {
+      val st = new EncState
+      val bodies = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val content = new java.io.ByteArrayOutputStream()
+      for (k <- 0 until 2) {
+        val v = cV(d, j, k); val l1 = cL1(d, j, k); val ml1 = cMl1(d, j, k)
+        val lt1 = cLT1(d, j); val ml2 = cMl2(d, j, k)
+        val lt2 = cLT2(d, j, k); val off = cOff(d, j, k)
+        val m2 = cM2(d, j, k)
+        val lits = Array.tabulate(l1 + lt1 + lt2)(p =>
+          (if (p < l1) v else cTail(d, j, k, p)).toByte)
+        val ofVal2: Long = m2 match {
+          case 0 => 1L            // repeat-offset 1 = off
+          case 2 => 4L            // explicit offset 1 (last byte)
+          case _ =>
+            val kp = paramK(d, j, k)
+            if (kp == 0 && (d + j) % 3 == 2) off.toLong + 3 // OF-RLE: same code
+            else (cLT1(d, j) + ml2 + ((d + j) % 3)).toLong + 3
+        }
+        val seqs = Array(
+          (l1, ml1, off.toLong + 3),
+          (lt1, ml2, ofVal2))
+        val litKind: String =
+          if (k == 0) Seq("c1u", "c4s", "raw")(((d + j) % 3).toInt)
+          else if ((d + j) % 3 != 2)
+            (if ((d + j) % 2 == 0) "treeless" else "c4s")
+          else "c1u"
+        val seqMode: String =
+          if (k == 0) Seq("pre", "fse", "rleof")(((d + j) % 3).toInt)
+          else if ((d + j) % 2 == 1) "rep"
+          else "fse"
+        bodies += encodeCompressedBlock(lits, seqs, litKind, seqMode, st)
+        // the decoded content this block contributes (for FCS + XXH64)
+        (0 until l1 + ml1).foreach(_ => content.write(v))
+        (l1 until l1 + lt1).foreach(p => content.write(cTail(d, j, k, p)))
+        val c2 = m2 match {
+          case 2 => cTail(d, j, k, l1 + lt1 - 1)
+          case _ => v
+        }
+        (0 until ml2).foreach(_ => content.write(c2))
+        (l1 + lt1 until l1 + lt1 + lt2).foreach(p =>
+          content.write(cTail(d, j, k, p)))
+      }
+      val fc = content.toByteArray
+      // frame header: FCS 4-byte field, window descriptor, checksum on
+      u32(0xFD2FB528L)
+      out.write((2 << 6) | 0x04)
+      out.write(0x70) // window descriptor: far above any fixture frame
+      u32(fc.length.toLong)
+      bodies.zipWithIndex.foreach { case (body, k) =>
+        val hdr = (body.length << 3) | (2 << 1) | (if (k == 1) 1 else 0)
+        out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+        out.write((hdr >> 16) & 0xff)
+        out.write(body, 0, body.length)
+      }
+      u32(xxh64(fc, 0, fc.length, 0L) & 0xffffffffL)
+    }
+    out.toByteArray
+  }
+
+  private val decodeSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("n_blocks", IntegerType),
+    StructField("n_compressed", IntegerType),
+    StructField("n_sequences", IntegerType),
+    StructField("content_bytes", LongType),
+    StructField("content_sum", LongType),
+    StructField("n_checksummed", IntegerType)))
+
+  /** ids -> compressed-block fixture -> full decode walk. */
+  def decodeFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = walk(synthCompressed(d))
+        Row(d, m.nFrames, m.nBlocks, m.nCompressedBlocks, m.nSequences,
+          m.contentBytes, m.contentSum, m.checksummed)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, decodeSchema)
   }
 
   private val schema = StructType(Seq(

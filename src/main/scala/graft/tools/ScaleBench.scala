@@ -539,6 +539,13 @@ object ScaleBench {
       time("zstd_frames")(force(
         graft.operators.Zstd.features(docs.select("doc_id"), "doc_id")))
     }
+    // zstd compressed-block decode (round 16): full FSE/Huffman block
+    // layer per doc — the decompress-at-scan shape of a lake read.
+    if (only.isEmpty || only.exists("zstd_decode".contains)) {
+      time("zstd_decode")(force(
+        graft.operators.Zstd.decodeFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     if (only.isEmpty || only.exists("gzip_members".contains)) {
       time("gzip_members")(force(
         graft.operators.Gzip.memberFeatures(docs.select("doc_id"),

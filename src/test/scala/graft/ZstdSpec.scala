@@ -64,15 +64,111 @@ class ZstdSpec extends AnyFunSuite {
     // window(0/1)+fcs+blockhdr(3); flip deep inside the stream instead
     bad(bad.length - 10) = (bad(bad.length - 10) ^ 0x55).toByte
     intercept[IllegalArgumentException](Zstd.walk(bad))
-    // compressed block type is the named boundary
+    // a raw block relabeled btype=2 is now DECODED as a compressed
+    // block (the r15 boundary fell) — its bytes are not a valid
+    // literals+sequences body, so the walk still fails loudly
     val frame = Zstd.synth(1L).clone()
-    // find the first block header (magic+fhd+window+fcs) and set
-    // btype=2: synth(1): frame 0 fhd has fcsFlag j%4=0, single when
-    // (d+j)%3==0 -> d=1,j=0: not single -> window present, no fcs
     val hdrAt = 4 + 1 + 1
     frame(hdrAt) = ((frame(hdrAt) & ~0x06) | 0x04).toByte
-    val e = intercept[IllegalArgumentException](Zstd.walk(frame))
-    assert(e.getMessage.contains("compressed"), e.getMessage)
+    intercept[RuntimeException](Zstd.walk(frame))
+  }
+
+  test("compressed-block fixture walks to the closed forms") {
+    for (d <- 0L until 40L) {
+      val m = Zstd.walk(Zstd.synthCompressed(d))
+      val nf = Zstd.cFrames(d)
+      assert(m.nFrames == nf && m.nSkippable == 0, s"d=$d frames")
+      assert(m.nBlocks == 2 * nf && m.nCompressedBlocks == 2 * nf,
+        s"d=$d blocks")
+      assert(m.nSequences == 4 * nf, s"d=$d seqs")
+      assert(m.checksummed == nf, s"d=$d checksums")
+      var bytes = 0L; var sum = 0L
+      for (j <- 0 until nf; k <- 0 until 2) {
+        val v = Zstd.cV(d, j, k); val l1 = Zstd.cL1(d, j, k)
+        val ml1 = Zstd.cMl1(d, j, k); val lt1 = Zstd.cLT1(d, j)
+        val ml2 = Zstd.cMl2(d, j, k); val lt2 = Zstd.cLT2(d, j, k)
+        val m2 = Zstd.cM2(d, j, k)
+        bytes += l1 + ml1 + lt1 + ml2 + lt2
+        sum += (l1 + ml1).toLong * v
+        (l1 until l1 + lt1).foreach(p => sum += Zstd.cTail(d, j, k, p))
+        sum += ml2.toLong * (if (m2 == 2) Zstd.cTail(d, j, k, l1 + lt1 - 1)
+          else v)
+        (l1 + lt1 until l1 + lt1 + lt2).foreach(p =>
+          sum += Zstd.cTail(d, j, k, p))
+      }
+      assert(m.contentBytes == bytes, s"d=$d content bytes")
+      assert(m.contentSum == sum, s"d=$d content sum")
+    }
+  }
+
+  test("the reference codec decompresses our compressed streams " +
+      "byte-exactly") {
+    // from-spec ENCODER conformance: zstd-jni (the codec Spark itself
+    // bundles) must read every fixture layout rotation — Huffman
+    // direct weights (uniform + skewed, 1- and 4-stream), raw and
+    // Treeless literals, predefined / FSE_Compressed / OF-RLE /
+    // Repeat sequence modes, explicit and repeat offsets
+    for (d <- 0L until 30L) {
+      val stream = Zstd.synthCompressed(d)
+      val mine = Zstd.decompress(stream)
+      val ref = new java.io.ByteArrayOutputStream()
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(stream))
+      in.setContinuous(true)
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { ref.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      assert(java.util.Arrays.equals(mine, ref.toByteArray),
+        s"d=$d: reference codec disagrees with our decoder on our encoder")
+    }
+  }
+
+  test("our decoder decompresses reference-compressed data byte-exactly") {
+    // decoder conformance the other direction: real zstd output at
+    // levels that exercise predefined tables (low), FSE-compressed
+    // tables + 4-stream literals (high), RLE, and repeat offsets
+    val rng = new scala.util.Random(1588)
+    val inputs = Seq(
+      ("repetitive", Array.tabulate(50000)(i =>
+        ("the quick brown zstd fox " + (i / 100)).getBytes("UTF-8")
+          .apply(i % 20))),
+      ("structured", Array.tabulate(120000)(i => ((i % 251) ^ (i / 997)).toByte)),
+      ("lowentropy", Array.tabulate(80000)(i =>
+        (if (i % 7 == 0) rng.nextInt(4) else 65 + (i / 1000) % 4).toByte)),
+      ("tiny", "abcabcabcabc".getBytes("UTF-8")),
+      ("rle", Array.fill(30000)(7.toByte)))
+    for ((name, input) <- inputs; level <- Seq(1, 3, 9, 19)) {
+      val comp = com.github.luben.zstd.Zstd.compress(input, level)
+      val mine = Zstd.decompress(comp)
+      assert(java.util.Arrays.equals(mine, input),
+        s"$name@$level: decode mismatch (${mine.length} vs ${input.length})")
+      // and the hardened walk agrees on the integrity ladders
+      val m = Zstd.walk(comp)
+      assert(m.contentBytes == input.length, s"$name@$level walk bytes")
+    }
+  }
+
+  test("compressed-block walk terminates loudly under random corruption") {
+    val rng = new scala.util.Random(16161)
+    for (trial <- 0 until 250) {
+      val b = Zstd.synthCompressed((trial % 19).toLong).clone()
+      (0 to rng.nextInt(5)).foreach { _ =>
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      }
+      try { Zstd.walk(b); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.isInstanceOf[IllegalStateException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case _: ArrayIndexOutOfBoundsException =>
+          fail(s"trial $trial: unguarded array access")
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
   }
 
   test("walk terminates loudly under random corruption") {
