@@ -5891,6 +5891,53 @@ object Llm extends QueryModule {
           'icon & ' || d.doc_id AS title
         FROM d JOIN cm USING (doc_id) ORDER BY id""")),
 
+    // STANDALONE TIFF FILE WALK (VERDICT r15 #5, operators/Tiff.scala)
+    // — Exif.scala's both-endian IFD machinery lifted to the file
+    // level for the scanned-document corpora the PDF/EPUB rows imply:
+    // the multi-page next-IFD chain walked page by page, baseline
+    // tags, and REAL strip decode (uncompressed + PackBits, each
+    // strip's decoded size validated against rows × width × samples).
+    // Constant rows in the fixture force genuine PackBits run packets;
+    // varying rows force literals. LZW/CCITT/JPEG-in-TIFF and tiled
+    // layouts are the loud subset boundary. The oracle recomputes
+    // per-page dims, strip counts, and the full decoded PIXEL SUM —
+    // a wrong PackBits run length or strip boundary cannot
+    // hash-match. Per-doc map work.
+    QueryDef(
+      "llm_image_tiff_meta",
+      (s, dir) => graft.operators.Tiff.pageFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id", "page"),
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        pg AS (SELECT doc_id, p.p AS p FROM d,
+          LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 3)) AS p) p),
+        g AS (SELECT doc_id, p,
+            CAST(16 + (doc_id + p) % 9 AS INT) AS w,
+            CAST(10 + (doc_id + 2 * p) % 7 AS INT) AS h,
+            CAST(1 + 2 * ((doc_id + p) % 2) AS INT) AS sp,
+            CAST(CASE WHEN (doc_id + 2 * p) % 2 = 1
+              THEN 32773 ELSE 1 END AS INT) AS comp,
+            CAST(3 + (doc_id + p) % 4 AS INT) AS rps
+          FROM pg),
+        sums AS (SELECT g.doc_id, g.p,
+            sum(CASE WHEN (g.doc_id + g.p + y.y) % 4 = 0
+                THEN (g.doc_id + 17 * g.p + 5 * y.y + 7 * c.c) % 256
+                ELSE (g.doc_id + 17 * g.p + 3 * x.x + 5 * y.y
+                  + 7 * c.c) % 256 END) AS psum
+          FROM g,
+            LATERAL (SELECT unnest(range(0, g.h)) AS y) y,
+            LATERAL (SELECT unnest(range(0, g.w)) AS x) x,
+            LATERAL (SELECT unnest(range(0, g.sp)) AS c) c
+          GROUP BY 1, 2)
+        SELECT g.doc_id AS id, CAST(g.p AS INT) AS page, g.w AS width,
+          g.h AS height, g.sp AS n_samples, g.comp AS compression,
+          CAST((g.h + g.rps - 1) // g.rps AS INT) AS n_strips,
+          CAST(g.w * g.h * g.sp AS BIGINT) AS decoded_bytes,
+          CAST(s.psum AS BIGINT) AS pixel_sum
+        FROM g JOIN sums s ON s.doc_id = g.doc_id AND s.p = g.p
+        ORDER BY id, page""")),
+
     // ICO / FAVICON WALK (operators/Ico.scala) — the multi-resolution
     // icon directory every crawled site ships: ICONDIR entries
     // containment-checked against the file AND each other (overlapping

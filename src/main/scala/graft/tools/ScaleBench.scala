@@ -629,6 +629,13 @@ object ScaleBench {
         graft.operators.Webp.decodeFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // TIFF multi-page walk (round 16): IFD chain + strip decode
+    // (uncompressed + PackBits) — per-doc map work.
+    if (only.isEmpty || only.exists("tiff_pages".contains)) {
+      time("tiff_pages")(force(
+        graft.operators.Tiff.pageFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // WebM/EBML walk (round 16): element vints + per-block VP8
     // key-frame bool decode + Opus TOC — per-doc map work.
     if (only.isEmpty || only.exists("webm_meta".contains)) {
