@@ -5692,6 +5692,61 @@ object Llm extends QueryModule {
             CAST(max(label) AS VARCHAR) FROM embeddings
         ) ORDER BY tbl, col_path""")),
 
+    // ARROW IPC FILE WALK (VERDICT r15 #6, operators/ArrowIpc.scala)
+    // — llm_parquet_meta's discipline on the OTHER lake format: the
+    // trailing footer read via a from-scratch FLATBUFFERS table walk
+    // (root uoffset, vtables, strings, vectors of offsets and inline
+    // structs), the Schema/Field tables with the Type union, and each
+    // record-batch Block's encapsulated MESSAGE header — row counts
+    // and null counts from metadata only, no data buffers read. The
+    // ledger: every Block's bodyLength must equal its Message's own,
+    // the header union must be a RecordBatch, and node lengths must
+    // equal the batch row count. The fixture is written by the
+    // operator's own from-spec flatbuffers writer with REAL buffers;
+    // ArrowIpcSpec proves conformance BOTH directions against the
+    // arrow-vector reader/writer Spark bundles. Per-file map work —
+    // the O(files) scan-budget pre-pass.
+    QueryDef(
+      "llm_arrow_meta",
+      (s, dir) => graft.operators.ArrowIpc.metaFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        b AS (SELECT doc_id, j.j AS j,
+            CAST(5 + (doc_id + j.j) % 10 AS INT) AS r
+          FROM d, LATERAL (SELECT
+            unnest(range(0, 1 + d.doc_id % 3)) AS j) j),
+        nl AS (SELECT b.doc_id, count(*) AS nn FROM b,
+          LATERAL (SELECT unnest(range(0, b.r)) AS i) i
+          WHERE (b.doc_id + b.j + i.i) % 7 = 0 GROUP BY 1),
+        bb AS (SELECT b.doc_id, b.r,
+            ((b.r + 7) // 8 + 7) // 8 * 8 AS vb,
+            (4 * b.r + 4 + 7) // 8 * 8 AS offs,
+            (2 * b.r + 7) // 8 * 8 AS strdata
+          FROM b),
+        agg AS (SELECT doc_id, sum(r) AS nrows,
+            sum((CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 4 END) * vb + vb
+              + 16 * r
+              + (CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END)
+                * (offs + strdata)) AS body
+          FROM bb GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+          CAST(4 + d.doc_id % 2 AS INT) AS n_fields,
+          CASE WHEN d.doc_id % 2 = 1
+            THEN 'id:int64,score:float64,name:utf8,flag:bool,tag:utf8'
+            ELSE 'id:int64,score:float64,name:utf8,flag:bool' END
+            AS field_sig,
+          CAST(1 + d.doc_id % 3 AS INT) AS n_batches,
+          CAST(0 AS INT) AS n_dicts,
+          CAST(a.nrows AS BIGINT) AS n_rows,
+          CAST(coalesce(nl.nn, 0) AS BIGINT) AS null_count,
+          CAST(a.body AS BIGINT) AS body_bytes,
+          CAST(4 AS INT) AS version
+        FROM d JOIN agg a USING (doc_id)
+        LEFT JOIN nl USING (doc_id)
+        ORDER BY id""")),
+
     // STREAMING IMAGE INGEST — the WebP walk applied as image files
     // ARRIVE: container walk per row, then the filter-before-decode
     // gate IN STREAMING FORM — lossless payloads (plain or

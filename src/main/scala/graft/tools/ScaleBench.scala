@@ -629,6 +629,13 @@ object ScaleBench {
         graft.operators.Webp.decodeFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // Arrow IPC footer+message walk (round 16): flatbuffers footer,
+    // per-block RecordBatch headers — metadata only, per-file map work.
+    if (only.isEmpty || only.exists("arrow_meta".contains)) {
+      time("arrow_meta")(force(
+        graft.operators.ArrowIpc.metaFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     // TIFF multi-page walk (round 16): IFD chain + strip decode
     // (uncompressed + PackBits) — per-doc map work.
     if (only.isEmpty || only.exists("tiff_pages".contains)) {
