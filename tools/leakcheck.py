@@ -24,10 +24,11 @@ CATEGORIES = {
     # import of anything not spark/scala/java/scalatest/graft-local
     # (org.json4s / com.fasterxml / org.apache.avro ship inside
     # /opt/spark/jars — public Apache; avro is used ONLY in the spec
-    # as an independent cross-check decoder; `<session>.implicits._` /
+    # as an independent cross-check decoder (same for arrow-vector and
+    # zstd-jni, both public and bundled in /opt/spark/jars); `<session>.implicits._` /
     # `<df>.sparkSession` are local value imports, not packages)
     "internal-import": re.compile(
-        r"^\s*import\s+(?!org\.apache\.spark|org\.apache\.parquet|scala\.|java\.|javax\.|org\.scalatest|org\.scalacheck|graft\.|org\.apache\.datasketches|org\.apache\.avro|org\.json4s|com\.fasterxml|[A-Za-z0-9_]+\.implicits\._|[A-Za-z0-9_]+\.sparkSession)[a-z]+\.[a-z0-9_.]+",
+        r"^\s*import\s+(?!org\.apache\.spark|org\.apache\.parquet|scala\.|java\.|javax\.|org\.scalatest|org\.scalacheck|graft\.|org\.apache\.datasketches|org\.apache\.avro|org\.apache\.arrow|com\.github\.luben|org\.json4s|com\.fasterxml|[A-Za-z0-9_]+\.implicits\._|[A-Za-z0-9_]+\.sparkSession)[a-z]+\.[a-z0-9_.]+",
         re.M),
     # URLs that are not apache/github/spec-reference material or
     # synthetic fixture hosts: anything under the RFC 2606-reserved
