@@ -258,6 +258,14 @@ object JxJson {
       case JString("media:images") =>
         graft.operators.Webp.metaFeatures(
           archiveDocIds(spark, sfDir, q), "doc_id")
+      // the VIDEO front door: `"from": "media:video"` exposes the
+      // WebM/EBML walk (operators/Webm.webmFeatures — tracks,
+      // clusters, per-block VP8 key-frame header decode, Opus TOC,
+      // the duration ledger) as a JX source — the video-corpus
+      // curation gate beside images and audio; same bound/override.
+      case JString("media:video") =>
+        graft.operators.Webm.webmFeatures(
+          archiveDocIds(spark, sfDir, q), "doc_id")
       case JString(from) =>
         val segs = from.split('.')
         segs.tail.foldLeft(Catalog.table(spark, sfDir, segs.head))(descendInto)

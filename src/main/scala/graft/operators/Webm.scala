@@ -465,6 +465,11 @@ object Webm {
             cid match {
               case IdClusterTimestamp =>
                 base = r.uintOf(r.bin(csz))
+                // ticks × tsScale(ns) must stay inside a Long: 2^40
+                // ticks at the max 1 s scale is ~35 years of media —
+                // anything above is a crafted overflow, not a file
+                require(base <= (1L << 40),
+                  s"webm: implausible cluster timestamp $base ticks")
               case IdSimpleBlock =>
                 require(base >= 0,
                   "webm: SimpleBlock before the cluster Timestamp")

@@ -5820,6 +5820,56 @@ object Llm extends QueryModule {
           CASE WHEN doc_id % 3 = 2 THEN NULL ELSE sb END AS sum_b
         FROM sums ORDER BY id""")),
 
+    // STREAMING VIDEO INGEST — the WebM walk applied as video files
+    // ARRIVE: the full EBML walk per row (tracks, clusters, every
+    // SimpleBlock's VP8 key-frame header bool-decoded, the duration
+    // ledger validated) in streaming form — the triage pass a video
+    // crawl runs at ingest before anything stateful sees the bytes.
+    // STATELESS Append like the other seven ingest twins (no state
+    // store, no watermark); deterministic emission so the batch
+    // closed-form oracle applies verbatim.
+    QueryDef(
+      "stream_video_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Webm
+        val extracted = graft.streaming.Streams
+          .tableStream(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.map { d =>
+              val m = Webm.parse(Webm.synth(d))
+              (d, m.nTracks, m.nVideoBlocks, m.nKeyframes, m.sumYAcQi,
+                m.durationMs)
+            }
+          }
+          .toDF("id", "n_tracks", "n_video_blocks", "n_keyframes",
+            "sum_y_ac_qi", "duration_ms")
+        graft.streaming.Streams.runToMemory(extracted,
+          s"svid_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        cl AS (SELECT doc_id, c.c AS c FROM d,
+          LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 3)) AS c) c),
+        vb AS (SELECT doc_id, c, k.k AS k FROM cl,
+          LATERAL (SELECT unnest(range(0, 1 + (cl.doc_id + cl.c) % 2)) AS k) k),
+        v AS (SELECT doc_id, count(*) AS nv,
+            sum((doc_id + 13 * c + 7 * k) % 128) AS sq
+          FROM vb GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+          CAST(CASE WHEN d.doc_id % 3 <> 2 THEN 2 ELSE 1 END AS INT)
+            AS n_tracks,
+          CAST(v.nv AS INT) AS n_video_blocks,
+          CAST(v.nv AS INT) AS n_keyframes,
+          CAST(v.sq AS BIGINT) AS sum_y_ac_qi,
+          CAST(400 * (1 + d.doc_id % 3)
+            + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2) + 40 AS BIGINT)
+            AS duration_ms
+        FROM d JOIN v USING (doc_id) ORDER BY id""")),
+
     // VP8 KEY-FRAME HEADER (RFC 6386 boolean entropy coder) — the
     // honest shrink of the lossy boundary: the first partition's
     // bool-coded header is decoded FOR REAL (the section-7 arithmetic
@@ -6167,6 +6217,48 @@ object Llm extends QueryModule {
           CAST(sum(w) AS BIGINT) AS total_w,
           CAST(sum(alpha) AS BIGINT) AS n_alpha
         FROM d GROUP BY kind ORDER BY kind""")),
+
+    // JX FRONT DOOR → VIDEO — `"from": "media:video"` exposes the
+    // WebM/EBML walk as a JX source: the video-corpus curation gate
+    // (mute vs with-audio inventory, block/duration/resolution
+    // rollups) compiles through the JSON front door, the walk — incl.
+    // every block's VP8 key-frame bool decode — fused as map work
+    // ahead of the one grouped aggregate.
+    QueryDef(
+      "jx_json_video",
+      (s, dir) => graft.JxJson.run(s, dir,
+        """{
+          "from": "media:video",
+          "groupby": ["n_tracks"],
+          "select": [
+            {"name": "n_files", "aggregate": "count"},
+            {"name": "total_blocks", "aggregate": "sum",
+             "value": "n_video_blocks"},
+            {"name": "total_ms", "aggregate": "sum", "value": "duration_ms"},
+            {"name": "max_w", "aggregate": "max", "value": "width"}
+          ],
+          "sort": "n_tracks"
+        }"""),
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        cl AS (SELECT doc_id, c.c AS c FROM d,
+          LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 3)) AS c) c),
+        vb AS (SELECT doc_id, count(*) AS nv FROM (SELECT doc_id, c,
+            k.k AS k FROM cl, LATERAL (SELECT
+              unnest(range(0, 1 + (cl.doc_id + cl.c) % 2)) AS k) k)
+          GROUP BY doc_id),
+        g AS (SELECT d.doc_id,
+            CAST(CASE WHEN d.doc_id % 3 <> 2 THEN 2 ELSE 1 END AS INT)
+              AS n_tracks,
+            vb.nv,
+            320 + d.doc_id % 33 AS w,
+            400 * (1 + d.doc_id % 3)
+              + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2) + 40 AS dur
+          FROM d JOIN vb USING (doc_id))
+        SELECT n_tracks, count(*) AS n_files,
+          CAST(sum(nv) AS BIGINT) AS total_blocks,
+          CAST(sum(dur) AS BIGINT) AS total_ms,
+          CAST(max(w) AS INT) AS max_w
+        FROM g GROUP BY n_tracks ORDER BY n_tracks""")),
 
     // SITEMAP PARSE — robots.txt's companion crawl-policy file: the
     // per-site URL inventory (sitemaps.org urlset) a crawl planner
