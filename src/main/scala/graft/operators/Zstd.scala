@@ -1293,6 +1293,38 @@ object Zstd {
     out.toByteArray
   }
 
+  /** One-frame stream whose content is `base` repeated `reps` times:
+    * raw literals carry the base once, then reps-1 sequences each
+    * match-copy the full base at offset |base| (ll=0, explicit
+    * offset — the dictionary-free way real zstd encodes repetition).
+    * Predefined sequence tables, 4-byte FCS, content checksum on —
+    * the compressed-text corpus shape etl_zstd_corpus decompresses
+    * inside its curation DAG. */
+  def synthRepeated(base: Array[Byte], reps: Int): Array[Byte] = {
+    require(base.length >= 3 && reps >= 2, "zstd: degenerate repetition")
+    val l = base.length
+    val seqs = Array((l, l, l.toLong + 3)) ++
+      Array.fill(reps - 2)((0, l, l.toLong + 3))
+    val body = encodeCompressedBlock(base, seqs, "raw", "pre", new EncState)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    u32(0xFD2FB528L)
+    out.write((2 << 6) | 0x04)
+    out.write(0x70)
+    u32(l.toLong * reps)
+    val hdr = (body.length << 3) | (2 << 1) | 1
+    out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+    out.write((hdr >> 16) & 0xff)
+    out.write(body, 0, body.length)
+    val fc = new Array[Byte](l * reps)
+    (0 until reps).foreach(i => System.arraycopy(base, 0, fc, i * l, l))
+    u32(xxh64(fc, 0, fc.length, 0L) & 0xffffffffL)
+    out.toByteArray
+  }
+
   private val decodeSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("n_frames", IntegerType),

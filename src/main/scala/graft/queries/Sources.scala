@@ -613,6 +613,55 @@ object Sources extends QueryModule {
             sum(bsum) AS bsum FROM blk GROUP BY doc_id) b USING (doc_id)
         ORDER BY id""")),
 
+    // zstd-COMPRESSED CORPUS READ — the decoder composed into the
+    // curation DAG: each document arrives as a REAL zstd frame (raw
+    // literals + match-copied repetition — the dictionary-free way
+    // real encoders code repeated text), is decompressed by OUR
+    // RFC 8878 block decoder inside mapPartitions (XXH64 verified
+    // per frame), and the recovered text flows straight into the
+    // per-kind char/word rollup — decompress-at-scan fused ahead of
+    // one grouped aggregate, exactly the 100 TB lake-read shape.
+    // Oracle reconstructs every document's plaintext from the closed
+    // form and recomputes the same rollup.
+    QueryDef(
+      "etl_zstd_corpus",
+      (s, dir) => {
+        import s.implicits._
+        val texts = Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id").as[Long]
+          .mapPartitions { ids =>
+            ids.map { d =>
+              val base = s"the quick data lake row r${d % 10} "
+                .getBytes("UTF-8")
+              val reps = (2 + d % 4).toInt
+              val text = new String(graft.operators.Zstd.decompress(
+                graft.operators.Zstd.synthRepeated(base, reps)), "UTF-8")
+              (d, text)
+            }
+          }
+          .toDF("doc_id", "text")
+        texts
+          .withColumn("kind", element_at(
+            array(lit("web"), lit("code"), lit("chat")),
+            (col("doc_id") % 3 + 1).cast("int")))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"),
+            sum(size(split(trim(col("text")), " "))).as("total_words"))
+          .orderBy("kind")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            2 + doc_id % 4 AS reps,
+            CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+              ELSE 'chat' END AS kind,
+            length('the quick data lake row r'
+              || CAST(doc_id % 10 AS VARCHAR) || ' ') AS l
+          FROM documents WHERE doc_id < 300)
+        SELECT kind, count(*) AS n_docs,
+          CAST(sum(reps * l) AS BIGINT) AS total_chars,
+          CAST(sum(reps * 6) AS BIGINT) AS total_words
+        FROM d GROUP BY kind ORDER BY kind""")),
+
     // Multi-member gzip walk (operators/Gzip.scala) — the .gz triage
     // pass: log shippers and WARC writers CONCATENATE members, and a
     // reader that stops at the first trailer silently drops the rest.

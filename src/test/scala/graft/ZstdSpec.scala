@@ -149,6 +149,23 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("the repeated-text frame round-trips and the reference codec " +
+      "reads it") {
+    for (d <- 0L until 15L) {
+      val base = s"the quick data lake row r${d % 10} ".getBytes("UTF-8")
+      val reps = (2 + d % 4).toInt
+      val stream = Zstd.synthRepeated(base, reps)
+      val mine = Zstd.decompress(stream)
+      assert(mine.length == base.length * reps, s"d=$d length")
+      (0 until reps).foreach(i => assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(mine, i * base.length,
+          (i + 1) * base.length), base), s"d=$d rep $i"))
+      val ref = com.github.luben.zstd.Zstd.decompress(stream, mine.length)
+      assert(java.util.Arrays.equals(ref, mine), s"d=$d reference")
+      Zstd.walk(stream) // integrity ladders (FCS + XXH64) hold
+    }
+  }
+
   test("compressed-block walk terminates loudly under random corruption") {
     val rng = new scala.util.Random(16161)
     for (trial <- 0 until 250) {
