@@ -150,6 +150,29 @@ object Webm {
     * (RFC 6716 §3.1): SILK / Hybrid / CELT. */
   private val TocCfg = Array(1, 13, 19)
 
+  /** Lacing scheme per audio block: 0 none, 1 Xiph, 2 fixed-size,
+    * 3 EBML — all three Matroska schemes ride the oracle. */
+  def laceMode(d: Long, c: Int, k: Int): Int = ((d + c + k) % 4).toInt
+  def framesInBlock(d: Long, c: Int, k: Int): Int =
+    Seq(1, 2, 2, 3)(laceMode(d, c, k))
+  /** Total frame length (TOC byte included); fixed lacing keeps all
+    * frames equal, EBML varies them so the signed deltas are real. */
+  def audioFrameLen(d: Long, c: Int, k: Int, f: Int): Int =
+    laceMode(d, c, k) match {
+      case 0 => (10 + (d + k) % 20).toInt
+      case 1 => (8 + (d + k + 3 * f) % 12).toInt
+      case 2 => (9 + (d + k) % 10).toInt
+      case _ =>
+        val s0 = (10 + (d + k) % 10).toInt
+        val d1 = ((d + k) % 7).toInt - 3
+        val d2 = ((d + c) % 5).toInt - 2
+        f match {
+          case 0 => s0
+          case 1 => s0 + d1
+          case _ => s0 + d1 + d2
+        }
+    }
+
   // ------------------------------------------------------- fixture
 
   /** Closed-form WebM stream for id d: EBML header, Info (timestamp
@@ -226,7 +249,7 @@ object Webm {
       seg.out.write(wrap(IdCluster, { w =>
         val base = msToTicks(d, 400L * c)
         w.uint(IdClusterTimestamp, base)
-        def simpleBlock(track: Int, relTicks: Long, key: Boolean,
+        def simpleBlock(track: Int, relTicks: Long, laceBits: Int,
             payload: Array[Byte]): Unit = {
           val b = new java.io.ByteArrayOutputStream(payload.length + 4)
           b.write(0x80 | track) // 1-byte track vint
@@ -234,7 +257,7 @@ object Webm {
             s"relative timestamp $relTicks overflows int16")
           b.write(((relTicks >> 8) & 0xff).toInt)
           b.write((relTicks & 0xff).toInt)
-          b.write(if (key) 0x80 else 0x00) // flags: keyframe, no lacing
+          b.write(0x80 | laceBits) // flags: keyframe + lacing bits
           b.write(payload, 0, payload.length)
           w.element(IdSimpleBlock, b.toByteArray)
         }
@@ -242,16 +265,46 @@ object Webm {
         // blocks are written video first, then audio, each monotone
         // within its own track
         for (k <- 0 until nVideo(d, c))
-          simpleBlock(1, msToTicks(d, 40L * k), key = true,
+          simpleBlock(1, msToTicks(d, 40L * k), 0,
             Webp.synthVp8Frame(d, d + 13L * c + 7L * k))
         for (k <- 0 until nAudio(d, c)) {
-          val cfg = TocCfg(((d + c + k) % 3).toInt)
-          val st = (d + k) % 2 == 1
-          val toc = (cfg << 3) | (if (st) 4 else 0) // code 0: one frame
-          val body = Array.tabulate((10 + (d + k) % 20).toInt)(i =>
-            ((d * 17 + c * 5 + k + i) % 251).toByte)
-          simpleBlock(2, msToTicks(d, 20L * k), key = true,
-            toc.toByte +: body)
+          // audio blocks rotate the THREE Matroska lacing schemes plus
+          // the unlaced form — real Opus-in-WebM audio is laced
+          val lm = laceMode(d, c, k)
+          val nf = framesInBlock(d, c, k)
+          val frames = (0 until nf).map { f =>
+            val cfg = TocCfg(((d + c + k + f) % 3).toInt)
+            val st = (d + k + f) % 2 == 1
+            val toc = (cfg << 3) | (if (st) 4 else 0) // code 0
+            val body = Array.tabulate(audioFrameLen(d, c, k, f) - 1)(i =>
+              ((d * 17 + c * 5 + k + 29 * f + i) % 251).toByte)
+            toc.toByte +: body
+          }
+          val payload = new java.io.ByteArrayOutputStream()
+          lm match {
+            case 0 => () // no lacing header
+            case 1 => // Xiph: count-1, 255-run sizes of frames 0..n-2
+              payload.write(nf - 1)
+              frames.dropRight(1).foreach { fr =>
+                var sz = fr.length
+                while (sz >= 255) { payload.write(255); sz -= 255 }
+                payload.write(sz)
+              }
+            case 2 => // fixed-size: count-1 only; equal sizes implied
+              payload.write(nf - 1)
+            case _ => // EBML: count-1, first size vint, signed deltas
+              payload.write(nf - 1)
+              val w0 = new W
+              payload.write(w0.sizeBytes(frames(0).length.toLong))
+              (1 until nf - 1).foreach { f =>
+                val delta = frames(f).length - frames(f - 1).length
+                require(delta >= -62 && delta <= 62, "fixture delta range")
+                payload.write(0x80 | (delta + 63))
+              }
+          }
+          frames.foreach(fr => payload.write(fr, 0, fr.length))
+          simpleBlock(2, msToTicks(d, 20L * k),
+            Seq(0x00, 0x02, 0x04, 0x06)(lm), payload.toByteArray)
         }
       }))
     }
@@ -265,8 +318,9 @@ object Webm {
 
   final case class WebmInfo(timestampScale: Long, nTracks: Int,
       nClusters: Int, nVideoBlocks: Int, nAudioBlocks: Int,
-      nKeyframes: Int, width: Int, height: Int, sumYAcQi: Long,
-      opusChannels: Option[Int], nStereo: Int, durationMs: Long)
+      nAudioFrames: Int, nKeyframes: Int, width: Int, height: Int,
+      sumYAcQi: Long, opusChannels: Option[Int], nStereo: Int,
+      durationMs: Long)
 
   private final class R(bytes: Array[Byte]) {
     var pos = 0
@@ -360,6 +414,7 @@ object Webm {
     var tracks = Vector.empty[Track]
     var nClusters = 0
     var nVideoBlocks = 0; var nAudioBlocks = 0; var nKey = 0
+    var nAudioFrames = 0
     var sumQi = 0L; var nStereo = 0
     var lastVideoTicks = -1L; var lastAudioTicks = -1L
     var maxVideoEndMs = 0L
@@ -484,13 +539,15 @@ object Webm {
                     s"webm: SimpleBlock references undeclared track $trackNum"))
                 val rel = ((r.u8() << 8) | r.u8()).toShort.toLong
                 val flags = r.u8()
-                require((flags & 0x06) == 0,
-                  "webm: laced SimpleBlocks are outside the walk subset")
+                val lace = flags & 0x06
                 val key = (flags & 0x80) != 0
                 val payload = r.bin(blockEnd - r.pos)
                 val absTicks = base + rel
                 track.tpe match {
                   case 1 =>
+                    require(lace == 0, "webm: laced VIDEO SimpleBlocks " +
+                      "are outside the walk subset (one VP8 frame per " +
+                      "block — the layout WebM video actually uses)")
                     require(track.codec == "V_VP8",
                       s"webm: video codec ${track.codec} is outside the " +
                         "walk subset (V_VP8 key-frame headers only)")
@@ -530,9 +587,93 @@ object Webm {
                     require(absTicks > lastAudioTicks,
                       s"webm: audio timestamps regress at tick $absTicks")
                     lastAudioTicks = absTicks
-                    val (_, stereo, frames, _) = Ogg.tocInfo(payload)
-                    require(frames >= 1, "webm: zero-frame Opus packet")
-                    if (stereo) nStereo += 1
+                    // un-lace: all THREE Matroska schemes (Xiph 255-run
+                    // sizes, fixed equal split, EBML vint + signed-vint
+                    // deltas) plus the unlaced form — real Opus-in-WebM
+                    // audio is laced
+                    val frames: Seq[Array[Byte]] =
+                      if (lace == 0) Seq(payload)
+                      else {
+                        require(payload.length >= 2,
+                          "webm: laced block missing its frame count")
+                        val n = (payload(0) & 0xff) + 1
+                        require(n >= 1 && n <= 64,
+                          s"webm: laced frame count $n out of bounds")
+                        var p = 1
+                        val sizes = new Array[Int](n)
+                        lace match {
+                          case 0x02 => // Xiph
+                            var f = 0
+                            while (f < n - 1) {
+                              var sz = 0
+                              var b = 255
+                              while (b == 255) {
+                                require(p < payload.length,
+                                  "webm: Xiph lace sizes overrun the block")
+                                b = payload(p) & 0xff; p += 1; sz += b
+                              }
+                              sizes(f) = sz; f += 1
+                            }
+                          case 0x04 => // fixed-size
+                            val rem = payload.length - 1
+                            require(rem % n == 0,
+                              s"webm: fixed lacing cannot split $rem " +
+                                s"bytes into $n equal frames")
+                            java.util.Arrays.fill(sizes, rem / n)
+                          case _ => // EBML
+                            def vint(signed: Boolean): Long = {
+                              require(p < payload.length,
+                                "webm: EBML lace sizes overrun the block")
+                              val b0 = payload(p) & 0xff
+                              require(b0 != 0,
+                                "webm: invalid lace-size vint lead byte")
+                              val len =
+                                Integer.numberOfLeadingZeros(b0) - 24 + 1
+                              require(len >= 1 && len <= 8 &&
+                                p + len <= payload.length,
+                                "webm: lace-size vint overruns the block")
+                              var v = (b0 & (0xff >>> len)).toLong
+                              (1 until len).foreach { i =>
+                                v = (v << 8) | (payload(p + i) & 0xff)
+                              }
+                              p += len
+                              if (signed) v - ((1L << (7 * len - 1)) - 1)
+                              else v
+                            }
+                            val s0 = vint(signed = false)
+                            require(s0 >= 1 && s0 <= payload.length,
+                              s"webm: implausible first lace size $s0")
+                            sizes(0) = s0.toInt
+                            (1 until n - 1).foreach { f =>
+                              val s = sizes(f - 1) + vint(signed = true)
+                              require(s >= 1 && s <= payload.length,
+                                s"webm: implausible lace size $s")
+                              sizes(f) = s.toInt
+                            }
+                        }
+                        if (lace != 0x04) {
+                          val known = sizes.take(n - 1).map(_.toLong).sum
+                          val last = payload.length - p - known
+                          require(last >= 1,
+                            "webm: laced frames overrun their block")
+                          sizes(n - 1) = last.toInt
+                        }
+                        var q = if (lace == 0x04) 1 else p
+                        sizes.toSeq.map { sz =>
+                          require(q + sz <= payload.length,
+                            "webm: laced frame overruns its block")
+                          val fr = java.util.Arrays.copyOfRange(
+                            payload, q, q + sz)
+                          q += sz
+                          fr
+                        }
+                      }
+                    frames.foreach { fr =>
+                      val (_, stereo, nFr, _) = Ogg.tocInfo(fr)
+                      require(nFr >= 1, "webm: zero-frame Opus packet")
+                      nAudioFrames += 1
+                      if (stereo) nStereo += 1
+                    }
                   case t => throw new IllegalArgumentException(
                     s"webm: track type $t is outside the walk subset")
                 }
@@ -570,8 +711,8 @@ object Webm {
       cpCh
     }
     WebmInfo(tsScale, tracks.size, nClusters, nVideoBlocks, nAudioBlocks,
-      nKey, video.width, video.height, sumQi, opusCh, nStereo,
-      maxVideoEndMs)
+      nAudioFrames, nKey, video.width, video.height, sumQi, opusCh,
+      nStereo, maxVideoEndMs)
   }
 
   // ------------------------------------------------- spark plumbing
@@ -583,6 +724,7 @@ object Webm {
     StructField("n_clusters", IntegerType),
     StructField("n_video_blocks", IntegerType),
     StructField("n_audio_blocks", IntegerType),
+    StructField("n_audio_frames", IntegerType),
     StructField("n_keyframes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
@@ -600,7 +742,8 @@ object Webm {
         val d = r.getLong(idIdx)
         val m = parse(synth(d))
         Row(d, m.timestampScale, m.nTracks, m.nClusters, m.nVideoBlocks,
-          m.nAudioBlocks, m.nKeyframes, m.width, m.height, m.sumYAcQi,
+          m.nAudioBlocks, m.nAudioFrames, m.nKeyframes, m.width,
+          m.height, m.sumYAcQi,
           m.opusChannels.orNull, m.nStereo, m.durationMs)
       }
     }

@@ -4613,9 +4613,12 @@ object Llm extends QueryModule {
     // parsers: every video SimpleBlock's VP8 key-frame header is
     // bool-decoded (Webp.parseVp8Header — sum_y_ac_qi rides the
     // oracle, so a desynced bool decode cannot hash-match) and
-    // cross-checked against the declared PixelWidth/Height; every
-    // audio block's Opus TOC is parsed (Ogg.tocInfo) with the
-    // OpusHead-vs-Channels cross-check; Info.Duration must equal the
+    // cross-checked against the declared PixelWidth/Height; audio
+    // blocks are UN-LACED (all three Matroska schemes — Xiph 255-run
+    // sizes, fixed equal split, EBML vint + signed-vint deltas — plus
+    // unlaced, rotating per block) and every laced frame's Opus TOC
+    // is parsed (Ogg.tocInfo) with the OpusHead-vs-Channels
+    // cross-check; Info.Duration must equal the
     // video ledger recomputed from the blocks (the tfdt-ledger
     // discipline). Payload decode beyond the headers stays the
     // documented codec boundary. Per-doc map work — scan-stage cost
@@ -4634,11 +4637,17 @@ object Llm extends QueryModule {
         ab AS (SELECT doc_id, c, k.k AS k FROM cl,
           LATERAL (SELECT unnest(range(0, 1 + (cl.doc_id + cl.c) % 3)) AS k) k
           WHERE doc_id % 3 <> 2),
+        af AS (SELECT doc_id, c, k, f.f AS f FROM ab,
+          LATERAL (SELECT unnest(range(0,
+            CASE (ab.doc_id + ab.c + ab.k) % 4 WHEN 0 THEN 1
+              WHEN 3 THEN 3 ELSE 2 END)) AS f) f),
         v AS (SELECT doc_id, count(*) AS nv,
             sum((doc_id + 13 * c + 7 * k) % 128) AS sq
           FROM vb GROUP BY doc_id),
-        a AS (SELECT doc_id, count(*) AS na, sum((doc_id + k) % 2) AS nst
-          FROM ab GROUP BY doc_id)
+        a AS (SELECT doc_id, count(*) AS na FROM ab GROUP BY doc_id),
+        a2 AS (SELECT doc_id, count(*) AS naf,
+            sum((doc_id + k + f) % 2) AS nst
+          FROM af GROUP BY doc_id)
         SELECT d.doc_id AS id,
           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1000000 ELSE 500000 END
             AS BIGINT) AS timestamp_scale,
@@ -4647,17 +4656,19 @@ object Llm extends QueryModule {
           CAST(2 + d.doc_id % 3 AS INT) AS n_clusters,
           CAST(v.nv AS INT) AS n_video_blocks,
           CAST(coalesce(a.na, 0) AS INT) AS n_audio_blocks,
+          CAST(coalesce(a2.naf, 0) AS INT) AS n_audio_frames,
           CAST(v.nv AS INT) AS n_keyframes,
           CAST(320 + d.doc_id % 33 AS INT) AS width,
           CAST(240 + d.doc_id % 25 AS INT) AS height,
           CAST(v.sq AS BIGINT) AS sum_y_ac_qi,
           CAST(CASE WHEN d.doc_id % 3 <> 2
             THEN 1 + (d.doc_id // 2) % 2 END AS INT) AS opus_channels,
-          CAST(coalesce(a.nst, 0) AS INT) AS n_stereo,
+          CAST(coalesce(a2.nst, 0) AS INT) AS n_stereo,
           CAST(400 * (1 + d.doc_id % 3)
             + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2) + 40 AS BIGINT)
             AS duration_ms
         FROM d LEFT JOIN v USING (doc_id) LEFT JOIN a USING (doc_id)
+          LEFT JOIN a2 USING (doc_id)
         ORDER BY id""")),
 
     // avcC-IN-MP4 (the composition of the two walks): how real MP4s

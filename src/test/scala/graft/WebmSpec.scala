@@ -24,8 +24,15 @@ class WebmSpec extends AnyFunSuite {
       assert(m.sumYAcQi == sq, s"d=$d sum_qi")
       assert(m.opusChannels ==
         (if (Webm.hasAudio(d)) Some(Webm.opusChannels(d)) else None))
+      // per laced FRAME: all three lacing schemes rotate per block
+      val naf = (0 until Webm.nClusters(d)).flatMap { c =>
+        (0 until Webm.nAudio(d, c)).map(k => Webm.framesInBlock(d, c, k))
+      }.sum
+      assert(m.nAudioFrames == naf, s"d=$d audio frames")
       val nst = (0 until Webm.nClusters(d)).flatMap { c =>
-        (0 until Webm.nAudio(d, c)).map(k => (d + k) % 2)
+        (0 until Webm.nAudio(d, c)).flatMap { k =>
+          (0 until Webm.framesInBlock(d, c, k)).map(f => (d + k + f) % 2)
+        }
       }.sum
       assert(m.nStereo == nst, s"d=$d stereo")
       assert(m.durationMs == Webm.durationMs(d), s"d=$d duration")
