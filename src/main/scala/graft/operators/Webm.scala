@@ -22,10 +22,10 @@ import org.apache.spark.sql.types._
   *  - unknown elements (SegmentUID, Void, …) are skipped BY SIZE —
   *    the forward-compatibility rule EBML exists for;
   *  - the DECLARED track geometry is cross-checked against every
-  *    video payload: each SimpleBlock's VP8 key-frame header is
-  *    bool-decoded (Webp.parseVp8Header) and its 14-bit dims must
-  *    equal the TrackEntry's PixelWidth/Height — a lying muxer fails
-  *    loudly (the tfdt-ledger discipline from the fMP4 walk);
+  *    video payload: each SimpleBlock's VP8 or VP9 key-frame header
+  *    is decoded and its dims must equal the TrackEntry's
+  *    PixelWidth/Height — a lying muxer fails loudly (the
+  *    tfdt-ledger discipline from the fMP4 walk);
   *  - the SimpleBlock keyframe flag must agree with the VP8 frame
   *    tag's key bit in BOTH directions;
   *  - Info.Duration (in timestamp-scale ticks) must equal the video
@@ -36,12 +36,20 @@ import org.apache.spark.sql.types._
   *  - per-track timestamps (cluster base + signed 16-bit relative)
   *    are strictly monotone.
   *
-  * Subset boundary (documented, loud): unknown-size elements, lacing
-  * (fixture blocks carry one frame each — lacing bits ≠ 0 rejected),
-  * BlockGroup/Block (SimpleBlock only), Cues/SeekHead (skipped as
-  * unknown), and frame PAYLOAD decode beyond the VP8 key-frame header
-  * and the Opus TOC — inter-frame/CABAC-class decode stays the
-  * codec boundary every round re-affirms.
+  * Audio SimpleBlocks are UN-LACED: all three Matroska lacing schemes
+  * (Xiph 255-run sizes, fixed-size equal split, EBML vint + signed
+  * delta vints) plus the unlaced form, every laced frame's Opus TOC
+  * parsed individually. Video tracks dispatch per codec: V_VP8 via
+  * the shared RFC 6386 bool decoder, V_VP9 via the bit-level
+  * uncompressed key-frame header parse (public VP9 bitstream spec) —
+  * both cross-checked against the declared track dims.
+  *
+  * Subset boundary (documented, loud): unknown-size elements, LACED
+  * VIDEO blocks (WebM video is one frame per block), BlockGroup/Block
+  * (SimpleBlock only), Cues/SeekHead (skipped as unknown), VP9
+  * profile 3 / RGB color space, and frame PAYLOAD decode beyond the
+  * key-frame headers and the Opus TOC — inter-frame/arithmetic-coded
+  * decode stays the codec boundary every round re-affirms.
   *
   * Bomb guards (the r15 habit, in the same commit as the decoder):
   * id/size vint lengths are hard-capped, every declared size is
@@ -173,6 +181,118 @@ object Webm {
         }
     }
 
+  // -------------------------------------------------- VP9 key frame
+
+  /** Which docs carry a VP9 video track (the codec most real WebM
+    * ships) instead of VP8. */
+  def isVp9(d: Long): Boolean = d % 5 >= 3
+
+  final case class Vp9Header(profile: Int, bitDepth: Int,
+      colorSpace: Int, width: Int, height: Int)
+
+  /** Per-block VP9 header signature the oracle recomputes — proof the
+    * bit parse ran on every block. */
+  def vp9Sig(s: Long): Long = {
+    val profile = (s % 3).toInt
+    val depth = if (profile == 2) 10 + 2 * (s % 2).toInt else 8
+    val cs = 1 + (s % 5).toInt
+    profile * 1000L + depth * 10L + cs
+  }
+
+  private final class BitsMsb(b: Array[Byte]) {
+    var pos = 0
+    def f(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val j = pos + i
+        require((j >> 3) < b.length, "webm: VP9 header truncated")
+        v = (v << 1) | ((b(j >> 3) >> (7 - (j & 7))) & 1)
+        i += 1
+      }
+      pos += n
+      v
+    }
+  }
+
+  private final class BitsMsbW {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def f(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (n > 0) { out.write(cur << (8 - n)); cur = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** A VP9 KEY-frame uncompressed header (public VP9 bitstream spec
+    * §6.2): frame marker, profile bits, sync code, color config
+    * (per-profile layout), frame size — dims keyed on `dimSeed`, the
+    * rest on `hdrSeed`; padded with filler modeling coded data. */
+  def synthVp9Frame(dimSeed: Long, hdrSeed: Long): Array[Byte] = {
+    val w = new BitsMsbW
+    val profile = (hdrSeed % 3).toInt
+    w.f(2, 2)                       // frame_marker 0b10
+    w.f(profile & 1, 1)             // profile_low_bit
+    w.f((profile >> 1) & 1, 1)      // profile_high_bit
+    w.f(0, 1)                       // show_existing_frame
+    w.f(0, 1)                       // frame_type: KEY
+    w.f(1, 1)                       // show_frame
+    w.f((hdrSeed % 2).toInt, 1)     // error_resilient_mode
+    w.f(0x49, 8); w.f(0x83, 8); w.f(0x42, 8) // frame_sync_code
+    if (profile == 2) w.f((hdrSeed % 2).toInt, 1) // ten_or_twelve_bit
+    w.f(1 + (hdrSeed % 5).toInt, 3) // color_space (never RGB=7)
+    w.f((hdrSeed % 2).toInt, 1)     // color_range
+    if (profile == 1) { w.f(0, 1); w.f(0, 1); w.f(0, 1) } // ss_x/y + rsvd
+    w.f((320 + dimSeed % 33).toInt - 1, 16) // frame_width_minus_1
+    w.f((240 + dimSeed % 25).toInt - 1, 16) // frame_height_minus_1
+    w.f(0, 1)                       // render_and_frame_size_different
+    val hdr = w.finish()
+    val pad = Array.tabulate((40 + hdrSeed % 30).toInt)(i =>
+      ((11 * hdrSeed + i) % 256).toByte)
+    hdr ++ pad
+  }
+
+  /** Parse the VP9 key-frame header — the exact mirror of the synth,
+    * loud on non-key frames, a bad sync code, or the RGB color space
+    * (which would change the layout past this walk's subset). */
+  def parseVp9Header(payload: Array[Byte]): Vp9Header = {
+    val r = new BitsMsb(payload)
+    require(r.f(2) == 2, "webm: VP9 frame marker is not 0b10")
+    val profile = r.f(1) | (r.f(1) << 1)
+    require(profile <= 2,
+      "webm: VP9 profile 3 (reserved-bit layout) is outside the subset")
+    require(r.f(1) == 0,
+      "webm: show_existing_frame VP9 blocks carry no header to parse")
+    require(r.f(1) == 0, "webm: non-key VP9 frame in a key SimpleBlock")
+    r.f(1) // show_frame
+    r.f(1) // error_resilient_mode
+    require(r.f(8) == 0x49 && r.f(8) == 0x83 && r.f(8) == 0x42,
+      "webm: VP9 key frame lacks its sync code")
+    val depth = if (profile == 2) 10 + 2 * r.f(1) else 8
+    val cs = r.f(3)
+    require(cs != 7,
+      "webm: VP9 RGB color space is outside the walk subset")
+    r.f(1) // color_range
+    if (profile == 1) {
+      r.f(1); r.f(1)
+      require(r.f(1) == 0, "webm: reserved VP9 subsampling bit set")
+    }
+    val w = r.f(16) + 1
+    val h = r.f(16) + 1
+    r.f(1) // render_and_frame_size_different
+    Vp9Header(profile, depth, cs, w, h)
+  }
+
   // ------------------------------------------------------- fixture
 
   /** Closed-form WebM stream for id d: EBML header, Info (timestamp
@@ -212,7 +332,7 @@ object Webm {
         t.uint(IdTrackNumber, 1)
         t.uint(IdTrackUid, 1 + (d % 1000))
         t.uint(IdTrackType, 1) // video
-        t.str(IdCodecId, "V_VP8")
+        t.str(IdCodecId, if (isVp9(d)) "V_VP9" else "V_VP8")
         t.out.write(wrap(IdVideo, { v =>
           v.uint(IdPixelWidth, videoW(d))
           v.uint(IdPixelHeight, videoH(d))
@@ -264,9 +384,11 @@ object Webm {
         // interleave audio-then-video per 40 ms slot is not required;
         // blocks are written video first, then audio, each monotone
         // within its own track
-        for (k <- 0 until nVideo(d, c))
+        for (k <- 0 until nVideo(d, c)) {
+          val s = d + 13L * c + 7L * k
           simpleBlock(1, msToTicks(d, 40L * k), 0,
-            Webp.synthVp8Frame(d, d + 13L * c + 7L * k))
+            if (isVp9(d)) synthVp9Frame(d, s) else Webp.synthVp8Frame(d, s))
+        }
         for (k <- 0 until nAudio(d, c)) {
           // audio blocks rotate the THREE Matroska lacing schemes plus
           // the unlaced form — real Opus-in-WebM audio is laced
@@ -317,10 +439,10 @@ object Webm {
   // --------------------------------------------------------- parse
 
   final case class WebmInfo(timestampScale: Long, nTracks: Int,
-      nClusters: Int, nVideoBlocks: Int, nAudioBlocks: Int,
-      nAudioFrames: Int, nKeyframes: Int, width: Int, height: Int,
-      sumYAcQi: Long, opusChannels: Option[Int], nStereo: Int,
-      durationMs: Long)
+      nClusters: Int, videoCodec: String, nVideoBlocks: Int,
+      nAudioBlocks: Int, nAudioFrames: Int, nKeyframes: Int,
+      width: Int, height: Int, sumYAcQi: Long, sumVp9Sig: Long,
+      opusChannels: Option[Int], nStereo: Int, durationMs: Long)
 
   private final class R(bytes: Array[Byte]) {
     var pos = 0
@@ -415,6 +537,7 @@ object Webm {
     var nClusters = 0
     var nVideoBlocks = 0; var nAudioBlocks = 0; var nKey = 0
     var nAudioFrames = 0
+    var sumVp9 = 0L
     var sumQi = 0L; var nStereo = 0
     var lastVideoTicks = -1L; var lastAudioTicks = -1L
     var maxVideoEndMs = 0L
@@ -546,37 +669,56 @@ object Webm {
                 track.tpe match {
                   case 1 =>
                     require(lace == 0, "webm: laced VIDEO SimpleBlocks " +
-                      "are outside the walk subset (one VP8 frame per " +
+                      "are outside the walk subset (one frame per " +
                       "block — the layout WebM video actually uses)")
-                    require(track.codec == "V_VP8",
-                      s"webm: video codec ${track.codec} is outside the " +
-                        "walk subset (V_VP8 key-frame headers only)")
                     nVideoBlocks += 1
                     require(absTicks > lastVideoTicks,
                       s"webm: video timestamps regress at tick $absTicks")
                     lastVideoTicks = absTicks
-                    // VP8 uncompressed frame header (RFC 6386 §9.1)
-                    require(payload.length >= 10, "webm: VP8 frame too short")
-                    val tag = (payload(0) & 0xff) | ((payload(1) & 0xff) << 8) |
-                      ((payload(2) & 0xff) << 16)
-                    val isKey = (tag & 1) == 0
-                    require(isKey == key,
-                      "webm: SimpleBlock keyframe flag disagrees with the " +
-                        "VP8 frame tag")
-                    if (key) nKey += 1
-                    require((payload(3) & 0xff) == 0x9d &&
-                      (payload(4) & 0xff) == 0x01 &&
-                      (payload(5) & 0xff) == 0x2a,
-                      "webm: VP8 key frame lacks the start code")
-                    val fw = ((payload(6) & 0xff) |
-                      ((payload(7) & 0x3f) << 8))
-                    val fh = ((payload(8) & 0xff) |
-                      ((payload(9) & 0x3f) << 8))
-                    require(fw == track.width && fh == track.height,
-                      s"webm: VP8 frame ${fw}x$fh disagrees with the " +
-                        s"declared track ${track.width}x${track.height}")
-                    val hdr = Webp.parseVp8Header(payload, 10)
-                    sumQi += hdr.yAcQi
+                    track.codec match {
+                      case "V_VP8" =>
+                        // VP8 uncompressed frame header (RFC 6386 §9.1)
+                        require(payload.length >= 10,
+                          "webm: VP8 frame too short")
+                        val tag = (payload(0) & 0xff) |
+                          ((payload(1) & 0xff) << 8) |
+                          ((payload(2) & 0xff) << 16)
+                        val isKey = (tag & 1) == 0
+                        require(isKey == key,
+                          "webm: SimpleBlock keyframe flag disagrees " +
+                            "with the VP8 frame tag")
+                        if (key) nKey += 1
+                        require((payload(3) & 0xff) == 0x9d &&
+                          (payload(4) & 0xff) == 0x01 &&
+                          (payload(5) & 0xff) == 0x2a,
+                          "webm: VP8 key frame lacks the start code")
+                        val fw = ((payload(6) & 0xff) |
+                          ((payload(7) & 0x3f) << 8))
+                        val fh = ((payload(8) & 0xff) |
+                          ((payload(9) & 0x3f) << 8))
+                        require(fw == track.width && fh == track.height,
+                          s"webm: VP8 frame ${fw}x$fh disagrees with the " +
+                            s"declared track ${track.width}x${track.height}")
+                        val hdr = Webp.parseVp8Header(payload, 10)
+                        sumQi += hdr.yAcQi
+                      case "V_VP9" =>
+                        // a KEY SimpleBlock must carry a key frame; the
+                        // parse itself rejects non-key frame types
+                        require(key,
+                          "webm: VP9 key frame in a non-key SimpleBlock")
+                        val h = parseVp9Header(payload)
+                        nKey += 1
+                        require(h.width == track.width &&
+                          h.height == track.height,
+                          s"webm: VP9 frame ${h.width}x${h.height} " +
+                            "disagrees with the declared track " +
+                            s"${track.width}x${track.height}")
+                        sumVp9 += h.profile * 1000L + h.bitDepth * 10L +
+                          h.colorSpace
+                      case other => throw new IllegalArgumentException(
+                        s"webm: video codec $other is outside the walk " +
+                          "subset (VP8/VP9 key-frame headers only)")
+                    }
                     val endMs = absTicks * tsScale / 1000000L + 40L
                     if (endMs > maxVideoEndMs) maxVideoEndMs = endMs
                   case 2 =>
@@ -710,9 +852,9 @@ object Webm {
           s"declares ${t.channels}")
       cpCh
     }
-    WebmInfo(tsScale, tracks.size, nClusters, nVideoBlocks, nAudioBlocks,
-      nAudioFrames, nKey, video.width, video.height, sumQi, opusCh,
-      nStereo, maxVideoEndMs)
+    WebmInfo(tsScale, tracks.size, nClusters, video.codec, nVideoBlocks,
+      nAudioBlocks, nAudioFrames, nKey, video.width, video.height,
+      sumQi, sumVp9, opusCh, nStereo, maxVideoEndMs)
   }
 
   // ------------------------------------------------- spark plumbing
@@ -722,6 +864,7 @@ object Webm {
     StructField("timestamp_scale", LongType),
     StructField("n_tracks", IntegerType),
     StructField("n_clusters", IntegerType),
+    StructField("video_codec", StringType),
     StructField("n_video_blocks", IntegerType),
     StructField("n_audio_blocks", IntegerType),
     StructField("n_audio_frames", IntegerType),
@@ -729,6 +872,7 @@ object Webm {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("sum_y_ac_qi", LongType),
+    StructField("sum_vp9_sig", LongType),
     StructField("opus_channels", IntegerType),
     StructField("n_stereo", IntegerType),
     StructField("duration_ms", LongType)))
@@ -741,9 +885,9 @@ object Webm {
       rows.map { r =>
         val d = r.getLong(idIdx)
         val m = parse(synth(d))
-        Row(d, m.timestampScale, m.nTracks, m.nClusters, m.nVideoBlocks,
-          m.nAudioBlocks, m.nAudioFrames, m.nKeyframes, m.width,
-          m.height, m.sumYAcQi,
+        Row(d, m.timestampScale, m.nTracks, m.nClusters, m.videoCodec,
+          m.nVideoBlocks, m.nAudioBlocks, m.nAudioFrames, m.nKeyframes,
+          m.width, m.height, m.sumYAcQi, m.sumVp9Sig,
           m.opusChannels.orNull, m.nStereo, m.durationMs)
       }
     }

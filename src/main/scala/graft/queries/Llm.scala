@@ -4642,7 +4642,15 @@ object Llm extends QueryModule {
             CASE (ab.doc_id + ab.c + ab.k) % 4 WHEN 0 THEN 1
               WHEN 3 THEN 3 ELSE 2 END)) AS f) f),
         v AS (SELECT doc_id, count(*) AS nv,
-            sum((doc_id + 13 * c + 7 * k) % 128) AS sq
+            sum(CASE WHEN doc_id % 5 >= 3 THEN 0
+              ELSE (doc_id + 13 * c + 7 * k) % 128 END) AS sq,
+            sum(CASE WHEN doc_id % 5 >= 3 THEN
+                ((doc_id + 13 * c + 7 * k) % 3) * 1000
+                + (CASE WHEN (doc_id + 13 * c + 7 * k) % 3 = 2
+                    THEN 10 + 2 * ((doc_id + 13 * c + 7 * k) % 2)
+                    ELSE 8 END) * 10
+                + 1 + (doc_id + 13 * c + 7 * k) % 5
+              ELSE 0 END) AS sv
           FROM vb GROUP BY doc_id),
         a AS (SELECT doc_id, count(*) AS na FROM ab GROUP BY doc_id),
         a2 AS (SELECT doc_id, count(*) AS naf,
@@ -4654,6 +4662,8 @@ object Llm extends QueryModule {
           CAST(CASE WHEN d.doc_id % 3 <> 2 THEN 2 ELSE 1 END AS INT)
             AS n_tracks,
           CAST(2 + d.doc_id % 3 AS INT) AS n_clusters,
+          CASE WHEN d.doc_id % 5 >= 3 THEN 'V_VP9' ELSE 'V_VP8' END
+            AS video_codec,
           CAST(v.nv AS INT) AS n_video_blocks,
           CAST(coalesce(a.na, 0) AS INT) AS n_audio_blocks,
           CAST(coalesce(a2.naf, 0) AS INT) AS n_audio_frames,
@@ -4661,6 +4671,7 @@ object Llm extends QueryModule {
           CAST(320 + d.doc_id % 33 AS INT) AS width,
           CAST(240 + d.doc_id % 25 AS INT) AS height,
           CAST(v.sq AS BIGINT) AS sum_y_ac_qi,
+          CAST(v.sv AS BIGINT) AS sum_vp9_sig,
           CAST(CASE WHEN d.doc_id % 3 <> 2
             THEN 1 + (d.doc_id // 2) % 2 END AS INT) AS opus_channels,
           CAST(coalesce(a2.nst, 0) AS INT) AS n_stereo,
@@ -5868,7 +5879,8 @@ object Llm extends QueryModule {
         vb AS (SELECT doc_id, c, k.k AS k FROM cl,
           LATERAL (SELECT unnest(range(0, 1 + (cl.doc_id + cl.c) % 2)) AS k) k),
         v AS (SELECT doc_id, count(*) AS nv,
-            sum((doc_id + 13 * c + 7 * k) % 128) AS sq
+            sum(CASE WHEN doc_id % 5 >= 3 THEN 0
+              ELSE (doc_id + 13 * c + 7 * k) % 128 END) AS sq
           FROM vb GROUP BY doc_id)
         SELECT d.doc_id AS id,
           CAST(CASE WHEN d.doc_id % 3 <> 2 THEN 2 ELSE 1 END AS INT)

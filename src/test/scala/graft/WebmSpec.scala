@@ -17,11 +17,20 @@ class WebmSpec extends AnyFunSuite {
       assert(m.nAudioBlocks == na, s"d=$d audio")
       assert(m.nKeyframes == nv, s"d=$d keyframes")
       assert(m.width == Webm.videoW(d) && m.height == Webm.videoH(d))
-      // every block's bool-coded VP8 header was decoded: yAcQi = s%128
-      val sq = (0 until Webm.nClusters(d)).flatMap { c =>
-        (0 until Webm.nVideo(d, c)).map(k => (d + 13L * c + 7L * k) % 128)
-      }.sum
-      assert(m.sumYAcQi == sq, s"d=$d sum_qi")
+      // every block's key-frame header was decoded: VP8 docs sum the
+      // bool-coded yAcQi (= s%128), VP9 docs sum the bit-parsed
+      // profile/depth/color-space signature
+      val seeds = (0 until Webm.nClusters(d)).flatMap { c =>
+        (0 until Webm.nVideo(d, c)).map(k => d + 13L * c + 7L * k)
+      }
+      assert(m.videoCodec == (if (Webm.isVp9(d)) "V_VP9" else "V_VP8"))
+      if (Webm.isVp9(d)) {
+        assert(m.sumYAcQi == 0, s"d=$d vp9 doc with a vp8 sum")
+        assert(m.sumVp9Sig == seeds.map(Webm.vp9Sig).sum, s"d=$d vp9 sig")
+      } else {
+        assert(m.sumVp9Sig == 0, s"d=$d vp8 doc with a vp9 sig")
+        assert(m.sumYAcQi == seeds.map(_ % 128).sum, s"d=$d sum_qi")
+      }
       assert(m.opusChannels ==
         (if (Webm.hasAudio(d)) Some(Webm.opusChannels(d)) else None))
       // per laced FRAME: all three lacing schemes rotate per block
@@ -42,7 +51,9 @@ class WebmSpec extends AnyFunSuite {
   test("the walk rejects structural lies by name") {
     // a muxer declaring wrong pixel dims: patch PixelWidth's payload.
     // PixelWidth 0xB0 is unique in the stream head (before clusters).
-    val good = Webm.synth(4L)
+    // d=6: a VP8 doc (6%5=1) with audio (6%3=0) — the keyframe-flag
+    // check below needs the VP8 tag path
+    val good = Webm.synth(6L)
     def patch(find: Array[Byte], at: Int, to: Byte): Array[Byte] = {
       val i = good.indexOfSlice(find)
       assert(i >= 0, s"pattern not found")
@@ -137,6 +148,36 @@ class WebmSpec extends AnyFunSuite {
     b(i + 9) = 7 // OpusHead channels byte
     val e = intercept[IllegalArgumentException](Webm.parse(b))
     assert(e.getMessage.contains("channels"), e.getMessage)
+  }
+
+  test("VP9 docs cross-check their bit-parsed header against the track") {
+    // d=3: VP9 (3%5=3); lie about PixelWidth -> the VP9 dim check fires
+    assert(Webm.isVp9(3L))
+    val good = Webm.synth(3L)
+    val wIdx = good.indexOfSlice(Array(0xB0.toByte, 0x82.toByte))
+    assert(wIdx >= 0)
+    val lied = good.clone(); lied(wIdx + 2) = 0x07
+    val e = intercept[IllegalArgumentException](Webm.parse(lied))
+    assert(e.getMessage.contains("disagrees with the declared track"),
+      e.getMessage)
+    // corrupt the sync code of some VP9 frame -> loud by name; frame
+    // payloads start after SimpleBlock headers — scan for the 3-byte
+    // sync 49 83 42 and break it
+    val sIdx = good.indexOfSlice(Array(0x49.toByte, 0x83.toByte, 0x42.toByte))
+    assert(sIdx >= 0, "no VP9 sync code found")
+    val bad = good.clone(); bad(sIdx) = 0x00
+    val e2 = intercept[RuntimeException](Webm.parse(bad))
+    assert(e2.getMessage.contains("sync") ||
+      e2.getMessage.contains("webm"), e2.getMessage)
+  }
+
+  test("all four audio lacing schemes occur in fixture range") {
+    val modes = (0L until 30L).filter(Webm.hasAudio).flatMap { d =>
+      (0 until Webm.nClusters(d)).flatMap { c =>
+        (0 until Webm.nAudio(d, c)).map(k => Webm.laceMode(d, c, k))
+      }
+    }.toSet
+    assert(modes == Set(0, 1, 2, 3), s"lacing coverage: $modes")
   }
 
   test("walk terminates loudly under random corruption") {
