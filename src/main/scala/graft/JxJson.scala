@@ -429,12 +429,14 @@ object JxJson {
     val selects = selectsOf(q)
 
     if (groupby.nonEmpty) {
-      val aggs = selects.map(aggColumn)
+      val (aggs, post) = aggPlan(selects)
       df = df.groupBy(groupby.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
+      post.foreach(p => df = df.select(groupby.map(col) ++ p: _*))
     } else if (selects.exists(s => (s \ "aggregate") != JNothing)) {
-      val aggs = selects.map(aggColumn)
+      val (aggs, post) = aggPlan(selects)
       df = df.agg(aggs.head, aggs.tail: _*)
+      post.foreach(p => df = df.select(p: _*))
     } else if (selects.nonEmpty) {
       df = df.select(selects.map(selColumn): _*)
     }
@@ -1037,6 +1039,64 @@ object JxJson {
       case other => sys.error(s"jx: window aggregate '$other'")
     }
     df.withColumn(name, c)
+  }
+
+  /** (out name, plain value column, fraction) when `s` is an EXACT
+    * percentile-family aggregate over a bare column reference —
+    * the only shape the fusion below rewrites. */
+  private def pctOf(s: JValue): Option[(String, String, Double)] = s match {
+    case o: JObject =>
+      val vs = (o \ "value") match { case JString(v) => Some(v); case _ => None }
+      val out = (o \ "name") match { case JString(n) => Some(n); case _ => vs }
+      ((o \ "aggregate"), vs, out) match {
+        case (JString("median"), Some(v), Some(n)) => Some((n, v, 0.5))
+        case (JString("percentile"), Some(v), Some(n)) =>
+          val p = (o \ "percentile") match {
+            case JDouble(d) => d
+            case JDecimal(d) => d.toDouble
+            case JInt(i) => i.toDouble
+            case JNothing | JNull => 0.5
+            case other => sys.error(s"jx: percentile $other")
+          }
+          Some((n, v, p))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Aggregate plan with exact-percentile FUSION (the
+    * agg_percentile_approx array-form lesson, applied inside the front
+    * door): N `median`/`percentile` selects over the same column each
+    * build and merge their own full-group counts-map buffer — the
+    * dominant cost of the stats queries at sf0.1 and a straight N×
+    * memory multiplier at 100 TB. When ≥2 exact percentile selects hit
+    * one column, compile ONE array-form percentile() and restore the
+    * declared names/order with an element_at projection; everything
+    * else (approx sketches, count_distinct, plain aggs) passes through
+    * aggColumn unchanged. Returns (agg columns, optional
+    * post-projection in declared select order). */
+  private def aggPlan(selects: Seq[JValue]): (Seq[Column], Option[Seq[Column]]) = {
+    val fusable = selects.flatMap(pctOf).groupBy(_._2).filter(_._2.size >= 2)
+    if (fusable.isEmpty) (selects.map(aggColumn), None)
+    else {
+      val passthrough = selects.filter(s => pctOf(s) match {
+        case Some((_, v, _)) => !fusable.contains(v)
+        case None => true
+      }).map(aggColumn)
+      val fused = fusable.toSeq.sortBy(_._1).map { case (v, es) =>
+        expr(s"percentile($v, array(${es.map(_._3).mkString("D, ")}D))")
+          .as(s"__pct_$v")
+      }
+      val post = selects.map { s =>
+        pctOf(s) match {
+          case Some((n, v, _)) if fusable.contains(v) =>
+            element_at(col(s"__pct_$v"),
+              fusable(v).indexWhere(_._1 == n) + 1).as(n)
+          case _ => col(outName(s))
+        }
+      }
+      (passthrough ++ fused, Some(post))
+    }
   }
 
   private def aggColumn(s: JValue): Column = s match {

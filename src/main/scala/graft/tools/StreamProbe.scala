@@ -43,6 +43,11 @@ object StreamProbe {
         s" rows=${times.map(_._2).distinct.mkString(",")}")
     }
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // The matrix leaves the knob at its LAST value ("1"); reset to the
+    // shipped default so the instrumented run below decomposes the
+    // configuration the code actually runs with, and drop the property
+    // on exit so nothing later in this JVM inherits a probe setting.
+    sys.props("graft.stream.shuffle") = "4"
     // batch-level decomposition: run once more with the progress
     // listener on and dump each micro-batch's duration breakdown
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -63,6 +68,7 @@ object StreamProbe {
     println(f"instrumented run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     Thread.sleep(500)
     seen.forEach(s => println(s"  $s"))
+    sys.props -= "graft.stream.shuffle"
     spark.stop()
   }
 }
