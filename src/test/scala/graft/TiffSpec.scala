@@ -14,8 +14,8 @@ class TiffSpec extends AnyFunSuite {
         assert(pg.width == Tiff.pageW(d, p), s"d=$d p=$p width")
         assert(pg.height == Tiff.pageH(d, p), s"d=$d p=$p height")
         assert(pg.samples == Tiff.samples(d, p), s"d=$d p=$p samples")
-        assert(pg.compression ==
-          (if (Tiff.packbits(d, p)) 32773 else 1), s"d=$d p=$p comp")
+        assert(pg.compression == Tiff.compOf(d, p), s"d=$d p=$p comp")
+        assert(pg.predictor == Tiff.predOf(d, p), s"d=$d p=$p predictor")
         val rps = Tiff.rowsPerStrip(d, p)
         assert(pg.nStrips == (pg.height + rps - 1) / rps, s"d=$d p=$p strips")
         assert(pg.decodedBytes ==
@@ -25,9 +25,15 @@ class TiffSpec extends AnyFunSuite {
              c <- 0 until pg.samples) sum += Tiff.px(d, p, x, y, c)
         assert(pg.pixelSum == sum, s"d=$d p=$p pixel sum")
       }
-      // both endians and both compressions live in range
+      // both endians and all three compressions live in range
     }
     assert((0L to 10L).exists(_ % 2 == 0) && (0L to 10L).exists(_ % 2 == 1))
+    val comps = (0L to 10L).flatMap(d =>
+      (0 until Tiff.nPages(d)).map(p => Tiff.compOf(d, p))).toSet
+    assert(comps == Set(1, 32773, 5), s"compression coverage: $comps")
+    val preds = (0L to 10L).flatMap(d =>
+      (0 until Tiff.nPages(d)).map(p => Tiff.predOf(d, p))).toSet
+    assert(preds == Set(1, 2), s"predictor coverage: $preds")
   }
 
   test("constant rows genuinely exercise PackBits run packets") {
@@ -36,7 +42,7 @@ class TiffSpec extends AnyFunSuite {
     // the compressed size is smaller than raw for at least one page
     val found = (0L until 20L).exists { d =>
       (0 until Tiff.nPages(d)).exists { p =>
-        Tiff.packbits(d, p) &&
+        Tiff.compOf(d, p) == 32773 &&
           (0 until Tiff.pageH(d, p)).exists(y => (d + p + y) % 4 == 0)
       }
     }
@@ -44,7 +50,7 @@ class TiffSpec extends AnyFunSuite {
   }
 
   test("structural lies are rejected by name") {
-    // out-of-subset compression: LZW (5)
+    // out-of-subset compression: CCITT G4 (4)
     val good = Tiff.synth(2L) // little-endian
     def findTag(b: Array[Byte], ifd: Int, tag: Int): Int = {
       val n = (b(ifd) & 0xff) | ((b(ifd + 1) & 0xff) << 8)
@@ -54,11 +60,17 @@ class TiffSpec extends AnyFunSuite {
     }
     val ifd0 = (good(4) & 0xff) | ((good(5) & 0xff) << 8) |
       ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24)
-    val lzw = good.clone()
-    val ce = findTag(lzw, ifd0, 259)
-    lzw(ce + 8) = 5 // Compression = LZW
-    val e1 = intercept[IllegalArgumentException](Tiff.parse(lzw))
+    val ccitt = good.clone()
+    val ce = findTag(ccitt, ifd0, 259)
+    ccitt(ce + 8) = 4 // Compression = CCITT G4
+    val e1 = intercept[IllegalArgumentException](Tiff.parse(ccitt))
     assert(e1.getMessage.contains("outside the walk subset"), e1.getMessage)
+    // an out-of-subset predictor (floating point, 3)
+    val fp = good.clone()
+    val pe = findTag(fp, ifd0, 317)
+    fp(pe + 8) = 3
+    val eP = intercept[IllegalArgumentException](Tiff.parse(fp))
+    assert(eP.getMessage.contains("predictor"), eP.getMessage)
     // tiled organization rejected by name: rewrite RowsPerStrip's tag
     // id (278) to TileWidth (322)
     val tiled = good.clone()
@@ -66,10 +78,13 @@ class TiffSpec extends AnyFunSuite {
     tiled(re) = (322 & 0xff).toByte; tiled(re + 1) = (322 >> 8).toByte
     val e2 = intercept[IllegalArgumentException](Tiff.parse(tiled))
     assert(e2.getMessage.contains("tiled"), e2.getMessage)
-    // a lying strip table: shrink the first StripByteCounts entry on
-    // an UNCOMPRESSED page (d=2, p=0: (2+0)%2=0 -> comp 1)
-    val lie = good.clone()
-    val be = findTag(lie, ifd0, 279)
+    // a lying strip table: flip the first StripByteCounts entry's low
+    // bit on an UNCOMPRESSED page (d=6, p=0: (6+0)%3=0 -> comp 1)
+    val good6 = Tiff.synth(6L)
+    val ifd6 = (good6(4) & 0xff) | ((good6(5) & 0xff) << 8) |
+      ((good6(6) & 0xff) << 16) | ((good6(7) & 0xff) << 24)
+    val lie = good6.clone()
+    val be = findTag(lie, ifd6, 279)
     val cnt = (lie(be + 4) & 0xff) | ((lie(be + 5) & 0xff) << 8)
     val firstAt =
       if (cnt == 1) be + 8
@@ -85,6 +100,114 @@ class TiffSpec extends AnyFunSuite {
     deep(bpse + 8) = 16
     val e4 = intercept[IllegalArgumentException](Tiff.parse(deep))
     assert(e4.getMessage.contains("8-bit"), e4.getMessage)
+  }
+
+  test("the JDK reference TIFF reader decodes our LZW pages " +
+      "pixel-exactly") {
+    // direction 1 of the JPEG round-9 discipline: ImageIO (the
+    // reference TIFF implementation the JDK bundles) must read every
+    // LZW page of our from-spec encoder — predicted and unpredicted —
+    // to the exact closed-form pixels
+    var lzwPages = 0
+    for (d <- 0L until 12L) {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(Tiff.synth(d)))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      assert(readers.hasNext, "no JDK TIFF reader")
+      val reader = readers.next()
+      reader.setInput(in)
+      assert(reader.getNumImages(true) == Tiff.nPages(d), s"d=$d pages")
+      for (p <- 0 until Tiff.nPages(d)) {
+        val img = reader.read(p)
+        assert(img.getWidth == Tiff.pageW(d, p), s"d=$d p=$p width")
+        assert(img.getHeight == Tiff.pageH(d, p), s"d=$d p=$p height")
+        if (Tiff.compOf(d, p) == 5) {
+          lzwPages += 1
+          val sp = Tiff.samples(d, p)
+          // raster samples, not getRGB: getRGB would push gray pages
+          // through a GRAY→sRGB colorspace conversion
+          val raster = img.getRaster
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
+               c <- 0 until sp) {
+            assert(raster.getSample(x, y, c) == Tiff.px(d, p, x, y, c),
+              s"d=$d p=$p ($x,$y,$c) sample mismatch")
+          }
+        }
+      }
+      reader.dispose(); in.close()
+    }
+    assert(lzwPages > 0, "no LZW pages in range")
+  }
+
+  test("our walk decodes JDK-written LZW TIFFs pixel-exactly") {
+    // direction 2: ImageIO writes LZW; our decoder must recover the
+    // exact pixel sum
+    for (d <- 0L until 8L) {
+      val w = 20 + d.toInt; val h = 14 + d.toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((d + 3 * x + 5 * y) % 256).toInt
+        img.getRaster.setSample(x, y, 0, v)
+        sum += v
+      }
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+      assert(writers.hasNext, "no JDK TIFF writer")
+      val writer = writers.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType("LZW")
+      writer.write(null,
+        new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val pages = Tiff.parse(bos.toByteArray)
+      assert(pages.size == 1 && pages.head.compression == 5,
+        s"d=$d: JDK writer did not produce one LZW page")
+      assert(pages.head.width == w && pages.head.height == h, s"d=$d dims")
+      assert(pages.head.pixelSum == sum,
+        s"d=$d: pixel sum ${pages.head.pixelSum} != $sum")
+    }
+  }
+
+  test("LZW bombs and desyncs are rejected by name") {
+    // a code pointing past the just-added table entry is the classic
+    // desync: find an LZW page's first strip and corrupt its stream
+    // head so the first post-Clear code is not a literal
+    val d = 2L // compOf(2,0)=2 -> LZW, little-endian
+    assert(Tiff.compOf(d, 0) == 5)
+    val good = Tiff.synth(d)
+    def findTag(b: Array[Byte], ifd: Int, tag: Int): Int = {
+      val n = (b(ifd) & 0xff) | ((b(ifd + 1) & 0xff) << 8)
+      (0 until n).map(k => ifd + 2 + 12 * k).find { e =>
+        ((b(e) & 0xff) | ((b(e + 1) & 0xff) << 8)) == tag
+      }.get
+    }
+    val ifd0 = (good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24)
+    val oe = findTag(good, ifd0, 273)
+    val cnt = (good(oe + 4) & 0xff) | ((good(oe + 5) & 0xff) << 8)
+    val strip0 =
+      if (cnt == 1) (good(oe + 8) & 0xff) | ((good(oe + 9) & 0xff) << 8) |
+        ((good(oe + 10) & 0xff) << 16) | ((good(oe + 11) & 0xff) << 24)
+      else {
+        val at = (good(oe + 8) & 0xff) | ((good(oe + 9) & 0xff) << 8) |
+          ((good(oe + 10) & 0xff) << 16) | ((good(oe + 11) & 0xff) << 24)
+        (good(at) & 0xff) | ((good(at + 1) & 0xff) << 8) |
+          ((good(at + 2) & 0xff) << 16) | ((good(at + 3) & 0xff) << 24)
+      }
+    // the stream opens with Clear (256, 9 bits = 0x80 0x4x); force the
+    // SECOND code's high bits so it reads >= 258 right after Clear
+    val bad = good.clone()
+    bad(strip0 + 1) = (bad(strip0 + 1) | 0x7f).toByte
+    bad(strip0 + 2) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException](Tiff.parse(bad))
+    assert(e.getMessage.contains("LZW") || e.getMessage.contains("tiff"),
+      e.getMessage)
   }
 
   test("walk terminates loudly under random corruption") {

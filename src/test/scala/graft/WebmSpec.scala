@@ -45,7 +45,114 @@ class WebmSpec extends AnyFunSuite {
       }.sum
       assert(m.nStereo == nst, s"d=$d stereo")
       assert(m.durationMs == Webm.durationMs(d), s"d=$d duration")
+      // BlockGroup rotation: half the video / a third of the audio
+      // blocks ride BlockGroups with a declared BlockDuration
+      val mult = if (d % 2 == 0) 1L else 2L // ms → ticks
+      val groups = (0 until Webm.nClusters(d)).flatMap { c =>
+        (0 until Webm.nVideo(d, c)).collect {
+          case k if Webm.videoOnGroup(d, c, k) => 40L * mult
+        } ++
+        (0 until Webm.nAudio(d, c)).collect {
+          case k if Webm.audioOnGroup(d, c, k) =>
+            20L * Webm.framesInBlock(d, c, k) * mult
+        }
+      }
+      assert(m.nBlockGroups == groups.size, s"d=$d block groups")
+      assert(m.sumBlockDurTicks == groups.sum, s"d=$d block durations")
     }
+  }
+
+  test("SimpleBlock and BlockGroup framings parse to identical fields") {
+    for (d <- 0L to 40L) {
+      val rotated = Webm.parse(Webm.synth(d))
+      val simple = Webm.parse(Webm.synth(d, forceSimple = true))
+      assert(simple.nBlockGroups == 0 && simple.sumBlockDurTicks == 0L,
+        s"d=$d forced-simple stream still parsed groups")
+      assert(rotated.nBlockGroups > 0, s"d=$d rotation produced no groups")
+      assert(rotated.copy(nBlockGroups = 0, sumBlockDurTicks = 0L)
+        == simple, s"d=$d framing parity")
+    }
+  }
+
+  test("ReferenceBlock marks non-key and must agree with the frame tag") {
+    // d=6: VP8 doc with video BlockGroups. Rewrite a video group's
+    // BlockDuration (id 0x9B, 1-byte payload 0x28 = 40 ticks at the
+    // even-d scale) into a ReferenceBlock (id 0xFB, same size): the
+    // group's frame is now marked NON-key while its VP8 tag says key
+    // frame — the both-direction check must fire by name. The ledger
+    // stays consistent (the lost declared duration equals the 40 ms
+    // default), so ONLY the keyness disagreement can fail.
+    val good = Webm.synth(6L)
+    val i = good.indexOfSlice(Array(0x9B.toByte, 0x81.toByte, 0x28.toByte))
+    assert(i >= 0, "no 1-byte video BlockDuration found")
+    val b = good.clone(); b(i) = 0xFB.toByte
+    val e = intercept[IllegalArgumentException](Webm.parse(b))
+    assert(e.getMessage.contains(
+      "ReferenceBlock presence disagrees with the VP8 frame tag"),
+      e.getMessage)
+  }
+
+  test("BlockGroup structural lies are rejected by name") {
+    val good = Webm.synth(6L)
+    // a group whose Block is renamed to an unknown id is skipped by
+    // size, leaving a Block-less group
+    val di = good.indexOfSlice(Array(0x9B.toByte, 0x81.toByte, 0x28.toByte))
+    assert(di >= 0)
+    assert((good(di + 3) & 0xff) == 0xA1, "Block does not follow the duration")
+    val noBlock = good.clone(); noBlock(di + 3) = 0xED.toByte
+    val e1 = intercept[RuntimeException](Webm.parse(noBlock))
+    assert(e1.getMessage.contains("without a Block") ||
+      e1.getMessage.contains("webm"), e1.getMessage)
+    // a Block whose flags set the SimpleBlock-only keyframe bit:
+    // Block header = track(1) + rel(2) + flags; flip flags 0x00→0x80
+    val bi = good.indexOfSlice(Array(0xA1.toByte))
+    var found = false; var j = 0
+    while (!found && j < good.length - 8) {
+      if ((good(j) & 0xff) == 0xA1 && (good(j + 2) & 0xff) == 0x81) {
+        // candidate Block, 1-byte size, track 1; flags at j+5
+        val b = good.clone()
+        b(j + 5) = (b(j + 5) | 0x80).toByte
+        try { Webm.parse(b); () }
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("SimpleBlock-only keyframe bit") =>
+            found = true
+          case _: RuntimeException => ()
+        }
+      }
+      j += 1
+    }
+    assert(found, "no Block flags flip produced the named rejection")
+    assert(bi >= 0)
+  }
+
+  test("lace counts above 64 are inside the subset (format bound 256)") {
+    // patch a Xiph-laced audio block's count byte to 0xFF (256
+    // frames): the sizes then overrun the small block — a LOUD
+    // overrun error — but the old 64-frame cap's 'out of bounds'
+    // rejection must NOT fire (the format's own bound is 256).
+    // d=1, c=0, k=0: laceMode = 1 (Xiph), count byte = nf-1 = 1.
+    assert(Webm.laceMode(1L, 0, 0) == 1)
+    val good = Webm.synth(1L)
+    // audio block payload starts after id/size/track(0x82)/rel/flags;
+    // find an audio block with Xiph lacing bits (0x02) and count 0x01
+    var j = 0; var hit = false
+    while (!hit && j < good.length - 8) {
+      if ((good(j) & 0xff) == 0x82 && (good(j + 3) & 0xff) == 0x82 &&
+          (good(j + 4) & 0xff) == 0x01) {
+        // track 2, flags = key|Xiph (SimpleBlock) → 0x82, count byte 1
+        val b = good.clone()
+        b(j + 4) = 0xFF.toByte
+        try { Webm.parse(b); hit = false }
+        catch {
+          case e: RuntimeException =>
+            assert(!e.getMessage.contains("out of bounds"), e.getMessage)
+            if (e.getMessage.contains("overrun")) hit = true
+        }
+      }
+      j += 1
+    }
+    assert(hit, "no Xiph count-byte patch reached the lace-size reader")
   }
 
   test("the walk rejects structural lies by name") {
@@ -76,17 +183,21 @@ class WebmSpec extends AnyFunSuite {
     var e2msg = ""
     while (!found && i < good.length - 1) {
       if ((good(i) & 0xff) == 0xA3) {
-        // candidate: try flipping the byte 5 ahead (1-byte size vint)
-        val b = good.clone()
-        val fl = i + 1 + 1 + 1 + 2
-        if (fl < b.length && (b(fl) & 0xff) == 0x80) {
-          b(fl) = 0x00
-          try { Webm.parse(b); () }
-          catch {
-            case e: IllegalArgumentException
-                if e.getMessage.contains("keyframe flag disagrees") =>
-              found = true; e2msg = e.getMessage
-            case _: RuntimeException => ()
+        // candidate: flags sit 5 (1-byte size vint) or 6 (2-byte)
+        // bytes ahead — try both; wrong flips only produce caught
+        // parse failures
+        Seq(5, 6).foreach { off =>
+          val b = good.clone()
+          val fl = i + off
+          if (!found && fl < b.length && (b(fl) & 0xff) == 0x80) {
+            b(fl) = 0x00
+            try { Webm.parse(b); () }
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("keyframe flag disagrees") =>
+                found = true; e2msg = e.getMessage
+              case _: RuntimeException => ()
+            }
           }
         }
       }
@@ -97,16 +208,22 @@ class WebmSpec extends AnyFunSuite {
     // an undeclared track number: rewrite some SimpleBlock's 1-byte
     // track vint to track 5 and require the NAMED rejection
     var j = 0; var undeclared = false
-    while (!undeclared && j < good.length - 6) {
-      if ((good(j) & 0xff) == 0xA3 && (good(j + 2) & 0xff) == 0x81) {
-        val b = good.clone()
-        b(j + 2) = 0x85.toByte // track 5: never declared
-        try { Webm.parse(b); () }
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage.contains("undeclared track") =>
-            undeclared = true
-          case _: RuntimeException => ()
+    while (!undeclared && j < good.length - 7) {
+      if ((good(j) & 0xff) == 0xA3) {
+        // track vint sits 2 (1-byte size) or 3 (2-byte size) ahead
+        Seq(2, 3).foreach { off =>
+          val tb = good(j + off) & 0xff
+          if (!undeclared && (tb == 0x81 || tb == 0x82)) {
+            val b = good.clone()
+            b(j + off) = 0x85.toByte // track 5: never declared
+            try { Webm.parse(b); () }
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("undeclared track") =>
+                undeclared = true
+              case _: RuntimeException => ()
+            }
+          }
         }
       }
       j += 1

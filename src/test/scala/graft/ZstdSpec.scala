@@ -206,4 +206,144 @@ class ZstdSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------ dictionaries
+
+  test("dict-fed frames walk to the closed forms through all three " +
+      "inheritance channels") {
+    for (d <- 0L until 40L) {
+      val m = Zstd.walk(Zstd.synthDictFrame(d), Zstd.synthDict(d))
+      assert(m.dictId == Zstd.dictIdOf(d), s"d=$d dict id")
+      assert(m.nFrames == 1 && m.nBlocks == 1 && m.nCompressedBlocks == 1)
+      assert(m.nSequences == 2, s"d=$d sequences")
+      assert(m.checksummed == 1, s"d=$d checksum verified")
+      val fc = Zstd.dictFrameContent(d)
+      assert(m.contentBytes == fc.length, s"d=$d content bytes")
+      assert(m.contentSum == fc.map(_ & 0xff).map(_.toLong).sum,
+        s"d=$d content sum")
+      // decompress returns the frame content WITHOUT the dictionary
+      // history prefix
+      assert(java.util.Arrays.equals(
+        Zstd.decompress(Zstd.synthDictFrame(d), Zstd.synthDict(d)), fc),
+        s"d=$d decompressed bytes")
+    }
+  }
+
+  test("the reference codec decompresses our dict-fed frames with our " +
+      "from-spec dictionary byte-exactly") {
+    for (d <- 0L until 25L) {
+      val dict = Zstd.synthDict(d)
+      // the reference codec parses our structured dictionary: id first
+      assert(com.github.luben.zstd.Zstd.getDictIdFromDict(dict)
+        == Zstd.dictIdOf(d), s"d=$d reference codec reads our dict id")
+      val stream = Zstd.synthDictFrame(d)
+      val fc = Zstd.dictFrameContent(d)
+      val dst = new Array[Byte](fc.length)
+      val n = com.github.luben.zstd.Zstd.decompressUsingDict(
+        dst, 0, stream, 0, stream.length, dict)
+      assert(!com.github.luben.zstd.Zstd.isError(n),
+        s"d=$d reference codec error: " +
+          com.github.luben.zstd.Zstd.getErrorName(n))
+      assert(n == fc.length && java.util.Arrays.equals(dst, fc),
+        s"d=$d reference codec disagrees on our dict-fed frame")
+    }
+  }
+
+  test("our decoder reads reference-compressed data under a REAL " +
+      "trained dictionary byte-exactly") {
+    // ZDICT-trained dictionary (zstd-jni bundles the trainer): 256-
+    // symbol Huffman table with FSE-compressed weights, trained FSE
+    // tables — the heaviest real-world shape our parseDict must load
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 4096)
+    val docs = (0 until 400).map { i =>
+      (s"log line user=${i % 13} action=click path=/p/${i % 7} " +
+        s"status=${200 + (i % 3)} latency=${i % 97}ms").getBytes("UTF-8")
+    }
+    docs.foreach(s => trainer.addSample(s))
+    val dict = trainer.trainSamples()
+    assert(com.github.luben.zstd.Zstd.getDictIdFromDict(dict) != 0)
+    for (i <- 0 until 40; level <- Seq(1, 3, 9, 19)) {
+      val input = docs(i * 7 % docs.length)
+      val comp = com.github.luben.zstd.Zstd.compressUsingDict(
+        input, dict, level)
+      val mine = Zstd.decompress(comp, dict)
+      assert(java.util.Arrays.equals(mine, input),
+        s"doc $i level $level: trained-dict decode mismatch")
+      val m = Zstd.walk(comp, dict)
+      assert(m.contentBytes == input.length, s"doc $i level $level walk")
+    }
+  }
+
+  test("our decoder reads reference-compressed data under a raw " +
+      "content-only dictionary byte-exactly") {
+    // rawContent mode: window history only, default tables and
+    // {1,4,8} offsets — the other dictionary flavor the reference
+    // codec auto-detects by the missing magic
+    val rawDict = Array.tabulate(2000)(i => ((i * 31 + 7) % 251).toByte)
+    for (d <- 0 until 10; level <- Seq(1, 3, 19)) {
+      val input = Array.tabulate(600)(i =>
+        rawDict((i * 13 + d * 101) % rawDict.length))
+      val comp = com.github.luben.zstd.Zstd.compressUsingDict(
+        input, rawDict, level)
+      val mine = Zstd.decompress(comp, rawDict)
+      assert(java.util.Arrays.equals(mine, input),
+        s"d=$d level $level: raw-dict decode mismatch")
+    }
+  }
+
+  test("dict-fed compressed blocks without the dictionary are rejected " +
+      "by name, and a wrong dictionary is refused") {
+    val e1 = intercept[IllegalArgumentException](
+      Zstd.walk(Zstd.synthDictFrame(3L)))
+    assert(e1.getMessage.contains("need their dictionary"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Zstd.decompress(Zstd.synthDictFrame(3L)))
+    assert(e2.getMessage.contains("need their dictionary"), e2.getMessage)
+    // dictIdOf(3) != dictIdOf(4): the id cross-check fires by name
+    val e3 = intercept[IllegalArgumentException](
+      Zstd.walk(Zstd.synthDictFrame(3L), Zstd.synthDict(4L)))
+    assert(e3.getMessage.contains("but dictionary"), e3.getMessage)
+  }
+
+  test("a crafted oversized skippable frame cannot loop decompress") {
+    // size >= 2^31 went negative under .toInt and moved pos BACKWARD
+    // (the r16 ADVICE) — both entry points must fail loudly instead
+    val b = new Array[Byte](16)
+    // skippable magic 0x184D2A50 LE
+    b(0) = 0x50; b(1) = 0x2A; b(2) = 0x4D; b(3) = 0x18
+    // declared size 0xFFFFFFF0
+    b(4) = 0xF0.toByte; b(5) = 0xFF.toByte
+    b(6) = 0xFF.toByte; b(7) = 0xFF.toByte
+    val e1 = intercept[IllegalArgumentException](Zstd.decompress(b))
+    assert(e1.getMessage.contains("overruns"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Zstd.walk(b))
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+  }
+
+  test("dictionary parsing and dict-fed walk terminate loudly under " +
+      "random corruption") {
+    val rng = new scala.util.Random(17017)
+    for (trial <- 0 until 200) {
+      val d = (trial % 11).toLong
+      val corruptDict = trial % 2 == 0
+      val dict = Zstd.synthDict(d).clone()
+      val frame = Zstd.synthDictFrame(d).clone()
+      val target = if (corruptDict) dict else frame
+      (0 to rng.nextInt(4)).foreach { _ =>
+        target(rng.nextInt(target.length)) = rng.nextInt(256).toByte
+      }
+      try { Zstd.walk(frame, dict); () }
+      catch {
+        case e: RuntimeException
+            if e.isInstanceOf[IllegalArgumentException] ||
+              e.isInstanceOf[IllegalStateException] ||
+              e.getClass == classOf[RuntimeException] => ()
+        case _: ArrayIndexOutOfBoundsException =>
+          fail(s"trial $trial: unguarded array access")
+        case other: Throwable =>
+          fail(s"trial $trial: non-contract failure " +
+            s"${other.getClass.getName}: ${other.getMessage}", other)
+      }
+    }
+  }
 }
