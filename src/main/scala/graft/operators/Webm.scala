@@ -56,9 +56,17 @@ import org.apache.spark.sql.types._
   * an inter frame — whose header layout past the frame tag is the
   * codec boundary below.
   *
+  * The seek indexes are PARSED and cross-checked, not skipped:
+  * SeekHead entries (SeekID/SeekPosition) must point at the
+  * segment-relative offsets the indexed elements were actually walked
+  * at, and every Cues CuePoint must name a declared track, point at a
+  * real cluster, and carry that cluster's exact timestamp — a lying
+  * seek index fails loudly (the tfdt-ledger discipline applied to
+  * seeking). Seek targets outside the walked set pass through by the
+  * forward-compatibility rule.
+  *
   * Subset boundary (documented, loud): unknown-size elements, LACED
-  * VIDEO blocks (WebM video is one frame per block),
-  * Cues/SeekHead (skipped as unknown), VP9
+  * VIDEO blocks (WebM video is one frame per block), VP9
   * profile 3 / RGB color space, and frame PAYLOAD decode beyond the
   * key-frame headers and the Opus TOC — inter-frame/arithmetic-coded
   * decode stays the codec boundary every round re-affirms.
@@ -102,6 +110,16 @@ object Webm {
   private val IdBlock = 0xA1L
   private val IdBlockDuration = 0x9BL
   private val IdReferenceBlock = 0xFBL
+  private val IdSeekHead = 0x114D9B74L
+  private val IdSeek = 0x4DBBL
+  private val IdSeekId = 0x53ABL
+  private val IdSeekPosition = 0x53ACL
+  private val IdCues = 0x1C53BB6BL
+  private val IdCuePoint = 0xBBL
+  private val IdCueTime = 0xB3L
+  private val IdCueTrackPositions = 0xB7L
+  private val IdCueTrack = 0xF7L
+  private val IdCueClusterPosition = 0xF1L
   private val IdVoid = 0xECL
   private val IdSegmentUid = 0x73A4L // known Matroska, OUTSIDE the walk
 
@@ -327,7 +345,11 @@ object Webm {
     * block a real Opus TOC + filler. Blocks rotate between the
     * SimpleBlock and BlockGroup framings (videoOnGroup/audioOnGroup);
     * grouped blocks carry a BlockDuration whose child order itself
-    * rotates. `forceSimple` (spec-only) pins every block to the
+    * rotates. A SeekHead opens the segment (fixed-width 8-byte
+    * SeekPositions so its own size never shifts what it points at)
+    * indexing Info/Tracks/Cues, and a Cues element closes it with one
+    * CuePoint per cluster — both cross-checked against the walked
+    * offsets. `forceSimple` (spec-only) pins every block to the
     * SimpleBlock framing so WebmSpec can assert framing parity. */
   def synth(d: Long): Array[Byte] = synth(d, forceSimple = false)
 
@@ -342,7 +364,14 @@ object Webm {
       w.uint(IdDocTypeVersion, 4)
       w.uint(IdDocTypeReadVersion, 2)
     }))
-    val seg = new W
+    // the post-SeekHead segment body builds first so every element's
+    // segment-relative offset is known; the SeekHead layout below is
+    // CONSTANT-size (8-byte SeekPositions), so offsets = 68 + body pos
+    val seekHeadSize = 4 + 1 + 3 * 21
+    val body = new W
+    def bodyOff: Long = seekHeadSize + body.out.size()
+    val infoOff = bodyOff
+    val seg = body
     // Info
     seg.out.write(wrap(IdInfo, { w =>
       w.uint(IdTimestampScale, tickNs(d))
@@ -355,6 +384,7 @@ object Webm {
       w.str(IdWritingApp, s"graft-${d % 7}")
     }))
     // Tracks
+    val tracksOff = bodyOff
     seg.out.write(wrap(IdTracks, { w =>
       w.out.write(wrap(IdTrackEntry, { t =>
         t.uint(IdTrackNumber, 1)
@@ -392,8 +422,10 @@ object Webm {
     // a Void element between Tracks and the first Cluster
     seg.element(IdVoid,
       Array.tabulate((4 + d % 5).toInt)(_ => 0x00.toByte))
-    // Clusters
+    // Clusters (offsets recorded for the Cues index)
+    val clusterOffs = new Array[Long](nClusters(d))
     for (c <- 0 until nClusters(d)) {
+      clusterOffs(c) = bodyOff
       seg.out.write(wrap(IdCluster, { w =>
         val base = msToTicks(d, 400L * c)
         w.uint(IdClusterTimestamp, base)
@@ -483,8 +515,39 @@ object Webm {
         }
       }))
     }
+    // Cues: one CuePoint per cluster — time, track 1, cluster offset
+    val cuesOff = bodyOff
+    seg.out.write(wrap(IdCues, { w =>
+      (0 until nClusters(d)).foreach { c =>
+        w.out.write(wrap(IdCuePoint, { cp =>
+          cp.uint(IdCueTime, msToTicks(d, 400L * c))
+          cp.out.write(wrap(IdCueTrackPositions, { tp =>
+            tp.uint(IdCueTrack, 1)
+            tp.uint(IdCueClusterPosition, clusterOffs(c))
+          }))
+        }))
+      }
+    }))
+    // SeekHead: constant-size layout (4-byte SeekIDs, 8-byte
+    // SeekPositions) indexing Info, Tracks, and Cues
+    val seek = new W
+    def seekEntry(targetId: Long, pos: Long): Unit =
+      seek.out.write(wrap(IdSeek, { s2 =>
+        s2.element(IdSeekId, s2.idBytes(targetId))
+        s2.element(IdSeekPosition,
+          Array.tabulate(8)(i => ((pos >> (8 * (7 - i))) & 0xff).toByte))
+      }))
+    seekEntry(IdInfo, infoOff)
+    seekEntry(IdTracks, tracksOff)
+    seekEntry(IdCues, cuesOff)
+    val seekHead = wrap(IdSeekHead, w => w.out.write(seek.out.toByteArray))
+    require(seekHead.length == seekHeadSize,
+      s"fixture SeekHead is ${seekHead.length} bytes, not $seekHeadSize")
     val o = new W
-    o.element(IdSegment, seg.out.toByteArray)
+    val segPayload = new java.io.ByteArrayOutputStream()
+    segPayload.write(seekHead, 0, seekHead.length)
+    segPayload.write(seg.out.toByteArray, 0, seg.out.size())
+    o.element(IdSegment, segPayload.toByteArray)
     out.write(o.out.toByteArray)
     out.toByteArray
   }
@@ -496,7 +559,8 @@ object Webm {
       nAudioBlocks: Int, nAudioFrames: Int, nKeyframes: Int,
       width: Int, height: Int, sumYAcQi: Long, sumVp9Sig: Long,
       opusChannels: Option[Int], nStereo: Int, durationMs: Long,
-      nBlockGroups: Int, sumBlockDurTicks: Long)
+      nBlockGroups: Int, sumBlockDurTicks: Long,
+      nSeekEntries: Int, nCuePoints: Int)
 
   private final class R(bytes: Array[Byte]) {
     var pos = 0
@@ -585,6 +649,8 @@ object Webm {
     // ---- Segment
     require(r.readId() == IdSegment, "webm: no Segment after EBML header")
     val segEnd = { val sz = r.readSize(); r.pos + sz }
+    // SeekHead/Cues positions are relative to the segment DATA start
+    val segDataStart = r.pos
     var tsScale = 1000000L // Matroska default
     var declaredDurTicks = -1.0
     var tracks = Vector.empty[Track]
@@ -596,6 +662,11 @@ object Webm {
     var lastVideoTicks = -1L; var lastAudioTicks = -1L
     var maxVideoEndMs = 0L
     var nBlockGroups = 0; var sumBlockDur = 0L
+    // the seek/cue ledgers: what the indexes CLAIM vs what the walk SAW
+    var infoOff = -1L; var tracksOff = -1L; var cuesOff = -1L
+    var seekEntries = Vector.empty[(Long, Long)] // (target id, position)
+    var cuePoints = Vector.empty[(Long, Long, Long)] // (time, track, pos)
+    val clusterAt = collection.mutable.Map.empty[Long, Long] // off -> base
     /** One block body, either framing: SimpleBlock (`simple`, keyness
       * from the flags byte) or a BlockGroup's Block (keyness = NO
       * ReferenceBlock seen in the group; the flags keyframe bit is
@@ -809,11 +880,13 @@ object Webm {
     var segCh = 0
     while (r.pos < segEnd) {
       segCh += 1; require(segCh <= MaxChildren, "webm: Segment child bomb")
+      val childOff = (r.pos - segDataStart).toLong
       val id = r.readId(); val sz = r.readSize()
       require(r.pos + sz <= segEnd, "webm: Segment child overruns it")
       val end = r.pos + sz
       id match {
         case IdInfo =>
+          if (infoOff < 0) infoOff = childOff
           var ch = 0
           while (r.pos < end) {
             ch += 1; require(ch <= MaxChildren, "webm: Info child bomb")
@@ -831,6 +904,7 @@ object Webm {
           }
           require(r.pos == end, "webm: Info children under-fill it")
         case IdTracks =>
+          if (tracksOff < 0) tracksOff = childOff
           var ch = 0
           while (r.pos < end) {
             ch += 1; require(ch <= MaxChildren, "webm: Tracks child bomb")
@@ -970,12 +1044,128 @@ object Webm {
           }
           require(r.pos == end, "webm: Cluster children under-fill it")
           require(base >= 0, "webm: Cluster without a Timestamp")
+          clusterAt(childOff) = base
+        case IdSeekHead =>
+          // SeekHead → Seek → (SeekID = raw element-id bytes,
+          // SeekPosition = segment-relative offset); cross-checked
+          // against the walked offsets after the segment closes
+          var ch = 0
+          while (r.pos < end) {
+            ch += 1; require(ch <= MaxChildren, "webm: SeekHead child bomb")
+            val cid = r.readId(); val csz = r.readSize()
+            require(r.pos + csz <= end, "webm: SeekHead child overruns it")
+            if (cid == IdSeek) {
+              val sEnd = r.pos + csz
+              var target = -1L; var position = -1L
+              var sch = 0
+              while (r.pos < sEnd) {
+                sch += 1; require(sch <= MaxChildren, "webm: Seek child bomb")
+                val eid = r.readId(); val esz = r.readSize()
+                require(r.pos + esz <= sEnd, "webm: Seek child overruns it")
+                val p = r.bin(esz)
+                eid match {
+                  case IdSeekId =>
+                    require(p.length >= 1 && p.length <= 4,
+                      s"webm: SeekID of ${p.length} bytes")
+                    target = r.uintOf(p)
+                  case IdSeekPosition => position = r.uintOf(p)
+                  case _ => () // unknown — skip by size
+                }
+              }
+              require(r.pos == sEnd, "webm: Seek children under-fill it")
+              require(target >= 0 && position >= 0,
+                "webm: Seek entry lacks its target id or position")
+              seekEntries :+= (target, position)
+            } else r.bin(csz)
+          }
+          require(r.pos == end, "webm: SeekHead children under-fill it")
+        case IdCues =>
+          if (cuesOff < 0) cuesOff = childOff
+          var ch = 0
+          while (r.pos < end) {
+            ch += 1; require(ch <= MaxChildren, "webm: Cues child bomb")
+            val cid = r.readId(); val csz = r.readSize()
+            require(r.pos + csz <= end, "webm: Cues child overruns it")
+            require(cid == IdCuePoint,
+              s"webm: non-CuePoint 0x${cid.toHexString} inside Cues")
+            val cpEnd = r.pos + csz
+            var time = -1L
+            var cch = 0
+            while (r.pos < cpEnd) {
+              cch += 1; require(cch <= MaxChildren, "webm: CuePoint child bomb")
+              val eid = r.readId(); val esz = r.readSize()
+              require(r.pos + esz <= cpEnd, "webm: CuePoint child overruns it")
+              eid match {
+                case IdCueTime => time = r.uintOf(r.bin(esz))
+                case IdCueTrackPositions =>
+                  val tpEnd = r.pos + esz
+                  var trk = -1L; var cpos = -1L
+                  var tch = 0
+                  while (r.pos < tpEnd) {
+                    tch += 1
+                    require(tch <= MaxChildren,
+                      "webm: CueTrackPositions child bomb")
+                    val tid = r.readId(); val tsz = r.readSize()
+                    require(r.pos + tsz <= tpEnd,
+                      "webm: CueTrackPositions child overruns it")
+                    val p = r.bin(tsz)
+                    tid match {
+                      case IdCueTrack => trk = r.uintOf(p)
+                      case IdCueClusterPosition => cpos = r.uintOf(p)
+                      case _ => () // CueRelativePosition/… — skip
+                    }
+                  }
+                  require(r.pos == tpEnd,
+                    "webm: CueTrackPositions children under-fill it")
+                  require(trk >= 1 && cpos >= 0,
+                    "webm: CueTrackPositions lacks its track or position")
+                  require(time >= 0,
+                    "webm: CueTrackPositions before the CuePoint's CueTime")
+                  cuePoints :+= ((time, trk, cpos))
+                case _ => r.bin(esz); () // unknown — skip by size
+              }
+            }
+            require(r.pos == cpEnd, "webm: CuePoint children under-fill it")
+          }
+          require(r.pos == end, "webm: Cues children under-fill it")
         case IdVoid => r.bin(sz); ()
-        case _ => r.bin(sz); () // SeekHead/Cues/Tags/… — skip by size
+        case _ => r.bin(sz); () // Tags/Chapters/… — skip by size
       }
     }
     require(r.pos == segEnd, "webm: Segment children under-fill it")
     require(tracks.nonEmpty, "webm: no Tracks element")
+    // SeekHead ledger: every entry whose target kind the walk surfaces
+    // must point at the offset the element was actually found at — a
+    // lying seek index fails loudly; targets outside the walked set
+    // (Tags, Chapters, …) pass through, the forward-compat rule
+    seekEntries.foreach { case (target, position) =>
+      val actual = target match {
+        case IdInfo => Some(infoOff)
+        case IdTracks => Some(tracksOff)
+        case IdCues => Some(cuesOff)
+        case _ => None
+      }
+      actual.foreach { a =>
+        require(a >= 0,
+          s"webm: SeekHead indexes 0x${target.toHexString} but the " +
+            "segment never carries it")
+        require(a == position,
+          s"webm: SeekHead puts 0x${target.toHexString} at $position " +
+            s"but it sits at $a")
+      }
+    }
+    // Cues ledger: every CuePoint must name a declared track, point at
+    // a real cluster, and carry that cluster's exact timestamp
+    cuePoints.foreach { case (time, trk, cpos) =>
+      require(tracks.exists(_.num == trk),
+        s"webm: CuePoint references undeclared track $trk")
+      val base = clusterAt.getOrElse(cpos,
+        throw new IllegalArgumentException(
+          s"webm: CueClusterPosition $cpos matches no cluster offset"))
+      require(time == base,
+        s"webm: CueTime $time disagrees with the cluster timestamp " +
+          s"$base at offset $cpos")
+    }
     val video = tracks.find(_.tpe == 1).getOrElse(
       throw new IllegalArgumentException("webm: no video track"))
     require(nVideoBlocks > 0, "webm: no video blocks")
@@ -1001,7 +1191,7 @@ object Webm {
     WebmInfo(tsScale, tracks.size, nClusters, video.codec, nVideoBlocks,
       nAudioBlocks, nAudioFrames, nKey, video.width, video.height,
       sumQi, sumVp9, opusCh, nStereo, maxVideoEndMs,
-      nBlockGroups, sumBlockDur)
+      nBlockGroups, sumBlockDur, seekEntries.size, cuePoints.size)
   }
 
   // ------------------------------------------------- spark plumbing
@@ -1024,7 +1214,9 @@ object Webm {
     StructField("n_stereo", IntegerType),
     StructField("duration_ms", LongType),
     StructField("n_block_groups", IntegerType),
-    StructField("sum_block_dur_ticks", LongType)))
+    StructField("sum_block_dur_ticks", LongType),
+    StructField("n_seek_entries", IntegerType),
+    StructField("n_cue_points", IntegerType)))
 
   /** ids → parsed WebM features over the closed-form fixture.
     * Per-doc map work — scan-stage cost at any corpus size. */
@@ -1038,7 +1230,8 @@ object Webm {
           m.nVideoBlocks, m.nAudioBlocks, m.nAudioFrames, m.nKeyframes,
           m.width, m.height, m.sumYAcQi, m.sumVp9Sig,
           m.opusChannels.orNull, m.nStereo, m.durationMs,
-          m.nBlockGroups, m.sumBlockDurTicks)
+          m.nBlockGroups, m.sumBlockDurTicks,
+          m.nSeekEntries, m.nCuePoints)
       }
     }
     ids.sparkSession.createDataFrame(rdd, schema)

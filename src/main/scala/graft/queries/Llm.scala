@@ -4612,7 +4612,11 @@ object Llm extends QueryModule {
     // parents. Blocks ride BOTH Matroska framings — SimpleBlock and
     // BlockGroup/Block (+ BlockDuration; keyness = no ReferenceBlock),
     // rotating per block, with n_block_groups and the summed declared
-    // durations on the oracle row. Per-track codec dispatch COMPOSES
+    // durations on the oracle row. The SEEK INDEXES are parsed and
+    // cross-checked, not skipped: SeekHead entries must match the
+    // walked segment-relative offsets of Info/Tracks/Cues, and every
+    // CuePoint must hit a real cluster at that cluster's exact
+    // timestamp on a declared track. Per-track codec dispatch COMPOSES
     // the existing parsers: every video block's VP8 key-frame header
     // is bool-decoded (Webp.parseVp8Header — sum_y_ac_qi rides the
     // oracle, so a desynced bool decode cannot hash-match) and
@@ -4694,7 +4698,9 @@ object Llm extends QueryModule {
           CAST(v.nbg + coalesce(a.nbg, 0) AS INT) AS n_block_groups,
           CAST((v.bdur_ms + coalesce(a.bdur_ms, 0))
             * (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
-            AS sum_block_dur_ticks
+            AS sum_block_dur_ticks,
+          CAST(3 AS INT) AS n_seek_entries,
+          CAST(2 + d.doc_id % 3 AS INT) AS n_cue_points
         FROM d LEFT JOIN v USING (doc_id) LEFT JOIN a USING (doc_id)
           LEFT JOIN a2 USING (doc_id)
         ORDER BY id""")),

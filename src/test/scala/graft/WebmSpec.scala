@@ -59,7 +59,69 @@ class WebmSpec extends AnyFunSuite {
       }
       assert(m.nBlockGroups == groups.size, s"d=$d block groups")
       assert(m.sumBlockDurTicks == groups.sum, s"d=$d block durations")
+      // the seek indexes: SeekHead covers Info/Tracks/Cues, Cues
+      // carries one CuePoint per cluster
+      assert(m.nSeekEntries == 3, s"d=$d seek entries")
+      assert(m.nCuePoints == Webm.nClusters(d), s"d=$d cue points")
     }
+  }
+
+  test("lying seek indexes are rejected by name") {
+    val good = Webm.synth(5L)
+    // SeekPosition payloads are fixed 8-byte uints: [0x53 0xAC 0x88 v8]
+    val spIdx = good.indexOfSlice(Array(0x53.toByte, 0xAC.toByte,
+      0x88.toByte))
+    assert(spIdx >= 0, "no SeekPosition element found")
+    val badSeek = good.clone()
+    badSeek(spIdx + 3 + 7) = (badSeek(spIdx + 3 + 7) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](Webm.parse(badSeek))
+    assert(e1.getMessage.contains("SeekHead puts"), e1.getMessage)
+    // CueTime lie: CueTime id 0xB3 follows a CuePoint id 0xBB — flip
+    // the time of the SECOND cue point (the first cluster sits at
+    // time 0 whose 1-byte payload also encodes structure)
+    var i = good.indexOfSlice(Array(0xBB.toByte))
+    var fired = false
+    while (!fired && i >= 0 && i < good.length - 4) {
+      if ((good(i) & 0xff) == 0xBB && (good(i + 2) & 0xff) == 0xB3) {
+        val b = good.clone()
+        val tSzAt = i + 3 // CueTime size vint
+        val tLen = (b(tSzAt) & 0xff) - 0x80
+        if (tLen >= 1 && tLen <= 2 && i + 4 + tLen <= b.length) {
+          b(i + 4) = (b(i + 4) ^ 0x01).toByte
+          try { Webm.parse(b); () }
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("CueTime") ||
+                  e.getMessage.contains("disagrees with the cluster") =>
+              fired = true
+            case _: RuntimeException => ()
+          }
+        }
+      }
+      i += 1
+    }
+    assert(fired, "no CueTime flip produced the named rejection")
+    // CueClusterPosition lie: point a cue at no cluster
+    var j = 0
+    var missed = false
+    while (!missed && j < good.length - 4) {
+      if ((good(j) & 0xff) == 0xF1) {
+        val szLen = (good(j + 1) & 0xff)
+        if (szLen >= 0x81 && szLen <= 0x82) {
+          val b = good.clone()
+          b(j + 2) = (b(j + 2) ^ 0x01).toByte
+          try { Webm.parse(b); () }
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("matches no cluster") =>
+              missed = true
+            case _: RuntimeException => ()
+          }
+        }
+      }
+      j += 1
+    }
+    assert(missed, "no CueClusterPosition flip produced the named rejection")
   }
 
   test("SimpleBlock and BlockGroup framings parse to identical fields") {
