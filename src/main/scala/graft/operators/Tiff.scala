@@ -120,21 +120,26 @@ object Tiff {
     val w = new MsbWriter
     var width = 9
     var next = 258
-    val table = collection.mutable.HashMap.empty[(Int, Int), Int]
+    // LongMap keyed (prefix << 8 | byte): no tuple boxing — this
+    // encoder runs once per fixture strip at corpus scale
+    val table = collection.mutable.LongMap.empty[Int]
     w.write(256, width) // Clear
     var prefix = -1
     data.foreach { b =>
       val k = b & 0xff
       if (prefix < 0) prefix = k
-      else table.get((prefix, k)) match {
-        case Some(c) => prefix = c
-        case None =>
+      else {
+        val key = (prefix.toLong << 8) | k
+        val c = table.getOrElse(key, -1)
+        if (c >= 0) prefix = c
+        else {
           w.write(prefix, width)
-          table((prefix, k)) = next
+          table(key) = next
           next += 1
           require(next < 4094, "tiff: fixture strip would fill the LZW table")
           if (next == (1 << width) - 1 && width < 12) width += 1
           prefix = k
+        }
       }
     }
     if (prefix >= 0) w.write(prefix, width)

@@ -66,10 +66,13 @@ import org.apache.spark.sql.types._
   * forward-compatibility rule.
   *
   * Subset boundary (documented, loud): unknown-size elements, LACED
-  * VIDEO blocks (WebM video is one frame per block), VP9
-  * profile 3 / RGB color space, and frame PAYLOAD decode beyond the
-  * key-frame headers and the Opus TOC — inter-frame/arithmetic-coded
-  * decode stays the codec boundary every round re-affirms.
+  * VIDEO blocks (WebM video is one frame per block), and frame
+  * PAYLOAD decode beyond the key-frame headers and the Opus TOC —
+  * inter-frame/arithmetic-coded decode stays the codec boundary every
+  * round re-affirms. All four VP9 profiles and the RGB color space
+  * parse (per-profile color_config layouts, reserved bits checked);
+  * an RGB header on a 4:2:0 profile is rejected as the spec
+  * violation it is.
   *
   * Bomb guards (the r15 habit, in the same commit as the decoder):
   * id/size vint lengths are hard-capped, every declared size is
@@ -231,11 +234,14 @@ object Webm {
       colorSpace: Int, width: Int, height: Int)
 
   /** Per-block VP9 header signature the oracle recomputes — proof the
-    * bit parse ran on every block. */
+    * bit parse ran on every block. All FOUR profiles rotate (profile 3
+    * carries the extra reserved bit and the 10/12-bit depth field),
+    * and odd-profile blocks on s%7==0 use the RGB color space (legal
+    * only on 4:4:4 profiles — the layout drops the color_range bit). */
   def vp9Sig(s: Long): Long = {
-    val profile = (s % 3).toInt
-    val depth = if (profile == 2) 10 + 2 * (s % 2).toInt else 8
-    val cs = 1 + (s % 5).toInt
+    val profile = (s % 4).toInt
+    val depth = if (profile >= 2) 10 + 2 * (s % 2).toInt else 8
+    val cs = if (profile % 2 == 1 && s % 7 == 0) 7 else 1 + (s % 5).toInt
     profile * 1000L + depth * 10L + cs
   }
 
@@ -275,24 +281,36 @@ object Webm {
   }
 
   /** A VP9 KEY-frame uncompressed header (public VP9 bitstream spec
-    * §6.2): frame marker, profile bits, sync code, color config
-    * (per-profile layout), frame size — dims keyed on `dimSeed`, the
-    * rest on `hdrSeed`; padded with filler modeling coded data. */
+    * §6.2 + §6.1.2 color_config): frame marker, profile bits (all
+    * FOUR profiles — profile 3 carries its extra reserved bit), sync
+    * code, color config in the per-profile layout incl. the RGB
+    * branch (no color_range bit; 4:4:4 profiles only), frame size —
+    * dims keyed on `dimSeed`, the rest on `hdrSeed`; padded with
+    * filler modeling coded data. */
   def synthVp9Frame(dimSeed: Long, hdrSeed: Long): Array[Byte] = {
     val w = new BitsMsbW
-    val profile = (hdrSeed % 3).toInt
+    val profile = (hdrSeed % 4).toInt
     w.f(2, 2)                       // frame_marker 0b10
     w.f(profile & 1, 1)             // profile_low_bit
     w.f((profile >> 1) & 1, 1)      // profile_high_bit
+    if (profile == 3) w.f(0, 1)     // reserved_zero
     w.f(0, 1)                       // show_existing_frame
     w.f(0, 1)                       // frame_type: KEY
     w.f(1, 1)                       // show_frame
     w.f((hdrSeed % 2).toInt, 1)     // error_resilient_mode
     w.f(0x49, 8); w.f(0x83, 8); w.f(0x42, 8) // frame_sync_code
-    if (profile == 2) w.f((hdrSeed % 2).toInt, 1) // ten_or_twelve_bit
-    w.f(1 + (hdrSeed % 5).toInt, 3) // color_space (never RGB=7)
-    w.f((hdrSeed % 2).toInt, 1)     // color_range
-    if (profile == 1) { w.f(0, 1); w.f(0, 1); w.f(0, 1) } // ss_x/y + rsvd
+    if (profile >= 2) w.f((hdrSeed % 2).toInt, 1) // ten_or_twelve_bit
+    val cs = if (profile % 2 == 1 && hdrSeed % 7 == 0) 7
+      else 1 + (hdrSeed % 5).toInt
+    w.f(cs, 3)                      // color_space (RGB on 4:4:4 only)
+    if (cs != 7) {
+      w.f((hdrSeed % 2).toInt, 1)   // color_range
+      if (profile % 2 == 1) { w.f(0, 1); w.f(0, 1); w.f(0, 1) } // ss+rsvd
+    } else {
+      // RGB: color_range implied FULL; 4:4:4 implied; profile 1/3
+      // carry one reserved_zero bit
+      w.f(0, 1)
+    }
     w.f((320 + dimSeed % 33).toInt - 1, 16) // frame_width_minus_1
     w.f((240 + dimSeed % 25).toInt - 1, 16) // frame_height_minus_1
     w.f(0, 1)                       // render_and_frame_size_different
@@ -303,14 +321,15 @@ object Webm {
   }
 
   /** Parse the VP9 key-frame header — the exact mirror of the synth,
-    * loud on non-key frames, a bad sync code, or the RGB color space
-    * (which would change the layout past this walk's subset). */
+    * loud on non-key frames, a bad sync code, set reserved bits, or an
+    * RGB color space on a non-4:4:4 profile (profile 0/2 RGB is
+    * illegal per the spec's color_config). */
   def parseVp9Header(payload: Array[Byte]): Vp9Header = {
     val r = new BitsMsb(payload)
     require(r.f(2) == 2, "webm: VP9 frame marker is not 0b10")
     val profile = r.f(1) | (r.f(1) << 1)
-    require(profile <= 2,
-      "webm: VP9 profile 3 (reserved-bit layout) is outside the subset")
+    if (profile == 3)
+      require(r.f(1) == 0, "webm: VP9 profile-3 reserved bit set")
     require(r.f(1) == 0,
       "webm: show_existing_frame VP9 blocks carry no header to parse")
     require(r.f(1) == 0, "webm: non-key VP9 frame in a key SimpleBlock")
@@ -318,14 +337,21 @@ object Webm {
     r.f(1) // error_resilient_mode
     require(r.f(8) == 0x49 && r.f(8) == 0x83 && r.f(8) == 0x42,
       "webm: VP9 key frame lacks its sync code")
-    val depth = if (profile == 2) 10 + 2 * r.f(1) else 8
+    val depth = if (profile >= 2) 10 + 2 * r.f(1) else 8
     val cs = r.f(3)
-    require(cs != 7,
-      "webm: VP9 RGB color space is outside the walk subset")
-    r.f(1) // color_range
-    if (profile == 1) {
-      r.f(1); r.f(1)
-      require(r.f(1) == 0, "webm: reserved VP9 subsampling bit set")
+    if (cs != 7) {
+      r.f(1) // color_range
+      if (profile % 2 == 1) {
+        r.f(1); r.f(1)
+        require(r.f(1) == 0, "webm: reserved VP9 subsampling bit set")
+      }
+    } else {
+      // CS_RGB: color_range implied full, 4:4:4 implied — legal only
+      // on the 4:4:4-capable odd profiles
+      require(profile % 2 == 1,
+        s"webm: VP9 RGB color space on profile $profile (4:2:0) is " +
+          "illegal — profiles 1/3 only")
+      require(r.f(1) == 0, "webm: reserved VP9 RGB bit set")
     }
     val w = r.f(16) + 1
     val h = r.f(16) + 1
@@ -760,9 +786,9 @@ object Webm {
                 val r9 = new BitsMsb(payload)
                 require(r9.f(2) == 2, "webm: VP9 frame marker is not 0b10")
                 val prof = r9.f(1) | (r9.f(1) << 1)
-                require(prof <= 2,
-                  "webm: VP9 profile 3 (reserved-bit layout) is outside " +
-                    "the subset")
+                if (prof == 3)
+                  require(r9.f(1) == 0,
+                    "webm: VP9 profile-3 reserved bit set")
                 require(r9.f(1) == 0,
                   "webm: show_existing_frame VP9 blocks carry no header " +
                     "to parse")

@@ -4652,11 +4652,13 @@ object Llm extends QueryModule {
             sum(CASE WHEN doc_id % 5 >= 3 THEN 0
               ELSE (doc_id + 13 * c + 7 * k) % 128 END) AS sq,
             sum(CASE WHEN doc_id % 5 >= 3 THEN
-                ((doc_id + 13 * c + 7 * k) % 3) * 1000
-                + (CASE WHEN (doc_id + 13 * c + 7 * k) % 3 = 2
+                ((doc_id + 13 * c + 7 * k) % 4) * 1000
+                + (CASE WHEN (doc_id + 13 * c + 7 * k) % 4 >= 2
                     THEN 10 + 2 * ((doc_id + 13 * c + 7 * k) % 2)
                     ELSE 8 END) * 10
-                + 1 + (doc_id + 13 * c + 7 * k) % 5
+                + (CASE WHEN ((doc_id + 13 * c + 7 * k) % 4) % 2 = 1
+                      AND (doc_id + 13 * c + 7 * k) % 7 = 0 THEN 7
+                    ELSE 1 + (doc_id + 13 * c + 7 * k) % 5 END)
               ELSE 0 END) AS sv,
             sum(CASE WHEN (doc_id + c + k) % 2 = 0 THEN 1 ELSE 0 END)
               AS nbg,

@@ -350,6 +350,27 @@ class WebmSpec extends AnyFunSuite {
       e2.getMessage.contains("webm"), e2.getMessage)
   }
 
+  test("all four VP9 profiles and the RGB color space occur in range, " +
+      "and RGB on a 4:2:0 profile is rejected") {
+    val sigs = for {
+      d <- 0L until 60L if Webm.isVp9(d)
+      c <- 0 until Webm.nClusters(d)
+      k <- 0 until Webm.nVideo(d, c)
+    } yield Webm.vp9Sig(d + 13L * c + 7L * k)
+    assert(sigs.map(_ / 1000).toSet == Set(0L, 1L, 2L, 3L),
+      s"profile coverage: ${sigs.map(_ / 1000).toSet}")
+    assert(sigs.exists(_ % 10 == 7), "no RGB header in fixture range")
+    // a handcrafted profile-0 header declaring CS_RGB: marker 10,
+    // profile 00, show_existing 0, key, show_frame 1, err 0 (= 0x82),
+    // sync, then color_space 111 — the spec-illegal combination the
+    // parser must reject by name
+    val rgbOnP0 = Array[Byte](0x82.toByte, 0x49, 0x83.toByte, 0x42,
+      0xE0.toByte, 0, 0, 0, 0, 0)
+    val e = intercept[IllegalArgumentException](
+      Webm.parseVp9Header(rgbOnP0))
+    assert(e.getMessage.contains("illegal"), e.getMessage)
+  }
+
   test("all four audio lacing schemes occur in fixture range") {
     val modes = (0L until 30L).filter(Webm.hasAudio).flatMap { d =>
       (0 until Webm.nClusters(d)).flatMap { c =>
