@@ -65,8 +65,15 @@ import org.apache.spark.sql.types._
   * seeking). Seek targets outside the walked set pass through by the
   * forward-compatibility rule.
   *
-  * Subset boundary (documented, loud): unknown-size elements, LACED
-  * VIDEO blocks (WebM video is one frame per block), and frame
+  * Unknown-size masters parse where RFC 8794 sanctions them and live
+  * muxers need them: an unknown-size SEGMENT ends at EOF and an
+  * unknown-size CLUSTER at the next top-level id (the termination
+  * rule) — the MediaRecorder-style layout a crawl's live-recorded
+  * WebM actually carries; the fixture rotates whole documents through
+  * that framing. Unknown size anywhere ELSE is rejected by name.
+  *
+  * Subset boundary (documented, loud): LACED VIDEO blocks (WebM video
+  * is one frame per block), unknown-size non-masters, and frame
   * PAYLOAD decode beyond the key-frame headers and the Opus TOC —
   * inter-frame/arithmetic-coded decode stays the codec boundary every
   * round re-affirms. All four VP9 profiles and the RGB color space
@@ -174,6 +181,20 @@ object Webm {
     o.out.toByteArray
   }
 
+  /** Like wrap, but with the RFC 8794 all-ones UNKNOWN size vint —
+    * the live-muxer framing for masters whose size is not known when
+    * the header is written (fixture side of `unsized`). */
+  private def wrapUnknown(id: Long, body: W => Unit): Array[Byte] = {
+    val w = new W; body(w)
+    val o = new java.io.ByteArrayOutputStream()
+    val idb = w.idBytes(id)
+    o.write(idb, 0, idb.length)
+    o.write(0xFF) // 1-byte unknown size
+    val p = w.out.toByteArray
+    o.write(p, 0, p.length)
+    o.toByteArray
+  }
+
   // -------------------------------------------------- closed forms
 
   def tickNs(d: Long): Long = if (d % 2 == 0) 1000000L else 500000L
@@ -200,6 +221,11 @@ object Webm {
     * framings are on every doc's oracle row (VERDICT r16 #2). */
   def videoOnGroup(d: Long, c: Int, k: Int): Boolean = (d + c + k) % 2 == 0
   def audioOnGroup(d: Long, c: Int, k: Int): Boolean = (d + c + k) % 3 == 0
+
+  /** Docs written the way a LIVE muxer writes them: unknown-size
+    * Segment (ends at EOF) and unknown-size Clusters (each ended by
+    * the next top-level id) — the MediaRecorder-style layout. */
+  def unsized(d: Long): Boolean = d % 7 == 3
 
   /** Lacing scheme per audio block: 0 none, 1 Xiph, 2 fixed-size,
     * 3 EBML — all three Matroska schemes ride the oracle. */
@@ -452,7 +478,10 @@ object Webm {
     val clusterOffs = new Array[Long](nClusters(d))
     for (c <- 0 until nClusters(d)) {
       clusterOffs(c) = bodyOff
-      seg.out.write(wrap(IdCluster, { w =>
+      val wrapCluster =
+        if (unsized(d)) wrapUnknown(IdCluster, _: W => Unit)
+        else wrap(IdCluster, _: W => Unit)
+      seg.out.write(wrapCluster({ w =>
         val base = msToTicks(d, 400L * c)
         w.uint(IdClusterTimestamp, base)
         def blockBody(track: Int, relTicks: Long, flags: Int,
@@ -569,12 +598,20 @@ object Webm {
     val seekHead = wrap(IdSeekHead, w => w.out.write(seek.out.toByteArray))
     require(seekHead.length == seekHeadSize,
       s"fixture SeekHead is ${seekHead.length} bytes, not $seekHeadSize")
-    val o = new W
     val segPayload = new java.io.ByteArrayOutputStream()
     segPayload.write(seekHead, 0, seekHead.length)
     segPayload.write(seg.out.toByteArray, 0, seg.out.size())
-    o.element(IdSegment, segPayload.toByteArray)
-    out.write(o.out.toByteArray)
+    if (unsized(d)) {
+      // live-muxer framing: unknown-size Segment, ends at EOF
+      val idb = (new W).idBytes(IdSegment)
+      out.write(idb, 0, idb.length)
+      out.write(0xFF)
+      out.write(segPayload.toByteArray, 0, segPayload.size())
+    } else {
+      val o = new W
+      o.element(IdSegment, segPayload.toByteArray)
+      out.write(o.out.toByteArray)
+    }
     out.toByteArray
   }
 
@@ -607,8 +644,21 @@ object Webm {
       v
     }
     /** Element size: marker bit stripped, 1-8 bytes; the all-ones
-      * "unknown size" pattern is outside the walk subset. */
+      * "unknown size" pattern is legal ONLY where RFC 8794 allows it
+      * for master elements a live muxer cannot pre-size — Segment and
+      * Cluster use readSizeAllowUnknown; everything else rejects it
+      * by name. */
     def readSize(): Long = {
+      val v = readSizeAllowUnknown()
+      require(v >= 0,
+        "webm: unknown-size elements are outside the walk subset here " +
+          "(Segment and Cluster only)")
+      v
+    }
+
+    /** Size vint where the all-ones unknown pattern is legal: returns
+      * -1 for unknown size. */
+    def readSizeAllowUnknown(): Long = {
       val b0 = u8()
       require(b0 != 0, "webm: invalid EBML size lead byte 0x00")
       val len = Integer.numberOfLeadingZeros(b0) - 24 + 1
@@ -617,8 +667,7 @@ object Webm {
       var v = (b0 & (0xff >>> len)).toLong
       var i = 1
       while (i < len) { v = (v << 8) | u8(); i += 1 }
-      require(v != (1L << (7 * len)) - 1,
-        "webm: unknown-size elements are outside the walk subset")
+      if (v == (1L << (7 * len)) - 1) return -1L
       require(v <= bytes.length - pos,
         s"webm: element size $v overruns the stream")
       v
@@ -672,11 +721,32 @@ object Webm {
     require(r.pos == ebmlEnd, "webm: EBML header children under-fill it")
     require(docType == "webm" || docType == "matroska",
       s"webm: DocType '$docType' is not webm/matroska")
-    // ---- Segment
+    // ---- Segment. A LIVE muxer cannot pre-size the Segment (or its
+    // Clusters) — RFC 8794 allows the all-ones unknown size for such
+    // masters, ended by the next non-child element or EOF. The walk
+    // honors exactly that subset: unknown-size Segment ends at EOF,
+    // unknown-size Cluster at the next top-level id.
     require(r.readId() == IdSegment, "webm: no Segment after EBML header")
-    val segEnd = { val sz = r.readSize(); r.pos + sz }
+    val segSz = r.readSizeAllowUnknown()
+    val segEnd = if (segSz < 0) bytes.length else r.pos + segSz
     // SeekHead/Cues positions are relative to the segment DATA start
     val segDataStart = r.pos
+    val topLevelIds = Set(IdCluster, IdCues, IdSeekHead, IdInfo,
+      IdTracks, IdSegment, IdEbml,
+      0x1043A770L /* Chapters */, 0x1254C367L /* Tags */,
+      0x1941A469L /* Attachments */)
+    /** Does a top-level element id start at the cursor? (The RFC 8794
+      * unknown-size termination test.) Restores the cursor; malformed
+      * bytes read as "not top-level" so the child parse that follows
+      * fails with its own loud error. */
+    def nextIsTopLevel(): Boolean = {
+      val save = r.pos
+      val hit =
+        try topLevelIds.contains(r.readId())
+        catch { case _: RuntimeException => false }
+      r.pos = save
+      hit
+    }
     var tsScale = 1000000L // Matroska default
     var declaredDurTicks = -1.0
     var tracks = Vector.empty[Track]
@@ -907,9 +977,13 @@ object Webm {
     while (r.pos < segEnd) {
       segCh += 1; require(segCh <= MaxChildren, "webm: Segment child bomb")
       val childOff = (r.pos - segDataStart).toLong
-      val id = r.readId(); val sz = r.readSize()
-      require(r.pos + sz <= segEnd, "webm: Segment child overruns it")
-      val end = r.pos + sz
+      val id = r.readId()
+      // only a Cluster may carry the unknown size at this level
+      val sz = if (id == IdCluster) r.readSizeAllowUnknown()
+        else r.readSize()
+      if (sz >= 0)
+        require(r.pos + sz <= segEnd, "webm: Segment child overruns it")
+      val end = if (sz < 0) segEnd else r.pos + sz
       id match {
         case IdInfo =>
           if (infoOff < 0) infoOff = childOff
@@ -1001,7 +1075,9 @@ object Webm {
           nClusters += 1
           var base = -1L
           var ch = 0
-          while (r.pos < end) {
+          // sized cluster: children must fill it exactly; unknown-size
+          // cluster: children run until the next top-level id (or EOF)
+          while (r.pos < end && !(sz < 0 && nextIsTopLevel())) {
             ch += 1; require(ch <= MaxChildren, "webm: Cluster child bomb")
             val cid = r.readId(); val csz = r.readSize()
             require(r.pos + csz <= end, "webm: Cluster child overruns it")
@@ -1068,7 +1144,8 @@ object Webm {
               case _ => r.bin(csz); () // unknown cluster child — skip
             }
           }
-          require(r.pos == end, "webm: Cluster children under-fill it")
+          if (sz >= 0)
+            require(r.pos == end, "webm: Cluster children under-fill it")
           require(base >= 0, "webm: Cluster without a Timestamp")
           clusterAt(childOff) = base
         case IdSeekHead =>
