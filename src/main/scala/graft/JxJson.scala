@@ -1089,9 +1089,13 @@ object JxJson {
       }
       val post = selects.map { s =>
         pctOf(s) match {
-          case Some((n, v, _)) if fusable.contains(v) =>
+          case Some((n, v, p)) if fusable.contains(v) =>
+            // Keyed by (name, fraction), not name alone: two selects
+            // that declare the SAME output name over the same column
+            // but different fractions must each resolve to their OWN
+            // array slot, not both to the first name match.
             element_at(col(s"__pct_$v"),
-              fusable(v).indexWhere(_._1 == n) + 1).as(n)
+              fusable(v).indexWhere(e => e._1 == n && e._3 == p) + 1).as(n)
           case _ => col(outName(s))
         }
       }

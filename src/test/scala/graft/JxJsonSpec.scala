@@ -52,6 +52,28 @@ class JxJsonSpec extends SparkSpec {
     assert(e3.getMessage.contains("events"), e3.getMessage)
   }
 
+  test("fused percentiles with duplicate output names resolve by (name, fraction)") {
+    // Two exact percentiles over the same column declaring the SAME
+    // output name fuse into one array-form percentile(); the
+    // post-projection must key slots by (name, fraction), not name
+    // alone — each declared column gets its OWN fraction's value,
+    // never the first name match's.
+    val out = JxJson.run(spark, sf0001,
+      """{"from": "lineitem",
+          "select": [
+            {"name": "p", "aggregate": "percentile", "value": "l_quantity", "percentile": 0.25},
+            {"name": "p", "aggregate": "percentile", "value": "l_quantity", "percentile": 0.75}]}""")
+    assert(out.columns.toSeq == Seq("p", "p"))
+    val row = out.collect().head
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("percentile(l_quantity, 0.25) AS lo",
+                  "percentile(l_quantity, 0.75) AS hi")
+      .collect().head
+    assert(row.getDouble(0) == direct.getDouble(0), "first slot must be the 0.25 fraction")
+    assert(row.getDouble(1) == direct.getDouble(1), "second slot must be the 0.75 fraction")
+    assert(direct.getDouble(0) != direct.getDouble(1), "fixture must separate the fractions")
+  }
+
   test("plain select with computed expression and limit") {
     val out = JxJson.run(spark, sf0001,
       """{"from": "customer",
