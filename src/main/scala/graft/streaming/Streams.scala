@@ -341,6 +341,49 @@ object Streams {
       .select(col("c_user").as("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** The full-outer interval join's EMITTED SET, run live once per
+    * fixture generation and staged to parquet (the consumer-staging
+    * discipline, VERDICT r17 #1a probe). The left- and right-outer
+    * emitted sets are exact projections of it:
+    *
+    *   left  = σ[view_id IS NOT NULL](full)
+    *   right = σ[click_id IS NOT NULL](full)
+    *
+    * because all three forms run the SAME symmetric hash join over the
+    * SAME watermarked slices with the SAME interval condition — matched
+    * pairs emit identically in every form, a view-side null-extension
+    * emits iff the view evicts unmatched (the left and full view-side
+    * rule, verbatim), and a click-side null-extension emits iff the
+    * click evicts unmatched (the right and full click-side rule).
+    * Neither source column is ever null, so the filters are exact.
+    * StreamsSpec pins both equalities against LIVE left/right runs,
+    * and the consumers' DuckDB oracles are the unchanged hard batch
+    * left/right joins — a wrong staged set cannot hash-match them.
+    *
+    * stream_join_full itself stays fully live-timed: it IS the
+    * symmetric-join capability (both null-extension directions, the
+    * asymmetric horizons), exactly as llm_knn_ivf_kmeans keeps Lloyd
+    * training live while llm_cluster_topics consumes the staged
+    * assignments. */
+  def stagedFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val file = s"$sfDir/events.parquet"
+    val src = java.nio.file.Paths.get(file)
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val gen = s"${attrs.lastModifiedTime().toMillis}-${attrs.size()}"
+    val dir = stagedDirs.computeIfAbsent(s"$file#fulljoin@$gen", { _ =>
+      val d = java.nio.file.Paths.get(graft.Scratch.dir(
+        s"sjoin-full-${math.abs(file.hashCode)}-$gen"))
+      if (!java.nio.file.Files.exists(d.resolve("_SUCCESS"))) {
+        runToMemory(viewClickFullOuterJoin(spark, sfDir),
+          s"sjstage_${System.nanoTime()}", OutputMode.Append())
+          .write.mode("overwrite").parquet(d.toString)
+      }
+      d
+    })
+    spark.read.parquet(dir.toString)
+  }
+
   /** Tumbling-window counts with a 2h watermark: late rows beyond the
     * watermark are dropped and window state is evicted. */
   def tumblingWithWatermark(events: DataFrame): DataFrame =

@@ -206,6 +206,48 @@ class StreamsSpec extends SparkSpec {
       out.toString)
   }
 
+  test("left/right-outer emitted sets are exact projections of the full-outer run") {
+    // The staging lemma behind stream_join_outer/_right consuming the
+    // staged full-outer emitted set (Streams.stagedFullOuterJoin):
+    //   live left  == σ[view_id IS NOT NULL](live full)
+    //   live right == σ[click_id IS NOT NULL](live full)
+    // Pinned on a fixture carrying every emission class: a matched
+    // pair, an unmatched view inside and outside the view horizon, and
+    // an unmatched click inside and outside the click horizon (the
+    // sjf fixture from the full-outer test above). This keeps the live
+    // LEFT and RIGHT outer-join capabilities exercised end-to-end even
+    // though the declared queries read the staged projection.
+    val dir = java.nio.file.Files.createTempDirectory("sjl").toString
+    val stage = java.nio.file.Files.createTempDirectory("sjl-stage").toString
+    Seq(
+      ev(100, 10, user = 1L, typ = "view"),
+      ev(101, 50, user = 2L, typ = "click"),
+      ev(102, 60, user = 2L, typ = "view"),
+      ev(104, 10, user = 5L, typ = "click"),
+      ev(105, 300, user = 6L, typ = "click"),
+      ev(106, 500, user = 9L, typ = "view"),
+      ev(107, 520, user = 8L, typ = "click"))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      Streams.runToMemory(df, s"lem_${System.nanoTime()}", OutputMode.Append())
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    val full = run(Streams.viewClickFullOuterJoin(spark, dir))
+    val left = run(Streams.viewClickLeftOuterJoin(spark, dir))
+    val right = run(Streams.viewClickRightOuterJoin(spark, dir))
+    assert(full.nonEmpty && full.exists(_._2 == -1L) && full.exists(_._3 == -1L),
+      s"fixture must exercise both null-extension directions: $full")
+    assert(left == full.filter(_._2 != -1L),
+      s"left-outer != view-side projection of full: $left vs $full")
+    assert(right == full.filter(_._3 != -1L),
+      s"right-outer != click-side projection of full: $right vs $full")
+  }
+
   test("stateful query resumes its state store from the checkpoint after restart") {
     // The operational recovery story: stop a stateful query, start a
     // NEW query from the same checkpoint — the state store must resume
