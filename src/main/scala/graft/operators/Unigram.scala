@@ -168,6 +168,44 @@ object Unigram {
       vocabCap: Option[Int] = None,
       targetVocab: Option[Int] = None): DataFrame = {
     val wf = wordFreq.localCheckpoint()
+    trainFrom(wf, round1Recount(wf, maxPieceLen, maxWordLen, minCount,
+      vocabCap), rounds, maxPieceLen, maxWordLen, vocabCap, targetVocab)
+  }
+
+  /** One segment → recount pass of `wf` under `vocab`: the E-step's
+    * chosen segmentations re-counted per piece (piece, cnt). */
+  private def recount(wf: DataFrame, vocab: DataFrame, maxPieceLen: Int,
+      maxWordLen: Int, vocabCap: Option[Int]): DataFrame =
+    viterbiSegment(wf, vocab, maxPieceLen, maxWordLen,
+      vocabRows = vocabCap)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** The ROUND-1 recount from the seed vocabulary. Exposed as the
+    * trainers' shared-prefix boundary: a target-size prune applies
+    * AFTER the recount, so round 1's recount is byte-identical between
+    * the pruned and unpruned trainers (exact integer sums — they
+    * round-trip parquet bit-exactly). The pruned trainer consumes the
+    * unpruned sibling's staged copy via trainFrom; the sibling keeps
+    * computing it live. */
+  def round1Recount(wordFreq: DataFrame, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12, minCount: Long = 2,
+      vocabCap: Option[Int] = None): DataFrame = {
+    val wf = wordFreq.localCheckpoint()
+    recount(wf, seedVocab(wf, maxPieceLen, minCount).localCheckpoint(),
+      maxPieceLen, maxWordLen, vocabCap)
+  }
+
+  /** EM rounds from a PRECOMPUTED round-1 recount: finish round 1
+    * (prune + character floor), then run rounds 2..`rounds` live.
+    * train(wf, …) ≡ trainFrom(wf, round1Recount(wf, …), …) — the
+    * split only names the shared-prefix boundary. */
+  def trainFrom(wordFreq: DataFrame, firstRecount: DataFrame,
+      rounds: Int, maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      vocabCap: Option[Int] = None,
+      targetVocab: Option[Int] = None): DataFrame = {
+    require(rounds >= 1, s"unigram: rounds must be >= 1 (got $rounds)")
+    val wf = wordFreq.localCheckpoint()
     // the coverage floor: every character of every word stays in the
     // vocabulary FOREVER, at count 0 when the round's segmentations
     // didn't use it (p = 0 ⇒ chosen only when nothing positive
@@ -179,13 +217,11 @@ object Unigram {
     val chars = wf
       .select(explode(split(col("word"), "")).as("piece"))
       .distinct().localCheckpoint()
-    var vocab = seedVocab(wf, maxPieceLen, minCount).localCheckpoint()
-    (1 to rounds).foreach { _ =>
-      val seg = viterbiSegment(wf, vocab, maxPieceLen, maxWordLen,
-        vocabRows = vocabCap)
-      var next = seg
-        .select(col("freq"), explode(col("pieces")).as("piece"))
-        .groupBy("piece").agg(sum("freq").as("cnt"))
+    var vocab: DataFrame = null
+    (1 to rounds).foreach { r =>
+      var next =
+        if (r == 1) firstRecount
+        else recount(wf, vocab, maxPieceLen, maxWordLen, vocabCap)
       targetVocab.foreach { v =>
         val ranked = vocabCap.fold(next)(next.limit)
           .withColumn("rk", row_number().over(

