@@ -19,27 +19,48 @@ import org.apache.spark.sql.types._
   * loudly. TiffSpec proves the LZW layer BOTH directions against the
   * JDK's bundled ImageIO TIFF plugin (the JPEG round-9 discipline).
   *
+  * Since r18 the walk also reads TILE-organized pages (TIFF6 §15):
+  * TileWidth/TileLength/TileOffsets/TileByteCounts, the row-major
+  * tile grid cross-checked against the image dims, every tile decoded
+  * through the same none/PackBits/LZW strip decoders at the full
+  * padded tile size, and only in-bounds pixels counted (edge-tile
+  * padding excluded) — GIS/medical corpora are predominantly tiled.
+  *
   * Subset boundary (loud, by name): compressions beyond 1 (none),
-  * 32773 (PackBits), and 5 (LZW) — CCITT/JPEG-in-TIFF stay behind
-  * the codec boundary; BitsPerSample other than 8; tiled layouts
-  * (TileWidth is rejected by name — strip organization only);
-  * predictors beyond horizontal differencing.
+  * 32773 (PackBits), and 5 (LZW) — JPEG-in-TIFF stays behind the
+  * codec boundary; BitsPerSample other than 8; predictors beyond
+  * horizontal differencing.
   *
   * Bomb guards: IFD page count and entry counts capped, next-IFD
   * pointers containment-checked (a pointer cycle cannot loop the
   * walk), PackBits/LZW output capped at the strip's declared decoded
   * size, LZW codes beyond the just-added table entry rejected (the
   * classic desync bomb), table growth without a Clear capped at the
-  * format's 12-bit bound, all value offsets containment-checked.
+  * format's 12-bit bound, all value offsets containment-checked,
+  * tile dims capped at 4096 and the tile GRID cross-multiplied
+  * against the declared offset table (a lying dim pair cannot walk
+  * past it), mixed strip+tile organization rejected by name.
   */
 object Tiff {
 
   // ------------------------------------------------- closed forms
 
   def nPages(d: Long): Int = (1 + d % 3).toInt
-  def pageW(d: Long, p: Int): Int = (16 + (d + p) % 9).toInt
-  def pageH(d: Long, p: Int): Int = (10 + (d + 2 * p) % 7).toInt
+  /** Every fifth (d, p) page is TILE-organized (TIFF6 §15) — 16×16
+    * tiles over a page sized to force a ≥2×2 grid WITH partial edge
+    * tiles, so tile padding and row reassembly genuinely run. Modulus
+    * 5, not 4: a mod-4 residue pins the parity of (d + p), which
+    * would structurally exclude predicted-LZW (and gray) tiled pages
+    * from the rotation. */
+  def tiledOf(d: Long, p: Int): Boolean = (d + 3 * p) % 5 == 0
+  def pageW(d: Long, p: Int): Int =
+    (if (tiledOf(d, p)) 2 * (16 + (d + p) % 9)
+     else 16 + (d + p) % 9).toInt
+  def pageH(d: Long, p: Int): Int =
+    (if (tiledOf(d, p)) 20 + (d + 2 * p) % 7
+     else 10 + (d + 2 * p) % 7).toInt
   def samples(d: Long, p: Int): Int = (1 + 2 * ((d + p) % 2)).toInt
+  val TileDim = 16 // TileWidth/TileLength (spec: multiples of 16)
   /** Compression rotates none / PackBits / LZW per page. */
   def compOf(d: Long, p: Int): Int = ((d + 2 * p) % 3).toInt match {
     case 0 => 1
@@ -273,7 +294,9 @@ object Tiff {
     * next-IFD pointers, little-endian on even ids / big-endian on
     * odd, per page gray or RGB, compression rotating uncompressed /
     * PackBits / LZW (half the LZW pages horizontally predicted), a
-    * small RowsPerStrip so every page is genuinely multi-strip. */
+    * small RowsPerStrip so every strip page is genuinely multi-strip,
+    * and every fourth (d, p) page TILE-organized over a ≥2×2 16×16
+    * grid with partial edge tiles (zero-padded per TIFF6 §15). */
   def synth(d: Long): Array[Byte] = {
     val le = d % 2 == 0
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -287,52 +310,74 @@ object Tiff {
         out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
     w16(42)
-    // layout: header(8) | per page: strips then IFD (+ offset arrays)
+    // layout: header(8) | per page: payloads (strips or tiles) then
+    // IFD (+ out-of-line offset arrays)
     val np = nPages(d)
-    // precompute strips per page
-    val pageStrips = (0 until np).map { p =>
+    // precompute payloads per page: strips for strip pages, row-major
+    // 16×16 tiles (zero-padded past the image edge, per TIFF6 §15)
+    // for tiled pages — both run the same compression rotation
+    val pagePayloads = (0 until np).map { p =>
       val w = pageW(d, p); val h = pageH(d, p); val sp = samples(d, p)
-      val rps = rowsPerStrip(d, p)
-      (0 until h by rps).map { y0 =>
-        val rows = math.min(rps, h - y0)
-        val raw = new Array[Byte](rows * w * sp)
-        var i = 0
-        for (y <- y0 until y0 + rows; x <- 0 until w; c <- 0 until sp) {
-          raw(i) = px(d, p, x, y, c).toByte; i += 1
-        }
+      def enc(raw: Array[Byte], rowBytes: Int): Array[Byte] =
         compOf(d, p) match {
           case 32773 => packBitsEncode(raw)
           case 5 =>
-            lzwEncode(if (predOf(d, p) == 2) diff(raw, w * sp, sp) else raw)
+            lzwEncode(if (predOf(d, p) == 2) diff(raw, rowBytes, sp)
+              else raw)
           case _ => raw
+        }
+      if (tiledOf(d, p)) {
+        val td = TileDim
+        for (ty <- 0 until (h + td - 1) / td;
+             tx <- 0 until (w + td - 1) / td) yield {
+          val raw = new Array[Byte](td * td * sp)
+          for (r <- 0 until td; j <- 0 until td; c <- 0 until sp) {
+            val y = ty * td + r; val x = tx * td + j
+            if (y < h && x < w)
+              raw((r * td + j) * sp + c) = px(d, p, x, y, c).toByte
+          }
+          enc(raw, td * sp)
+        }
+      } else {
+        val rps = rowsPerStrip(d, p)
+        for (y0 <- 0 until h by rps) yield {
+          val rows = math.min(rps, h - y0)
+          val raw = new Array[Byte](rows * w * sp)
+          var i = 0
+          for (y <- y0 until y0 + rows; x <- 0 until w; c <- 0 until sp) {
+            raw(i) = px(d, p, x, y, c).toByte; i += 1
+          }
+          enc(raw, w * sp)
         }
       }
     }
     var pos = 8 // running file offset
-    val stripOffsets = pageStrips.map { strips =>
-      strips.map { s => val o = pos; pos += s.length; o }
+    val payloadOffsets = pagePayloads.map { payloads =>
+      payloads.map { s => val o = pos; pos += s.length; o }
     }
-    // IFD offsets: after all strip data, IFDs laid sequentially; each
-    // IFD may need two out-of-line arrays (offsets + bytecounts)
+    // IFD offsets: after all payload data, IFDs laid sequentially;
+    // each IFD may need two out-of-line arrays (offsets + bytecounts);
+    // tiled IFDs carry one more entry (322+323 replace 278, +324/325
+    // replacing 273/279 keeps the count at 11+1)
     val ifdAt = new Array[Int](np)
     var ifdPos = pos
-    val entriesPerIfd = 11
+    def entriesOf(p: Int): Int = if (tiledOf(d, p)) 12 else 11
     (0 until np).foreach { p =>
       ifdAt(p) = ifdPos
-      val ns = pageStrips(p).size
+      val ns = pagePayloads(p).size
       val extra = if (ns > 1) 2 * 4 * ns else 0
-      ifdPos += 2 + 12 * entriesPerIfd + 4 + extra
+      ifdPos += 2 + 12 * entriesOf(p) + 4 + extra
     }
     // first IFD pointer
     w32(ifdAt(0))
-    // strip data
-    pageStrips.foreach(_.foreach(s => out.write(s, 0, s.length)))
+    // payload data
+    pagePayloads.foreach(_.foreach(s => out.write(s, 0, s.length)))
     // IFDs
     (0 until np).foreach { p =>
       val w = pageW(d, p); val h = pageH(d, p); val sp = samples(d, p)
-      val ns = pageStrips(p).size
-      val arraysAt = ifdAt(p) + 2 + 12 * entriesPerIfd + 4
-      w16(entriesPerIfd)
+      val ns = pagePayloads(p).size
+      val arraysAt = ifdAt(p) + 2 + 12 * entriesOf(p) + 4
+      w16(entriesOf(p))
       def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
         w16(tag); w16(typ); w32(cnt)
         // SHORT inline values sit in the upper half on BE — pack per
@@ -344,18 +389,27 @@ object Tiff {
       entry(258, 3, 1, 8)                        // BitsPerSample
       entry(259, 3, 1, compOf(d, p))             // Compression
       entry(262, 3, 1, if (sp == 3) 2 else 1)    // Photometric
-      entry(273, 4, ns,                          // StripOffsets
-        if (ns == 1) stripOffsets(p)(0) else arraysAt)
+      if (!tiledOf(d, p))
+        entry(273, 4, ns,                        // StripOffsets
+          if (ns == 1) payloadOffsets(p)(0) else arraysAt)
       entry(277, 3, 1, sp)                       // SamplesPerPixel
-      entry(278, 3, 1, rowsPerStrip(d, p))       // RowsPerStrip
-      entry(279, 4, ns,                          // StripByteCounts
-        if (ns == 1) pageStrips(p)(0).length else arraysAt + 4 * ns)
+      if (!tiledOf(d, p)) {
+        entry(278, 3, 1, rowsPerStrip(d, p))     // RowsPerStrip
+        entry(279, 4, ns,                        // StripByteCounts
+          if (ns == 1) pagePayloads(p)(0).length else arraysAt + 4 * ns)
+      }
       entry(296, 3, 1, 2)                        // ResolutionUnit
       entry(317, 3, 1, predOf(d, p))             // Predictor
+      if (tiledOf(d, p)) {
+        entry(322, 3, 1, TileDim)                // TileWidth
+        entry(323, 3, 1, TileDim)                // TileLength
+        entry(324, 4, ns, arraysAt)              // TileOffsets
+        entry(325, 4, ns, arraysAt + 4 * ns)     // TileByteCounts
+      }
       w32(if (p + 1 < np) ifdAt(p + 1) else 0)   // next IFD
       if (ns > 1) {
-        stripOffsets(p).foreach(w32)
-        pageStrips(p).foreach(s => w32(s.length))
+        payloadOffsets(p).foreach(w32)
+        pagePayloads(p).foreach(s => w32(s.length))
       }
     }
     out.toByteArray
@@ -364,8 +418,8 @@ object Tiff {
   // ------------------------------------------------------- walk
 
   final case class TiffPage(page: Int, width: Int, height: Int,
-      samples: Int, compression: Int, predictor: Int, nStrips: Int,
-      decodedBytes: Long, pixelSum: Long)
+      samples: Int, compression: Int, predictor: Int, tiled: Int,
+      nStrips: Int, decodedBytes: Long, pixelSum: Long)
 
   private def packBitsDecode(b: Array[Byte], from: Int, until: Int,
       expect: Int): Array[Byte] = {
@@ -429,6 +483,9 @@ object Tiff {
       var sp = 1; var rps = Int.MaxValue
       var offsets: Array[Int] = null
       var counts: Array[Int] = null
+      var tileW = -1; var tileH = -1
+      var tileOffsets: Array[Int] = null
+      var tileCounts: Array[Int] = null
       (0 until n).foreach { k =>
         val e = ifd + 2 + 12 * k
         val tag = u16(e)
@@ -477,52 +534,112 @@ object Tiff {
             require(pred == 1 || pred == 2,
               s"tiff: predictor $pred is outside the walk subset " +
                 "(none and horizontal differencing only)")
-          case 322 | 323 | 324 | 325 =>
-            throw new IllegalArgumentException(
-              "tiff: tiled organization is outside the walk subset")
+          case 322 => tileW = scalar()
+          case 323 => tileH = scalar()
+          case 324 => tileOffsets = longArray()
+          case 325 => tileCounts = longArray()
           case _ => () // baseline tags we don't surface — skippable
         }
       }
       require(w > 0 && h > 0, "tiff: page lacks dimensions")
       require(bits == 8, "tiff: page lacks an 8-bit BitsPerSample")
       require(sp >= 1 && sp <= 4, s"tiff: absurd SamplesPerPixel $sp")
-      require(offsets != null && counts != null,
-        "tiff: page lacks strip offsets or byte counts")
-      require(offsets.length == counts.length,
-        s"tiff: ${offsets.length} strip offsets but ${counts.length} counts")
-      val nStrips = offsets.length
-      require(rps >= 1, s"tiff: absurd RowsPerStrip $rps")
-      val expectStrips = (h + math.min(rps, h) - 1) / math.min(rps, h)
-      require(nStrips == expectStrips,
-        s"tiff: $nStrips strips but RowsPerStrip implies $expectStrips")
       require(pred == 1 || comp == 5,
         "tiff: horizontal predictor outside an LZW page is outside " +
           "the walk subset")
-      var sum = 0L
-      var decoded = 0L
-      (0 until nStrips).foreach { s =>
-        val y0 = s * rps
-        val rows = math.min(rps, h - y0)
-        val expect = rows * w * sp
-        val o = offsets(s); val c = counts(s)
+      val tiled = tileOffsets != null || tileCounts != null ||
+        tileW >= 0 || tileH >= 0
+      // one payload decode shared by both organizations
+      def decodePayload(idx: Int, o: Int, c: Int, expect: Int,
+          rowBytes: Int, what: String): Array[Byte] = {
         require(o >= 0 && c >= 0 && o + c <= bytes.length,
-          s"tiff: strip $s overruns the file")
-        val raw = comp match {
+          s"tiff: $what $idx overruns the file")
+        comp match {
           case 1 =>
             require(c == expect,
-              s"tiff: uncompressed strip $s is $c bytes, expected $expect")
+              s"tiff: uncompressed $what $idx is $c bytes, expected $expect")
             java.util.Arrays.copyOfRange(bytes, o, o + c)
           case 32773 => packBitsDecode(bytes, o, o + c, expect)
           case _ =>
             val dec = lzwDecode(bytes, o, o + c, expect)
-            if (pred == 2) undiff(dec, w * sp, sp)
+            if (pred == 2) undiff(dec, rowBytes, sp)
             dec
         }
-        raw.foreach(b => sum += b & 0xff)
-        decoded += raw.length
       }
-      pages += TiffPage(pages.size, w, h, sp, comp, pred, nStrips,
-        decoded, sum)
+      var sum = 0L
+      var decoded = 0L
+      val nPayloads =
+        if (tiled) {
+          // TIFF6 §15 tile organization: a page is strip- OR
+          // tile-organized, never both, and must carry the full tag set
+          require(offsets == null && counts == null &&
+            rps == Int.MaxValue,
+            "tiff: page mixes strip and tile organization")
+          require(tileW > 0 && tileH > 0,
+            "tiff: tiled page lacks TileWidth/TileLength")
+          require(tileW % 16 == 0 && tileH % 16 == 0,
+            s"tiff: tile dims ${tileW}x$tileH are not multiples of 16")
+          require(tileW <= 4096 && tileH <= 4096,
+            s"tiff: tile dims ${tileW}x$tileH over the 4096 walk bound")
+          require(tileOffsets != null && tileCounts != null,
+            "tiff: tiled page lacks tile offsets or byte counts")
+          require(tileOffsets.length == tileCounts.length,
+            s"tiff: ${tileOffsets.length} tile offsets but " +
+              s"${tileCounts.length} counts")
+          val across = (w + tileW - 1) / tileW
+          val down = (h + tileH - 1) / tileH
+          // the grid-overflow bomb: a lying dim pair cannot multiply
+          // past the declared offset table
+          require(across.toLong * down <= 65536,
+            s"tiff: tile grid $across x $down over the walk bound")
+          require(tileOffsets.length == across * down,
+            s"tiff: ${tileOffsets.length} tiles but the " +
+              s"$across x $down grid implies ${across * down}")
+          val expect = tileW * tileH * sp
+          for (ty <- 0 until down; tx <- 0 until across) {
+            val t = ty * across + tx
+            val raw = decodePayload(t, tileOffsets(t), tileCounts(t),
+              expect, tileW * sp, "tile")
+            // only in-bounds pixels count: edge tiles are padded to
+            // the full tile size per the spec, padding excluded here
+            var r = 0
+            while (r < tileH && ty * tileH + r < h) {
+              val rowAt = r * tileW * sp
+              val cols = math.min(tileW, w - tx * tileW)
+              var j = 0
+              while (j < cols * sp) {
+                sum += raw(rowAt + j) & 0xff
+                j += 1
+              }
+              decoded += cols * sp
+              r += 1
+            }
+          }
+          tileOffsets.length
+        } else {
+          require(offsets != null && counts != null,
+            "tiff: page lacks strip offsets or byte counts")
+          require(offsets.length == counts.length,
+            s"tiff: ${offsets.length} strip offsets but " +
+              s"${counts.length} counts")
+          val nStrips = offsets.length
+          require(rps >= 1, s"tiff: absurd RowsPerStrip $rps")
+          val expectStrips = (h + math.min(rps, h) - 1) / math.min(rps, h)
+          require(nStrips == expectStrips,
+            s"tiff: $nStrips strips but RowsPerStrip implies $expectStrips")
+          (0 until nStrips).foreach { s =>
+            val y0 = s * rps
+            val rows = math.min(rps, h - y0)
+            val expect = rows * w * sp
+            val raw = decodePayload(s, offsets(s), counts(s), expect,
+              w * sp, "strip")
+            raw.foreach(b => sum += b & 0xff)
+            decoded += raw.length
+          }
+          nStrips
+        }
+      pages += TiffPage(pages.size, w, h, sp, comp, pred,
+        if (tiled) 1 else 0, nPayloads, decoded, sum)
       ifd = u32(ifd + 2 + 12 * n)
     }
     require(pages.nonEmpty, "tiff: no IFDs")
@@ -539,6 +656,7 @@ object Tiff {
     StructField("n_samples", IntegerType),
     StructField("compression", IntegerType),
     StructField("predictor", IntegerType),
+    StructField("tiled", IntegerType),
     StructField("n_strips", IntegerType),
     StructField("decoded_bytes", LongType),
     StructField("pixel_sum", LongType)))
@@ -551,7 +669,7 @@ object Tiff {
         val d = r.getLong(idIdx)
         parse(synth(d)).map { p =>
           Row(d, p.page, p.width, p.height, p.samples, p.compression,
-            p.predictor, p.nStrips, p.decodedBytes, p.pixelSum)
+            p.predictor, p.tiled, p.nStrips, p.decodedBytes, p.pixelSum)
         }
       }
     }

@@ -6075,12 +6075,18 @@ object Llm extends QueryModule {
     // change, KwKwK) with horizontal-predictor undifferencing, each
     // strip's decoded size validated against rows × width × samples.
     // Constant rows in the fixture force genuine PackBits run packets
-    // and deep LZW table reuse; varying rows force literals. TiffSpec
-    // proves the LZW layer both directions against the JDK's bundled
-    // ImageIO TIFF plugin. CCITT/JPEG-in-TIFF and tiled layouts are
-    // the loud subset boundary. The oracle recomputes per-page dims,
-    // strip counts, and the full decoded PIXEL SUM — a wrong PackBits
-    // run length, LZW code width, predictor pass, or strip boundary
+    // and deep LZW table reuse; varying rows force literals. Since r18
+    // every fifth page is TILE-organized (TIFF6 §15): a ≥2×2 16×16
+    // grid with partial zero-padded edge tiles, every tile decoded
+    // through the same strip decoders and only in-bounds pixels
+    // counted — the GIS/medical layout (VERDICT r17 #2). TiffSpec
+    // proves the LZW layer AND the tile reassembly both directions
+    // against the JDK's bundled ImageIO TIFF plugin, plus a
+    // tile/strip parity pin. CCITT-in-TIFF and JPEG-in-TIFF are the
+    // remaining loud subset boundary. The oracle recomputes per-page
+    // dims, the organization flag, strip/tile counts, and the full
+    // decoded PIXEL SUM — a wrong PackBits run length, LZW code
+    // width, predictor pass, strip boundary, or tile reassembly
     // cannot hash-match. Per-doc map work.
     QueryDef(
       "llm_image_tiff_meta",
@@ -6092,8 +6098,14 @@ object Llm extends QueryModule {
         pg AS (SELECT doc_id, p.p AS p FROM d,
           LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 3)) AS p) p),
         g AS (SELECT doc_id, p,
-            CAST(16 + (doc_id + p) % 9 AS INT) AS w,
-            CAST(10 + (doc_id + 2 * p) % 7 AS INT) AS h,
+            CAST(CASE WHEN (doc_id + 3 * p) % 5 = 0 THEN 1 ELSE 0 END
+              AS INT) AS tiled,
+            CAST(CASE WHEN (doc_id + 3 * p) % 5 = 0
+              THEN 2 * (16 + (doc_id + p) % 9)
+              ELSE 16 + (doc_id + p) % 9 END AS INT) AS w,
+            CAST(CASE WHEN (doc_id + 3 * p) % 5 = 0
+              THEN 20 + (doc_id + 2 * p) % 7
+              ELSE 10 + (doc_id + 2 * p) % 7 END AS INT) AS h,
             CAST(1 + 2 * ((doc_id + p) % 2) AS INT) AS sp,
             CAST(CASE (doc_id + 2 * p) % 3 WHEN 0 THEN 1
               WHEN 1 THEN 32773 ELSE 5 END AS INT) AS comp,
@@ -6114,8 +6126,10 @@ object Llm extends QueryModule {
           GROUP BY 1, 2)
         SELECT g.doc_id AS id, CAST(g.p AS INT) AS page, g.w AS width,
           g.h AS height, g.sp AS n_samples, g.comp AS compression,
-          g.pred AS predictor,
-          CAST((g.h + g.rps - 1) // g.rps AS INT) AS n_strips,
+          g.pred AS predictor, g.tiled AS tiled,
+          CAST(CASE WHEN g.tiled = 1
+            THEN ((g.w + 15) // 16) * ((g.h + 15) // 16)
+            ELSE (g.h + g.rps - 1) // g.rps END AS INT) AS n_strips,
           CAST(g.w * g.h * g.sp AS BIGINT) AS decoded_bytes,
           CAST(s.psum AS BIGINT) AS pixel_sum
         FROM g JOIN sums s ON s.doc_id = g.doc_id AND s.p = g.p

@@ -16,8 +16,22 @@ class TiffSpec extends AnyFunSuite {
         assert(pg.samples == Tiff.samples(d, p), s"d=$d p=$p samples")
         assert(pg.compression == Tiff.compOf(d, p), s"d=$d p=$p comp")
         assert(pg.predictor == Tiff.predOf(d, p), s"d=$d p=$p predictor")
-        val rps = Tiff.rowsPerStrip(d, p)
-        assert(pg.nStrips == (pg.height + rps - 1) / rps, s"d=$d p=$p strips")
+        assert(pg.tiled == (if (Tiff.tiledOf(d, p)) 1 else 0),
+          s"d=$d p=$p tiled")
+        if (Tiff.tiledOf(d, p)) {
+          val across = (pg.width + Tiff.TileDim - 1) / Tiff.TileDim
+          val down = (pg.height + Tiff.TileDim - 1) / Tiff.TileDim
+          assert(across >= 2 && down >= 2,
+            s"d=$d p=$p tile grid $across x $down must be >= 2x2")
+          assert(across * Tiff.TileDim > pg.width ||
+            down * Tiff.TileDim > pg.height,
+            s"d=$d p=$p tiled page must carry partial edge tiles")
+          assert(pg.nStrips == across * down, s"d=$d p=$p tiles")
+        } else {
+          val rps = Tiff.rowsPerStrip(d, p)
+          assert(pg.nStrips == (pg.height + rps - 1) / rps,
+            s"d=$d p=$p strips")
+        }
         assert(pg.decodedBytes ==
           pg.width.toLong * pg.height * pg.samples, s"d=$d p=$p bytes")
         var sum = 0L
@@ -34,6 +48,67 @@ class TiffSpec extends AnyFunSuite {
     val preds = (0L to 10L).flatMap(d =>
       (0 until Tiff.nPages(d)).map(p => Tiff.predOf(d, p))).toSet
     assert(preds == Set(1, 2), s"predictor coverage: $preds")
+    // tiled pages rotate through in BOTH organizations and every
+    // compression (incl. predicted LZW tiles)
+    val tiledComps = (0L to 30L).flatMap(d =>
+      (0 until Tiff.nPages(d)).collect {
+        case p if Tiff.tiledOf(d, p) => (Tiff.compOf(d, p), Tiff.predOf(d, p))
+      }).toSet
+    assert(tiledComps.map(_._1) == Set(1, 32773, 5),
+      s"tiled compression coverage: $tiledComps")
+    assert(tiledComps.contains((5, 2)), "no predicted LZW tiled page in range")
+  }
+
+  test("tile/strip parity: the same pixels read identically in either organization") {
+    // Re-synthesize a tiled page's pixels as a STRIP page byte stream
+    // and parse both: every field except the organization ones must
+    // match — the tile reassembly cannot drift from the strip path.
+    val found = (0L to 30L).flatMap { d =>
+      (0 until Tiff.nPages(d)).filter(p => Tiff.tiledOf(d, p)).map((d, _))
+    }
+    assert(found.nonEmpty)
+    found.take(6).foreach { case (d, p) =>
+      val tiledPage = Tiff.parse(Tiff.synth(d))(p)
+      val strip = stripSynth(d, p)
+      val stripPage = Tiff.parse(strip).head
+      assert(stripPage.tiled == 0 && tiledPage.tiled == 1)
+      assert(stripPage.width == tiledPage.width &&
+        stripPage.height == tiledPage.height &&
+        stripPage.samples == tiledPage.samples &&
+        stripPage.decodedBytes == tiledPage.decodedBytes &&
+        stripPage.pixelSum == tiledPage.pixelSum,
+        s"d=$d p=$p tile/strip drift: $stripPage vs $tiledPage")
+    }
+  }
+
+  /** One-page STRIP-organized uncompressed TIFF carrying exactly the
+    * pixels of (d, p) — the parity counterpart to the tiled fixture. */
+  private def stripSynth(d: Long, p: Int): Array[Byte] = {
+    val w = Tiff.pageW(d, p); val h = Tiff.pageH(d, p)
+    val sp = Tiff.samples(d, p)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42)
+    val dataAt = 8 // header(4) + first-IFD pointer(4)
+    val raw = new Array[Byte](w * h * sp)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until sp) {
+      raw(i) = Tiff.px(d, p, x, y, c).toByte; i += 1
+    }
+    w32(dataAt + raw.length) // first IFD after the single strip
+    out.write(raw, 0, raw.length)
+    w16(9)
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      if (typ == 3 && cnt == 1) { w16(value); w16(0) } else w32(value)
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h); entry(258, 3, 1, 8)
+    entry(259, 3, 1, 1); entry(262, 3, 1, if (sp == 3) 2 else 1)
+    entry(273, 4, 1, dataAt); entry(277, 3, 1, sp)
+    entry(278, 3, 1, h); entry(279, 4, 1, raw.length)
+    w32(0)
+    out.toByteArray
   }
 
   test("constant rows genuinely exercise PackBits run packets") {
@@ -71,13 +146,14 @@ class TiffSpec extends AnyFunSuite {
     fp(pe + 8) = 3
     val eP = intercept[IllegalArgumentException](Tiff.parse(fp))
     assert(eP.getMessage.contains("predictor"), eP.getMessage)
-    // tiled organization rejected by name: rewrite RowsPerStrip's tag
-    // id (278) to TileWidth (322)
+    // MIXED strip+tile organization rejected by name: rewrite
+    // RowsPerStrip's tag id (278) to TileWidth (322) so the page
+    // carries strip offsets AND a tile tag
     val tiled = good.clone()
     val re = findTag(tiled, ifd0, 278)
     tiled(re) = (322 & 0xff).toByte; tiled(re + 1) = (322 >> 8).toByte
     val e2 = intercept[IllegalArgumentException](Tiff.parse(tiled))
-    assert(e2.getMessage.contains("tiled"), e2.getMessage)
+    assert(e2.getMessage.contains("mixes strip and tile"), e2.getMessage)
     // a lying strip table: flip the first StripByteCounts entry's low
     // bit on an UNCOMPRESSED page (d=6, p=0: (6+0)%3=0 -> comp 1)
     val good6 = Tiff.synth(6L)
@@ -172,6 +248,94 @@ class TiffSpec extends AnyFunSuite {
       assert(pages.head.pixelSum == sum,
         s"d=$d: pixel sum ${pages.head.pixelSum} != $sum")
     }
+  }
+
+  test("our walk decodes JDK-written TILED TIFFs pixel-exactly") {
+    // the tiled counterpart of the LZW direction-2 test: ImageIO
+    // writes a 16x16-tiled LZW TIFF with partial edge tiles; our tile
+    // reassembly must recover the exact pixel sum and grid
+    for (d <- 0L until 6L) {
+      val w = 40 + d.toInt; val h = 35 + d.toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((d + 3 * x + 5 * y) % 256).toInt
+        img.getRaster.setSample(x, y, 0, v)
+        sum += v
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType("LZW")
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(16, 16, 0, 0)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val pg = Tiff.parse(bos.toByteArray).head
+      assert(pg.tiled == 1 && pg.compression == 5,
+        s"d=$d: JDK writer did not produce a tiled LZW page: $pg")
+      assert(pg.nStrips == ((w + 15) / 16) * ((h + 15) / 16), s"d=$d grid")
+      assert(pg.width == w && pg.height == h, s"d=$d dims")
+      assert(pg.decodedBytes == w.toLong * h, s"d=$d in-bounds bytes")
+      assert(pg.pixelSum == sum, s"d=$d: pixel sum ${pg.pixelSum} != $sum")
+    }
+  }
+
+  test("tile bombs and lies are rejected by name") {
+    // d=0 page 0 is tiled ((0+0)%5==0), little-endian, comp none
+    val d = 0L
+    assert(Tiff.tiledOf(d, 0))
+    val good = Tiff.synth(d)
+    def findTag(b: Array[Byte], ifd: Int, tag: Int): Int = {
+      val n = (b(ifd) & 0xff) | ((b(ifd + 1) & 0xff) << 8)
+      (0 until n).map(k => ifd + 2 + 12 * k).find { e =>
+        ((b(e) & 0xff) | ((b(e + 1) & 0xff) << 8)) == tag
+      }.get
+    }
+    val ifd0 = (good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24)
+    // tile grid OVERFLOW bomb: ImageWidth rewritten to a LONG huge
+    // enough that across*down explodes past any real offset table
+    val bomb = good.clone()
+    val we = findTag(bomb, ifd0, 256)
+    bomb(we + 2) = 4; bomb(we + 3) = 0 // type LONG
+    val huge = 20000000
+    bomb(we + 8) = (huge & 0xff).toByte
+    bomb(we + 9) = ((huge >> 8) & 0xff).toByte
+    bomb(we + 10) = ((huge >> 16) & 0xff).toByte
+    bomb(we + 11) = ((huge >> 24) & 0xff).toByte
+    val e1 = intercept[IllegalArgumentException](Tiff.parse(bomb))
+    assert(e1.getMessage.contains("tile grid"), e1.getMessage)
+    // a LYING grid: widen the image one tile; the offset table no
+    // longer matches the implied grid
+    val lie = good.clone()
+    val wv = (lie(we + 8) & 0xff) | ((lie(we + 9) & 0xff) << 8)
+    val wider = wv + 16
+    lie(we + 8) = (wider & 0xff).toByte
+    lie(we + 9) = ((wider >> 8) & 0xff).toByte
+    val e2 = intercept[IllegalArgumentException](Tiff.parse(lie))
+    assert(e2.getMessage.contains("grid implies"), e2.getMessage)
+    // a SHORT tile: shrink the first TileByteCount below the padded
+    // tile size (comp none ⇒ the count must equal it exactly)
+    assert(Tiff.compOf(d, 0) == 1)
+    val short = good.clone()
+    val ce = findTag(short, ifd0, 325)
+    val at = (short(ce + 8) & 0xff) | ((short(ce + 9) & 0xff) << 8) |
+      ((short(ce + 10) & 0xff) << 16) | ((short(ce + 11) & 0xff) << 24)
+    short(at) = ((short(at) & 0xff) ^ 0x01).toByte
+    val e3 = intercept[IllegalArgumentException](Tiff.parse(short))
+    assert(e3.getMessage.contains("expected"), e3.getMessage)
+    // tile dims off the 16 lattice
+    val off16 = good.clone()
+    val te = findTag(off16, ifd0, 322)
+    off16(te + 8) = 20
+    val e4 = intercept[IllegalArgumentException](Tiff.parse(off16))
+    assert(e4.getMessage.contains("multiples of 16"), e4.getMessage)
   }
 
   test("LZW bombs and desyncs are rejected by name") {
