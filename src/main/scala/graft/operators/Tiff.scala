@@ -26,10 +26,17 @@ import org.apache.spark.sql.types._
   * padded tile size, and only in-bounds pixels counted (edge-tile
   * padding excluded) — GIS/medical corpora are predominantly tiled.
   *
+  * Since r18 the walk also decodes CCITT G4 strips (ITU-T T.6, the
+  * scanned-document population's compression — see CcittG4 below):
+  * from-spec 2-D MMR with the full T.4 run tables, bilevel pages
+  * expanding to one 0/1 byte per pixel, ImageIO-conformant both
+  * directions including fax-width makeup codes.
+  *
   * Subset boundary (loud, by name): compressions beyond 1 (none),
-  * 32773 (PackBits), and 5 (LZW) — JPEG-in-TIFF stays behind the
-  * codec boundary; BitsPerSample other than 8; predictors beyond
-  * horizontal differencing.
+  * 32773 (PackBits), 5 (LZW), and 4 (CCITT G4) — JPEG-in-TIFF stays
+  * behind the codec boundary; BitsPerSample other than 8 (or 1 on G4
+  * pages, required in both directions); predictors beyond horizontal
+  * differencing.
   *
   * Bomb guards: IFD page count and entry counts capped, next-IFD
   * pointers containment-checked (a pointer cycle cannot loop the
@@ -46,27 +53,37 @@ object Tiff {
   // ------------------------------------------------- closed forms
 
   def nPages(d: Long): Int = (1 + d % 3).toInt
-  /** Every fifth (d, p) page is TILE-organized (TIFF6 §15) — 16×16
-    * tiles over a page sized to force a ≥2×2 grid WITH partial edge
-    * tiles, so tile padding and row reassembly genuinely run. Modulus
-    * 5, not 4: a mod-4 residue pins the parity of (d + p), which
-    * would structurally exclude predicted-LZW (and gray) tiled pages
-    * from the rotation. */
-  def tiledOf(d: Long, p: Int): Boolean = (d + 3 * p) % 5 == 0
+  /** Every fifth non-G4 (d, p) page is TILE-organized (TIFF6 §15) —
+    * 16×16 tiles over a page sized to force a ≥2×2 grid WITH partial
+    * edge tiles, so tile padding and row reassembly genuinely run.
+    * Modulus 5, not 4: a mod-4 residue pins the parity of (d + p),
+    * which would structurally exclude predicted-LZW (and gray) tiled
+    * pages from the rotation. G4 pages stay strip-organized — the
+    * scanned-document population the compression exists for. */
+  def tiledOf(d: Long, p: Int): Boolean =
+    (d + 3 * p) % 5 == 0 && compOf(d, p) != 4
   def pageW(d: Long, p: Int): Int =
     (if (tiledOf(d, p)) 2 * (16 + (d + p) % 9)
      else 16 + (d + p) % 9).toInt
   def pageH(d: Long, p: Int): Int =
     (if (tiledOf(d, p)) 20 + (d + 2 * p) % 7
      else 10 + (d + 2 * p) % 7).toInt
-  def samples(d: Long, p: Int): Int = (1 + 2 * ((d + p) % 2)).toInt
+  /** G4 pages are bilevel single-sample by construction. */
+  def samples(d: Long, p: Int): Int =
+    if (compOf(d, p) == 4) 1 else (1 + 2 * ((d + p) % 2)).toInt
   val TileDim = 16 // TileWidth/TileLength (spec: multiples of 16)
-  /** Compression rotates none / PackBits / LZW per page. */
-  def compOf(d: Long, p: Int): Int = ((d + 2 * p) % 3).toInt match {
+  /** Compression rotates none / PackBits / LZW / CCITT G4 per page. */
+  def compOf(d: Long, p: Int): Int = ((d + 2 * p) % 4).toInt match {
     case 0 => 1
     case 1 => 32773
-    case _ => 5
+    case 2 => 5
+    case _ => 4
   }
+  /** Bilevel pixel of a G4 page: the shared px() form thresholded —
+    * 1 = black (MinIsWhite photometric), so constant rows become
+    * solid runs and varying rows force mode changes. */
+  def bilevel(d: Long, p: Int, x: Int, y: Int): Int =
+    if (px(d, p, x, y, 0) >= 128) 1 else 0
   /** Horizontal differencing rides half the LZW pages (predictor is
     * an LZW/deflate companion in the wild; 1 = none elsewhere). */
   def predOf(d: Long, p: Int): Int =
@@ -261,6 +278,307 @@ object Tiff {
     out
   }
 
+  // ---------------------------------------------- CCITT G4 (T.6)
+
+  /** ITU-T T.6 (CCITT Group 4) two-dimensional MMR coder — the
+    * compression of the scanned-document TIFF population (VERDICT r17
+    * #3). Both directions from the public spec: vertical/horizontal/
+    * pass modes against the reference line, horizontal runs in the
+    * T.4 modified-Huffman tables (terminating 0–63, makeup 64–2560,
+    * the extended makeups shared between colors), each strip an
+    * independent block whose first reference line is all white.
+    * Bilevel only (BitsPerSample 1); decoded pixels expand to one
+    * 0/1 byte each (1 = black under the MinIsWhite photometric).
+    * TiffSpec proves both directions against ImageIO's bundled T.6
+    * codec, including a fax-width page whose long runs force makeup
+    * codes. Bomb guards: non-advancing modes (the runaway-vertical /
+    * zero-run shapes), runs past the line width, makeup accumulation
+    * capped at the width, unmatched codes, truncated streams, and
+    * non-zero trailing bits are all loud. */
+  private[graft] object CcittG4 {
+    private def codes(s: String): Array[(Int, Int)] =
+      s.trim.split("\\s+").map(c => (Integer.parseInt(c, 2), c.length))
+
+    // T.4 table 1 — white run lengths 0..63 (terminating codes)
+    private val whiteTerm = codes("""
+      00110101 000111 0111 1000 1011 1100 1110 1111
+      10011 10100 00111 01000 001000 000011 110100 110101
+      101010 101011 0100111 0001100 0001000 0010111 0000011 0000100
+      0101000 0101011 0010011 0100100 0011000 00000010 00000011 00011010
+      00011011 00010010 00010011 00010100 00010101 00010110 00010111 00101000
+      00101001 00101010 00101011 00101100 00101101 00000100 00000101 00001010
+      00001011 01010010 01010011 01010100 01010101 00100100 00100101 01011000
+      01011001 01011010 01011011 01001010 01001011 00110010 00110011 00110100""")
+    // T.4 table 2 — white makeup codes 64, 128, …, 1728
+    private val whiteMakeup = codes("""
+      11011 10010 010111 0110111 00110110 00110111 01100100 01100101
+      01101000 01100111 011001100 011001101 011010010 011010011 011010100
+      011010101 011010110 011010111 011011000 011011001 011011010 011011011
+      010011000 010011001 010011010 011000 010011011""")
+    // T.4 table 3 — black run lengths 0..63 (terminating codes)
+    private val blackTerm = codes("""
+      0000110111 010 11 10 011 0011 0010 00011
+      000101 000100 0000100 0000101 0000111 00000100 00000111 000011000
+      0000010111 0000011000 0000001000 00001100111 00001101000 00001101100
+      00000110111 00000101000 00000010111 00000011000 000011001010 000011001011
+      000011001100 000011001101 000001101000 000001101001 000001101010
+      000001101011 000011010010 000011010011 000011010100 000011010101
+      000011010110 000011010111 000001101100 000001101101 000011011010
+      000011011011 000001010100 000001010101 000001010110 000001010111
+      000001100100 000001100101 000001010010 000001010011 000000100100
+      000000110111 000000111000 000000100111 000000101000 000001011000
+      000001011001 000000101011 000000101100 000001011010 000001100110
+      000001100111""")
+    // T.4 table 4 — black makeup codes 64, 128, …, 1728
+    private val blackMakeup = codes("""
+      0000001111 000011001000 000011001001 000001011011 000000110011
+      000000110100 000000110101 0000001101100 0000001101101 0000001001010
+      0000001001011 0000001001100 0000001001101 0000001110010 0000001110011
+      0000001110100 0000001110101 0000001110110 0000001110111 0000001010010
+      0000001010011 0000001010100 0000001010101 0000001011010 0000001011011
+      0000001100100 0000001100101""")
+    // T.4 extended makeup codes 1792, 1856, …, 2560 (both colors)
+    private val extMakeup = codes("""
+      00000001000 00000001100 00000001101 000000010010 000000010011
+      000000010100 000000010101 000000010110 000000010111 000000011100
+      000000011101 000000011110 000000011111""")
+
+    // decode maps: (bitLen << 16 | code) → run length
+    private def toMap(term: Array[(Int, Int)],
+        makeup: Array[(Int, Int)]): Map[Int, Int] = {
+      val t = term.zipWithIndex.map { case ((c, l), r) => ((l << 16) | c, r) }
+      val m = makeup.zipWithIndex.map { case ((c, l), k) =>
+        ((l << 16) | c, 64 * (k + 1)) }
+      val e = extMakeup.zipWithIndex.map { case ((c, l), k) =>
+        ((l << 16) | c, 1792 + 64 * k) }
+      (t ++ m ++ e).toMap
+    }
+    private val whiteRuns = toMap(whiteTerm, whiteMakeup)
+    private val blackRuns = toMap(blackTerm, blackMakeup)
+
+    private final class BitReader(b: Array[Byte], from: Int, until: Int) {
+      private var bit = 0
+      private val total = (until - from) * 8
+      def remaining: Int = total - bit
+      def read1(): Int = {
+        require(bit < total, "tiff: G4 stream ends mid-code")
+        val v = (b(from + (bit >> 3)) >> (7 - (bit & 7))) & 1
+        bit += 1
+        v
+      }
+      def allZeroToEnd(): Boolean =
+        (bit until total).forall { j =>
+          ((b(from + (j >> 3)) >> (7 - (j & 7))) & 1) == 0
+        }
+    }
+
+    /** Changing-element positions of one 0/1 pixel row (positions
+      * where the color differs from the previous pixel; pixel −1 is
+      * white). Returned with two `w` sentinels. */
+    private def changesOf(pix: Array[Byte], at: Int, w: Int): Array[Int] = {
+      val out = new Array[Int](w + 2)
+      var n = 0
+      var prev = 0
+      var x = 0
+      while (x < w) {
+        val v = pix(at + x) & 1
+        if (v != prev) { out(n) = x; n += 1; prev = v }
+        x += 1
+      }
+      out(n) = w; out(n + 1) = w
+      java.util.Arrays.copyOf(out, n + 2)
+    }
+
+    /** (b1, b2) on the reference line: b1 = first changing element
+      * > a0 whose color is OPPOSITE a0's color (ref changes alternate
+      * black/white starting black, so parity decides), b2 = the next
+      * one after it. `nCh` excludes the two sentinels. */
+    private def refPair(ref: Array[Int], nCh: Int, a0: Int,
+        a0White: Boolean): (Int, Int) = {
+      var j = 0
+      while (j < nCh && ref(j) <= a0) j += 1
+      // needed parity: b1 black (even index) when a0 is white
+      if (j < nCh && (j % 2 == 0) != a0White) j += 1
+      val w1 = ref(math.min(j, nCh))
+      val w2 = ref(math.min(j + 1, nCh))
+      (if (j < nCh) w1 else ref(nCh), if (j + 1 < nCh) w2 else ref(nCh))
+    }
+
+    /** Encode `rows` lines of 0/1 pixels (row-major, width w). */
+    def encode(pix: Array[Byte], w: Int, rows: Int): Array[Byte] = {
+      require(w > 0 && rows > 0, "tiff: G4 encode on an empty strip")
+      val bits = new MsbWriter
+      def put(s: String): Unit =
+        bits.write(Integer.parseInt(s, 2), s.length)
+      def putRun(run0: Int, white: Boolean): Unit = {
+        var run = run0
+        while (run >= 2624) { // chain 2560 makeups for very long runs
+          val (c, l) = extMakeup(12); bits.write(c, l); run -= 2560
+        }
+        if (run >= 1792) {
+          val k = (run - 1792) / 64
+          val (c, l) = extMakeup(k); bits.write(c, l)
+          run -= 1792 + 64 * k
+        } else if (run >= 64) {
+          val k = run / 64 - 1
+          val (c, l) = (if (white) whiteMakeup else blackMakeup)(k)
+          bits.write(c, l)
+          run -= 64 * (k + 1)
+        }
+        val (c, l) = (if (white) whiteTerm else blackTerm)(run)
+        bits.write(c, l)
+      }
+      var ref = Array(w, w)
+      var refN = 0
+      (0 until rows).foreach { r =>
+        val cur = changesOf(pix, r * w, w)
+        val curN = cur.length - 2
+        var a0 = -1
+        var white = true
+        while (a0 < w) {
+          var ci = 0
+          while (ci < curN && cur(ci) <= a0) ci += 1
+          val a1 = cur(ci) // sentinel w when exhausted
+          val (b1, b2) = refPair(ref, refN, a0, white)
+          if (b2 < a1) {
+            put("0001") // pass
+            a0 = b2
+          } else if (math.abs(a1 - b1) <= 3) {
+            a1 - b1 match { // vertical
+              case 0 => put("1")
+              case 1 => put("011")
+              case 2 => put("000011")
+              case 3 => put("0000011")
+              case -1 => put("010")
+              case -2 => put("000010")
+              case -3 => put("0000010")
+            }
+            a0 = a1; white = !white
+          } else {
+            put("001") // horizontal
+            val a0s = math.max(a0, 0)
+            val a2 = cur(math.min(ci + 1, curN + 1))
+            putRun(a1 - a0s, white)
+            putRun(a2 - a1, !white)
+            a0 = a2
+          }
+        }
+        ref = cur; refN = curN
+      }
+      bits.finish()
+    }
+
+    /** Decode exactly `rows` lines of width `w` into 0/1 bytes. */
+    def decode(b: Array[Byte], from: Int, until: Int, w: Int,
+        rows: Int): Array[Byte] = {
+      require(w > 0 && rows > 0, "tiff: G4 decode on an empty strip")
+      val in = new BitReader(b, from, until)
+      val out = new Array[Byte](rows * w)
+      def readRun(white: Boolean): Int = {
+        val table = if (white) whiteRuns else blackRuns
+        var total = 0
+        var done = false
+        while (!done) {
+          var code = 0; var len = 0
+          var hit = -1
+          while (hit < 0) {
+            code = (code << 1) | in.read1(); len += 1
+            require(len <= 13,
+              "tiff: G4 run code matches no T.4 entry within 13 bits")
+            hit = table.getOrElse((len << 16) | code, -1)
+          }
+          total += hit
+          require(total <= w,
+            s"tiff: G4 run $total exceeds the line width $w")
+          if (hit < 64) done = true // terminating code ends the run
+        }
+        total
+      }
+      var ref = Array(w, w)
+      var refN = 0
+      val curBuf = new Array[Int](w + 2)
+      (0 until rows).foreach { r =>
+        val at = r * w
+        var a0 = -1
+        var white = true
+        var curN = 0
+        def fill(upto: Int, asWhite: Boolean): Unit = {
+          var x = math.max(a0, 0)
+          while (x < upto) { out(at + x) = if (asWhite) 0 else 1; x += 1 }
+        }
+        while (a0 < w) {
+          val (b1, b2) = refPair(ref, refN, a0, white)
+          // mode tree: V0=1 VR1=011 VL1=010 H=001 P=0001
+          //            VR2=000011 VL2=000010 VR3=0000011 VL3=0000010
+          if (in.read1() == 1) { // V0
+            val a1 = b1
+            require(a1 > a0 && a1 <= w,
+              s"tiff: G4 vertical mode does not advance (a0=$a0 a1=$a1)")
+            fill(a1, white)
+            if (a1 < w) { curBuf(curN) = a1; curN += 1 }
+            a0 = a1; white = !white
+          } else if (in.read1() == 1) { // 01x
+            val a1 = if (in.read1() == 1) b1 + 1 else b1 - 1
+            require(a1 > a0 && a1 <= w,
+              s"tiff: G4 vertical mode does not advance (a0=$a0 a1=$a1)")
+            fill(a1, white)
+            if (a1 < w) { curBuf(curN) = a1; curN += 1 }
+            a0 = a1; white = !white
+          } else if (in.read1() == 1) { // 001 horizontal
+            val a0s = math.max(a0, 0)
+            val run1 = readRun(white)
+            val run2 = readRun(!white)
+            val a1 = a0s + run1
+            val a2 = a1 + run2
+            require(a1 > a0 && a1 <= w && a2 <= w &&
+              (a2 > a1 || a1 == w),
+              s"tiff: G4 horizontal runs do not advance " +
+                s"(a0=$a0 a1=$a1 a2=$a2 w=$w)")
+            fill(a1, white)
+            if (a1 < w) { curBuf(curN) = a1; curN += 1 }
+            a0 = a1 // reuse fill's max(a0, 0) base for the second run
+            fill(a2, !white)
+            if (a2 < w) { curBuf(curN) = a2; curN += 1 }
+            a0 = a2
+          } else if (in.read1() == 1) { // 0001 pass
+            require(b2 > math.max(a0, 0) || a0 < 0,
+              s"tiff: G4 pass mode does not advance (a0=$a0 b2=$b2)")
+            fill(b2, white)
+            a0 = b2
+          } else { // 00000.. — vertical ±2/±3 or garbage
+            val a1 =
+              if (in.read1() == 1) { if (in.read1() == 1) b1 + 2 else b1 - 2 }
+              else if (in.read1() == 1) {
+                if (in.read1() == 1) b1 + 3 else b1 - 3
+              } else throw new IllegalArgumentException(
+                "tiff: G4 mode code matches no T.6 entry")
+            require(a1 > a0 && a1 <= w,
+              s"tiff: G4 vertical mode does not advance (a0=$a0 a1=$a1)")
+            fill(a1, white)
+            if (a1 < w) { curBuf(curN) = a1; curN += 1 }
+            a0 = a1; white = !white
+          }
+        }
+        require(a0 == w, s"tiff: G4 line overruns the width ($a0 > $w)")
+        ref = java.util.Arrays.copyOf(curBuf, curN + 2)
+        ref(curN) = w; ref(curN + 1) = w
+        refN = curN
+      }
+      // optional EOFB (two T.4 EOLs), then only zero bit padding
+      if (in.remaining >= 24) {
+        var ok = true
+        (0 until 2).foreach { _ =>
+          (0 until 11).foreach(_ => ok &= in.read1() == 0)
+          ok &= in.read1() == 1
+        }
+        require(ok, "tiff: G4 trailing bytes are neither EOFB nor padding")
+      }
+      require(in.remaining < 32 && in.allZeroToEnd(),
+        "tiff: G4 stream carries non-zero bits past the last coded line")
+      out
+    }
+  }
+
   /** Horizontal-predictor undifferencing (tag 317 = 2): within each
     * row, each sample adds the same sample of the previous pixel. */
   private def undiff(strip: Array[Byte], rowBytes: Int, sp: Int): Unit = {
@@ -324,6 +642,7 @@ object Tiff {
           case 5 =>
             lzwEncode(if (predOf(d, p) == 2) diff(raw, rowBytes, sp)
               else raw)
+          case 4 => CcittG4.encode(raw, rowBytes, raw.length / rowBytes)
           case _ => raw
         }
       if (tiledOf(d, p)) {
@@ -345,7 +664,9 @@ object Tiff {
           val raw = new Array[Byte](rows * w * sp)
           var i = 0
           for (y <- y0 until y0 + rows; x <- 0 until w; c <- 0 until sp) {
-            raw(i) = px(d, p, x, y, c).toByte; i += 1
+            raw(i) = (if (compOf(d, p) == 4) bilevel(d, p, x, y)
+              else px(d, p, x, y, c)).toByte
+            i += 1
           }
           enc(raw, w * sp)
         }
@@ -386,9 +707,11 @@ object Tiff {
       }
       entry(256, 3, 1, w)                        // ImageWidth
       entry(257, 3, 1, h)                        // ImageLength
-      entry(258, 3, 1, 8)                        // BitsPerSample
+      entry(258, 3, 1,                           // BitsPerSample
+        if (compOf(d, p) == 4) 1 else 8)
       entry(259, 3, 1, compOf(d, p))             // Compression
-      entry(262, 3, 1, if (sp == 3) 2 else 1)    // Photometric
+      entry(262, 3, 1,                           // Photometric
+        if (compOf(d, p) == 4) 0 else if (sp == 3) 2 else 1)
       if (!tiledOf(d, p))
         entry(273, 4, ns,                        // StripOffsets
           if (ns == 1) payloadOffsets(p)(0) else arraysAt)
@@ -517,14 +840,17 @@ object Tiff {
           case 256 => w = scalar()
           case 257 => h = scalar()
           case 258 =>
-            longArray().foreach(b => require(b == 8,
-              s"tiff: BitsPerSample $b is outside the 8-bit subset"))
-            bits = 8
+            val bs = longArray()
+            bs.foreach(b => require(b == 8 || b == 1,
+              s"tiff: BitsPerSample $b is outside the 8/1-bit subset"))
+            require(bs.distinct.length == 1,
+              s"tiff: mixed per-sample bit depths ${bs.mkString(",")}")
+            bits = bs(0)
           case 259 =>
             comp = scalar()
-            require(comp == 1 || comp == 32773 || comp == 5,
+            require(comp == 1 || comp == 32773 || comp == 5 || comp == 4,
               s"tiff: compression $comp is outside the walk subset " +
-                "(uncompressed, PackBits, and LZW only)")
+                "(uncompressed, PackBits, LZW, and CCITT G4 only)")
           case 273 => offsets = longArray()
           case 277 => sp = scalar()
           case 278 => rps = scalar()
@@ -542,7 +868,17 @@ object Tiff {
         }
       }
       require(w > 0 && h > 0, "tiff: page lacks dimensions")
-      require(bits == 8, "tiff: page lacks an 8-bit BitsPerSample")
+      // TIFF6 default when tag 258 is absent is 1 bit — bilevel
+      // writers (ImageIO's T.6 path among them) rely on it
+      if (bits == -1) bits = 1
+      require(bits == 8 || comp == 4,
+        "tiff: page lacks an 8-bit BitsPerSample")
+      // G4 is a bilevel codec by definition — the pairing is required
+      // in BOTH directions so neither tag can lie about the other
+      require(comp != 4 || (bits == 1 && sp == 1),
+        "tiff: CCITT G4 requires BitsPerSample 1 and one sample")
+      require(bits != 1 || comp == 4,
+        "tiff: bilevel pages outside CCITT G4 are outside the walk subset")
       require(sp >= 1 && sp <= 4, s"tiff: absurd SamplesPerPixel $sp")
       require(pred == 1 || comp == 5,
         "tiff: horizontal predictor outside an LZW page is outside " +
@@ -560,6 +896,9 @@ object Tiff {
               s"tiff: uncompressed $what $idx is $c bytes, expected $expect")
             java.util.Arrays.copyOfRange(bytes, o, o + c)
           case 32773 => packBitsDecode(bytes, o, o + c, expect)
+          case 4 =>
+            // sp == 1 guaranteed above: rowBytes IS the pixel width
+            CcittG4.decode(bytes, o, o + c, rowBytes, expect / rowBytes)
           case _ =>
             val dec = lzwDecode(bytes, o, o + c, expect)
             if (pred == 2) undiff(dec, rowBytes, sp)

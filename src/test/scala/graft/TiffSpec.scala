@@ -36,21 +36,32 @@ class TiffSpec extends AnyFunSuite {
           pg.width.toLong * pg.height * pg.samples, s"d=$d p=$p bytes")
         var sum = 0L
         for (y <- 0 until pg.height; x <- 0 until pg.width;
-             c <- 0 until pg.samples) sum += Tiff.px(d, p, x, y, c)
+             c <- 0 until pg.samples)
+          sum += (if (pg.compression == 4) Tiff.bilevel(d, p, x, y)
+            else Tiff.px(d, p, x, y, c))
         assert(pg.pixelSum == sum, s"d=$d p=$p pixel sum")
+        if (pg.compression == 4)
+          assert(pg.samples == 1 && pg.tiled == 0, s"d=$d p=$p G4 shape")
       }
-      // both endians and all three compressions live in range
+      // both endians and all four compressions live in range
     }
     assert((0L to 10L).exists(_ % 2 == 0) && (0L to 10L).exists(_ % 2 == 1))
     val comps = (0L to 10L).flatMap(d =>
       (0 until Tiff.nPages(d)).map(p => Tiff.compOf(d, p))).toSet
-    assert(comps == Set(1, 32773, 5), s"compression coverage: $comps")
+    assert(comps == Set(1, 32773, 5, 4), s"compression coverage: $comps")
     val preds = (0L to 10L).flatMap(d =>
       (0 until Tiff.nPages(d)).map(p => Tiff.predOf(d, p))).toSet
     assert(preds == Set(1, 2), s"predictor coverage: $preds")
+    // G4 pages carry both solid (constant-row) and varying scanlines
+    val g4Kinds = (0L to 20L).flatMap(d =>
+      (0 until Tiff.nPages(d)).collect {
+        case p if Tiff.compOf(d, p) == 4 =>
+          (0 until Tiff.pageH(d, p)).map(y => (d + p + y) % 4 == 0).toSet
+      }).flatten.toSet
+    assert(g4Kinds == Set(true, false), "G4 scanline coverage")
     // tiled pages rotate through in BOTH organizations and every
-    // compression (incl. predicted LZW tiles)
-    val tiledComps = (0L to 30L).flatMap(d =>
+    // non-G4 compression (incl. predicted LZW tiles)
+    val tiledComps = (0L to 44L).flatMap(d =>
       (0 until Tiff.nPages(d)).collect {
         case p if Tiff.tiledOf(d, p) => (Tiff.compOf(d, p), Tiff.predOf(d, p))
       }).toSet
@@ -135,11 +146,16 @@ class TiffSpec extends AnyFunSuite {
     }
     val ifd0 = (good(4) & 0xff) | ((good(5) & 0xff) << 8) |
       ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24)
-    val ccitt = good.clone()
-    val ce = findTag(ccitt, ifd0, 259)
-    ccitt(ce + 8) = 4 // Compression = CCITT G4
-    val e1 = intercept[IllegalArgumentException](Tiff.parse(ccitt))
+    val jpegIn = good.clone()
+    val ce = findTag(jpegIn, ifd0, 259)
+    jpegIn(ce + 8) = 7 // Compression = JPEG-in-TIFF
+    val e1 = intercept[IllegalArgumentException](Tiff.parse(jpegIn))
     assert(e1.getMessage.contains("outside the walk subset"), e1.getMessage)
+    // G4 on an 8-bit page: the bilevel pairing must hold BOTH ways
+    val g4on8 = good.clone()
+    g4on8(ce + 8) = 4
+    val eG = intercept[IllegalArgumentException](Tiff.parse(g4on8))
+    assert(eG.getMessage.contains("BitsPerSample 1"), eG.getMessage)
     // an out-of-subset predictor (floating point, 3)
     val fp = good.clone()
     val pe = findTag(fp, ifd0, 317)
@@ -155,8 +171,8 @@ class TiffSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Tiff.parse(tiled))
     assert(e2.getMessage.contains("mixes strip and tile"), e2.getMessage)
     // a lying strip table: flip the first StripByteCounts entry's low
-    // bit on an UNCOMPRESSED page (d=6, p=0: (6+0)%3=0 -> comp 1)
-    val good6 = Tiff.synth(6L)
+    // bit on an UNCOMPRESSED page (d=8, p=0: (8+0)%4=0 -> comp 1)
+    val good6 = Tiff.synth(8L)
     val ifd6 = (good6(4) & 0xff) | ((good6(5) & 0xff) << 8) |
       ((good6(6) & 0xff) << 16) | ((good6(7) & 0xff) << 24)
     val lie = good6.clone()
@@ -175,7 +191,7 @@ class TiffSpec extends AnyFunSuite {
     val bpse = findTag(deep, ifd0, 258)
     deep(bpse + 8) = 16
     val e4 = intercept[IllegalArgumentException](Tiff.parse(deep))
-    assert(e4.getMessage.contains("8-bit"), e4.getMessage)
+    assert(e4.getMessage.contains("8/1-bit"), e4.getMessage)
   }
 
   test("the JDK reference TIFF reader decodes our LZW pages " +
@@ -336,6 +352,123 @@ class TiffSpec extends AnyFunSuite {
     off16(te + 8) = 20
     val e4 = intercept[IllegalArgumentException](Tiff.parse(off16))
     assert(e4.getMessage.contains("multiples of 16"), e4.getMessage)
+  }
+
+  test("the JDK reference T.6 codec decodes our G4 pages pixel-exactly") {
+    // direction 1: ImageIO reads every G4 page of our from-spec T.6
+    // encoder to the exact thresholded closed-form bilevel pixels.
+    // getRGB is color-model-aware, so 1 = black compares as RGB black
+    // regardless of how the reader maps the MinIsWhite photometric.
+    var g4Pages = 0
+    for (d <- 0L until 12L) {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(Tiff.synth(d)))
+      val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+      reader.setInput(in)
+      for (p <- 0 until Tiff.nPages(d) if Tiff.compOf(d, p) == 4) {
+        g4Pages += 1
+        val img = reader.read(p)
+        assert(img.getWidth == Tiff.pageW(d, p) &&
+          img.getHeight == Tiff.pageH(d, p), s"d=$d p=$p dims")
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val black = (img.getRGB(x, y) & 0xffffff) == 0
+          assert(black == (Tiff.bilevel(d, p, x, y) == 1),
+            s"d=$d p=$p ($x,$y) bilevel mismatch")
+        }
+      }
+      reader.dispose(); in.close()
+    }
+    assert(g4Pages > 0, "no G4 pages in range")
+  }
+
+  test("our walk decodes JDK-written G4 TIFFs pixel-exactly, incl. " +
+      "fax-width makeup codes") {
+    // direction 2: ImageIO writes CCITT T.6; our decoder must recover
+    // the exact black-pixel count. The 1728-wide page carries runs far
+    // past 63, forcing the T.4 makeup codes (incl. extended makeups on
+    // the all-white rows) through BOTH its encoder and our decoder.
+    for ((w, h, seed) <- Seq((40, 30, 1L), (61, 45, 2L), (1728, 16, 3L))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      var black = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        // long runs with occasional mode changes; some rows all-white
+        val v =
+          if (y % 5 == 0) 0
+          else if ((x / (16 + y)) % 2 == (seed + y) % 2) 1 else 0
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      // count black via the color model, same convention as the walk
+      for (y <- 0 until h; x <- 0 until w)
+        if ((img.getRGB(x, y) & 0xffffff) == 0) black += 1
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType("CCITT T.6")
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val pg = Tiff.parse(bos.toByteArray).head
+      assert(pg.compression == 4 && pg.samples == 1,
+        s"$w x $h: JDK writer did not produce a G4 page: $pg")
+      assert(pg.width == w && pg.height == h, s"$w x $h dims")
+      assert(pg.pixelSum == black,
+        s"$w x $h: black count ${pg.pixelSum} != $black")
+    }
+  }
+
+  test("G4 roundtrips our own encoder at fax width (makeup + chained runs)") {
+    // the encoder side of the makeup tables: runs of 64..2560+ white
+    // and black must survive encode→decode bit-exactly
+    val w = 2800; val rows = 6
+    val pix = new Array[Byte](w * rows)
+    for (y <- 0 until rows; x <- 0 until w) {
+      val v = y match {
+        case 0 => 0                         // all white: 2800-run (chained makeup)
+        case 1 => 1                         // all black
+        case 2 => if (x >= 100 && x < 1900) 1 else 0 // 1800 black run
+        case 3 => if (x / 70 % 2 == 0) 1 else 0      // 70-runs (makeup 64)
+        case 4 => if (x % 3 == 0) 1 else 0           // short runs (V modes)
+        case _ => if (x < 2650) 0 else 1             // 2650 white run
+      }
+      pix(y * w + x) = v.toByte
+    }
+    val enc = Tiff.CcittG4.encode(pix, w, rows)
+    val dec = Tiff.CcittG4.decode(enc, 0, enc.length, w, rows)
+    assert(java.util.Arrays.equals(dec, pix), "G4 self-roundtrip drift")
+  }
+
+  test("G4 bombs and truncations are rejected by name") {
+    val w = 64; val rows = 3
+    val pix = Array.tabulate[Byte](w * rows)(i => ((i / 7) % 2).toByte)
+    val enc = Tiff.CcittG4.encode(pix, w, rows)
+    // truncated stream ends mid-code
+    val e1 = intercept[IllegalArgumentException](
+      Tiff.CcittG4.decode(enc, 0, math.max(1, enc.length / 2), w, rows))
+    assert(e1.getMessage.contains("mid-code") ||
+      e1.getMessage.contains("advance"), e1.getMessage)
+    // horizontal runs past the line width: H + white makeup 2560 on a
+    // 64-wide line (001 + 000000011111 ...)
+    val bomb = Array[Byte](
+      Integer.parseInt("00100000", 2).toByte,
+      Integer.parseInt("00111110", 2).toByte, 0, 0, 0)
+    val e2 = intercept[IllegalArgumentException](
+      Tiff.CcittG4.decode(bomb, 0, bomb.length, w, rows))
+    assert(e2.getMessage.contains("exceeds the line width"), e2.getMessage)
+    // an unmatched mode code (six zeros) is garbage, not a silent skip
+    val junk = Array[Byte](0, 0, 0)
+    val e3 = intercept[IllegalArgumentException](
+      Tiff.CcittG4.decode(junk, 0, junk.length, w, rows))
+    assert(e3.getMessage.contains("matches no"), e3.getMessage)
+    // non-zero trailing bytes after the last coded line
+    val trail = enc ++ Array[Byte](0x55, 0x55, 0x55, 0x55, 0x55)
+    val e4 = intercept[IllegalArgumentException](
+      Tiff.CcittG4.decode(trail, 0, trail.length, w, rows))
+    assert(e4.getMessage.contains("past the last coded line") ||
+      e4.getMessage.contains("neither EOFB"), e4.getMessage)
   }
 
   test("LZW bombs and desyncs are rejected by name") {
