@@ -4663,6 +4663,12 @@ object Llm extends QueryModule {
           LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 3)) AS c) c),
         vb AS (SELECT doc_id, c, k.k AS k FROM cl,
           LATERAL (SELECT unnest(range(0, 1 + (cl.doc_id + cl.c) % 2)) AS k) k),
+        vf AS (SELECT doc_id, c, k,
+            doc_id + 13 * c + 7 * k + 31 * f.f AS s FROM vb,
+          LATERAL (SELECT unnest(range(0,
+            CASE WHEN vb.doc_id % 7 = 4
+              THEN 2 + (vb.doc_id + vb.c + vb.k) % 2
+              ELSE 1 END)) AS f) f),
         ab AS (SELECT doc_id, c, k.k AS k FROM cl,
           LATERAL (SELECT unnest(range(0, 1 + (cl.doc_id + cl.c) % 3)) AS k) k
           WHERE doc_id % 3 <> 2),
@@ -4671,22 +4677,24 @@ object Llm extends QueryModule {
             CASE (ab.doc_id + ab.c + ab.k) % 4 WHEN 0 THEN 1
               WHEN 3 THEN 3 ELSE 2 END)) AS f) f),
         v AS (SELECT doc_id, count(*) AS nv,
-            sum(CASE WHEN doc_id % 5 >= 3 THEN 0
-              ELSE (doc_id + 13 * c + 7 * k) % 128 END) AS sq,
-            sum(CASE WHEN doc_id % 5 >= 3 THEN
-                ((doc_id + 13 * c + 7 * k) % 4) * 1000
-                + (CASE WHEN (doc_id + 13 * c + 7 * k) % 4 >= 2
-                    THEN 10 + 2 * ((doc_id + 13 * c + 7 * k) % 2)
-                    ELSE 8 END) * 10
-                + (CASE WHEN ((doc_id + 13 * c + 7 * k) % 4) % 2 = 1
-                      AND (doc_id + 13 * c + 7 * k) % 7 = 0 THEN 7
-                    ELSE 1 + (doc_id + 13 * c + 7 * k) % 5 END)
-              ELSE 0 END) AS sv,
             sum(CASE WHEN (doc_id + c + k) % 2 = 0 THEN 1 ELSE 0 END)
               AS nbg,
-            sum(CASE WHEN (doc_id + c + k) % 2 = 0 THEN 40 ELSE 0 END)
-              AS bdur_ms
+            sum(CASE WHEN (doc_id + c + k) % 2 = 0
+              THEN 40 * (CASE WHEN doc_id % 7 = 4
+                THEN 2 + (doc_id + c + k) % 2 ELSE 1 END)
+              ELSE 0 END) AS bdur_ms
           FROM vb GROUP BY doc_id),
+        v2 AS (SELECT doc_id, count(*) AS nvf,
+            sum(CASE WHEN doc_id % 5 >= 3 THEN 0
+              ELSE s % 128 END) AS sq,
+            sum(CASE WHEN doc_id % 5 >= 3 THEN
+                (s % 4) * 1000
+                + (CASE WHEN s % 4 >= 2 THEN 10 + 2 * (s % 2)
+                    ELSE 8 END) * 10
+                + (CASE WHEN (s % 4) % 2 = 1 AND s % 7 = 0 THEN 7
+                    ELSE 1 + s % 5 END)
+              ELSE 0 END) AS sv
+          FROM vf GROUP BY doc_id),
         a AS (SELECT doc_id, count(*) AS na,
             sum(CASE WHEN (doc_id + c + k) % 3 = 0 THEN 1 ELSE 0 END)
               AS nbg,
@@ -4708,16 +4716,20 @@ object Llm extends QueryModule {
           CAST(v.nv AS INT) AS n_video_blocks,
           CAST(coalesce(a.na, 0) AS INT) AS n_audio_blocks,
           CAST(coalesce(a2.naf, 0) AS INT) AS n_audio_frames,
-          CAST(v.nv AS INT) AS n_keyframes,
+          CAST(v2.nvf AS INT) AS n_keyframes,
           CAST(320 + d.doc_id % 33 AS INT) AS width,
           CAST(240 + d.doc_id % 25 AS INT) AS height,
-          CAST(v.sq AS BIGINT) AS sum_y_ac_qi,
-          CAST(v.sv AS BIGINT) AS sum_vp9_sig,
+          CAST(v2.sq AS BIGINT) AS sum_y_ac_qi,
+          CAST(v2.sv AS BIGINT) AS sum_vp9_sig,
           CAST(CASE WHEN d.doc_id % 3 <> 2
             THEN 1 + (d.doc_id // 2) % 2 END AS INT) AS opus_channels,
           CAST(coalesce(a2.nst, 0) AS INT) AS n_stereo,
           CAST(400 * (1 + d.doc_id % 3)
-            + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2) + 40 AS BIGINT)
+            + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2)
+            + 40 * (CASE WHEN d.doc_id % 7 = 4
+              THEN 2 + (d.doc_id + (1 + d.doc_id % 3)
+                + ((d.doc_id + 1 + d.doc_id % 3) % 2)) % 2
+              ELSE 1 END) AS BIGINT)
             AS duration_ms,
           CAST(v.nbg + coalesce(a.nbg, 0) AS INT) AS n_block_groups,
           CAST((v.bdur_ms + coalesce(a.bdur_ms, 0))
@@ -4725,8 +4737,8 @@ object Llm extends QueryModule {
             AS sum_block_dur_ticks,
           CAST(3 AS INT) AS n_seek_entries,
           CAST(2 + d.doc_id % 3 AS INT) AS n_cue_points
-        FROM d LEFT JOIN v USING (doc_id) LEFT JOIN a USING (doc_id)
-          LEFT JOIN a2 USING (doc_id)
+        FROM d LEFT JOIN v USING (doc_id) LEFT JOIN v2 USING (doc_id)
+          LEFT JOIN a USING (doc_id) LEFT JOIN a2 USING (doc_id)
         ORDER BY id""")),
 
     // avcC-IN-MP4 (the composition of the two walks): how real MP4s
@@ -5925,20 +5937,32 @@ object Llm extends QueryModule {
           LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 3)) AS c) c),
         vb AS (SELECT doc_id, c, k.k AS k FROM cl,
           LATERAL (SELECT unnest(range(0, 1 + (cl.doc_id + cl.c) % 2)) AS k) k),
-        v AS (SELECT doc_id, count(*) AS nv,
+        vf AS (SELECT doc_id, c, k,
+            doc_id + 13 * c + 7 * k + 31 * f.f AS s FROM vb,
+          LATERAL (SELECT unnest(range(0,
+            CASE WHEN vb.doc_id % 7 = 4
+              THEN 2 + (vb.doc_id + vb.c + vb.k) % 2
+              ELSE 1 END)) AS f) f),
+        v AS (SELECT doc_id, count(*) AS nv FROM vb GROUP BY doc_id),
+        v2 AS (SELECT doc_id, count(*) AS nvf,
             sum(CASE WHEN doc_id % 5 >= 3 THEN 0
-              ELSE (doc_id + 13 * c + 7 * k) % 128 END) AS sq
-          FROM vb GROUP BY doc_id)
+              ELSE s % 128 END) AS sq
+          FROM vf GROUP BY doc_id)
         SELECT d.doc_id AS id,
           CAST(CASE WHEN d.doc_id % 3 <> 2 THEN 2 ELSE 1 END AS INT)
             AS n_tracks,
           CAST(v.nv AS INT) AS n_video_blocks,
-          CAST(v.nv AS INT) AS n_keyframes,
-          CAST(v.sq AS BIGINT) AS sum_y_ac_qi,
+          CAST(v2.nvf AS INT) AS n_keyframes,
+          CAST(v2.sq AS BIGINT) AS sum_y_ac_qi,
           CAST(400 * (1 + d.doc_id % 3)
-            + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2) + 40 AS BIGINT)
+            + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2)
+            + 40 * (CASE WHEN d.doc_id % 7 = 4
+              THEN 2 + (d.doc_id + (1 + d.doc_id % 3)
+                + ((d.doc_id + 1 + d.doc_id % 3) % 2)) % 2
+              ELSE 1 END) AS BIGINT)
             AS duration_ms
-        FROM d JOIN v USING (doc_id) ORDER BY id""")),
+        FROM d JOIN v USING (doc_id) JOIN v2 USING (doc_id)
+        ORDER BY id""")),
 
     // VP8 KEY-FRAME HEADER (RFC 6386 boolean entropy coder) — the
     // honest shrink of the lossy boundary: the first partition's

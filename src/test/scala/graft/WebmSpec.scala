@@ -15,13 +15,21 @@ class WebmSpec extends AnyFunSuite {
       val na = (0 until Webm.nClusters(d)).map(Webm.nAudio(d, _)).sum
       assert(m.nVideoBlocks == nv, s"d=$d video")
       assert(m.nAudioBlocks == na, s"d=$d audio")
-      assert(m.nKeyframes == nv, s"d=$d keyframes")
+      // laced-video docs carry 2-3 key FRAMES per block — every one
+      // walked through the full codec checks and counted
+      val nvf = (0 until Webm.nClusters(d)).flatMap { c =>
+        (0 until Webm.nVideo(d, c)).map(k => Webm.videoFramesInBlock(d, c, k))
+      }.sum
+      assert(m.nKeyframes == nvf, s"d=$d keyframes")
       assert(m.width == Webm.videoW(d) && m.height == Webm.videoH(d))
-      // every block's key-frame header was decoded: VP8 docs sum the
+      // every FRAME's key-frame header was decoded: VP8 docs sum the
       // bool-coded yAcQi (= s%128), VP9 docs sum the bit-parsed
-      // profile/depth/color-space signature
+      // profile/depth/color-space signature — per laced frame too
       val seeds = (0 until Webm.nClusters(d)).flatMap { c =>
-        (0 until Webm.nVideo(d, c)).map(k => d + 13L * c + 7L * k)
+        (0 until Webm.nVideo(d, c)).flatMap { k =>
+          (0 until Webm.videoFramesInBlock(d, c, k))
+            .map(f => Webm.videoFrameSeed(d, c, k, f))
+        }
       }
       assert(m.videoCodec == (if (Webm.isVp9(d)) "V_VP9" else "V_VP8"))
       if (Webm.isVp9(d)) {
@@ -50,7 +58,8 @@ class WebmSpec extends AnyFunSuite {
       val mult = if (d % 2 == 0) 1L else 2L // ms → ticks
       val groups = (0 until Webm.nClusters(d)).flatMap { c =>
         (0 until Webm.nVideo(d, c)).collect {
-          case k if Webm.videoOnGroup(d, c, k) => 40L * mult
+          case k if Webm.videoOnGroup(d, c, k) =>
+            40L * Webm.videoFramesInBlock(d, c, k) * mult
         } ++
         (0 until Webm.nAudio(d, c)).collect {
           case k if Webm.audioOnGroup(d, c, k) =>
@@ -186,6 +195,44 @@ class WebmSpec extends AnyFunSuite {
     }
     assert(found, "no Block flags flip produced the named rejection")
     assert(bi >= 0)
+  }
+
+  test("laced-video docs cover both lace schemes and both codecs") {
+    val cls = (0L to 60L).filter(Webm.videoLaced)
+    assert(cls.nonEmpty, "no laced-video docs in range")
+    assert(cls.exists(Webm.isVp9) && cls.exists(d => !Webm.isVp9(d)),
+      s"laced-video class must hit both codecs: $cls")
+    val bits = cls.flatMap(d => (0 until Webm.nClusters(d)).flatMap(c =>
+      (0 until Webm.nVideo(d, c)).map(k => Webm.videoLaceBits(d, c, k)))).toSet
+    assert(bits == Set(0x02, 0x06), s"video lace scheme coverage: $bits")
+    // multi-frame blocks genuinely occur (2 AND 3 frames)
+    val counts = cls.flatMap(d => (0 until Webm.nClusters(d)).flatMap(c =>
+      (0 until Webm.nVideo(d, c))
+        .map(k => Webm.videoFramesInBlock(d, c, k)))).toSet
+    assert(counts == Set(2, 3), s"laced frame counts: $counts")
+  }
+
+  test("a laced video frame disagreeing with the block keyness is loud") {
+    // the per-frame cross-check: every frame of a laced block must
+    // carry the block's keyness — flip the frame-type bit in the tag
+    // of the SECOND VP8 key frame (a laced sibling, sharing its
+    // block's keyframe flag) and the walk must refuse
+    val d = 11L // 11 % 7 == 4 → laced video; 11 % 5 == 1 → VP8
+    assert(Webm.videoLaced(d) && !Webm.isVp9(d))
+    val good = Webm.synth(d)
+    var idx = -1; var found = 0
+    var i = 0
+    while (i < good.length - 2 && found < 2) {
+      if ((good(i) & 0xff) == 0x9d && (good(i + 1) & 0xff) == 0x01 &&
+          (good(i + 2) & 0xff) == 0x2a) { found += 1; idx = i }
+      i += 1
+    }
+    assert(found == 2, "fixture lacks two VP8 key-frame start codes")
+    val bad = good.clone()
+    bad(idx - 3) = ((bad(idx - 3) & 0xff) | 0x01).toByte
+    val e = intercept[IllegalArgumentException](Webm.parse(bad))
+    assert(e.getMessage.contains("disagrees with the VP8 frame tag"),
+      e.getMessage)
   }
 
   test("lace counts above 64 are inside the subset (format bound 256)") {
