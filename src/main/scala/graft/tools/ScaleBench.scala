@@ -554,6 +554,15 @@ object ScaleBench {
         graft.operators.Zstd.dictFeatures(docs.select("doc_id"),
           "doc_id")))
     }
+    // zstd SHARED-dictionary decode (round 18): one dictionary per
+    // 4096-doc shard, parsed once per (partition, shard) — the
+    // realistic table-level-dictionary shape; contrast with
+    // zstd_dict's per-doc-dictionary worst case.
+    if (only.isEmpty || only.exists("zstd_dict_shared".contains)) {
+      time("zstd_dict_shared")(force(
+        graft.operators.Zstd.sharedDictFeatures(docs.select("doc_id"),
+          "doc_id")))
+    }
     if (only.isEmpty || only.exists("gzip_members".contains)) {
       time("gzip_members")(force(
         graft.operators.Gzip.memberFeatures(docs.select("doc_id"),

@@ -229,6 +229,49 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("SHARED-dictionary frames: many docs decode against one shard " +
+      "dictionary, parsed once") {
+    // the r18 table-level-dictionary shape: frames for docs d in one
+    // shard g share dictionary g; the parsed handle is reused across
+    // all of them and every (d, g) pair walks to its closed forms
+    for (g <- 0L until 4L) {
+      val pd = Zstd.parseDictionary(Zstd.synthDict(g))
+      for (off <- 0L until 8L) {
+        val d = g * 64 + off * 7 // varied docs inside the shard
+        val m = Zstd.walk(Zstd.synthSharedDictFrame(d, g), pd)
+        assert(m.dictId == Zstd.dictIdOf(g), s"d=$d g=$g dict id")
+        assert(m.nSequences == 2 && m.checksummed == 1, s"d=$d g=$g")
+        val fc = Zstd.sharedDictFrameContent(d, g)
+        assert(m.contentBytes == fc.length, s"d=$d g=$g content bytes")
+        assert(m.contentSum == fc.map(_ & 0xff).map(_.toLong).sum,
+          s"d=$d g=$g content sum")
+      }
+    }
+    // the g == d diagonal degenerates to the per-doc twin exactly
+    for (d <- 0L until 10L)
+      assert(java.util.Arrays.equals(
+        Zstd.synthSharedDictFrame(d, d), Zstd.synthDictFrame(d)),
+        s"d=$d shared(d, d) != per-doc frame")
+  }
+
+  test("the reference codec decompresses our SHARED-dictionary frames " +
+      "byte-exactly") {
+    for (g <- 0L until 3L; off <- 0L until 5L) {
+      val d = g * 64 + off * 11
+      val dict = Zstd.synthDict(g)
+      val stream = Zstd.synthSharedDictFrame(d, g)
+      val fc = Zstd.sharedDictFrameContent(d, g)
+      val dst = new Array[Byte](fc.length)
+      val n = com.github.luben.zstd.Zstd.decompressUsingDict(
+        dst, 0, stream, 0, stream.length, dict)
+      assert(!com.github.luben.zstd.Zstd.isError(n),
+        s"d=$d g=$g reference codec error: " +
+          com.github.luben.zstd.Zstd.getErrorName(n))
+      assert(n == fc.length && java.util.Arrays.equals(dst, fc),
+        s"d=$d g=$g reference codec disagrees on our shared-dict frame")
+    }
+  }
+
   test("the reference codec decompresses our dict-fed frames with our " +
       "from-spec dictionary byte-exactly") {
     for (d <- 0L until 25L) {
