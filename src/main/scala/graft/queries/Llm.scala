@@ -6383,7 +6383,11 @@ object Llm extends QueryModule {
             vb.nv,
             320 + d.doc_id % 33 AS w,
             400 * (1 + d.doc_id % 3)
-              + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2) + 40 AS dur
+              + 40 * ((d.doc_id + 1 + d.doc_id % 3) % 2)
+              + 40 * (CASE WHEN d.doc_id % 7 = 4
+                THEN 2 + (d.doc_id + (1 + d.doc_id % 3)
+                  + ((d.doc_id + 1 + d.doc_id % 3) % 2)) % 2
+                ELSE 1 END) AS dur
           FROM d JOIN vb USING (doc_id))
         SELECT n_tracks, count(*) AS n_files,
           CAST(sum(nv) AS BIGINT) AS total_blocks,
