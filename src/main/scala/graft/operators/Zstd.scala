@@ -33,8 +33,14 @@ import org.apache.spark.sql.types._
   * entry points reject a dict-declaring frame's compressed blocks by
   * name instead of failing with a misleading downstream error.
   *
-  * Remaining documented boundary: window sizes beyond the in-memory
-  * frame buffer; rejected by name.
+  * The window descriptor (RFC 8878 §3.1.1.1.2) is PARSED and
+  * enforced (since r18): match offsets may never exceed the declared
+  * window even when this in-memory decoder holds the history — a
+  * stream lying about its window is corrupt, and the reference codec
+  * rejects it identically; windows beyond 2^30 (the in-memory walk
+  * bound) are rejected by name. Frames that FIT in memory decode
+  * whole-buffer — a true ring-window streaming decode for multi-GB
+  * single frames remains the documented boundary.
   *
   * Bomb guards: decoded content capped against input size (RLE and
   * match amplification), literals regeneration capped at the format's
@@ -693,7 +699,7 @@ object Zstd {
     * history (including the LL==0 rotation and the rep1-1 case).
     * Returns the number of sequences executed. */
   private def decodeCompressedBlock(b: Array[Byte], off: Int, size: Int,
-      st: FrameState, buf: ByteBuf, cap: Long): Int = {
+      st: FrameState, buf: ByteBuf, cap: Long, windowSize: Long): Int = {
     val end = off + size
     val startLen = buf.len
     val lits = decodeLiterals(b, off, end, st)
@@ -728,6 +734,13 @@ object Zstd {
         }
       require(offset > 0 && offset <= buf.len,
         s"zstd: match offset $offset outside the ${buf.len}-byte window")
+      // RFC 8878 §3.1.1.1.2: offsets may never exceed the DECLARED
+      // window — a stream that needs more history than it announced
+      // is corrupt even when this in-memory decoder happens to hold
+      // it (the reference codec rejects it the same way)
+      require(offset <= windowSize,
+        s"zstd: match offset $offset exceeds the declared " +
+          s"$windowSize-byte window")
       require(buf.len + ml <= cap,
         s"zstd: decoded content would exceed $cap bytes — match bomb")
       buf.matchCopy(offset.toInt, ml)
@@ -854,7 +867,22 @@ object Zstd {
         val checksumFlag = (fhd & 0x04) != 0
         val didSize = Array(0, 1, 2, 4)(fhd & 0x3)
         val fcsFlag = (fhd >> 6) & 0x3
-        if (!singleSegment) pos += 1 // window descriptor
+        // window descriptor (RFC 8878 §3.1.1.1.2): exponent/mantissa
+        // → Window_Size. PARSED, not skipped: match offsets are
+        // bounded by the declared window below, and a window beyond
+        // the in-memory walk bound is rejected by name. Single-
+        // segment frames have no descriptor — their window IS the
+        // content, which the buf.len containment already enforces.
+        var windowSize = Long.MaxValue
+        if (!singleSegment) {
+          val wd = bytes(pos) & 0xff; pos += 1
+          val wlog = 10 + (wd >> 3)
+          require(wlog <= 30,
+            s"zstd: declared window 2^$wlog exceeds the 1 GiB " +
+              "in-memory walk bound")
+          val base = 1L << wlog
+          windowSize = base + (base >> 3) * (wd & 7)
+        }
         var frameDid = 0L
         if (didSize > 0) {
           var v = 0L
@@ -937,7 +965,8 @@ object Zstd {
                   s"(id $frameDid) need their dictionary — none supplied")
               nCompressed += 1
               nSequences +=
-                decodeCompressedBlock(bytes, pos, bsize, st, buf, frameCap)
+                decodeCompressedBlock(bytes, pos, bsize, st, buf,
+                  frameCap, windowSize)
               pos += bsize
             case _ =>
               throw new IllegalArgumentException("reserved block type 3")
@@ -1005,7 +1034,17 @@ object Zstd {
         val checksumFlag = (fhd & 0x04) != 0
         val didSize = Array(0, 1, 2, 4)(fhd & 0x3)
         val fcsFlag = (fhd >> 6) & 0x3
-        if (!singleSegment) pos += 1
+        // same declared-window parse + bounds as walkImpl
+        var windowSize = Long.MaxValue
+        if (!singleSegment) {
+          val wd = bytes(pos) & 0xff; pos += 1
+          val wlog = 10 + (wd >> 3)
+          require(wlog <= 30,
+            s"zstd: declared window 2^$wlog exceeds the 1 GiB " +
+              "in-memory walk bound")
+          val base = 1L << wlog
+          windowSize = base + (base >> 3) * (wd & 7)
+        }
         var frameDid = 0L
         if (didSize > 0) {
           var v = 0L
@@ -1049,7 +1088,8 @@ object Zstd {
               require(frameDid == 0L || dict.nonEmpty,
                 s"zstd: compressed blocks in a dictionary-fed frame " +
                   s"(id $frameDid) need their dictionary — none supplied")
-              decodeCompressedBlock(bytes, pos, bsize, st, buf, cap)
+              decodeCompressedBlock(bytes, pos, bsize, st, buf, cap,
+                windowSize)
               pos += bsize
             case _ =>
               throw new IllegalArgumentException("reserved block type 3")
@@ -1445,6 +1485,33 @@ object Zstd {
       }
       u32(xxh64(fc, 0, fc.length, 0L) & 0xffffffffL)
     }
+    out.toByteArray
+  }
+
+  /** A structurally well-formed frame whose single match offset
+    * EXCEEDS its declared window — the RFC 8878 §3.1.1.1.2 violation
+    * the window check exists for: 1400 raw literals under a 1 KiB
+    * window (descriptor 0x00), then a match reaching back 1200 bytes.
+    * An in-memory decoder HOLDS that history, so only the declared-
+    * window check can catch the lie (the reference codec rejects the
+    * same stream; ZstdSpec pins both). Test fixture only. */
+  private[graft] def synthOverWindowFrame(): Array[Byte] = {
+    val lits = Array.tabulate(1400)(i => (i % 251).toByte)
+    val seqs = Array((1400, 3, 1200L + 3))
+    val body = encodeCompressedBlock(lits, seqs, "raw", "pre", new EncState)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    u32(0xFD2FB528L)
+    out.write(2 << 6)  // FCS 4 bytes, no checksum, no dict id
+    out.write(0x00)    // window descriptor: wlog 10 → 1 KiB
+    u32(1403L)
+    val hdr = (body.length << 3) | (2 << 1) | 1
+    out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+    out.write((hdr >> 16) & 0xff)
+    out.write(body, 0, body.length)
     out.toByteArray
   }
 

@@ -348,6 +348,36 @@ class ZstdSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("but dictionary"), e3.getMessage)
   }
 
+  test("a match offset beyond the DECLARED window is rejected — and the " +
+      "reference codec agrees") {
+    // the frame is structurally valid and the in-memory decoder holds
+    // the full history; only the RFC 8878 §3.1.1.1.2 declared-window
+    // rule makes it corrupt. Both our walk and decompress refuse, and
+    // the reference codec rejects the same bytes.
+    val bad = Zstd.synthOverWindowFrame()
+    val e1 = intercept[IllegalArgumentException](Zstd.walk(bad))
+    assert(e1.getMessage.contains("exceeds the declared"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Zstd.decompress(bad))
+    assert(e2.getMessage.contains("exceeds the declared"), e2.getMessage)
+    val refRejects =
+      try {
+        val dst = new Array[Byte](4096)
+        val n = com.github.luben.zstd.Zstd.decompress(dst, bad)
+        com.github.luben.zstd.Zstd.isError(n)
+      } catch { case _: com.github.luben.zstd.ZstdException => true }
+    assert(refRejects,
+      "reference codec accepted an over-window offset our walk rejects")
+  }
+
+  test("a declared window beyond the in-memory bound is rejected by name") {
+    // patch a fixture frame's window descriptor (offset 5: magic 4 +
+    // fhd 1) to exponent 31 → wlog 41
+    val b = Zstd.synthCompressed(1L).clone()
+    b(5) = 0xF8.toByte
+    val e = intercept[IllegalArgumentException](Zstd.walk(b))
+    assert(e.getMessage.contains("in-memory walk bound"), e.getMessage)
+  }
+
   test("a crafted oversized skippable frame cannot loop decompress") {
     // size >= 2^31 went negative under .toInt and moved pos BACKWARD
     // (the r16 ADVICE) — both entry points must fail loudly instead
