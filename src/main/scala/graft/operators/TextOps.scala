@@ -786,57 +786,82 @@ object TextOps {
       .reduce(_.unionAll(_))
       .groupBy("a", "b").agg(sum("cnt").as("cnt"))
       .localCheckpoint()
-    val steps = (1 to k).map { i =>
-      val top = counts
-        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-        .select(col("a"), col("b"), concat(col("a"), col("b")).as("m"),
-          col("cnt"))
-        .localCheckpoint()
-      val nP = greatest(size(col("syms")) - 1, lit(0))
-      val hasPair = exists(
-        zip_with(slice(col("syms"), lit(1), nP),
-          slice(col("syms"), lit(2), nP),
-          (x, y) => x === col("ma") && y === col("mb")),
-        p => p)
-      val fold = aggregate(col("syms"),
-        array().cast("array<string>"),
-        (acc, x) => when(
-          size(acc) > 0 &&
-            element_at(acc, -1) === col("ma") && x === col("mb"),
-          concat(slice(acc, lit(1), size(acc) - 1), array(col("mm"))))
-          .otherwise(concat(acc, array(x))))
-      // Only the words CONTAINING (a,b) change this round; materialize
-      // their before/after symbol lists once per shard — the overrides
-      // update and the count delta both read from this small frame.
-      val deltas = bases.indices.map { s =>
-        val changed = current(s)
-          .crossJoin(broadcast(top.select(col("a").as("ma"),
-            col("b").as("mb"), col("m").as("mm"))))
-          .filter(hasPair)
-          .select(col("word"), col("freq"), col("syms").as("old_syms"),
-            fold.as("syms"))
-          .localCheckpoint()
-        overrides(s) = overrides(s)
-          .join(broadcast(changed.select("word")), Seq("word"), "left_anti")
-          .unionAll(changed.select(col("word"), col("freq"), col("syms")))
-          .localCheckpoint()
-        // Count delta: -old pairs +new pairs of the changed words. Every
-        // occurrence of (a,b) lives in a changed word by definition, so
-        // its count nets to <= 0 globally and the filter retires it.
-        bpePairs(changed.select(col("freq"),
-            col("old_syms").as("syms")))
-            .groupBy("a", "b").agg((-sum("freq")).as("cnt"))
-          .unionAll(bpePairs(changed)
-            .groupBy("a", "b").agg(sum("freq").as("cnt")))
+    val stepRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var round = 1
+    var dry = false
+    while (round <= k && !dry) {
+      // The global top merge is ONE row by construction — lift it to
+      // the driver (a bounded 1-row collect, the JxJson capped-reshape
+      // precedent) instead of checkpointing + broadcasting a 1-row
+      // frame per round: the fold below is then parameterized by plain
+      // literals, the per-round crossJoin disappears, and the merge
+      // ledger assembles as a LocalRelation with zero Spark jobs.
+      val topRows = counts
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
+      if (topRows.isEmpty) dry = true
+      else {
+        val ma = topRows(0).getString(0)
+        val mb = topRows(0).getString(1)
+        val cnt = topRows(0).getLong(2)
+        val mm = ma + mb
+        // The merge pair rides a 1-row LocalRelation broadcast, NOT
+        // literals: per-round literals generate fresh whole-stage code
+        // every round (measured ~2 s/train of Janino time at k=6),
+        // while the column-parameterized fold compiles once and hits
+        // the codegen cache for every subsequent round.
+        import spark.implicits._
+        val topLocal = Seq((ma, mb, mm)).toDF("ma", "mb", "mm")
+        val nP = greatest(size(col("syms")) - 1, lit(0))
+        val hasPair = exists(
+          zip_with(slice(col("syms"), lit(1), nP),
+            slice(col("syms"), lit(2), nP),
+            (x, y) => x === col("ma") && y === col("mb")),
+          p => p)
+        val fold = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 &&
+              element_at(acc, -1) === col("ma") && x === col("mb"),
+            concat(slice(acc, lit(1), size(acc) - 1), array(col("mm"))))
+            .otherwise(concat(acc, array(x))))
+        // Only the words CONTAINING (a,b) change this round; materialize
+        // their before/after symbol lists once per shard — the overrides
+        // update and the count delta both read from this small frame.
+        val deltas = bases.indices.map { s =>
+          val changed = current(s)
+            .crossJoin(broadcast(topLocal))
+            .filter(hasPair)
+            .select(col("word"), col("freq"), col("syms").as("old_syms"),
+              fold.as("syms"))
+            .localCheckpoint()
+          // lazy checkpoint: the (tiny) overrides table still
+          // materializes once and truncates lineage, but inside its
+          // first consumer's job instead of as its own eager job
+          overrides(s) = overrides(s)
+            .join(broadcast(changed.select("word")), Seq("word"), "left_anti")
+            .unionAll(changed.select(col("word"), col("freq"), col("syms")))
+            .localCheckpoint(false)
+          // Count delta: -old pairs +new pairs of the changed words. Every
+          // occurrence of (a,b) lives in a changed word by definition, so
+          // its count nets to <= 0 globally and the filter retires it.
+          bpePairs(changed.select(col("freq"),
+              col("old_syms").as("syms")))
+              .groupBy("a", "b").agg((-sum("freq")).as("cnt"))
+            .unionAll(bpePairs(changed)
+              .groupBy("a", "b").agg(sum("freq").as("cnt")))
+        }
+        counts = (counts +: deltas).reduce(_.unionAll(_))
+          .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint(false)
+        stepRows += ((round, ma, mb, mm, cnt))
+        round += 1
       }
-      counts = (counts +: deltas).reduce(_.unionAll(_))
-        .groupBy("a", "b").agg(sum("cnt").as("cnt"))
-        .filter(col("cnt") > 0)
-        .localCheckpoint()
-      top.select(lit(i).as("step"), col("a").as("left_sym"),
-        col("b").as("right_sym"), col("m").as("merged"), col("cnt"))
     }
-    (steps.reduce(_.unionAll(_)).orderBy("step"),
+    val steps = spark.createDataFrame(stepRows.toSeq)
+      .toDF("step", "left_sym", "right_sym", "merged", "cnt")
+    (steps.orderBy("step"),
       bases.indices.map(current).reduce(_.unionAll(_)))
   }
 }

@@ -42,23 +42,45 @@ object Graph extends QueryModule {
     * on dst. Assumes no dangling nodes (symmetrize first). Returns
     * (node, rank) unrounded — callers own the determinism contract.
     * Reused by the declared query and by ScaleBench's ×N probe. */
-  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  /** `symmetric = true` is the caller's promise that the edge list is
+    * symmetrized (u→v implies v→u), so every node's in-neighbour set is
+    * nonempty and the per-iteration left-join re-extension against the
+    * node table is a row-wise no-op — each iteration then reads its
+    * rank vector straight off the contribution aggregate (coalesce
+    * never fires on a symmetric graph, so the emitted doubles are
+    * bit-identical). Both declared callers symmetrize by construction. */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      symmetric: Boolean = false): DataFrame = {
+    // deg and nodes are consumed by EVERY iteration (deg by the share
+    // division, nodes by the left-join re-extension) — without
+    // materialization Catalyst re-executes each subtree per consumer
+    // (measured: 18 jobs / 3.2 s warm for 3 iterations at sf0.1).
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
-    val total = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(total))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    // |V| as a plan literal: one bounded 1-row driver value replacing
+    // iters+1 broadcast-exchange re-executions of the count subtree.
+    // lit(n) feeds the identical IEEE divisions the broadcast column
+    // did, so every emitted double is unchanged.
+    val n = nodes.count().toDouble
+    var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
     for (_ <- 1 to iters) {
       val shares = ranks
         .join(deg, ranks("node") === deg("src"))
         .select(col("node").as("u"), (col("rank") / col("deg")).as("share"))
       val contrib = edges.join(shares, edges("src") === shares("u"))
         .groupBy(col("dst")).agg(sum("share").as("sum_in"))
-      ranks = nodes.crossJoin(broadcast(total))
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) / col("n")
-            + lit(damping) * coalesce(col("sum_in"), lit(0.0))).as("rank"))
+      ranks =
+        if (symmetric)
+          contrib.select(col("dst").as("node"),
+            (lit(1.0 - damping) / lit(n)
+              + lit(damping) * col("sum_in")).as("rank"))
+        else nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) / lit(n)
+              + lit(damping) * coalesce(col("sum_in"), lit(0.0))).as("rank"))
     }
     ranks
   }
@@ -112,7 +134,16 @@ object Graph extends QueryModule {
       // re-deriving it per consumer (ScaleBench's ×N probe passes its
       // exploded edges unmaterialized on purpose — at 100M+ edges the
       // recompute is cheaper than the scratch write).
-      (s, dir) => pagerank(csEdges(s, dir).localCheckpoint(), 3)
+      // repartition+sort by src BEFORE the checkpoint: the materialized
+      // RDD then already satisfies every iteration's join distribution
+      // and sort order on src (LogicalRDD preserves both), so the
+      // |E|-sized exchange+sort under each SortMergeJoin disappears —
+      // only the |V|-sized shares side moves per iteration (guide §2.4:
+      // operations keyed the same way share one exchange).
+      (s, dir) => pagerank(
+        csEdges(s, dir).repartition(col("src"))
+          .sortWithinPartitions("src").localCheckpoint(), 3,
+        symmetric = true)
         .select(col("node"), round(col("rank") * 1000, 6).as("rank_k"))
         .orderBy(desc("rank_k"), asc("node")),
       Some(s"""WITH $oracleGraphCte,

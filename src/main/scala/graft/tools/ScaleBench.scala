@@ -1016,7 +1016,7 @@ object ScaleBench {
           (col("s") + col("rep") * 10000000L).as("s"))
       val edges = cs.select(col("c").as("src"), col("s").as("dst"))
         .union(cs.select(col("s").as("src"), col("c").as("dst")))
-      force(graft.queries.Graph.pagerank(edges, 3))
+      force(graft.queries.Graph.pagerank(edges, 3, symmetric = true))
     }
     time("dedup_groups") {
       val pairs = TextOps.minhashNearDupPairs(docs, "doc_id", "text")
